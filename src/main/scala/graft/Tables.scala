@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * Every batch query takes the scale-factor directory as a parameter so the
+  * same plan runs unchanged at sf0.001 (smoke), sf0.01 (oracle) and sf0.1
+  * (bench) — and, by extension, on a real cluster path at any scale. Reads
+  * go through `spark.read.parquet`, so Catalyst pushes filters and prunes
+  * columns into the scan automatically.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses outright
+    // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then truncate to micros
+    // with integer division (`div`, not `/`: double math would lose
+    // sub-microsecond precision on epoch-nanos magnitudes and round
+    // differently than the oracle's integer truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every fixture table as a temp view (SURVEY §2.6 Q1 surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

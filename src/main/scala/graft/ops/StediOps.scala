@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.Schemas
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The reference's transformation surface as pure `DataFrame => DataFrame`
+  * functions, written once and reused in three contexts: batch over parquet
+  * (Verify/Bench harness), Structured Streaming over Kafka
+  * (graft.pipelines), and unit tests over literal frames.
+  *
+  * Each function cites the reference call site it re-expresses
+  * (reference paths are into /root/reference/project/starter/).
+  * All of it is stock Catalyst — whole-stage codegen fuses the
+  * cast/parse/filter/split chain into a single generated function per
+  * stage, and nothing here shuffles except the final join.
+  */
+object StediOps {
+
+  /** P1 — Kafka `value: binary` → String (sparkpykafkajoin.py:79-81). */
+  def castValueAsString(df: DataFrame): DataFrame =
+    df.selectExpr("CAST(value AS STRING) as value")
+
+  /** F1+P2 — parse the Redis CDC envelope and flatten its 8 fields
+    * (sparkpykafkajoin.py:115-126). PERMISSIVE parsing: malformed JSON or
+    * missing fields yield nulls, never failures.
+    */
+  def parseRedisEnvelope(df: DataFrame): DataFrame =
+    df.select(from_json(col("value"), Schemas.redisServer).as("data"))
+      .select(
+        col("data.key").as("key"),
+        col("data.value").as("value"),
+        col("data.expiredType").as("expiredType"),
+        col("data.expiredValue").as("expiredValue"),
+        col("data.existType").as("existType"),
+        col("data.Ch").as("ch"),
+        col("data.Incr").as("incr"),
+        col("data.zSetEntries").as("zSetEntries"))
+
+  /** P3+P5 — `zSetEntries[0].element AS encodedCustomer WHERE zSetEntries
+    * IS NOT NULL` (sparkpykafkajoin.py:133-138). Only the first array entry
+    * is read; non-zset Redis events (null array) are dropped.
+    */
+  def extractEncodedCustomer(df: DataFrame): DataFrame =
+    df.filter(col("zSetEntries").isNotNull)
+      .select(expr("zSetEntries[0].element").as("encodedCustomer"))
+
+  /** F2 — base64-decode the customer payload to a UTF-8 JSON string
+    * (sparkpykafkajoin.py:156-158). */
+  def decodeCustomer(df: DataFrame): DataFrame =
+    df.select(unbase64(col("encodedCustomer")).cast(StringType).as("customer"))
+
+  /** F1+P2 — parse the customer JSON and flatten (sparkpykafkajoin.py:163-165). */
+  def parseCustomer(df: DataFrame): DataFrame =
+    df.select(from_json(col("customer"), Schemas.customer).as("customer"))
+      .select("customer.*")
+
+  /** P4 — keep only complete records; JSON parsing set non-existent fields
+    * to null (sparkpykafkajoin.py:171-178). */
+  def emailAndBirthDay(df: DataFrame): DataFrame =
+    df.filter(col("email").isNotNull && col("birthDay").isNotNull)
+      .select("email", "birthDay")
+
+  /** F3 — birth year = first `-`-separated token of the `yyyy-MM-dd` string
+    * (sparkpykafkajoin.py:184-187). */
+  def emailAndBirthYear(df: DataFrame): DataFrame =
+    df.select(col("email"), split(col("birthDay"), "-").getItem(0).as("birthYear"))
+
+  /** Full customer-side chain: raw envelope JSON string → (email, birthYear). */
+  def customerChain(rawValue: DataFrame): DataFrame =
+    emailAndBirthYear(emailAndBirthDay(parseCustomer(decodeCustomer(
+      extractEncodedCustomer(parseRedisEnvelope(rawValue))))))
+
+  /** F1+P2+P6 — risk-event side: parse stedi-events JSON, drop null
+    * customers (sparkpykafkajoin.py:226-241). */
+  def parseRiskEvent(df: DataFrame): DataFrame =
+    df.select(from_json(col("value"), Schemas.stediEvents).as("event"))
+      .select("event.*")
+      .filter(col("customer").isNotNull)
+
+  /** J1+J2 — inner equi-join risk events with customer birth years on
+    * email (sparkpykafkajoin.py:246-257). In streaming mode Spark plans a
+    * StreamingSymmetricHashJoinExec with a hash shuffle on each key; in
+    * batch mode Catalyst is free to broadcast the smaller side.
+    */
+  def joinRiskWithCustomer(risk: DataFrame, customer: DataFrame): DataFrame =
+    risk.join(customer, risk("customer") === customer("email"), "inner")
+      .select(col("customer"), col("score"), col("email"), col("birthYear"))
+
+  /** F4+F5 — Kafka sink projection: key = customer, value = JSON with
+    * `score`/`birthYear` deliberately cast to JSON *strings*, matching the
+    * reference byte-for-byte (sparkpykafkajoin.py:274-284).
+    */
+  def toKafkaOutput(df: DataFrame): DataFrame =
+    df.select(
+      col("customer").as("key"),
+      to_json(struct(
+        col("customer").as("customer"),
+        col("score").cast(StringType).as("score"),
+        col("email").as("email"),
+        col("birthYear").cast(StringType).as("birthYear")
+      )).as("value"))
+}
