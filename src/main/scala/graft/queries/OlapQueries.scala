@@ -32,8 +32,192 @@ object OlapQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Top-k with deterministic tie-break — plans as TakeOrderedAndProject
+    * (no global sort: each partition keeps its local top 20, the driver
+    * merges — the only scale-safe top-k shape). */
+  def q2Topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  /** Ranking window: top 3 customers by balance per nation. */
+  def q3WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.load(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn").cast("long").as("rn"),
+        col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** Analytic window frame: running total + lag per customer over time. */
+  def q3bWindowFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 2)
+          .as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Distinct (hash aggregate without measures). */
+  def q4Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type")).distinct().orderBy("event_type")
+
+  /** Set operations: INTERSECT + EXCEPT, tagged and unioned. */
+  def q5Setops(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select(col("user_id").as("id"))
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey").as("id"))
+    e.intersect(c).select(lit("both").as("tag"), col("id"))
+      .unionAll(c.except(e).select(lit("cust_only").as("tag"), col("id")))
+      .orderBy("tag", "id")
+  }
+
+  /** 3-way star join with broadcast dimensions (region, nation ship once
+    * per executor; the customer scan never shuffles). */
+  def q6StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"),
+        round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join (EXISTS): customers holding at least one big order. */
+  def q7Semi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q8Anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** ROLLUP grouping sets with grouping_id; NULLS FIRST ordering pinned on
+    * both sides (Spark defaults nulls-first, DuckDB nulls-last). */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Scalar subquery: orders above the global average price. */
+  def q10Subquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Date/time bucketing: per-month order stats. */
+  def q11Date(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("monthly_total"))
+      .orderBy("y", "m")
+
+  /** CASE WHEN buckets + exact math functions (abs/ceil/floor/sqrt). */
+  def q12CaseMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("qty_bucket"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** String function battery over part names. */
+  def q13String(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Array/higher-order function battery over tokenized documents. */
+  def q14Array(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        concat_ws(",", slice(toks, 1, 3)).as("first3"),
+        array_contains(toks, "the").as("has_the"),
+        element_at(array_sort(toks), 1).as("min_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-user event aggregation incl. exact distinct + timestamp min/max. */
+  def q15EventsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, d) => q1Agg(s, d))
+    "q1_agg" -> ((s, d) => q1Agg(s, d)),
+    "q2_topk" -> ((s, d) => q2Topk(s, d)),
+    "q3_window_rank" -> ((s, d) => q3WindowRank(s, d)),
+    "q3b_window_frame" -> ((s, d) => q3bWindowFrame(s, d)),
+    "q4_distinct" -> ((s, d) => q4Distinct(s, d)),
+    "q5_setops" -> ((s, d) => q5Setops(s, d)),
+    "q6_star_join" -> ((s, d) => q6StarJoin(s, d)),
+    "q7_semi_join" -> ((s, d) => q7Semi(s, d)),
+    "q8_anti_join" -> ((s, d) => q8Anti(s, d)),
+    "q9_rollup" -> ((s, d) => q9Rollup(s, d)),
+    "q10_subquery" -> ((s, d) => q10Subquery(s, d)),
+    "q11_date" -> ((s, d) => q11Date(s, d)),
+    "q12_case_math" -> ((s, d) => q12CaseMath(s, d)),
+    "q13_string" -> ((s, d) => q13String(s, d)),
+    "q14_array" -> ((s, d) => q14Array(s, d)),
+    "q15_events_agg" -> ((s, d) => q15EventsAgg(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -50,6 +234,113 @@ object OlapQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q3_window_rank" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q3b_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q4_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q5_setops" ->
+      """SELECT 'both' AS tag, id FROM
+        |  (SELECT user_id AS id FROM events INTERSECT SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, id FROM
+        |  (SELECT c_custkey AS id FROM customer EXCEPT SELECT user_id FROM events)
+        |ORDER BY tag, id""".stripMargin,
+
+    "q6_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal),2) AS total_bal,
+        |       round(avg(c_acctbal),6) AS avg_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q10_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q11_date" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |       count(*) AS n, round(sum(o_totalprice),2) AS monthly_total
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "q12_case_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 30 THEN 'mid'
+        |            ELSE 'high' END AS qty_bucket,
+        |       abs(l_discount - 0.05) AS disc_dev,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |       round(sqrt(l_quantity), 6) AS qty_sqrt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q13_string" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |       substring(p_name, 1, 5) AS name_pre,
+        |       length(p_name) AS name_len,
+        |       regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        |       lpad(p_brand, 12, '*') AS brand_pad,
+        |       concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q14_array" ->
+      """SELECT doc_id,
+        |       len(string_split(lower(text),' ')) AS n_tokens,
+        |       len(list_distinct(string_split(lower(text),' '))) AS n_distinct,
+        |       array_to_string(string_split(lower(text),' ')[1:3], ',') AS first3,
+        |       list_contains(string_split(lower(text),' '), 'the') AS has_the,
+        |       list_sort(string_split(lower(text),' '))[1] AS min_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_events_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value),2) AS total_value,
+        |       count(DISTINCT event_type) AS n_types,
+        |       min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

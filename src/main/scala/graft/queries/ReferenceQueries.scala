@@ -77,8 +77,98 @@ object ReferenceQueries {
       .orderBy("customer", "score", "kafka_value")
   }
 
+  /** P1 — binary→string cast projection (the Kafka `CAST(value AS STRING)`
+    * leg), exercised as a binary round-trip over `documents.text`. */
+  def castBinaryString(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").cast("string").as("value"))
+      .orderBy("doc_id")
+
+  /** F1 — PERMISSIVE from_json over the `events.props` JSON column. */
+  def jsonParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .orderBy("event_id")
+
+  /** P3 — array element access (`zSetEntries[0].element` analog). */
+  def arrayAccess(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("split(text, ' ')[0]").as("first_token"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** F2 — base64 encode + unbase64 decode round-trip (the customer-payload
+    * decode leg). */
+  def base64Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // Spark's base64 MIME-chunks at 76 chars with CRLF (commons-codec
+    // heritage); strip the wrapping to canonical RFC 4648 so the encoding
+    // matches every other engine. unbase64 accepts both forms.
+    val enc = regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "")
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        enc.as("encoded"),
+        unbase64(enc).cast("string").as("decoded"))
+      .orderBy("doc_id")
+  }
+
+  /** P4/P5/P6 — NOT NULL + predicate filters below a JSON parse. */
+  def nullFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .filter(col("k").isNotNull && col("event_type") =!= "error")
+      .orderBy("event_id")
+
+  /** F3 — birth-year style `split(date_str, '-')[0]` extraction. */
+  def splitYear(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        split(date_format(col("o_orderdate"), "yyyy-MM-dd"), "-").getItem(0).as("order_year"))
+      .orderBy("o_orderkey")
+
+  /** J1/J2 — batch inner equi-join (risk×customer analog). The dimension
+    * side is explicitly broadcast: at 100 TB the fact side (`events`)
+    * streams through while the small side ships once per executor —
+    * no shuffle of the big side at all. */
+  def joinEventsCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val c = Tables.load(spark, dir, "customer")
+    e.join(broadcast(c), e("user_id") === c("c_custkey"), "inner")
+      .select(col("event_id"), col("c_name"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** F4 — to_json(struct(...)) serialization (Kafka sink value leg). */
+  def toJsonStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("json_value"))
+      .orderBy("event_id")
+
+  /** Q1 — createOrReplaceTempView + spark.sql entry point. */
+  def sqlOverView(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stedi_pipeline" -> ((s, d) => stediPipeline(s, d))
+    "stedi_pipeline" -> ((s, d) => stediPipeline(s, d)),
+    "r_cast_binary_string" -> ((s, d) => castBinaryString(s, d)),
+    "r_json_parse" -> ((s, d) => jsonParse(s, d)),
+    "r_array_access" -> ((s, d) => arrayAccess(s, d)),
+    "r_base64_roundtrip" -> ((s, d) => base64Roundtrip(s, d)),
+    "r_null_filter" -> ((s, d) => nullFilter(s, d)),
+    "r_split_year" -> ((s, d) => splitYear(s, d)),
+    "r_join_events_customer" -> ((s, d) => joinEventsCustomer(s, d)),
+    "r_to_json_struct" -> ((s, d) => toJsonStruct(s, d)),
+    "r_sql_over_view" -> ((s, d) => sqlOverView(s, d))
   )
 
   /** DuckDB oracles state the *semantics* of each query (the encode→decode
@@ -103,6 +193,52 @@ object ReferenceQueries {
         |         email := c.email,
         |         birthYear := c.birthYear)) AS VARCHAR) AS kafka_value
         |FROM risk r JOIN cust c ON r.customer = c.email
-        |ORDER BY customer, score, kafka_value""".stripMargin
+        |ORDER BY customer, score, kafka_value""".stripMargin,
+
+    "r_cast_binary_string" ->
+      "SELECT doc_id, decode(encode(text)) AS value FROM documents ORDER BY doc_id",
+
+    "r_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "r_array_access" ->
+      """SELECT doc_id, string_split(text, ' ')[1] AS first_token,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "r_base64_roundtrip" ->
+      """SELECT doc_id, to_base64(encode(text)) AS encoded,
+        |       decode(from_base64(to_base64(encode(text)))) AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "r_null_filter" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  AND event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "r_split_year" ->
+      """SELECT o_orderkey,
+        |       split_part(strftime(o_orderdate, '%Y-%m-%d'), '-', 1) AS order_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "r_join_events_customer" ->
+      """SELECT event_id, c_name, event_type, value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
+
+    "r_to_json_struct" ->
+      """SELECT event_id,
+        |       CAST(to_json(struct_pack(event_id := event_id,
+        |                                event_type := event_type)) AS VARCHAR) AS json_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "r_sql_over_view" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }
