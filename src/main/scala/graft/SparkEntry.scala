@@ -17,7 +17,11 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ReferenceQueries.queries, ReferenceQueries.oracles),
-      (OlapQueries.queries, OlapQueries.oracles)
+      (OlapQueries.queries, OlapQueries.oracles),
+      (graft.ext.DedupQueries.queries, graft.ext.DedupQueries.oracles),
+      (graft.ext.SimilarityQueries.queries, graft.ext.SimilarityQueries.oracles),
+      (graft.ext.TextQueries.queries, graft.ext.TextQueries.oracles),
+      (graft.ext.MultimodalQueries.queries, graft.ext.MultimodalQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

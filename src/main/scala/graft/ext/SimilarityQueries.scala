@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>` column).
+  *
+  * All cosine math goes through the codegen'd [[graft.functions.CosineSimilarity]]
+  * expression (double precision, element-wise widened floats — the same
+  * arithmetic the DuckDB oracle performs on `embedding::DOUBLE[]`).
+  *
+  * Scale posture: `s1` top-k plans as TakeOrderedAndProject against a
+  * broadcast single-row query vector (one scan, no shuffle, no global
+  * sort). `s2`/`s3` bound pair generation by label blocking. `s4` is the
+  * 100 TB path: random-hyperplane LSH buckets turn the all-pairs problem
+  * into an equi-join on band keys; only in-bucket candidates pay the exact
+  * cosine.
+  */
+object SimilarityQueries {
+
+  val NearDupThreshold = 0.5   // synthetic corpus: background pairs peak ~0.6
+  val LabelPairThreshold = 0.3
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings")
+  }
+
+  /** s1 — brute-force cosine top-10 against a fixed query vector (vec_id 0),
+    * the exactness baseline every ANN variant is judged against. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** s2 — embedding-cosine near-duplicate pairs (the embedding flavor of
+    * dedup). Pairs are generated label-blocked + upper-triangular; the
+    * unblocked variant at scale is s4's LSH. */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(expr("cosine_sim(a.embedding, b.embedding)"), 6))
+      .filter(col("cosine") >= NearDupThreshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** s3 — per-label count of similar pairs (blocked all-pairs aggregate). */
+  def labelPairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6) >= LabelPairThreshold)
+      .groupBy(col("a.label").as("label"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("label")
+  }
+
+  /** s4 — random-hyperplane LSH ANN (the scale path; no SQL oracle, driver
+    * records a rows-only check). 16 sign bits from pseudo-random ±1
+    * hyperplanes (murmur-hashed (plane, dim) pairs — constant-folded per
+    * element), banded 4×4; candidates = vectors sharing any band with the
+    * query; exact cosine re-ranks the bucket. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val bits = (0 until 16).foldLeft(base) { (d, p) =>
+      d.withColumn(s"s$p", expr(
+        s"aggregate(transform(sequence(0, size(embedding)-1), " +
+          s"d -> element_at(embedding, d + 1) * CASE WHEN pmod(hash($p, d), 2) = 1 THEN 1.0D ELSE -1.0D END), " +
+          s"0D, (acc, x) -> acc + x) > 0D"))
+    }
+    val bandCols = (0 until 4).map { b =>
+      val e = (0 until 4).map(r => s"(CASE WHEN s${4 * b + r} THEN ${1 << r} ELSE 0 END)").mkString(" + ")
+      expr(s"struct(cast($b as int) as bid, cast($e as int) as bkey)")
+    }
+    val bands = bits.select(col("vec_id"), col("embedding"),
+        explode(array(bandCols: _*)).as("u"))
+      .select(col("vec_id"), col("embedding"), col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+    val qBands = bands.filter(col("vec_id") === 0)
+      .select(col("bid").as("qbid"), col("bkey").as("qbkey"), col("embedding").as("qv"))
+    bands.filter(col("vec_id") > 0)
+      .join(broadcast(qBands), col("bid") === col("qbid") && col("bkey") === col("qbkey"))
+      .select(col("vec_id"), round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+      .distinct()
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
+    "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
+    "s3_label_paircounts" -> ((s, d) => labelPairCounts(s, d)),
+    "s4_ann_lsh" -> ((s, d) => annLsh(s, d))
+  )
+
+  private val duckEmb =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+      |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+      |       FROM embeddings)""".stripMargin
+
+  /** s4 is intentionally omitted (LSH bucketing is Spark-side logic; the
+    * driver records a rows-only check). */
+  val oracles: Map[String, String] = Map(
+    "s1_ann_topk" ->
+      s"""WITH $duckEmb,
+         |q AS (SELECT v, nrm FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS cosine
+         |FROM e, q WHERE e.vec_id > 0
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "s2_cosine_pairs" ->
+      s"""WITH $duckEmb
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= ${NearDupThreshold}
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "s3_label_paircounts" ->
+      s"""WITH $duckEmb
+         |SELECT a.label AS label, count(*) AS n_pairs
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= ${LabelPairThreshold}
+         |GROUP BY a.label ORDER BY label""".stripMargin
+  )
+}

@@ -88,6 +88,30 @@ object StediOps {
     risk.join(customer, risk("customer") === customer("email"), "inner")
       .select(col("customer"), col("score"), col("email"), col("birthYear"))
 
+  /** Opt-in bounded-state variant of the join (the 100 TB scale path the
+    * reference lacks): watermarks on both sides plus a time-bounded join
+    * condition let Spark evict state older than `delay` (e.g. "1 HOUR").
+    * Event time: `riskDate` on the risk side; `custTs` on the customer
+    * side if present, else ingestion time (micro-batch timestamp).
+    * Semantics differ from the reference's windowless join only for events
+    * arriving more than `delay` apart — which is exactly the point.
+    */
+  def joinRiskWithCustomerWatermarked(
+      risk: DataFrame, customer: DataFrame, delay: String): DataFrame = {
+    val r = risk.withColumn("riskTs", to_timestamp(col("riskDate")))
+      .withWatermark("riskTs", delay)
+    val cBase =
+      if (customer.columns.contains("custTs")) customer
+      else customer.withColumn("custTs", current_timestamp())
+    val c = cBase.withWatermark("custTs", delay)
+    r.as("r").join(c.as("c"),
+        expr(s"r.customer = c.email AND " +
+          s"r.riskTs >= c.custTs - INTERVAL $delay AND " +
+          s"r.riskTs <= c.custTs + INTERVAL $delay"), "inner")
+      .select(col("r.customer").as("customer"), col("r.score").as("score"),
+        col("c.email").as("email"), col("c.birthYear").as("birthYear"))
+  }
+
   /** F4+F5 — Kafka sink projection: key = customer, value = JSON with
     * `score`/`birthYear` deliberately cast to JSON *strings*, matching the
     * reference byte-for-byte (sparkpykafkajoin.py:274-284).

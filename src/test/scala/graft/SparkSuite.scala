@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session across suites (getOrCreate). */
+trait SparkSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}

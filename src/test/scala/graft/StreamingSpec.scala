@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.StediOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics tests over MemoryStream — the same
+  * `DataFrame => DataFrame` ops the Kafka pipelines run, driven without a
+  * broker (SURVEY §5.2). */
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def mkEnvelope(name: String, email: String, birthDay: String): String = {
+    val customer = java.util.Base64.getEncoder.encodeToString(
+      s"""{"customerName":"$name","email":"$email","phone":"555","birthDay":"$birthDay"}"""
+        .getBytes("UTF-8"))
+    s"""{"key":"Q3VzdG9tZXI=","existType":"NONE","Ch":false,"Incr":false,"zSetEntries":[{"element":"$customer","score":"0.0"}]}"""
+  }
+
+  private def mkRisk(email: String, score: Double): String =
+    s"""{"customer":"$email","score":$score,"riskDate":"2020-09-14T07:54:06.417Z"}"""
+
+  test("streaming customer chain decodes envelopes in append mode") {
+    val input = MemoryStream[String]
+    val q = StediOps.customerChain(input.toDF().select(col("value")))
+      .writeStream.format("memory").queryName("cust_stream").outputMode("append").start()
+    try {
+      input.addData(mkEnvelope("A", "a@test.com", "1990-05-01"))
+      input.addData(mkEnvelope("B", "b@test.com", "1985-01-02"), "garbage not json")
+      q.processAllAvailable()
+      val rows = spark.table("cust_stream").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("a@test.com", "1990"), ("b@test.com", "1985")))
+    } finally q.stop()
+  }
+
+  test("windowless stream-stream join emits the per-email cross product over full history") {
+    val customers = MemoryStream[String]
+    val risks = MemoryStream[String]
+    val joined = StediOps.joinRiskWithCustomer(
+      StediOps.parseRiskEvent(risks.toDF().select(col("value"))),
+      StediOps.customerChain(customers.toDF().select(col("value"))))
+    val q = joined.writeStream.format("memory").queryName("join_stream")
+      .outputMode("append").start()
+    try {
+      customers.addData(mkEnvelope("A", "a@test.com", "1990-05-01"))
+      risks.addData(mkRisk("a@test.com", 1.0), mkRisk("a@test.com", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("join_stream").count() == 2)
+
+      // A second customer record for the same email: the symmetric join
+      // matches it against BOTH risk events already in state (+2), and the
+      // new risk event then matches both customer records (+2) — unbounded
+      // state, no dedup, reference semantics (README.md:26).
+      customers.addData(mkEnvelope("A2", "a@test.com", "1990-05-01"))
+      risks.addData(mkRisk("a@test.com", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("join_stream").count() == 2 + 2 + 2)
+
+      // unmatched email joins nothing
+      risks.addData(mkRisk("nobody@test.com", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("join_stream").count() == 6)
+    } finally q.stop()
+  }
+
+  test("kafka output projection serializes score and birthYear as JSON strings") {
+    val customers = MemoryStream[String]
+    val risks = MemoryStream[String]
+    val out = StediOps.toKafkaOutput(StediOps.joinRiskWithCustomer(
+      StediOps.parseRiskEvent(risks.toDF().select(col("value"))),
+      StediOps.customerChain(customers.toDF().select(col("value")))))
+    val q = out.writeStream.format("memory").queryName("kafka_out")
+      .outputMode("append").start()
+    try {
+      customers.addData(mkEnvelope("S", "s@test.com", "1963-07-01"))
+      risks.addData(mkRisk("s@test.com", 28.5))
+      q.processAllAvailable()
+      val row = spark.table("kafka_out").collect()(0)
+      assert(row.getAs[String]("key") == "s@test.com")
+      assert(row.getAs[String]("value") ==
+        """{"customer":"s@test.com","score":"28.5","email":"s@test.com","birthYear":"1963"}""")
+    } finally q.stop()
+  }
+
+  test("watermarked join variant runs with bounded state and joins in-window events") {
+    val customers = MemoryStream[String]
+    val risks = MemoryStream[String]
+    val cust = StediOps.customerChain(customers.toDF().select(col("value")))
+    val risk = StediOps.parseRiskEvent(risks.toDF().select(col("value")))
+    val joined = StediOps.joinRiskWithCustomerWatermarked(risk, cust, "1 HOUR")
+    val q = joined.writeStream.format("memory").queryName("wm_join")
+      .outputMode("append").start()
+    try {
+      customers.addData(mkEnvelope("A", "a@test.com", "1990-05-01"))
+      risks.addData(mkRisk("a@test.com", 1.0))
+      q.processAllAvailable()
+      // customer custTs = ingestion (now); riskDate is 2020 → outside the
+      // 1-hour band, so nothing joins; the plan must still run with
+      // watermarks + state eviction wired in.
+      assert(spark.table("wm_join").count() == 0)
+      val recent = java.time.Instant.now().toString
+      risks.addData(s"""{"customer":"a@test.com","score":5.0,"riskDate":"$recent"}""")
+      q.processAllAvailable()
+      assert(spark.table("wm_join").count() == 1)
+    } finally q.stop()
+  }
+}
