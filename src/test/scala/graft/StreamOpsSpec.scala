@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.StediOps
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stateful streaming operator semantics over MemoryStream. */
+class StreamOpsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def mkRisk(email: String, score: Double, ts: String): String =
+    s"""{"customer":"$email","score":$score,"riskDate":"$ts"}"""
+
+  private def parsed(input: MemoryStream[String]) =
+    StediOps.parseRiskEvent(input.toDF().select(col("value")))
+
+  test("windowed aggregation emits closed windows once the watermark passes") {
+    val input = MemoryStream[String]
+    val q = StreamOps.windowedRiskStats(parsed(input), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_stats").outputMode("append").start()
+    try {
+      input.addData(
+        mkRisk("a@test.com", 2.0, "2020-09-14T07:02:00.000Z"),
+        mkRisk("a@test.com", 4.0, "2020-09-14T07:04:00.000Z"),
+        mkRisk("b@test.com", 8.0, "2020-09-14T07:05:00.000Z"))
+      q.processAllAvailable()
+      // watermark hasn't passed 07:10 yet — nothing emitted in append mode
+      assert(spark.table("win_stats").count() == 0)
+      // an event far in the future advances the watermark past the window
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T09:00:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T09:30:00.000Z"))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .collect().map(r => (r.getAs[String]("customer"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("avg_score"))).toSet
+      assert(rows.contains(("a@test.com", 2L, 3.0)))
+      assert(rows.contains(("b@test.com", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup collapses at-least-once redeliveries") {
+    val input = MemoryStream[String]
+    val q = StreamOps.dedupRiskEvents(parsed(input))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      val e = mkRisk("a@test.com", 5.0, "2020-09-14T07:02:00.000Z")
+      input.addData(e, e)
+      q.processAllAvailable()
+      input.addData(e, mkRisk("a@test.com", 6.0, "2020-09-14T07:03:00.000Z"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    val input = MemoryStream[String]
+    val q = StreamOps.runningRiskTotals(spark, parsed(input))
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      input.addData(mkRisk("a@test.com", 1.0, "t"), mkRisk("a@test.com", 2.0, "t"))
+      q.processAllAvailable()
+      input.addData(mkRisk("a@test.com", 3.0, "t"), mkRisk("b@test.com", 10.0, "t"))
+      q.processAllAvailable()
+      val last = spark.table("running").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      assert(last("a@test.com") == ("a@test.com", 3L, 6.0))
+      assert(last("b@test.com") == ("b@test.com", 1L, 10.0))
+    } finally q.stop()
+  }
+}
