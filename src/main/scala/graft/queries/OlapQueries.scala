@@ -228,10 +228,22 @@ object OlapQueries {
       .agg(round(sum(col("o_totalprice")), 2))
       .orderBy("o_orderstatus")
 
+  /** CUBE grouping sets over two dimensions (all 4 grouping combinations). */
+  def q18Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q16_topk_group" -> ((s, d) => q16TopkGroup(s, d)),
     "q17_pivot" -> ((s, d) => q17Pivot(s, d)),
+    "q18_cube" -> ((s, d) => q18Cube(s, d)),
     "q2_topk" -> ((s, d) => q2Topk(s, d)),
     "q3_window_rank" -> ((s, d) => q3WindowRank(s, d)),
     "q3b_window_frame" -> ((s, d) => q3bWindowFrame(s, d)),
@@ -276,6 +288,14 @@ object OlapQueries {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders)
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q18_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q17_pivot" ->
       """SELECT o_orderstatus,

@@ -1,0 +1,57 @@
+package graft
+
+import graft.io.BatchIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BatchIOSpec extends AnyFunSuite with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    p.toFile.deleteOnExit()
+    s"$p/out"
+  }
+
+  test("parquet round-trip preserves schema and rows; partitionBy prunes") {
+    val orders = Tables.load(spark, dir, "orders")
+    val path = tmp("pq")
+    BatchIO.writeParquet(orders, path, partitionBy = Seq("o_orderstatus"))
+    val back = BatchIO.readParquet(spark, path)
+    assert(back.count() == orders.count())
+    // partition pruning: the filtered plan must carry a PartitionFilter
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"))
+  }
+
+  test("csv round-trip with explicit schema") {
+    val nation = Tables.load(spark, dir, "nation")
+    val path = tmp("csv")
+    BatchIO.writeCsv(nation, path)
+    val back = BatchIO.readCsv(spark, path,
+      "n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json-lines round-trip with explicit schema") {
+    val region = Tables.load(spark, dir, "region")
+    val path = tmp("json")
+    BatchIO.writeJsonLines(region, path)
+    val back = BatchIO.readJsonLines(spark, path, "r_regionkey INT, r_name STRING")
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
