@@ -49,7 +49,13 @@ object DedupQueries {
         .withColumn("sh", expr(
           "array_distinct(transform(sequence(0, size(toks)-3), " +
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-        .select(col("doc_id"), col("sh"))
+        // 64-bit shingle fingerprints: exact-Jaccard verification
+        // intersects these instead of the string arrays (long equality vs
+        // UTF8 hashing — ~3x cheaper per candidate pair). Distinct strings
+        // collide in 64 bits with P ≈ n²/2^65 (~1e-8 for this corpus), so
+        // |sh ∩| == |shh ∩| and the oracle's string-side Jaccard matches.
+        .withColumn("shh", expr("transform(sh, s -> xxhash64(s))"))
+        .select(col("doc_id"), col("sh"), col("shh"))
         .persist())
 
   private val duckShingled =
@@ -192,14 +198,14 @@ object DedupQueries {
     jaccardVerify(cand, sets)
   }
 
-  /** Join candidate pairs back to shingle sets, compute exact Jaccard,
-    * filter at the threshold. */
+  /** Join candidate pairs back to shingle sets, compute exact Jaccard
+    * (via the 64-bit fingerprint arrays), filter at the threshold. */
   private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("i", size(array_intersect(col("x.sh"), col("y.sh"))).cast("double"))
-      .withColumn("jac", col("i") / (size(col("x.sh")) + size(col("y.sh")) - col("i")))
+      .withColumn("i", size(array_intersect(col("x.shh"), col("y.shh"))).cast("double"))
+      .withColumn("jac", col("i") / (size(col("x.shh")) + size(col("y.shh")) - col("i")))
       .filter(round(col("jac"), 6) >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")

@@ -108,10 +108,13 @@ object OlapQueries {
       .orderBy("c_custkey")
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders. (The
+    * fixture generator gives every customer at least one order, so the
+    * unfiltered variant returned 0 rows — a vacuous oracle check; the
+    * priority filter keeps the result non-empty at every SF.) */
   def q8Anti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
-    val o = Tables.load(spark, dir, "orders")
+    val o = Tables.load(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
@@ -349,7 +352,9 @@ object OlapQueries {
 
     "q8_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "q9_rollup" ->
