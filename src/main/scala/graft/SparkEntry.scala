@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (ReferenceQueries.queries, ReferenceQueries.oracles),
       (OlapQueries.queries, OlapQueries.oracles),
+      (TemporalQueries.queries, TemporalQueries.oracles),
       (graft.ext.DedupQueries.queries, graft.ext.DedupQueries.oracles),
       (graft.ext.SimilarityQueries.queries, graft.ext.SimilarityQueries.oracles),
       (graft.ext.TextQueries.queries, graft.ext.TextQueries.oracles),

@@ -78,17 +78,16 @@ object DedupQueries {
   val Salts = 4
   val SlicesPerSalt = NumHashes / Salts // 4 x 8 hex chars = the full digest
 
-  /** Parse hex digits [start, start+len) of `mdExpr` as a BIGINT.
-    * castLong=true forces 64-bit terms (Spark's `instr` is INT and ANSI
-    * mode hard-fails on 32-bit overflow; DuckDB strpos math is int64). */
-  private def hexSlice(mdExpr: String, instrFn: String, start: Int, len: Int,
-      castLong: Boolean = false): String =
-    (start until start + len)
-      .map { k =>
-        val pos = s"$instrFn('0123456789abcdef', substr($mdExpr, $k, 1))"
-        if (castLong) s"(cast($pos as bigint) - 1)" else s"($pos - 1)"
-      }
-      .reduce((a, b) => s"(($a) * 16 + $b)")
+  /** Parse hex digits [start, start+len) of `mdExpr` as a BIGINT — one
+    * radix conversion per slice (`conv` / `0x`-cast), not a per-character
+    * `instr` chain: the chain was 8 string searches per hash value and
+    * dominated minhash materialization. Both engines parse the identical
+    * substring, so the values are bit-equal. */
+  private def hexSliceSpark(mdExpr: String, start: Int, len: Int): String =
+    s"cast(conv(substr($mdExpr, $start, $len), 16, 10) as bigint)"
+
+  private def hexSliceDuck(mdExpr: String, start: Int, len: Int): String =
+    s"('0x' || substr($mdExpr, $start, $len))::BIGINT"
 
   /** Adds minhash columns h0..h15 (BIGINT); memoized + persisted per
     * (session, dir) — the band self-join in d3 references this subtree on
@@ -104,7 +103,7 @@ object DedupQueries {
       (0 until NumHashes).foldLeft(withX) { (d, i) =>
         val (j, k) = (i / SlicesPerSalt, i % SlicesPerSalt)
         d.withColumn(s"h$i", expr(
-          s"array_min(transform(xs$j, m -> ${hexSlice("m", "instr", 8 * k + 1, 8, castLong = true)}))"))
+          s"array_min(transform(xs$j, m -> ${hexSliceSpark("m", 8 * k + 1, 8)}))"))
       }.drop((0 until Salts).map(j => s"xs$j"): _*)
         .persist()
     })
@@ -116,7 +115,7 @@ object DedupQueries {
     val hs = (0 until NumHashes)
       .map { i =>
         val (j, k) = (i / SlicesPerSalt, i % SlicesPerSalt)
-        s"list_aggregate(list_transform(xs$j, m -> ${hexSlice("m", "strpos", 8 * k + 1, 8)}), 'min') h$i"
+        s"list_aggregate(list_transform(xs$j, m -> ${hexSliceDuck("m", 8 * k + 1, 8)}), 'min') h$i"
       }
       .mkString(",\n         ")
     s"""hexed AS (

@@ -98,11 +98,57 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** s5 — IVF (inverted-file) ANN with a fixed coarse quantizer: vectors
+    * 1..16 serve as deterministic centroids (no training step, so the
+    * DuckDB oracle can replicate the index bit-for-bit — unlike s4's
+    * rows-only check). Every vector is assigned to its nearest centroid
+    * (cell); the query probes its [[IvfNProbe]] nearest cells and pays
+    * exact cosine only inside them.
+    *
+    * Scale shape: assignment is a broadcast of the centroid table against
+    * one vector scan (at 100 TB: k centroids ≪ corpus, still a broadcast);
+    * the probe prunes the corpus to nprobe/k of its cells via an equi-join
+    * on cell id — the IVF contract. All ranks are computed on
+    * round(cosine, 6) with id tie-breaks so both engines order
+    * identically. */
+  val IvfCentroids = 16
+  val IvfNProbe = 4
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(expr("cosine_sim(embedding, cv)"), 6))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qprobe = cents.crossJoin(broadcast(q))
+      .withColumn("qcos", round(expr("cosine_sim(cv, qv)"), 6))
+      // partitionBy(lit) keeps WindowExec quiet about the global sort —
+      // the probe ranking is k=16 rows by construction.
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("qcos").desc, col("cent_id").asc)))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("cent_id").as("pcell"))
+    cells.join(broadcast(qprobe), col("cell") === col("pcell"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
     "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "s3_label_paircounts" -> ((s, d) => labelPairCounts(s, d)),
-    "s4_ann_lsh" -> ((s, d) => annLsh(s, d))
+    "s4_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "s5_ann_ivf" -> ((s, d) => annIvf(s, d))
   )
 
   private val duckEmb =
@@ -133,6 +179,29 @@ object SimilarityQueries {
          |SELECT a.label AS label, count(*) AS n_pairs
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= ${LabelPairThreshold}
-         |GROUP BY a.label ORDER BY label""".stripMargin
+         |GROUP BY a.label ORDER BY label""".stripMargin,
+
+    "s5_ann_ivf" ->
+      s"""WITH $duckEmb,
+         |cents AS (SELECT vec_id cent_id, v cv, nrm cnrm FROM e
+         |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+         |asgn AS (
+         |  SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY round(list_dot_product(v, cv) / (nrm * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM e CROSS JOIN cents WHERE vec_id > 0),
+         |cells AS (SELECT vec_id, cent_id FROM asgn WHERE rk = 1),
+         |q AS (SELECT v qv, nrm qnrm FROM e WHERE vec_id = 0),
+         |qprobe AS (
+         |  SELECT cent_id, row_number() OVER (
+         |           ORDER BY round(list_dot_product(qv, cv) / (qnrm * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM q CROSS JOIN cents),
+         |probed AS (SELECT cent_id FROM qprobe WHERE rk <= $IvfNProbe)
+         |SELECT c.vec_id, c.cent_id AS cell,
+         |       round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) AS cosine
+         |FROM cells c JOIN probed p ON c.cent_id = p.cent_id
+         |JOIN e ON e.vec_id = c.vec_id, q
+         |ORDER BY cosine DESC, c.vec_id ASC LIMIT 10""".stripMargin
   )
 }

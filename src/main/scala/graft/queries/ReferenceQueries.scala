@@ -65,8 +65,15 @@ object ReferenceQueries {
     * (the dimension) is broadcast: the risk stream is the fact side and
     * never shuffles — the exact plan we'd want at 100 TB of events. */
   def stediPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val customers = broadcast(StediOps.customerChain(syntheticEnvelopes(spark, dir)))
-    val risk = StediOps.parseRiskEvent(syntheticRiskEvents(spark, dir))
+    // The fixture tables are single-row-group parquet files, so this
+    // narrow JSON encode→parse chain would otherwise run as ONE task no
+    // matter how many cores exist. Fan both sides out first (in the real
+    // pipeline, Kafka topic partitions provide exactly this parallelism).
+    val par = spark.sparkContext.defaultParallelism
+    val customers = broadcast(StediOps.customerChain(
+      syntheticEnvelopes(spark, dir).repartition(par)))
+    val risk = StediOps.parseRiskEvent(
+      syntheticRiskEvents(spark, dir).repartition(par))
     StediOps.joinRiskWithCustomer(risk, customers)
       .select(
         col("customer"), col("score"), col("email"), col("birthYear"),

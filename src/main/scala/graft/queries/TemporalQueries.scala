@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / ordered-data operators the reference lacks entirely
+  * (SURVEY.md §2.8 — no windows, no event-time logic) but any
+  * training-data or analytics pipeline needs: as-of join, range join,
+  * gap-based sessionization, full analytic-window battery, exact
+  * percentiles.
+  *
+  * Scale posture: the as-of join and sessionization are one shuffle each
+  * (hash-partition by key, sort within partition — Spark's window exec),
+  * never a per-row subquery or a time-range cross join; the range join
+  * broadcasts the (tiny) band table so the fact scan never shuffles.
+  */
+object TemporalQueries {
+
+  /** Session gap: a new session starts after >4h of user inactivity
+    * (fixture median inter-event gap is ~7h, so sessions are non-trivial
+    * but don't collapse to one per user). */
+  val SessionGapUs: Long = 4L * 3600 * 1000000
+
+  /** q19 — as-of join: for every `purchase` event, the most recent `click`
+    * by the same user at-or-before the purchase time (ties on ts broken by
+    * max event_id).
+    *
+    * Spark-first plan: tag clicks and purchases, union them into one
+    * stream, and take `last(click_id, ignoreNulls)` over a
+    * (user, time)-sorted running window — clicks sort before purchases at
+    * equal ts so "at-or-before" includes same-instant clicks. One hash
+    * shuffle on user_id + one sort; contrast with the oracle's correlated
+    * per-row subquery, which is the formulation that does NOT scale. */
+  def q19Asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"),
+        col("event_id"), col("event_id").as("click_eid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_click"),
+        col("event_id"), lit(null).cast("long").as("click_eid"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("click_id", last(col("click_eid"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("event_id").as("pid"), col("user_id"), col("click_id"))
+      .orderBy("pid")
+  }
+
+  /** q20 — range (band) join: every event lands in the value band whose
+    * [lo, hi) interval contains it. The band table is 3 literal rows →
+    * broadcast nested-loop join; the events scan never shuffles (the only
+    * wide op is the final rollup). */
+  def q20RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0L, "low", -1e18, 50.0),
+      (1L, "mid", 50.0, 200.0),
+      (2L, "high", 200.0, 1e18)
+    ).toDF("band_id", "band", "lo", "hi")
+    Tables.load(spark, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"), col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy("band_id")
+  }
+
+  /** q21 — gap-based sessionization: per-user sessions split at
+    * [[SessionGapUs]] of inactivity, then per-session stats. Two window
+    * passes over one (user, time)-sorted shuffle + the session rollup —
+    * the canonical distributed sessionizer (no state blowup: state is one
+    * lag value per row). */
+  def q21Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** q22 — analytic-window battery per customer order history: lead,
+    * ntile quartiles, dense_rank, percent_rank (lag + running sum are
+    * covered by q3b). */
+  def q22LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drk"),
+        round(percent_rank().over(w), 6).as("prk"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q23 — exact interpolated percentiles (p25/p50/p75) per order status.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the linear
+    * interpolation definition; sort-based exact aggregation (the
+    * approx_percentile sketch is the scale path when exactness can be
+    * traded). */
+  def q23Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25D)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75D)"), 6).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_asof_join" -> ((s, d) => q19Asof(s, d)),
+    "q20_range_join" -> ((s, d) => q20RangeJoin(s, d)),
+    "q21_sessionize" -> ((s, d) => q21Sessionize(s, d)),
+    "q22_lead_lag" -> ((s, d) => q22LeadLag(s, d)),
+    "q23_percentiles" -> ((s, d) => q23Percentiles(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Independent formulation (correlated subquery) — validates the
+    // union+window construction against a different algorithm.
+    "q19_asof_join" ->
+      """SELECT p.event_id AS pid, p.user_id,
+        |       (SELECT c.event_id FROM events c
+        |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |          AND c.ts <= p.ts
+        |        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY pid""".stripMargin,
+
+    "q20_range_join" ->
+      """SELECT CAST(t.band_id AS BIGINT) AS band_id, t.band, count(*) AS n,
+        |       round(sum(e.value), 2) AS total_value,
+        |       round(avg(e.value), 6) AS avg_value
+        |FROM events e
+        |JOIN (VALUES (0, 'low', -1e18, 50.0), (1, 'mid', 50.0, 200.0),
+        |             (2, 'high', 200.0, 1e18)) t(band_id, band, lo, hi)
+        |  ON e.value >= t.lo AND e.value < t.hi
+        |GROUP BY t.band_id, t.band ORDER BY band_id""".stripMargin,
+
+    "q21_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+         |              THEN 1 ELSE 0 END brk
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT user_id, ts,
+         |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) sess_id
+         |  FROM g)
+         |SELECT user_id, sess_id, count(*) AS n_events,
+         |       min(ts) AS sess_start, max(ts) AS sess_end,
+         |       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q22_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |       round(percent_rank() OVER w, 6) AS prk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.queries.TemporalQueries
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the temporal operators: the as-of window construction
+  * against a brute-force reference, and sessionization invariants. */
+class TemporalSpec extends AnyFunSuite with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("as-of join matches a brute-force per-row scan") {
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts").collect()
+    val clicks = ev.filter(_.getString(2) == "click")
+    val expected = ev.filter(_.getString(2) == "purchase").map { p =>
+      val best = clicks
+        .filter(c => c.getLong(1) == p.getLong(1) &&
+          !c.getTimestamp(3).after(p.getTimestamp(3)))
+        .sortBy(c => (us(c.getTimestamp(3)), c.getLong(0)))
+        .lastOption.map(_.getLong(0))
+      p.getLong(0) -> best
+    }.toMap
+    val got = TemporalQueries.q19Asof(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got == expected)
+  }
+
+  test("as-of at-or-before includes same-instant clicks and breaks ts ties by max event_id") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0, 7L, "click", 0.0, ""),
+      (2L, t0, 7L, "click", 0.0, ""),   // same instant, larger id wins
+      (3L, t0, 7L, "purchase", 0.0, ""),
+      (4L, new java.sql.Timestamp(t0.getTime + 1000), 7L, "purchase", 0.0, ""),
+      (5L, new java.sql.Timestamp(t0.getTime + 2000), 8L, "purchase", 0.0, "")) // no click
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = java.nio.file.Files.createTempDirectory("asof").toString
+    rows.write.mode("overwrite").parquet(s"$out/events.parquet")
+    val got = TemporalQueries.q19Asof(spark, out).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(got == Map(3L -> Some(2L), 4L -> Some(2L), 5L -> None))
+  }
+
+  private def us(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+
+  test("sessionization partitions each user's events exactly and respects the gap") {
+    val sess = TemporalQueries.q21Sessionize(spark, dir).collect()
+    val perUser = sess.groupBy(_.getLong(0))
+    val events = Tables.load(spark, dir, "events").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every event lands in exactly one session.
+    assert(perUser.view.mapValues(_.map(_.getLong(2)).sum).toMap == events)
+    perUser.foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getLong(1))
+      // Session ids are 1..n dense.
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to ss.length).toSeq)
+      // Consecutive sessions are separated by more than the gap.
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(us(b.getTimestamp(3)) - us(a.getTimestamp(4)) >
+            TemporalQueries.SessionGapUs)
+        case _ => ()
+      }
+      // Within a session, duration is consistent with the bounds.
+      sorted.foreach { s =>
+        assert(s.getLong(5) == us(s.getTimestamp(4)) - us(s.getTimestamp(3)))
+      }
+    }
+  }
+
+  test("range join covers every event exactly once") {
+    val n = TemporalQueries.q20RangeJoin(spark, dir).collect().map(_.getLong(2)).sum
+    assert(n == Tables.load(spark, dir, "events").count())
+  }
+
+  test("ivf ann returns k results and never beats the exact top-1 by construction") {
+    val ivf = graft.ext.SimilarityQueries.annIvf(spark, dir).collect()
+    assert(ivf.length == 10)
+    val exact = graft.ext.SimilarityQueries.annTopK(spark, dir).collect()
+    // IVF cosines are a subset of the corpus, so its best cannot exceed
+    // the exact best.
+    assert(ivf.head.getDouble(2) <= exact.head.getDouble(1) + 1e-9)
+    // Descending order.
+    assert(ivf.map(_.getDouble(2)).toSeq == ivf.map(_.getDouble(2)).sortBy(-_).toSeq)
+  }
+}
