@@ -19,6 +19,7 @@ object SparkEntry {
       (ReferenceQueries.queries, ReferenceQueries.oracles),
       (OlapQueries.queries, OlapQueries.oracles),
       (TemporalQueries.queries, TemporalQueries.oracles),
+      (AdvancedQueries.queries, AdvancedQueries.oracles),
       (graft.ext.DedupQueries.queries, graft.ext.DedupQueries.oracles),
       (graft.ext.SimilarityQueries.queries, graft.ext.SimilarityQueries.oracles),
       (graft.ext.TextQueries.queries, graft.ext.TextQueries.oracles),

@@ -271,12 +271,44 @@ object DedupQueries {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** d6 — edit-distance fuzzy matching: near-identical customer names
+    * within a nation block (classic blocked record-linkage dedup; both
+    * engines implement Levenshtein as unit-cost edit distance). Blocking
+    * bounds the pair space to sum-of-squares over blocks — the same
+    * contract as LSH buckets, with a domain key instead of a hash. */
+  val MaxEditDistance = 2
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    // Plan shape matters more than the DP here: the block key has only
+    // ~25 distinct values, so a sort-merge self-join would run ≤25 skewed
+    // tasks. Broadcasting the (small) build side makes this a hash join
+    // whose probe parallelism follows the input partitioning — which the
+    // single-row-group fixture file would otherwise cap at 1, hence the
+    // explicit fan-out. At 100 TB block both sides by (key, salt) instead.
+    val probe = c.repartition(spark.sparkContext.defaultParallelism).as("a")
+    probe.join(broadcast(c.as("b")),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      // 3-arg levenshtein runs a banded DP that bails out at the
+      // threshold (O(d·n) instead of O(n²) per pair, -1 when exceeded) —
+      // the in-block pair count is quadratic, so the per-pair constant is
+      // what this operator's scale bill is made of.
+      .withColumn("dist",
+        levenshtein(col("a.c_name"), col("b.c_name"), MaxEditDistance).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a.c_custkey").as("cust_a"), col("b.c_custkey").as("cust_b"),
+        col("dist"))
+      .orderBy("cust_a", "cust_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
-    "d5_simhash" -> ((s, d) => simhash(s, d))
+    "d5_simhash" -> ((s, d) => simhash(s, d)),
+    "d6_levenshtein" -> ((s, d) => levenshteinPairs(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -312,6 +344,14 @@ object DedupQueries {
          |  GROUP BY 1, 2),
          |$duckJaccardTail""".stripMargin,
 
-    "d5_simhash" -> duckSimhash
+    "d5_simhash" -> duckSimhash,
+
+    "d6_levenshtein" ->
+      s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         |FROM customer a JOIN customer b
+         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         |WHERE levenshtein(a.c_name, b.c_name) <= $MaxEditDistance
+         |ORDER BY cust_a, cust_b""".stripMargin
   )
 }
