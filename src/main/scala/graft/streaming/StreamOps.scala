@@ -10,6 +10,10 @@ case class RiskEvent(customer: String, score: Double, riskDate: String)
 /** Running per-customer aggregate emitted by [[StreamOps.runningRiskTotals]]. */
 case class CustomerRunning(customer: String, n_events: Long, total_score: Double)
 
+/** Spike alert emitted by [[StreamOps.riskSpikeAlerts]] when a score
+  * exceeds twice the customer's prior running mean. */
+case class RiskAlert(customer: String, score: Double, prior_mean: Double)
+
 /** Stateful streaming operators the reference lacks (SURVEY §2.8): event-time
   * windows, watermarked dedup, and arbitrary keyed state. These are the
   * bounded-state building blocks for running the stedi pipelines at scale —
@@ -46,6 +50,55 @@ object StreamOps {
       .withWatermark("riskTs", watermark)
       .dropDuplicatesWithinWatermark("customer", "riskDate")
       .select(col("customer"), col("score"), col("riskDate"))
+
+  /** Event-time session windows: per-customer activity bursts separated by
+    * `gap` of silence, state evicted at the watermark — the streaming twin
+    * of the batch sessionizer (TemporalQueries.q21Sessionize). */
+  def sessionRiskStats(
+      risk: DataFrame,
+      gap: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    risk
+      .withColumn("riskTs", to_timestamp(col("riskDate")))
+      .withWatermark("riskTs", watermark)
+      .groupBy(session_window(col("riskTs"), gap), col("customer"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("score")), 6).as("total_score"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("customer"), col("n_events"), col("total_score"))
+
+  /** 0..n outputs per key per batch via flatMapGroupsWithState: alert rows
+    * whenever a score exceeds 2x the customer's prior running mean (two
+    * scalars of state per key — anomaly detection without a model). */
+  def riskSpikeAlerts(spark: SparkSession, risk: DataFrame): Dataset[RiskAlert] = {
+    import spark.implicits._
+    risk.as[RiskEvent]
+      .groupByKey(_.customer)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (customer: String, events: Iterator[RiskEvent], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          val alerts = scala.collection.mutable.Buffer.empty[RiskAlert]
+          events.foreach { e =>
+            if (n >= 2 && e.score > 2 * (s / n)) alerts += RiskAlert(customer, e.score, s / n)
+            n += 1; s += e.score
+          }
+          state.update((n, s))
+          alerts.iterator
+      }
+  }
+
+  /** Stream-static join: enrich the risk stream with a batch dimension.
+    * The static side is broadcast — a stateless per-batch hash lookup, the
+    * scale-correct shape for dimension enrichment (no streaming state at
+    * all, unlike a stream-stream join). */
+  def enrichWithStaticCustomers(risk: DataFrame, customers: DataFrame): DataFrame =
+    risk.join(broadcast(customers), risk("customer") === customers("email"), "inner")
+      .select(col("customer"), col("score"), col("birthYear"))
 
   /** Arbitrary keyed state via mapGroupsWithState: running (count, sum of
     * score) per customer, updated each micro-batch (Update output mode).

@@ -45,6 +45,35 @@ class BatchIOSpec extends AnyFunSuite with SparkSuite {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("bucketed tables co-locate the join: sort-merge with zero shuffle") {
+    val wh = tmp("bucketed")
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/cust_b").saveAsTable("cust_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Disable broadcast so the plan must rely on bucket co-location —
+    // the 100 TB shape, where neither side fits in a broadcast.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_b")
+        .join(spark.table("cust_b"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() ==
+        orders.join(cust, orders("o_custkey") === cust("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+    }
+  }
+
   test("approx_count_distinct sketch lands within 5% of exact") {
     val li = Tables.load(spark, dir, "lineitem")
     val row = li.agg(

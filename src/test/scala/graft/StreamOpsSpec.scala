@@ -56,6 +56,79 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("session windows merge gap-adjacent events and close at the watermark") {
+    val input = MemoryStream[String]
+    val q = StreamOps.sessionRiskStats(parsed(input), "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sess_stats").outputMode("append").start()
+    try {
+      input.addData(
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        mkRisk("a@test.com", 2.0, "2020-09-14T07:04:00.000Z"), // within gap → same session
+        mkRisk("a@test.com", 4.0, "2020-09-14T07:20:00.000Z")) // new session
+      q.processAllAvailable()
+      input.addData(mkRisk("z@test.com", 1.0, "2020-09-14T09:00:00.000Z")) // advance watermark
+      q.processAllAvailable()
+      input.addData(mkRisk("z@test.com", 1.0, "2020-09-14T09:40:00.000Z"))
+      q.processAllAvailable()
+      val a = spark.table("sess_stats").collect()
+        .filter(_.getAs[String]("customer") == "a@test.com")
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_score"))).toSet
+      assert(a == Set((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits alerts only on spikes above 2x the prior mean") {
+    val input = MemoryStream[String]
+    val q = StreamOps.riskSpikeAlerts(spark, parsed(input))
+      .writeStream.format("memory").queryName("alerts").outputMode("update").start()
+    try {
+      input.addData(mkRisk("a@test.com", 1.0, "t"), mkRisk("a@test.com", 1.0, "t"))
+      q.processAllAvailable()
+      assert(spark.table("alerts").count() == 0) // building the baseline
+      input.addData(mkRisk("a@test.com", 10.0, "t")) // mean=1 → spike
+      q.processAllAvailable()
+      input.addData(mkRisk("a@test.com", 1.0, "t")) // mean=4 → not a spike
+      q.processAllAvailable()
+      val rows = spark.table("alerts").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("a@test.com", 10.0, 1.0)))
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast join enriches the stream without streaming state") {
+    val input = MemoryStream[String]
+    val dim = Seq(("a@test.com", "1981"), ("b@test.com", "1990"))
+      .toDF("email", "birthYear")
+    val q = StreamOps.enrichWithStaticCustomers(parsed(input), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(
+        mkRisk("a@test.com", 5.0, "t"),
+        mkRisk("nobody@test.com", 9.0, "t")) // no dimension row → dropped
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+      assert(rows.toSeq == Seq(("a@test.com", 5.0, "1981")))
+    } finally q.stop()
+  }
+
+  test("foreachBatch lands each micro-batch in parquet exactly once") {
+    val input = MemoryStream[String]
+    val out = java.nio.file.Files.createTempDirectory("febatch").toString
+    val q = parsed(input).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(s"$out/risk")
+      }
+      .start()
+    try {
+      input.addData(mkRisk("a@test.com", 1.0, "t"), mkRisk("b@test.com", 2.0, "t"))
+      q.processAllAvailable()
+      input.addData(mkRisk("c@test.com", 3.0, "t"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/risk").count() == 3)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val input = MemoryStream[String]
     val q = StreamOps.runningRiskTotals(spark, parsed(input))
