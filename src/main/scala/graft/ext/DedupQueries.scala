@@ -185,13 +185,23 @@ object DedupQueries {
       s"transform(slice(array_sort(fg), 1, " +
         s"size(fg) - cast(ceil(${JaccardThreshold}D * size(fg)) as int) + 1), x -> x.g)")
       .as("pref"))
-    val exP = prefixed.select(col("doc_id"), col("n"), explode(col("pref")).as("g"))
-    // Length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t — prunes
-    // most candidate pairs before the (more expensive) set intersection.
+    val exP = prefixed.select(col("doc_id"), col("n"),
+      posexplode(col("pref")).as(Seq("pos", "g")))
+    // Length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t. Positional
+    // filter (PPJoin): both prefix arrays share one global (df, shingle)
+    // sort order, so the FIRST common token at 0-based (pa, pb) bounds the
+    // whole overlap by 1 + min(|A|-pa-1, |B|-pb-1); J >= t needs overlap
+    // >= t/(1+t)·(|A|+|B|). A true pair always passes on its first common
+    // token, so recall stays exact while late-prefix-only collisions drop.
+    val posBound = lit(1) +
+      least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
+    val reqOverlap = ceil(
+      (col("a.n") + col("b.n")) * lit(JaccardThreshold / (1 + JaccardThreshold)))
     val cand = exP.as("a")
       .join(exP.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
         col("b.n") * lit(JaccardThreshold) <= col("a.n") &&
-        col("a.n") * lit(JaccardThreshold) <= col("b.n"))
+        col("a.n") * lit(JaccardThreshold) <= col("b.n") &&
+        posBound >= reqOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardVerify(cand, sets)
