@@ -102,7 +102,76 @@ object AdvancedQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q30 — higher-order array function battery: filter, aggregate (fold),
+    * exists, forall over tokenized documents. These run inside whole-stage
+    * codegen as lambda expressions — no UDF boundary. */
+  def q30Hof(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"),
+        expr("size(filter(toks, w -> length(w) > 5))").cast("long").as("n_long"),
+        expr("aggregate(toks, 0, (acc, w) -> acc + length(w))").cast("long").as("tot_len"),
+        expr("exists(toks, w -> w = 'the')").as("has_the"),
+        expr("forall(toks, w -> length(w) < 20)").as("all_short"))
+      .orderBy("doc_id")
+
+  /** q31 — string battery 2: translate, reverse, repeat, trims, left/right,
+    * substring search. */
+  def q31String2(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        reverse(col("p_brand")).as("brand_rev"),
+        expr("repeat(p_brand, 2)").as("brand_2x"),
+        ltrim(rtrim(col("p_type"))).as("type_trim"),
+        expr("left(p_name, 4)").as("name_l4"),
+        expr("right(p_name, 4)").as("name_r4"),
+        instr(col("p_name"), "a").cast("long").as("first_a"))
+      .orderBy("p_partkey")
+
+  /** q32 — correlated scalar-aggregate subquery: orders priced far above
+    * their own customer's average. Catalyst decorrelates this into an
+    * aggregate + join — never a per-row re-scan. */
+  def q32CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.8D * (SELECT avg(i.o_totalprice)
+        |                             FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q33 — multiset set operations (EXCEPT ALL / INTERSECT ALL), tagged and
+    * unioned; duplicates survive, so the result is a multiset listing. */
+  def q33SetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(col("o_custkey").as("id"))
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey").as("id"))
+    o.exceptAll(c).select(lit("order_extra").as("tag"), col("id"))
+      .unionAll(o.intersectAll(c).select(lit("in_both").as("tag"), col("id")))
+      .orderBy("tag", "id")
+  }
+
+  /** q34 — date/time battery 2: month truncation, last day of month,
+    * day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday — oracle shifts),
+    * day arithmetic and day differences. */
+  def q34Date2(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .select(col("o_orderkey"),
+        trunc(col("od"), "month").as("month_start"),
+        last_day(col("od")).as("month_end"),
+        dayofweek(col("od")).cast("long").as("dow"),
+        date_add(col("od"), 30).as("plus30"),
+        datediff(col("od"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_hof" -> ((s, d) => q30Hof(s, d)),
+    "q31_string2" -> ((s, d) => q31String2(s, d)),
+    "q32_corr_subquery" -> ((s, d) => q32CorrSubquery(s, d)),
+    "q33_setops_all" -> ((s, d) => q33SetopsAll(s, d)),
+    "q34_date2" -> ((s, d) => q34Date2(s, d)),
     "q24_full_outer" -> ((s, d) => q24FullOuter(s, d)),
     "q25_stats" -> ((s, d) => q25Stats(s, d)),
     "q26_range_frame" -> ((s, d) => q26RangeFrame(s, d)),
@@ -157,6 +226,50 @@ object AdvancedQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q30_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents)
+        |SELECT doc_id,
+        |       len(list_filter(toks, w -> len(w) > 5)) AS n_long,
+        |       CAST(coalesce(list_aggregate(list_transform(toks, w -> len(w)), 'sum'), 0) AS BIGINT) AS tot_len,
+        |       len(list_filter(toks, w -> w = 'the')) > 0 AS has_the,
+        |       len(list_filter(toks, w -> len(w) >= 20)) = 0 AS all_short
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q31_string2" ->
+      """SELECT p_partkey,
+        |       translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |       reverse(p_brand) AS brand_rev,
+        |       repeat(p_brand, 2) AS brand_2x,
+        |       ltrim(rtrim(p_type)) AS type_trim,
+        |       left(p_name, 4) AS name_l4,
+        |       right(p_name, 4) AS name_r4,
+        |       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q32_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.8 * (SELECT avg(i.o_totalprice)
+        |                            FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q33_setops_all" ->
+      """SELECT 'order_extra' AS tag, id FROM
+        |  (SELECT o_custkey AS id FROM orders EXCEPT ALL SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'in_both' AS tag, id FROM
+        |  (SELECT o_custkey AS id FROM orders INTERSECT ALL SELECT c_custkey FROM customer)
+        |ORDER BY tag, id""".stripMargin,
+
+    "q34_date2" ->
+      """SELECT o_orderkey,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
