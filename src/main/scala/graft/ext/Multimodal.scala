@@ -47,4 +47,32 @@ object Multimodal {
         it.map(decodeStub)
       }
   }
+
+  /** Extracted feature vector (fixed 8-dim; a real extractor emits the
+    * model's embedding width). Flattened fields, not an array, so the
+    * oracle compares scalars. */
+  case class MediaFeatures(doc_id: Long, f0: Double, f1: Double, f2: Double,
+      f3: Double, f4: Double, f5: Double, f6: Double, f7: Double)
+
+  /** STUB feature extraction: mean byte value per 8-way stride — a
+    * deterministic stand-in for "run the encoder on the payload". The
+    * output feeds the same `Array[Float]`/vector path the similarity
+    * operators consume. */
+  def featureStub(r: MediaRecord): MediaFeatures = {
+    val sums = new Array[Double](8)
+    var i = 0
+    while (i < r.payload.length) { sums(i % 8) += (r.payload(i) & 0xff); i += 1 }
+    val n = math.max(r.payload.length, 1).toDouble
+    MediaFeatures(r.doc_id, sums(0) / n, sums(1) / n, sums(2) / n, sums(3) / n,
+      sums(4) / n, sums(5) / n, sums(6) / n, sums(7) / n)
+  }
+
+  /** Batch feature extraction, same per-partition batching contract as
+    * [[decodeMeta]]. */
+  def extractFeatures(spark: SparkSession, df: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(it => it.map(featureStub))
+  }
 }

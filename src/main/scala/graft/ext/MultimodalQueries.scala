@@ -36,9 +36,40 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m3 — typed feature-extraction path ([[Multimodal.extractFeatures]]):
+    * payload → fixed-dim vector (stride-mean stub standing in for an
+    * encoder), rounded by the engine so the oracle's rounding matches. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.extractFeatures(spark, payloads)
+      .toDF()
+      .select(col("doc_id") +: (0 until 8).map(k => round(col(s"f$k"), 6).as(s"f$k")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** m4 — frame sampling: slice each payload into fixed 16-byte "frames",
+    * keep every 2nd (the video keyframe-sampling shape: one row in, N
+    * sampled frames out, payload bytes never shuffled before sampling). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("nf", ceil(length(col("payload")) / lit(16.0)).cast("int"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(sequence(0, nf-1), " +
+          "i -> struct(i as idx, substring(payload, i*16+1, 16) as fb)), " +
+          "x -> x.idx % 2 = 0)")).as("f"))
+      .select(col("doc_id"),
+        col("f.idx").cast("long").as("frame_idx"),
+        md5(col("f.fb")).as("frame_md5"),
+        length(col("f.fb")).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
-    "m2_multimodal_decode" -> ((s, d) => multimodalDecode(s, d))
+    "m2_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
+    "m3_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
+    "m4_frame_sample" -> ((s, d) => frameSample(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -53,6 +84,29 @@ object MultimodalQueries {
         |       CAST(ascii(substr(text, 2, 1)) % 48 + 1 AS BIGINT) AS height,
         |       CAST(3 AS BIGINT) AS channels,
         |       octet_length(encode(text)) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m3_multimodal_features" -> {
+      val dims = (0 until 8).map { k =>
+        s"round(coalesce(list_aggregate(list_transform(range(1, n + 1), " +
+          s"i -> CASE WHEN (i - 1) % 8 = $k THEN ascii(substr(text, CAST(i AS INT), 1)) " +
+          s"ELSE 0 END), 'sum'), 0) * 1.0 / n, 6) AS f$k"
+      }.mkString(",\n       ")
+      s"""WITH s AS (SELECT doc_id, text, length(text) n FROM documents)
+         |SELECT doc_id,
+         |       $dims
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "m4_frame_sample" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       md5(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_md5,
+        |       CAST(length(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS BIGINT) AS frame_len
+        |FROM g WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
