@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation building blocks for hot keys at cluster scale.
+  *
+  * Spark's hash aggregate already map-side-combines algebraic aggregates,
+  * so plain sums don't need salting — these cover the cases that DO hold
+  * per-key state proportional to the data: exact distinct counting and
+  * equi-joins where one key dominates (AQE's skew-join handles sort-merge
+  * splits at runtime; the salted join is the declarative fallback that
+  * also works for hash joins and streaming).
+  */
+object SkewOps {
+
+  /** Exact distinct count with the distinct-value space sharded `shards`
+    * ways by value hash: each (key, shard) reducer deduplicates only its
+    * shard, so no single task ever holds a hot key's full distinct set;
+    * the final per-key sum of shard counts is exact because the shards
+    * partition the value space. */
+  def shardedCountDistinct(df: DataFrame, key: String, value: String,
+      shards: Int): DataFrame =
+    df.withColumn("_shard", pmod(xxhash64(col(value)), lit(shards)))
+      .groupBy(col(key), col("_shard"))
+      .agg(countDistinct(col(value)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("n_distinct"))
+
+  /** Salted equi-join: the fact side gets a deterministic salt in
+    * [0, salts) hashed from `saltSrc` (any well-distributed fact column);
+    * the dimension side is replicated once per salt value. Matching on
+    * (key, salt) spreads a hot join key across `salts` reducers; the
+    * result multiset is identical to the unsalted join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltSrc: String, salts: Int): DataFrame = {
+    val sf = fact.withColumn("_salt", pmod(xxhash64(col(saltSrc)), lit(salts)))
+    val sd = dim.withColumn("_salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    sf.join(sd, sf(factKey) === sd(dimKey) && sf("_salt") === sd("_salt"))
+      .drop(sf("_salt")).drop(sd("_salt"))
+  }
+}
