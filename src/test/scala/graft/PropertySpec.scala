@@ -56,6 +56,44 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(got == expected)
   }
 
+  test("as-of result is insensitive to other users' events") {
+    // Property: adding arbitrary events for OTHER users never changes a
+    // user's as-of matches (the window partitioning isolates keys).
+    val mk = for {
+      u <- Gen.chooseNum(1L, 3L)
+      t <- Gen.chooseNum(0L, 100L)
+      typ <- Gen.oneOf("click", "purchase", "view")
+    } yield (u, t, typ)
+    val base = sample(Gen.listOfN(120, mk)).zipWithIndex
+      .map { case ((u, t, typ), i) => (i.toLong, new java.sql.Timestamp(t * 1000), u, typ, 0.0, "") }
+    val noise = sample(Gen.listOfN(80, Gen.chooseNum(0L, 100L)))
+      .zipWithIndex.map { case (t, i) =>
+        (1000L + i, new java.sql.Timestamp(t * 1000), 99L, "click", 0.0, "")
+      }
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d1 = java.nio.file.Files.createTempDirectory("asof1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("asof2").toString
+    base.toDF(cols: _*).write.mode("overwrite").parquet(s"$d1/events.parquet")
+    (base ++ noise).toDF(cols: _*).write.mode("overwrite").parquet(s"$d2/events.parquet")
+    def res(d: String) = graft.queries.TemporalQueries.q19Asof(spark, d)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    assert(res(d2).view.filterKeys(_ < 1000).toMap == res(d1))
+  }
+
+  test("sharded distinct count is exact for any shard count") {
+    val rows = sample(Gen.listOfN(400, for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0L, 50L)
+    } yield (k, v)))
+    val df = rows.toDF("k", "v")
+    val direct = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    for (shards <- Seq(1, 3, 16)) {
+      val got = graft.ops.SkewOps.shardedCountDistinct(df, "k", "v", shards)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == direct, s"shards=$shards")
+    }
+  }
+
   test("minhash signature equality implies identical shingle sets is falsifiable but near-dup docs collide on bands") {
     // deterministic smoke over generated near-duplicates: a doc and a copy
     // with one word changed must share >= 1 LSH band (jaccard >> threshold)
