@@ -41,6 +41,22 @@ object StreamOps {
         col("window.start").as("window_start"),
         col("customer"), col("n_events"), col("avg_score"), col("max_score"))
 
+  /** Sliding event-time windows: like [[windowedRiskStats]] but each event
+    * contributes to every window whose span covers it (len/slide windows),
+    * the moving-average shape. */
+  def slidingRiskStats(
+      risk: DataFrame,
+      windowLen: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    risk
+      .withColumn("riskTs", to_timestamp(col("riskDate")))
+      .withWatermark("riskTs", watermark)
+      .groupBy(window(col("riskTs"), windowLen, slide), col("customer"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("score")), 6).as("avg_score"))
+      .select(col("window.start").as("window_start"),
+        col("customer"), col("n_events"), col("avg_score"))
+
   /** Streaming exact dedup on (customer, riskDate) with watermark-bounded
     * state — re-delivered Kafka records (the at-least-once sink's
     * duplicates) collapse to one row. */

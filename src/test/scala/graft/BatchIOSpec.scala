@@ -74,6 +74,24 @@ class BatchIOSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("seeded sample is deterministic and lands near the target fraction") {
+    val orders = Tables.load(spark, dir, "orders")
+    val s1 = orders.sample(withReplacement = false, 0.2, seed = 42)
+    val s2 = orders.sample(withReplacement = false, 0.2, seed = 42)
+    assert(s1.collect().toSeq == s2.collect().toSeq) // same seed → same rows
+    val frac = s1.count().toDouble / orders.count()
+    assert(frac > 0.1 && frac < 0.3, s"fraction=$frac")
+  }
+
+  test("approx_percentile sketch lands within 2% of the exact percentile") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5D)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("approx")).collect()(0)
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+
   test("approx_count_distinct sketch lands within 5% of exact") {
     val li = Tables.load(spark, dir, "lineitem")
     val row = li.agg(

@@ -56,6 +56,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding windows count each event in every covering window") {
+    val input = MemoryStream[String]
+    val q = StreamOps.slidingRiskStats(parsed(input), "10 minutes", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("slide_stats").outputMode("append").start()
+    try {
+      input.addData(mkRisk("a@test.com", 6.0, "2020-09-14T07:07:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("z@test.com", 1.0, "2020-09-14T09:00:00.000Z")) // advance watermark
+      q.processAllAvailable()
+      input.addData(mkRisk("z@test.com", 1.0, "2020-09-14T09:40:00.000Z"))
+      q.processAllAvailable()
+      val starts = spark.table("slide_stats").collect()
+        .filter(_.getAs[String]("customer") == "a@test.com")
+        .map(_.getAs[java.sql.Timestamp]("window_start").toString).sorted
+      // 07:07 falls in [07:00,07:10) and [07:05,07:15)
+      assert(starts.toSeq == Seq("2020-09-14 07:00:00.0", "2020-09-14 07:05:00.0"))
+    } finally q.stop()
+  }
+
   test("session windows merge gap-adjacent events and close at the watermark") {
     val input = MemoryStream[String]
     val q = StreamOps.sessionRiskStats(parsed(input), "5 minutes", "5 minutes")
