@@ -166,7 +166,28 @@ object AdvancedQueries {
         datediff(col("od"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
       .orderBy("o_orderkey")
 
+  /** q35 — UNPIVOT (pivot's inverse): widen-to-long over two measure
+    * columns; the oracle states the equivalent stacked UNION ALL. */
+  def q35Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "attr", "val")
+      .orderBy("p_partkey", "attr")
+
+  /** q36 — null-preserving explode: docs with no match still emit one
+    * (doc_id, NULL) row — the LEFT JOIN LATERAL shape (106 of 500 fixture
+    * docs have no 8+-letter word, so both row classes exist). */
+  def q36ExplodeOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]{8,}', 0)"))
+      .select(col("doc_id"), explode_outer(col("ws")).as("w"))
+      .orderBy(col("doc_id").asc, col("w").asc_nulls_first)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_unpivot" -> ((s, d) => q35Unpivot(s, d)),
+    "q36_explode_outer" -> ((s, d) => q36ExplodeOuter(s, d)),
     "q30_hof" -> ((s, d) => q30Hof(s, d)),
     "q31_string2" -> ((s, d) => q31String2(s, d)),
     "q32_corr_subquery" -> ((s, d) => q32CorrSubquery(s, d)),
@@ -262,6 +283,20 @@ object AdvancedQueries {
         |SELECT 'in_both' AS tag, id FROM
         |  (SELECT o_custkey AS id FROM orders INTERSECT ALL SELECT c_custkey FROM customer)
         |ORDER BY tag, id""".stripMargin,
+
+    "q35_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
+
+    "q36_explode_outer" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{8,}') ws
+        |           FROM documents)
+        |SELECT doc_id, unnest(ws) AS w FROM t WHERE len(ws) > 0
+        |UNION ALL
+        |SELECT doc_id, NULL AS w FROM t WHERE len(ws) = 0
+        |ORDER BY doc_id ASC, w ASC NULLS FIRST""".stripMargin,
 
     "q34_date2" ->
       """SELECT o_orderkey,
