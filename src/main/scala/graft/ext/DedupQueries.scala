@@ -230,30 +230,64 @@ object DedupQueries {
        |FROM verified WHERE round(i/(tot-i), 6) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** d5 — 16-bit SimHash over distinct tokens, bits drawn from md5 hex
-    * digits (identical arithmetic on both engines). */
+  /** 16-bit SimHash over distinct tokens, bits drawn from md5 hex digits
+    * (identical arithmetic on both engines); shared by d5 and d7. */
   val SimhashBits = 16
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashBase(spark: SparkSession, dir: String): DataFrame = {
+    // One md5 per distinct token, shared by all 16 bit extracts — the
+    // per-bit aggregate otherwise recomputes the digest 16x per word.
     val base = Tables.load(spark, dir, "documents")
-      .withColumn("dt", array_distinct(split(lower(col("text")), " ")))
+      .withColumn("dm", expr(
+        "transform(array_distinct(split(lower(text), ' ')), w -> md5(w))"))
     val withSums = (0 until SimhashBits).foldLeft(base) { (d, b) =>
       val digit = b / 4 + 1 // 1-based hex digit index in the md5 string
       val pow = 1 << (b % 4)
       d.withColumn(s"s$b", expr(
-        s"aggregate(dt, 0, (acc, w) -> acc + " +
-          s"CASE WHEN ((instr('0123456789abcdef', substr(md5(w), $digit, 1)) - 1) div $pow) % 2 = 1 " +
+        s"aggregate(dm, 0, (acc, m) -> acc + " +
+          s"CASE WHEN ((instr('0123456789abcdef', substr(m, $digit, 1)) - 1) div $pow) % 2 = 1 " +
           s"THEN 1 ELSE -1 END)"))
     }
     val hashExpr = (0 until SimhashBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)")
       .mkString(" + ")
     withSums.select(col("doc_id"), expr(hashExpr).cast("long").as("simhash16"))
-      .orderBy("doc_id")
+  }
+
+  /** d5 — per-document SimHash signatures. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashBase(spark, dir).orderBy("doc_id")
+
+  /** d7 — SimHash near-dup pairs at Hamming distance <= [[MaxHamming]]:
+    * candidates from a 2x8-bit band equi-join (pigeonhole: one flipped bit
+    * leaves >= 1 band identical, so recall at distance 1 is exact), then
+    * exact popcount-of-xor verification. The same structure as the minhash
+    * LSH join, but over a 2-byte signature — the cheapest possible
+    * candidate key at corpus scale. */
+  val MaxHamming = 1
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashBase(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash16"), explode(expr(
+      "array(struct(0 as bid, simhash16 % 256 as bkey), " +
+        "struct(1 as bid, simhash16 div 256 as bkey))")).as("u"))
+      .select(col("doc_id"), col("simhash16"),
+        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash16").as("ha"), col("b.simhash16").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---- DuckDB oracles --------------------------------------------------
 
-  private val duckSimhash: String = {
+  /** Shared simhash CTE chain ending in `shh(doc_id, h)`. */
+  private val duckSimhashCte: String = {
     val sums = (0 until SimhashBits).map { b =>
       val digit = b / 4 + 1
       val pow = 1 << (b % 4)
@@ -264,13 +298,13 @@ object DedupQueries {
     val hashExpr = (0 until SimhashBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) dt FROM documents),
        |sums AS (
        |  SELECT doc_id,
        |       $sums
-       |  FROM base)
-       |SELECT doc_id, CAST($hashExpr AS BIGINT) AS simhash16 FROM sums ORDER BY doc_id""".stripMargin
+       |  FROM base),
+       |shh AS (SELECT doc_id, CAST($hashExpr AS BIGINT) h FROM sums)""".stripMargin
   }
 
   private val duckBands: String = {
@@ -318,7 +352,8 @@ object DedupQueries {
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
     "d5_simhash" -> ((s, d) => simhash(s, d)),
-    "d6_levenshtein" -> ((s, d) => levenshteinPairs(s, d))
+    "d6_levenshtein" -> ((s, d) => levenshteinPairs(s, d)),
+    "d7_simhash_pairs" -> ((s, d) => simhashPairs(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,7 +389,17 @@ object DedupQueries {
          |  GROUP BY 1, 2),
          |$duckJaccardTail""".stripMargin,
 
-    "d5_simhash" -> duckSimhash,
+    "d5_simhash" ->
+      s"""WITH $duckSimhashCte
+         |SELECT doc_id, h AS simhash16 FROM shh ORDER BY doc_id""".stripMargin,
+
+    "d7_simhash_pairs" ->
+      s"""WITH $duckSimhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= $MaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d6_levenshtein" ->
       s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
