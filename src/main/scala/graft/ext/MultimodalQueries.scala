@@ -65,11 +65,25 @@ object MultimodalQueries {
         length(col("f.fb")).cast("long").as("frame_len"))
       .orderBy("doc_id", "frame_idx")
 
+  /** m5 — resize: stride-2 decimation of the payload (every 2nd byte
+    * dropped — the downsample-by-2 stub; a real resize swaps in a codec
+    * scaler). Emits the new size and a digest of the resized bytes so the
+    * transformation itself is verified, not just its metadata. */
+  def resizeStub(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("rz", regexp_replace(col("text"), "(.).", "$1"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_bytes"),
+        length(col("rz")).cast("long").as("resized_bytes"),
+        md5(col("rz").cast("binary")).as("resized_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
     "m2_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "m3_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
-    "m4_frame_sample" -> ((s, d) => frameSample(s, d))
+    "m4_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "m5_resize" -> ((s, d) => resizeStub(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -97,6 +111,13 @@ object MultimodalQueries {
          |       $dims
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "m5_resize" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS orig_bytes,
+        |       CAST(length(regexp_replace(text, '(.).', '\1', 'g')) AS BIGINT) AS resized_bytes,
+        |       md5(regexp_replace(text, '(.).', '\1', 'g')) AS resized_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m4_frame_sample" ->
       """WITH g AS (
