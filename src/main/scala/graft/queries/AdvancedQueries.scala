@@ -185,7 +185,54 @@ object AdvancedQueries {
       .select(col("doc_id"), explode_outer(col("ws")).as("w"))
       .orderBy(col("doc_id").asc, col("w").asc_nulls_first)
 
+  /** q37 — recursive CTE (Spark 4's WITH RECURSIVE): ancestor walk up the
+    * synthetic key-halving hierarchy (parent(c) = c div 2), per-key chain
+    * length and depth. The iterative fixpoint runs driver-coordinated
+    * rounds of the same distributed plan. */
+  def q37Recursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 64
+        |  UNION ALL
+        |  SELECT custkey, anc_key DIV 2, depth + 1 FROM anc WHERE anc_key > 0
+        |)
+        |SELECT custkey, count(*) AS chain_len, CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin)
+  }
+
+  /** q38 — explicit GROUPING SETS (beyond rollup/cube): two 1-D marginals
+    * plus the grand total in one pass. */
+  def q38GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q39 — null-handling battery: nullif, coalesce, ifnull, and null-safe
+    * equality (<=> / IS NOT DISTINCT FROM). */
+  def q39NullSafe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'O') AS ns,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS st_or_open,
+        |       ifnull(nullif(o_orderstatus, 'O'), 'X') AS ifn,
+        |       (nullif(o_orderstatus, 'O') <=> nullif(o_orderpriority, '1-URGENT'))
+        |         AS both_null_eq
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_recursive" -> ((s, d) => q37Recursive(s, d)),
+    "q38_grouping_sets" -> ((s, d) => q38GroupingSets(s, d)),
+    "q39_nullsafe" -> ((s, d) => q39NullSafe(s, d)),
     "q35_unpivot" -> ((s, d) => q35Unpivot(s, d)),
     "q36_explode_outer" -> ((s, d) => q36ExplodeOuter(s, d)),
     "q30_hof" -> ((s, d) => q30Hof(s, d)),
@@ -283,6 +330,33 @@ object AdvancedQueries {
         |SELECT 'in_both' AS tag, id FROM
         |  (SELECT o_custkey AS id FROM orders INTERSECT ALL SELECT c_custkey FROM customer)
         |ORDER BY tag, id""".stripMargin,
+
+    "q37_recursive" ->
+      """WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 64
+        |  UNION ALL
+        |  SELECT custkey, anc_key // 2, depth + 1 FROM anc WHERE anc_key > 0
+        |)
+        |SELECT custkey, count(*) AS chain_len, CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin,
+
+    "q38_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q39_nullsafe" ->
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'O') AS ns,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'open') AS st_or_open,
+        |       ifnull(nullif(o_orderstatus, 'O'), 'X') AS ifn,
+        |       (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+        |          nullif(o_orderpriority, '1-URGENT')) AS both_null_eq
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q35_unpivot" ->
       """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
