@@ -68,18 +68,44 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
-  /** s4 — random-hyperplane LSH ANN (the scale path; no SQL oracle, driver
-    * records a rows-only check). 16 sign bits from pseudo-random ±1
-    * hyperplanes (murmur-hashed (plane, dim) pairs — constant-folded per
-    * element), banded 4×4; candidates = vectors sharing any band with the
-    * query; exact cosine re-ranks the bucket. */
+  /** Fixed pseudo-random ±1 hyperplanes for s4: sign(p, d) from the md5
+    * digest of "p|d", computed once at plan-build time and embedded as
+    * literal coefficients — so the plan is pure (codegen'd, constant)
+    * arithmetic and the DuckDB oracle can embed the identical planes. */
+  val LshPlanes = 16
+  val LshDims = 64
+  private lazy val planeSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, LshDims) { (p, d) =>
+      val h = md.digest(s"$p|$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** `embedding · plane_p` as an expression string; `idx` renders a
+    * 1-based element access and `one` the unit literal for the dialect
+    * (`1.0D` for Spark — ANSI parses bare `1.0` as DECIMAL — and `1.0`
+    * for DuckDB). */
+  private def planeDot(p: Int, idx: Int => String, one: String): String =
+    (0 until LshDims)
+      .map(d => s"${idx(d + 1)} * ${if (planeSigns(p)(d) > 0) one else s"-$one"}")
+      .mkString(" + ")
+
+  /** s4 — random-hyperplane LSH ANN (the scale path). 16 sign bits from
+    * the fixed ±1 hyperplanes above, banded 4×4; candidates = vectors
+    * sharing any band with the query; exact cosine re-ranks the bucket. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir)
-    val bits = (0 until 16).foldLeft(base) { (d, p) =>
+    // zip_with against the literal coefficient array: one lambda pair per
+    // plane (a 1024-term flattened sum exceeds codegen limits and falls
+    // back to per-node interpretation — 3x slower). Same left-to-right
+    // double arithmetic as the oracle's literal sum.
+    val bits = (0 until LshPlanes).foldLeft(base) { (d, p) =>
+      val coeffs = planeSigns(p)
+        .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
       d.withColumn(s"s$p", expr(
-        s"aggregate(transform(sequence(0, size(embedding)-1), " +
-          s"d -> element_at(embedding, d + 1) * CASE WHEN pmod(hash($p, d), 2) = 1 THEN 1.0D ELSE -1.0D END), " +
-          s"0D, (acc, x) -> acc + x) > 0D"))
+        s"aggregate(zip_with(embedding, array($coeffs), (x, c) -> x * c), " +
+          s"0D, (acc, y) -> acc + y) > 0D"))
     }
     val bandCols = (0 until 4).map { b =>
       val e = (0 until 4).map(r => s"(CASE WHEN s${4 * b + r} THEN ${1 << r} ELSE 0 END)").mkString(" + ")
@@ -156,9 +182,35 @@ object SimilarityQueries {
       |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
       |       FROM embeddings)""".stripMargin
 
-  /** s4 is intentionally omitted (LSH bucketing is Spark-side logic; the
-    * driver records a rows-only check). */
+  private lazy val duckLsh: String = {
+    val ss = (0 until LshPlanes)
+      .map(p => s"((${planeDot(p, i => s"v[$i]", "1.0")}) > 0) s$p")
+      .mkString(",\n       ")
+    val bands = (0 until 4).map { b =>
+      val k = (0 until 4)
+        .map(r => s"(CASE WHEN s${4 * b + r} THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $b bid, $k bkey FROM bits"
+    }.mkString("\nUNION ALL\n")
+    s"""bits AS (SELECT vec_id, v, nrm,
+       |       $ss
+       |  FROM e),
+       |bands AS (
+       |$bands),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM bands q JOIN bands b ON q.bid = b.bid AND q.bkey = b.bkey
+       |  WHERE q.vec_id = 0 AND b.vec_id > 0),
+       |q AS (SELECT v qv, nrm qnrm FROM e WHERE vec_id = 0)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s4_ann_lsh" ->
+      s"""WITH $duckEmb,
+         |$duckLsh
+         |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) AS cosine
+         |FROM cand JOIN e ON e.vec_id = cand.vec_id, q
+         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
     "s1_ann_topk" ->
       s"""WITH $duckEmb,
          |q AS (SELECT v, nrm FROM e WHERE vec_id = 0)
