@@ -271,16 +271,18 @@ object DedupQueries {
         "struct(1 as bid, simhash16 div 256 as bkey))")).as("u"))
       .select(col("doc_id"), col("simhash16"),
         col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+    // Hamming verification sits in the join condition: simhash clusters
+    // hard on this corpus, so hot band keys emit many candidates — pruning
+    // them before the distinct is the cheap order.
     bands.as("a")
       .join(bands.as("b"),
         col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16"))) <= MaxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash16").as("ha"), col("b.simhash16").as("hb"))
+        bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16")))
+          .cast("long").as("hamming"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter(col("hamming") <= MaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
