@@ -229,7 +229,37 @@ object AdvancedQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q40 — LATERAL VIEW explode through the SQL parser (the HiveQL-shaped
+    * generator syntax; the fluent-API twin is q36). */
+  def q40Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id, w
+        |FROM documents
+        |LATERAL VIEW explode(split(lower(text), ' ')) t AS w
+        |WHERE w LIKE 'qu%'
+        |ORDER BY doc_id, w""".stripMargin)
+  }
+
+  /** q41 — IGNORE NULLS navigation + cume_dist: last non-open status seen
+    * in each customer's history, and the cumulative distribution of price
+    * within status. */
+  def q41IgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val wHist = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wDist = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        lag(expr("nullif(o_orderstatus, 'O')"), 1, null, ignoreNulls = true)
+          .over(wHist).as("prev_closed"),
+        round(cume_dist().over(wDist), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_lateral" -> ((s, d) => q40Lateral(s, d)),
+    "q41_ignore_nulls" -> ((s, d) => q41IgnoreNulls(s, d)),
     "q37_recursive" -> ((s, d) => q37Recursive(s, d)),
     "q38_grouping_sets" -> ((s, d) => q38GroupingSets(s, d)),
     "q39_nullsafe" -> ((s, d) => q39NullSafe(s, d)),
@@ -330,6 +360,20 @@ object AdvancedQueries {
         |SELECT 'in_both' AS tag, id FROM
         |  (SELECT o_custkey AS id FROM orders INTERSECT ALL SELECT c_custkey FROM customer)
         |ORDER BY tag, id""".stripMargin,
+
+    "q40_lateral" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |           FROM documents)
+        |SELECT doc_id, w FROM t WHERE w LIKE 'qu%' ORDER BY doc_id, w""".stripMargin,
+
+    "q41_ignore_nulls" ->
+      """SELECT o_orderkey, o_custkey,
+        |       lag(nullif(o_orderstatus, 'O'), 1 IGNORE NULLS)
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         AS prev_closed,
+        |       round(cume_dist() OVER (PARTITION BY o_orderstatus
+        |         ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q37_recursive" ->
       """WITH RECURSIVE anc(custkey, anc_key, depth) AS (

@@ -74,6 +74,17 @@ class BatchIOSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("registered scala UDF matches the codegen builtin it mirrors") {
+    // The UDF API surface works; the engine's own queries still prefer
+    // builtins (codegen'd, optimizer-transparent) — this proves parity.
+    spark.udf.register("my_upper", (s: String) => if (s == null) null else s.toUpperCase)
+    val df = Tables.load(spark, dir, "part")
+      .select(org.apache.spark.sql.functions.expr("my_upper(p_name)").as("u"),
+        org.apache.spark.sql.functions.upper(col("p_name")).as("b"))
+    assert(df.filter(col("u") =!= col("b")).count() == 0)
+    assert(df.count() > 0)
+  }
+
   test("seeded sample is deterministic and lands near the target fraction") {
     val orders = Tables.load(spark, dir, "orders")
     val s1 = orders.sample(withReplacement = false, 0.2, seed = 42)
