@@ -257,7 +257,23 @@ object AdvancedQueries {
       .orderBy("o_orderkey")
   }
 
+  /** q42 — array set operations (union/intersect/except/flatten) over two
+    * overlapping token slices, sort-canonicalized since the engines order
+    * set results differently. */
+  def q42ArraySetops(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("a", expr("slice(toks, 1, 5)"))
+      .withColumn("b", expr("slice(toks, 4, 5)"))
+      .select(col("doc_id"),
+        concat_ws(",", array_sort(array_union(col("a"), col("b")))).as("u"),
+        concat_ws(",", array_sort(array_intersect(col("a"), col("b")))).as("i"),
+        concat_ws(",", array_sort(array_except(col("a"), col("b")))).as("e"),
+        concat_ws(",", flatten(array(col("a"), col("b")))).as("f"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_array_setops" -> ((s, d) => q42ArraySetops(s, d)),
     "q40_lateral" -> ((s, d) => q40Lateral(s, d)),
     "q41_ignore_nulls" -> ((s, d) => q41IgnoreNulls(s, d)),
     "q37_recursive" -> ((s, d) => q37Recursive(s, d)),
@@ -360,6 +376,18 @@ object AdvancedQueries {
         |SELECT 'in_both' AS tag, id FROM
         |  (SELECT o_custkey AS id FROM orders INTERSECT ALL SELECT c_custkey FROM customer)
         |ORDER BY tag, id""".stripMargin,
+
+    "q42_array_setops" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+        |ab AS (SELECT doc_id, toks[1:5] a, toks[4:8] b FROM t)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS u,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> list_contains(b, x))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> NOT list_contains(b, x))), ','), '') AS e,
+        |  coalesce(array_to_string(a || b, ','), '') AS f
+        |FROM ab ORDER BY doc_id""".stripMargin,
 
     "q40_lateral" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
