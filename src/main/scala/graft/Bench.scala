@@ -29,20 +29,30 @@ object Bench {
     // harness's own periodic jobs, and a single pass randomly charges that
     // contention (2-4x spikes) to whichever query it lands on. Min-of-2
     // reports steady-state execution, which is the number that scales.
+    // A throwing query records the sentinel -1.0 (propagated through the
+    // min-of-2 combine) so the bench JSON distinguishes failure from speed.
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
     val results = passes.reduce { (a, b) =>
-      a.map { case (k, v) => k -> math.min(v, b(k)) }
+      a.map { case (k, v) =>
+        val w = b(k)
+        k -> (if (v < 0.0 || w < 0.0) -1.0 else math.min(v, w))
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.ext.DedupQueries.clearCaches()
     spark.stop()
   }
 }

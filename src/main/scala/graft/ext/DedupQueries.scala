@@ -37,7 +37,25 @@ object DedupQueries {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Evict cached frames for `spark` keyed to a different dir: a long-lived
+    * session walking several scale factors (Bench warmup dir → target dir)
+    * would otherwise accumulate persisted blocks indefinitely. Only one dir
+    * per session is ever hot at a time. */
+  private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
+    Seq(shingleCache, minhashCache).foreach { cache =>
+      cache.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
+        cache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
+
+  /** Unpersist and drop every cached frame (Bench/Verify teardown hook). */
+  def clearCaches(): Unit =
+    Seq(shingleCache, minhashCache).foreach { cache =>
+      cache.keys.foreach(k => cache.remove(k).foreach(_.unpersist(blocking = false)))
+    }
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
     shingleCache.getOrElseUpdate((spark, dir),
       Tables.load(spark, dir, "documents")
         // documents.parquet is a single file → a single input split; the
@@ -57,6 +75,7 @@ object DedupQueries {
         .withColumn("shh", expr("transform(sh, s -> xxhash64(s))"))
         .select(col("doc_id"), col("sh"), col("shh"))
         .persist())
+  }
 
   private val duckShingled =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
@@ -95,7 +114,8 @@ object DedupQueries {
   private val minhashCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def minhashed(spark: SparkSession, dir: String): DataFrame =
+  private def minhashed(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
     minhashCache.getOrElseUpdate((spark, dir), {
       val withX = (0 until Salts).foldLeft(shingled(spark, dir)) { (d, j) =>
         d.withColumn(s"xs$j", expr(s"transform(sh, s -> md5(concat('$j|', s)))"))
@@ -107,6 +127,7 @@ object DedupQueries {
       }.drop((0 until Salts).map(j => s"xs$j"): _*)
         .persist()
     })
+  }
 
   private val duckMinhashed: String = {
     val xss = (0 until Salts)

@@ -55,6 +55,9 @@ object MultimodalQueries {
     Tables.load(spark, dir, "documents")
       .withColumn("payload", col("text").cast("binary"))
       .withColumn("nf", ceil(length(col("payload")) / lit(16.0)).cast("int"))
+      // nf=0 would make sequence(0, nf-1) the DESCENDING array [0,-1] and
+      // emit a spurious zero-length frame; the oracle's range(0,0) emits none.
+      .where(col("nf") > 0)
       .select(col("doc_id"), explode(expr(
         "filter(transform(sequence(0, nf-1), " +
           "i -> struct(i as idx, substring(payload, i*16+1, 16) as fb)), " +

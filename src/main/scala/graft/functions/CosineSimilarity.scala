@@ -39,13 +39,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null (not a number) for malformed inputs: length-mismatched vectors and
+  // zero-norm vectors have no defined cosine — so always nullable.
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -55,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,14 +69,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xGet = if (isFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
       val yGet = if (isFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $xGet;
-         |  double y = $yGet;
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double x = $xGet;
+         |    double y = $yGet;
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  if (na == 0.0 || nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  }
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 

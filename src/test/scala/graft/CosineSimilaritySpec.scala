@@ -43,4 +43,38 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
     val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]])).toDF("a", "b")
     assert(df.select(expr("cosine_sim(a, b)")).collect()(0).isNullAt(0))
   }
+
+  test("length-mismatched vectors yield null, not a truncated similarity") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).collect()(0).isNullAt(0))
+    val e = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0, 3.0)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0)))
+    assert(e.eval(null) == null)
+  }
+
+  test("zero-norm vector yields null, not NaN") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).collect()(0).isNullAt(0))
+    val e = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(0.0, 0.0)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0)))
+    assert(e.eval(null) == null)
+  }
+
+  test("topk_pairs rejects non-literal and non-integral k with a clear error") {
+    GraftFunctions.register(spark)
+    val df = Seq((1, 2)).toDF("x", "y")
+    val err = intercept[Exception] {
+      df.selectExpr("topk_pairs(x, y, x)").collect()
+    }
+    assert(err.getMessage.contains("topk_pairs"))
+    // BIGINT literal k must be accepted (SQL integer literals can parse long)
+    val dfe = Seq((1.0, 1L), (0.5, 2L)).toDF("s", "id")
+    val top = dfe.selectExpr("topk_pairs(s, id, cast(1 as bigint)) as t")
+      .selectExpr("t[0].id").collect()(0).getLong(0)
+    assert(top == 1L)
+  }
 }
