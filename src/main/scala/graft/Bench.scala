@@ -48,10 +48,26 @@ object Bench {
         k -> (if (v < 0.0 || w < 0.0) -1.0 else math.min(v, w))
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2000 chars of stdout and parses the
+    // JSON line out of that window (r01's line was 2.5 KB and landed as
+    // parsed:null). Emit per-query seconds at 3 decimals, slowest first, and
+    // truncate the dict so the WHOLE line stays well inside the window; the
+    // headline "value" still totals every query.
+    def fmt(v: Double): String =
+      if (v < 0.0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0.0).sum else 0.0
+    val sorted = results.toSeq.sortBy { case (_, v) => -v }
+    val budget = 1600 // chars available for the queries dict
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    sorted.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val omitted = results.size - entries.size
+    val qs = entries.mkString("{", ",", "}")
+    val omittedField = if (omitted > 0) s""","omitted":$omitted""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omittedField,"sf":"$sfDir"}""")
     graft.ext.DedupQueries.clearCaches()
     spark.stop()
   }

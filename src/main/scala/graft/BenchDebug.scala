@@ -28,6 +28,10 @@ object BenchDebug {
     time("d4 warm 2")(graft.ext.DedupQueries.ngramJaccardPairs(spark, dir).count())
     time("d3 cold (builds minhash)")(graft.ext.DedupQueries.lshPairs(spark, dir).count())
     time("d3 warm")(graft.ext.DedupQueries.lshPairs(spark, dir).count())
+    time("d7 simhash pairs")(graft.ext.DedupQueries.simhashPairs(spark, dir).count())
+    time("d7 simhash pairs 2")(graft.ext.DedupQueries.simhashPairs(spark, dir).count())
+    time("d5 simhash")(graft.ext.DedupQueries.simhash(spark, dir).count())
+    time("d6 levenshtein")(graft.ext.DedupQueries.levenshteinPairs(spark, dir).count())
     time("stedi")(graft.queries.ReferenceQueries.stediPipeline(spark, dir).count())
     time("stedi 2")(graft.queries.ReferenceQueries.stediPipeline(spark, dir).count())
     spark.stop()

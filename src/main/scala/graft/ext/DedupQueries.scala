@@ -255,18 +255,21 @@ object DedupQueries {
     * (identical arithmetic on both engines); shared by d5 and d7. */
   val SimhashBits = 16
   private def simhashBase(spark: SparkSession, dir: String): DataFrame = {
-    // One md5 per distinct token, shared by all 16 bit extracts — the
-    // per-bit aggregate otherwise recomputes the digest 16x per word.
+    // One md5 per distinct token, its first 4 hex digits parsed ONCE into a
+    // 16-bit int (single radix conversion) — the 16 per-bit aggregates then
+    // run pure integer shift/mask math instead of an instr+substr string
+    // scan per token per bit (16x). Bit b of the signature is bit k=b%4 of
+    // hex digit i=b/4, i.e. bit (12-4i+k) of the parsed int, so the output
+    // is bit-identical to the per-digit extraction the oracle computes.
     val base = Tables.load(spark, dir, "documents")
-      .withColumn("dm", expr(
-        "transform(array_distinct(split(lower(text), ' ')), w -> md5(w))"))
+      .withColumn("dv", expr(
+        "transform(array_distinct(split(lower(text), ' ')), " +
+          "w -> cast(conv(substr(md5(w), 1, 4), 16, 10) as int))"))
     val withSums = (0 until SimhashBits).foldLeft(base) { (d, b) =>
-      val digit = b / 4 + 1 // 1-based hex digit index in the md5 string
-      val pow = 1 << (b % 4)
+      val shift = 1 << (12 - 4 * (b / 4) + b % 4)
       d.withColumn(s"s$b", expr(
-        s"aggregate(dm, 0, (acc, m) -> acc + " +
-          s"CASE WHEN ((instr('0123456789abcdef', substr(m, $digit, 1)) - 1) div $pow) % 2 = 1 " +
-          s"THEN 1 ELSE -1 END)"))
+        s"aggregate(dv, 0, (acc, v) -> acc + " +
+          s"CASE WHEN (v div $shift) % 2 = 1 THEN 1 ELSE -1 END)"))
     }
     val hashExpr = (0 until SimhashBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)")

@@ -29,7 +29,13 @@ object SimilarityQueries {
 
   private def emb(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.load(spark, dir, "embeddings")
+    // embeddings.parquet is a single row group → one input split; every
+    // per-vector computation downstream (plane dots, centroid assignment,
+    // brute-force scoring) would run on one core without an explicit
+    // fan-out. Hash on vec_id so s5's per-vector window needs no second
+    // shuffle. On a real multi-row-group corpus the scan parallelizes
+    // itself and this becomes a no-op cost-wise.
+    Tables.load(spark, dir, "embeddings").repartition(col("vec_id"))
   }
 
   /** s1 — brute-force cosine top-10 against a fixed query vector (vec_id 0),
@@ -96,16 +102,17 @@ object SimilarityQueries {
     * sharing any band with the query; exact cosine re-ranks the bucket. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir)
-    // zip_with against the literal coefficient array: one lambda pair per
-    // plane (a 1024-term flattened sum exceeds codegen limits and falls
-    // back to per-node interpretation — 3x slower). Same left-to-right
-    // double arithmetic as the oracle's literal sum.
+    // Codegen'd dot_product against the literal coefficient array: the
+    // earlier aggregate(zip_with(...)) higher-order form was CodegenFallback
+    // (per-row lambda interpretation + an intermediate array per plane), and
+    // a 1024-term flattened literal sum exceeds codegen limits. dot_product
+    // keeps the identical left-to-right double accumulation (same sign, same
+    // oracle) inside whole-stage codegen.
     val bits = (0 until LshPlanes).foldLeft(base) { (d, p) =>
       val coeffs = planeSigns(p)
         .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
       d.withColumn(s"s$p", expr(
-        s"aggregate(zip_with(embedding, array($coeffs), (x, c) -> x * c), " +
-          s"0D, (acc, y) -> acc + y) > 0D"))
+        s"dot_product(embedding, array($coeffs)) > 0D"))
     }
     val bandCols = (0 until 4).map { b =>
       val e = (0 until 4).map(r => s"(CASE WHEN s${4 * b + r} THEN ${1 << r} ELSE 0 END)").mkString(" + ")
