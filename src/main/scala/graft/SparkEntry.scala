@@ -23,7 +23,8 @@ object SparkEntry {
       (graft.ext.DedupQueries.queries, graft.ext.DedupQueries.oracles),
       (graft.ext.SimilarityQueries.queries, graft.ext.SimilarityQueries.oracles),
       (graft.ext.TextQueries.queries, graft.ext.TextQueries.oracles),
-      (graft.ext.MultimodalQueries.queries, graft.ext.MultimodalQueries.oracles)
+      (graft.ext.MultimodalQueries.queries, graft.ext.MultimodalQueries.oracles),
+      (graft.ext.PipelineQueries.queries, graft.ext.PipelineQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

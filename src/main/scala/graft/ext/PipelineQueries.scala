@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline mechanics over `documents`: deterministic
+  * stratified sampling, token-budget sequence packing, and fixed-window
+  * chunking with overlap — the plumbing between a raw corpus and a
+  * training shard layout.
+  *
+  * All three are built on hash/window arithmetic only (no RNG state), so
+  * runs are reproducible and the DuckDB oracle replicates them exactly —
+  * the property a 100 TB pipeline needs anyway: re-running a failed
+  * partition must re-draw the same sample and re-cut the same chunks.
+  */
+object PipelineQueries {
+
+  /** p1 — deterministic 10% stratified sample per language: keep a doc iff
+    * its md5-derived bucket is 0. Hash-mod sampling scales embarrassingly
+    * (per-row predicate, no shuffle, no sampling state) and is stable
+    * under retries/replication — unlike rand()-based sampling. */
+  val SampleBuckets = 10
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("bucket", expr(
+        "cast(conv(substr(md5(concat(lang, '|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) " +
+          s"% $SampleBuckets"))
+      .filter(col("bucket") === 0)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** p2 — greedy sequential sequence packing: walk docs in id order and
+    * cut a new shard every [[PackBudget]] tokens (shard of a doc = tokens
+    * BEFORE it, integer-divided by the budget). One running-sum window —
+    * at scale, partition the walk by a coarse key (e.g. source file) so
+    * the prefix sum distributes; the global-order variant here is the
+    * per-partition step of that recipe. */
+  val PackBudget = 2048
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_toks"),
+        (col("tok_before") / PackBudget).cast("long").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** p3 — fixed-window chunking with overlap (window [[ChunkSize]], stride
+    * [[ChunkStride]]): explode each doc into token-window chunks, the unit
+    * a context-bounded trainer or embedder actually consumes. Chunk count
+    * is data-dependent, so the explode is the scalable form — no per-doc
+    * loop, and Spark's `sequence` keeps it inside codegen. */
+  val ChunkSize = 50
+  val ChunkStride = 40
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr(s"sequence(0, n - 1, $ChunkStride)")).as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        least(lit(ChunkSize), col("n") - col("start")).cast("long").as("chunk_len"),
+        expr(s"array_join(slice(toks, start + 1, least($ChunkSize, n - start)), ' ')")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "p2_token_packing" -> ((s, d) => tokenPacking(s, d)),
+    "p3_chunk" -> ((s, d) => chunk(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+         |       ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |         % $SampleBuckets AS bucket
+         |FROM documents
+         |WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |        % $SampleBuckets = 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "p2_token_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split(lower(text), ' ')) AS BIGINT) n_toks
+         |           FROM documents),
+         |r AS (SELECT doc_id, n_toks,
+         |        coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
+         |      FROM t)
+         |SELECT doc_id, n_toks, CAST(tok_before // $PackBudget AS BIGINT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "p3_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+         |s AS (SELECT doc_id, toks, len(toks) n,
+         |        unnest(range(0, len(toks), $ChunkStride)) st
+         |      FROM t)
+         |SELECT doc_id,
+         |       CAST(st // $ChunkStride AS BIGINT) AS chunk_idx,
+         |       CAST(st AS BIGINT) AS start,
+         |       CAST(least($ChunkSize, n - st) AS BIGINT) AS chunk_len,
+         |       array_to_string(list_slice(toks, st + 1, st + least($ChunkSize, n - st)), ' ')
+         |         AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

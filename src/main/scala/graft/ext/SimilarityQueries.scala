@@ -176,12 +176,48 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** s6 — per-label centroid (mean embedding), the training-pipeline
+    * "class prototype" aggregate. posexplode turns the vector column into
+    * (label, dim) cells so the mean is one hash aggregate over
+    * (label, dim) — the shape that scales: no collect of vectors to a
+    * driver, no per-group array building until the final (tiny) result.
+    * Dims are emitted 1-based to match the oracle's list indexing. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
+  /** s7 — symmetric int8 quantization per vector (scale = max|x|/127),
+    * with reconstruction-error audit: the storage path for embeddings at
+    * corpus scale (4 bytes -> 1 byte per dim). Pure per-row math — narrow,
+    * codegen'd, no shuffle before the harness sort. */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("scale", expr(
+        "aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x))) / 127.0D"))
+      .withColumn("q", expr(
+        "transform(v, x -> cast(round(x / scale, 0) as int))"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(q, cast(0 as bigint), (acc, y) -> acc + y)").as("q_sum"),
+        round(expr(
+          "sqrt(aggregate(zip_with(v, q, (x, y) -> (x - y * scale) * (x - y * scale)), " +
+            "0D, (acc, e) -> acc + e))"), 6).as("l2_err"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
     "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "s3_label_paircounts" -> ((s, d) => labelPairCounts(s, d)),
     "s4_ann_lsh" -> ((s, d) => annLsh(s, d)),
-    "s5_ann_ivf" -> ((s, d) => annIvf(s, d))
+    "s5_ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "s6_label_centroids" -> ((s, d) => labelCentroids(s, d)),
+    "s7_quantize" -> ((s, d) => quantize(s, d))
   )
 
   private val duckEmb =
@@ -261,6 +297,28 @@ object SimilarityQueries {
          |       round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) AS cosine
          |FROM cells c JOIN probed p ON c.cent_id = p.cent_id
          |JOIN e ON e.vec_id = c.vec_id, q
-         |ORDER BY cosine DESC, c.vec_id ASC LIMIT 10""".stripMargin
+         |ORDER BY cosine DESC, c.vec_id ASC LIMIT 10""".stripMargin,
+
+    "s6_label_centroids" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] v FROM embeddings),
+         |d AS (SELECT unnest(range(1, $LshDims + 1)) dim)
+         |SELECT label, CAST(dim AS BIGINT) AS dim,
+         |       round(avg(v[dim]), 6) AS centroid, count(*) AS n_vecs
+         |FROM e CROSS JOIN d
+         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "s7_quantize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 scale
+         |      FROM e),
+         |q AS (SELECT vec_id, v, scale,
+         |        list_transform(v, x -> CAST(round(x / scale, 0) AS INT)) qv
+         |      FROM s)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+         |       round(sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
+         |         i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)), 'sum')), 6) AS l2_err
+         |FROM q ORDER BY vec_id""".stripMargin
   )
 }

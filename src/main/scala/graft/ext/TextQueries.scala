@@ -88,11 +88,62 @@ object TextQueries {
           "cast(0 as bigint), (acc, x) -> (acc * 31 + x) % 1000000007)").as("fp_rolling"))
       .orderBy("doc_id")
 
+  /** t5 — TF-IDF top-3 terms per document. The classic two-aggregation
+    * shape: term frequency shuffles on (doc, term), document frequency on
+    * term; the corpus size joins in as a broadcast scalar (never a driver
+    * round-trip). Ranking runs on the ROUNDED score so both engines order
+    * identical values (an unrounded libm ln() could differ in the last ulp
+    * across engines and flip a rank at the tie boundary). */
+  val TfIdfTopK = 3
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = ex.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val sc = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    sc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rk") <= TfIdfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** t6 — KMV (k-minimum-values) distinct-count sketch per language: the
+    * estimate is (k-1) * |hash space| / h_(k), needing only the k smallest
+    * 60-bit md5-derived hash values per group — a bounded sketch where
+    * exact distinct needs the full value set shuffled. Deterministic (no
+    * random seed), so the DuckDB oracle replicates it bit-for-bit; the
+    * exact count rides along to show the estimate lands. */
+  val KmvK = 16
+  private val HashSpace = "1152921504606846976.0D" // 2^60 = 16^15
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = docs(spark, dir)
+      .select(col("lang"), explode(col("toks")).as("w")).distinct()
+      .withColumn("h", expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"))
+    val ranked = dist.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang")).orderBy(col("h").asc)))
+    val kth = ranked.filter(col("rk") === KmvK)
+      .select(col("lang"), col("h").as("kth_hash"))
+    val exact = dist.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+    exact.join(kth, Seq("lang"), "left")
+      .withColumn("est", round(
+        when(col("kth_hash").isNotNull,
+          lit(KmvK - 1) * expr(HashSpace) / col("kth_hash"))
+          .otherwise(col("n_exact").cast("double")), 4))
+      .select(col("lang"), col("n_exact"), col("kth_hash"), col("est"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> ((s, d) => langId(s, d)),
     "t2_quality" -> ((s, d) => quality(s, d)),
     "t3_tokencount" -> ((s, d) => tokenCount(s, d)),
-    "t4_fingerprint" -> ((s, d) => fingerprint(s, d))
+    "t4_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "t5_tfidf" -> ((s, d) => tfidf(s, d)),
+    "t6_kmv_distinct" -> ((s, d) => kmvDistinct(s, d))
   )
 
   private val duckTokenVal: String = (1 to 4)
@@ -143,6 +194,34 @@ object TextQueries {
          |       list_reduce(list_prepend(CAST(0 AS BIGINT),
          |         list_transform(toks, w -> CAST($duckTokenVal AS BIGINT))),
          |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t5_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) tf FROM ex GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) df FROM ex GROUP BY 1),
+         |n AS (SELECT count(*) n FROM documents),
+         |sc AS (SELECT doc_id, term, tf.tf, df.df,
+         |         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) score
+         |       FROM tf JOIN df USING (term), n),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score DESC, term ASC) AS BIGINT) rk FROM sc)
+         |SELECT doc_id, term, tf, df, score, rk
+         |FROM rk WHERE rk <= $TfIdfTopK ORDER BY doc_id, rk""".stripMargin,
+
+    "t6_kmv_distinct" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') toks FROM documents),
+         |dist AS (SELECT DISTINCT lang, w FROM (SELECT lang, unnest(toks) w FROM t)),
+         |h AS (SELECT lang, w, ('0x' || substr(md5(w), 1, 15))::BIGINT h FROM dist),
+         |ranked AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h ASC) rk FROM h),
+         |kth AS (SELECT lang, h kth_hash FROM ranked WHERE rk = $KmvK),
+         |exact AS (SELECT lang, count(*) n_exact FROM dist GROUP BY 1)
+         |SELECT exact.lang, n_exact, kth_hash,
+         |       round(CASE WHEN kth_hash IS NOT NULL
+         |             THEN ${KmvK - 1} * 1152921504606846976.0 / kth_hash
+         |             ELSE n_exact * 1.0 END, 4) AS est
+         |FROM exact LEFT JOIN kth ON exact.lang = kth.lang
+         |ORDER BY exact.lang""".stripMargin
   )
 }

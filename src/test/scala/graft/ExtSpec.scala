@@ -67,4 +67,83 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     val empty = Multimodal.decodeStub(Multimodal.MediaRecord(8L, Array.emptyByteArray))
     assert(empty.width == 1 && empty.height == 1 && empty.n_bytes == 0L)
   }
+
+  test("tfidf emits at most k ranked terms per doc, scores descending") {
+    val rows = TextQueries.tfidf(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getAs[Long]("rk"))
+      assert(ranked.map(_.getAs[Long]("rk")).toSeq == (1L to ranked.length).toSeq)
+      assert(ranked.length <= TextQueries.TfIdfTopK)
+      val scores = ranked.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("kmv estimate lands within the sketch's error envelope") {
+    val rows = TextQueries.kmvDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est")
+      // k=16 -> relative standard error ~1/sqrt(k-2) ~ 27%; 3 sigma bound.
+      assert(est > exact * 0.2 && est < exact * 5.0,
+        s"lang=${r.getString(0)} exact=$exact est=$est")
+    }
+  }
+
+  test("label centroids cover every (label, dim) cell with consistent counts") {
+    val rows = SimilarityQueries.labelCentroids(spark, dir).collect()
+    val labels = rows.map(_.getInt(0)).distinct
+    assert(rows.length == labels.length * SimilarityQueries.LshDims)
+    val counts = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getAs[Long]("n_vecs")).distinct)
+    assert(counts.values.forall(_.length == 1), "every dim of a label sees the same vector count")
+  }
+
+  test("int8 quantization reconstruction error is small relative to the vector") {
+    val rows = SimilarityQueries.quantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("l2_err")
+      // Per-dim rounding error <= scale/2; over 64 dims l2 <= scale/2*sqrt(64).
+      assert(err <= scale / 2.0 * 8.0 + 1e-6, s"vec=${r.getLong(0)} scale=$scale err=$err")
+    }
+  }
+
+  test("stratified hash sample is deterministic and near the target rate") {
+    val s1 = ext.PipelineQueries.stratifiedSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    val s2 = ext.PipelineQueries.stratifiedSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+    val total = Tables.load(spark, dir, "documents").count().toDouble
+    assert(s1.length > total * 0.03 && s1.length < total * 0.25,
+      s"${s1.length} of $total sampled")
+  }
+
+  test("token packing walks shards monotonically and respects the budget rule") {
+    val rows = ext.PipelineQueries.tokenPacking(spark, dir).collect().sortBy(_.getLong(0))
+    val shards = rows.map(_.getAs[Long]("shard"))
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
+    var run = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shard") == run / ext.PipelineQueries.PackBudget)
+      run += r.getAs[Long]("n_toks")
+    }
+  }
+
+  test("chunking tiles every document with stride overlap and full coverage") {
+    val rows = ext.PipelineQueries.chunk(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      val starts = sorted.map(_.getAs[Long]("start")).toSeq
+      assert(starts == starts.indices.map(_ * ext.PipelineQueries.ChunkStride.toLong))
+      assert(sorted.forall(_.getAs[Long]("chunk_len") <= ext.PipelineQueries.ChunkSize))
+      val last = sorted.last
+      // Last chunk reaches the end of the token stream.
+      assert(last.getAs[Long]("start") + last.getAs[Long]("chunk_len") >= starts.max + 1)
+      assert(sorted.forall(r => r.getAs[String]("chunk_text").nonEmpty))
+    }
+  }
 }
