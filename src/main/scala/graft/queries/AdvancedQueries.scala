@@ -272,7 +272,44 @@ object AdvancedQueries {
         concat_ws(",", flatten(array(col("a"), col("b")))).as("f"))
       .orderBy("doc_id")
 
+  /** q43 — running distinct count over a window, an operator Spark has no
+    * native form for (no DISTINCT inside window aggregates): decomposed as
+    * first-occurrence flag (row_number over (key, value) = 1) + prefix sum
+    * over the key. Two window passes over the same (key, time) sort order
+    * — Catalyst reuses the one sort — instead of a per-row distinct set,
+    * which is the form that survives scale (state per row is O(1), not
+    * O(cardinality)). */
+  def q43RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("fs", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        sum(col("fs")).over(wRun).as("distinct_types_so_far"))
+      .orderBy("event_id")
+  }
+
+  /** q44 — FILTER-clause conditional aggregation (SQL:2003 surface, one
+    * scan instead of N filtered scans or sum(CASE) rewrites), through the
+    * SQL entry point. */
+  def q44FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05D), 2) AS rev_disc,
+        |       round(avg(l_quantity) FILTER (WHERE l_linenumber = 1), 6) AS avg_qty_l1
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_running_distinct" -> ((s, d) => q43RunningDistinct(s, d)),
+    "q44_filter_agg" -> ((s, d) => q44FilterAgg(s, d)),
     "q42_array_setops" -> ((s, d) => q42ArraySetops(s, d)),
     "q40_lateral" -> ((s, d) => q40Lateral(s, d)),
     "q41_ignore_nulls" -> ((s, d) => q41IgnoreNulls(s, d)),
@@ -295,6 +332,27 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_running_distinct" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END fs
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |       CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS distinct_types_so_far
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q44_filter_agg" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_disc,
+        |       round(avg(l_quantity) FILTER (WHERE l_linenumber = 1), 6) AS avg_qty_l1
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q24_full_outer" ->
       """WITH ue AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
         |c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0)
