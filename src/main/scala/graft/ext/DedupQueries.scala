@@ -27,14 +27,19 @@ object DedupQueries {
   val NumBands  = 8          // 8 bands x 2 rows: P(candidate | j=0.8) ≈ 1 - 0.36^8 ≈ 0.9997
   val JaccardThreshold = 0.5 // planted near-dups sit at >=0.8, noise <0.2
 
-  /** doc_id + distinct word-3-gram shingle set (docs with >=3 tokens).
-    * Memoized + persisted per (session, dir): d2/d3/d4 each reference the
-    * shingle frame 2-4 times in their DAGs, and lazy evaluation would
-    * otherwise re-read the parquet and re-shingle on every reference —
-    * the cluster-side equivalent of reusing one materialized scan across
-    * stages. The frame is ~2 KB/doc, so it stays memory-resident.
+  /** One combined persisted frame per (session, dir):
+    * `(doc_id, shh, hs0..hs3)` — 64-bit shingle fingerprints plus one
+    * 4-field minhash struct per salt. d2/d3/d4 each reference this subtree
+    * 2-4 times in their DAGs, and lazy evaluation would otherwise re-read
+    * the parquet and re-shingle on every reference. The persist boundary
+    * also forces SINGLE evaluation of the salted md5 digest arrays:
+    * interpreted higher-order expressions get no common-subexpression
+    * elimination, so a collapsed projection where 4 min-extract columns
+    * each reference the same `transform(sh, md5...)` recomputes the whole
+    * digest array 4x (the old two-cache layout paid exactly that, plus a
+    * second persisted copy of the big shingle-string arrays).
     */
-  private val shingleCache =
+  private val baseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Evict cached frames for `spark` keyed to a different dir: a long-lived
@@ -42,22 +47,23 @@ object DedupQueries {
     * would otherwise accumulate persisted blocks indefinitely. Only one dir
     * per session is ever hot at a time. */
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    Seq(shingleCache, minhashCache).foreach { cache =>
-      cache.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
-        cache.remove(k).foreach(_.unpersist(blocking = false))
-      }
+    baseCache.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
+      baseCache.remove(k).foreach(_.unpersist(blocking = false))
     }
 
   /** Unpersist and drop every cached frame (Bench/Verify teardown hook). */
   def clearCaches(): Unit =
-    Seq(shingleCache, minhashCache).foreach { cache =>
-      cache.keys.foreach(k => cache.remove(k).foreach(_.unpersist(blocking = false)))
-    }
+    baseCache.keys.foreach(k => baseCache.remove(k).foreach(_.unpersist(blocking = false)))
 
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+  /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
+    * 8-hex value, so folding `least` over the digest array reproduces
+    * `array_min` exactly. */
+  private val SliceMax = "4294967296L"
+
+  private def base(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
-    shingleCache.getOrElseUpdate((spark, dir),
-      Tables.load(spark, dir, "documents")
+    baseCache.getOrElseUpdate((spark, dir), {
+      val sh = Tables.load(spark, dir, "documents")
         // documents.parquet is a single file → a single input split; the
         // md5-heavy shingle/minhash work downstream would otherwise run
         // on one core. Spread rows across the full parallelism first.
@@ -67,15 +73,35 @@ object DedupQueries {
         .withColumn("sh", expr(
           "array_distinct(transform(sequence(0, size(toks)-3), " +
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      val withMins = (0 until Salts).foldLeft(sh) { (d, j) =>
+        // transform() is the aggregate's input argument, so the digest
+        // array materializes once and all 4 slice minima fold over it in
+        // a single traversal.
+        val accInit = (0 until SlicesPerSalt)
+          .map(k => s"'m$k', $SliceMax").mkString(", ")
+        val accStep = (0 until SlicesPerSalt)
+          .map(k => s"'m$k', least(acc.m$k, ${hexSliceSpark("m", 8 * k + 1, 8)})")
+          .mkString(", ")
+        d.withColumn(s"hs$j", expr(
+          s"aggregate(transform(sh, s -> md5(concat('$j|', s))), " +
+            s"named_struct($accInit), (acc, m) -> named_struct($accStep))"))
+      }
+      withMins
         // 64-bit shingle fingerprints: exact-Jaccard verification
         // intersects these instead of the string arrays (long equality vs
         // UTF8 hashing — ~3x cheaper per candidate pair). Distinct strings
         // collide in 64 bits with P ≈ n²/2^65 (~1e-8 for this corpus), so
         // |sh ∩| == |shh ∩| and the oracle's string-side Jaccard matches.
         .withColumn("shh", expr("transform(sh, s -> xxhash64(s))"))
-        .select(col("doc_id"), col("sh"), col("shh"))
-        .persist())
+        .select(col("doc_id") +: col("shh") +:
+          (0 until Salts).map(j => col(s"hs$j")): _*)
+        .persist()
+    })
   }
+
+  /** `(doc_id, shh)` view of [[base]] for Jaccard verification. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(col("doc_id"), col("shh"))
 
   private val duckShingled =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
@@ -108,26 +134,15 @@ object DedupQueries {
   private def hexSliceDuck(mdExpr: String, start: Int, len: Int): String =
     s"('0x' || substr($mdExpr, $start, $len))::BIGINT"
 
-  /** Adds minhash columns h0..h15 (BIGINT); memoized + persisted per
-    * (session, dir) — the band self-join in d3 references this subtree on
-    * both sides, and d2 shares it. */
-  private val minhashCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  private def minhashed(spark: SparkSession, dir: String): DataFrame = {
-    evictOtherDirs(spark, dir)
-    minhashCache.getOrElseUpdate((spark, dir), {
-      val withX = (0 until Salts).foldLeft(shingled(spark, dir)) { (d, j) =>
-        d.withColumn(s"xs$j", expr(s"transform(sh, s -> md5(concat('$j|', s)))"))
-      }
-      (0 until NumHashes).foldLeft(withX) { (d, i) =>
+  /** `(doc_id, h0..h15)` minhash view of [[base]]: post-persist struct
+    * field access, so the 16 columns cost nothing beyond the cached
+    * 4-struct layout. */
+  private def minhashed(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(col("doc_id") +:
+      (0 until NumHashes).map { i =>
         val (j, k) = (i / SlicesPerSalt, i % SlicesPerSalt)
-        d.withColumn(s"h$i", expr(
-          s"array_min(transform(xs$j, m -> ${hexSliceSpark("m", 8 * k + 1, 8)}))"))
-      }.drop((0 until Salts).map(j => s"xs$j"): _*)
-        .persist()
-    })
-  }
+        col(s"hs$j").getField(s"m$k").as(s"h$i")
+      }: _*)
 
   private val duckMinhashed: String = {
     val xss = (0 until Salts)
@@ -198,7 +213,15 @@ object DedupQueries {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir)
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+    // The whole candidate stage runs on the 64-bit shingle fingerprints,
+    // never the strings: prefix filtering only needs SOME deterministic
+    // global order shared by all docs (df-ascending, fingerprint
+    // tie-break works as well as shingle text), and the posting-list
+    // self-join then probes on long equality instead of UTF8 hashing.
+    // The oracle generates candidates its own way (share-any-shingle);
+    // only the verified, thresholded output must match — and verification
+    // intersects the same fingerprint arrays either way.
+    val ex = sets.select(col("doc_id"), explode(col("shh")).as("g"))
     val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
     val fg = ex.join(broadcast(freq), "g")
       .groupBy(col("doc_id")).agg(collect_list(struct(col("f"), col("g"))).as("fg"))
