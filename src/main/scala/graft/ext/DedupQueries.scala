@@ -61,6 +61,7 @@ object DedupQueries {
   private val SliceMax = "4294967296L"
 
   private def base(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     evictOtherDirs(spark, dir)
     baseCache.getOrElseUpdate((spark, dir), {
       val sh = Tables.load(spark, dir, "documents")
@@ -87,12 +88,13 @@ object DedupQueries {
             s"named_struct($accInit), (acc, m) -> named_struct($accStep))"))
       }
       withMins
-        // 64-bit shingle fingerprints: exact-Jaccard verification
-        // intersects these instead of the string arrays (long equality vs
-        // UTF8 hashing — ~3x cheaper per candidate pair). Distinct strings
-        // collide in 64 bits with P ≈ n²/2^65 (~1e-8 for this corpus), so
-        // |sh ∩| == |shh ∩| and the oracle's string-side Jaccard matches.
-        .withColumn("shh", expr("transform(sh, s -> xxhash64(s))"))
+        // 64-bit shingle fingerprints, SORTED once per document: exact-
+        // Jaccard verification merge-counts these instead of intersecting
+        // the string arrays (long comparisons + zero allocation vs a hash
+        // set per candidate pair). Distinct strings collide in 64 bits
+        // with P ≈ n²/2^65 (~1e-8 for this corpus), so |sh ∩| == |shh ∩|
+        // and the oracle's string-side Jaccard matches.
+        .withColumn("shh", expr("array_sort(transform(sh, s -> xxhash64(s)))"))
         .select(col("doc_id") +: col("shh") +:
           (0 until Salts).map(j => col(s"hs$j")): _*)
         .persist()
@@ -252,12 +254,14 @@ object DedupQueries {
   }
 
   /** Join candidate pairs back to shingle sets, compute exact Jaccard
-    * (via the 64-bit fingerprint arrays), filter at the threshold. */
+    * (merge-count over the sorted 64-bit fingerprint arrays — the codegen
+    * [[graft.functions.SortedIntersectCount]] primitive), filter at the
+    * threshold. */
   private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
-      .withColumn("i", size(array_intersect(col("x.shh"), col("y.shh"))).cast("double"))
+      .withColumn("i", expr("sorted_intersect_count(x.shh, y.shh)").cast("double"))
       .withColumn("jac", col("i") / (size(col("x.shh")) + size(col("y.shh")) - col("i")))
       .filter(round(col("jac"), 6) >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
