@@ -99,7 +99,10 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val ex = docs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = ex.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df falls out of tf (one row per (doc, term) = one doc containing the
+    // term) — aggregating the already-reduced tf frame instead of
+    // re-shuffling the full exploded corpus through a distinct.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs(spark, dir).agg(count(lit(1)).as("n"))
     val sc = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6))

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants for the plans that carry the 100 TB posture:
+  * broadcasts where a dimension must broadcast, top-k as
+  * TakeOrderedAndProject (never a global sort), partial aggregation, and
+  * column pruning reaching the parquet scan. A regression here (e.g. a
+  * broadcast silently degrading to sort-merge after a refactor) changes no
+  * query RESULT, so only a plan audit catches it before the scale bill
+  * does. */
+class PlanAuditSpec extends AnyFunSuite with SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("star join broadcasts every dimension (no sort-merge join)") {
+    val p = plan("q6_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("levenshtein block join broadcasts the build side") {
+    val p = plan("d6_levenshtein")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stedi pipeline joins via broadcast - the fact side never shuffles on the key") {
+    val p = plan("stedi_pipeline")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q2_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ann top-k scan broadcasts the query vector and takes a bounded heap") {
+    val p = plan("s1_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregation splits partial/final (map-side combine before the shuffle)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("column pruning reaches the lineitem scan in q1") {
+    val p = plan("q1_agg")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_returnflag") && !read.contains("l_comment"), read)
+  }
+
+  test("filter pushdown reaches the parquet scan in the null filter") {
+    val p = plan("r_null_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("whole-stage codegen covers the similarity hot path (no fallback islands)") {
+    // AQE's pre-execution formatted plan carries no codegen annotations;
+    // execute first, then read the final adaptive plan.
+    val df = SparkEntry.queries("s1_ann_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Codegen stages render as "*(n)" in the final adaptive plan; the
+    // cosine expression must sit INSIDE one (a custom expression that
+    // fell back to interpreted eval would lose the asterisk).
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("cosinesimilarity")), p)
+  }
+}
