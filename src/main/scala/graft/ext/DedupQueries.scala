@@ -308,33 +308,40 @@ object DedupQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashBase(spark, dir).orderBy("doc_id")
 
-  /** d7 — SimHash near-dup pairs at Hamming distance <= [[MaxHamming]]:
-    * candidates from a 2x8-bit band equi-join (pigeonhole: one flipped bit
-    * leaves >= 1 band identical, so recall at distance 1 is exact), then
-    * exact popcount-of-xor verification. The same structure as the minhash
-    * LSH join, but over a 2-byte signature — the cheapest possible
-    * candidate key at corpus scale. */
+  /** d7 — SimHash near-dup pairs at Hamming distance <= [[MaxHamming]]
+    * (=1) via an EXACT Hamming-ball join: enumerate the ball instead of
+    * approximating it. Distance-0 pairs self-join on signature equality;
+    * distance-1 pairs join a signature against the 16 one-bit flips of the
+    * other side, kept only in the flip-down direction (clearing a set bit)
+    * so each unordered pair materializes exactly once. Candidates ARE
+    * results — no popcount verification filter and no distinct pass over
+    * the (huge, clustered) pair stream, which the earlier band-join
+    * formulation both paid. The join keys are full 16-bit signatures (up
+    * to 65536 buckets vs the band join's 256), so the shuffle spreads
+    * wider at corpus scale. */
   val MaxHamming = 1
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashBase(spark, dir)
-    val bands = sh.select(col("doc_id"), col("simhash16"), explode(expr(
-      "array(struct(0 as bid, simhash16 % 256 as bkey), " +
-        "struct(1 as bid, simhash16 div 256 as bkey))")).as("u"))
-      .select(col("doc_id"), col("simhash16"),
-        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
-    // Hamming verification sits in the join condition: simhash clusters
-    // hard on this corpus, so hot band keys emit many candidates — pruning
-    // them before the distinct is the cheap order.
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16"))) <= MaxHamming)
+    val same = sh.as("a")
+      .join(sh.as("b"),
+        col("a.simhash16") === col("b.simhash16") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16")))
-          .cast("long").as("hamming"))
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+        lit(0L).as("hamming"))
+    val flips = (0 until SimhashBits)
+      .map(b => s"simhash16 ^ ${1 << b}").mkString(", ")
+    val flipped = sh
+      .select(col("doc_id"), col("simhash16"),
+        explode(expr(s"array($flips)")).as("fkey"))
+      // Keep only flips that CLEAR a bit: for a distance-1 pair the lower
+      // signature equals exactly one flip-down of the higher one.
+      .filter(col("fkey") < col("simhash16"))
+    val dist1 = sh.as("a")
+      .join(flipped.as("b"), col("a.simhash16") === col("b.fkey"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        lit(1L).as("hamming"))
+    same.unionAll(dist1).orderBy("doc_a", "doc_b")
   }
 
   // ---- DuckDB oracles --------------------------------------------------
