@@ -122,15 +122,81 @@ object TemporalQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** q45 — time-series similarity search (the EDBT'19 streaming-similarity
+    * shape, expressed relationally): per-user hourly activity series,
+    * Pearson-correlated per user pair over their shared hours. Pair space
+    * is blocked to a user-id range — at corpus scale the block key is an
+    * LSH/cluster prefilter; the align-join + moment aggregate inside a
+    * block is exactly this plan.
+    *
+    * Pearson is computed from exact integer moments (counts are small, so
+    * every sum/product stays far inside BIGINT/2^53): both engines then
+    * perform the IDENTICAL final sqrt/divide, and the zero-variance guard
+    * is an exact integer comparison — not a NaN/NULL convention that
+    * differs across engines (Spark's `corr` additionally throws
+    * DIVIDE_BY_ZERO under ANSI mode on constant series). */
+  val SeriesUserCap = 80
+  val SeriesMinHours = 3
+  def q45SeriesCorr(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < SeriesUserCap)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    series.as("a")
+      .join(series.as("b"),
+        col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("a.cnt")).as("sx"), sum(col("b.cnt")).as("sy"),
+        sum(col("a.cnt") * col("b.cnt")).as("sxy"),
+        sum(col("a.cnt") * col("a.cnt")).as("sxx"),
+        sum(col("b.cnt") * col("b.cnt")).as("syy"))
+      .withColumn("vx", col("n_hours") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_hours") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n_hours") >= SeriesMinHours && col("vx") > 0 && col("vy") > 0)
+      .select(col("user_a"), col("user_b"),
+        round(
+          (col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))), 6)
+          .as("r"),
+        col("n_hours"))
+      .orderBy("user_a", "user_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_asof_join" -> ((s, d) => q19Asof(s, d)),
     "q20_range_join" -> ((s, d) => q20RangeJoin(s, d)),
     "q21_sessionize" -> ((s, d) => q21Sessionize(s, d)),
     "q22_lead_lag" -> ((s, d) => q22LeadLag(s, d)),
-    "q23_percentiles" -> ((s, d) => q23Percentiles(s, d))
+    "q23_percentiles" -> ((s, d) => q23Percentiles(s, d)),
+    "q45_series_corr" -> ((s, d) => q45SeriesCorr(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_series_corr" ->
+      s"""WITH series AS (
+         |  SELECT user_id, date_trunc('hour', ts) h, count(*) cnt
+         |  FROM events WHERE user_id < $SeriesUserCap GROUP BY 1, 2),
+         |m AS (
+         |  SELECT a.user_id user_a, b.user_id user_b, count(*) n_hours,
+         |         CAST(sum(a.cnt) AS BIGINT) sx, CAST(sum(b.cnt) AS BIGINT) sy,
+         |         CAST(sum(a.cnt * b.cnt) AS BIGINT) sxy,
+         |         CAST(sum(a.cnt * a.cnt) AS BIGINT) sxx,
+         |         CAST(sum(b.cnt * b.cnt) AS BIGINT) syy
+         |  FROM series a JOIN series b
+         |    ON a.h = b.h AND a.user_id < b.user_id
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT *, n_hours * sxx - sx * sx vx, n_hours * syy - sy * sy vy FROM m)
+         |SELECT user_a, user_b,
+         |       round((n_hours * sxy - sx * sy)::DOUBLE
+         |             / (sqrt(vx::DOUBLE) * sqrt(vy::DOUBLE)), 6) AS r,
+         |       n_hours
+         |FROM v
+         |WHERE n_hours >= $SeriesMinHours AND vx > 0 AND vy > 0
+         |ORDER BY user_a, user_b""".stripMargin,
+
     // Independent formulation (correlated subquery) — validates the
     // union+window construction against a different algorithm.
     "q19_asof_join" ->
