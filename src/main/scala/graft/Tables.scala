@@ -29,7 +29,17 @@ object Tables {
     else df
   }
 
+  /** Last directory registered per session: registering is idempotent for
+    * a fixed dir, and re-running `spark.read.parquet` for all 10 tables
+    * costs a footer/listing round-trip each — measurable when several
+    * SQL-surface queries call in per bench pass. */
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
   /** Register every fixture table as a temp view (SURVEY §2.6 Q1 surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (!registeredDir.get(spark).contains(dir)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir(spark) = dir
+    }
 }

@@ -51,9 +51,18 @@ object DedupQueries {
       baseCache.remove(k).foreach(_.unpersist(blocking = false))
     }
 
+  /** Loop-scoped persisted frames (d8's final label frame outlives the
+    * call — its consumer reads it after return), unpersisted by
+    * [[clearCaches]]. */
+  private val looseFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   /** Unpersist and drop every cached frame (Bench/Verify teardown hook). */
-  def clearCaches(): Unit =
+  def clearCaches(): Unit = {
     baseCache.keys.foreach(k => baseCache.remove(k).foreach(_.unpersist(blocking = false)))
+    var f = looseFrames.poll()
+    while (f != null) { f.unpersist(blocking = false); f = looseFrames.poll() }
+  }
 
   /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
     * 8-hex value, so folding `least` over the digest array reproduces
@@ -406,6 +415,49 @@ object DedupQueries {
       .orderBy("cust_a", "cust_b")
   }
 
+  /** d8 — near-duplicate CLUSTERS: connected components over the d3 LSH
+    * pair graph, labels = min reachable doc_id, singletons rooted at
+    * themselves. The closing step of corpus dedup — pairs alone don't say
+    * which documents to keep; components do (keep each root, drop the
+    * rest).
+    *
+    * Implementation is min-label propagation: each BSP round joins the
+    * current labels across the undirected edge list and keeps the
+    * element-wise minimum, terminating when a round changes nothing —
+    * the classic large-graph CC (GraphX/Pregel) loop expressed as
+    * DataFrame joins, converging in O(component diameter) rounds (near-dup
+    * components are dense and shallow, so 2-3 in practice). The driver
+    * only ever sees one Boolean per round (the convergence check), never
+    * data. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val und = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label")).persist()
+    var changed = true
+    while (changed) {
+      val neighborMin = und
+        .join(labels, und("doc_a") === labels("doc_id"))
+        .groupBy(col("doc_b").as("n_id")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === col("n_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    val out = labels.select(col("doc_id"), col("label").as("cluster_root"))
+      .orderBy("doc_id")
+    und.unpersist(blocking = false)
+    looseFrames.add(labels)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
@@ -413,7 +465,8 @@ object DedupQueries {
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
     "d5_simhash" -> ((s, d) => simhash(s, d)),
     "d6_levenshtein" -> ((s, d) => levenshteinPairs(s, d)),
-    "d7_simhash_pairs" -> ((s, d) => simhashPairs(s, d))
+    "d7_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "d8_dedup_clusters" -> ((s, d) => dedupClusters(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,6 +513,34 @@ object DedupQueries {
          |FROM shh a JOIN shh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= $MaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM verified
+         |          WHERE round(i/(tot-i), 6) >= $JaccardThreshold),
+         |undirected AS (
+         |  SELECT doc_a a, doc_b b FROM pairs
+         |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
+         |reach AS (
+         |  SELECT doc_id node, doc_id x FROM documents
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x)
+         |SELECT node AS doc_id, min(x) AS cluster_root
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "d6_levenshtein" ->
       s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,

@@ -68,6 +68,22 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(empty.width == 1 && empty.height == 1 && empty.n_bytes == 0L)
   }
 
+  test("dedup clusters are consistent with the pair graph") {
+    val pairs = DedupQueries.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val root = DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Paired documents land in the same component...
+    pairs.foreach { case (a, b) => assert(root(a) == root(b), s"pair ($a,$b)") }
+    // ...every root is a member of its own cluster and the minimum of it...
+    root.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.keys.min == r)
+    }
+    // ...and documents outside the pair graph are singletons.
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    root.filterNot(kv => inGraph(kv._1)).foreach { case (d, r) => assert(d == r) }
+  }
+
   test("tfidf emits at most k ranked terms per doc, scores descending") {
     val rows = TextQueries.tfidf(spark, dir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
