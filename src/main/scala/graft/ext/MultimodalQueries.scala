@@ -81,7 +81,37 @@ object MultimodalQueries {
         md5(col("rz").cast("binary")).as("resized_md5"))
       .orderBy("doc_id")
 
+  /** m6 — perceptual hash (aHash shape) for image dedup: sample a fixed
+    * 16-"pixel" grid from the payload (stride positions over the byte
+    * stream — a real implementation reads the decoded downscaled
+    * grayscale), threshold each pixel against the grid mean, pack the
+    * bits. The mean comparison is `16*p > sum` so the whole hash is exact
+    * integer arithmetic on both engines. Per-hash group counts ride along
+    * — equal-phash groups are the image-dedup candidate buckets (hamming
+    * widening = d7's flip-enumeration on this column). */
+  val PhashBits = 16
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, dir, "documents")
+      .withColumn("n", length(col("text")))
+    val withPix = (0 until PhashBits).foldLeft(base) { (d, i) =>
+      d.withColumn(s"p$i", expr(
+        s"ascii(substr(text, cast((($i * n) div $PhashBits) + 1 as int), 1))"))
+    }
+    val ps = (0 until PhashBits).map(i => s"p$i").mkString(" + ")
+    val bits = (0 until PhashBits)
+      .map(i => s"(CASE WHEN $PhashBits * p$i > ps THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    withPix.withColumn("ps", expr(ps))
+      .withColumn("phash16", expr(bits).cast("long"))
+      .select(col("doc_id"), col("phash16"),
+        count(lit(1)).over(Window.partitionBy(col("phash16")))
+          .cast("long").as("n_same_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_phash" -> ((s, d) => phash(s, d)),
     "m1_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
     "m2_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "m3_multimodal_features" -> ((s, d) => multimodalFeatures(s, d)),
@@ -90,6 +120,25 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m6_phash" -> {
+      val pix = (0 until PhashBits)
+        .map(i => s"ascii(substr(text, CAST((($i * n) // $PhashBits) + 1 AS INT), 1)) p$i")
+        .mkString(",\n       ")
+      val ps = (0 until PhashBits).map(i => s"p$i").mkString(" + ")
+      val bits = (0 until PhashBits)
+        .map(i => s"(CASE WHEN $PhashBits * p$i > ps THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, text, length(text) n FROM documents),
+         |p AS (SELECT doc_id,
+         |       $pix
+         |      FROM b),
+         |s AS (SELECT *, $ps ps FROM p),
+         |h AS (SELECT doc_id, CAST($bits AS BIGINT) phash16 FROM s)
+         |SELECT doc_id, phash16,
+         |       CAST(count(*) OVER (PARTITION BY phash16) AS BIGINT) AS n_same_hash
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
     "m1_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
         |       n_chars % 64 + 1 AS fake_width, n_chars % 48 + 1 AS fake_height
