@@ -148,6 +148,33 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("parquet file-stream source discovers newly landed files incrementally") {
+    // The batch-landing-zone pattern: an upstream job drops parquet files
+    // into a directory, the streaming side treats the directory as an
+    // unbounded table (each discovered file = one micro-batch of input).
+    val dir = java.nio.file.Files.createTempDirectory("fstream").toString
+    Seq(("a@test.com", 1.0), ("b@test.com", 2.0)).toDF("customer", "score")
+      .write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema("customer STRING, score DOUBLE")
+      .parquet(dir)
+      .groupBy(col("customer"))
+      .count()
+    val q = stream.writeStream.format("memory").queryName("fstream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fstream").count() == 2)
+      // a new file landing in the directory is picked up without restart
+      Seq(("a@test.com", 3.0)).toDF("customer", "score")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val counts = spark.table("fstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("a@test.com" -> 2L, "b@test.com" -> 1L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val input = MemoryStream[String]
     val q = StreamOps.runningRiskTotals(spark, parsed(input))
