@@ -434,27 +434,37 @@ object DedupQueries {
     val und = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("label")).persist()
+    // The loop state is ONLY the docs that appear in an edge — near-dup
+    // graphs are sparse, so this is a small fraction of the corpus and
+    // every per-round frame broadcasts. Singletons (label = own id by
+    // construction) join back after convergence, outside the loop.
+    var labels = und.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    // `labels` becomes a projection of the round's persisted frame, so
+    // unpersist must target the backing frame, not the projection.
+    var pinned = labels
     var changed = true
     while (changed) {
       val neighborMin = und
-        .join(labels, und("doc_a") === labels("doc_id"))
+        .join(broadcast(labels), und("doc_a") === labels("doc_id"))
         .groupBy(col("doc_b").as("n_id")).agg(min(col("label")).as("nmin"))
+      val nl = least(col("label"), coalesce(col("nmin"), col("label")))
       val next = labels
-        .join(neighborMin, labels("doc_id") === col("n_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .join(broadcast(neighborMin), labels("doc_id") === col("n_id"), "left")
+        .select(col("doc_id"), nl.as("next_label"), (nl =!= col("label")).as("delta"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels.unpersist(blocking = false)
-      labels = next
+      // One action materializes the round AND answers "did anything move".
+      changed = next.filter(col("delta")).limit(1).count() > 0
+      pinned.unpersist(blocking = false)
+      pinned = next
+      labels = next.select(col("doc_id"), col("next_label").as("label"))
     }
-    val out = labels.select(col("doc_id"), col("label").as("cluster_root"))
+    val out = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(labels.select(col("doc_id"), col("label"))), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_root"))
       .orderBy("doc_id")
     und.unpersist(blocking = false)
-    looseFrames.add(labels)
+    looseFrames.add(pinned)
     out
   }
 
