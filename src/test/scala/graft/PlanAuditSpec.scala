@@ -63,6 +63,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull"), p)
   }
 
+  test("partition pruning: a lang-partitioned write is read back via PartitionFilters") {
+    val out = java.nio.file.Files.createTempDirectory("part").toString
+    SparkEntry.queries("t1_langid")(spark, dir)  // warm fixture (any query)
+    Tables.load(spark, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val df = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("lang")), p)
+    // The pruned scan must not list non-matching partitions' row count:
+    // every row read carries lang = en.
+    assert(df.collect().forall(_.getAs[String]("lang") == "en"))
+  }
+
+  test("ANN variants recover most of the exact top-10 (recall audit)") {
+    def ids(name: String): Set[Long] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.getLong(0)).toSet
+    val exact = ids("s1_ann_topk")
+    val lsh = ids("s4_ann_lsh")
+    val ivf = ids("s5_ann_ivf")
+    assert(exact.size == 10)
+    assert((exact intersect lsh).size >= 5, s"LSH recall: ${(exact intersect lsh).size}/10")
+    assert((exact intersect ivf).size >= 5, s"IVF recall: ${(exact intersect ivf).size}/10")
+  }
+
   test("whole-stage codegen covers the similarity hot path (no fallback islands)") {
     // AQE's pre-execution formatted plan carries no codegen annotations;
     // execute first, then read the final adaptive plan.
