@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the last ~2000 chars of stdout for Bench's one-line JSON.
+// sbt's default logger prefixes every forked-stdout line with "[info] ",
+// which defeats that parse (BENCH_r01/r02 both landed parsed:null) — pass
+// the forked process's output through verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
