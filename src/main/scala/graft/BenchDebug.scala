@@ -21,19 +21,12 @@ object BenchDebug {
       println(f"[dbg] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    // Steady-state vs cold d4/d3: first runs pay shingle(+minhash) cache
-    // materialization, repeats show intrinsic query cost.
-    time("d4 cold (builds cache)")(graft.ext.DedupQueries.ngramJaccardPairs(spark, dir).count())
-    time("d4 warm")(graft.ext.DedupQueries.ngramJaccardPairs(spark, dir).count())
-    time("d4 warm 2")(graft.ext.DedupQueries.ngramJaccardPairs(spark, dir).count())
-    time("d3 cold (builds minhash)")(graft.ext.DedupQueries.lshPairs(spark, dir).count())
-    time("d3 warm")(graft.ext.DedupQueries.lshPairs(spark, dir).count())
-    time("d7 simhash pairs")(graft.ext.DedupQueries.simhashPairs(spark, dir).count())
-    time("d7 simhash pairs 2")(graft.ext.DedupQueries.simhashPairs(spark, dir).count())
-    time("d5 simhash")(graft.ext.DedupQueries.simhash(spark, dir).count())
-    time("d6 levenshtein")(graft.ext.DedupQueries.levenshteinPairs(spark, dir).count())
-    time("stedi")(graft.queries.ReferenceQueries.stediPipeline(spark, dir).count())
-    time("stedi 2")(graft.queries.ReferenceQueries.stediPipeline(spark, dir).count())
+    val Q = SparkEntry.queries
+    time("d3 cold (builds cache)")(Q("d3_lsh_pairs")(spark, dir).count())
+    for (name <- Seq("d2_minhash_signature", "d3_lsh_pairs", "d4_ngram_jaccard",
+        "d8_dedup_clusters", "d7_simhash_pairs", "t5_tfidf", "stedi_pipeline");
+      pass <- 1 to 2)
+      time(s"$name $pass")(Q(name)(spark, dir).count())
     spark.stop()
   }
 }

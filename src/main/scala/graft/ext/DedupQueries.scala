@@ -48,21 +48,15 @@ object DedupQueries {
     * per session is ever hot at a time. */
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
     baseCache.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
-      baseCache.remove(k).foreach(_.unpersist(blocking = false))
+      // checkpointed frames free their backing RDD via the ContextCleaner
+      // once the reference drops out of the map
+      baseCache.remove(k)
     }
 
-  /** Loop-scoped persisted frames (d8's final label frame outlives the
-    * call — its consumer reads it after return), unpersisted by
-    * [[clearCaches]]. */
-  private val looseFrames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Unpersist and drop every cached frame (Bench/Verify teardown hook). */
-  def clearCaches(): Unit = {
-    baseCache.keys.foreach(k => baseCache.remove(k).foreach(_.unpersist(blocking = false)))
-    var f = looseFrames.poll()
-    while (f != null) { f.unpersist(blocking = false); f = looseFrames.poll() }
-  }
+  /** Drop every cached frame (Bench/Verify teardown hook); the
+    * ContextCleaner reclaims the checkpointed RDDs once unreferenced. */
+  def clearCaches(): Unit =
+    baseCache.keys.foreach(baseCache.remove)
 
   /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
     * 8-hex value, so folding `least` over the digest array reproduces
@@ -106,7 +100,15 @@ object DedupQueries {
         .withColumn("shh", expr("array_sort(transform(sh, s -> xxhash64(s)))"))
         .select(col("doc_id") +: col("shh") +:
           (0 until Salts).map(j => col(s"hs$j")): _*)
-        .persist()
+        // localCheckpoint, not persist: both cache the rows, but persist
+        // leaves the full shingle/minhash expression forest in the lineage
+        // of every consumer, and d3/d4/d8's self-joins then re-analyze and
+        // re-optimize that forest 2-4x per action (~0.5 s of pure planning
+        // per query at ANY scale factor — it dwarfed execution at sf0.01).
+        // Checkpointing makes every downstream plan start from a
+        // LogicalRDD leaf. Eviction happens by dropping the reference:
+        // the ContextCleaner unpersists the backing RDD once unreachable.
+        .localCheckpoint()
     })
   }
 
@@ -431,41 +433,54 @@ object DedupQueries {
     * data. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // localCheckpoint = materialize AND truncate lineage. Without it every
+    // round's logical plan re-embeds the full lshPairs tree (the minhash /
+    // band / verify expression forest), and the per-round lineage DOUBLES
+    // (und appears under both join inputs) — Catalyst then spends ~1 s per
+    // action re-analyzing and re-optimizing a plan whose physical work is
+    // milliseconds. Checkpointing the edge list and each round's label
+    // frame keeps every loop plan a join of two LogicalRDD leaves — the
+    // same lineage-truncation discipline GraphX applies to Pregel state.
+    // The loop state is ONLY the docs that appear in an edge — near-dup
+    // graphs are sparse, so every per-round frame broadcasts; singletons
+    // (label = own id by construction) join back after convergence.
     val und = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    // The loop state is ONLY the docs that appear in an edge — near-dup
-    // graphs are sparse, so this is a small fraction of the corpus and
-    // every per-round frame broadcasts. Singletons (label = own id by
-    // construction) join back after convergence, outside the loop.
-    var labels = und.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
-    // `labels` becomes a projection of the round's persisted frame, so
-    // unpersist must target the backing frame, not the projection.
-    var pinned = labels
-    var changed = true
-    while (changed) {
-      val neighborMin = und
+      .localCheckpoint()
+    // Round 1 is degenerate — every node's label IS its id, so gathering
+    // neighbor labels needs no join: min(doc_a) grouped by doc_b, with the
+    // self-label via the identity union. Later rounds join the previous
+    // round's labels across the edges — one broadcast + one shuffle agg.
+    // Duplicate doc_ids in the unaggregated unions are harmless under min.
+    var labels: DataFrame = und
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("label"))
+      .unionAll(und.select(col("doc_a").as("doc_id"), col("doc_a").as("label")))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      .localCheckpoint()
+    // Labels only ever decrease (min-propagation), so sum(label) strictly
+    // decreases until the fixed point: an unchanged sum IS convergence —
+    // one Long crosses to the driver per round, never data.
+    def labelSum(d: DataFrame): Long =
+      Option(d.agg(sum(col("label"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val next = und
         .join(broadcast(labels), und("doc_a") === labels("doc_id"))
-        .groupBy(col("doc_b").as("n_id")).agg(min(col("label")).as("nmin"))
-      val nl = least(col("label"), coalesce(col("nmin"), col("label")))
-      val next = labels
-        .join(broadcast(neighborMin), labels("doc_id") === col("n_id"), "left")
-        .select(col("doc_id"), nl.as("next_label"), (nl =!= col("label")).as("delta"))
-        .persist()
-      // One action materializes the round AND answers "did anything move".
-      changed = next.filter(col("delta")).limit(1).count() > 0
-      pinned.unpersist(blocking = false)
-      pinned = next
-      labels = next.select(col("doc_id"), col("next_label").as("label"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
     }
-    val out = Tables.load(spark, dir, "documents").select(col("doc_id"))
-      .join(broadcast(labels.select(col("doc_id"), col("label"))), Seq("doc_id"), "left")
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_root"))
       .orderBy("doc_id")
-    und.unpersist(blocking = false)
-    looseFrames.add(pinned)
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
