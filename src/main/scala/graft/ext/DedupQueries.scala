@@ -483,8 +483,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d9 — embedding-cosine near-dup dedup: the embedding flavor of
+    * duplicate removal. Every vector resolves to a canonical keeper —
+    * the minimum vec_id among its direct cosine-neighbors at
+    * [[EmbDupThreshold]] (upper-triangular pairs, so `canon(v) =
+    * min(v, min{a < v : cos(a,v) >= t})`) — and `is_kept` marks the
+    * greedy min-id survivor set, the standard "drop all but one"
+    * dedup rule.
+    *
+    * Pair generation is label-blocked here (the corpus's natural
+    * cluster key); the unblocked scale path swaps in s4's
+    * random-hyperplane LSH buckets — either way no all-pairs join ever
+    * materializes, and the neighbor-min aggregate shuffles one (lo, hi)
+    * row per candidate pair, never vectors. */
+  val EmbDupThreshold = SimilarityQueries.NearDupThreshold
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      // single row-group fixture → one input split; fan out before the
+      // quadratic in-block cosine work (see levenshteinPairs)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val mins = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6) >= EmbDupThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("min_lo"))
+    e.select(col("vec_id"))
+      .join(broadcast(mins), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("min_lo"), col("vec_id")).as("canon_id"))
+      .withColumn("is_kept", col("canon_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
@@ -566,6 +602,21 @@ object DedupQueries {
          |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x)
          |SELECT node AS doc_id, min(x) AS cluster_root
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "d9_embedding_dedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+         |            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id lo, b.vec_id hi
+         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |              >= $EmbDupThreshold),
+         |m AS (SELECT hi vec_id, min(lo) min_lo FROM p GROUP BY hi)
+         |SELECT e.vec_id,
+         |       coalesce(m.min_lo, e.vec_id) AS canon_id,
+         |       (coalesce(m.min_lo, e.vec_id) = e.vec_id) AS is_kept
+         |FROM e LEFT JOIN m ON e.vec_id = m.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     "d6_levenshtein" ->
       s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,

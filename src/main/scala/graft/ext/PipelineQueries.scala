@@ -70,10 +70,30 @@ object PipelineQueries {
           .as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** p4 — deterministic train/val/test split: md5-bucket each doc_id into
+    * [[SplitBuckets]] buckets, 0-7 train / 8 val / 9 test. Hash assignment
+    * is the split discipline that survives at 100 TB: a pure per-row
+    * projection (no shuffle, no RNG state, no split manifest), stable
+    * under retries, and any document ever added to the corpus lands in the
+    * same split forever — the property that keeps eval sets uncontaminated
+    * across pipeline re-runs. */
+  val SplitBuckets = 10
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("bucket", expr(
+        "cast(conv(substr(md5(concat('split|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) " +
+          s"% $SplitBuckets"))
+      .withColumn("split", expr(
+        s"CASE WHEN bucket < ${SplitBuckets - 2} THEN 'train' " +
+          s"WHEN bucket = ${SplitBuckets - 2} THEN 'val' ELSE 'test' END"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "p2_token_packing" -> ((s, d) => tokenPacking(s, d)),
-    "p3_chunk" -> ((s, d) => chunk(s, d))
+    "p3_chunk" -> ((s, d) => chunk(s, d)),
+    "p4_split" -> ((s, d) => trainValTestSplit(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +128,18 @@ object PipelineQueries {
          |       CAST(least($ChunkSize, n - st) AS BIGINT) AS chunk_len,
          |       array_to_string(list_slice(toks, st + 1, st + least($ChunkSize, n - st)), ' ')
          |         AS chunk_text
-         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p4_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |           % $SplitBuckets AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < ${SplitBuckets - 2} THEN 'train'
+         |            WHEN bucket = ${SplitBuckets - 2} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
   )
 }

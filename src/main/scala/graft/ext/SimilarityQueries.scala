@@ -210,8 +210,53 @@ object SimilarityQueries {
             "0D, (acc, e) -> acc + e))"), 6).as("l2_err"))
       .orderBy("vec_id")
 
+  /** s8 — product quantization (PQ): the codebook compression behind
+    * billion-scale ANN indexes (IVF-PQ). The 64-dim vector splits into
+    * [[PqSubspaces]] 8-dim subvectors; each is assigned to its nearest of
+    * [[PqCodewords]] codewords by squared L2, so a vector stores as 8
+    * small codes instead of 64 floats. Codewords are vectors 1..4's own
+    * subvectors — a fixed, deterministic quantizer (no k-means state), so
+    * the DuckDB oracle replicates the index bit-for-bit, same trick as
+    * s5's IVF. Distances are ranked and summed as micro-unit BIGINTs
+    * (round(d2*1e6)) — pure integer comparisons, zero float-ordering
+    * parity risk.
+    *
+    * Scale shape: subvector explode is a narrow projection; the codebook
+    * (k·m rows) broadcasts; the argmin is a bounded per-(vector, subspace)
+    * window. Nothing shuffles the corpus except the (vec, sub, code)
+    * triples — exactly how a PQ index build distributes. */
+  val PqSubspaces = 8
+  val PqSubDim = LshDims / PqSubspaces
+  val PqCodewords = 4
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).withColumn("v", col("embedding").cast("array<double>"))
+    val subs = e.select(col("vec_id"), expr(
+        s"explode(transform(sequence(0, ${PqSubspaces - 1}), " +
+          s"s -> struct(s as sub, slice(v, s * $PqSubDim + 1, $PqSubDim) as sv)))").as("u"))
+      .select(col("vec_id"), col("u.sub").as("sub"), col("u.sv").as("sv"))
+    val cws = subs.filter(col("vec_id").between(1, PqCodewords))
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cw"))
+    val d = subs.join(broadcast(cws), "sub")
+      .withColumn("d2m", expr(
+        "cast(round(aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, t) -> acc + t) * 1000000.0D, 0) as bigint)"))
+    d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2m").asc, col("cid").asc)))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(sub, cid))), x -> cast(x.cid as string))"))
+          .as("pq_code"),
+        sum(col("d2m")).as("err_micro"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
+    "s8_pq" -> ((s, d) => pqCodes(s, d)),
     "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "s3_label_paircounts" -> ((s, d) => labelPairCounts(s, d)),
     "s4_ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -248,6 +293,28 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s8_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |sp AS (SELECT unnest(range(0, $PqSubspaces)) sub),
+         |subs AS (SELECT vec_id, sub,
+         |           list_slice(v, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim) sv
+         |         FROM e CROSS JOIN sp),
+         |cw AS (SELECT sub, vec_id cid, sv cw FROM subs
+         |       WHERE vec_id BETWEEN 1 AND $PqCodewords),
+         |d AS (SELECT s.vec_id, s.sub, c.cid,
+         |        CAST(round(list_aggregate(list_transform(range(1, ${PqSubDim + 1}),
+         |          i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])), 'sum')
+         |          * 1000000.0, 0) AS BIGINT) d2m
+         |      FROM subs s JOIN cw c ON s.sub = c.sub),
+         |asg AS (SELECT vec_id, sub, cid, d2m,
+         |          row_number() OVER (PARTITION BY vec_id, sub
+         |                             ORDER BY d2m, cid) rk
+         |        FROM d)
+         |SELECT vec_id,
+         |       string_agg(cid::VARCHAR, ',' ORDER BY sub) AS pq_code,
+         |       CAST(sum(d2m) AS BIGINT) AS err_micro
+         |FROM asg WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "s4_ann_lsh" ->
       s"""WITH $duckEmb,
          |$duckLsh

@@ -140,8 +140,34 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** t7 — lexical diversity: type-token ratio, Gini-Simpson index and
+    * hapax ratio per document — the repetition/diversity axis of corpus
+    * quality filtering (boilerplate and template spam score near 0
+    * diversity; natural prose near 1). Deliberately log-free: every score
+    * is rational arithmetic over exact integer counts, so both engines
+    * compute bit-identical doubles (a Shannon-entropy variant would hang
+    * parity on last-ulp libm ln() agreement). Two hash aggregates —
+    * (doc, term) then doc — the same shuffle shape as t5's TF stage. */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("c2"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(
+        col("doc_id"), col("n_toks"), col("n_types"),
+        round(expr("n_types * 1.0D / n_toks"), 6).as("ttr"),
+        round(expr("1.0D - c2 * 1.0D / (n_toks * n_toks)"), 6).as("simpson"),
+        round(expr("n_hapax * 1.0D / n_types"), 6).as("hapax_ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> ((s, d) => langId(s, d)),
+    "t7_diversity" -> ((s, d) => diversity(s, d)),
     "t2_quality" -> ((s, d) => quality(s, d)),
     "t3_tokencount" -> ((s, d) => tokenCount(s, d)),
     "t4_fingerprint" -> ((s, d) => fingerprint(s, d)),
@@ -154,6 +180,21 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t7_diversity" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) c FROM ex GROUP BY 1, 2),
+        |ag AS (SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) n_toks,
+        |         CAST(count(*) AS BIGINT) n_types,
+        |         CAST(sum(c * c) AS BIGINT) c2,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) n_hapax
+        |       FROM tf GROUP BY 1)
+        |SELECT doc_id, n_toks, n_types,
+        |       round(n_types * 1.0 / n_toks, 6) AS ttr,
+        |       round(1.0 - c2 * 1.0 / (n_toks * n_toks), 6) AS simpson,
+        |       round(n_hapax * 1.0 / n_types, 6) AS hapax_ratio
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
     "t1_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') toks FROM documents),
          |c AS (SELECT doc_id, lang,

@@ -162,4 +162,67 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       assert(sorted.forall(r => r.getAs[String]("chunk_text").nonEmpty))
     }
   }
+
+  test("train/val/test split is exhaustive, deterministic and near 80/10/10") {
+    val rows = ext.PipelineQueries.trainValTestSplit(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong == docs, "every document gets exactly one split")
+    val byName = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform; 500 docs → loose envelopes around 400/50/50.
+    assert(byName("train") > docs * 0.7 && byName("train") < docs * 0.9)
+    assert(byName("val") > docs * 0.04 && byName("val") < docs * 0.16)
+    // Determinism: same assignment on a fresh plan.
+    val again = ext.PipelineQueries.trainValTestSplit(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("lexical diversity scores are bounded and consistent with counts") {
+    val rows = ext.TextQueries.diversity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nToks = r.getAs[Long]("n_toks"); val nTypes = r.getAs[Long]("n_types")
+      assert(nTypes >= 1 && nTypes <= nToks)
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(math.abs(ttr - nTypes.toDouble / nToks) < 1e-5)
+      val simpson = r.getAs[Double]("simpson")
+      // Gini-Simpson ∈ [0, 1 - 1/n]; 0 only for single-type docs.
+      assert(simpson >= 0.0 && simpson < 1.0)
+      if (nTypes == 1) assert(simpson == 1.0 - 1.0 / nToks || nToks == 1)
+      val hapax = r.getAs[Double]("hapax_ratio")
+      assert(hapax >= 0.0 && hapax <= 1.0)
+    }
+  }
+
+  test("embedding dedup keeps the min-id representative per near-dup group") {
+    val rows = DedupQueries.embeddingDedup(spark, dir).collect()
+    val canon = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // canon is never above its member, and kept rows are their own canon.
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getAs[Boolean]("is_kept") == (r.getLong(1) == r.getLong(0)))
+    }
+    // Cross-check against the pairwise query: every near-dup pair's higher
+    // id must NOT be kept with itself as canon unless it has no lower peer.
+    val pairs = SimilarityQueries.cosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (lo, hi) => assert(canon(hi) <= lo) }
+  }
+
+  test("pq codes reconstruct codebook members exactly and bound the rest") {
+    val rows = SimilarityQueries.pqCodes(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // Codebook vectors quantize to themselves with zero error.
+    (1 to SimilarityQueries.PqCodewords).foreach { cid =>
+      val r = byId(cid.toLong)
+      assert(r.getAs[String]("pq_code") == Seq.fill(SimilarityQueries.PqSubspaces)(cid).mkString(","))
+      assert(r.getAs[Long]("err_micro") == 0L)
+    }
+    // Everything else: full code vector, nonnegative error.
+    rows.foreach { r =>
+      assert(r.getAs[String]("pq_code").split(",").length == SimilarityQueries.PqSubspaces)
+      assert(r.getAs[Long]("err_micro") >= 0L)
+    }
+  }
 }
