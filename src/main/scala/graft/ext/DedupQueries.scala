@@ -242,8 +242,12 @@ object DedupQueries {
       s"transform(slice(array_sort(fg), 1, " +
         s"size(fg) - cast(ceil(${JaccardThreshold}D * size(fg)) as int) + 1), x -> x.g)")
       .as("pref"))
+    // Materialize the prefix posting lists once: the candidate stage
+    // self-joins exP, and without a barrier the whole df-join +
+    // collect_list + slice chain above runs twice.
     val exP = prefixed.select(col("doc_id"), col("n"),
       posexplode(col("pref")).as(Seq("pos", "g")))
+      .localCheckpoint()
     // Length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t. Positional
     // filter (PPJoin): both prefix arrays share one global (df, shingle)
     // sort order, so the FIRST common token at 0-based (pa, pb) bounds the
@@ -332,7 +336,12 @@ object DedupQueries {
     * wider at corpus scale. */
   val MaxHamming = 1
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashBase(spark, dir)
+    // The signature frame feeds FOUR scans below (both sides of the
+    // distance-0 self-join, the flip enumeration, and the distance-1
+    // probe); without a materialization barrier each scan re-runs the
+    // md5-per-distinct-token signature computation. One localCheckpoint
+    // pays the (tiny: one long per doc) materialization once.
+    val sh = simhashBase(spark, dir).localCheckpoint()
     val same = sh.as("a")
       .join(sh.as("b"),
         col("a.simhash16") === col("b.simhash16") &&
