@@ -98,7 +98,11 @@ object TextQueries {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = docs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    // Both the score join's left side and the df aggregate below scan this
+    // frame; one barrier keeps the corpus explode+aggregate from running
+    // twice (tf is the reduced (doc, term) frame — tiny relative to ex).
     val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // df falls out of tf (one row per (doc, term) = one doc containing the
     // term) — aggregating the already-reduced tf frame instead of
     // re-shuffling the full exploded corpus through a distinct.
