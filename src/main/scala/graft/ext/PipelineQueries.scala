@@ -89,11 +89,37 @@ object PipelineQueries {
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** p5 — weighted mixture sampling: each source gets its own keep rate
+    * (the "data mix" step that blends web/books/code at configured
+    * proportions before training). Rates here derive deterministically
+    * from the source id (200/400/600/800 per mille by suffix mod 4) —
+    * standing in for the mixture config a real pipeline reads. The keep
+    * decision is the same per-row hash predicate as p1 (no RNG state,
+    * stable under retries); the output is the per-source audit a mixture
+    * job reports: configured vs achieved rate. One narrow scan + one
+    * 20-group aggregate — nothing about this shape changes at 100 TB. */
+  val MixtureBuckets = 1000
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("rate_millis", expr(
+        "(200 + (cast(substring(source, 4) as bigint) % 4) * 200)"))
+      .withColumn("keep", expr(
+        "cast(conv(substr(md5(concat('mix|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) " +
+          s"% $MixtureBuckets < rate_millis"))
+      .groupBy(col("source"), col("rate_millis"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("achieved_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 6))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "p2_token_packing" -> ((s, d) => tokenPacking(s, d)),
     "p3_chunk" -> ((s, d) => chunk(s, d)),
-    "p4_split" -> ((s, d) => trainValTestSplit(s, d))
+    "p4_split" -> ((s, d) => trainValTestSplit(s, d)),
+    "p5_mixture" -> ((s, d) => mixtureSample(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,6 +166,20 @@ object PipelineQueries {
          |       CASE WHEN bucket < ${SplitBuckets - 2} THEN 'train'
          |            WHEN bucket = ${SplitBuckets - 2} THEN 'val'
          |            ELSE 'test' END AS split
-         |FROM b ORDER BY doc_id""".stripMargin
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "p5_mixture" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |         200 + (CAST(substr(source, 4) AS BIGINT) % 4) * 200 AS rate_millis,
+         |         CASE WHEN ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |                   % $MixtureBuckets
+         |                 < 200 + (CAST(substr(source, 4) AS BIGINT) % 4) * 200
+         |              THEN 1 ELSE 0 END AS keep
+         |  FROM documents)
+         |SELECT source, rate_millis, count(*) AS n_total,
+         |       CAST(sum(keep) AS BIGINT) AS n_kept,
+         |       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS achieved_rate
+         |FROM b GROUP BY source, rate_millis ORDER BY source""".stripMargin
   )
 }

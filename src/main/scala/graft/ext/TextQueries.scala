@@ -169,9 +169,46 @@ object TextQueries {
         round(expr("n_hapax * 1.0D / n_types"), 6).as("hapax_ratio"))
       .orderBy("doc_id")
 
+  /** t8 — PII redaction: scrub emails and phone numbers from text before
+    * it can enter a training shard, reporting per-doc redaction counts —
+    * the compliance pass every corpus pipeline runs. The fixture corpus
+    * is synthetic (no real PII), so a deterministic contact line derived
+    * from doc_id is appended first; the scrubber then has real matches to
+    * find, and the oracle replicates injection + redaction exactly. The
+    * redacted text itself is reported as an md5 (parity-stable, and the
+    * full text would bloat the compare). Pure per-row regex projection —
+    * narrow, codegen'd, no shuffle at any scale. */
+  val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  val PhoneRe = "\\+1-555-[0-9]+"
+  private def sqlLit(re: String): String = re.replace("\\", "\\\\")
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(col("doc_id").cast("string"), 7, "0"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("dirty", dirty)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("dirty"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        // Spark SQL string literals process backslash escapes, so the
+        // regex's \. and \+ need doubling inside expr() text (the Column
+        // regexp_replace above takes the pattern verbatim).
+        expr(s"size(regexp_extract_all(dirty, '${sqlLit(EmailRe)}', 0))")
+          .cast("long").as("n_emails"),
+        expr(s"size(regexp_extract_all(dirty, '${sqlLit(PhoneRe)}', 0))")
+          .cast("long").as("n_phones"),
+        length(col("redacted")).cast("long").as("n_chars_redacted"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> ((s, d) => langId(s, d)),
     "t7_diversity" -> ((s, d) => diversity(s, d)),
+    "t8_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "t2_quality" -> ((s, d) => quality(s, d)),
     "t3_tokencount" -> ((s, d) => tokenCount(s, d)),
     "t4_fingerprint" -> ((s, d) => fingerprint(s, d)),
@@ -184,6 +221,27 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t8_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id::VARCHAR ||
+        |           '@example.com or +1-555-' || lpad(doc_id::VARCHAR, 7, '0') AS dirty
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, dirty,
+        |         regexp_replace(regexp_replace(dirty,
+        |           '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |           '\+1-555-[0-9]+', '<PHONE>', 'g') AS redacted
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(dirty, '\+1-555-[0-9]+')) AS BIGINT)
+        |         AS n_phones,
+        |       CAST(len(redacted) AS BIGINT) AS n_chars_redacted,
+        |       md5(redacted) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "t7_diversity" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) w FROM documents),
         |tf AS (SELECT doc_id, w, count(*) c FROM ex GROUP BY 1, 2),
