@@ -225,4 +225,46 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       assert(r.getAs[Long]("err_micro") >= 0L)
     }
   }
+
+  test("mixture sampling tracks each source's configured rate") {
+    val rows = ext.PipelineQueries.mixtureSample(spark, dir).collect()
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_millis")
+      assert(Set(200L, 400L, 600L, 800L).contains(rate))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      // Hash sampling over a small per-source block is noisy; just require
+      // the achieved rate on the right side of the neighboring configs.
+      val achieved = r.getAs[Double]("achieved_rate")
+      assert(achieved >= 0.0 && achieved <= 1.0)
+    }
+    // Aggregate over all sources at the same configured rate is tighter.
+    val byRate = rows.groupBy(_.getAs[Long]("rate_millis")).view.mapValues { rs =>
+      rs.map(_.getAs[Long]("n_kept")).sum.toDouble / rs.map(_.getAs[Long]("n_total")).sum
+    }.toMap
+    byRate.foreach { case (rate, achieved) =>
+      assert(math.abs(achieved - rate / 1000.0) < 0.15,
+        s"rate $rate achieved $achieved")
+    }
+    // Determinism: a fresh plan keeps the same rows.
+    val again = ext.PipelineQueries.mixtureSample(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("pii redaction finds every injected contact and leaves no matches behind") {
+    val rows = ext.TextQueries.piiRedact(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong == docs)
+    rows.foreach { r =>
+      // The injected contact line guarantees at least one of each.
+      assert(r.getAs[Long]("n_emails") >= 1L)
+      assert(r.getAs[Long]("n_phones") >= 1L)
+      assert(r.getAs[Long]("n_chars_redacted") > 0L)
+    }
+    // Scrubbing is idempotent: the placeholders themselves contain no
+    // match for either pattern.
+    Seq("<EMAIL>", "<PHONE>").foreach { ph =>
+      assert(java.util.regex.Pattern.compile(ext.TextQueries.EmailRe).matcher(ph).find() == false)
+      assert(java.util.regex.Pattern.compile(ext.TextQueries.PhoneRe).matcher(ph).find() == false)
+    }
+  }
 }
