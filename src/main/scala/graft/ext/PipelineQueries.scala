@@ -114,8 +114,55 @@ object PipelineQueries {
         round(col("n_kept").cast("double") / col("n_total"), 6))
       .orderBy("source")
 
+  /** p6 — Z-order layout clustering: interleave the bits of two query
+    * dimensions (user, event day) into one space-filling-curve key, range
+    * the rows into files along it, and report each file's min/max per
+    * dimension — the write-side layout that makes parquet min/max
+    * statistics prune on BOTH dimensions at read time (a single-dim sort
+    * gives one tight dimension and leaves the other's span at the full
+    * domain per file). The audit output IS the data-skipping contract:
+    * narrow [u_min,u_max]×[d_min,d_max] boxes per file.
+    *
+    * Both dimensions are normalized to the same [[ZBits]]-bit range before
+    * interleaving — with raw values the wider dimension's high bits
+    * dominate the curve and the narrow dimension degenerates to full-span
+    * files (observed: unnormalized day-of-month left every file covering
+    * all 30 days).
+    *
+    * ntile over the global z order keeps the file assignment
+    * oracle-replicable at fixture scale; the 100 TB form of the same
+    * contract is `repartitionByRange(nFiles, col("z"))` +
+    * `sortWithinPartitions("z")` — sampling-based range boundaries, no
+    * global window, identical box-narrowing layout. */
+  val ZBits = 8
+  val ZFiles = 16
+  private def zInterleave(xCol: String, yCol: String): String =
+    (0 until ZBits).map { i =>
+      s"(($xCol div ${1 << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"(($yCol div ${1 << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "events")
+      .withColumn("ux", col("user_id") % 256)
+      .withColumn("dy", (dayofmonth(col("ts")) - 1).cast("long"))
+      // Scale day (0..30) onto the full 8-bit grid so both dims contribute
+      // equally at every interleave level.
+      .withColumn("dyn", expr("dy * 255 div 30"))
+      .withColumn("z", expr(zInterleave("ux", "dyn")))
+      .withColumn("file", ntile(ZFiles).over(
+        Window.partitionBy(lit(0)).orderBy(col("z"), col("event_id"))).cast("long"))
+      .groupBy(col("file"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("ux")).as("u_min"), max(col("ux")).as("u_max"),
+        min(col("dy")).as("d_min"), max(col("dy")).as("d_max"))
+      .orderBy("file")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "p6_zorder" -> ((s, d) => zorderLayout(s, d)),
     "p2_token_packing" -> ((s, d) => tokenPacking(s, d)),
     "p3_chunk" -> ((s, d) => chunk(s, d)),
     "p4_split" -> ((s, d) => trainValTestSplit(s, d)),
@@ -180,6 +227,26 @@ object PipelineQueries {
          |SELECT source, rate_millis, count(*) AS n_total,
          |       CAST(sum(keep) AS BIGINT) AS n_kept,
          |       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS achieved_rate
-         |FROM b GROUP BY source, rate_millis ORDER BY source""".stripMargin
+         |FROM b GROUP BY source, rate_millis ORDER BY source""".stripMargin,
+
+    "p6_zorder" -> {
+      val duckZ = (0 until ZBits).map { i =>
+        s"((ux // ${1 << i}) % 2) * ${1L << (2 * i + 1)} + " +
+          s"((dyn // ${1 << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_id, user_id % 256 AS ux,
+         |         CAST(extract(day FROM ts) - 1 AS BIGINT) AS dy
+         |  FROM events),
+         |n AS (SELECT event_id, ux, dy, dy * 255 // 30 AS dyn FROM b),
+         |z AS (SELECT event_id, ux, dy, $duckZ AS z FROM n),
+         |f AS (SELECT ux, dy,
+         |        CAST(ntile($ZFiles) OVER (ORDER BY z, event_id) AS BIGINT) AS file
+         |      FROM z)
+         |SELECT file, count(*) AS n,
+         |       min(ux) AS u_min, max(ux) AS u_max,
+         |       min(dy) AS d_min, max(dy) AS d_max
+         |FROM f GROUP BY file ORDER BY file""".stripMargin
+    }
   )
 }

@@ -250,6 +250,23 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("z-order layout narrows BOTH dimensions per file vs the full domain") {
+    val rows = ext.PipelineQueries.zorderLayout(spark, dir).collect()
+    assert(rows.length == ext.PipelineQueries.ZFiles)
+    val uDomain = 150.0
+    val dDomain = 30.0
+    // Every file holds rows, and the AVERAGE per-file box is well under
+    // the domain on both axes (single-dim sorts leave one axis full-span
+    // in every file; a few curve-boundary files legitimately span wide).
+    val uSpans = rows.map(r => r.getAs[Long]("u_max") - r.getAs[Long]("u_min"))
+    val dSpans = rows.map(r => r.getAs[Long]("d_max") - r.getAs[Long]("d_min"))
+    assert(uSpans.sum.toDouble / rows.length < uDomain * 0.7,
+      s"mean u-span ${uSpans.sum / rows.length}")
+    assert(dSpans.sum.toDouble / rows.length < dDomain * 0.7,
+      s"mean d-span ${dSpans.sum / rows.length}")
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+  }
+
   test("pii redaction finds every injected contact and leaves no matches behind") {
     val rows = ext.TextQueries.piiRedact(spark, dir).collect()
     val docs = Tables.load(spark, dir, "documents").count()
