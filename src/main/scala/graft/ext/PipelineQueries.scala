@@ -37,10 +37,14 @@ object PipelineQueries {
     * the prefix sum distributes; the global-order variant here is the
     * per-partition step of that recipe. */
   val PackBudget = 2048
-  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame =
+    tokenPackingOf(Tables.load(spark, dir, "documents"))
+
+  /** Packing over an arbitrary (doc_id, text) frame (see [[chunkOf]]). */
+  def tokenPackingOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-    Tables.load(spark, dir, "documents")
+    docs
       .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
       .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .select(col("doc_id"), col("n_toks"),
@@ -56,7 +60,12 @@ object PipelineQueries {
   val ChunkSize = 50
   val ChunkStride = 40
   def chunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    chunkOf(Tables.load(spark, dir, "documents"))
+
+  /** Chunking over an arbitrary (doc_id, text) frame — the composed
+    * pipeline feeds PII-scrubbed text through here. */
+  def chunkOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(lower(col("text")), " "))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("toks"), col("n"),
@@ -99,13 +108,22 @@ object PipelineQueries {
     * job reports: configured vs achieved rate. One narrow scan + one
     * 20-group aggregate — nothing about this shape changes at 100 TB. */
   val MixtureBuckets = 1000
-  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+  private def withMixtureCols(df: DataFrame): DataFrame =
+    df
       .withColumn("rate_millis", expr(
         "(200 + (cast(substring(source, 4) as bigint) % 4) * 200)"))
       .withColumn("keep", expr(
         "cast(conv(substr(md5(concat('mix|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) " +
           s"% $MixtureBuckets < rate_millis"))
+
+  /** Per-doc keep set under the p5 mixture config (composed pipeline's
+    * mixture stage). */
+  def mixtureKeepIds(spark: SparkSession, dir: String): DataFrame =
+    withMixtureCols(Tables.load(spark, dir, "documents"))
+      .filter(col("keep")).select(col("doc_id"))
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    withMixtureCols(Tables.load(spark, dir, "documents"))
       .groupBy(col("source"), col("rate_millis"))
       .agg(
         count(lit(1)).as("n_total"),

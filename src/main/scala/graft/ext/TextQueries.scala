@@ -181,6 +181,14 @@ object TextQueries {
   val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
   val PhoneRe = "\\+1-555-[0-9]+"
   private def sqlLit(re: String): String = re.replace("\\", "\\\\")
+
+  /** Scrub emails/phones out of `text` in place — the composed pipeline's
+    * PII stage (runs BEFORE chunking: a chunk boundary could otherwise
+    * split a match and leave half of it unredacted). */
+  def scrubbed(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"))
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val dirty = concat(
       col("text"), lit(" contact user"), col("doc_id").cast("string"),

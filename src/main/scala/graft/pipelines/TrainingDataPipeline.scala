@@ -16,23 +16,32 @@ import org.apache.spark.sql.functions._
   *  2. exact dedup   — keep the minimum doc_id per identical text
   *  3. near dedup    — keep only cluster roots from the LSH connected
   *                     components ([[DedupQueries.dedupClusters]])
-  *  4. chunk         — fixed token windows with stride overlap
+  *  4. mixture       — per-source weighted keep
+  *                     ([[PipelineQueries.mixtureKeepIds]])
+  *  5. split         — deterministic train/val/test hash assignment
+  *                     ([[PipelineQueries.trainValTestSplit]])
+  *  6. PII scrub     — [[TextQueries.scrubbed]] BEFORE chunking (a chunk
+  *                     boundary could split a match)
+  *  7. chunk         — fixed token windows with stride overlap
   *                     ([[PipelineQueries]] parameters)
-  *  5. pack          — running-token-budget shard assignment
-  *  6. land          — parquet partitioned by lang (partition-pruned
-  *                     reads for per-language training mixes)
+  *  8. pack          — running-token-budget shard assignment
+  *  9. land          — parquet partitioned by (lang, split)
+  *                     (partition-pruned reads for per-language training
+  *                     mixes; eval splits never touch training scans)
   *
-  * Scale posture: stages 1-2 are narrow filters/aggregates; stage 3's
-  * loop state is only edge-connected docs; stages 4-5 are one explode and
-  * one window; the write is the only global ordering point. Survivor
-  * counts per stage come back as ONE summary frame, not driver loops.
+  * Scale posture: stages 1-2 and 4-6 are narrow filters/projections or
+  * hash predicates; stage 3's loop state is only edge-connected docs;
+  * stages 7-8 are one explode and one window; the write is the only
+  * global ordering point. Survivor counts per stage come back as ONE
+  * summary frame, not driver loops.
   */
 object TrainingDataPipeline {
 
   val QualityThreshold = 0.1
 
   /** Survivor doc_ids after quality gate + exact dedup + near-dup root
-    * filter, with lang carried for partitioning. */
+    * filter + mixture sampling, with lang and split assignment carried
+    * for partitioning. */
   def survivors(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextQueries.quality(spark, dir)
       .filter(col("quality_score") >= QualityThreshold)
@@ -42,37 +51,48 @@ object TrainingDataPipeline {
     val roots = DedupQueries.dedupClusters(spark, dir)
       .filter(col("doc_id") === col("cluster_root"))
       .select(col("doc_id"))
+    val mix = PipelineQueries.mixtureKeepIds(spark, dir)
+    val splits = PipelineQueries.trainValTestSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
       .join(quality, "doc_id")
       .join(exactKeep, "doc_id")
       .join(roots, "doc_id")
+      .join(mix, "doc_id")
+      .join(splits, "doc_id")
   }
 
-  /** Packed chunk shards for the surviving documents. */
+  /** Packed chunk shards for the surviving documents: PII-scrubbed text,
+    * chunked and packed. */
   def shards(spark: SparkSession, dir: String): DataFrame = {
     val keep = survivors(spark, dir)
-    val chunks = PipelineQueries.chunk(spark, dir).join(keep, "doc_id")
-    val packed = PipelineQueries.tokenPacking(spark, dir)
+    val clean = TextQueries.scrubbed(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+    val chunks = PipelineQueries.chunkOf(clean).join(keep, "doc_id")
+    val packed = PipelineQueries.tokenPackingOf(clean)
       .select(col("doc_id"), col("shard"))
     chunks.join(packed, "doc_id")
-      .select(col("doc_id"), col("lang"), col("shard"),
+      .select(col("doc_id"), col("lang"), col("split"), col("shard"),
         col("chunk_idx"), col("chunk_len"), col("chunk_text"))
   }
 
-  /** Run the pipeline, land shards at `outDir` partitioned by lang, and
-    * return the per-stage survivor summary. */
+  /** Run the pipeline, land shards at `outDir` partitioned by
+    * (lang, split), and return the per-stage survivor summary. */
   def run(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     shards(spark, dir)
-      .write.mode("overwrite").partitionBy("lang").parquet(outDir)
+      .write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)
     val total = Tables.load(spark, dir, "documents").count()
-    val kept = survivors(spark, dir).count()
+    val kept = survivors(spark, dir)
     val landed = spark.read.parquet(outDir)
     import spark.implicits._
-    Seq(("documents_in", total),
-      ("documents_kept", kept),
+    val splitCounts = kept.groupBy(col("split")).count()
+      .collect().map(r => (s"docs_${r.getString(0)}", r.getLong(1)))
+    (Seq(("documents_in", total),
+      ("documents_kept", kept.count()),
       ("chunks_out", landed.count()),
       ("shards_out", landed.select(col("shard")).distinct().count()))
+      ++ splitCounts)
       .toDF("stage", "n")
   }
 

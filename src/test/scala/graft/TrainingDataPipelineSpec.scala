@@ -33,7 +33,20 @@ class TrainingDataPipelineSpec extends AnyFunSuite with SparkSuite {
       .filter(col("doc_id") === col("cluster_root")).select("doc_id")
     assert(landed.select("doc_id").distinct()
       .join(roots, Seq("doc_id"), "left_anti").count() == 0)
-    // Physical layout: hive-style lang partitions.
-    assert(new java.io.File(out).list().exists(_.startsWith("lang=")))
+    // Physical layout: hive-style lang partitions, split below each lang.
+    val langDirs = new java.io.File(out).list().filter(_.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    assert(langDirs.exists(l =>
+      new java.io.File(s"$out/$l").list().exists(_.startsWith("split="))))
+    // Mixture: only mixture-kept docs land.
+    val mixKeep = graft.ext.PipelineQueries.mixtureKeepIds(spark, dir)
+    assert(landed.select("doc_id").distinct()
+      .join(mixKeep, Seq("doc_id"), "left_anti").count() == 0)
+    // Split accounting: per-split doc counts sum to documents_kept.
+    val splitTotal = summary.collect { case (k, v) if k.startsWith("docs_") => v }.sum
+    assert(splitTotal == summary("documents_kept"))
+    // PII scrub ran before chunking: no landed chunk matches either regex.
+    val email = graft.ext.TextQueries.EmailRe
+    assert(landed.filter(col("chunk_text").rlike(email)).count() == 0)
   }
 }
