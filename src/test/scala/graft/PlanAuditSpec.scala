@@ -101,4 +101,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // fell back to interpreted eval would lose the asterisk).
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("cosinesimilarity")), p)
   }
+
+  test("pii redaction is a narrow projection: only the harness sort exchanges") {
+    val p = plan("t8_pii_redact")
+    // One Exchange (rangepartitioning for the final ORDER BY), no
+    // hashpartitioning shuffle — the scrub itself never moves data.
+    // ("Exchange (n)" matches the tree line only; the formatted detail
+    // section repeats every node as "(n) Exchange".)
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("mixture audit aggregates map-side before its single shuffle") {
+    val p = plan("p5_mixture")
+    // Partial + final HashAggregate around one hash shuffle; the keep
+    // predicate itself adds no exchange.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
