@@ -35,4 +35,12 @@ object BatchIO {
 
   def readJsonLines(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(ddl).json(path)
+
+  /** ORC — the other columnar interchange format (same pushdown story as
+    * parquet: min/max stripe statistics + projection pruning). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

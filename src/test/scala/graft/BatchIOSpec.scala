@@ -45,6 +45,17 @@ class BatchIOSpec extends AnyFunSuite with SparkSuite {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val orders = Tables.load(spark, dir, "orders")
+    val path = tmp("orc")
+    BatchIO.writeOrc(orders, path)
+    val back = BatchIO.readOrc(spark, path)
+    assert(back.count() == orders.count())
+    val plan = back.filter(col("o_custkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"), plan)
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero shuffle") {
     val wh = tmp("bucketed")
     val orders = Tables.load(spark, dir, "orders")
