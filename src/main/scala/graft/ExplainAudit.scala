@@ -19,7 +19,8 @@ object ExplainAudit {
       else Seq("q1_agg", "r_sql_over_view", "r_join_events_customer",
         "stedi_pipeline", "q2_topk", "s1_ann_topk",
         "q19_asof_join", "q21_sessionize", "q26_range_frame",
-        "q32_corr_subquery", "d6_levenshtein", "s5_ann_ivf")
+        "q32_corr_subquery", "d6_levenshtein", "s5_ann_ivf",
+        "d4_ngram_jaccard", "p5_mixture", "p6_zorder", "t8_pii_redact")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -154,7 +154,7 @@ object PipelineQueries {
     * global window, identical box-narrowing layout. */
   val ZBits = 8
   val ZFiles = 16
-  private def zInterleave(xCol: String, yCol: String): String =
+  def zInterleaveExpr(xCol: String, yCol: String): String =
     (0 until ZBits).map { i =>
       s"(($xCol div ${1 << i}) % 2) * ${1L << (2 * i + 1)} + " +
         s"(($yCol div ${1 << i}) % 2) * ${1L << (2 * i)}"
@@ -167,7 +167,7 @@ object PipelineQueries {
       // Scale day (0..30) onto the full 8-bit grid so both dims contribute
       // equally at every interleave level.
       .withColumn("dyn", expr("dy * 255 div 30"))
-      .withColumn("z", expr(zInterleave("ux", "dyn")))
+      .withColumn("z", expr(zInterleaveExpr("ux", "dyn")))
       .withColumn("file", ntile(ZFiles).over(
         Window.partitionBy(lit(0)).orderBy(col("z"), col("event_id"))).cast("long"))
       .groupBy(col("file"))

@@ -112,4 +112,28 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     val jac = a.intersect(b).size.toDouble / a.union(b).size
     assert(jac > 0.5, s"mutated doc should stay a near-dup (jaccard=$jac)")
   }
+
+  test("z-interleave is a bijection on the 8-bit x 8-bit grid") {
+    // Distinct (x, y) pairs must map to distinct z (the curve visits every
+    // cell exactly once); evaluated through the same SQL expression p6
+    // plans, so the property covers what actually runs.
+    val pairs = sample(Gen.listOfN(300, for {
+      x <- Gen.chooseNum(0L, 255L)
+      y <- Gen.chooseNum(0L, 255L)
+    } yield (x, y))).distinct
+    val zs = pairs.toDF("ux", "dyn")
+      .withColumn("z", expr(graft.ext.PipelineQueries.zInterleaveExpr("ux", "dyn")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zs.values.toSeq.distinct.size == pairs.size, "z collision")
+    // Range check: 16 bits.
+    assert(zs.values.forall(z => z >= 0 && z < 65536))
+    // De-interleave recovers both coordinates exactly (x holds the odd
+    // bit positions, y the even ones).
+    pairs.foreach { case (x, y) =>
+      val z = zs((x, y))
+      val xBack = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      val yBack = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      assert(xBack == x && yBack == y, s"de-interleave mismatch at ($x,$y): $z")
+    }
+  }
 }
