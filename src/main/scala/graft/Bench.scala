@@ -69,6 +69,7 @@ object Bench {
     val omittedField = if (omitted > 0) s""","omitted":$omitted""" else ""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omittedField,"sf":"$sfDir"}""")
     graft.ext.DedupQueries.clearCaches()
+    graft.ext.TextQueries.clearCaches()
     spark.stop()
   }
 }

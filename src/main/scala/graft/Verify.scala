@@ -38,6 +38,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.ext.DedupQueries.clearCaches()
+    graft.ext.TextQueries.clearCaches()
     spark.stop()
   }
 }

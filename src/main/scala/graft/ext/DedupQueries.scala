@@ -56,7 +56,7 @@ object DedupQueries {
     * would otherwise accumulate persisted blocks indefinitely. Only one dir
     * per session is ever hot at a time. */
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    Seq(baseCache, prefixCache).foreach { c =>
+    Seq(baseCache, prefixCache, sigCache).foreach { c =>
       c.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
         // checkpointed frames free their backing RDD via the ContextCleaner
         // once the reference drops out of the map
@@ -67,7 +67,7 @@ object DedupQueries {
   /** Drop every cached frame (Bench/Verify teardown hook); the
     * ContextCleaner reclaims the checkpointed RDDs once unreferenced. */
   def clearCaches(): Unit =
-    Seq(baseCache, prefixCache).foreach(c => c.keys.foreach(c.remove))
+    Seq(baseCache, prefixCache, sigCache).foreach(c => c.keys.foreach(c.remove))
 
   /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
     * 8-hex value, so folding `least` over the digest array reproduces
@@ -311,7 +311,19 @@ object DedupQueries {
   /** 16-bit SimHash over distinct tokens, bits drawn from md5 hex digits
     * (identical arithmetic on both engines); shared by d5 and d7. */
   val SimhashBits = 16
+
+  /** Signature index: like [[prefixCache]], the simhash frame is an index
+    * (one long per doc) shared by d5 and d7 and probed from four scan
+    * sites in d7's ball join — build + checkpoint once per (session, dir). */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def simhashBase(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    sigCache.getOrElseUpdate((spark, dir), simhashBaseBuild(spark, dir).localCheckpoint())
+  }
+
+  private def simhashBaseBuild(spark: SparkSession, dir: String): DataFrame = {
     // One md5 per distinct token, its first 4 hex digits parsed ONCE into a
     // 16-bit int (single radix conversion) — the 16 per-bit aggregates then
     // run pure integer shift/mask math instead of an instr+substr string
@@ -351,12 +363,10 @@ object DedupQueries {
     * wider at corpus scale. */
   val MaxHamming = 1
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // The signature frame feeds FOUR scans below (both sides of the
-    // distance-0 self-join, the flip enumeration, and the distance-1
-    // probe); without a materialization barrier each scan re-runs the
-    // md5-per-distinct-token signature computation. One localCheckpoint
-    // pays the (tiny: one long per doc) materialization once.
-    val sh = simhashBase(spark, dir).localCheckpoint()
+    // simhashBase is checkpointed (see sigCache): the four scans below
+    // (both distance-0 join sides, flip enumeration, distance-1 probe)
+    // all start from the materialized index.
+    val sh = simhashBase(spark, dir)
     val same = sh.as("a")
       .join(sh.as("b"),
         col("a.simhash16") === col("b.simhash16") &&
