@@ -56,7 +56,7 @@ object DedupQueries {
     * would otherwise accumulate persisted blocks indefinitely. Only one dir
     * per session is ever hot at a time. */
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    Seq(baseCache, prefixCache, sigCache).foreach { c =>
+    Seq(baseCache, prefixCache, sigCache, edgeCache).foreach { c =>
       c.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
         // checkpointed frames free their backing RDD via the ContextCleaner
         // once the reference drops out of the map
@@ -67,7 +67,8 @@ object DedupQueries {
   /** Drop every cached frame (Bench/Verify teardown hook); the
     * ContextCleaner reclaims the checkpointed RDDs once unreferenced. */
   def clearCaches(): Unit =
-    Seq(baseCache, prefixCache, sigCache).foreach(c => c.keys.foreach(c.remove))
+    Seq(baseCache, prefixCache, sigCache, edgeCache)
+      .foreach(c => c.keys.foreach(c.remove))
 
   /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
     * 8-hex value, so folding `least` over the digest array reproduces
@@ -465,8 +466,13 @@ object DedupQueries {
     * components are dense and shallow, so 2-3 in practice). The driver
     * only ever sees one Boolean per round (the convergence check), never
     * data. */
+  /** d8's undirected edge list — the LSH pair graph, an index like the
+    * prefix/signature caches: built once per (session, dir), clustered
+    * repeatedly. */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     // localCheckpoint = materialize AND truncate lineage. Without it every
     // round's logical plan re-embeds the full lshPairs tree (the minhash /
     // band / verify expression forest), and the per-round lineage DOUBLES
@@ -478,9 +484,12 @@ object DedupQueries {
     // The loop state is ONLY the docs that appear in an edge — near-dup
     // graphs are sparse, so every per-round frame broadcasts; singletons
     // (label = own id by construction) join back after convergence.
-    val und = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    val und = edgeCache.getOrElseUpdate((spark, dir), {
+      val pairs = lshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      pairs
+        .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+    })
     // Round 1 is degenerate — every node's label IS its id, so gathering
     // neighbor labels needs no join: min(doc_a) grouped by doc_b, with the
     // self-label via the identity union. Later rounds join the previous
