@@ -97,7 +97,23 @@ object StediOps {
     * arriving more than `delay` apart — which is exactly the point.
     */
   def joinRiskWithCustomerWatermarked(
-      risk: DataFrame, customer: DataFrame, delay: String): DataFrame = {
+      risk: DataFrame, customer: DataFrame, delay: String): DataFrame =
+    watermarkedJoin(risk, customer, delay, "inner")
+
+  /** Left-outer variant: risk events with no matching customer record
+    * inside the time bound still emit (null email/birthYear) once the
+    * watermark passes — the unmatched-events audit stream a production
+    * pipeline runs alongside the enrichment join. Outer stream-stream
+    * joins REQUIRE the watermark + time-bound condition (state must be
+    * provably closeable before a null-padded row can be emitted), which
+    * is why the reference's windowless join could never express this. */
+  def joinRiskWithCustomerLeftOuter(
+      risk: DataFrame, customer: DataFrame, delay: String): DataFrame =
+    watermarkedJoin(risk, customer, delay, "leftOuter")
+
+  private def watermarkedJoin(
+      risk: DataFrame, customer: DataFrame, delay: String,
+      joinType: String): DataFrame = {
     val r = risk.withColumn("riskTs", to_timestamp(col("riskDate")))
       .withWatermark("riskTs", delay)
     val cBase =
@@ -107,7 +123,7 @@ object StediOps {
     r.as("r").join(c.as("c"),
         expr(s"r.customer = c.email AND " +
           s"r.riskTs >= c.custTs - INTERVAL $delay AND " +
-          s"r.riskTs <= c.custTs + INTERVAL $delay"), "inner")
+          s"r.riskTs <= c.custTs + INTERVAL $delay"), joinType)
       .select(col("r.customer").as("customer"), col("r.score").as("score"),
         col("c.email").as("email"), col("c.birthYear").as("birthYear"))
   }

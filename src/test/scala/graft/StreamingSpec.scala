@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.StediOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, to_timestamp, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structured Streaming semantics tests over MemoryStream — the same
@@ -105,6 +105,44 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       risks.addData(s"""{"customer":"a@test.com","score":5.0,"riskDate":"$recent"}""")
       q.processAllAvailable()
       assert(spark.table("wm_join").count() == 1)
+    } finally q.stop()
+  }
+
+  test("left-outer watermarked join emits unmatched risk rows null-padded after the watermark closes") {
+    val customers = MemoryStream[String]
+    val risks = MemoryStream[String]
+    val t0 = java.time.Instant.now()
+    val t1 = t0.plusSeconds(3600)
+    // Drive BOTH watermarks from event time we control: customers carry an
+    // explicit custTs (watermarkedJoin honors it over ingestion time).
+    val cust = StediOps.customerChain(customers.toDF().select(col("value")))
+      .withColumn("custTs", to_timestamp(
+        when(col("email") === "later@test.com", lit(t1.toString))
+          .otherwise(lit(t0.toString))))
+    val risk = StediOps.parseRiskEvent(risks.toDF().select(col("value")))
+    val joined = StediOps.joinRiskWithCustomerLeftOuter(risk, cust, "10 SECONDS")
+    val q = joined.writeStream.format("memory").queryName("lo_join")
+      .outputMode("append").start()
+    try {
+      // A risk event for an email no customer record ever arrives for.
+      risks.addData(s"""{"customer":"ghost@test.com","score":9.0,"riskDate":"$t0"}""")
+      customers.addData(mkEnvelope("A", "a@test.com", "1990-05-01"))
+      q.processAllAvailable()
+      // Outer result cannot emit yet: state is only closeable once the
+      // watermark passes the event's join window.
+      // Advance event time far past the 10s bound on BOTH streams.
+      risks.addData(s"""{"customer":"later@test.com","score":1.0,"riskDate":"$t1"}""")
+      customers.addData(mkEnvelope("B", "later@test.com", "1980-01-01"))
+      q.processAllAvailable()
+      // One more batch so the state-store eviction that followed the
+      // watermark bump surfaces the null-padded row.
+      risks.addData(s"""{"customer":"later2@test.com","score":1.0,"riskDate":"$t1"}""")
+      q.processAllAvailable()
+      val ghost = spark.table("lo_join")
+        .filter(col("customer") === "ghost@test.com").collect()
+      assert(ghost.length == 1)
+      assert(ghost.head.isNullAt(ghost.head.fieldIndex("email")),
+        "unmatched risk row must be null-padded")
     } finally q.stop()
   }
 }
