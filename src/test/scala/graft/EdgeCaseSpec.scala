@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior the sf-fixture oracles can never exercise:
+  * empty frames, empty strings, single-row groups. A 100 TB run always
+  * contains an empty partition or a pathological document somewhere. */
+class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("chunking an empty corpus yields zero chunks, not a plan error") {
+    assert(graft.ext.PipelineQueries.chunkOf(emptyDocs).count() == 0)
+  }
+
+  test("token packing an empty corpus yields zero shards") {
+    assert(graft.ext.PipelineQueries.tokenPackingOf(emptyDocs).count() == 0)
+  }
+
+  test("pii scrub is identity on text without matches and total on text that is one match") {
+    val df = Seq(
+      (1L, "no pii here at all"),
+      (2L, "a@b.com"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.ext.TextQueries.scrubbed(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "no pii here at all")
+    assert(out(2L) == "<EMAIL>")
+    assert(out(3L) == "")
+  }
+
+  test("chunking a single-token document emits exactly one full-coverage chunk") {
+    val one = Seq((7L, "word")).toDF("doc_id", "text")
+    val rows = graft.ext.PipelineQueries.chunkOf(one).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("chunk_len") == 1L)
+    assert(rows.head.getAs[String]("chunk_text") == "word")
+  }
+
+  test("topk_pairs with k larger than the group returns the whole group, ordered") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("g", 1.0, 10L), ("g", 3.0, 30L)).toDF("k", "score", "id")
+    val top = df.groupBy($"k").agg(expr("topk_pairs(score, id, 5)").as("top"))
+      .select(explode($"top").as("t")).select($"t.id".as("id")).as[Long].collect()
+    assert(top.toSeq == Seq(30L, 10L))
+  }
+
+  test("sorted_intersect_count handles empty and disjoint arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 9L))).toDF("a", "b")
+    val got = df.select(expr("sorted_intersect_count(a, b)").cast("long")).as[Long].collect()
+    assert(got.toSeq == Seq(0L, 0L, 2L))
+  }
+}
