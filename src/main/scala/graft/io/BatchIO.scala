@@ -43,4 +43,21 @@ object BatchIO {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Raw text lines — one string column `value` per line, the ingest shape
+    * of an unstructured corpus dump before any parsing. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** binaryFile source — `(path, modificationTime, length, content)` per
+    * file, the multimodal ingest path: image/audio/video payloads land as
+    * the same opaque `binary` column the `ext.Multimodal` operators
+    * consume. `pathGlobFilter` prunes by extension at listing time (files
+    * never opened); at 100 TB pair with `spark.sql.files.maxPartitionBytes`
+    * and a manifest-driven file list rather than a recursive listing. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
 }

@@ -56,6 +56,28 @@ class BatchIOSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("o_custkey"), plan)
   }
 
+  test("binaryFile source ingests opaque payloads with glob pruning") {
+    val root = tmp("bin")
+    new java.io.File(root).mkdirs()
+    val payload = Array[Byte](0x7f, 0x45, 0x4c, 0x46)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/a.img"), payload)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/b.txt"),
+      "not an image".getBytes)
+    val imgs = BatchIO.readBinaryFiles(spark, root, glob = "*.img").collect()
+    assert(imgs.length == 1, "glob must prune at listing time")
+    assert(imgs.head.getAs[Long]("length") == payload.length.toLong)
+    assert(imgs.head.getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+  }
+
+  test("text source reads one row per raw corpus line") {
+    val root = tmp("txt")
+    new java.io.File(root).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/corpus.txt"),
+      "line one\nline two\n".getBytes)
+    val lines = BatchIO.readText(spark, root).collect().map(_.getString(0))
+    assert(lines.sorted.toSeq == Seq("line one", "line two"))
+  }
+
   test("bucketed tables co-locate the join: sort-merge with zero shuffle") {
     val wh = tmp("bucketed")
     val orders = Tables.load(spark, dir, "orders")
