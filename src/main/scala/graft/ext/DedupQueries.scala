@@ -298,6 +298,18 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Verified-pairs CTE parameterized by candidate CTE name — lets one
+    * oracle statement carry both the LSH and the exact pair sets (d10). */
+  private def duckVerifiedCte(cand: String, out: String): String =
+    s"""${out}_v AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+       |         len(x.sh) + len(y.sh) tot
+       |  FROM $cand JOIN shingled x ON $cand.doc_a = x.doc_id
+       |             JOIN shingled y ON $cand.doc_b = y.doc_id),
+       |$out AS (SELECT doc_a, doc_b FROM ${out}_v
+       |         WHERE round(i/(tot-i), 6) >= $JaccardThreshold)""".stripMargin
+
   private val duckJaccardTail =
     s"""verified AS (
        |  SELECT doc_a, doc_b,
@@ -526,6 +538,33 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d10 — LSH index quality audit: recall/precision of the d3 LSH pair
+    * set against the d4 exact PPJoin result at the same threshold — the
+    * self-measurement a production dedup pipeline publishes with every
+    * index build (band/row parameters are chosen FROM this number).
+    * Precision is 1 by construction (d3 exact-verifies its candidates);
+    * recall is the probabilistic part (P(candidate | j>=t) from the band
+    * curve). One full-outer join of two small pair sets + one aggregate —
+    * the corpus-sized work is all in the shared cached indexes. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = lshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_lsh", lit(1L))
+    val exact = ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("in_exact", lit(1L))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_exact"), lit(0L)) * coalesce(col("in_lsh"), lit(0L)))
+          .as("n_common"))
+      .select(
+        col("n_exact"), col("n_lsh"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_exact"), 6).as("recall"),
+        // "prec", not "precision": PRECISION is a DuckDB type keyword and
+        // the oracle alias must match byte-for-byte.
+        round(col("n_common").cast("double") / col("n_lsh"), 6).as("prec"))
+  }
+
   /** d9 — embedding-cosine near-dup dedup: the embedding flavor of
     * duplicate removal. Every vector resolves to a canonical keeper —
     * the minimum vec_id among its direct cosine-neighbors at
@@ -567,6 +606,7 @@ object DedupQueries {
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "d10_lsh_recall" -> ((s, d) => lshRecall(s, d)),
     "d5_simhash" -> ((s, d) => simhash(s, d)),
     "d6_levenshtein" -> ((s, d) => levenshteinPairs(s, d)),
     "d7_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
@@ -605,6 +645,37 @@ object DedupQueries {
          |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |$duckJaccardTail""".stripMargin,
+
+    "d10_lsh_recall" ->
+      s"""WITH $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |candl AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |${duckVerifiedCte("candl", "lshp")},
+         |exall AS (SELECT doc_id, unnest(sh) g FROM shingled),
+         |cande AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM exall a JOIN exall b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |${duckVerifiedCte("cande", "exactp")},
+         |j AS (
+         |  SELECT coalesce(e.one, 0) in_exact, coalesce(l.one, 0) in_lsh
+         |  FROM (SELECT doc_a, doc_b, 1 one FROM exactp) e
+         |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 one FROM lshp) l
+         |    USING (doc_a, doc_b))
+         |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+         |       CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+         |       CAST(sum(in_exact * in_lsh) AS BIGINT) AS n_common,
+         |       round(CAST(sum(in_exact * in_lsh) AS DOUBLE) / sum(in_exact), 6)
+         |         AS recall,
+         |       round(CAST(sum(in_exact * in_lsh) AS DOUBLE) / sum(in_lsh), 6)
+         |         AS prec
+         |FROM j""".stripMargin,
 
     "d5_simhash" ->
       s"""WITH $duckSimhashCte
