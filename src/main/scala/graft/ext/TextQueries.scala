@@ -230,8 +230,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t9 — count-min-sketch heavy hitters: estimate the top-K term
+    * frequencies through a d×w CMS (md5-derived row hashes, so the oracle
+    * replicates the sketch bit-for-bit) and report them against the exact
+    * counts. The sketch is built FROM the partially-aggregated term
+    * frequencies (CMS addition is associative, so summing per-term counts
+    * into buckets equals streaming every occurrence) — the map-side
+    * combine shape that makes the sketch cheap at corpus scale: the
+    * shuffle carries d·w bucket cells, never the vocabulary. Estimates
+    * are upper bounds (n_est >= n_exact, equality when no collision). */
+  val CmsRows = 4
+  val CmsWidth = 512
+  val CmsTopK = 20
+  private def cmsBucket(row: String): String =
+    s"cast(conv(substr(md5(concat('cms', $row, '|', term)), 1, 8), 16, 10) as bigint) % $CmsWidth"
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val freq = termFreq(spark, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("n_exact"))
+    val cells = freq
+      .select(col("term"), col("n_exact"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucket("cast(r as string)")))
+    val sketch = cells.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("n_exact")).as("c"))
+    val topk = freq
+      .orderBy(col("n_exact").desc, col("term").asc).limit(CmsTopK)
+    topk
+      .select(col("term"), col("n_exact"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(cmsBucket("cast(r as string)")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .orderBy(col("n_exact").desc, col("term").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> ((s, d) => langId(s, d)),
+    "t9_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(s, d)),
     "t7_diversity" -> ((s, d) => diversity(s, d)),
     "t8_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "t2_quality" -> ((s, d) => quality(s, d)),
@@ -246,6 +282,27 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t9_cms_heavy_hitters" ->
+      s"""WITH ex AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) term FROM documents),
+        |freq AS (SELECT term, CAST(count(*) AS BIGINT) n_exact FROM ex GROUP BY 1),
+        |rs AS (SELECT unnest(range(0, $CmsRows)) r),
+        |cb AS (SELECT term, n_exact, r,
+        |         ('0x' || substr(md5('cms' || r::VARCHAR || '|' || term), 1, 8))::BIGINT
+        |           % $CmsWidth AS bucket
+        |       FROM freq, rs),
+        |sketch AS (SELECT r, bucket, sum(n_exact) c FROM cb GROUP BY 1, 2),
+        |topk AS (SELECT term, n_exact FROM freq
+        |         ORDER BY n_exact DESC, term LIMIT $CmsTopK),
+        |tb AS (SELECT term, n_exact, r,
+        |         ('0x' || substr(md5('cms' || r::VARCHAR || '|' || term), 1, 8))::BIGINT
+        |           % $CmsWidth AS bucket
+        |       FROM topk, rs)
+        |SELECT t.term, t.n_exact, CAST(min(s.c) AS BIGINT) AS n_est
+        |FROM tb t JOIN sketch s ON t.r = s.r AND t.bucket = s.bucket
+        |GROUP BY t.term, t.n_exact
+        |ORDER BY n_exact DESC, term""".stripMargin,
+
     "t8_pii_redact" ->
       """WITH d AS (
         |  SELECT doc_id,

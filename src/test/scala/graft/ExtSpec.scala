@@ -267,6 +267,18 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_.getAs[Long]("n") > 0))
   }
 
+  test("cms estimates are upper bounds that hit exactly without collisions") {
+    val rows = ext.TextQueries.cmsHeavyHitters(spark, dir).collect()
+    assert(rows.length == ext.TextQueries.CmsTopK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"CMS must overestimate, never under: $r")
+    }
+    // Descending exact order is the report contract.
+    val ex = rows.map(_.getAs[Long]("n_exact"))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
+  }
+
   test("pii redaction finds every injected contact and leaves no matches behind") {
     val rows = ext.TextQueries.piiRedact(spark, dir).collect()
     val docs = Tables.load(spark, dir, "documents").count()
