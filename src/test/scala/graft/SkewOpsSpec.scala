@@ -32,4 +32,39 @@ class SkewOpsSpec extends AnyFunSuite with SparkSuite {
     assert(salted == direct)
     assert(salted.nonEmpty)
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // Force the sort-merge path and make the skew detector fire on
+      // fixture-sized data (production defaults: factor 5 / 256 MB).
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 50k rows on ONE hot key vs 100 rows spread over 100 keys.
+      val fact = (1 to 50000).map(i => (1L, i.toLong)) ++
+        (1 to 100).map(i => (i.toLong % 100 + 2, i.toLong))
+      val dim = (1 to 200).map(i => (i.toLong, s"d$i"))
+      val joined = fact.toDF("k", "v").join(dim.toDF("k", "name"), "k")
+      // Execute THIS dataframe's plan (count() would plan a separate
+      // query execution and leave this one un-finalized).
+      assert(joined.collect().length == 50100)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition's SMJ as skew-handled:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
