@@ -40,7 +40,21 @@ object TextQueries {
   /** t2 — quality scoring: token stats + stopword/punctuation ratios folded
     * into a bounded [0,1] score. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    qualityOf(docs(spark, dir))
+      .select(
+        col("doc_id"), col("n_toks"),
+        round(expr("tok_chars * 1.0D / n_toks"), 6).as("avg_token_len"),
+        round(col("stop_ratio_raw"), 6).as("stop_ratio"),
+        round(col("punct_ratio_raw"), 6).as("punct_ratio"),
+        col("quality_score"))
+      .orderBy("doc_id")
+
+  /** Quality over an arbitrary (doc_id, text, toks) frame — shared by the
+    * batch query and the streaming ingest pipeline. Appends the stat
+    * columns and `quality_score` without narrowing or sorting (a pure
+    * per-row projection, so it runs identically under a watermark). */
+  def qualityOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("tok_chars", expr("aggregate(toks, 0, (acc, w) -> acc + length(w))").cast("long"))
       .withColumn("n_stop", expr(s"size(filter(toks, w -> w IN $EnMarkers))").cast("long"))
@@ -50,15 +64,8 @@ object TextQueries {
       // and break schema parity with the oracle's DOUBLE.
       .withColumn("stop_ratio_raw", expr("n_stop * 1.0D / n_toks"))
       .withColumn("punct_ratio_raw", expr("n_punct * 1.0D / length(text)"))
-      .select(
-        col("doc_id"), col("n_toks"),
-        round(expr("tok_chars * 1.0D / n_toks"), 6).as("avg_token_len"),
-        round(col("stop_ratio_raw"), 6).as("stop_ratio"),
-        round(col("punct_ratio_raw"), 6).as("punct_ratio"),
-        round(expr(
-          "(least(n_toks, 100) / 100.0D) * (1.0D - stop_ratio_raw) * (1.0D - punct_ratio_raw)"), 6)
-          .as("quality_score"))
-      .orderBy("doc_id")
+      .withColumn("quality_score", round(expr(
+        "(least(n_toks, 100) / 100.0D) * (1.0D - stop_ratio_raw) * (1.0D - punct_ratio_raw)"), 6))
 
   /** t3 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs | digit runs | single non-alnum). */

@@ -42,6 +42,32 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest scrubs, gates and dedups redelivered documents") {
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.pipelines.StreamingCorpusPipeline.ingest(docs, "10 minutes")
+      .writeStream.format("memory").queryName("corpus_ingest")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      val good = "the quick brown fox jumps over the lazy dog near the river bank today"
+      input.addData(
+        (1L, s"$good mail me at a@b.com", ts("2024-01-01 10:00:00")),
+        (1L, s"$good mail me at a@b.com", ts("2024-01-01 10:01:00")), // redelivery
+        (2L, "!!!???!!!", ts("2024-01-01 10:02:00")))                 // fails gate
+      q.processAllAvailable()
+      input.addData((3L, s"$good again", ts("2024-01-01 12:00:00")))  // advance wm
+      q.processAllAvailable()
+      val rows = spark.table("corpus_ingest").collect()
+      val byId = rows.groupBy(_.getAs[Long]("doc_id"))
+      assert(byId.getOrElse(1L, Array()).length == 1, "redelivery must collapse")
+      assert(!byId.contains(2L), "low-quality doc must be gated out")
+      assert(byId(1L).head.getAs[String]("text").contains("<EMAIL>"),
+        "scrub must run before landing")
+      assert(!byId(1L).head.getAs[String]("text").contains("a@b.com"))
+    } finally q.stop()
+  }
+
   test("watermarked dedup collapses at-least-once redeliveries") {
     val input = MemoryStream[String]
     val q = StreamOps.dedupRiskEvents(parsed(input))
