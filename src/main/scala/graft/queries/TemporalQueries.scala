@@ -164,7 +164,38 @@ object TemporalQueries {
       .orderBy("user_a", "user_b")
   }
 
+  /** q46 — conversion funnel (view -> click -> purchase, strictly ordered
+    * in event time, per user) via staged conditional-min joins: each stage
+    * is one filtered per-user MIN aggregate joined to the previous
+    * stage's timestamp — never a self-join of the raw event stream and
+    * never a per-user sort. The stage frames are one row per user (tiny
+    * vs the event log), so at 100 TB each stage is a broadcast join
+    * against a sharded scan; the event log is read [stages] times and
+    * shuffled never. */
+  def q46Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    def stageMin(tpe: String): DataFrame => DataFrame = prev => {
+      val hit = ev.filter(col("event_type") === tpe)
+        .join(broadcast(prev), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_$tpe"))
+      prev.join(hit, Seq("user_id"), "left")
+    }
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val s2 = stageMin("click")(s1.withColumn("t_prev", col("t_view")))
+      .drop("t_prev")
+    val s3 = stageMin("purchase")(s2.withColumn("t_prev", col("t_click")))
+      .drop("t_prev")
+    s3.select(
+        col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1L) + when(col("t_click").isNotNull, 1L).otherwise(0L)
+          + when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_funnel" -> ((s, d) => q46Funnel(s, d)),
     "q19_asof_join" -> ((s, d) => q19Asof(s, d)),
     "q20_range_join" -> ((s, d) => q20RangeJoin(s, d)),
     "q21_sessionize" -> ((s, d) => q21Sessionize(s, d)),
@@ -174,6 +205,22 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+        |            AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
     "q45_series_corr" ->
       s"""WITH series AS (
          |  SELECT user_id, date_trunc('hour', ts) h, count(*) cnt
