@@ -33,6 +33,23 @@ class SkewOpsSpec extends AnyFunSuite with SparkSuite {
     assert(salted.nonEmpty)
   }
 
+  test("bloom semi-join reduction is exact and actually prunes the fact side") {
+    val ev = Tables.load(spark, dir, "events")
+    // Selective dimension: 10 of ~150 users.
+    val dim = Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 15 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val direct = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bloomed = SkewOps.bloomSemiJoin(ev, dim, "user_id", "c_custkey",
+        expectedKeys = 1000L)
+      .select(col("event_id"), col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(bloomed == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     val conf = spark.conf
