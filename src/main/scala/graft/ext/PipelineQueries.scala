@@ -178,9 +178,32 @@ object PipelineQueries {
       .orderBy("file")
   }
 
+  /** p7 — shard manifest: the reproducibility artifact a corpus release
+    * ships alongside its shards — per (split, shard): chunk count, token
+    * count, and an order-insensitive content digest (md5 over the sorted
+    * per-chunk md5s). Re-running the pipeline must reproduce this
+    * manifest bit-for-bit, and a consumer can verify a delivered shard
+    * against it without trusting the producer. One join of the chunk and
+    * shard-assignment frames + one aggregate; the digest concat is per
+    * shard (bounded), never corpus-global. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunk(spark, dir)
+      .select(col("doc_id"), col("chunk_len"), md5(col("chunk_text")).as("cmd5"))
+    val shards = tokenPacking(spark, dir).select(col("doc_id"), col("shard"))
+    val splits = trainValTestSplit(spark, dir).select(col("doc_id"), col("split"))
+    chunks.join(shards, "doc_id").join(splits, "doc_id")
+      .groupBy(col("split"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_tokens"),
+        md5(concat_ws(",", array_sort(collect_list(col("cmd5"))))).as("content_md5"))
+      .orderBy("split", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "p6_zorder" -> ((s, d) => zorderLayout(s, d)),
+    "p7_manifest" -> ((s, d) => shardManifest(s, d)),
     "p2_token_packing" -> ((s, d) => tokenPacking(s, d)),
     "p3_chunk" -> ((s, d) => chunk(s, d)),
     "p4_split" -> ((s, d) => trainValTestSplit(s, d)),
@@ -246,6 +269,36 @@ object PipelineQueries {
          |       CAST(sum(keep) AS BIGINT) AS n_kept,
          |       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS achieved_rate
          |FROM b GROUP BY source, rate_millis ORDER BY source""".stripMargin,
+
+    "p7_manifest" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+         |ch AS (SELECT doc_id, toks, len(toks) n,
+         |         unnest(range(0, len(toks), $ChunkStride)) st
+         |       FROM t),
+         |chunks AS (SELECT doc_id,
+         |             CAST(least($ChunkSize, n - st) AS BIGINT) chunk_len,
+         |             md5(array_to_string(
+         |               list_slice(toks, st + 1, st + least($ChunkSize, n - st)), ' ')) cmd5
+         |           FROM ch),
+         |r AS (SELECT doc_id,
+         |        coalesce(sum(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
+         |      FROM t),
+         |sh AS (SELECT doc_id, CAST(tok_before // $PackBudget AS BIGINT) shard FROM r),
+         |sp AS (SELECT doc_id,
+         |         ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |           % $SplitBuckets b
+         |       FROM documents),
+         |sps AS (SELECT doc_id,
+         |          CASE WHEN b < ${SplitBuckets - 2} THEN 'train'
+         |               WHEN b = ${SplitBuckets - 2} THEN 'val'
+         |               ELSE 'test' END split
+         |        FROM sp)
+         |SELECT split, shard, count(*) AS n_chunks,
+         |       CAST(sum(chunk_len) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(cmd5, ',' ORDER BY cmd5)) AS content_md5
+         |FROM chunks JOIN sh USING (doc_id) JOIN sps USING (doc_id)
+         |GROUP BY split, shard ORDER BY split, shard""".stripMargin,
 
     "p6_zorder" -> {
       val duckZ = (0 until ZBits).map { i =>
