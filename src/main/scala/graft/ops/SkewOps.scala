@@ -56,6 +56,17 @@ object SkewOps {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedKeys: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    // Guard: the probe below is mightContainLong. A string key would go
+    // into the bloom as raw bytes but be probed as a (null) long cast —
+    // silently filtering EVERY row instead of erroring.
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    Seq(dim.schema(dimKey) -> dimKey, fact.schema(factKey) -> factKey)
+      .foreach { case (f, n) =>
+        require(integral.contains(f.dataType),
+          s"bloomSemiJoin requires integral join keys; '$n' is ${f.dataType.simpleString}")
+      }
     val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     // Primitive-typed UDF: null keys yield null → filtered out, matching

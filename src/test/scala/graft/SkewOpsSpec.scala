@@ -48,6 +48,12 @@ class SkewOpsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(bloomed == direct)
     assert(direct.nonEmpty)
+    // Non-integral keys must fail loudly, not silently drop every row.
+    val err = intercept[IllegalArgumentException] {
+      SkewOps.bloomSemiJoin(ev, dim.withColumn("c_key_s", col("c_custkey").cast("string")),
+        "user_id", "c_key_s")
+    }
+    assert(err.getMessage.contains("integral"))
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
