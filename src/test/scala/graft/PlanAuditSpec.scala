@@ -102,6 +102,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("cosinesimilarity")), p)
   }
 
+  test("as-of join and sessionizer are each ONE shuffle plus the harness sort") {
+    // The README's temporal claim, enforced: union + single (key, time)
+    // window pass — a per-row subquery or time-range cross join would
+    // show extra exchanges or a joined second scan.
+    Seq("q19_asof_join", "q21_sessionize").foreach { name =>
+      val p = plan(name)
+      assert("Exchange \\(\\d+\\)".r.findAllIn(p).size == 2,
+        s"$name must shuffle exactly twice (window + final sort):\n$p")
+    }
+  }
+
   test("pii redaction is a narrow projection: only the harness sort exchanges") {
     val p = plan("t8_pii_redact")
     // One Exchange (rangepartitioning for the final ORDER BY), no
