@@ -267,6 +267,31 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_.getAs[Long]("n") > 0))
   }
 
+  test("shard manifest is bit-reproducible across fresh plans") {
+    val a = ext.PipelineQueries.shardManifest(spark, dir).collect().map(_.toSeq).toSeq
+    val b = ext.PipelineQueries.shardManifest(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a == b, "re-running the pipeline must reproduce the manifest exactly")
+    assert(a.nonEmpty)
+    // Token counts in the manifest reconcile with the packing budget:
+    // every shard below the last one in each split holds >= 1 full chunk.
+    assert(a.forall(r => r(2).asInstanceOf[Long] > 0L))
+  }
+
+  test("funnel stages are strictly ordered in event time") {
+    val rows = graft.queries.TemporalQueries.q46Funnel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[java.sql.Timestamp]("t_view")
+      val tc = r.getAs[java.sql.Timestamp]("t_click")
+      val tp = r.getAs[java.sql.Timestamp]("t_purchase")
+      assert(tv != null)
+      if (tc != null) assert(tc.after(tv))
+      if (tp != null) { assert(tc != null); assert(tp.after(tc)) }
+      val stage = r.getAs[Long]("stage")
+      assert(stage == 1L + (if (tc != null) 1 else 0) + (if (tp != null) 1 else 0))
+    }
+  }
+
   test("cms estimates are upper bounds that hit exactly without collisions") {
     val rows = ext.TextQueries.cmsHeavyHitters(spark, dir).collect()
     assert(rows.length == ext.TextQueries.CmsTopK)
