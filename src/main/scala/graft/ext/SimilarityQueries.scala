@@ -262,8 +262,28 @@ object SimilarityQueries {
     "s4_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "s5_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "s6_label_centroids" -> ((s, d) => labelCentroids(s, d)),
-    "s7_quantize" -> ((s, d) => quantize(s, d))
+    "s7_quantize" -> ((s, d) => quantize(s, d)),
+    "s9_ann_recall" -> ((s, d) => annRecall(s, d))
   )
+
+  /** s9 — ANN index recall audit: both approximate paths (hyperplane LSH
+    * s4, IVF s5) measured against the exact top-10 (s1) in one row — the
+    * index-quality dashboard number an ANN deployment tracks per build,
+    * the embedding twin of d10. The three top-k frames are k rows each,
+    * so the audit costs three probes of the (already-planned) queries
+    * plus joins over 10-row sets. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopK(spark, dir).select(col("vec_id"))
+    val lshHits = exact.join(annLsh(spark, dir).select(col("vec_id")), "vec_id")
+    val ivfHits = exact.join(annIvf(spark, dir).select(col("vec_id")), "vec_id")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lshHits.agg(count(lit(1)).as("lsh_hits")))
+      .crossJoin(ivfHits.agg(count(lit(1)).as("ivf_hits")))
+      .select(
+        col("n_exact"), col("lsh_hits"), col("ivf_hits"),
+        round(col("lsh_hits").cast("double") / col("n_exact"), 6).as("lsh_recall"),
+        round(col("ivf_hits").cast("double") / col("n_exact"), 6).as("ivf_recall"))
+  }
 
   private val duckEmb =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
@@ -293,6 +313,45 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s9_ann_recall" ->
+      s"""WITH $duckEmb,
+         |q0 AS (SELECT v qv0, nrm qnrm0 FROM e WHERE vec_id = 0),
+         |ex10 AS (SELECT e.vec_id FROM e, q0 WHERE e.vec_id > 0
+         |         ORDER BY round(list_dot_product(e.v, q0.qv0) / (e.nrm * q0.qnrm0), 6)
+         |           DESC, e.vec_id ASC LIMIT 10),
+         |$duckLsh,
+         |lsh10 AS (SELECT e.vec_id FROM cand JOIN e ON e.vec_id = cand.vec_id, q
+         |          ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6)
+         |            DESC, e.vec_id ASC LIMIT 10),
+         |cents AS (SELECT vec_id cent_id, v cv, nrm cnrm FROM e
+         |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+         |iasgn AS (
+         |  SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY round(list_dot_product(v, cv) / (nrm * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM e CROSS JOIN cents WHERE vec_id > 0),
+         |icells AS (SELECT vec_id, cent_id FROM iasgn WHERE rk = 1),
+         |iqprobe AS (
+         |  SELECT cent_id, row_number() OVER (
+         |           ORDER BY round(list_dot_product(qv0, cv) / (qnrm0 * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM q0 CROSS JOIN cents),
+         |iprobed AS (SELECT cent_id FROM iqprobe WHERE rk <= $IvfNProbe),
+         |ivf10 AS (SELECT c.vec_id
+         |          FROM icells c JOIN iprobed p ON c.cent_id = p.cent_id
+         |          JOIN e ON e.vec_id = c.vec_id, q0
+         |          ORDER BY round(list_dot_product(e.v, q0.qv0) / (e.nrm * q0.qnrm0), 6)
+         |            DESC, c.vec_id ASC LIMIT 10)
+         |SELECT CAST((SELECT count(*) FROM ex10) AS BIGINT) AS n_exact,
+         |       CAST((SELECT count(*) FROM ex10 JOIN lsh10 USING (vec_id)) AS BIGINT)
+         |         AS lsh_hits,
+         |       CAST((SELECT count(*) FROM ex10 JOIN ivf10 USING (vec_id)) AS BIGINT)
+         |         AS ivf_hits,
+         |       round(CAST((SELECT count(*) FROM ex10 JOIN lsh10 USING (vec_id)) AS DOUBLE)
+         |         / (SELECT count(*) FROM ex10), 6) AS lsh_recall,
+         |       round(CAST((SELECT count(*) FROM ex10 JOIN ivf10 USING (vec_id)) AS DOUBLE)
+         |         / (SELECT count(*) FROM ex10), 6) AS ivf_recall""".stripMargin,
+
     "s8_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |sp AS (SELECT unnest(range(0, $PqSubspaces)) sub),
