@@ -58,17 +58,19 @@ object DedupQueries {
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
     Seq(baseCache, prefixCache, sigCache, edgeCache).foreach { c =>
       c.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
-        // checkpointed frames free their backing RDD via the ContextCleaner
-        // once the reference drops out of the map
-        c.remove(k)
+        // eager unpersist — freeing via the ContextCleaner alone would
+        // wait on a driver GC cycle (graft.CheckpointUtil)
+        c.remove(k).foreach(graft.CheckpointUtil.release)
       }
     }
 
-  /** Drop every cached frame (Bench/Verify teardown hook); the
-    * ContextCleaner reclaims the checkpointed RDDs once unreferenced. */
+  /** Drop every cached frame (Bench/Verify teardown hook), eagerly
+    * unpersisting the checkpoint blocks instead of waiting for a GC
+    * cycle to feed the ContextCleaner. */
   def clearCaches(): Unit =
     Seq(baseCache, prefixCache, sigCache, edgeCache)
-      .foreach(c => c.keys.foreach(c.remove))
+      .foreach(c => c.keys.foreach(k =>
+        c.remove(k).foreach(graft.CheckpointUtil.release)))
 
   /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
     * 8-hex value, so folding `least` over the digest array reproduces
@@ -522,10 +524,14 @@ object DedupQueries {
       .localCheckpoint()
     // Labels only ever decrease (min-propagation), so sum(label) strictly
     // decreases until the fixed point: an unchanged sum IS convergence —
-    // one Long crosses to the driver per round, never data.
-    def labelSum(d: DataFrame): Long =
-      Option(d.agg(sum(col("label"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // one scalar crosses to the driver per round, never data. Summed as
+    // decimal(38,0): labels are doc_ids, so a 64-bit sum could wrap at
+    // corpus scale and a wrapped non-converged sum could collide with the
+    // previous round's, terminating early with wrong clusters.
+    def labelSum(d: DataFrame): java.math.BigDecimal =
+      Option(d.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -536,8 +542,12 @@ object DedupQueries {
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(next)
+      // next is materialized (localCheckpoint is eager), so the previous
+      // round's checkpoint blocks are dead — free them now rather than
+      // after a GC cycle.
+      graft.CheckpointUtil.release(labels)
       labels = next
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
     }
     Tables.load(spark, dir, "documents").select(col("doc_id"))
@@ -574,12 +584,20 @@ object DedupQueries {
   }
 
   /** d9 — embedding-cosine near-dup dedup: the embedding flavor of
-    * duplicate removal. Every vector resolves to a canonical keeper —
-    * the minimum vec_id among its direct cosine-neighbors at
-    * [[EmbDupThreshold]] (upper-triangular pairs, so `canon(v) =
-    * min(v, min{a < v : cos(a,v) >= t})`) — and `is_kept` marks the
-    * greedy min-id survivor set, the standard "drop all but one"
-    * dedup rule.
+    * duplicate removal. Every vector resolves to its DIRECT-neighbor
+    * minimum — `canon(v) = min(v, min{a < v : cos(a,v) >= t})` over
+    * upper-triangular pairs at [[EmbDupThreshold]] — and `is_kept`
+    * marks vectors that are their own canon (no lower near-dup).
+    *
+    * NOTE on semantics: canon_id is the min over direct neighbors only,
+    * NOT a surviving representative. In a chain a–b, b–c with no a–c
+    * edge, c's canon_id is b even though b itself is dropped — a dropped
+    * vector's canon_id may reference another dropped vector. The kept
+    * rule is "survives iff no lower-id neighbor", which prunes MORE than
+    * the greedy independent-set survivor scan (greedy would re-keep c
+    * above because its only lower neighbor was itself dropped).
+    * Consumers needing a transitive root per component should run the
+    * d8 connected-components loop over the cosine pair graph instead.
     *
     * Pair generation is label-blocked here (the corpus's natural
     * cluster key); the unblocked scale path swaps in s4's

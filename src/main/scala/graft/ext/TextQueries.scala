@@ -112,11 +112,12 @@ object TextQueries {
 
   /** Evict/clear hooks mirroring [[graft.ext.DedupQueries]]'s cache
     * discipline (Bench/Verify call clearCaches at teardown). */
-  def clearCaches(): Unit = tfCache.keys.foreach(tfCache.remove)
+  def clearCaches(): Unit = tfCache.keys.foreach(k =>
+    tfCache.remove(k).foreach(graft.CheckpointUtil.release))
 
   private def termFreq(spark: SparkSession, dir: String): DataFrame = {
     tfCache.keys.filter(k => k._1 == spark && k._2 != dir)
-      .foreach(tfCache.remove)
+      .foreach(k => tfCache.remove(k).foreach(graft.CheckpointUtil.release))
     tfCache.getOrElseUpdate((spark, dir), {
       docs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -187,9 +187,12 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       assert(ttr > 0.0 && ttr <= 1.0)
       assert(math.abs(ttr - nTypes.toDouble / nToks) < 1e-5)
       val simpson = r.getAs[Double]("simpson")
-      // Gini-Simpson ∈ [0, 1 - 1/n]; 0 only for single-type docs.
+      // Gini-Simpson ∈ [0, 1 - 1/n]: 0 iff single-type (1 - n²/n² = 0),
+      // and exactly 1 - 1/n iff all tokens are distinct types (all hapax).
       assert(simpson >= 0.0 && simpson < 1.0)
-      if (nTypes == 1) assert(simpson == 1.0 - 1.0 / nToks || nToks == 1)
+      if (nTypes == 1) assert(simpson == 0.0)
+      // half-ulp of the query's round(_, 6)
+      if (nTypes == nToks) assert(math.abs(simpson - (1.0 - 1.0 / nToks)) <= 5e-7)
       val hapax = r.getAs[Double]("hapax_ratio")
       assert(hapax >= 0.0 && hapax <= 1.0)
     }
