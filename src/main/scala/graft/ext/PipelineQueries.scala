@@ -87,11 +87,16 @@ object PipelineQueries {
     * same split forever — the property that keeps eval sets uncontaminated
     * across pipeline re-runs. */
   val SplitBuckets = 10
+
+  /** The p4 split-bucket hash as a reusable column (p8 probes it too). */
+  private def splitBucketCol =
+    expr(
+      "cast(conv(substr(md5(concat('split|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) " +
+        s"% $SplitBuckets")
+
   def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .withColumn("bucket", expr(
-        "cast(conv(substr(md5(concat('split|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) " +
-          s"% $SplitBuckets"))
+      .withColumn("bucket", splitBucketCol)
       .withColumn("split", expr(
         s"CASE WHEN bucket < ${SplitBuckets - 2} THEN 'train' " +
           s"WHEN bucket = ${SplitBuckets - 2} THEN 'val' ELSE 'test' END"))
@@ -200,7 +205,84 @@ object PipelineQueries {
       .orderBy("split", "shard")
   }
 
+  /** p8 — train/test decontamination audit: for every train-split document,
+    * how many of its distinct [[ContamNgram]]-gram shingles also occur in
+    * ANY test-split document. The eval-set hygiene check every training
+    * corpus release runs (n-gram overlap decontamination a la GPT-3 §C /
+    * PaLM): a train doc sharing n-grams with the eval set inflates eval
+    * metrics, so it gets flagged (and in the composed pipeline, dropped).
+    *
+    * Scale shape: the test split is ~1/10th bucket of the corpus and its
+    * DISTINCT shingle set is a dictionary, not a corpus — at 100 TB train
+    * scale the test dictionary still fits an executor (or failing that, a
+    * bloom filter of it does), so the probe is a broadcast hash join
+    * against the exploded train side with a map-side per-doc count — the
+    * train corpus is never shuffled on shingle. The shingling itself
+    * reuses the d2-d4 trigram convention (distinct, lowercased,
+    * whitespace-tokenized).
+    */
+  val ContamNgram = 3
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= ContamNgram)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .withColumn("bucket", splitBucketCol)
+      .select(col("doc_id"), col("bucket"), col("sh"))
+    val testSet = sh.filter(col("bucket") === SplitBuckets - 1)
+      .select(explode(col("sh")).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    val trainEx = sh.filter(col("bucket") < SplitBuckets - 2)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    trainEx.join(broadcast(testSet), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("contam_ratio",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+      .withColumn("is_contaminated", col("n_shared") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** p9 — curriculum ordering: cut the corpus into [[CurriculumStages]]
+    * quality quantiles (stage 1 = highest t2 quality score, the "teach
+    * clean data first" schedule) and give every document a deterministic
+    * position inside its stage via an md5 shuffle key — the reproducible
+    * within-stage shuffle a curriculum dataloader consumes.
+    *
+    * The fixture form uses one global ntile window (oracle-replicable).
+    * The 100 TB form of the same contract: stage boundaries from
+    * `approxQuantile` on the score (a sampled sketch, no global sort),
+    * stage assignment as a per-row comparison against the broadcast
+    * cutoffs, and within-stage position from `repartitionByRange` over
+    * (stage, shuffle_key) + per-partition offsets — no single-partition
+    * window anywhere. */
+  val CurriculumStages = 4
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextQueries.qualityOf(
+        Tables.load(spark, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("quality_score"))
+    scored
+      .withColumn("stage", ntile(CurriculumStages).over(
+        Window.partitionBy(lit(0))
+          .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .withColumn("shuffle_key",
+        expr("substr(md5(concat('cur|', cast(doc_id as string))), 1, 8)"))
+      .withColumn("stage_pos", row_number().over(
+        Window.partitionBy(col("stage"))
+          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("quality_score"), col("stage"), col("stage_pos"))
+      .orderBy("stage", "stage_pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "p9_curriculum" -> ((s, d) => curriculum(s, d)),
     "p1_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "p6_zorder" -> ((s, d) => zorderLayout(s, d)),
     "p7_manifest" -> ((s, d) => shardManifest(s, d)),
@@ -211,6 +293,55 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p8_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(generate_series(1, len(tk)-2),
+         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sh
+         |       FROM t WHERE len(tk) >= $ContamNgram),
+         |b AS (SELECT doc_id,
+         |        ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |          % $SplitBuckets bucket
+         |      FROM documents),
+         |tests AS (SELECT DISTINCT unnest(sh.sh) g
+         |          FROM sh JOIN b USING (doc_id)
+         |          WHERE bucket = ${SplitBuckets - 1}),
+         |tr AS (SELECT doc_id, unnest(sh.sh) g
+         |       FROM sh JOIN b USING (doc_id)
+         |       WHERE bucket < ${SplitBuckets - 2}),
+         |agg AS (SELECT tr.doc_id,
+         |          CAST(count(*) AS BIGINT) n_shingles,
+         |          CAST(count(tests.g) AS BIGINT) n_shared
+         |        FROM tr LEFT JOIN tests USING (g)
+         |        GROUP BY tr.doc_id)
+         |SELECT doc_id, n_shingles, n_shared,
+         |       round(n_shared * 1.0 / n_shingles, 6) AS contam_ratio,
+         |       n_shared > 0 AS is_contaminated
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "p9_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') toks FROM documents),
+         |c AS (SELECT doc_id,
+         |        len(toks) n_toks,
+         |        len(list_filter(toks, w -> w IN ('the','a','of'))) n_stop,
+         |        len(regexp_extract_all(text, '[^a-z0-9 ]')) n_punct,
+         |        length(text) n_chars
+         |      FROM t),
+         |q AS (SELECT doc_id,
+         |        round((least(n_toks, 100) / 100.0) * (1.0 - n_stop * 1.0 / n_toks)
+         |              * (1.0 - n_punct * 1.0 / n_chars), 6) quality_score
+         |      FROM c),
+         |st AS (SELECT doc_id, quality_score,
+         |         CAST(ntile($CurriculumStages) OVER
+         |           (ORDER BY quality_score DESC, doc_id) AS BIGINT) stage
+         |       FROM q),
+         |sk AS (SELECT *, substr(md5('cur|' || doc_id::VARCHAR), 1, 8) shuffle_key
+         |       FROM st)
+         |SELECT doc_id, quality_score, stage,
+         |       CAST(row_number() OVER (PARTITION BY stage
+         |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS stage_pos
+         |FROM sk ORDER BY stage, stage_pos""".stripMargin,
+
     "p1_stratified_sample" ->
       s"""SELECT doc_id, lang,
          |       ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 8))::BIGINT

@@ -198,6 +198,50 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("decontamination covers every shingled train doc and flags exact cross-split dupes") {
+    val rows = ext.PipelineQueries.decontaminate(spark, dir).collect()
+    val split = ext.PipelineQueries.trainValTestSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val docs = Tables.load(spark, dir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    val shingledTrain = docs.keySet.filter(id =>
+      split(id) == "train" && docs(id).split(" ").length >= ext.PipelineQueries.ContamNgram)
+    assert(rows.map(_.getLong(0)).toSet == shingledTrain)
+    rows.foreach { r =>
+      val (n, shared) = (r.getLong(1), r.getLong(2))
+      assert(shared >= 0 && shared <= n)
+      val ratio = r.getAs[Double]("contam_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Boolean]("is_contaminated") == (shared > 0))
+    }
+    // A train doc whose text is an exact copy of a test doc shares ALL
+    // its shingles — contamination detection must catch every such pair.
+    val testTexts = docs.collect { case (id, t) if split(id) == "test" => t }.toSet
+    val fullCopy = rows.filter(r => testTexts(docs(r.getLong(0))))
+    fullCopy.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"doc ${r.getLong(0)} duplicates a test doc but only shares ${r.getLong(2)}/${r.getLong(1)}"))
+  }
+
+  test("curriculum stages are balanced quality quantiles with dense in-stage positions") {
+    val rows = ext.PipelineQueries.curriculum(spark, dir).collect()
+    val n = rows.length
+    val byStage = rows.groupBy(_.getAs[Long]("stage"))
+    assert(byStage.keySet == (1L to ext.PipelineQueries.CurriculumStages).toSet)
+    // ntile balance: sizes differ by at most 1.
+    val sizes = byStage.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1 && sizes.sum == n)
+    // Quality is monotone non-increasing across stage boundaries.
+    (1L until ext.PipelineQueries.CurriculumStages).foreach { s =>
+      val lo = byStage(s).map(_.getAs[Double]("quality_score")).min
+      val hi = byStage(s + 1).map(_.getAs[Double]("quality_score")).max
+      assert(lo >= hi, s"stage $s min quality $lo below stage ${s + 1} max $hi")
+    }
+    // stage_pos is a dense 1..size permutation inside each stage.
+    byStage.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("stage_pos")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
+
   test("embedding dedup keeps the min-id representative per near-dup group") {
     val rows = DedupQueries.embeddingDedup(spark, dir).collect()
     val canon = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
