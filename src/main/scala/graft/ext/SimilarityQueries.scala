@@ -254,7 +254,38 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** s10 — k-NN graph join: top-[[KnnK]] cosine neighbors for EVERY
+    * vector at once (not one query point) — the batch build step under
+    * corpus clustering, kNN-classification, and graph-based ANN indexes
+    * (HNSW seeds, NN-descent init).
+    *
+    * Candidates are label-blocked like s2 (swap in s4's LSH buckets or
+    * s5's IVF cells for the unblocked 100 TB form — the downstream
+    * rank-and-keep is identical). The per-vector top-k runs as
+    * `row_number() <= k` over a (vec_id) window: Spark 4 rewrites that
+    * filter into WindowGroupLimit, so each shuffle partition keeps a
+    * bounded k-heap per key instead of sorting whole neighbor lists —
+    * the property that keeps the graph build memory flat when a hot
+    * bucket has millions of candidates. Ranking compares the ROUNDED
+    * cosine (tie-broken by neighbor id) so both engines rank identical
+    * doubles — the t5 discipline. */
+  val KnnK = 3
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
+      .filter(col("rk") <= KnnK)
+      .orderBy("vec_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_knn_join" -> ((s, d) => knnJoin(s, d)),
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
     "s8_pq" -> ((s, d) => pqCodes(s, d)),
     "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
@@ -313,6 +344,19 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s10_knn_join" ->
+      s"""WITH $duckEmb,
+         |c AS (SELECT a.vec_id vec_id, b.vec_id nbr_id,
+         |        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) cosine
+         |      FROM e a JOIN e b
+         |        ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, nbr_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cosine DESC, nbr_id ASC) AS BIGINT) rk
+         |      FROM c)
+         |SELECT vec_id, nbr_id, cosine, rk
+         |FROM r WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin,
+
     "s9_ann_recall" ->
       s"""WITH $duckEmb,
          |q0 AS (SELECT v qv0, nrm qnrm0 FROM e WHERE vec_id = 0),

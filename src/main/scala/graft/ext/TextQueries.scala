@@ -273,7 +273,43 @@ object TextQueries {
       .orderBy(col("n_exact").desc, col("term").asc)
   }
 
+  /** t10 — bigram language-model scoring: train a bigram LM on the corpus
+    * itself (count tables), then score every document by its mean bigram
+    * log-probability `avg ln(c(w1,w2)/c(w1·))` — the KenLM-style fluency
+    * filter a training pipeline runs to drop gibberish (low avg_logprob)
+    * and flag the single most surprising transition (min_lp). No
+    * smoothing needed for well-definedness: each document's bigrams are
+    * in the corpus by construction, so c12 >= 1.
+    *
+    * Scale shape: the count tables are VOCABULARY-sized (bigram types,
+    * not tokens), so both probes broadcast — the corpus-sized bigram
+    * stream is never shuffled on the word key, only reduced per doc on
+    * doc_id with map-side partial aggregation. Per-bigram log-probs are
+    * rounded before averaging so both engines aggregate identical
+    * doubles (t5 discipline). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docs(spark, dir)
+      .filter(size(col("toks")) >= 2)
+      .withColumn("b", explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> struct(toks[i] as w1, toks[i+1] as w2))")))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // denominator = bigram-context count of w1 (occurrences followed by
+    // anything), so per-context probabilities sum to 1
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(broadcast(c12), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+      .withColumn("lp", round(log(col("c12").cast("double") / col("c1")), 6))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("avg_logprob"),
+        min(col("lp")).as("min_lp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_lm_score" -> ((s, d) => lmScore(s, d)),
     "t1_langid" -> ((s, d) => langId(s, d)),
     "t9_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(s, d)),
     "t7_diversity" -> ((s, d) => diversity(s, d)),
@@ -290,6 +326,20 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t10_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(range(1, len(tk))) i
+        |      FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT doc_id, tk[i] w1, tk[i+1] w2 FROM s),
+        |c12 AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) c1 FROM bg GROUP BY 1),
+        |j AS (SELECT doc_id, round(ln(c12.c12 * 1.0 / c1.c1), 6) lp
+        |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(lp), 6) AS avg_logprob,
+        |       min(lp) AS min_lp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t9_cms_heavy_hitters" ->
       s"""WITH ex AS (
         |  SELECT unnest(string_split(lower(text), ' ')) term FROM documents),

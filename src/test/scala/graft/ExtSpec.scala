@@ -257,6 +257,51 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     pairs.foreach { case (lo, hi) => assert(canon(hi) <= lo) }
   }
 
+  test("knn graph gives every vector k in-block neighbors, ranked consistently with s2") {
+    val rows = ext.SimilarityQueries.knnJoin(spark, dir).collect()
+    val k = ext.SimilarityQueries.KnnK
+    val byVec = rows.groupBy(_.getLong(0))
+    // Label blocks in the fixture are much larger than k, so every vector
+    // has a full neighbor list with dense ranks 1..k.
+    byVec.foreach { case (v, g) =>
+      assert(g.length == k, s"vec $v has ${g.length} neighbors")
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to k).toSeq)
+      assert(g.forall(_.getLong(1) != v), "self is never a neighbor")
+      // cosine non-increasing with rank
+      val byRk = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    // The rank-1 neighbor's cosine equals the vector's max s2-pair cosine
+    // when it has a near-dup pair (s2 is the thresholded pair view of the
+    // same blocked candidate set).
+    val s2 = ext.SimilarityQueries.cosinePairs(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getDouble(2), r.getLong(1) -> r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    s2.foreach { case (v, best) =>
+      val top1 = byVec(v).minBy(_.getAs[Long]("rk")).getAs[Double]("cosine")
+      assert(top1 >= best, s"vec $v: knn top-1 $top1 below s2 best $best")
+    }
+  }
+
+  test("lm score is a non-positive mean of per-bigram log-probs; dupes score identically") {
+    val rows = ext.TextQueries.lmScore(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    assert(rows.map(_.getLong(0)).toSet ==
+      docs.keySet.filter(id => docs(id).split(" ").length >= 2))
+    rows.foreach { r =>
+      assert(r.getLong(1) == docs(r.getLong(0)).split(" ").length - 1,
+        "one bigram per adjacent token pair")
+      val avg = r.getAs[Double]("avg_logprob"); val mn = r.getAs[Double]("min_lp")
+      assert(avg <= 0.0 && mn <= avg + 1e-9)
+    }
+    // Identical texts → identical scores (the LM is a pure function of text).
+    val byText = rows.groupBy(r => docs(r.getLong(0)))
+    byText.values.filter(_.length > 1).foreach { g =>
+      assert(g.map(_.getAs[Double]("avg_logprob")).distinct.length == 1)
+    }
+  }
+
   test("pq codes reconstruct codebook members exactly and bound the rest") {
     val rows = SimilarityQueries.pqCodes(spark, dir).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap

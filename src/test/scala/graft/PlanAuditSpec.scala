@@ -123,6 +123,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("knn graph top-k plans as WindowGroupLimit, not a full per-key sort") {
+    val p = plan("s10_knn_join")
+    // rank <= k over the (vec_id) window must rewrite to the bounded
+    // per-group heap — without it every vector's whole candidate list is
+    // buffered and sorted, which is what blows up on a hot bucket at scale.
+    assert(p.contains("WindowGroupLimit"), p)
+    // test decontamination probe: the test-shingle dictionary broadcasts.
+    val p8 = plan("p8_decontaminate")
+    assert(p8.contains("BroadcastHashJoin"), p8)
+    assert(!p8.contains("SortMergeJoin"), p8)
+  }
+
+  test("lm score count tables broadcast; the bigram stream never shuffles on words") {
+    val p = plan("t10_lm_score")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("mixture audit aggregates map-side before its single shuffle") {
     val p = plan("p5_mixture")
     // Partial + final HashAggregate around one hash shuffle; the keep
