@@ -110,7 +110,49 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m7 — aspect-ratio bucketing: group images by shape class (tall /
+    * square / wide from the m2 header-stub dimensions), pack each bucket
+    * into fixed [[AspectBatch]]-image batches in doc_id order, and report
+    * each batch's canvas (max w × max h) and padding waste — the
+    * batch-shape homogenization an image-training pipeline runs so a
+    * batch shares one resolution and pad-to-canvas cost stays low
+    * (SDXL-style aspect bucketing).
+    *
+    * Bucket edges are exact integer cross-products (4w<3h / 3w>4h), so
+    * both engines classify identically — no float ratio at the boundary.
+    * The within-bucket row_number is the oracle-replicable fixture form;
+    * at 100 TB batch ids come from per-partition offsets after a
+    * repartitionByRange on (bucket, doc_id) — same assignment, no
+    * single-reducer window. */
+  val AspectBatch = 32
+  def aspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("ascii(substr(text, 1, 1)) % 64 + 1").as("w"),
+        expr("ascii(substr(text, 2, 1)) % 48 + 1").as("h"))
+      .withColumn("bucket", expr(
+        "CASE WHEN 4 * w < 3 * h THEN 'tall' WHEN 3 * w > 4 * h THEN 'wide' " +
+          "ELSE 'square' END"))
+      .withColumn("batch_idx", expr(
+        s"cast((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) " +
+          s"div $AspectBatch as bigint)"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(
+        count(lit(1)).as("n_imgs"),
+        max(col("w")).cast("long").as("w_max"),
+        max(col("h")).cast("long").as("h_max"),
+        sum(expr("w * h")).cast("long").as("area_sum"))
+      // waste = batch canvas area minus actual pixels (what pad-to-canvas
+      // burns); derived after the agg so it's one pass over the batch.
+      .withColumn("pad_waste",
+        col("n_imgs") * col("w_max") * col("h_max") - col("area_sum"))
+      .drop("area_sum")
+      .orderBy("bucket", "batch_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_aspect_buckets" -> ((s, d) => aspectBuckets(s, d)),
     "m6_phash" -> ((s, d) => phash(s, d)),
     "m1_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
     "m2_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
@@ -120,6 +162,27 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m7_aspect_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             ascii(substr(text, 1, 1)) % 64 + 1 w,
+         |             ascii(substr(text, 2, 1)) % 48 + 1 h
+         |           FROM documents),
+         |b AS (SELECT doc_id, w, h,
+         |        CASE WHEN 4 * w < 3 * h THEN 'tall'
+         |             WHEN 3 * w > 4 * h THEN 'wide'
+         |             ELSE 'square' END bucket
+         |      FROM d),
+         |r AS (SELECT *, CAST((row_number() OVER (PARTITION BY bucket
+         |        ORDER BY doc_id) - 1) // $AspectBatch AS BIGINT) batch_idx
+         |      FROM b),
+         |a AS (SELECT bucket, batch_idx, count(*) n_imgs,
+         |        CAST(max(w) AS BIGINT) w_max, CAST(max(h) AS BIGINT) h_max,
+         |        CAST(sum(w * h) AS BIGINT) area_sum
+         |      FROM r GROUP BY bucket, batch_idx)
+         |SELECT bucket, batch_idx, n_imgs, w_max, h_max,
+         |       n_imgs * w_max * h_max - area_sum AS pad_waste
+         |FROM a ORDER BY bucket, batch_idx""".stripMargin,
+
     "m6_phash" -> {
       val pix = (0 until PhashBits)
         .map(i => s"ascii(substr(text, CAST((($i * n) // $PhashBits) + 1 AS INT), 1)) p$i")

@@ -302,6 +302,25 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("aspect buckets partition the corpus into full batches with non-negative waste") {
+    val rows = ext.MultimodalQueries.aspectBuckets(spark, dir).collect()
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_imgs")).sum == total, "every image lands in one batch")
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+    byBucket.foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("batch_idx"))
+      // dense batch ids; only the final batch may be short
+      assert(sorted.map(_.getAs[Long]("batch_idx")).toSeq == sorted.indices.map(_.toLong))
+      sorted.init.foreach(r =>
+        assert(r.getAs[Long]("n_imgs") == ext.MultimodalQueries.AspectBatch))
+      assert(sorted.last.getAs[Long]("n_imgs") <= ext.MultimodalQueries.AspectBatch)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pad_waste") >= 0)
+      assert(r.getAs[Long]("w_max") <= 64 && r.getAs[Long]("h_max") <= 48)
+    }
+  }
+
   test("pq codes reconstruct codebook members exactly and bound the rest") {
     val rows = SimilarityQueries.pqCodes(spark, dir).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
