@@ -15,19 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses outright
-    // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then truncate to micros
-    // with integer division (`div`, not `/`: double math would lose
-    // sub-microsecond precision on epoch-nanos magnitudes and round
-    // differently than the oracle's integer truncation).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  /** Resolved relation per (session, dir, table): `spark.read.parquet`
+    * re-reads the footer for schema inference on every call, and a bench
+    * pass issues a few hundred loads — a fixed driver-side tax on every
+    * query. The relation itself is an immutable logical plan, so handing
+    * back the same one is free and safe (NOT a data cache: scans still
+    * read parquet). */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    relCache.getOrElseUpdate((spark, dir, name), {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses outright
+      // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then truncate to micros
+      // with integer division (`div`, not `/`: double math would lose
+      // sub-microsecond precision on epoch-nanos magnitudes and round
+      // differently than the oracle's integer truncation).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
 
   /** Last directory registered per session: registering is idempotent for
     * a fixed dir, and re-running `spark.read.parquet` for all 10 tables

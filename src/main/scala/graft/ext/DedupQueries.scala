@@ -126,8 +126,10 @@ object DedupQueries {
     })
   }
 
-  /** `(doc_id, shh)` view of [[base]] for Jaccard verification. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** `(doc_id, shh)` view of [[base]] for Jaccard verification; exposed to
+    * the package so p8's decontamination probe shares the checkpointed
+    * shingle index instead of re-shingling the corpus. */
+  private[ext] def shingled(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir).select(col("doc_id"), col("shh"))
 
   private val duckShingled =

@@ -120,23 +120,22 @@ object MultimodalQueries {
     *
     * Bucket edges are exact integer cross-products (4w<3h / 3w>4h), so
     * both engines classify identically — no float ratio at the boundary.
-    * The within-bucket row_number is the oracle-replicable fixture form;
-    * at 100 TB batch ids come from per-partition offsets after a
-    * repartitionByRange on (bucket, doc_id) — same assignment, no
-    * single-reducer window. */
+    * Batch numbering is [[graft.ops.RankOps.withGroupRank]] — a bucket is
+    * one reducer's worth of data under a plain PARTITION BY window (3
+    * buckets total!), so the within-bucket rank runs as a distributed
+    * global rank minus broadcast bucket offsets instead. */
   val AspectBatch = 32
   def aspectBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.load(spark, dir, "documents")
+    val par = spark.sparkContext.defaultParallelism
+    val b = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         expr("ascii(substr(text, 1, 1)) % 64 + 1").as("w"),
         expr("ascii(substr(text, 2, 1)) % 48 + 1").as("h"))
       .withColumn("bucket", expr(
         "CASE WHEN 4 * w < 3 * h THEN 'tall' WHEN 3 * w > 4 * h THEN 'wide' " +
           "ELSE 'square' END"))
-      .withColumn("batch_idx", expr(
-        s"cast((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) " +
-          s"div $AspectBatch as bigint)"))
+    graft.ops.RankOps.withGroupRank(b, par, "__r", Seq("bucket"), Seq(col("doc_id")))
+      .withColumn("batch_idx", expr(s"CAST(__r div $AspectBatch AS BIGINT)"))
       .groupBy(col("bucket"), col("batch_idx"))
       .agg(
         count(lit(1)).as("n_imgs"),

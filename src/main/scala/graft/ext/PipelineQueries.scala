@@ -32,21 +32,19 @@ object PipelineQueries {
 
   /** p2 — greedy sequential sequence packing: walk docs in id order and
     * cut a new shard every [[PackBudget]] tokens (shard of a doc = tokens
-    * BEFORE it, integer-divided by the budget). One running-sum window —
-    * at scale, partition the walk by a coarse key (e.g. source file) so
-    * the prefix sum distributes; the global-order variant here is the
-    * per-partition step of that recipe. */
+    * BEFORE it, integer-divided by the budget). The running sum is
+    * [[graft.ops.RankOps.withGlobalPrefixSum]] — a distributed exclusive
+    * prefix sum (range partition + per-partition window + broadcast
+    * offsets), never a single-task global window. */
   val PackBudget = 2048
   def tokenPacking(spark: SparkSession, dir: String): DataFrame =
     tokenPackingOf(Tables.load(spark, dir, "documents"))
 
   /** Packing over an arbitrary (doc_id, text) frame (see [[chunkOf]]). */
   def tokenPackingOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
-      .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val t = docs.withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
+    graft.ops.RankOps.withGlobalPrefixSum(t, par, "tok_before", col("n_toks"), col("doc_id"))
       .select(col("doc_id"), col("n_toks"),
         (col("tok_before") / PackBudget).cast("long").as("shard"))
       .orderBy("doc_id")
@@ -152,11 +150,12 @@ object PipelineQueries {
     * files (observed: unnormalized day-of-month left every file covering
     * all 30 days).
     *
-    * ntile over the global z order keeps the file assignment
-    * oracle-replicable at fixture scale; the 100 TB form of the same
-    * contract is `repartitionByRange(nFiles, col("z"))` +
-    * `sortWithinPartitions("z")` — sampling-based range boundaries, no
-    * global window, identical box-narrowing layout. */
+    * File assignment = exact NTILE over the global z order, computed
+    * distributed: [[graft.ops.RankOps.withGlobalRank]] (range partition on
+    * z + per-partition window + broadcast offsets) feeds
+    * [[graft.ops.RankOps.ntileFromRank]]'s closed-form tile arithmetic
+    * with a broadcast row count — bit-identical to SQL NTILE, no
+    * single-task window at any scale. */
   val ZBits = 8
   val ZFiles = 16
   def zInterleaveExpr(xCol: String, yCol: String): String =
@@ -165,16 +164,18 @@ object PipelineQueries {
         s"(($yCol div ${1 << i}) % 2) * ${1L << (2 * i)}"
     }.mkString(" + ")
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.load(spark, dir, "events")
+    val par = spark.sparkContext.defaultParallelism
+    val base = Tables.load(spark, dir, "events")
       .withColumn("ux", col("user_id") % 256)
       .withColumn("dy", (dayofmonth(col("ts")) - 1).cast("long"))
       // Scale day (0..30) onto the full 8-bit grid so both dims contribute
       // equally at every interleave level.
       .withColumn("dyn", expr("dy * 255 div 30"))
       .withColumn("z", expr(zInterleaveExpr("ux", "dyn")))
-      .withColumn("file", ntile(ZFiles).over(
-        Window.partitionBy(lit(0)).orderBy(col("z"), col("event_id"))).cast("long"))
+    val n = base.agg(count(lit(1)).as("__total"))
+    graft.ops.RankOps.withGlobalRank(base, par, "__rank0", col("z"), col("event_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("file", graft.ops.RankOps.ntileFromRank("__rank0", "__total", ZFiles))
       .groupBy(col("file"))
       .agg(
         count(lit(1)).as("n"),
@@ -217,25 +218,21 @@ object PipelineQueries {
     * scale the test dictionary still fits an executor (or failing that, a
     * bloom filter of it does), so the probe is a broadcast hash join
     * against the exploded train side with a map-side per-doc count — the
-    * train corpus is never shuffled on shingle. The shingling itself
-    * reuses the d2-d4 trigram convention (distinct, lowercased,
-    * whitespace-tokenized).
+    * train corpus is never shuffled on shingle. Shingles come from the
+    * d2-d4 checkpointed index ([[DedupQueries.shingled]]): the probe runs
+    * on the 64-bit fingerprints (equality-only use, collision P ≈ n²/2^65
+    * — the d4 argument), and building the index is shared with every
+    * other dedup operator.
     */
   val ContamNgram = 3
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.load(spark, dir, "documents")
-      .withColumn("toks", split(lower(col("text")), " "))
-      .filter(size(col("toks")) >= ContamNgram)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+    val sh = DedupQueries.shingled(spark, dir)
       .withColumn("bucket", splitBucketCol)
-      .select(col("doc_id"), col("bucket"), col("sh"))
     val testSet = sh.filter(col("bucket") === SplitBuckets - 1)
-      .select(explode(col("sh")).as("g")).distinct()
+      .select(explode(col("shh")).as("g")).distinct()
       .withColumn("hit", lit(1L))
     val trainEx = sh.filter(col("bucket") < SplitBuckets - 2)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), explode(col("shh")).as("g"))
     trainEx.join(broadcast(testSet), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -253,29 +250,35 @@ object PipelineQueries {
     * position inside its stage via an md5 shuffle key — the reproducible
     * within-stage shuffle a curriculum dataloader consumes.
     *
-    * The fixture form uses one global ntile window (oracle-replicable).
-    * The 100 TB form of the same contract: stage boundaries from
-    * `approxQuantile` on the score (a sampled sketch, no global sort),
-    * stage assignment as a per-row comparison against the broadcast
-    * cutoffs, and within-stage position from `repartitionByRange` over
-    * (stage, shuffle_key) + per-partition offsets — no single-partition
-    * window anywhere. */
+    * Both ranks run distributed ([[graft.ops.RankOps]]): the stage is
+    * exact NTILE from a global quality rank + broadcast count, and the
+    * within-stage position is a second global rank over (stage,
+    * shuffle_key) minus the stage's CLOSED-FORM start offset — ntile tile
+    * sizes are arithmetic in (n, k), so no data-driven per-stage count is
+    * ever gathered. No single-task window at any scale. */
   val CurriculumStages = 4
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.RankOps
+    val par = spark.sparkContext.defaultParallelism
     val scored = TextQueries.qualityOf(
         Tables.load(spark, dir, "documents")
           .withColumn("toks", split(lower(col("text")), " ")))
       .select(col("doc_id"), col("quality_score"))
-    scored
-      .withColumn("stage", ntile(CurriculumStages).over(
-        Window.partitionBy(lit(0))
-          .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+    val n = scored.agg(count(lit(1)).as("__total"))
+    val staged = RankOps
+      .withGlobalRank(scored, par, "__r", col("quality_score").desc, col("doc_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("stage", RankOps.ntileFromRank("__r", "__total", CurriculumStages))
       .withColumn("shuffle_key",
         expr("substr(md5(concat('cur|', cast(doc_id as string))), 1, 8)"))
-      .withColumn("stage_pos", row_number().over(
-        Window.partitionBy(col("stage"))
-          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+    val q = s"(__total div $CurriculumStages)"
+    val rem = s"(__total % $CurriculumStages)"
+    RankOps
+      .withGlobalRank(staged, par, "__r2",
+        col("stage"), col("shuffle_key"), col("doc_id"))
+      // stage s (1-based) starts at (s-1)*q + min(s-1, rem) rows in
+      .withColumn("stage_pos", expr(
+        s"CAST(__r2 - ((stage - 1) * $q + least(stage - 1, $rem)) + 1 AS BIGINT)"))
       .select(col("doc_id"), col("quality_score"), col("stage"), col("stage_pos"))
       .orderBy("stage", "stage_pos")
   }

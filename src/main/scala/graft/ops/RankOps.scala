@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed global ordering primitives — the scale-safe replacement for
+  * a single-partition `Window.orderBy(...)` (global row_number / ntile /
+  * running sum), which funnels the whole relation through ONE task.
+  *
+  * Mechanics (the `RDD.zipWithIndex` pattern, generalized to weighted
+  * prefix sums): range-repartition on the sort key so partition i holds a
+  * contiguous, ordered key range, sort within partitions, reduce each
+  * partition to one per-partition total (P scalars to the driver — the
+  * same footprint as zipWithIndex's internal count job), and stream each
+  * partition once adding its exclusive start offset. No operator anywhere
+  * demands a SinglePartition distribution.
+  *
+  * Why not two DataFrame subtrees (per-pid window + broadcast offsets)?
+  * `repartitionByRange` SAMPLES its boundaries, and nothing guarantees
+  * Spark reuses one exchange across the offsets and probe subtrees — when
+  * it doesn't, the two sides see DIFFERENT partitionings and ranks break
+  * (observed: 17 tiles from ntile(16)). One RDD instance constructs its
+  * RangePartitioner exactly once, so the totals job and the output job
+  * share boundaries by construction. The mapPartitions hop costs one
+  * InternalRow↔Row conversion; at very large inputs persist the sorted
+  * RDD to pay the scan+shuffle once instead of twice.
+  *
+  * Requirement: `sortCols` must be a TOTAL order (tie-free). Ranks are
+  * then invariant to where the sampled range boundaries land, so results
+  * are deterministic and oracle-replicable even though the sampling
+  * itself is not.
+  */
+object RankOps {
+
+  /** Append 0-based global rank under `sortCols` as column `rankCol`. */
+  def withGlobalRank(df: DataFrame, numPartitions: Int, rankCol: String,
+      sortCols: Column*): DataFrame =
+    withGlobalPrefixSum(df, numPartitions, rankCol, lit(1L), sortCols: _*)
+
+  /** Append `prefixCol` = sum of `value` over all rows STRICTLY BEFORE the
+    * current row in `sortCols` order (a distributed exclusive running
+    * sum; with value = 1 it degenerates to the 0-based global rank).
+    * `value` must be non-null; it is evaluated once per row as a long. */
+  def withGlobalPrefixSum(df: DataFrame, numPartitions: Int, prefixCol: String,
+      value: Column, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    // ONE RDD: its RangePartitioner (and thus the pid→key-range map) is
+    // constructed exactly once and shared by both jobs below.
+    val rdd = sorted.rdd
+    val totals = rdd
+      .mapPartitions(it => Iterator(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
+      .collect()
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val o = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(vIdx)
+        o
+      }
+    }
+    spark.createDataFrame(out, sorted.schema.add(prefixCol, LongType, nullable = false))
+      .drop("__v")
+  }
+
+  /** Append 0-based rank WITHIN each `groupKeys` group under `sortCols`
+    * (the scalable `row_number() OVER (PARTITION BY group ORDER BY sort)`
+    * for groups too big or too skewed for one reducer each): one global
+    * rank over (group, sort), minus the group's broadcast start offset.
+    * The group count/start frames have one row per group (batch/bucket/
+    * stage ids here); group starts are derived from the group column
+    * itself — a pure function of the row — so there is no partitioning-
+    * consistency hazard in this join. */
+  def withGroupRank(df: DataFrame, numPartitions: Int, rankCol: String,
+      groupKeys: Seq[String], sortCols: Seq[Column]): DataFrame = {
+    val ranked = withGlobalRank(df, numPartitions, "__grank",
+      (groupKeys.map(col) ++ sortCols): _*)
+    val counts = df.groupBy(groupKeys.map(col): _*).agg(count(lit(1)).as("__n"))
+    // exclusive cumulative count in lexicographic group order (the same
+    // order the global rank sorts groups by), via a triangular broadcast
+    // self-join over the tiny counts frame — no unpartitioned window.
+    def gstruct(prefix: String) = struct(groupKeys.map(k => col(s"$prefix.$k")): _*)
+    val starts = counts.as("a")
+      .join(broadcast(counts.as("b")), gstruct("b") < gstruct("a"), "left")
+      .groupBy(groupKeys.map(k => col(s"a.$k").as(k)): _*)
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__start"))
+    ranked.join(broadcast(starts), groupKeys)
+      .withColumn(rankCol, col("__grank") - col("__start"))
+      .drop("__grank", "__start")
+  }
+
+  /** SQL NTILE(k) (1-based) from a 0-based global rank column and a total
+    * row count column (both BIGINT, referenced BY NAME): the first
+    * `n % k` tiles take `n div k + 1` rows. Exact integer arithmetic via
+    * SQL `div` — pair with [[withGlobalRank]] and a broadcast count. */
+  def ntileFromRank(rankCol: String, nCol: String, k: Int): Column = {
+    val q = s"($nCol div $k)"
+    val rem = s"($nCol % $k)"
+    expr(
+      s"CAST(CASE WHEN $rankCol < $rem * ($q + 1) THEN $rankCol div ($q + 1) " +
+        s"ELSE $rem + ($rankCol - $rem * ($q + 1)) div greatest($q, 1) END + 1 AS BIGINT)")
+  }
+}
