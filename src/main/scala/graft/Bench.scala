@@ -70,6 +70,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omittedField,"sf":"$sfDir"}""")
     graft.ext.DedupQueries.clearCaches()
     graft.ext.TextQueries.clearCaches()
+    graft.ext.SimilarityQueries.clearCaches()
     spark.stop()
   }
 }

@@ -43,6 +43,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.ext.DedupQueries.clearCaches()
     graft.ext.TextQueries.clearCaches()
+    graft.ext.SimilarityQueries.clearCaches()
     spark.stop()
   }
 }

@@ -55,8 +55,11 @@ object DedupQueries {
     * session walking several scale factors (Bench warmup dir → target dir)
     * would otherwise accumulate persisted blocks indefinitely. Only one dir
     * per session is ever hot at a time. */
+  private def allCaches =
+    Seq(baseCache, prefixCache, sigCache, edgeCache, lshPairCache, exactPairCache)
+
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    Seq(baseCache, prefixCache, sigCache, edgeCache).foreach { c =>
+    allCaches.foreach { c =>
       c.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
         // eager unpersist — freeing via the ContextCleaner alone would
         // wait on a driver GC cycle (graft.CheckpointUtil)
@@ -68,9 +71,8 @@ object DedupQueries {
     * unpersisting the checkpoint blocks instead of waiting for a GC
     * cycle to feed the ContextCleaner. */
   def clearCaches(): Unit =
-    Seq(baseCache, prefixCache, sigCache, edgeCache)
-      .foreach(c => c.keys.foreach(k =>
-        c.remove(k).foreach(graft.CheckpointUtil.release)))
+    allCaches.foreach(c => c.keys.foreach(k =>
+      c.remove(k).foreach(graft.CheckpointUtil.release)))
 
   /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
     * 8-hex value, so folding `least` over the digest array reproduces
@@ -213,7 +215,17 @@ object DedupQueries {
   def lshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsRaw(spark, dir).orderBy("doc_a", "doc_b")
 
-  private def lshPairsRaw(spark: SparkSession, dir: String): DataFrame = {
+  /** The verified LSH pair set is itself an index artifact (d3 publishes
+    * it, d8 clusters it, d10 audits it) — checkpoint once per
+    * (session, dir) like the shingle/signature bases. */
+  private val lshPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def lshPairsRaw(spark: SparkSession, dir: String): DataFrame =
+    lshPairCache.getOrElseUpdate((spark, dir),
+      lshPairsBuild(spark, dir).localCheckpoint())
+
+  private def lshPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir)
     val h = minhashed(spark, dir)
     val bandStructs = (0 until NumBands).map { b =>
@@ -246,7 +258,16 @@ object DedupQueries {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsRaw(spark, dir).orderBy("doc_a", "doc_b")
 
-  private def ngramJaccardPairsRaw(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact pair set, cached like [[lshPairCache]] (d4 publishes, d10
+    * audits against it). */
+  private val exactPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ngramJaccardPairsRaw(spark: SparkSession, dir: String): DataFrame =
+    exactPairCache.getOrElseUpdate((spark, dir),
+      ngramJaccardPairsBuild(spark, dir).localCheckpoint())
+
+  private def ngramJaccardPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir)
     // The whole candidate stage runs on the 64-bit shingle fingerprints,
     // never the strings: prefix filtering only needs SOME deterministic
