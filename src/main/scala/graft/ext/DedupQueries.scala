@@ -225,16 +225,21 @@ object DedupQueries {
     lshPairCache.getOrElseUpdate((spark, dir),
       lshPairsBuild(spark, dir).localCheckpoint())
 
-  private def lshPairsBuild(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingled(spark, dir)
-    val h = minhashed(spark, dir)
+  /** Banded `(doc_id, bid, bkey)` view of the minhash signatures — the
+    * LSH bucket table d3's self-join and d11's new-vs-old probe share. */
+  private def bandsOf(h: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       val ks = (0 until NumHashes / NumBands).map(r => s"h${b * (NumHashes / NumBands) + r}")
       s"struct(cast($b as int) as bid, md5(concat_ws('|', ${ks.mkString(",")})) as bkey)"
     }.mkString(",")
-    val bands = h.select(col("doc_id"),
+    h.select(col("doc_id"),
         expr(s"explode(array($bandStructs))").as("u"))
       .select(col("doc_id"), col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+  }
+
+  private def lshPairsBuild(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingled(spark, dir)
+    val bands = bandsOf(minhashed(spark, dir))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
@@ -649,7 +654,46 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** d11 — incremental dedup: screen a NEWLY ARRIVED batch against the
+    * existing corpus index — the production ingest path (the d3/d8 batch
+    * jobs rebuild the whole pair graph; a pipeline admitting documents
+    * continuously instead probes each new document against the standing
+    * LSH index and drops near-dups on admission). Odd doc_ids stand in
+    * for the new batch, even ids for the indexed corpus.
+    *
+    * Scale shape: the new batch joins the standing band table on band
+    * key — the new side is a trickle relative to the corpus, so the
+    * shuffle is bounded by the batch, and the index side is the
+    * checkpointed artifact d2-d4 already maintain. Verification pays
+    * exact Jaccard only on in-bucket candidates, as everywhere else. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsOf(minhashed(spark, dir))
+    val newB = bands.filter(col("doc_id") % 2 === 1)
+    val oldB = bands.filter(col("doc_id") % 2 === 0)
+    val cand = newB.as("a")
+      .join(oldB.as("b"), col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+      .distinct()
+    val sets = shingled(spark, dir)
+    val verified = cand
+      .join(sets.as("x"), col("doc_new") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_old") === col("y.doc_id"))
+      .withColumn("i", expr("sorted_intersect_count(x.shh, y.shh)").cast("double"))
+      .withColumn("jac", col("i") / (size(col("x.shh")) + size(col("y.shh")) - col("i")))
+      .filter(round(col("jac"), 6) >= JaccardThreshold)
+      .groupBy(col("doc_new"))
+      .agg(count(lit(1)).as("n_matches"), max(round(col("jac"), 6)).as("best_jaccard"))
+    shingled(spark, dir).select(col("doc_id")).filter(col("doc_id") % 2 === 1)
+      .join(broadcast(verified), col("doc_id") === col("doc_new"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        col("n_matches").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
@@ -663,6 +707,35 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d11_incremental_dedup" ->
+      s"""WITH $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_new, b.doc_id doc_old
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey
+         |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT doc_new, doc_old,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_new = x.doc_id
+         |            JOIN shingled y ON cand.doc_old = y.doc_id),
+         |m AS (SELECT doc_new, count(*) n_matches,
+         |             max(round(i/(tot-i), 6)) best_jaccard
+         |      FROM v WHERE round(i/(tot-i), 6) >= $JaccardThreshold
+         |      GROUP BY doc_new)
+         |SELECT s.doc_id,
+         |       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+         |       coalesce(m.best_jaccard, 0.0) AS best_jaccard,
+         |       m.n_matches IS NOT NULL AS is_dup
+         |FROM shingled s LEFT JOIN m ON s.doc_id = m.doc_new
+         |WHERE s.doc_id % 2 = 1
+         |ORDER BY doc_id""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

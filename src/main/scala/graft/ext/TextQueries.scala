@@ -112,12 +112,19 @@ object TextQueries {
 
   /** Evict/clear hooks mirroring [[graft.ext.DedupQueries]]'s cache
     * discipline (Bench/Verify call clearCaches at teardown). */
-  def clearCaches(): Unit = tfCache.keys.foreach(k =>
-    tfCache.remove(k).foreach(graft.CheckpointUtil.release))
+  /** t10's tokenized bigram stream `(doc_id, w1, w2)` — the corpus-side
+    * artifact both LM count tables and the scoring probe read; cached
+    * like [[tfCache]]. */
+  private val bgCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearCaches(): Unit = Seq(tfCache, bgCache).foreach(c =>
+    c.keys.foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
 
   private def termFreq(spark: SparkSession, dir: String): DataFrame = {
-    tfCache.keys.filter(k => k._1 == spark && k._2 != dir)
-      .foreach(k => tfCache.remove(k).foreach(graft.CheckpointUtil.release))
+    Seq(tfCache, bgCache).foreach(c =>
+      c.keys.filter(k => k._1 == spark && k._2 != dir)
+        .foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
     tfCache.getOrElseUpdate((spark, dir), {
       docs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -288,12 +295,15 @@ object TextQueries {
     * rounded before averaging so both engines aggregate identical
     * doubles (t5 discipline). */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val bg = docs(spark, dir)
-      .filter(size(col("toks")) >= 2)
-      .withColumn("b", explode(expr(
-        "transform(sequence(0, size(toks)-2), " +
-          "i -> struct(toks[i] as w1, toks[i+1] as w2))")))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = bgCache.getOrElseUpdate((spark, dir), {
+      docs(spark, dir)
+        .filter(size(col("toks")) >= 2)
+        .withColumn("b", explode(expr(
+          "transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] as w1, toks[i+1] as w2))")))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint()
+    })
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // denominator = bigram-context count of w1 (occurrences followed by
     // anything), so per-context probabilities sum to 1
@@ -308,7 +318,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t11 — within-document repetition: the fraction of a document's
+    * trigrams that are repeats of an earlier trigram, plus the worst
+    * single trigram's multiplicity — the Gopher-style "repetition"
+    * quality gate that catches boilerplate loops and degenerate
+    * generations (quality scoring t2 is blind to them: a document
+    * repeating one clean sentence forever scores well).
+    *
+    * Shape: explode to (doc, trigram) and aggregate twice (multiplicity,
+    * then per-doc stats) — the shuffle key is (doc_id, trigram), so the
+    * reduction is map-side-combinable and per-doc bounded. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tri = docs(spark, dir)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("tri"))
+    tri.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_tri"),
+        count(lit(1)).as("n_tri_distinct"),
+        max(col("m")).as("max_repeat"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_repetition" -> ((s, d) => repetition(s, d)),
     "t10_lm_score" -> ((s, d) => lmScore(s, d)),
     "t1_langid" -> ((s, d) => langId(s, d)),
     "t9_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(s, d)),
@@ -326,6 +364,21 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t11_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) i
+        |      FROM t WHERE len(tk) >= 3),
+        |tri AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] tri FROM s),
+        |mult AS (SELECT doc_id, tri, count(*) m FROM tri GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(m) AS BIGINT) n_tri,
+        |          CAST(count(*) AS BIGINT) n_tri_distinct,
+        |          CAST(max(m) AS BIGINT) max_repeat
+        |        FROM mult GROUP BY doc_id)
+        |SELECT doc_id, n_tri, n_tri_distinct, max_repeat,
+        |       round(1.0 - n_tri_distinct * 1.0 / n_tri, 6) AS dup_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "t10_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
         |s AS (SELECT doc_id, tk, unnest(range(1, len(tk))) i

@@ -242,6 +242,44 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("incremental dedup flags every new doc that d3 pairs with an indexed doc") {
+    val rows = DedupQueries.incrementalDedup(spark, dir).collect()
+    val flagged = rows.filter(_.getAs[Boolean]("is_dup")).map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val (n, best) = (r.getAs[Long]("n_matches"), r.getAs[Double]("best_jaccard"))
+      assert((n > 0) == r.getAs[Boolean]("is_dup"))
+      if (n > 0) assert(best >= DedupQueries.JaccardThreshold && best <= 1.0)
+      else assert(best == 0.0)
+    }
+    // d3's pair set at the same threshold: every cross-parity pair's odd
+    // member must be flagged (d11 probes the same bands + verification).
+    DedupQueries.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a + b) % 2 == 1 } // one odd, one even
+      .foreach { case (a, b) =>
+        val odd = if (a % 2 == 1) a else b
+        assert(flagged.contains(odd), s"pair ($a,$b): new doc $odd not flagged")
+      }
+  }
+
+  test("repetition stats are consistent with token counts and catch planted dupes") {
+    val rows = ext.TextQueries.repetition(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).toLowerCase.split(" ")
+      assert(r.getAs[Long]("n_tri") == toks.length - 2)
+      val nd = r.getAs[Long]("n_tri_distinct")
+      assert(nd >= 1 && nd <= r.getAs[Long]("n_tri"))
+      assert(r.getAs[Long]("max_repeat") >= 1)
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
+      // brute-force check of the distinct count
+      val want = toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(nd == want.distinct.size && r.getAs[Long]("n_tri") == want.size)
+    }
+  }
+
   test("embedding dedup keeps the min-id representative per near-dup group") {
     val rows = DedupQueries.embeddingDedup(spark, dir).collect()
     val canon = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
