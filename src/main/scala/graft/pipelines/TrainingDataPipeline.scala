@@ -13,19 +13,25 @@ import org.apache.spark.sql.functions._
   * is ONE lazy plan per output, no driver-side data movement):
   *
   *  1. quality gate  — [[TextQueries.quality]] score >= threshold
-  *  2. exact dedup   — keep the minimum doc_id per identical text
-  *  3. near dedup    — keep only cluster roots from the LSH connected
+  *  2. repetition    — [[TextQueries.repetition]] dup_ratio below
+  *                     [[RepetitionMax]] (boilerplate-loop gate t2's
+  *                     score is blind to)
+  *  3. exact dedup   — keep the minimum doc_id per identical text
+  *  4. near dedup    — keep only cluster roots from the LSH connected
   *                     components ([[DedupQueries.dedupClusters]])
-  *  4. mixture       — per-source weighted keep
+  *  5. mixture       — per-source weighted keep
   *                     ([[PipelineQueries.mixtureKeepIds]])
-  *  5. split         — deterministic train/val/test hash assignment
+  *  6. split         — deterministic train/val/test hash assignment
   *                     ([[PipelineQueries.trainValTestSplit]])
-  *  6. PII scrub     — [[TextQueries.scrubbed]] BEFORE chunking (a chunk
+  *  7. decontaminate — drop TRAIN docs sharing trigrams with the test
+  *                     split ([[PipelineQueries.decontaminate]]); val and
+  *                     test rows pass through untouched
+  *  8. PII scrub     — [[TextQueries.scrubbed]] BEFORE chunking (a chunk
   *                     boundary could split a match)
-  *  7. chunk         — fixed token windows with stride overlap
+  *  9. chunk         — fixed token windows with stride overlap
   *                     ([[PipelineQueries]] parameters)
-  *  8. pack          — running-token-budget shard assignment
-  *  9. land          — parquet partitioned by (lang, split)
+  * 10. pack          — running-token-budget shard assignment
+  * 11. land          — parquet partitioned by (lang, split)
   *                     (partition-pruned reads for per-language training
   *                     mixes; eval splits never touch training scans)
   *
@@ -38,13 +44,21 @@ import org.apache.spark.sql.functions._
 object TrainingDataPipeline {
 
   val QualityThreshold = 0.1
+  val RepetitionMax = 0.2
 
-  /** Survivor doc_ids after quality gate + exact dedup + near-dup root
-    * filter + mixture sampling, with lang and split assignment carried
-    * for partitioning. */
+  /** Survivor doc_ids after quality + repetition gates, exact dedup,
+    * near-dup root filter, mixture sampling and train-split
+    * decontamination, with lang and split assignment carried for
+    * partitioning. */
   def survivors(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextQueries.quality(spark, dir)
       .filter(col("quality_score") >= QualityThreshold)
+      .select(col("doc_id"))
+    // gate on the OFFENDERS via anti-join: a doc too short to have
+    // trigrams is absent from the repetition frame and must pass, not
+    // be dropped by an inner join
+    val highRep = TextQueries.repetition(spark, dir)
+      .filter(col("dup_ratio") > RepetitionMax)
       .select(col("doc_id"))
     val exactKeep = DedupQueries.dedupExact(spark, dir)
       .select(col("keep_id").as("doc_id"))
@@ -54,13 +68,20 @@ object TrainingDataPipeline {
     val mix = PipelineQueries.mixtureKeepIds(spark, dir)
     val splits = PipelineQueries.trainValTestSplit(spark, dir)
       .select(col("doc_id"), col("split"))
+    // anti-join semantics via the audit frame: a train doc sharing any
+    // test trigram is contaminated; val/test docs are never in the frame
+    val contaminated = PipelineQueries.decontaminate(spark, dir)
+      .filter(col("is_contaminated"))
+      .select(col("doc_id"))
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
       .join(quality, "doc_id")
+      .join(highRep, Seq("doc_id"), "left_anti")
       .join(exactKeep, "doc_id")
       .join(roots, "doc_id")
       .join(mix, "doc_id")
       .join(splits, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** Packed chunk shards for the surviving documents: PII-scrubbed text,

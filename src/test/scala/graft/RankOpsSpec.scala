@@ -73,6 +73,15 @@ class RankOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("rank and prefix sum of an empty relation are empty, not an error") {
+    val empty = events.filter(col("event_id") < 0)
+    assert(RankOps.withGlobalRank(empty, 4, "r0", col("event_id")).count() == 0)
+    assert(RankOps.withGlobalPrefixSum(empty, 4, "ps", col("value"), col("event_id"))
+      .count() == 0)
+    assert(RankOps.withGroupRank(empty, 4, "gr", Seq("user_id"), Seq(col("event_id")))
+      .count() == 0)
+  }
+
   test("rank assignment is deterministic across repeated evaluations") {
     def run() = RankOps
       .withGlobalRank(events, 8, "r0", col("value"), col("event_id"))

@@ -48,5 +48,17 @@ class TrainingDataPipelineSpec extends AnyFunSuite with SparkSuite {
     // PII scrub ran before chunking: no landed chunk matches either regex.
     val email = graft.ext.TextQueries.EmailRe
     assert(landed.filter(col("chunk_text").rlike(email)).count() == 0)
+    // Decontamination: no landed TRAIN doc is flagged contaminated.
+    val contam = graft.ext.PipelineQueries.decontaminate(spark, dir)
+      .filter(col("is_contaminated")).select("doc_id")
+    assert(landed.filter(col("split") === "train").select("doc_id").distinct()
+      .join(contam, Seq("doc_id"), "left_anti").count() ==
+      landed.filter(col("split") === "train").select("doc_id").distinct().count())
+    // Repetition gate: every landed doc sits at or below the threshold.
+    val offenders = graft.ext.TextQueries.repetition(spark, dir)
+      .filter(col("dup_ratio") > TrainingDataPipeline.RepetitionMax).select("doc_id")
+    assert(landed.select("doc_id").distinct()
+      .join(offenders, Seq("doc_id"), "left_anti").count() ==
+      landed.select("doc_id").distinct().count())
   }
 }
