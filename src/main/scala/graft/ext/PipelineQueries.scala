@@ -283,7 +283,34 @@ object PipelineQueries {
       .orderBy("stage", "stage_pos")
   }
 
+  /** p10 — weighted reservoir sample (Efraimidis–Spirakis A-ES): keep the
+    * [[ReservoirK]] docs per source with the smallest `-ln(u)/w` key
+    * (equivalently the largest `u^(1/w)`), weight w = n_chars — the
+    * length-biased per-source sample a corpus-inspection job draws. The
+    * "randomness" u derives from an md5 hash of the doc_id, so the draw
+    * is a pure per-row projection: reproducible under retries, identical
+    * on both engines, and mergeable across partitions (A-ES's defining
+    * property — a distributed top-k by key IS the reservoir merge; the
+    * rank<=k filter rewrites to WindowGroupLimit's bounded per-source
+    * heap). Ranking compares the ROUNDED key (t5 discipline). */
+  val ReservoirK = 5
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .withColumn("u", expr(
+        "(cast(conv(substr(md5(concat('res|', cast(doc_id as string))), 1, 8), 16, 10) " +
+          "as double) + 1.0D) / 4294967296.0D"))
+      .withColumn("skey", expr("round(-ln(u) / n_chars, 9)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("skey").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= ReservoirK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("skey"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_reservoir" -> ((s, d) => reservoirSample(s, d)),
     "p8_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "p9_curriculum" -> ((s, d) => curriculum(s, d)),
     "p1_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -296,6 +323,18 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p10_reservoir" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |         (('0x' || substr(md5('res|' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+         |           + 1.0) / 4294967296.0 u
+         |  FROM documents),
+         |k AS (SELECT doc_id, source, n_chars, round(-ln(u) / n_chars, 9) skey FROM d),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |        ORDER BY skey ASC, doc_id ASC) AS BIGINT) rk FROM k)
+         |SELECT doc_id, source, n_chars, skey, rk
+         |FROM r WHERE rk <= $ReservoirK ORDER BY source, rk""".stripMargin,
+
     "p8_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
          |sh AS (SELECT doc_id,

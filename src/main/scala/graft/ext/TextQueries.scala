@@ -309,12 +309,22 @@ object TextQueries {
     // anything), so per-context probabilities sum to 1
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     bg.join(broadcast(c12), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
-      .withColumn("lp", round(log(col("c12").cast("double") / col("c1")), 6))
+      // micro-unit BIGINT log-probs: summing doubles would make the
+      // per-doc mean depend on partition visit order (observed: a 6th-
+      // decimal flip on an avg() rounding boundary). Integer sums are
+      // order-independent, so the mean is bit-stable on both engines —
+      // the s8 discipline.
+      .withColumn("lpm", expr(
+        "cast(round(round(ln(c12 / c1), 6) * 1000000.0D, 0) as bigint)"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(col("lp")), 6).as("avg_logprob"),
-        min(col("lp")).as("min_lp"))
+        sum(col("lpm")).as("s"),
+        min(col("lpm")).as("mn"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams") / lit(1000000.0), 6)
+          .as("avg_logprob"),
+        round(col("mn").cast("double") / lit(1000000.0), 6).as("min_lp"))
       .orderBy("doc_id")
   }
 
@@ -386,11 +396,14 @@ object TextQueries {
         |bg AS (SELECT doc_id, tk[i] w1, tk[i+1] w2 FROM s),
         |c12 AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
         |c1 AS (SELECT w1, count(*) c1 FROM bg GROUP BY 1),
-        |j AS (SELECT doc_id, round(ln(c12.c12 * 1.0 / c1.c1), 6) lp
+        |j AS (SELECT doc_id,
+        |        CAST(round(round(ln(c12.c12 * 1.0 / c1.c1), 6) * 1000000.0, 0)
+        |          AS BIGINT) lpm
         |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       round(avg(lp), 6) AS avg_logprob,
-        |       min(lp) AS min_lp
+        |       round(CAST(sum(lpm) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |         AS avg_logprob,
+        |       round(min(lpm) / 1000000.0, 6) AS min_lp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t9_cms_heavy_hitters" ->

@@ -307,7 +307,32 @@ object AdvancedQueries {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** q47 — equi-width histogram over a continuous measure: bin edges from
+    * the global (min, max) — gathered as one broadcast scalar row, never a
+    * driver round-trip — and a closed-form bin index per row; the final
+    * top value clamps into the last bin. The two scans this costs (stats +
+    * binning) are what any single-pass-unfriendly histogram pays; both are
+    * full-parallel, and the aggregate is [[HistBins]] groups. Identical
+    * left-to-right IEEE double arithmetic on both engines, so bin edges
+    * and assignments agree bit-for-bit. */
+  val HistBins = 20
+  def q47Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val stats = e.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("bin", least(
+        floor((col("value") - col("vmin")) * HistBins / (col("vmax") - col("vmin"))),
+        lit(HistBins - 1L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_histogram" -> ((s, d) => q47Histogram(s, d)),
     "q43_running_distinct" -> ((s, d) => q43RunningDistinct(s, d)),
     "q44_filter_agg" -> ((s, d) => q44FilterAgg(s, d)),
     "q42_array_setops" -> ((s, d) => q42ArraySetops(s, d)),
@@ -332,6 +357,14 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_histogram" ->
+      s"""WITH s AS (SELECT min(value) vmin, max(value) vmax FROM events),
+         |b AS (SELECT least(floor((value - vmin) * $HistBins / (vmax - vmin)),
+         |               $HistBins - 1)::BIGINT bin, value
+         |      FROM events, s)
+         |SELECT bin, count(*) AS n,
+         |       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q43_running_distinct" ->
       """WITH f AS (
         |  SELECT event_id, user_id, event_type, ts,

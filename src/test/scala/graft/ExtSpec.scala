@@ -280,6 +280,20 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("reservoir sample draws exactly k per source in key order, deterministically") {
+    val rows = ext.PipelineQueries.reservoirSample(spark, dir).collect()
+    val k = ext.PipelineQueries.ReservoirK
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, g) =>
+      assert(g.length == k)
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to k).toSeq)
+      val byRk = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("skey"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b },
+        "keys non-decreasing with rank")
+    }
+    val again = ext.PipelineQueries.reservoirSample(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("embedding dedup keeps the min-id representative per near-dup group") {
     val rows = DedupQueries.embeddingDedup(spark, dir).collect()
     val canon = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
