@@ -534,12 +534,7 @@ object DedupQueries {
     // The loop state is ONLY the docs that appear in an edge — near-dup
     // graphs are sparse, so every per-round frame broadcasts; singletons
     // (label = own id by construction) join back after convergence.
-    val und = edgeCache.getOrElseUpdate((spark, dir), {
-      val pairs = lshPairsRaw(spark, dir).select(col("doc_a"), col("doc_b"))
-      pairs
-        .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
-    })
+    val und = undirectedEdges(spark, dir)
     // Round 1 is degenerate — every node's label IS its id, so gathering
     // neighbor labels needs no join: min(doc_a) grouped by doc_b, with the
     // self-label via the identity union. Later rounds join the previous
@@ -692,7 +687,68 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d12 — PageRank over the near-dup similarity graph: centrality on the
+    * d3 pair graph surfaces the template/boilerplate HUBS of a corpus
+    * (documents near-duplicating many others score high even when no
+    * single pair is exact) — the ranking a dedup triage dashboard sorts
+    * by. [[PagerankIters]] fixed iterations of the standard damped
+    * update, BSP-style like d8: per round one aggregate over the edge
+    * list joined to the previous ranks, lineage truncated per round.
+    *
+    * All arithmetic is micro-unit BIGINT (rank starts at 1e6; share =
+    * `rank div degree`; update = `150000 + (85 * contrib) div 100`):
+    * float contributions would sum in partition order and drift between
+    * engines, integer floors are bit-identical everywhere — so the
+    * oracle can replay the exact trajectory as unrolled SQL. Ranks for
+    * the (broadcast-sized) edge-connected node set ride through the
+    * loop; singletons take the closed-form dangling rank after round 1
+    * and join back at the end. */
+  val PagerankIters = 5
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedEdges(spark, dir)
+    val deg = und.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("doc_id"), lit(1000000L).as("rank_micro"))
+      .localCheckpoint()
+    (1 to PagerankIters).foreach { _ =>
+      val prev = ranks
+      val contrib = und
+        .join(broadcast(prev), und("doc_a") === prev("doc_id"))
+        .join(broadcast(deg.select(col("doc_id").as("src"), col("deg"))),
+          und("doc_a") === col("src"))
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(sum(expr("rank_micro div deg")).as("c"))
+      ranks = deg.select(col("doc_id"))
+        .join(broadcast(contrib), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_micro"))
+        .localCheckpoint()
+      graft.CheckpointUtil.release(prev)
+    }
+    // Dangling singletons receive no contributions: rank fixed at the
+    // base 150000 from round 1 onward.
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(ranks), Seq("doc_id"), "left")
+      .join(broadcast(deg), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rank_micro"), lit(150000L)).as("rank_micro"),
+        coalesce(col("deg"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+
+  /** d8/d12's undirected edge list — the LSH pair graph doubled into both
+    * directions. */
+  private def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((spark, dir), {
+      val pairs = lshPairsRaw(spark, dir).select(col("doc_a"), col("doc_b"))
+      pairs
+        .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_pagerank" -> ((s, d) => pagerank(s, d)),
     "d11_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
@@ -707,6 +763,46 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d12_pagerank" -> {
+      // 5 damped-update iterations unrolled as chained CTEs (standard SQL
+      // forbids aggregation inside a recursive term); identical integer
+      // floor arithmetic to the Spark loop, so the trajectory replays
+      // bit-for-bit.
+      val iters = (1 to PagerankIters).map { i =>
+        s"""r$i AS (
+           |  SELECT d.doc_id,
+           |         CAST(150000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) pr
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.b doc_id, sum(r.pr // g.deg) c
+           |    FROM edges e JOIN r${i - 1} r ON e.a = r.doc_id
+           |                 JOIN deg g ON g.doc_id = e.a
+           |    GROUP BY e.b) s ON d.doc_id = s.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |${duckVerifiedCte("cand", "prp")},
+         |edges AS (
+         |  SELECT doc_a a, doc_b b FROM prp
+         |  UNION ALL SELECT doc_b a, doc_a b FROM prp),
+         |deg AS (SELECT a doc_id, count(*) deg FROM edges GROUP BY a),
+         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) pr FROM deg),
+         |$iters
+         |SELECT d.doc_id,
+         |       CAST(coalesce(r.pr, 150000) AS BIGINT) AS rank_micro,
+         |       CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree
+         |FROM documents d
+         |LEFT JOIN r$PagerankIters r ON d.doc_id = r.doc_id
+         |LEFT JOIN deg ON d.doc_id = deg.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "d11_incremental_dedup" ->
       s"""WITH $duckShingled,
          |$duckMinhashed,

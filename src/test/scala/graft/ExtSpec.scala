@@ -262,6 +262,28 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       }
   }
 
+  test("pagerank gives singletons the dangling base and symmetric cliques equal rank") {
+    val rows = DedupQueries.pagerank(spark, dir).collect()
+    val pairs = DedupQueries.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val connected = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rows.foreach { r =>
+      val (id, rank, deg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (connected(id)) assert(deg >= 1 && rank >= 150000)
+      else { assert(deg == 0); assert(rank == 150000L, s"singleton $id rank $rank") }
+    }
+    // Nodes whose neighborhoods are identical (mutual dup cliques where
+    // every member pairs with every other) must receive identical rank.
+    val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rank = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    connected.foreach { v =>
+      nbrs(v).filter(u => nbrs(u) + u == nbrs(v) + v).foreach { u =>
+        assert(rank(u) == rank(v), s"symmetric pair $u/$v rank mismatch")
+      }
+    }
+  }
+
   test("repetition stats are consistent with token counts and catch planted dupes") {
     val rows = ext.TextQueries.repetition(spark, dir).collect()
     val docs = Tables.load(spark, dir, "documents").collect()
