@@ -20,7 +20,10 @@ object ExplainAudit {
         "stedi_pipeline", "q2_topk", "s1_ann_topk",
         "q19_asof_join", "q21_sessionize", "q26_range_frame",
         "q32_corr_subquery", "d6_levenshtein", "s5_ann_ivf",
-        "d4_ngram_jaccard", "p5_mixture", "p6_zorder", "t8_pii_redact")
+        "d4_ngram_jaccard", "p5_mixture", "p6_zorder", "t8_pii_redact",
+        "s10_knn_join", "p8_decontaminate", "t10_lm_score", "q47_histogram",
+        "p10_reservoir", "d11_incremental_dedup", "d12_pagerank",
+        "m7_aspect_buckets")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

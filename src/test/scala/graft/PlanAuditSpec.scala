@@ -141,6 +141,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("reservoir sample and histogram keep their bounded-memory plans") {
+    // p10: per-source top-k must rewrite to the bounded per-group heap.
+    assert(plan("p10_reservoir").contains("WindowGroupLimit"))
+    // q47: the (min, max) stats row broadcasts; no sort-merge anywhere.
+    val h = plan("q47_histogram")
+    assert(h.contains("BroadcastNestedLoopJoin") || h.contains("BroadcastExchange"), h)
+    assert(!h.contains("SortMergeJoin"), h)
+  }
+
   test("mixture audit aggregates map-side before its single shuffle") {
     val p = plan("p5_mixture")
     // Partial + final HashAggregate around one hash shuffle; the keep

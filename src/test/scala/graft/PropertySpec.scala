@@ -113,6 +113,18 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(jac > 0.5, s"mutated doc should stay a near-dup (jaccard=$jac)")
   }
 
+  test("distributed prefix sum equals the sequential exclusive scan for arbitrary inputs") {
+    val weights = sample(Gen.listOfN(300, Gen.chooseNum(0L, 1000L)))
+    val rows = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val nPart = Gen.chooseNum(1, 40).sample.getOrElse(8)
+    val got = graft.ops.RankOps
+      .withGlobalPrefixSum(rows.toDF("id", "w"), nPart, "ps", col("w"), col("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ps")).toMap
+    var acc = 0L
+    val want = rows.map { case (id, w) => val p = id -> acc; acc += w; p }.toMap
+    assert(got == want, s"nPart=$nPart")
+  }
+
   test("z-interleave is a bijection on the 8-bit x 8-bit grid") {
     // Distinct (x, y) pairs must map to distinct z (the curve visits every
     // cell exactly once); evaluated through the same SQL expression p6
