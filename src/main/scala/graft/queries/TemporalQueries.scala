@@ -51,6 +51,45 @@ object TemporalQueries {
       .orderBy("pid")
   }
 
+  /** q48 — time-series resampling with forward fill: each user's event
+    * stream becomes a regular hourly grid carrying the last observed
+    * value at-or-before each grid instant (same-instant ties to the max
+    * event_id) — the gap-filling step between irregular event streams and
+    * anything that wants aligned series (q45's correlation, charting,
+    * feature windows).
+    *
+    * Same union trick as q19: grid probes and event sources interleave in
+    * one (user, time)-sorted stream and a running `last(value,
+    * ignoreNulls)` forward-fills — one shuffle on user_id, state O(1) per
+    * row, vs the oracle's per-grid-point LATERAL lookup (correct, and
+    * quadratic). Grid synthesis is `sequence(t0, t1, interval 1 hour)`
+    * per user — an explode, not a driver loop. */
+  def q48Resample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      .select(col("user_id"),
+        explode(expr("sequence(t0, t1, interval 1 hour)")).as("grid_ts"))
+    val probes = grid.select(col("user_id"), col("grid_ts").as("ts"),
+      lit(0).as("is_src"), lit(null).cast("double").as("v"),
+      lit(null).cast("long").as("eid"), col("grid_ts"))
+    val srcs = ev.select(col("user_id"), col("ts"), lit(1).as("is_src"),
+      col("value").as("v"), col("event_id").as("eid"),
+      lit(null).cast("timestamp").as("grid_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_src").desc, col("eid").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    srcs.unionByName(probes)
+      .withColumn("fill_value", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("src_event_id", last(col("eid"), ignoreNulls = true).over(w))
+      .filter(col("is_src") === 0)
+      .select(col("user_id"), col("grid_ts"), col("fill_value"), col("src_event_id"))
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** q20 — range (band) join: every event lands in the value band whose
     * [lo, hi) interval contains it. The band table is 3 literal rows →
     * broadcast nested-loop join; the events scan never shuffles (the only
@@ -196,6 +235,7 @@ object TemporalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_funnel" -> ((s, d) => q46Funnel(s, d)),
+    "q48_resample" -> ((s, d) => q48Resample(s, d)),
     "q19_asof_join" -> ((s, d) => q19Asof(s, d)),
     "q20_range_join" -> ((s, d) => q20RangeJoin(s, d)),
     "q21_sessionize" -> ((s, d) => q21Sessionize(s, d)),
@@ -246,6 +286,24 @@ object TemporalQueries {
 
     // Independent formulation (correlated subquery) — validates the
     // union+window construction against a different algorithm.
+    "q48_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE user_id < 20),
+        |b AS (SELECT user_id, date_trunc('hour', min(ts)) t0,
+        |             date_trunc('hour', max(ts)) t1
+        |      FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(t0::TIMESTAMP, t1::TIMESTAMP,
+        |             INTERVAL 1 HOUR)) grid_ts
+        |         FROM b)
+        |SELECT g.user_id, g.grid_ts,
+        |       e.value AS fill_value, e.event_id AS src_event_id
+        |FROM grid g LEFT JOIN LATERAL (
+        |  SELECT value, event_id FROM ev
+        |  WHERE ev.user_id = g.user_id AND ev.ts <= g.grid_ts
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1) e ON TRUE
+        |ORDER BY user_id, grid_ts""".stripMargin,
+
     "q19_asof_join" ->
       """SELECT p.event_id AS pid, p.user_id,
         |       (SELECT c.event_id FROM events c

@@ -10,6 +10,28 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("resample emits a dense hourly grid whose fill matches a brute-force lookup") {
+    val rows = TemporalQueries.q48Resample(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("user_id") < 20)
+      .select("user_id", "ts", "value", "event_id").collect()
+      .groupBy(_.getLong(0))
+    rows.groupBy(_.getLong(0)).foreach { case (uid, g) =>
+      val ts = g.map(_.getTimestamp(1).getTime).sorted
+      // dense hourly grid: consecutive points exactly 3600s apart
+      assert(ts.zip(ts.tail).forall { case (a, b) => b - a == 3600000L },
+        s"user $uid grid not dense")
+      // every grid point's fill = brute-force last event at-or-before
+      val evs = ev(uid).sortBy(r => (r.getTimestamp(1).getTime, r.getLong(3)))
+      g.foreach { r =>
+        val best = evs.filter(e => !e.getTimestamp(1).after(r.getTimestamp(1))).lastOption
+        assert(Option(r.get(3)).map(_.asInstanceOf[Long]) == best.map(_.getLong(3)),
+          s"user $uid at ${r.getTimestamp(1)}")
+        assert(Option(r.get(2)).map(_.asInstanceOf[Double]) == best.map(_.getDouble(2)))
+      }
+    }
+  }
+
   test("as-of join matches a brute-force per-row scan") {
     val ev = Tables.load(spark, dir, "events")
       .select("event_id", "user_id", "event_type", "ts").collect()
