@@ -46,9 +46,11 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val cellsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    Seq(bandsCache, cellsCache).foreach { c =>
+    Seq(bandsCache, cellsCache, pqCache).foreach { c =>
       c.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
         c.remove(k).foreach(graft.CheckpointUtil.release)
       }
@@ -56,7 +58,7 @@ object SimilarityQueries {
 
   /** Bench/Verify teardown hook (see [[graft.ext.DedupQueries.clearCaches]]). */
   def clearCaches(): Unit =
-    Seq(bandsCache, cellsCache).foreach(c =>
+    Seq(bandsCache, cellsCache, pqCache).foreach(c =>
       c.keys.foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
 
   /** s1 — brute-force cosine top-10 against a fixed query vector (vec_id 0),
@@ -275,23 +277,46 @@ object SimilarityQueries {
   val PqSubspaces = 8
   val PqSubDim = LshDims / PqSubspaces
   val PqCodewords = 4
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = emb(spark, dir).withColumn("v", col("embedding").cast("array<double>"))
-    val subs = e.select(col("vec_id"), expr(
+
+  /** Subvector view `(vec_id, sub, sv)` of an embedding frame. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), expr(
         s"explode(transform(sequence(0, ${PqSubspaces - 1}), " +
           s"s -> struct(s as sub, slice(v, s * $PqSubDim + 1, $PqSubDim) as sv)))").as("u"))
       .select(col("vec_id"), col("u.sub").as("sub"), col("u.sv").as("sv"))
-    val cws = subs.filter(col("vec_id").between(1, PqCodewords))
+
+  /** The PQ codebook: vectors 1..[[PqCodewords]]'s own subvectors. */
+  private def codewords(spark: SparkSession, dir: String): DataFrame =
+    subvectors(emb(spark, dir).filter(col("vec_id").between(1, PqCodewords)))
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cw"))
-    val d = subs.join(broadcast(cws), "sub")
-      .withColumn("d2m", expr(
-        "cast(round(aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), " +
-          "0D, (acc, t) -> acc + t) * 1000000.0D, 0) as bigint)"))
-    d.withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d2m").asc, col("cid").asc)))
-      .filter(col("rk") === 1)
+
+  /** Micro-unit squared L2 between subvector `sv` and codeword `cw`. */
+  private val d2mExpr =
+    "cast(round(aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (acc, t) -> acc + t) * 1000000.0D, 0) as bigint)"
+
+  /** The PQ code table `(vec_id, sub, cid, d2m)` — the compressed-vector
+    * index itself, checkpointed once per (session, dir); s8 publishes it
+    * and s11's ADC probe scans it. */
+  private def pqAssign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    evictOtherDirs(spark, dir)
+    pqCache.getOrElseUpdate((spark, dir), {
+      subvectors(emb(spark, dir))
+        .join(broadcast(codewords(spark, dir)), "sub")
+        .withColumn("d2m", expr(d2mExpr))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("d2m").asc, col("cid").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"), col("d2m"))
+        .localCheckpoint()
+    })
+  }
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqAssign(spark, dir)
       .groupBy(col("vec_id"))
       .agg(
         concat_ws(",", expr(
@@ -299,6 +324,57 @@ object SimilarityQueries {
           .as("pq_code"),
         sum(col("d2m")).as("err_micro"))
       .orderBy("vec_id")
+
+  /** s11 — IVF-PQ, the billion-scale ANN architecture (coarse quantizer
+    * prunes the corpus to nprobe cells; PQ codes + an asymmetric distance
+    * table rank the survivors WITHOUT touching their full vectors; only
+    * the short list pays an exact re-rank):
+    *
+    *  1. probe: the query's [[IvfNProbe]] nearest cells (s5's quantizer)
+    *  2. ADC: distance(query_sub, codeword) for all 8×4 pairs — a 32-row
+    *     broadcast table; a candidate's approximate distance is the SUM
+    *     of its 8 codes' table entries (exact micro-unit BIGINTs, so the
+    *     approximate ranking is bit-deterministic)
+    *  3. shortlist: top-10 by ADC distance, then exact cosine re-rank
+    *
+    * At scale only step 3 reads full vectors (10 of them); the scan side
+    * of step 2 is the [[pqAssign]] code table — 8 small ints per vector,
+    * the whole point of PQ compression. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qprobe = cents.crossJoin(broadcast(q))
+      .withColumn("qcos", round(expr("cosine_sim(cv, qv)"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("qcos").desc, col("cent_id").asc)))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("cent_id").as("pcell"))
+    // the 32-row asymmetric distance table: query subvectors vs codebook
+    val qd = subvectors(q.select(lit(0L).as("vec_id"), col("qv").as("embedding")))
+      .join(broadcast(codewords(spark, dir)), "sub")
+      .withColumn("qd2m", expr(d2mExpr))
+      .select(col("sub"), col("cid"), col("qd2m"))
+    val shortlist = cellIndex(spark, dir)
+      .join(broadcast(qprobe), col("cell") === col("pcell"))
+      .select(col("vec_id"))
+      .join(pqAssign(spark, dir), "vec_id")
+      .join(broadcast(qd), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qd2m")).as("approx_d2_micro"))
+      .orderBy(col("approx_d2_micro").asc, col("vec_id").asc)
+      .limit(10)
+    shortlist
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("approx_d2_micro"),
+        round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0))
+          .orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+      .orderBy("rk")
   }
 
   /** s10 — k-NN graph join: top-[[KnnK]] cosine neighbors for EVERY
@@ -332,6 +408,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "s10_knn_join" -> ((s, d) => knnJoin(s, d)),
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
     "s8_pq" -> ((s, d) => pqCodes(s, d)),
@@ -391,6 +468,61 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s11_ivfpq" ->
+      s"""WITH $duckEmb,
+         |cents AS (SELECT vec_id cent_id, v cv, nrm cnrm FROM e
+         |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+         |asgn AS (
+         |  SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY round(list_dot_product(v, cv) / (nrm * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM e CROSS JOIN cents WHERE vec_id > 0),
+         |cells AS (SELECT vec_id, cent_id FROM asgn WHERE rk = 1),
+         |q AS (SELECT v qv, nrm qnrm FROM e WHERE vec_id = 0),
+         |qprobe AS (
+         |  SELECT cent_id, row_number() OVER (
+         |           ORDER BY round(list_dot_product(qv, cv) / (qnrm * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM q CROSS JOIN cents),
+         |probed AS (SELECT cent_id FROM qprobe WHERE rk <= $IvfNProbe),
+         |sp AS (SELECT unnest(range(0, $PqSubspaces)) sub),
+         |subs AS (SELECT vec_id, sub,
+         |           list_slice(v, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim) sv
+         |         FROM e CROSS JOIN sp),
+         |cw AS (SELECT sub, vec_id cid, sv cw FROM subs
+         |       WHERE vec_id BETWEEN 1 AND $PqCodewords),
+         |d AS (SELECT s.vec_id, s.sub, c.cid,
+         |        CAST(round(list_aggregate(list_transform(range(1, ${PqSubDim + 1}),
+         |          i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])), 'sum')
+         |          * 1000000.0, 0) AS BIGINT) d2m
+         |      FROM subs s JOIN cw c ON s.sub = c.sub),
+         |codes AS (SELECT vec_id, sub, cid FROM (
+         |            SELECT vec_id, sub, cid, row_number() OVER (
+         |              PARTITION BY vec_id, sub ORDER BY d2m, cid) rk FROM d)
+         |          WHERE rk = 1),
+         |qsubs AS (SELECT sub,
+         |            list_slice(qv, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim) sv
+         |          FROM q CROSS JOIN sp),
+         |qd AS (SELECT s.sub, c.cid,
+         |         CAST(round(list_aggregate(list_transform(range(1, ${PqSubDim + 1}),
+         |           i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])), 'sum')
+         |           * 1000000.0, 0) AS BIGINT) qd2m
+         |       FROM qsubs s JOIN cw c ON s.sub = c.sub),
+         |short AS (
+         |  SELECT cells.vec_id, CAST(sum(qd.qd2m) AS BIGINT) approx_d2_micro
+         |  FROM cells JOIN probed p ON cells.cent_id = p.cent_id
+         |             JOIN codes ON codes.vec_id = cells.vec_id
+         |             JOIN qd ON qd.sub = codes.sub AND qd.cid = codes.cid
+         |  GROUP BY cells.vec_id
+         |  ORDER BY approx_d2_micro ASC, cells.vec_id ASC LIMIT 10),
+         |rr AS (
+         |  SELECT s.vec_id, s.approx_d2_micro,
+         |         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) cosine
+         |  FROM short s JOIN e ON e.vec_id = s.vec_id, q)
+         |SELECT vec_id, approx_d2_micro, cosine,
+         |       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) rk
+         |FROM rr ORDER BY rk""".stripMargin,
+
     "s10_knn_join" ->
       s"""WITH $duckEmb,
          |c AS (SELECT a.vec_id vec_id, b.vec_id nbr_id,

@@ -90,6 +90,31 @@ object TemporalQueries {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** q49 — exponentially weighted moving average per user (α=0.15), the
+    * classic streaming smoother. The recurrence `e' = α·x + (1-α)·e` is
+    * multiplicative — no SQL window frame expresses it — so each user's
+    * series folds as `aggregate(array_sort(collect_list(...)))`: state
+    * per group is that user's own series (bounded by per-user activity;
+    * the unbounded-history form is q43-style mapGroupsWithState on a
+    * stream, same arithmetic). All math is micro-unit BIGINT floors —
+    * `(15·x + 85·e) div 100` — so the fold replays bit-identically on
+    * both engines regardless of partitioning (the t10/d12 discipline).
+    * Seeded with the first observation. */
+  def q49Ewma(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1000000.0D, 0) as bigint)").as("vm"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("vm"))).as("xs"),
+        count(lit(1)).as("n_events"))
+      .withColumn("sorted", expr("transform(array_sort(xs), s -> s.vm)"))
+      .withColumn("ewma_micro", expr(
+        "aggregate(slice(sorted, 2, size(sorted)), sorted[0], " +
+          "(acc, x) -> (15 * x + 85 * acc) div 100)"))
+      .select(col("user_id"), col("n_events"),
+        round(col("ewma_micro").cast("double") / lit(1000000.0), 6).as("ewma"))
+      .orderBy("user_id")
+
   /** q20 — range (band) join: every event lands in the value band whose
     * [lo, hi) interval contains it. The band table is 3 literal rows →
     * broadcast nested-loop join; the events scan never shuffles (the only
@@ -236,6 +261,7 @@ object TemporalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_funnel" -> ((s, d) => q46Funnel(s, d)),
     "q48_resample" -> ((s, d) => q48Resample(s, d)),
+    "q49_ewma" -> ((s, d) => q49Ewma(s, d)),
     "q19_asof_join" -> ((s, d) => q19Asof(s, d)),
     "q20_range_join" -> ((s, d) => q20RangeJoin(s, d)),
     "q21_sessionize" -> ((s, d) => q21Sessionize(s, d)),
@@ -286,6 +312,19 @@ object TemporalQueries {
 
     // Independent formulation (correlated subquery) — validates the
     // union+window construction against a different algorithm.
+    "q49_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 1000000.0, 0) AS BIGINT) vm
+        |  FROM events),
+        |l AS (SELECT user_id, list(vm ORDER BY ts, event_id) xs,
+        |             count(*) n_events
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       round(list_reduce(xs, (acc, x) -> (15 * x + 85 * acc) // 100)
+        |             / 1000000.0, 6) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin,
+
     "q48_resample" ->
       """WITH ev AS (
         |  SELECT user_id, ts, value, event_id FROM events WHERE user_id < 20),

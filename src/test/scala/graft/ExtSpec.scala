@@ -395,6 +395,20 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ivf-pq shortlist recovers a usable share of the exact top-10") {
+    val got = ext.SimilarityQueries.annIvfPq(spark, dir).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 10L).toSeq)
+    got.foreach(r => assert(r.getAs[Long]("approx_d2_micro") >= 0))
+    // exact cosine non-increasing with the re-rank position
+    val cos = got.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    val exact = ext.SimilarityQueries.annTopK(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val hits = got.map(_.getLong(0)).count(exact)
+    assert(hits >= 3, s"IVF-PQ recall too low: $hits/10")
+  }
+
   test("pq codes reconstruct codebook members exactly and bound the rest") {
     val rows = SimilarityQueries.pqCodes(spark, dir).collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
