@@ -309,7 +309,27 @@ object PipelineQueries {
       .orderBy("source", "rk")
   }
 
+  /** p11 — epoch scheduling: materialize the "repeat high-value sources
+    * N times per training run" mixture lever (1-3 epochs per source,
+    * derived from the source id like p5's rates stand in for config).
+    * Each (doc, epoch) replica gets its own md5 shuffle key, so repeats
+    * of a document land far apart in the global training order — the
+    * property epoch-level upsampling needs (adjacent repeats would
+    * effectively raise the local learning rate on that doc). A
+    * sequence-explode per row; no shuffle until the harness sort. */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("epochs", expr("1 + cast(substring(source, 4) as int) % 3"))
+      .select(col("doc_id"), col("source"), col("epochs"),
+        explode(expr("sequence(1, epochs)")).as("epoch"))
+      .withColumn("shuffle_key", expr(
+        "substr(md5(concat('ep|', cast(doc_id as string), '|', cast(epoch as string))), 1, 12)"))
+      .select(col("doc_id"), col("source"), col("epochs").cast("long").as("epochs"),
+        col("epoch").cast("long").as("epoch"), col("shuffle_key"))
+      .orderBy("doc_id", "epoch")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_epochs" -> ((s, d) => epochSchedule(s, d)),
     "p10_reservoir" -> ((s, d) => reservoirSample(s, d)),
     "p8_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "p9_curriculum" -> ((s, d) => curriculum(s, d)),
@@ -323,6 +343,20 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p11_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         1 + CAST(substr(source, 4) AS INT) % 3 epochs
+        |  FROM documents),
+        |x AS (SELECT doc_id, source, epochs,
+        |        unnest(generate_series(1, epochs)) epoch
+        |      FROM d)
+        |SELECT doc_id, source, CAST(epochs AS BIGINT) AS epochs,
+        |       CAST(epoch AS BIGINT) AS epoch,
+        |       substr(md5('ep|' || doc_id::VARCHAR || '|' || epoch::VARCHAR), 1, 12)
+        |         AS shuffle_key
+        |FROM x ORDER BY doc_id, epoch""".stripMargin,
+
     "p10_reservoir" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, n_chars,
