@@ -150,7 +150,40 @@ object MultimodalQueries {
       .orderBy("bucket", "batch_idx")
   }
 
+  /** m8 — frame energy profile (the audio-feature stub): slice the
+    * payload into m4's 16-byte frames, compute each frame's energy as the
+    * integer sum of squared byte values (a real pipeline swaps in decoded
+    * PCM RMS — the frame/window plumbing is identical), and report the
+    * per-doc profile: frame count, total energy, and the peak frame
+    * (ties to the earliest index). Pure integer arithmetic end-to-end,
+    * one explode + one per-doc aggregate. */
+  def frameEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.load(spark, dir, "documents")
+      .withColumn("n", length(col("text")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(ceil(n / 16.0) as int) - 1), " +
+          "i -> struct(i as idx, substr(text, i * 16 + 1, 16) as fb))")).as("f"))
+      .select(col("doc_id"), col("f.idx").cast("long").as("frame_idx"),
+        expr("aggregate(transform(sequence(1, length(f.fb)), " +
+          "i -> ascii(substr(f.fb, i, 1))), cast(0 as bigint), " +
+          "(acc, x) -> acc + cast(x as bigint) * x)").as("energy"))
+    frames
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("energy").desc, col("frame_idx").asc)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("total_energy"),
+        max(when(col("rk") === 1, col("frame_idx"))).as("peak_idx"),
+        max(when(col("rk") === 1, col("energy"))).as("peak_energy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_frame_energy" -> ((s, d) => frameEnergy(s, d)),
     "m7_aspect_buckets" -> ((s, d) => aspectBuckets(s, d)),
     "m6_phash" -> ((s, d) => phash(s, d)),
     "m1_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
@@ -161,6 +194,27 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m8_frame_energy" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) i
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, i frame_idx,
+        |         substr(text, CAST(i * 16 + 1 AS INT), 16) fb
+        |       FROM g),
+        |en AS (SELECT doc_id, frame_idx,
+        |         CAST(list_aggregate(list_transform(range(1, len(fb) + 1),
+        |           j -> ascii(substr(fb, CAST(j AS INT), 1))
+        |                * ascii(substr(fb, CAST(j AS INT), 1))), 'sum') AS BIGINT) energy
+        |       FROM fr),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY energy DESC, frame_idx ASC) r FROM en)
+        |SELECT doc_id, count(*) AS n_frames,
+        |       CAST(sum(energy) AS BIGINT) AS total_energy,
+        |       max(CASE WHEN r = 1 THEN frame_idx END) AS peak_idx,
+        |       max(CASE WHEN r = 1 THEN energy END) AS peak_energy
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "m7_aspect_buckets" ->
       s"""WITH d AS (SELECT doc_id,
          |             ascii(substr(text, 1, 1)) % 64 + 1 w,

@@ -376,6 +376,22 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("frame energy matches a brute-force byte scan including the peak frame") {
+    val rows = ext.MultimodalQueries.frameEnergy(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val frames = text.grouped(16).toArray
+      val energies = frames.map(_.map(c => c.toLong * c.toLong).sum)
+      assert(r.getAs[Long]("n_frames") == frames.length)
+      assert(r.getAs[Long]("total_energy") == energies.sum)
+      val peak = energies.zipWithIndex.maxBy { case (e, i) => (e, -i) }
+      assert(r.getAs[Long]("peak_idx") == peak._2.toLong)
+      assert(r.getAs[Long]("peak_energy") == peak._1)
+    }
+  }
+
   test("aspect buckets partition the corpus into full batches with non-negative waste") {
     val rows = ext.MultimodalQueries.aspectBuckets(spark, dir).collect()
     val total = Tables.load(spark, dir, "documents").count()
