@@ -258,8 +258,109 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** q50 — CDC changelog compaction: the latest surviving state per key,
+    * the batch form of what the reference's Redis CDC stream maintains
+    * continuously (reference `sparkpykafkajoin.py:141-165` keeps only the
+    * newest customer envelope per email). The events stream is read as a
+    * changelog keyed by user: each event upserts the user's `value`;
+    * `error` events are tombstones. A key whose newest entry is a
+    * tombstone disappears from the snapshot.
+    *
+    * Scale posture: compaction is an AGGREGATE, not a sort — `max_by`
+    * over the (ts, event_id) struct runs map-side partial + one hash
+    * shuffle and carries one row of state per key per task, whereas the
+    * oracle's ROW_NUMBER formulation (an independent algorithm — good
+    * for differential checking) must fully sort every key group. On a
+    * 100 TB changelog the aggregate form is the only one that finishes. */
+  def q50CdcCompact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("value"), col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("op"), col("value"), col("ts"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.op") =!= "delete")
+      .select(col("user_id"), col("last.value").as("value"),
+        col("last.ts").as("updated_at"), col("last.event_id").as("src_event_id"),
+        col("n_changes"))
+      .orderBy("user_id")
+
+  /** q51 — SCD type-2 history build (gaps-and-islands): each run of
+    * consecutive equal `event_type` per user becomes one dimension
+    * version with [valid_from, valid_to) effectivity, `valid_to` = the
+    * next version's `valid_from`, open (NULL + is_current) for the
+    * newest. The standard change-capture → warehouse-dimension transform.
+    *
+    * One (user, time)-sorted shuffle feeds all three passes (lag → change
+    * flags, running sum → version ids, lead over the version frame) —
+    * the version frame is ~|changes| rows, far smaller than the log. */
+  def q51Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val versions = Tables.load(spark, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg", when(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("status"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("status"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** q52 — peak interval concurrency: each event opens a [ts, ts+1h)
+    * interval; per event type, the maximum number of simultaneously open
+    * intervals and the earliest instant attaining it (the classic
+    * max-concurrent-sessions sweep: +1 at start, −1 at exclusive end,
+    * running sum, max).
+    *
+    * The running sum deliberately does NOT use
+    * `Window.partitionBy(event_type)` — 5 types means 5 reducer tasks
+    * each sorting a fifth of the log (the skewed-window trap RankOps
+    * exists to kill). Instead ONE global distributed prefix sum over
+    * (event_type, t, delta, event_id): every type's deltas sum to zero,
+    * so the accumulated value entering each type's contiguous sort range
+    * is exactly 0 and the global inclusive prefix IS the per-type
+    * concurrency — P balanced range partitions regardless of how few or
+    * how skewed the types are. Ends sort before starts at equal t
+    * (delta −1 < +1), making the end exclusive. */
+  def q52PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"))
+    val pts = iv.select(col("event_type"), col("ts").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      .unionByName(iv.select(col("event_type"),
+        (col("ts") + expr("interval 1 hour")).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val par = spark.sparkContext.defaultParallelism
+    val run = graft.ops.RankOps
+      .withGlobalPrefixSum(pts, par, "pre", col("delta"),
+        col("event_type"), col("t"), col("delta"), col("event_id"))
+      .withColumn("run", col("pre") + col("delta"))
+    val peaks = run.groupBy(col("event_type")).agg(max(col("run")).as("peak"))
+    run.join(broadcast(peaks), Seq("event_type"))
+      .filter(col("run") === col("peak"))
+      .groupBy(col("event_type"), col("peak"))
+      .agg(min(col("t")).as("peak_at"), count(lit(1)).as("n_at_peak"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_funnel" -> ((s, d) => q46Funnel(s, d)),
+    "q50_cdc_compact" -> ((s, d) => q50CdcCompact(s, d)),
+    "q51_scd2" -> ((s, d) => q51Scd2(s, d)),
+    "q52_peak_concurrency" -> ((s, d) => q52PeakConcurrency(s, d)),
     "q48_resample" -> ((s, d) => q48Resample(s, d)),
     "q49_ewma" -> ((s, d) => q49Ewma(s, d)),
     "q19_asof_join" -> ((s, d) => q19Asof(s, d)),
@@ -271,6 +372,65 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: ROW_NUMBER latest-wins (the sort-based
+    // compaction) differentially checks the aggregate-based Spark plan.
+    "q50_cdc_compact" ->
+      """WITH log AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END op,
+        |         value, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) rn,
+        |         count(*) OVER (PARTITION BY user_id) n_changes
+        |  FROM events)
+        |SELECT user_id, value, ts AS updated_at, event_id AS src_event_id,
+        |       CAST(n_changes AS BIGINT) AS n_changes
+        |FROM log WHERE rn = 1 AND op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
+
+    "q51_scd2" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, version, min(event_type) status, min(ts) valid_from,
+        |         count(*) n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, status, valid_from,
+        |       lead(valid_from) OVER w2 AS valid_to,
+        |       n_events,
+        |       (lead(valid_from) OVER w2 IS NULL) AS is_current
+        |FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q52_peak_concurrency" ->
+      """WITH iv AS (SELECT event_type, ts, ts + INTERVAL 1 HOUR te, event_id
+        |            FROM events),
+        |pts AS (
+        |  SELECT event_type, ts AS t, 1 AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT event_type, te, -1, event_id FROM iv),
+        |r AS (
+        |  SELECT event_type, t,
+        |         CAST(sum(delta) OVER (PARTITION BY event_type
+        |           ORDER BY t, delta, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) run
+        |  FROM pts),
+        |p AS (SELECT event_type, max(run) peak FROM r GROUP BY 1)
+        |SELECT r.event_type, p.peak, min(r.t) AS peak_at,
+        |       count(*) AS n_at_peak
+        |FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak
+        |GROUP BY r.event_type, p.peak ORDER BY r.event_type""".stripMargin,
+
     "q46_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
