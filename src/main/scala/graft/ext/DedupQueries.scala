@@ -747,7 +747,35 @@ object DedupQueries {
         .localCheckpoint()
     })
 
+  /** d13 — cluster representative selection: dedup's final emit. d8 says
+    * which documents are interchangeable; this picks WHICH copy survives —
+    * the highest t2 quality score per component, ties to the lowest
+    * doc_id (so the pick is total-ordered and replayable). The survivor
+    * set a near-dup pipeline actually ships is this frame, not the raw
+    * cluster labels.
+    *
+    * One broadcast join of the (small) label frame against the per-doc
+    * quality projection, then a single `max_by` aggregate per component —
+    * no window sort, no per-cluster subquery. rep_quality is
+    * `max(quality_score)` (the argmax's own score by construction). */
+  def clusterReps(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val qual = graft.ext.TextQueries.qualityOf(
+        Tables.load(spark, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(qual, Seq("doc_id"))
+      .groupBy(col("cluster_root"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("quality_score"), -col("doc_id")))
+          .as("rep_doc_id"),
+        max(col("quality_score")).as("rep_quality"))
+      .orderBy("cluster_root")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
     "d11_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
@@ -763,6 +791,45 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same component construction as d8; the representative pick is the
+    // independent ROW_NUMBER formulation (vs Spark's max_by aggregate).
+    "d13_cluster_reps" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |${duckVerifiedCte("cand", "prs")},
+         |undirected AS (
+         |  SELECT doc_a a, doc_b b FROM prs
+         |  UNION ALL SELECT doc_b a, doc_a b FROM prs),
+         |reach AS (
+         |  SELECT doc_id node, doc_id x FROM documents
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x),
+         |cc AS (SELECT node doc_id, min(x) cluster_root FROM reach GROUP BY node),
+         |t AS (SELECT doc_id, text, string_split(lower(text), ' ') toks FROM documents),
+         |q AS (SELECT doc_id,
+         |        round((least(len(toks), 100) / 100.0)
+         |              * (1.0 - len(list_filter(toks, w -> w IN ('the','a','of')))
+         |                       * 1.0 / len(toks))
+         |              * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))
+         |                       * 1.0 / length(text)), 6) quality_score
+         |      FROM t),
+         |j AS (SELECT cc.cluster_root, cc.doc_id, q.quality_score,
+         |        row_number() OVER (PARTITION BY cc.cluster_root
+         |          ORDER BY q.quality_score DESC, cc.doc_id ASC) rn
+         |      FROM cc JOIN q ON cc.doc_id = q.doc_id),
+         |g AS (SELECT cluster_root, count(*) n_members FROM cc GROUP BY 1)
+         |SELECT g.cluster_root, g.n_members,
+         |       j.doc_id AS rep_doc_id, j.quality_score AS rep_quality
+         |FROM g JOIN j ON g.cluster_root = j.cluster_root AND j.rn = 1
+         |ORDER BY g.cluster_root""".stripMargin,
+
     "d12_pagerank" -> {
       // 5 damped-update iterations unrolled as chained CTEs (standard SQL
       // forbids aggregation inside a recursive term); identical integer

@@ -407,7 +407,51 @@ object SimilarityQueries {
       .orderBy("vec_id", "rk")
   }
 
+  /** s12 — linear-probe batch inference: score every embedding against a
+    * fixed [[ProbeClasses]]-way linear classifier (the frozen read-out
+    * layer of an embedding-quality probe) and report the confusion
+    * grid against the stored labels. This is the "run the model over the
+    * corpus" step of a curation pipeline, expressed as a columnar
+    * operator: weights are literals in the plan, scoring is a narrow
+    * per-row projection (codegen'd HOF over the vector, no shuffle), and
+    * the only wide op is the tiny confusion-grid aggregate.
+    *
+    * All arithmetic is exact: embeddings quantize to micro-unit BIGINTs,
+    * weights are small ints, and every dot product stays far below 2^53,
+    * so Spark's integer fold and the oracle's double-typed
+    * `list_dot_product` (exact on integer-valued doubles) agree
+    * bit-for-bit; argmax ties resolve to the first (lowest) class in
+    * both engines. */
+  val ProbeClasses = 4
+  val ProbeDim = 64
+  /** Deterministic pseudo-random weights (Knuth multiplicative hash mod a
+    * prime, recentered) — fixed "model parameters" both engines embed as
+    * plan literals. */
+  private val probeWeights: Seq[Seq[Long]] =
+    (0 until ProbeClasses).map { c =>
+      (0 until ProbeDim).map(i => (2654435761L * (c * ProbeDim + i + 1)) % 2003 - 1001)
+    }
+
+  def linearProbe(spark: SparkSession, dir: String): DataFrame = {
+    val wLit = probeWeights
+      .map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    emb(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("em", expr(
+        "transform(v, x -> cast(round(x * 1000000.0D, 0) as bigint))"))
+      .withColumn("scores", expr(
+        s"transform($wLit, ws -> aggregate(zip_with(ws, em, (w, e) -> w * e), " +
+          "cast(0 as bigint), (acc, p) -> acc + p))"))
+      .withColumn("pred", expr("array_position(scores, array_max(scores)) - 1"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("array_max(scores)")).as("sum_top_micro"))
+      .orderBy("label", "pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_linear_probe" -> ((s, d) => linearProbe(s, d)),
     "s11_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "s10_knn_join" -> ((s, d) => knnJoin(s, d)),
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
@@ -468,6 +512,31 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s12_linear_probe" -> {
+      val wDuck = probeWeights
+        .map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding::DOUBLE[],
+         |           x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) em
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT label,
+         |         list_transform($wDuck,
+         |           ws -> CAST(list_dot_product(ws::DOUBLE[], em::DOUBLE[]) AS BIGINT))
+         |           AS scores
+         |  FROM e),
+         |p AS (
+         |  SELECT label,
+         |         CAST(list_position(scores, list_aggregate(scores, 'max')) - 1
+         |              AS BIGINT) pred,
+         |         list_aggregate(scores, 'max') top
+         |  FROM s)
+         |SELECT label, pred, count(*) AS n, CAST(sum(top) AS BIGINT) AS sum_top_micro
+         |FROM p GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+    },
+
     "s11_ivfpq" ->
       s"""WITH $duckEmb,
          |cents AS (SELECT vec_id cent_id, v cv, nrm cnrm FROM e

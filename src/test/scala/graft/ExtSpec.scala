@@ -25,6 +25,48 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(lsh.size >= (exact.size * 0.85).toInt)
   }
 
+  test("cluster representatives carry max quality, ties to min doc_id, and tile the corpus") {
+    val reps = DedupQueries.clusterReps(spark, dir).collect()
+    val members = DedupQueries.dedupClusters(spark, dir).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0))).toMap
+    val qual = TextQueries.quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(reps.map(_.getLong(1)).sum == nDocs, "members must partition the corpus")
+    assert(reps.map(_.getLong(0)).toSet == members.keySet)
+    reps.foreach { r =>
+      val ms = members(r.getLong(0))
+      assert(r.getLong(1) == ms.length)
+      val (bestQ, negId) = ms.map(d => (qual(d), -d)).max
+      assert(r.getLong(2) == -negId, s"cluster ${r.getLong(0)} picked wrong rep")
+      assert(r.getDouble(3) == bestQ)
+      assert(ms.contains(r.getLong(2)), "rep must be a member")
+    }
+  }
+
+  test("linear probe covers every vector and matches a driver-side rescore") {
+    val grid = SimilarityQueries.linearProbe(spark, dir).collect()
+    val vecs = Tables.load(spark, dir, "embeddings").collect()
+    assert(grid.map(_.getLong(2)).sum == vecs.length.toLong)
+    // independent brute-force re-score (same weight formula, re-derived)
+    val w = (0 until 4).map { c =>
+      (0 until 64).map(i => (2654435761L * (c * 64 + i + 1)) % 2003 - 1001)
+    }
+    val acc = scala.collection.mutable.Map.empty[(Int, Long), (Long, Long)]
+    vecs.foreach { r =>
+      val em = r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val scores = w.map(ws => ws.zip(em).map { case (a, b) => a * b }.sum)
+      val top = scores.max
+      val pred = scores.indexOf(top).toLong
+      val k = (r.getInt(2), pred)
+      val (n, s) = acc.getOrElse(k, (0L, 0L))
+      acc(k) = (n + 1, s + top)
+    }
+    val got = grid.map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == acc.toMap)
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)

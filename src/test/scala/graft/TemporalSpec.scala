@@ -100,6 +100,64 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(n == Tables.load(spark, dir, "events").count())
   }
 
+  test("cdc compaction keeps exactly the non-tombstone latest row per key") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type", "value", "ts", "event_id").collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    val expected = byUser.flatMap { case (uid, rows) =>
+      val last = rows.maxBy(r => (us(r.getTimestamp(3)), r.getLong(4)))
+      if (last.getString(1) == "error") None
+      else Some(uid -> (last.getDouble(2), last.getLong(4), rows.length.toLong))
+    }
+    val got = TemporalQueries.q50CdcCompact(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
+  test("scd2 versions tile each user's timeline with no overlap and one open version") {
+    val vers = TemporalQueries.q51Scd2(spark, dir).collect()
+    val events = Tables.load(spark, dir, "events").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perUser = vers.groupBy(_.getLong(0))
+    assert(perUser.view.mapValues(_.map(_.getLong(5)).sum).toMap == events)
+    perUser.foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      // dense version ids from 1; exactly one open (is_current) version — the last
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to vs.length).toSeq)
+      assert(sorted.count(_.getBoolean(6)) == 1 && sorted.last.getBoolean(6))
+      // valid_to chains to the next version's valid_from; closed otherwise
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) == b.getTimestamp(3), s"user $uid chain break")
+          // consecutive versions must actually change status
+          assert(a.getString(2) != b.getString(2), s"user $uid uncompressed run")
+        case _ => ()
+      }
+    }
+  }
+
+  test("peak concurrency is attained and never exceeds the interval count per type") {
+    val peaks = TemporalQueries.q52PeakConcurrency(spark, dir).collect()
+    val counts = Tables.load(spark, dir, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(peaks.map(_.getString(0)).toSet == counts.keySet)
+    peaks.foreach { r =>
+      val (tpe, peak, nAt) = (r.getString(0), r.getLong(1), r.getLong(3))
+      assert(peak >= 1 && peak <= counts(tpe), s"$tpe peak out of range")
+      assert(nAt >= 1)
+      // brute-force check: count intervals open at the reported instant
+      val at = r.getTimestamp(2).getTime
+      val open = Tables.load(spark, dir, "events")
+        .filter(org.apache.spark.sql.functions.col("event_type") === tpe)
+        .collect().count { e =>
+          val t0 = e.getTimestamp(1).getTime
+          t0 <= at && at < t0 + 3600000L
+        }
+      assert(open.toLong == peak, s"$tpe concurrency at peak_at")
+    }
+  }
+
   test("ivf ann returns k results and never beats the exact top-1 by construction") {
     val ivf = graft.ext.SimilarityQueries.annIvf(spark, dir).collect()
     assert(ivf.length == 10)
