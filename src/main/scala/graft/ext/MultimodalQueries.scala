@@ -157,9 +157,10 @@ object MultimodalQueries {
     * per-doc profile: frame count, total energy, and the peak frame
     * (ties to the earliest index). Pure integer arithmetic end-to-end,
     * one explode + one per-doc aggregate. */
-  def frameEnergy(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val frames = Tables.load(spark, dir, "documents")
+  /** (doc_id, frame_idx, energy) for every 16-byte frame — shared by the
+    * m8 profile and m9's run detection. */
+  private def framesWithEnergy(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
       .withColumn("n", length(col("text")))
       .where(col("n") > 0)
       .select(col("doc_id"), explode(expr(
@@ -169,6 +170,10 @@ object MultimodalQueries {
         expr("aggregate(transform(sequence(1, length(f.fb)), " +
           "i -> ascii(substr(f.fb, i, 1))), cast(0 as bigint), " +
           "(acc, x) -> acc + cast(x as bigint) * x)").as("energy"))
+
+  def frameEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = framesWithEnergy(spark, dir)
     frames
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -182,7 +187,45 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m9 — quiet-run detection (voice-activity / black-frame trimming, on
+    * the stub energy signal): consecutive frames whose energy sits below
+    * [[QuietThreshold]] form a run; per payload, report how many runs,
+    * the longest one, and where it starts (ties to the earliest start) —
+    * the spans a media-curation pipeline trims or splits on.
+    *
+    * Gaps-and-islands inside the frame stream: quiet frames key by
+    * `frame_idx − row_number()` (constant exactly within a consecutive
+    * run), runs reduce by key, the per-doc summary is `max_by` — the
+    * only per-doc ordering work rides the balanced (doc, frame) window,
+    * payload bytes themselves never shuffle. */
+  val QuietThreshold = 150000L
+  def quietRuns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val en = framesWithEnergy(spark, dir)
+    val runs = en.filter(col("energy") < QuietThreshold)
+      .withColumn("isl", col("frame_idx") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run_len"), min(col("frame_idx")).as("run_start"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("longest_run"),
+        max_by(col("run_start"), struct(col("run_len"), -col("run_start")))
+          .as("longest_start"))
+    en.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("energy") < QuietThreshold, 1L).otherwise(0L))
+          .as("quiet_frames"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("quiet_frames"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        col("longest_start"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_quiet_runs" -> ((s, d) => quietRuns(s, d)),
     "m8_frame_energy" -> ((s, d) => frameEnergy(s, d)),
     "m7_aspect_buckets" -> ((s, d) => aspectBuckets(s, d)),
     "m6_phash" -> ((s, d) => phash(s, d)),
@@ -194,6 +237,42 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m9_quiet_runs" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) i
+         |  FROM documents WHERE length(text) > 0),
+         |fr AS (SELECT doc_id, i frame_idx,
+         |         substr(text, CAST(i * 16 + 1 AS INT), 16) fb
+         |       FROM g),
+         |en AS (SELECT doc_id, frame_idx,
+         |         CAST(list_aggregate(list_transform(range(1, len(fb) + 1),
+         |           j -> ascii(substr(fb, CAST(j AS INT), 1))
+         |                * ascii(substr(fb, CAST(j AS INT), 1))), 'sum') AS BIGINT) energy
+         |       FROM fr),
+         |q AS (SELECT doc_id, frame_idx,
+         |        frame_idx - row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY frame_idx) isl
+         |      FROM en WHERE energy < $QuietThreshold),
+         |runs AS (SELECT doc_id, isl, count(*) run_len, min(frame_idx) run_start
+         |         FROM q GROUP BY 1, 2),
+         |top AS (SELECT doc_id, run_len, run_start FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY run_len DESC, run_start ASC) rn FROM runs)
+         |        WHERE rn = 1),
+         |rs AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_runs FROM runs GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) n_frames,
+         |          CAST(sum(CASE WHEN energy < $QuietThreshold THEN 1 ELSE 0 END)
+         |               AS BIGINT) quiet_frames
+         |        FROM en GROUP BY 1)
+         |SELECT t.doc_id, t.n_frames, t.quiet_frames,
+         |       coalesce(rs.n_runs, 0) AS n_runs,
+         |       CAST(coalesce(top.run_len, 0) AS BIGINT) AS longest_run,
+         |       top.run_start AS longest_start
+         |FROM tot t LEFT JOIN rs ON t.doc_id = rs.doc_id
+         |           LEFT JOIN top ON t.doc_id = top.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
     "m8_frame_energy" ->
       """WITH g AS (
         |  SELECT doc_id, text,

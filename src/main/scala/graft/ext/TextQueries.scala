@@ -355,7 +355,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t12 — BPE merge-candidate mining: the first iteration of byte-pair-
+    * encoding tokenizer training, as a corpus aggregate. Every whitespace
+    * token contributes its adjacent character pairs (the initial symbol
+    * alphabet is single characters); the top candidates by occurrence
+    * count — with the distinct-token reach alongside — are exactly the
+    * merges BPE would perform first. At 100 TB this is one explode + one
+    * combinable count per pair (map-side partial over ≤ ~1k live pair
+    * keys) + a TakeOrdered top-k: no sort of the corpus, no driver loop.
+    * Subsequent BPE rounds re-run the same aggregate over re-segmented
+    * tokens. */
+  val BpeTopK = 20
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("w")).as("n_tokens"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(BpeTopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "t11_repetition" -> ((s, d) => repetition(s, d)),
     "t10_lm_score" -> ((s, d) => lmScore(s, d)),
     "t1_langid" -> ((s, d) => langId(s, d)),
@@ -374,6 +398,17 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t12_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) w FROM documents),
+         |p AS (SELECT w,
+         |        unnest(list_transform(range(1, length(w)),
+         |          i -> substr(w, CAST(i AS INT), 2))) pair
+         |      FROM w WHERE length(w) >= 2)
+         |SELECT pair, count(*) AS n_occurrences,
+         |       count(DISTINCT w) AS n_tokens
+         |FROM p GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair ASC LIMIT $BpeTopK""".stripMargin,
+
     "t11_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
         |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) i

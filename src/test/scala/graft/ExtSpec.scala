@@ -67,6 +67,59 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(got == acc.toMap)
   }
 
+  test("quiet runs match a brute-force byte-level island scan") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = ext.MultimodalQueries.quietRuns(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == docs.filter(_._2.nonEmpty).keySet)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val energies = text.getBytes("UTF-8").grouped(16)
+        .map(_.map(b => { val v = (b & 0xff).toLong; v * v }).sum).toArray
+      val quiet = energies.map(_ < ext.MultimodalQueries.QuietThreshold)
+      assert(r.getLong(1) == energies.length.toLong)
+      assert(r.getLong(2) == quiet.count(identity).toLong)
+      // runs via a sequential scan
+      var runs = List.empty[(Int, Int)] // (start, len)
+      var i = 0
+      while (i < quiet.length) {
+        if (quiet(i)) {
+          val s = i; while (i < quiet.length && quiet(i)) i += 1
+          runs = (s, i - s) :: runs
+        } else i += 1
+      }
+      assert(r.getLong(3) == runs.length.toLong)
+      if (runs.isEmpty) {
+        assert(r.getLong(4) == 0L && r.isNullAt(5))
+      } else {
+        val (bs, bl) = runs.minBy { case (s, l) => (-l, s) }
+        assert(r.getLong(4) == bl.toLong && r.getLong(5) == bs.toLong)
+      }
+    }
+  }
+
+  test("bpe pair mining reproduces a driver-side character-pair count") {
+    val texts = Tables.load(spark, dir, "documents").select("text")
+      .collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, (Long, scala.collection.mutable.Set[String])]
+    texts.foreach { t =>
+      t.toLowerCase.split(" ", -1).filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          val (n, ws) = counts.getOrElseUpdate(p, (0L, scala.collection.mutable.Set.empty))
+          counts(p) = (n + 1, ws += w)
+        }
+      }
+    }
+    val expected = counts.toSeq
+      .map { case (p, (n, ws)) => (p, n, ws.size.toLong) }
+      .sortBy { case (p, n, _) => (-n, p) }
+      .take(ext.TextQueries.BpeTopK)
+    val got = ext.TextQueries.bpePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)
