@@ -150,6 +150,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!h.contains("SortMergeJoin"), h)
   }
 
+  test("cdc compaction is an aggregate, not a window sort") {
+    val p = plan("q50_cdc_compact")
+    // max_by must plan as partial+final ObjectHashAggregate/SortAggregate,
+    // never a per-key WindowExec sort (the row_number formulation).
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Aggregate"), p)
+  }
+
+  test("linear probe scores without any shuffle before the confusion-grid agg") {
+    val p = plan("s12_linear_probe")
+    // scoring is a narrow projection; exchanges = repartition(vec_id) +
+    // the grid agg + the harness sort, never a join.
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("bpe mining plans map-side partials and a bounded top-k") {
+    val p = plan("t12_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("peak concurrency joins its 5-row peak frame by broadcast") {
+    val p = plan("q52_peak_concurrency")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the sweep itself must not fall back to a skewed per-type window:
+    // RankOps materializes via RDD, so no WindowExec may appear at all.
+    assert(!p.contains("Window"), p)
+  }
+
   test("mixture audit aggregates map-side before its single shuffle") {
     val p = plan("p5_mixture")
     // Partial + final HashAggregate around one hash shuffle; the keep
