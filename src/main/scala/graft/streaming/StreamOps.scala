@@ -14,6 +14,13 @@ case class CustomerRunning(customer: String, n_events: Long, total_score: Double
   * exceeds twice the customer's prior running mean. */
 case class RiskAlert(customer: String, score: Double, prior_mean: Double)
 
+/** One observation of a user's value series, the streaming input to
+  * [[StreamOps.ewmaStream]] (vm = value in micro-units, the q49 grid). */
+case class EwmaPoint(user_id: Long, ts: java.sql.Timestamp, event_id: Long, vm: Long)
+
+/** Running EWMA state emitted by [[StreamOps.ewmaStream]] per key per batch. */
+case class EwmaRunning(user_id: Long, n_events: Long, ewma_micro: Long)
+
 /** Stateful streaming operators the reference lacks (SURVEY §2.8): event-time
   * windows, watermarked dedup, and arbitrary keyed state. These are the
   * bounded-state building blocks for running the stedi pipelines at scale —
@@ -105,6 +112,31 @@ object StreamOps {
           }
           state.update((n, s))
           alerts.iterator
+      }
+  }
+
+  /** Streaming EWMA (α = 0.15): the unbounded-history form of the batch
+    * q49 smoother, exactly as its docstring promises — state per key is
+    * ONE micro-unit BIGINT (plus a count), updated with the identical
+    * integer recurrence `e' = (15·x + 85·e) div 100`, so a batch replay
+    * and the stream agree bit-for-bit on any partitioning (all inputs are
+    * positive, so truncating and floor division coincide). Within a
+    * micro-batch events sort by (ts, event_id); across batches the
+    * recurrence folds in arrival order, which equals event order for an
+    * in-order source (pair with dropDuplicates/watermarking upstream for
+    * at-least-once topics). */
+  def ewmaStream(spark: SparkSession, pts: Dataset[EwmaPoint]): Dataset[EwmaRunning] = {
+    import spark.implicits._
+    pts.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, events: Iterator[EwmaPoint], state: GroupState[(Long, Long)]) =>
+          var (n, e) = state.getOption.getOrElse((0L, 0L))
+          events.toSeq.sortBy(p => (p.ts.getTime, p.event_id)).foreach { p =>
+            e = if (n == 0) p.vm else (15 * p.vm + 85 * e) / 100
+            n += 1
+          }
+          state.update((n, e))
+          EwmaRunning(uid, n, e)
       }
   }
 

@@ -201,6 +201,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ewma replays the batch q49 recurrence bit-for-bit across batches") {
+    import graft.streaming.EwmaPoint
+    val dir = "/root/testdata/sf0.001"
+    val pts = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "ts", "event_id",
+        "cast(round(value * 1000000.0D, 0) as bigint) as vm")
+      .as[EwmaPoint].collect().toSeq
+    // split into two micro-batches on a global time cutoff so per-user
+    // arrival order equals event order (the operator's in-order contract)
+    val cutoff = pts.map(_.ts.getTime).sorted.apply(pts.length / 2)
+    val (early, late) = pts.partition(_.ts.getTime < cutoff)
+    val input = MemoryStream[EwmaPoint]
+    val q = StreamOps.ewmaStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("ewma_stream").outputMode("update").start()
+    try {
+      input.addData(early); q.processAllAvailable()
+      input.addData(late); q.processAllAvailable()
+      val last = spark.table("ewma_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      // driver-side exact fold = the q49 integer recurrence
+      val expected = pts.groupBy(_.user_id).map { case (uid, ps) =>
+        val sorted = ps.sortBy(p => (p.ts.getTime, p.event_id)).map(_.vm)
+        uid -> (ps.length.toLong,
+          sorted.tail.foldLeft(sorted.head)((e, x) => (15 * x + 85 * e) / 100))
+      }
+      assert(last.map { case (k, (_, n, e)) => k -> (n, e) } == expected)
+      // and the batch q49 agrees with the streamed micro value after rounding
+      val batch = graft.queries.TemporalQueries.q49Ewma(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      expected.foreach { case (uid, (n, micro)) =>
+        val (bn, bewma) = batch(uid)
+        assert(bn == n)
+        assert(math.abs(bewma - micro.toDouble / 1e6) < 1e-6)
+      }
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val input = MemoryStream[String]
     val q = StreamOps.runningRiskTotals(spark, parsed(input))
