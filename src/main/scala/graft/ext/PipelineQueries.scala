@@ -328,7 +328,34 @@ object PipelineQueries {
         col("epoch").cast("long").as("epoch"), col("shuffle_key"))
       .orderBy("doc_id", "epoch")
 
+  /** p12 — packed-shard boundary manifest: for every p2 shard, the
+    * in-order list of `doc_id@offset` boundaries — the attention-reset /
+    * loss-mask metadata a packed-sequence trainer loads next to the
+    * token file (without it, cross-document attention leaks). Offsets
+    * are each doc's start position inside its shard (`tok_before mod
+    * budget`), derived from the same RankOps distributed prefix sum as
+    * p2 — one extra aggregate, no new shuffle shape; the boundary string
+    * is collect_list + array_sort (per-shard doc counts are bounded by
+    * budget/min-doc-len, so the per-group state is small by
+    * construction). */
+  def packBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val t = Tables.load(spark, dir, "documents")
+      .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
+    graft.ops.RankOps.withGlobalPrefixSum(t, par, "tok_before", col("n_toks"), col("doc_id"))
+      .withColumn("shard", (col("tok_before") / PackBudget).cast("long"))
+      .withColumn("off", col("tok_before") - col("shard") * PackBudget)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(doc_id, off))), " +
+          "s -> concat(s.doc_id, '@', s.off)), ' ')").as("boundaries"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_pack_boundaries" -> ((s, d) => packBoundaries(s, d)),
     "p11_epochs" -> ((s, d) => epochSchedule(s, d)),
     "p10_reservoir" -> ((s, d) => reservoirSample(s, d)),
     "p8_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -343,6 +370,23 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_pack_boundaries" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split(lower(text), ' ')) AS BIGINT) n_toks
+         |           FROM documents),
+         |r AS (SELECT doc_id, n_toks,
+         |        coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
+         |      FROM t),
+         |s AS (SELECT doc_id, n_toks,
+         |        CAST(tok_before // $PackBudget AS BIGINT) shard,
+         |        tok_before - (tok_before // $PackBudget) * $PackBudget AS off
+         |      FROM r)
+         |SELECT shard, count(*) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       string_agg(doc_id || '@' || off, ' ' ORDER BY doc_id) AS boundaries
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     "p11_epochs" ->
       """WITH d AS (
         |  SELECT doc_id, source,

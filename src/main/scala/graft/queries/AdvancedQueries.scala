@@ -331,7 +331,30 @@ object AdvancedQueries {
       .orderBy("bin")
   }
 
+  /** q53 — top-k with remainder rollup (the reporting classic: "top 2
+    * customers per nation, everyone else as OTHER"): rank within group,
+    * relabel ranks ≤ k, and aggregate — the long tail collapses into one
+    * row per group instead of being dropped, so totals still reconcile.
+    * Balance totals sum as exact cents (BIGINT) before the final
+    * divide — no float accumulation order in the oracle hash. The rank
+    * window is per-nation (balanced groups); at corpus scale a skewed
+    * group key would route through RankOps.withGroupRank instead. */
+  def q53TopkOther(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.load(spark, dir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("grp",
+        when(col("rk") <= 2, concat(lit("top"), col("rk"))).otherwise(lit("other")))
+      .withColumn("cents", expr("cast(round(c_acctbal * 100.0D, 0) as bigint)"))
+      .groupBy(col("c_nationkey"), col("grp"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("cents")).cast("double") / lit(100.0), 2).as("total_bal"))
+      .orderBy("c_nationkey", "grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_topk_other" -> ((s, d) => q53TopkOther(s, d)),
     "q47_histogram" -> ((s, d) => q47Histogram(s, d)),
     "q43_running_distinct" -> ((s, d) => q43RunningDistinct(s, d)),
     "q44_filter_agg" -> ((s, d) => q44FilterAgg(s, d)),
@@ -357,6 +380,21 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_topk_other" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |         CAST(round(c_acctbal * 100.0, 0) AS BIGINT) cents,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey ASC) rk
+        |  FROM customer),
+        |g AS (SELECT c_nationkey,
+        |        CASE WHEN rk <= 2 THEN 'top' || rk ELSE 'other' END grp,
+        |        cents
+        |      FROM r)
+        |SELECT c_nationkey, grp, count(*) AS n_customers,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_bal
+        |FROM g GROUP BY 1, 2 ORDER BY c_nationkey, grp""".stripMargin,
+
     "q47_histogram" ->
       s"""WITH s AS (SELECT min(value) vmin, max(value) vmax FROM events),
          |b AS (SELECT least(floor((value - vmin) * $HistBins / (vmax - vmin)),

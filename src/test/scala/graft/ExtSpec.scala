@@ -120,6 +120,32 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(got == expected)
   }
 
+  test("pack boundaries agree with p2 shards and stay inside the budget") {
+    val bounds = ext.PipelineQueries.packBoundaries(spark, dir).collect()
+    val packed = ext.PipelineQueries.tokenPacking(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))) // doc -> (n_toks, shard)
+    // every doc appears in exactly one shard's boundary list, at an offset
+    // inside the budget, and shards agree with p2's assignment
+    val seen = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    bounds.foreach { r =>
+      val shard = r.getLong(0)
+      val entries = r.getString(3).split(" ").map { e =>
+        val Array(d, o) = e.split("@"); (d.toLong, o.toLong)
+      }
+      assert(entries.length.toLong == r.getLong(1))
+      assert(entries.map(_._1).toSeq == entries.map(_._1).sorted.toSeq)
+      entries.foreach { case (d, o) =>
+        assert(o >= 0 && o < ext.PipelineQueries.PackBudget)
+        assert(!seen.contains(d)); seen(d) = (shard, o)
+      }
+      // offsets within a shard strictly increase with doc order
+      assert(entries.map(_._2).toSeq == entries.map(_._2).sorted.toSeq)
+    }
+    assert(seen.keySet == packed.map(_._1).toSet)
+    packed.foreach { case (d, (_, shard)) => assert(seen(d)._1 == shard) }
+    assert(bounds.map(_.getLong(2)).sum == packed.map(_._2._1).sum)
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)
