@@ -50,8 +50,16 @@ object RankOps {
       .sortWithinPartitions(sortCols: _*)
     val vIdx = sorted.schema.fieldIndex("__v")
     // ONE RDD: its RangePartitioner (and thus the pid→key-range map) is
-    // constructed exactly once and shared by both jobs below.
+    // constructed exactly once and shared by both jobs below. Persisted,
+    // because the totals job and the output job would otherwise EACH pay
+    // the scan + range shuffle + sort; with the blocks cached the second
+    // job is a pure streaming pass. No explicit unpersist: the blocks are
+    // owned by this one returned frame, and ContextCleaner drops them
+    // when the RDD is garbage-collected (the standard lifecycle for
+    // per-query caching — an eager release hook here would have to
+    // outlive the lazy output job, which callers control, not us).
     val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = rdd
       .mapPartitions(it => Iterator(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
       .collect()
