@@ -378,7 +378,22 @@ object TextQueries {
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(BpeTopK)
 
+  /** t13 — positional shingle stream via the native table-generating
+    * function [[graft.functions.ShingleExplode]] (the UDTF category,
+    * SURVEY §2.8): one text row in, `(pos, shingle)` rows out, streamed
+    * by GenerateExec without materializing the per-doc shingle array the
+    * HOF formulation allocates. The oracle reproduces the rows with
+    * DuckDB's unnest, so the custom generator's semantics (lowercase,
+    * empty-token-preserving split, n = 3) are differentially pinned. */
+  def shingleStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),
     "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "t11_repetition" -> ((s, d) => repetition(s, d)),
     "t10_lm_score" -> ((s, d) => lmScore(s, d)),
@@ -398,6 +413,14 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t13_shingle_udtf" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i
+        |      FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+        |FROM s ORDER BY doc_id, pos""".stripMargin,
+
     "t12_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) w FROM documents),
          |p AS (SELECT w,

@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       exprs => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_explode"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
+      exprs => ShingleExplode(exprs(0), exprs(1))))
   }
 }

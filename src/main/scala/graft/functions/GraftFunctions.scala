@@ -20,6 +20,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_pairs", exprs => TopKPairs(exprs(0), exprs(1), literalK(exprs(2))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_explode", exprs => ShingleExplode(exprs(0), exprs(1)), "built-in")
   }
 
   /** `k` must fold to an integral constant (INT or BIGINT both accepted —

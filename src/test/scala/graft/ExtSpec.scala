@@ -146,6 +146,29 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(bounds.map(_.getLong(2)).sum == packed.map(_._2._1).sum)
   }
 
+  test("shingle_explode generator matches the HOF formulation and handles edge rows") {
+    import org.apache.spark.sql.functions.{col, lower, size, split}
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+    val gen = docs.selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val hof = docs
+      .withColumn("tk", split(lower(col("text")), " "))
+      .where(size(col("tk")) >= 3)
+      .selectExpr("doc_id",
+        "posexplode(transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS (pos, shingle)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gen == hof && gen.nonEmpty)
+    // null text and too-short docs emit nothing; exact positions otherwise
+    import spark.implicits._
+    val edge = Seq((1L, "one two"), (2L, null.asInstanceOf[String]), (3L, "A b c d"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(edge == Seq((3L, 0, "a b c"), (3L, 1, "b c d")))
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)
