@@ -47,6 +47,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(top.toSeq == Seq(30L, 10L))
   }
 
+  test("sketch aggregates track their exact counterparts within tolerance") {
+    // The documented scale path when exactness can be traded (q23's
+    // docstring, t6's KMV): Spark's own HLL++ and quantile sketches.
+    // Not oracle-comparable (sketch internals differ per engine), so the
+    // contract is pinned here instead: bounded relative error vs exact.
+    val dir = "/root/testdata/sf0.01"
+    val ev = Tables.load(spark, dir, "events")
+    val (approxU, exactU) = ev.agg(
+      approx_count_distinct(col("user_id")).as("a"),
+      countDistinct(col("user_id")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(math.abs(approxU - exactU).toDouble / exactU < 0.05,
+      s"HLL++ estimate $approxU vs exact $exactU")
+    val row = ev.agg(
+      expr("approx_percentile(value, 0.5D, 1000)").as("a"),
+      expr("percentile(value, 0.5D)").as("e")).collect().head
+    val (approxM, exactM) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approxM - exactM) / exactM < 0.1,
+      s"approx p50 $approxM vs exact $exactM")
+  }
+
   test("sorted_intersect_count handles empty and disjoint arrays") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
