@@ -774,7 +774,42 @@ object DedupQueries {
       .orderBy("cluster_root")
   }
 
+  /** d14 — triangle census of the near-dup graph: triangle count, wedge
+    * (length-2 path) count, and the global clustering coefficient
+    * 3T/W — the motif statistics that distinguish "chains of borderline
+    * matches" (low coefficient → transitive-closure clustering is
+    * risky) from "dense clone families" (high coefficient → components
+    * are safe to collapse). Published alongside d10's recall as index
+    * health metrics.
+    *
+    * The classic distributed triangle algorithm: edges oriented low→high
+    * doc_id, so each triangle {a<b<c} is counted exactly once by joining
+    * (a,b)⋈(b,c) wedges against the closing (a,c) edge — two equi-joins
+    * over the cached verified pair set, no node ever enumerates its
+    * whole neighborhood. Wedges come from the degree frame in exact
+    * integer arithmetic. */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val e = lshPairsRaw(spark, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_nodes"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles") * lit(3.0) / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
     "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
     "d11_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
@@ -791,6 +826,34 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d14_triangles" ->
+      s"""WITH $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |${duckVerifiedCte("cand", "prs")},
+         |tri AS (SELECT count(*) t
+         |        FROM prs e1 JOIN prs e2 ON e1.doc_b = e2.doc_a
+         |             JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |deg AS (SELECT n, count(*) deg FROM (
+         |          SELECT doc_a n FROM prs UNION ALL SELECT doc_b FROM prs)
+         |        GROUP BY n),
+         |w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) n_wedges,
+         |             count(*) n_nodes
+         |      FROM deg),
+         |em AS (SELECT count(*) n_edges FROM prs)
+         |SELECT em.n_edges, w.n_nodes, w.n_wedges,
+         |       CAST(tri.t AS BIGINT) AS n_triangles,
+         |       CASE WHEN w.n_wedges > 0
+         |            THEN round(tri.t * 3.0 / w.n_wedges, 6)
+         |            ELSE 0.0 END AS clustering_coeff
+         |FROM em, w, tri""".stripMargin,
+
     // Same component construction as d8; the representative pick is the
     // independent ROW_NUMBER formulation (vs Spark's max_by aggregate).
     "d13_cluster_reps" ->

@@ -353,7 +353,29 @@ object AdvancedQueries {
       .orderBy("c_nationkey", "grp")
   }
 
+  /** q54 — winsorized robust statistics: clamp each nation's balances to
+    * its own [p05, p95] band before averaging — the outlier-taming step a
+    * feature pipeline applies before normalization (and the difference
+    * raw_mean − wins_mean IS the outlier-influence diagnostic). The
+    * percentile frame is one row per nation → broadcast back onto the
+    * fact scan; exact interpolated percentiles share q23's cross-engine
+    * definition. */
+  def q54Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val pct = c.groupBy(col("c_nationkey")).agg(
+      expr("percentile(c_acctbal, 0.05D)").as("p05"),
+      expr("percentile(c_acctbal, 0.95D)").as("p95"))
+    c.join(broadcast(pct), Seq("c_nationkey"))
+      .withColumn("w", least(greatest(col("c_acctbal"), col("p05")), col("p95")))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("c_acctbal")), 6).as("raw_mean"),
+        round(avg(col("w")), 6).as("wins_mean"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_winsorize" -> ((s, d) => q54Winsorize(s, d)),
     "q53_topk_other" -> ((s, d) => q53TopkOther(s, d)),
     "q47_histogram" -> ((s, d) => q47Histogram(s, d)),
     "q43_running_distinct" -> ((s, d) => q43RunningDistinct(s, d)),
@@ -380,6 +402,18 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_winsorize" ->
+      """WITH p AS (
+        |  SELECT c_nationkey,
+        |         quantile_cont(c_acctbal, 0.05) p05,
+        |         quantile_cont(c_acctbal, 0.95) p95
+        |  FROM customer GROUP BY 1)
+        |SELECT c.c_nationkey, count(*) AS n,
+        |       round(avg(c_acctbal), 6) AS raw_mean,
+        |       round(avg(least(greatest(c_acctbal, p05), p95)), 6) AS wins_mean
+        |FROM customer c JOIN p USING (c_nationkey)
+        |GROUP BY c.c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "q53_topk_other" ->
       """WITH r AS (
         |  SELECT c_nationkey, c_acctbal,

@@ -169,6 +169,25 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(edge == Seq((3L, 0, "a b c"), (3L, 1, "b c d")))
   }
 
+  test("triangle census matches a brute-force motif count over the pair graph") {
+    val pairs = DedupQueries.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = DedupQueries.triangleCensus(spark, dir).collect().head
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2))
+    val wedges = nodes.toSeq
+      .map(n => pairs.count(p => p._1 == n || p._2 == n))
+      .map(d => d.toLong * (d - 1) / 2).sum
+    val ns = nodes.toSeq.sorted
+    val tris = (for {
+      a <- ns; b <- ns if a < b && pairs((a, b))
+      c <- ns if b < c && pairs((b, c)) && pairs((a, c))
+    } yield 1L).sum
+    assert(row.getLong(0) == pairs.size.toLong)
+    assert(row.getLong(1) == nodes.size.toLong)
+    assert(row.getLong(2) == wedges)
+    assert(row.getLong(3) == tris)
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)
