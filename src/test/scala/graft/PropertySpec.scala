@@ -8,6 +8,28 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Property-based checks (SURVEY §5.3): ScalaCheck generators produce the
   * corpus, one Spark job per property verifies it over every sample. */
 class PropertySpec extends AnyFunSuite with SparkSuite {
+
+  test("oracle-facing results are invariant to the shuffle partition count") {
+    // The determinism contract behind every oracle hash (and behind
+    // re-running a failed stage at 100 TB): identical rows whether the
+    // plan shuffles into 32 partitions or 3. Exercises the queries whose
+    // arithmetic COULD leak accumulation order if the integer-math
+    // discipline slipped: the EWMA fold, CDC max_by, the RankOps sweep,
+    // the linear probe's confusion grid, the correlation moments.
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("q49_ewma", "q50_cdc_compact", "q52_peak_concurrency",
+      "s12_linear_probe", "q45_series_corr", "p2_token_packing")
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = names.map(n => n -> run(n)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      names.foreach { n =>
+        assert(run(n) == base(n), s"$n not partitioning-invariant")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
   import spark.implicits._
 
   private def sample[A](g: Gen[List[A]]): List[A] =
