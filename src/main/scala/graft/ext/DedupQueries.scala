@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the LLM-pipeline
@@ -808,7 +809,53 @@ object DedupQueries {
           .otherwise(lit(0.0)).as("clustering_coeff"))
   }
 
+  /** d15 — duplicated-span extraction (the exact-substring dedup shape:
+    * near-dup pair/cluster removal still leaves verbatim boilerplate
+    * REGIONS inside otherwise-unique documents — this finds the regions).
+    * A 3-gram is "duplicated" when it occurs more than once corpus-wide
+    * (across documents or repeated within one); consecutive duplicated
+    * positions inside a document merge into maximal spans, and each doc
+    * reports its span count, duplicated-shingle load, and longest span
+    * in tokens (span of k consecutive shingles covers k+2 tokens).
+    *
+    * Plan: positional shingles stream out of the native
+    * [[graft.functions.ShingleExplode]] generator, the multiplicity
+    * table is one combinable count per distinct shingle, and the
+    * shuffled equi-join back is the standard big-big shape (AQE picks
+    * the strategy; at corpus scale the count table is bucketed or
+    * bloom-pruned). Span merging is m9's gaps-and-islands on the
+    * (doc, pos)-balanced window. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
+    val dupShingles = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+    val dup = sh.join(dupShingles, Seq("shingle"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val runs = dup
+      .withColumn("isl", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run_len"), min(col("pos")).as("run_start"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("run_len")).as("n_dup"),
+        (max(col("run_len")) + lit(2L)).as("longest_span_toks"),
+        max_by(col("run_start"), struct(col("run_len"), -col("run_start")))
+          .as("longest_start"))
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest_span_toks"), lit(0L)).as("longest_span_toks"),
+        col("longest_start"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
     "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
@@ -826,6 +873,36 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d15_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i
+        |      FROM t WHERE len(tk) >= 3),
+        |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+        |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] shingle
+        |       FROM s),
+        |c AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+        |dup AS (SELECT sh.doc_id, sh.pos FROM sh JOIN c USING (shingle)),
+        |q AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl
+        |      FROM dup),
+        |runs AS (SELECT doc_id, isl, count(*) run_len, min(pos) run_start
+        |         FROM q GROUP BY 1, 2),
+        |top AS (SELECT doc_id, run_len, run_start FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY run_len DESC, run_start ASC) rn FROM runs)
+        |        WHERE rn = 1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_spans,
+        |          CAST(sum(run_len) AS BIGINT) n_dup
+        |        FROM runs GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(agg.n_dup, 0) AS n_dup,
+        |       coalesce(agg.n_spans, 0) AS n_spans,
+        |       CAST(coalesce(top.run_len + 2, 0) AS BIGINT) AS longest_span_toks,
+        |       top.run_start AS longest_start
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |     LEFT JOIN top ON d.doc_id = top.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "d14_triangles" ->
       s"""WITH $duckShingled,
          |$duckMinhashed,
