@@ -374,7 +374,32 @@ object AdvancedQueries {
       .orderBy("c_nationkey")
   }
 
+  /** q55 — exact global median by distributed selection: the two middle
+    * order statistics come from a RankOps global rank (range partition +
+    * per-partition ranks + broadcast offsets) and an `isin` filter — the
+    * whole relation is never sorted into one task and never aggregated
+    * into one `percentile` buffer (Spark's exact percentile collects
+    * every value into a single aggregation state — the thing that
+    * doesn't exist at 100 TB). Interpolation at 0.5 is the mean of the
+    * two middle elements, matching `quantile_cont`. The rank's sort key
+    * carries (orderkey, linenumber) tiebreaks for a total order; ranks
+    * of duplicated values differ but their VALUES agree, so the median
+    * is well-defined. */
+  def q55ExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+    val n = base.count()
+    val par = spark.sparkContext.defaultParallelism
+    graft.ops.RankOps
+      .withGlobalRank(base, par, "rk",
+        col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .filter(col("rk").isin((n - 1) / 2, n / 2))
+      .agg(round(avg(col("v")), 6).as("median"))
+      .select(lit(n).as("n"), col("median"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_exact_median" -> ((s, d) => q55ExactMedian(s, d)),
     "q54_winsorize" -> ((s, d) => q54Winsorize(s, d)),
     "q53_topk_other" -> ((s, d) => q53TopkOther(s, d)),
     "q47_histogram" -> ((s, d) => q47Histogram(s, d)),
@@ -402,6 +427,13 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: interpolated quantile_cont vs the
+    // selection-based two-order-statistics construction.
+    "q55_exact_median" ->
+      """SELECT count(*) AS n,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS median
+        |FROM lineitem""".stripMargin,
+
     "q54_winsorize" ->
       """WITH p AS (
         |  SELECT c_nationkey,
