@@ -755,10 +755,12 @@ object DedupQueries {
     * set a near-dup pipeline actually ships is this frame, not the raw
     * cluster labels.
     *
-    * One broadcast join of the (small) label frame against the per-doc
-    * quality projection, then a single `max_by` aggregate per component —
-    * no window sort, no per-cluster subquery. rep_quality is
-    * `max(quality_score)` (the argmax's own score by construction). */
+    * The label frame is one row per DOCUMENT (d8 tiles the corpus), so
+    * this is a corpus×corpus equi-join on doc_id — the standard shuffled
+    * hash/sort-merge shape, deliberately NOT broadcast — followed by a
+    * single `max_by` aggregate per component: no window sort, no
+    * per-cluster subquery. rep_quality is `max(quality_score)` (the
+    * argmax's own score by construction). */
   def clusterReps(spark: SparkSession, dir: String): DataFrame = {
     val clusters = dedupClusters(spark, dir)
     val qual = graft.ext.TextQueries.qualityOf(
@@ -826,9 +828,10 @@ object DedupQueries {
     * bloom-pruned). Span merging is m9's gaps-and-islands on the
     * (doc, pos)-balanced window. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val sh = Tables.load(spark, dir, "documents")
-      .selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
+    // the cached positional shingle stream (t13's artifact): the
+    // multiplicity aggregate and the join probe both scan it, so the
+    // generator runs once per (session, dir), not twice per query.
+    val sh = graft.ext.TextQueries.posShingles(spark, dir)
     val dupShingles = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
     val dup = sh.join(dupShingles, Seq("shingle"))

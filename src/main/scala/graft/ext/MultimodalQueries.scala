@@ -201,26 +201,31 @@ object MultimodalQueries {
   val QuietThreshold = 150000L
   def quietRuns(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val en = framesWithEnergy(spark, dir)
-    val runs = en.filter(col("energy") < QuietThreshold)
-      .withColumn("isl", col("frame_idx") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)))
+    // ONE tree, not a totals-subtree joined to a runs-subtree (that shape
+    // re-executes the whole per-byte energy fold): every frame flows
+    // through one window pass; quiet frames get an island key
+    // (frame_idx − running quiet count, constant within a consecutive
+    // run), loud frames share the NULL island. The (doc, isl) rollup
+    // then carries both the run structure (non-null islands) and the
+    // totals (all islands) into one final per-doc aggregate.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    framesWithEnergy(spark, dir)
+      .withColumn("quiet", col("energy") < QuietThreshold)
+      .withColumn("isl", when(col("quiet"),
+        col("frame_idx") - sum(when(col("quiet"), 1L).otherwise(0L)).over(w)))
       .groupBy(col("doc_id"), col("isl"))
-      .agg(count(lit(1)).as("run_len"), min(col("frame_idx")).as("run_start"))
-    val perDoc = runs.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_runs"),
-        max(col("run_len")).as("longest_run"),
-        max_by(col("run_start"), struct(col("run_len"), -col("run_start")))
-          .as("longest_start"))
-    en.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("energy") < QuietThreshold, 1L).otherwise(0L))
-          .as("quiet_frames"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_frames"), col("quiet_frames"),
-        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
-        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
-        col("longest_start"))
+      .agg(count(lit(1)).as("cnt"), min(col("frame_idx")).as("run_start"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_frames"),
+        sum(when(col("isl").isNotNull, col("cnt")).otherwise(0L)).as("quiet_frames"),
+        count(col("isl")).as("n_runs"),
+        coalesce(max(when(col("isl").isNotNull, col("cnt"))), lit(0L))
+          .as("longest_run"),
+        max_by(when(col("isl").isNotNull, col("run_start")),
+          struct(coalesce(when(col("isl").isNotNull, col("cnt")), lit(-1L)),
+            -col("run_start"))).as("longest_start"))
       .orderBy("doc_id")
   }
 

@@ -118,13 +118,34 @@ object TextQueries {
   private val bgCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def clearCaches(): Unit = Seq(tfCache, bgCache).foreach(c =>
+  /** The positional shingle stream `(doc_id, pos, shingle)` out of the
+    * native [[graft.functions.ShingleExplode]] generator — t13 exposes
+    * it, d15's multiplicity table and join probe both scan it; cached so
+    * neither query runs the generator twice. */
+  private val posShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearCaches(): Unit = Seq(tfCache, bgCache, posShingleCache).foreach(c =>
     c.keys.foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
 
-  private def termFreq(spark: SparkSession, dir: String): DataFrame = {
-    Seq(tfCache, bgCache).foreach(c =>
+  /** Cached positional shingles (see [[posShingleCache]]). */
+  def posShingles(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    posShingleCache.getOrElseUpdate((spark, dir), {
+      graft.functions.GraftFunctions.register(spark)
+      Tables.load(spark, dir, "documents")
+        .selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
+        .localCheckpoint()
+    })
+  }
+
+  private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
+    Seq(tfCache, bgCache, posShingleCache).foreach(c =>
       c.keys.filter(k => k._1 == spark && k._2 != dir)
         .foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
+
+  private def termFreq(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
     tfCache.getOrElseUpdate((spark, dir), {
       docs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -385,12 +406,8 @@ object TextQueries {
     * HOF formulation allocates. The oracle reproduces the rows with
     * DuckDB's unnest, so the custom generator's semantics (lowercase,
     * empty-token-preserving split, n = 3) are differentially pinned. */
-  def shingleStream(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.load(spark, dir, "documents")
-      .selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
-      .orderBy("doc_id", "pos")
-  }
+  def shingleStream(spark: SparkSession, dir: String): DataFrame =
+    posShingles(spark, dir).orderBy("doc_id", "pos")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),

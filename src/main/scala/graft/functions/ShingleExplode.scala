@@ -37,15 +37,21 @@ case class ShingleExplode(text: Expression, n: Expression)
         .contains(n.dataType))
       TypeCheckResult.TypeCheckFailure(
         "shingle_explode expects a constant integral shingle width")
+    else if (kRaw < 1 || kRaw > 1024)
+      // reject rather than wrap: a BIGINT width like 2^32+3 would
+      // otherwise silently truncate to 3 via toInt
+      TypeCheckResult.TypeCheckFailure(
+        s"shingle_explode width must be in [1, 1024], got $kRaw")
     else TypeCheckResult.TypeCheckSuccess
 
-  private lazy val k: Int = n.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case s: Short => s.toInt
-    case b: Byte => b.toInt
-    case _ => -1
+  private lazy val kRaw: Long = n.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case _ => -1L
   }
+  private lazy val k: Int = kRaw.toInt
 
   override def elementSchema: StructType =
     new StructType()

@@ -33,6 +33,24 @@ import org.apache.spark.sql.types.LongType
   */
 object RankOps {
 
+  /** The last few range-sorted RDDs, kept cached for their second job.
+    * Bounded: a long session running many prefix-sum queries back-to-back
+    * must not accumulate a corpus-sized block set per call until driver
+    * GC gets around to ContextCleaner. Evicting early is always SAFE —
+    * `persist` (unlike localCheckpoint) keeps lineage, so a late
+    * re-execution of an evicted frame just recomputes. 8 entries covers
+    * the deepest composition in the suite (two RankOps per query) with
+    * headroom. */
+  private val MaxPersisted = 8
+  private val persisted = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[Row]]
+  private def persistBounded(rdd: org.apache.spark.rdd.RDD[Row]) = synchronized {
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.addLast(rdd)
+    while (persisted.size > MaxPersisted)
+      persisted.removeFirst().unpersist(blocking = false)
+    rdd
+  }
+
   /** Append 0-based global rank under `sortCols` as column `rankCol`. */
   def withGlobalRank(df: DataFrame, numPartitions: Int, rankCol: String,
       sortCols: Column*): DataFrame =
@@ -53,13 +71,8 @@ object RankOps {
     // constructed exactly once and shared by both jobs below. Persisted,
     // because the totals job and the output job would otherwise EACH pay
     // the scan + range shuffle + sort; with the blocks cached the second
-    // job is a pure streaming pass. No explicit unpersist: the blocks are
-    // owned by this one returned frame, and ContextCleaner drops them
-    // when the RDD is garbage-collected (the standard lifecycle for
-    // per-query caching — an eager release hook here would have to
-    // outlive the lazy output job, which callers control, not us).
-    val rdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // job is a pure streaming pass.
+    val rdd = persistBounded(sorted.rdd)
     val totals = rdd
       .mapPartitions(it => Iterator(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
       .collect()

@@ -359,18 +359,33 @@ object AdvancedQueries {
     * raw_mean − wins_mean IS the outlier-influence diagnostic). The
     * percentile frame is one row per nation → broadcast back onto the
     * fact scan; exact interpolated percentiles share q23's cross-engine
-    * definition. */
+    * definition.
+    *
+    * Means accumulate AND divide as micro-unit BIGINTs: the clamped
+    * per-row value is an identical double on both engines (same
+    * percentile, same least/greatest), so `round(v·1e6)` is an identical
+    * integer, the integer sum is order-free, and the mean is the exact
+    * floor division `sum div n` — no floating round at all. Two real
+    * failures forced this: a double `avg` differed by summation order,
+    * and after fixing that, nation 17's mean landed EXACTLY on a …1875
+    * true half, where Spark's decimal-string `round` and DuckDB's
+    * numeric `round` disagree by one ulp of intent. Integer emission has
+    * no such edge. */
   def q54Winsorize(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
     val pct = c.groupBy(col("c_nationkey")).agg(
       expr("percentile(c_acctbal, 0.05D)").as("p05"),
       expr("percentile(c_acctbal, 0.95D)").as("p95"))
     c.join(broadcast(pct), Seq("c_nationkey"))
-      .withColumn("w", least(greatest(col("c_acctbal"), col("p05")), col("p95")))
+      .withColumn("rawm", expr("cast(round(c_acctbal * 1000000.0D, 0) as bigint)"))
+      .withColumn("wm", expr(
+        "cast(round(least(greatest(c_acctbal, p05), p95) * 1000000.0D, 0) as bigint)"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("c_acctbal")), 6).as("raw_mean"),
-        round(avg(col("w")), 6).as("wins_mean"))
+        sum(col("rawm")).as("sraw"), sum(col("wm")).as("sw"))
+      .select(col("c_nationkey"), col("n"),
+        expr("sraw div n").as("raw_mean_micro"),
+        expr("sw div n").as("wins_mean_micro"))
       .orderBy("c_nationkey")
   }
 
@@ -388,11 +403,13 @@ object AdvancedQueries {
   def q55ExactMedian(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "lineitem")
       .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
-    val n = base.count()
     val par = spark.sparkContext.defaultParallelism
-    graft.ops.RankOps
-      .withGlobalRank(base, par, "rk",
-        col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val ranked = graft.ops.RankOps.withGlobalRank(base, par, "rk",
+      col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    // n from the ranked frame itself — a streaming pass over the blocks
+    // RankOps just persisted, not a second scan of the fact table.
+    val n = ranked.agg(max(col("rk"))).first().getLong(0) + 1
+    ranked
       .filter(col("rk").isin((n - 1) / 2, n / 2))
       .agg(round(avg(col("v")), 6).as("median"))
       .select(lit(n).as("n"), col("median"))
@@ -439,12 +456,17 @@ object AdvancedQueries {
         |  SELECT c_nationkey,
         |         quantile_cont(c_acctbal, 0.05) p05,
         |         quantile_cont(c_acctbal, 0.95) p95
-        |  FROM customer GROUP BY 1)
-        |SELECT c.c_nationkey, count(*) AS n,
-        |       round(avg(c_acctbal), 6) AS raw_mean,
-        |       round(avg(least(greatest(c_acctbal, p05), p95)), 6) AS wins_mean
-        |FROM customer c JOIN p USING (c_nationkey)
-        |GROUP BY c.c_nationkey ORDER BY c_nationkey""".stripMargin,
+        |  FROM customer GROUP BY 1),
+        |m AS (
+        |  SELECT c.c_nationkey,
+        |         CAST(round(c_acctbal * 1000000.0, 0) AS BIGINT) rawm,
+        |         CAST(round(least(greatest(c_acctbal, p05), p95) * 1000000.0, 0)
+        |              AS BIGINT) wm
+        |  FROM customer c JOIN p USING (c_nationkey))
+        |SELECT c_nationkey, count(*) AS n,
+        |       CAST(sum(rawm) // count(*) AS BIGINT) AS raw_mean_micro,
+        |       CAST(sum(wm) // count(*) AS BIGINT) AS wins_mean_micro
+        |FROM m GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q53_topk_other" ->
       """WITH r AS (
