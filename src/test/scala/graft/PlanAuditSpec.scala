@@ -182,6 +182,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d15 probes the cached shingle stream: no generator in the query plan") {
+    // the positional shingle index is checkpointed once per (session,
+    // dir); both the multiplicity aggregate and the join probe must read
+    // the materialized blocks, never re-run shingle_explode.
+    graft.ext.TextQueries.posShingles(spark, dir) // warm the index
+    val p = plan("d15_dup_spans")
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("m9 computes totals and runs in one tree (single scan, no self-join)") {
+    val p = plan("m9_quiet_runs")
+    assert(!p.contains("Join"), p)
+    // exactly one generate (the frame explode) — a totals+runs self-join
+    // shape would show two.
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 1, p)
+  }
+
   test("mixture audit aggregates map-side before its single shuffle") {
     val p = plan("p5_mixture")
     // Partial + final HashAggregate around one hash shuffle; the keep
