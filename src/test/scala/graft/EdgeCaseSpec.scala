@@ -47,6 +47,28 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(top.toSeq == Seq(30L, 10L))
   }
 
+  test("cdc/scd2/concurrency handle tombstone-only and single-event users") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0, 1L, "error", 1.0, "{}"), // user 1: only a tombstone
+      (2L, t0, 2L, "click", 2.0, "{}")  // user 2: a single upsert
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = java.nio.file.Files.createTempDirectory("cdcedge").toString
+    rows.write.mode("overwrite").parquet(s"$out/events.parquet")
+    // tombstoned key vanishes from the snapshot; the upsert survives
+    val snap = graft.queries.TemporalQueries.q50CdcCompact(spark, out).collect()
+    assert(snap.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(snap.head.getLong(4) == 1L) // n_changes
+    // one open version per single-event user
+    val vers = graft.queries.TemporalQueries.q51Scd2(spark, out).collect()
+    assert(vers.length == 2 && vers.forall(_.getBoolean(6)))
+    assert(vers.forall(r => r.getLong(1) == 1L && r.isNullAt(4)))
+    // a lone interval peaks at concurrency 1, attained once
+    val peaks = graft.queries.TemporalQueries.q52PeakConcurrency(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(peaks == Set(("error", 1L, 1L), ("click", 1L, 1L)))
+  }
+
   test("sketch aggregates track their exact counterparts within tolerance") {
     // The documented scale path when exactness can be traded (q23's
     // docstring, t6's KMV): Spark's own HLL++ and quantile sketches.
