@@ -71,6 +71,7 @@ object Bench {
     graft.ext.DedupQueries.clearCaches()
     graft.ext.TextQueries.clearCaches()
     graft.ext.SimilarityQueries.clearCaches()
+    graft.ext.PipelineQueries.clearCaches()
     spark.stop()
   }
 }

@@ -44,6 +44,7 @@ object Verify {
     graft.ext.DedupQueries.clearCaches()
     graft.ext.TextQueries.clearCaches()
     graft.ext.SimilarityQueries.clearCaches()
+    graft.ext.PipelineQueries.clearCaches()
     spark.stop()
   }
 }

@@ -668,15 +668,15 @@ object DedupQueries {
     val oldB = bands.filter(col("doc_id") % 2 === 0)
     val cand = newB.as("a")
       .join(oldB.as("b"), col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey"))
-      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingled(spark, dir)
-    val verified = cand
-      .join(sets.as("x"), col("doc_new") === col("x.doc_id"))
-      .join(sets.as("y"), col("doc_old") === col("y.doc_id"))
-      .withColumn("i", expr("sorted_intersect_count(x.shh, y.shh)").cast("double"))
-      .withColumn("jac", col("i") / (size(col("x.shh")) + size(col("y.shh")) - col("i")))
-      .filter(round(col("jac"), 6) >= JaccardThreshold)
+    // one verification arithmetic for the whole engine: reuse
+    // jaccardVerify (d3/d4's exact check) rather than an inline copy
+    // that could silently drift from it.
+    val verified = jaccardVerify(cand, shingled(spark, dir))
+      .withColumnRenamed("doc_a", "doc_new")
+      .withColumnRenamed("doc_b", "doc_old")
+      .withColumn("jac", col("jaccard"))
       .groupBy(col("doc_new"))
       .agg(count(lit(1)).as("n_matches"), max(round(col("jac"), 6)).as("best_jaccard"))
     shingled(spark, dir).select(col("doc_id")).filter(col("doc_id") % 2 === 1)

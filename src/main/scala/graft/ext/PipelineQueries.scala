@@ -37,8 +37,36 @@ object PipelineQueries {
     * prefix sum (range partition + per-partition window + broadcast
     * offsets), never a single-task global window. */
   val PackBudget = 2048
+
+  /** The corpus packing frame `(doc_id, n_toks, tok_before)` — p2's shard
+    * cuts and p12's boundary offsets both derive from this one RankOps
+    * prefix sum, so it is built (range shuffle + two jobs) once per
+    * (session, dir) and checkpointed, not once per query. */
+  private val packCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearCaches(): Unit = packCache.keys.foreach(k =>
+    packCache.remove(k).foreach(graft.CheckpointUtil.release))
+
+  private def packedPrefix(spark: SparkSession, dir: String): DataFrame = {
+    packCache.keys.filter(k => k._1 == spark && k._2 != dir)
+      .foreach(k => packCache.remove(k).foreach(graft.CheckpointUtil.release))
+    packCache.getOrElseUpdate((spark, dir), {
+      val par = spark.sparkContext.defaultParallelism
+      val t = Tables.load(spark, dir, "documents")
+        .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
+      graft.ops.RankOps
+        .withGlobalPrefixSum(t, par, "tok_before", col("n_toks"), col("doc_id"))
+        .select(col("doc_id"), col("n_toks"), col("tok_before"))
+        .localCheckpoint()
+    })
+  }
+
   def tokenPacking(spark: SparkSession, dir: String): DataFrame =
-    tokenPackingOf(Tables.load(spark, dir, "documents"))
+    packedPrefix(spark, dir)
+      .select(col("doc_id"), col("n_toks"),
+        (col("tok_before") / PackBudget).cast("long").as("shard"))
+      .orderBy("doc_id")
 
   /** Packing over an arbitrary (doc_id, text) frame (see [[chunkOf]]). */
   def tokenPackingOf(docs: DataFrame): DataFrame = {
@@ -339,10 +367,7 @@ object PipelineQueries {
     * budget/min-doc-len, so the per-group state is small by
     * construction). */
   def packBoundaries(spark: SparkSession, dir: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val t = Tables.load(spark, dir, "documents")
-      .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
-    graft.ops.RankOps.withGlobalPrefixSum(t, par, "tok_before", col("n_toks"), col("doc_id"))
+    packedPrefix(spark, dir)
       .withColumn("shard", (col("tok_before") / PackBudget).cast("long"))
       .withColumn("off", col("tok_before") - col("shard") * PackBudget)
       .groupBy(col("shard"))

@@ -202,21 +202,29 @@ object SimilarityQueries {
     })
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF probe set: the [[IvfNProbe]] centroids nearest the query —
+    * ONE implementation shared by s5 and s11, because probing the same
+    * cells is the semantic contract between the two ANN paths (and what
+    * the s9 recall audit assumes). partitionBy(lit) keeps WindowExec
+    * quiet about the global sort — the ranking is k=16 rows by
+    * construction. */
+  private def ivfProbe(spark: SparkSession, dir: String, q: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb(spark, dir)
-    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+    emb(spark, dir).filter(col("vec_id").between(1, IvfCentroids))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val cells = cellIndex(spark, dir)
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val qprobe = cents.crossJoin(broadcast(q))
+      .crossJoin(broadcast(q))
       .withColumn("qcos", round(expr("cosine_sim(cv, qv)"), 6))
-      // partitionBy(lit) keeps WindowExec quiet about the global sort —
-      // the probe ranking is k=16 rows by construction.
       .withColumn("rk", row_number().over(
         Window.partitionBy(lit(0)).orderBy(col("qcos").desc, col("cent_id").asc)))
       .filter(col("rk") <= IvfNProbe)
       .select(col("cent_id").as("pcell"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cells = cellIndex(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qprobe = ivfProbe(spark, dir, q)
     cells.join(broadcast(qprobe), col("cell") === col("pcell"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
@@ -343,15 +351,8 @@ object SimilarityQueries {
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
-    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val qprobe = cents.crossJoin(broadcast(q))
-      .withColumn("qcos", round(expr("cosine_sim(cv, qv)"), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("qcos").desc, col("cent_id").asc)))
-      .filter(col("rk") <= IvfNProbe)
-      .select(col("cent_id").as("pcell"))
+    val qprobe = ivfProbe(spark, dir, q)
     // the 32-row asymmetric distance table: query subvectors vs codebook
     val qd = subvectors(q.select(lit(0L).as("vec_id"), col("qv").as("embedding")))
       .join(broadcast(codewords(spark, dir)), "sub")

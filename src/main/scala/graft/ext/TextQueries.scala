@@ -63,7 +63,14 @@ object TextQueries {
       // DECIMAL, which would silently turn these ratios into DECIMAL(29,6)
       // and break schema parity with the oracle's DOUBLE.
       .withColumn("stop_ratio_raw", expr("n_stop * 1.0D / n_toks"))
-      .withColumn("punct_ratio_raw", expr("n_punct * 1.0D / length(text)"))
+      // greatest(len, 1): empty text would divide 0.0/0 into NaN, and
+      // Spark orders NaN ABOVE every number — so a NaN quality_score
+      // PASSES a `>= threshold` gate. Exactly the degenerate rows a
+      // quality gate exists to drop must not ride its NaN semantics in.
+      // (Fixture docs are non-empty, so the oracle parity of t2 is
+      // untouched.)
+      .withColumn("punct_ratio_raw",
+        expr("n_punct * 1.0D / greatest(length(text), 1)"))
       .withColumn("quality_score", round(expr(
         "(least(n_toks, 100) / 100.0D) * (1.0D - stop_ratio_raw) * (1.0D - punct_ratio_raw)"), 6))
 
@@ -316,6 +323,7 @@ object TextQueries {
     * rounded before averaging so both engines aggregate identical
     * doubles (t5 discipline). */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
     val bg = bgCache.getOrElseUpdate((spark, dir), {
       docs(spark, dir)
         .filter(size(col("toks")) >= 2)

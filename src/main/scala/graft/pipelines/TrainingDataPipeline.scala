@@ -86,12 +86,19 @@ object TrainingDataPipeline {
 
   /** Packed chunk shards for the surviving documents: PII-scrubbed text,
     * chunked and packed. */
-  def shards(spark: SparkSession, dir: String): DataFrame = {
-    val keep = survivors(spark, dir)
+  def shards(spark: SparkSession, dir: String): DataFrame =
+    shardsOf(spark, dir, survivors(spark, dir))
+
+  private def shardsOf(spark: SparkSession, dir: String, keep: DataFrame): DataFrame = {
     val clean = TextQueries.scrubbed(
       Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
     val chunks = PipelineQueries.chunkOf(clean).join(keep, "doc_id")
-    val packed = PipelineQueries.tokenPackingOf(clean)
+    // pack the SURVIVORS, not the raw corpus: the shard budget must count
+    // tokens that actually land — packing over all documents under-fills
+    // every shard by whatever the gates dropped and leaves holes in the
+    // shard numbering where an entire budget window was filtered out.
+    val packed = PipelineQueries
+      .tokenPackingOf(clean.join(keep.select(col("doc_id")), "doc_id"))
       .select(col("doc_id"), col("shard"))
     chunks.join(packed, "doc_id")
       .select(col("doc_id"), col("lang"), col("split"), col("shard"),
@@ -101,20 +108,25 @@ object TrainingDataPipeline {
   /** Run the pipeline, land shards at `outDir` partitioned by
     * (lang, split), and return the per-stage survivor summary. */
   def run(spark: SparkSession, dir: String, outDir: String): DataFrame = {
-    shards(spark, dir)
+    // one survivors computation for the write AND the summary counts —
+    // the near-dup label-propagation loop inside it executes eagerly, so
+    // a second call would re-run the whole BSP iteration for nothing.
+    val kept = survivors(spark, dir).localCheckpoint()
+    shardsOf(spark, dir, kept)
       .write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)
     val total = Tables.load(spark, dir, "documents").count()
-    val kept = survivors(spark, dir)
     val landed = spark.read.parquet(outDir)
     import spark.implicits._
     val splitCounts = kept.groupBy(col("split")).count()
       .collect().map(r => (s"docs_${r.getString(0)}", r.getLong(1)))
-    (Seq(("documents_in", total),
+    val summary = (Seq(("documents_in", total),
       ("documents_kept", kept.count()),
       ("chunks_out", landed.count()),
       ("shards_out", landed.select(col("shard")).distinct().count()))
       ++ splitCounts)
       .toDF("stage", "n")
+    graft.CheckpointUtil.release(kept)
+    summary
   }
 
   def main(args: Array[String]): Unit = {
