@@ -66,23 +66,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xGet = if (isFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val yGet = if (isFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName, NOT fixed identifiers: two instances of this expression
+      // in one projection can compile into ONE generated function (when the
+      // children are non-nullable, nullSafeCodeGen emits the bodies
+      // unbraced), and fixed locals then collide — janino rejects the
+      // function and the whole stage silently falls back to interpreted
+      // eval, the exact path this expression exists to avoid.
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val xGet = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yGet = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double x = $xGet;
-         |    double y = $yGet;
-         |    dot += x * y; na += x * x; nb += y * y;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $xGet;
+         |    double $y = $yGet;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if (na == 0.0 || nb == 0.0) {
+         |  if ($na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |  }
          |}
        """.stripMargin

@@ -64,18 +64,27 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xGet = if (isFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val yGet = if (isFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName, NOT fixed identifiers: two instances of this expression
+      // in one projection can compile into ONE generated function (when the
+      // children are non-nullable, nullSafeCodeGen emits the bodies
+      // unbraced), and fixed locals then collide — janino rejects the
+      // function and the whole stage silently falls back to interpreted
+      // eval, the exact path this expression exists to avoid.
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val xGet = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yGet = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    dot += ($xGet) * ($yGet);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ($xGet) * ($yGet);
          |  }
-         |  ${ev.value} = dot;
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

@@ -55,16 +55,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT fixed identifiers: two instances of this expression
+      // in one projection can compile into ONE generated function (when the
+      // children are non-nullable, nullSafeCodeGen emits the bodies
+      // unbraced), and fixed locals then collide — janino rejects the
+      // function and the whole stage silently falls back to interpreted
+      // eval, the exact path this expression exists to avoid.
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
-         |int na = $a.numElements(), nb = $b.numElements();
-         |int i = 0, j = 0, c = 0;
-         |while (i < na && j < nb) {
-         |  long x = $a.getLong(i), y = $b.getLong(j);
-         |  if (x < y) i++;
-         |  else if (x > y) j++;
-         |  else { c++; i++; j++; }
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i), $y = $b.getLong($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { $c++; $i++; $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

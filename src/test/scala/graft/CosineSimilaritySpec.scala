@@ -64,6 +64,37 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(e.eval(null) == null)
   }
 
+  test("two instances per projection survive codegen (freshName regression)") {
+    // Non-nullable literal-array children make nullSafeCodeGen emit the
+    // bodies unbraced into one generated function; fixed local names would
+    // collide, janino would reject, and Spark would silently fall back to
+    // interpreted eval. fallback=false turns that silence into a failure.
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // id-dependent arrays: literal arrays would constant-fold the whole
+      // expression away and never exercise codegen at all.
+      val vecs = spark.range(1).selectExpr(
+        "array(cast(id as double) + 1.0d, 2.0d) as a", "array(2.0d, 1.0d) as b",
+        "array(cast(id as double), 1.0d) as c", "array(1.0d, 0.0d) as d")
+      val r = vecs.selectExpr(
+        "cosine_sim(a, b) as s1", "cosine_sim(c, d) as s2",
+        "dot_product(a, b) as p1", "dot_product(c, d) as p2").collect()(0)
+      assert(math.abs(r.getDouble(0) - 0.8) < 1e-12)
+      assert(math.abs(r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(2) == 4.0)
+      assert(r.getDouble(3) == 0.0)
+      val sets = spark.range(1).selectExpr(
+        "array(id + 1L, 3L, 5L) as u", "array(1L, 2L, 5L) as v",
+        "array(id + 2L, 4L) as w", "array(4L, 6L) as z")
+      val c = sets.selectExpr(
+        "sorted_intersect_count(u, v) as c1",
+        "sorted_intersect_count(w, z) as c2").collect()(0)
+      assert(c.getInt(0) == 2 && c.getInt(1) == 1)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("topk_pairs rejects non-literal and non-integral k with a clear error") {
     GraftFunctions.register(spark)
     val df = Seq((1, 2)).toDF("x", "y")
