@@ -20,12 +20,31 @@ object Tables {
     * pass issues a few hundred loads — a fixed driver-side tax on every
     * query. The relation itself is an immutable logical plan, so handing
     * back the same one is free and safe (NOT a data cache: scans still
-    * read parquet). */
+    * read parquet).
+    *
+    * Entries for STOPPED sessions are swept on each cache miss: a
+    * long-lived JVM cycling through many sessions (test harnesses, a
+    * service) would otherwise pin every dead session and its plans here
+    * forever. A weak-keyed map can't do this — the cached DataFrame
+    * strongly references its SparkSession, so the value would pin the
+    * key. The sweep runs only on the miss path (hot lookups stay
+    * lock-free) and the map is tens of entries, so it's O(noise). */
   private val relCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  private def sweepStopped(): Unit = {
+    relCache.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) relCache.remove(k)
+    }
+    registeredDir.keysIterator.foreach { s =>
+      if (s.sparkContext.isStopped) registeredDir.remove(s)
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    relCache.getOrElseUpdate((spark, dir, name), {
+    relCache.getOrElse((spark, dir, name), {
+      sweepStopped()
+      relCache.getOrElseUpdate((spark, dir, name), {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses outright
       // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then truncate to micros
       // with integer division (`div`, not `/`: double math would lose
@@ -37,6 +56,7 @@ object Tables {
           df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       else df
+      })
     })
 
   /** Last directory registered per session: registering is idempotent for

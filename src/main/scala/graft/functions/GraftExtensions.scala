@@ -6,26 +6,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** `SparkSessionExtensions` hook for cluster deployments:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
-  * `cosine_sim` available in every session without per-session
-  * registration (the harness path uses [[GraftFunctions.register]]).
+  * every graft native function available in every session without
+  * per-session registration (the harness path uses
+  * [[GraftFunctions.register]]). The function list is
+  * [[GraftFunctions.builders]] — one surface, two injection paths.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      exprs => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      exprs => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      exprs => SortedIntersectCount(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("shingle_explode"),
-      new ExpressionInfo(classOf[ShingleExplode].getName, "shingle_explode"),
-      exprs => ShingleExplode(exprs(0), exprs(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(GraftFunctions.getClass.getName, name),
+        builder))
+    }
 }

@@ -9,20 +9,23 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * Idempotent — query builders call this unconditionally.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_pairs", exprs => TopKPairs(exprs(0), exprs(1), literalK(exprs(2))),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_explode", exprs => ShingleExplode(exprs(0), exprs(1)), "built-in")
-  }
+
+  /** Single source of truth for the native function surface: the
+    * per-session path ([[register]]) and the cluster-wide extension path
+    * ([[GraftExtensions]]) both iterate this list, so a function added
+    * here is available on both — they cannot drift apart. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    "topk_pairs" -> (exprs => TopKPairs(exprs(0), exprs(1), literalK(exprs(2)))),
+    "shingle_explode" -> (exprs => ShingleExplode(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** `k` must fold to an integral constant (INT or BIGINT both accepted —
     * SQL integer literals can parse as either, and `cast(1 as bigint)` is

@@ -408,11 +408,18 @@ object AdvancedQueries {
       col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
     // n from the ranked frame itself — a streaming pass over the blocks
     // RankOps just persisted, not a second scan of the fact table.
-    val n = ranked.agg(max(col("rk"))).first().getLong(0) + 1
-    ranked
-      .filter(col("rk").isin((n - 1) / 2, n / 2))
-      .agg(round(avg(col("v")), 6).as("median"))
-      .select(lit(n).as("n"), col("median"))
+    val maxRk = ranked.agg(max(col("rk"))).first()
+    if (maxRk.isNullAt(0))
+      // Empty relation: max(rk) is NULL. Match the oracle's aggregate
+      // shape (count(*)=0, quantile_cont→NULL) instead of NPE-ing.
+      spark.range(1).select(lit(0L).as("n"), lit(null).cast("double").as("median"))
+    else {
+      val n = maxRk.getLong(0) + 1
+      ranked
+        .filter(col("rk").isin((n - 1) / 2, n / 2))
+        .agg(round(avg(col("v")), 6).as("median"))
+        .select(lit(n).as("n"), col("median"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -95,7 +95,15 @@ object StreamOps {
 
   /** 0..n outputs per key per batch via flatMapGroupsWithState: alert rows
     * whenever a score exceeds 2x the customer's prior running mean (two
-    * scalars of state per key — anomaly detection without a model). */
+    * scalars of state per key — anomaly detection without a model).
+    *
+    * Within a micro-batch events sort by (riskDate, score) before the
+    * fold: groupByKey delivers the shuffle's arbitrary order, and the
+    * alert set depends on fold order (a spike seen before its
+    * baseline fires differently than after). The sort makes the output a
+    * pure function of the batch's event SET — ties on the full sort key
+    * are identical values, interchangeable in the fold — same discipline
+    * as [[ewmaStream]]. */
   def riskSpikeAlerts(spark: SparkSession, risk: DataFrame): Dataset[RiskAlert] = {
     import spark.implicits._
     risk.as[RiskEvent]
@@ -106,7 +114,7 @@ object StreamOps {
         (customer: String, events: Iterator[RiskEvent], state: GroupState[(Long, Double)]) =>
           var (n, s) = state.getOption.getOrElse((0L, 0.0))
           val alerts = scala.collection.mutable.Buffer.empty[RiskAlert]
-          events.foreach { e =>
+          events.toSeq.sortBy(e => (e.riskDate, e.score)).foreach { e =>
             if (n >= 2 && e.score > 2 * (s / n)) alerts += RiskAlert(customer, e.score, s / n)
             n += 1; s += e.score
           }

@@ -99,4 +99,23 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     val got = df.select(expr("sorted_intersect_count(a, b)").cast("long")).as[Long].collect()
     assert(got.toSeq == Seq(0L, 0L, 2L))
   }
+
+  test("q55 exact median returns (0, NULL) on an empty relation, not an NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("q55empty").toString
+    Seq.empty[(Double, Long, Int)]
+      .toDF("l_extendedprice", "l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.AdvancedQueries.q55ExactMedian(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).isNullAt(1))
+  }
+
+  test("cluster extension path injects the full native function surface") {
+    // Parity with GraftFunctions.register is by construction (one builder
+    // list); this pins the surface itself and that injection doesn't throw.
+    assert(graft.functions.GraftFunctions.builders.map(_._1) == Seq(
+      "cosine_sim", "dot_product", "sorted_intersect_count",
+      "topk_pairs", "shingle_explode"))
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }

@@ -140,6 +140,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("spike alerts depend on the batch's event set, not shuffle arrival order") {
+    val input = MemoryStream[String]
+    val q = StreamOps.riskSpikeAlerts(spark, parsed(input))
+      .writeStream.format("memory").queryName("alerts_order").outputMode("update").start()
+    try {
+      // The spike is LAST by riskDate but FIRST by arrival: an unsorted
+      // fold would see it before its baseline exists (n < 2) and stay
+      // silent; the (riskDate, score) sort must fire it with prior_mean 1.
+      input.addData(
+        mkRisk("a@test.com", 10.0, "2020-09-14T07:02:00.000Z"),
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:01:00.000Z"))
+      q.processAllAvailable()
+      val rows = spark.table("alerts_order").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("a@test.com", 10.0, 1.0)))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches the stream without streaming state") {
     val input = MemoryStream[String]
     val dim = Seq(("a@test.com", "1981"), ("b@test.com", "1990"))
