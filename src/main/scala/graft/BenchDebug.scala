@@ -22,10 +22,12 @@ object BenchDebug {
     }
 
     val Q = SparkEntry.queries
-    time("d3 cold (builds cache)")(Q("d3_lsh_pairs")(spark, dir).count())
-    for (name <- Seq("d2_minhash_signature", "d3_lsh_pairs", "d4_ngram_jaccard",
-        "d8_dedup_clusters", "d7_simhash_pairs", "t5_tfidf", "stedi_pipeline");
-      pass <- 1 to 2)
+    val names = if (args.nonEmpty) args.toSeq else {
+      time("d3 cold (builds cache)")(Q("d3_lsh_pairs")(spark, dir).count())
+      Seq("d2_minhash_signature", "d3_lsh_pairs", "d4_ngram_jaccard",
+        "d8_dedup_clusters", "d7_simhash_pairs", "t5_tfidf", "stedi_pipeline")
+    }
+    for (name <- names; pass <- 1 to 2)
       time(s"$name $pass")(Q(name)(spark, dir).count())
     spark.stop()
   }
