@@ -194,15 +194,24 @@ object PipelineQueries {
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
     val base = Tables.load(spark, dir, "events")
+      // Narrow BEFORE the range shuffle: the layout needs only the two
+      // dimensions and the tiebreak id — the wide props payload must not
+      // ride through the exchange. (A real writer would z-sort the full
+      // rows, but then the payload is the deliverable; the audit isn't.)
+      .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("ux", col("user_id") % 256)
       .withColumn("dy", (dayofmonth(col("ts")) - 1).cast("long"))
       // Scale day (0..30) onto the full 8-bit grid so both dims contribute
       // equally at every interleave level.
       .withColumn("dyn", expr("dy * 255 div 30"))
       .withColumn("z", expr(zInterleaveExpr("ux", "dyn")))
-    val n = base.agg(count(lit(1)).as("__total"))
-    graft.ops.RankOps.withGlobalRank(base, par, "__rank0", col("z"), col("event_id"))
-      .crossJoin(broadcast(n))
+      .select(col("event_id"), col("ux"), col("dy"), col("z"))
+    // Row count comes out of the rank's own totals job — no separate
+    // full scan just to count(*).
+    val (ranked, total) = graft.ops.RankOps
+      .withGlobalRankAndTotal(base, par, "__rank0", col("z"), col("event_id"))
+    ranked
+      .withColumn("__total", lit(total))
       .withColumn("file", graft.ops.RankOps.ntileFromRank("__rank0", "__total", ZFiles))
       .groupBy(col("file"))
       .agg(
@@ -292,10 +301,12 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents")
           .withColumn("toks", split(lower(col("text")), " ")))
       .select(col("doc_id"), col("quality_score"))
-    val n = scored.agg(count(lit(1)).as("__total"))
-    val staged = RankOps
-      .withGlobalRank(scored, par, "__r", col("quality_score").desc, col("doc_id"))
-      .crossJoin(broadcast(n))
+    // Row count from the rank's totals job: the separate count(*) pass
+    // would re-run the whole quality-scoring tokenization a second time.
+    val (ranked, total) = RankOps
+      .withGlobalRankAndTotal(scored, par, "__r", col("quality_score").desc, col("doc_id"))
+    val staged = ranked
+      .withColumn("__total", lit(total))
       .withColumn("stage", RankOps.ntileFromRank("__r", "__total", CurriculumStages))
       .withColumn("shuffle_key",
         expr("substr(md5(concat('cur|', cast(doc_id as string))), 1, 8)"))

@@ -56,12 +56,26 @@ object RankOps {
       sortCols: Column*): DataFrame =
     withGlobalPrefixSum(df, numPartitions, rankCol, lit(1L), sortCols: _*)
 
+  /** [[withGlobalRank]] plus the TOTAL row count — free out of the
+    * per-partition totals job, so callers needing `n` (ntile tile
+    * arithmetic, stage offsets) don't pay a separate full pass over the
+    * input to `count(*)` it. */
+  def withGlobalRankAndTotal(df: DataFrame, numPartitions: Int, rankCol: String,
+      sortCols: Column*): (DataFrame, Long) =
+    withGlobalPrefixSumAndTotal(df, numPartitions, rankCol, lit(1L), sortCols: _*)
+
   /** Append `prefixCol` = sum of `value` over all rows STRICTLY BEFORE the
     * current row in `sortCols` order (a distributed exclusive running
     * sum; with value = 1 it degenerates to the 0-based global rank).
     * `value` must be non-null; it is evaluated once per row as a long. */
   def withGlobalPrefixSum(df: DataFrame, numPartitions: Int, prefixCol: String,
-      value: Column, sortCols: Column*): DataFrame = {
+      value: Column, sortCols: Column*): DataFrame =
+    withGlobalPrefixSumAndTotal(df, numPartitions, prefixCol, value, sortCols: _*)._1
+
+  /** [[withGlobalPrefixSum]] plus the grand total of `value` (the last
+    * exclusive offset), already on the driver from the totals job. */
+  def withGlobalPrefixSumAndTotal(df: DataFrame, numPartitions: Int, prefixCol: String,
+      value: Column, sortCols: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = df.withColumn("__v", value.cast("long"))
       .repartitionByRange(numPartitions, sortCols: _*)
@@ -85,8 +99,8 @@ object RankOps {
         o
       }
     }
-    spark.createDataFrame(out, sorted.schema.add(prefixCol, LongType, nullable = false))
-      .drop("__v")
+    (spark.createDataFrame(out, sorted.schema.add(prefixCol, LongType, nullable = false))
+      .drop("__v"), offsets.last)
   }
 
   /** Append 0-based rank WITHIN each `groupKeys` group under `sortCols`
