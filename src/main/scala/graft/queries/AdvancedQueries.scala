@@ -453,7 +453,61 @@ object AdvancedQueries {
     }
   }
 
+  /** q56 — salted fact-dim join ([[graft.ops.SkewOps.saltedJoin]]):
+    * events×customer with the fact side salted `Salts` ways and the dim
+    * replicated per salt, so a hot user never lands on one reducer. The
+    * result multiset is identical to the plain join — the oracle states
+    * the UNSALTED join, so correctness of the rewrite is what's checked.
+    * Sums are micro-unit BIGINTs (exact on any partitioning). */
+  val Salts = 4
+  def q56SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("cast(round(value * 1000000.0D, 0) as bigint)").as("vm"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.ops.SkewOps.saltedJoin(ev, cust, "user_id", "c_custkey", "event_id", Salts)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("value_micro"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q57 — bloom-pruned join ([[graft.ops.SkewOps.bloomSemiJoin]]): a
+    * selective dimension (one market segment) builds a bloom filter that
+    * drops non-matching fact rows BEFORE the join's shuffle; false
+    * positives are removed by the join itself, so the result is exactly
+    * the plain inner join the oracle states. The manual form of AQE's
+    * runtime bloom filter — at 100 TB the ~MB-scale broadcast bloom can
+    * cut a selective join's shuffle by 10×. */
+  def q57BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("cast(round(value * 1000000.0D, 0) as bigint)").as("vm"))
+    val dim = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    graft.ops.SkewOps.bloomSemiJoin(ev, dim, "user_id", "c_custkey",
+        expectedKeys = 100000L, fpp = 0.01)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("value_micro"))
+      .orderBy("event_type")
+  }
+
+  /** q58 — sharded exact distinct ([[graft.ops.SkewOps.
+    * shardedCountDistinct]]): distinct users per event type with the
+    * value space hash-sharded 8 ways so no reducer ever holds a hot
+    * key's whole distinct set; shard counts sum to the exact distinct
+    * count the oracle states. */
+  def q58ShardedDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewOps.shardedCountDistinct(
+        Tables.load(spark, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id", 8)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_salted_join" -> ((s, d) => q56SaltedJoin(s, d)),
+    "q57_bloom_join" -> ((s, d) => q57BloomJoin(s, d)),
+    "q58_sharded_distinct" -> ((s, d) => q58ShardedDistinct(s, d)),
     "q55_exact_median" -> ((s, d) => q55ExactMedian(s, d)),
     "q54_winsorize" -> ((s, d) => q54Winsorize(s, d)),
     "q53_topk_other" -> ((s, d) => q53TopkOther(s, d)),
@@ -482,6 +536,26 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Oracles state the PLAIN join/distinct semantics; the Spark side
+    // runs the salted / bloom-pruned / sharded rewrites, so the compare
+    // proves each rewrite is result-identical to the naive form.
+    "q56_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q57_bloom_join" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q58_sharded_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Independent formulation: interpolated quantile_cont vs the
     // selection-based two-order-statistics construction.
     "q55_exact_median" ->
