@@ -205,4 +205,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // predicate itself adds no exchange.
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("salted join stays a broadcast join with partial aggregation") {
+    // Salting must not push the replicated dimension over the broadcast
+    // threshold into a sort-merge join — that would trade skew for a
+    // full shuffle of the fact side.
+    val p = plan("q56_salted_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("bloom join filters the fact side BEFORE the join") {
+    val p = plan("q57_bloom_join")
+    // The bloom probe must be a Filter in the fact branch BELOW the join
+    // (formatted-plan node ids are post-order: every input has a lower id
+    // than its consumer) — pruning after the join would move every row
+    // through the shuffle anyway.
+    val udfFilterIds = p.split("\n\n").toSeq.collect {
+      case b if b.contains(") Filter") && b.contains("UDF") =>
+        "\\((\\d+)\\)".r.findFirstMatchIn(b).get.group(1).toInt
+    }
+    val joinIds = "\\((\\d+)\\) \\w*Join".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(udfFilterIds.nonEmpty, s"no UDF bloom filter block in plan:\n$p")
+    assert(joinIds.nonEmpty && udfFilterIds.min < joinIds.min,
+      s"bloom filter node ${udfFilterIds.min} must precede join ${joinIds.min}:\n$p")
+  }
+
+  test("sharded distinct never plans a global or per-key distinct buffer") {
+    val p = plan("q58_sharded_distinct")
+    // Two partial/final aggregate pairs (shard level + key level); no
+    // Expand-based single distinct whose reducer holds a hot key's set.
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("z-order layout narrows its projection before the range exchange") {
+    val p = plan("p6_zorder")
+    // The wide events payload (props, event_type, value) must be pruned
+    // at the scan: only the curve inputs ride the range shuffle.
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("props") && !read.contains("value"), read)
+  }
 }
