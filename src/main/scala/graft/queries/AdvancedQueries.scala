@@ -504,7 +504,31 @@ object AdvancedQueries {
         "event_type", "user_id", 8)
       .orderBy("event_type")
 
+  /** q59 — rollup maintenance by re-aggregation: monthly stats computed
+    * FROM the daily partial aggregates, not from raw events — the
+    * materialized-view refresh pattern (a day's partition lands, its
+    * partial updates, months re-aggregate from ~30 partial rows each;
+    * raw is never rescanned). Valid because count/sum/min/max are
+    * algebraic — the oracle aggregates raw directly, so the compare
+    * proves the two-level composition identity. The daily level keeps
+    * map-side partials; the monthly level aggregates a frame whose size
+    * is days×types, independent of event volume. */
+  def q59RollupMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 1000000.0D, 0) as bigint)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("pn"), sum(col("vm")).as("psum"),
+        min(col("vm")).as("pmin"), max(col("vm")).as("pmax"))
+    daily
+      .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).as("value_micro"),
+        min(col("pmin")).as("min_micro"), max(col("pmax")).as("max_micro"))
+      .orderBy("event_type", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_rollup_maintenance" -> ((s, d) => q59RollupMaintenance(s, d)),
     "q56_salted_join" -> ((s, d) => q56SaltedJoin(s, d)),
     "q57_bloom_join" -> ((s, d) => q57BloomJoin(s, d)),
     "q58_sharded_distinct" -> ((s, d) => q58ShardedDistinct(s, d)),
@@ -539,6 +563,19 @@ object AdvancedQueries {
     // Oracles state the PLAIN join/distinct semantics; the Spark side
     // runs the salted / bloom-pruned / sharded rewrites, so the compare
     // proves each rewrite is result-identical to the naive form.
+    // Oracle aggregates RAW events straight to months — the Spark side
+    // composes monthly from daily partials, so the compare proves the
+    // algebraic re-aggregation identity.
+    "q59_rollup_maintenance" ->
+      """SELECT event_type, strftime(ts, '%Y-%m') AS month,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS value_micro,
+        |       CAST(min(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS min_micro,
+        |       CAST(max(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS max_micro
+        |FROM events
+        |GROUP BY event_type, month
+        |ORDER BY event_type, month""".stripMargin,
+
     "q56_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS value_micro
