@@ -40,8 +40,8 @@ object DedupQueries {
     * digest array 4x (the old two-cache layout paid exactly that, plus a
     * second persisted copy of the big shingle-string arrays).
     */
-  private val baseCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val caches = new DirCaches
+  private val baseCache = caches.newCache()
 
   /** d4's prefix posting lists (df-ordered, length-annotated, exploded) —
     * derived from [[base]] but expensive enough (global df aggregate +
@@ -49,31 +49,18 @@ object DedupQueries {
     * dir) themselves: the candidate stage probes this frame on BOTH join
     * sides, and index reuse is what an inverted-index join amortizes in a
     * real pipeline (build once, query at every threshold sweep). */
-  private val prefixCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val prefixCache = caches.newCache()
 
   /** Evict cached frames for `spark` keyed to a different dir: a long-lived
     * session walking several scale factors (Bench warmup dir → target dir)
     * would otherwise accumulate persisted blocks indefinitely. Only one dir
     * per session is ever hot at a time. */
-  private def allCaches =
-    Seq(baseCache, prefixCache, sigCache, edgeCache, lshPairCache, exactPairCache)
-
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    allCaches.foreach { c =>
-      c.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
-        // eager unpersist — freeing via the ContextCleaner alone would
-        // wait on a driver GC cycle (graft.CheckpointUtil)
-        c.remove(k).foreach(graft.CheckpointUtil.release)
-      }
-    }
+    caches.evictOtherDirs(spark, dir)
 
-  /** Drop every cached frame (Bench/Verify teardown hook), eagerly
-    * unpersisting the checkpoint blocks instead of waiting for a GC
-    * cycle to feed the ContextCleaner. */
-  def clearCaches(): Unit =
-    allCaches.foreach(c => c.keys.foreach(k =>
-      c.remove(k).foreach(graft.CheckpointUtil.release)))
+  /** Drop every cached frame (Bench/Verify teardown hook) — shared
+    * [[DirCaches]] discipline, eager unpersist. */
+  def clearCaches(): Unit = caches.clear()
 
   /** Accumulator init for the per-salt slice minima: 2^32 exceeds every
     * 8-hex value, so folding `least` over the digest array reproduces
@@ -219,8 +206,7 @@ object DedupQueries {
   /** The verified LSH pair set is itself an index artifact (d3 publishes
     * it, d8 clusters it, d10 audits it) — checkpoint once per
     * (session, dir) like the shingle/signature bases. */
-  private val lshPairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val lshPairCache = caches.newCache()
 
   private def lshPairsRaw(spark: SparkSession, dir: String): DataFrame =
     lshPairCache.getOrElseUpdate((spark, dir),
@@ -266,8 +252,7 @@ object DedupQueries {
 
   /** Exact pair set, cached like [[lshPairCache]] (d4 publishes, d10
     * audits against it). */
-  private val exactPairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val exactPairCache = caches.newCache()
 
   private def ngramJaccardPairsRaw(spark: SparkSession, dir: String): DataFrame =
     exactPairCache.getOrElseUpdate((spark, dir),
@@ -367,8 +352,7 @@ object DedupQueries {
   /** Signature index: like [[prefixCache]], the simhash frame is an index
     * (one long per doc) shared by d5 and d7 and probed from four scan
     * sites in d7's ball join — build + checkpoint once per (session, dir). */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sigCache = caches.newCache()
 
   private def simhashBase(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
@@ -520,8 +504,7 @@ object DedupQueries {
   /** d8's undirected edge list — the LSH pair graph, an index like the
     * prefix/signature caches: built once per (session, dir), clustered
     * repeatedly. */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val edgeCache = caches.newCache()
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint = materialize AND truncate lineage. Without it every

@@ -358,7 +358,10 @@ object MultimodalQueries {
           s"i -> CASE WHEN (i - 1) % 8 = $k THEN ascii(substr(text, CAST(i AS INT), 1)) " +
           s"ELSE 0 END), 'sum'), 0) * 1.0 / n, 6) AS f$k"
       }.mkString(",\n       ")
-      s"""WITH s AS (SELECT doc_id, text, length(text) n FROM documents)
+      // greatest(n, 1) mirrors the engine's empty-payload guard
+      // (featureStub divides by max(len, 1)) so a zero-length document
+      // yields f0..f7 = 0 on BOTH sides instead of NULL-vs-0 divergence.
+      s"""WITH s AS (SELECT doc_id, text, greatest(length(text), 1) n FROM documents)
          |SELECT doc_id,
          |       $dims
          |FROM s ORDER BY doc_id""".stripMargin

@@ -42,15 +42,13 @@ object PipelineQueries {
     * cuts and p12's boundary offsets both derive from this one RankOps
     * prefix sum, so it is built (range shuffle + two jobs) once per
     * (session, dir) and checkpointed, not once per query. */
-  private val packCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val caches = new DirCaches
+  private val packCache = caches.newCache()
 
-  def clearCaches(): Unit = packCache.keys.foreach(k =>
-    packCache.remove(k).foreach(graft.CheckpointUtil.release))
+  def clearCaches(): Unit = caches.clear()
 
   private def packedPrefix(spark: SparkSession, dir: String): DataFrame = {
-    packCache.keys.filter(k => k._1 == spark && k._2 != dir)
-      .foreach(k => packCache.remove(k).foreach(graft.CheckpointUtil.release))
+    caches.evictOtherDirs(spark, dir)
     packCache.getOrElseUpdate((spark, dir), {
       val par = spark.sparkContext.defaultParallelism
       val t = Tables.load(spark, dir, "documents")

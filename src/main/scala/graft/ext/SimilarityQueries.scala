@@ -42,24 +42,16 @@ object SimilarityQueries {
     * the dedup shingle/signature indexes: s4's band table and s5's cell
     * assignment ARE the index artifacts an ANN deployment persists (build
     * once, probe per query) — s4/s5/s9 probe them repeatedly. */
-  private val bandsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val cellsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val caches = new DirCaches
+  private val bandsCache = caches.newCache()
+  private val cellsCache = caches.newCache()
+  private val pqCache = caches.newCache()
 
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    Seq(bandsCache, cellsCache, pqCache).foreach { c =>
-      c.keys.filter(k => k._1 == spark && k._2 != dir).foreach { k =>
-        c.remove(k).foreach(graft.CheckpointUtil.release)
-      }
-    }
+    caches.evictOtherDirs(spark, dir)
 
   /** Bench/Verify teardown hook (see [[graft.ext.DedupQueries.clearCaches]]). */
-  def clearCaches(): Unit =
-    Seq(bandsCache, cellsCache, pqCache).foreach(c =>
-      c.keys.foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
+  def clearCaches(): Unit = caches.clear()
 
   /** s1 — brute-force cosine top-10 against a fixed query vector (vec_id 0),
     * the exactness baseline every ANN variant is judged against. */
@@ -238,12 +230,21 @@ object SimilarityQueries {
     * (label, dim) cells so the mean is one hash aggregate over
     * (label, dim) — the shape that scales: no collect of vectors to a
     * driver, no per-group array building until the final (tiny) result.
-    * Dims are emitted 1-based to match the oracle's list indexing. */
+    * Dims are emitted 1-based to match the oracle's list indexing.
+    *
+    * The mean is micro-unit BIGINT (`sum(round(x*1e6)) div n`), NOT
+    * `avg()` over doubles: float accumulation order varies with
+    * partition/merge order, and a group landing within an ulp of a
+    * rounding boundary would flip the 6th decimal between runs —
+    * integer sums replay bit-for-bit on any partitioning (the t10/s8/d12
+    * discipline). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-      .agg(round(avg(col("x").cast("double")), 6).as("centroid"),
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        expr("cast(round(cast(x as double) * 1000000.0D, 0) as bigint)").as("xm"))
+      .groupBy(col("label"), col("dim"))
+      .agg(expr("cast(sum(xm) div count(1) as bigint)").as("centroid_micro"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
@@ -256,8 +257,10 @@ object SimilarityQueries {
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("scale", expr(
         "aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x))) / 127.0D"))
+      // scale = 0 (an all-zero vector) would make x/scale NaN and the
+      // ANSI cast-to-int throw; quantize the zero vector to zeros.
       .withColumn("q", expr(
-        "transform(v, x -> cast(round(x / scale, 0) as int))"))
+        "transform(v, x -> cast(round(if(scale = 0D, 0D, x / scale), 0) as int))"))
       .select(
         col("vec_id"),
         round(col("scale"), 6).as("scale"),
@@ -722,7 +725,9 @@ object SimilarityQueries {
       s"""WITH e AS (SELECT label, embedding::DOUBLE[] v FROM embeddings),
          |d AS (SELECT unnest(range(1, $LshDims + 1)) dim)
          |SELECT label, CAST(dim AS BIGINT) AS dim,
-         |       round(avg(v[dim]), 6) AS centroid, count(*) AS n_vecs
+         |       CAST(sum(CAST(round(v[dim] * 1000000.0, 0) AS BIGINT)) // count(*)
+         |            AS BIGINT) AS centroid_micro,
+         |       count(*) AS n_vecs
          |FROM e CROSS JOIN d
          |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
@@ -732,7 +737,8 @@ object SimilarityQueries {
          |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 scale
          |      FROM e),
          |q AS (SELECT vec_id, v, scale,
-         |        list_transform(v, x -> CAST(round(x / scale, 0) AS INT)) qv
+         |        list_transform(v, x -> CAST(round(
+         |          CASE WHEN scale = 0 THEN 0 ELSE x / scale END, 0) AS INT)) qv
          |      FROM s)
          |SELECT vec_id, round(scale, 6) AS scale,
          |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,

@@ -114,26 +114,23 @@ object TextQueries {
     * the score join's left side and the df aggregate both scan it, and
     * the (doc, term, tf) frame is the inverted index a text pipeline
     * builds once and reuses. */
-  private val tfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val caches = new DirCaches
+  private val tfCache = caches.newCache()
 
   /** Evict/clear hooks mirroring [[graft.ext.DedupQueries]]'s cache
     * discipline (Bench/Verify call clearCaches at teardown). */
   /** t10's tokenized bigram stream `(doc_id, w1, w2)` — the corpus-side
     * artifact both LM count tables and the scoring probe read; cached
     * like [[tfCache]]. */
-  private val bgCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bgCache = caches.newCache()
 
   /** The positional shingle stream `(doc_id, pos, shingle)` out of the
     * native [[graft.functions.ShingleExplode]] generator — t13 exposes
     * it, d15's multiplicity table and join probe both scan it; cached so
     * neither query runs the generator twice. */
-  private val posShingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val posShingleCache = caches.newCache()
 
-  def clearCaches(): Unit = Seq(tfCache, bgCache, posShingleCache).foreach(c =>
-    c.keys.foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
+  def clearCaches(): Unit = caches.clear()
 
   /** Cached positional shingles (see [[posShingleCache]]). */
   def posShingles(spark: SparkSession, dir: String): DataFrame = {
@@ -147,9 +144,7 @@ object TextQueries {
   }
 
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
-    Seq(tfCache, bgCache, posShingleCache).foreach(c =>
-      c.keys.filter(k => k._1 == spark && k._2 != dir)
-        .foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
+    caches.evictOtherDirs(spark, dir)
 
   private def termFreq(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)

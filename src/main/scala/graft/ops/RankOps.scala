@@ -51,6 +51,16 @@ object RankOps {
     rdd
   }
 
+  /** Eagerly release every pooled RDD (Bench/Verify teardown — the same
+    * discipline as the ext caches; without it up to [[MaxPersisted]]
+    * range-sorted corpus copies stay pinned in storage memory for the
+    * rest of the session). Safe at any time: persist keeps lineage, so a
+    * late re-execution just recomputes. */
+  def clearCaches(): Unit = synchronized {
+    while (!persisted.isEmpty)
+      persisted.removeFirst().unpersist(blocking = false)
+  }
+
   /** Append 0-based global rank under `sortCols` as column `rankCol`. */
   def withGlobalRank(df: DataFrame, numPartitions: Int, rankCol: String,
       sortCols: Column*): DataFrame =

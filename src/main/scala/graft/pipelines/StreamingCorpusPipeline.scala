@@ -5,19 +5,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming flavor of [[TrainingDataPipeline]]'s front half: continuous
-  * corpus ingestion with the same per-document gates, expressed as one
-  * `DataFrame => DataFrame` over a streaming source.
+  * corpus ingestion with the same per-document gates IN THE SAME ORDER
+  * as the batch pipeline — gate and fingerprint on the RAW text, scrub
+  * last — so the two tiers admit the same corpus for the same input
+  * (gating on scrubbed text would score `<EMAIL>` tokens instead of the
+  * original ones and flip borderline documents between tiers).
   *
-  *  1. PII scrub      — [[TextQueries.scrubbed]] (per-row projection)
-  *  2. quality gate   — [[TextQueries.qualityOf]] score >= threshold
-  *  3. exact dedup    — `dropDuplicatesWithinWatermark` on the text
-  *                      fingerprint: at-least-once sources (Kafka replays,
-  *                      crawler re-fetches) deliver the same document
-  *                      repeatedly; state for a fingerprint is held only
-  *                      until the watermark passes it, so dedup state is
-  *                      BOUNDED — the streaming analog of d1, and the
-  *                      reason this scales where a global distinct never
-  *                      evicts.
+  *  1. quality gate   — [[TextQueries.qualityOf]] on raw text,
+  *                      score >= threshold (batch stage 1)
+  *  2. exact dedup    — `dropDuplicatesWithinWatermark` on the RAW text
+  *                      fingerprint (the batch d1 key): at-least-once
+  *                      sources (Kafka replays, crawler re-fetches)
+  *                      deliver the same document repeatedly; state for
+  *                      a fingerprint is held only until the watermark
+  *                      passes it, so dedup state is BOUNDED — the
+  *                      streaming analog of d1, and the reason this
+  *                      scales where a global distinct never evicts.
+  *  3. PII scrub      — [[TextQueries.scrubbed]] (per-row projection,
+  *                      batch stage 8) before landing.
   *
   * Near-dedup (LSH) and packing stay batch-side in this design: they need
   * corpus-global state (document frequencies, cluster roots), which a
@@ -29,16 +34,16 @@ object StreamingCorpusPipeline {
 
   val QualityThreshold = TrainingDataPipeline.QualityThreshold
 
-  /** `docs` must carry (doc_id, text, ts); emits scrubbed, gated,
-    * fingerprint-deduplicated documents in append mode. */
+  /** `docs` must carry (doc_id, text, ts); emits gated,
+    * fingerprint-deduplicated, scrubbed documents in append mode. */
   def ingest(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    TextQueries.qualityOf(
-      TextQueries.scrubbed(docs)
-        .withColumn("toks", split(lower(col("text")), " ")))
-      .filter(col("quality_score") >= QualityThreshold)
-      .withColumn("fp", md5(col("text")))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp")
+    TextQueries.scrubbed(
+      TextQueries.qualityOf(
+        docs.withColumn("toks", split(lower(col("text")), " ")))
+        .filter(col("quality_score") >= QualityThreshold)
+        .withColumn("fp", md5(col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("fp"))
       .select(col("doc_id"), col("ts"), col("text"),
         col("quality_score"), col("fp"))
 }

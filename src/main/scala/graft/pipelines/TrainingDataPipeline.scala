@@ -119,10 +119,15 @@ object TrainingDataPipeline {
     import spark.implicits._
     val splitCounts = kept.groupBy(col("split")).count()
       .collect().map(r => (s"docs_${r.getString(0)}", r.getLong(1)))
+    // One scan of the landed output serves both chunk and shard counts
+    // (count + count distinct in a single aggregate pass).
+    val landedStats = landed
+      .agg(count(lit(1)).as("chunks"), countDistinct(col("shard")).as("shards"))
+      .first()
     val summary = (Seq(("documents_in", total),
       ("documents_kept", kept.count()),
-      ("chunks_out", landed.count()),
-      ("shards_out", landed.select(col("shard")).distinct().count()))
+      ("chunks_out", landedStats.getLong(0)),
+      ("shards_out", landedStats.getLong(1)))
       ++ splitCounts)
       .toDF("stage", "n")
     graft.CheckpointUtil.release(kept)
