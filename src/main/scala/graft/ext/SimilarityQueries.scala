@@ -157,6 +157,74 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** s13 — MIPS (maximum inner product search) via the norm-augmentation
+    * reduction to cosine LSH: retrieval over UNNORMALIZED vectors (dot
+    * product, not cosine — the recommender/re-ranker scoring function)
+    * does not directly bucket under hyperplane LSH, but appending one
+    * coordinate `sqrt(M² − ‖x‖²)` to every data vector (and 0 to the
+    * query) puts all data on the radius-M sphere, where dot-product order
+    * IS cosine order — so the s4 machinery applies unchanged
+    * (Shrivastava & Li's asymmetric-LSH family, the simple XBOX variant).
+    *
+    * The fixture embeddings are unit-norm, which makes MIPS degenerate to
+    * cosine; a deterministic per-vector weight `w = 1 + (vec_id % 7)/4`
+    * (standing in for real unnormalized magnitudes) makes the rankings
+    * genuinely differ. The scaled vector is NEVER materialized — scalars
+    * factor out of every dot product (`dot(w·v, c) = w·dot(v, c)`), so
+    * the plan stays one codegen'd projection per plane over the raw
+    * column, same as s4.
+    *
+    * Determinism: both engines compute identical doubles (same
+    * left-to-right accumulation, IEEE sqrt, exact ±1/w factors), so the
+    * bucket sets match exactly; the final re-rank orders micro-unit
+    * BIGINT dots. [[MipsM]] bounds the max scaled norm (2.5·1.0000002);
+    * production derives M from a stats pass over the corpus. */
+  val MipsM = 3.0
+  private lazy val mipsSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, LshDims + 1) { (p, d) =>
+      val h = md.digest(s"mips|$p|$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+  }
+
+  def annMips(spark: SparkSession, dir: String): DataFrame = {
+    val m2 = s"${MipsM * MipsM}D"
+    val base = emb(spark, dir)
+      .withColumn("w", expr(
+        "if(vec_id = 0, 1.0D, 1.0D + cast(vec_id % 7 as double) / 4.0D)"))
+      // query augments with 0 (q' = [q; 0]); data with sqrt(M² − ‖w·v‖²)
+      .withColumn("aug", expr(
+        s"if(vec_id = 0, 0.0D, sqrt($m2 - w * w * dot_product(embedding, embedding)))"))
+    val bits = (0 until LshPlanes).foldLeft(base) { (d, p) =>
+      val coeffs = (0 until LshDims)
+        .map(i => if (mipsSigns(p)(i) > 0) "1.0D" else "-1.0D").mkString(", ")
+      val s65 = if (mipsSigns(p)(LshDims) > 0) "1.0D" else "-1.0D"
+      d.withColumn(s"s$p", expr(
+        s"(w * dot_product(embedding, array($coeffs)) + aug * $s65) > 0D"))
+    }
+    val bandCols = (0 until 4).map { b =>
+      val e = (0 until 4)
+        .map(r => s"(CASE WHEN s${4 * b + r} THEN ${1 << r} ELSE 0 END)").mkString(" + ")
+      expr(s"struct(cast($b as int) as bid, cast($e as int) as bkey)")
+    }
+    val bands = bits
+      .select(col("vec_id"), col("embedding"), col("w"),
+        explode(array(bandCols: _*)).as("u"))
+      .select(col("vec_id"), col("embedding"), col("w"),
+        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+    val qBands = bands.filter(col("vec_id") === 0)
+      .select(col("bid").as("qbid"), col("bkey").as("qbkey"), col("embedding").as("qv"))
+    bands.filter(col("vec_id") > 0)
+      .join(broadcast(qBands), col("bid") === col("qbid") && col("bkey") === col("qbkey"))
+      .select(col("vec_id"), expr(
+        "cast(round(w * dot_product(embedding, qv) * 1000000.0D, 0) as bigint)")
+        .as("dot_micro"))
+      .distinct()
+      .orderBy(col("dot_micro").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** s5 — IVF (inverted-file) ANN with a fixed coarse quantizer: vectors
     * 1..16 serve as deterministic centroids (no training step, so the
     * DuckDB oracle can replicate the index bit-for-bit — unlike s4's
@@ -463,6 +531,7 @@ object SimilarityQueries {
     "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "s3_label_paircounts" -> ((s, d) => labelPairCounts(s, d)),
     "s4_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "s13_mips" -> ((s, d) => annMips(s, d)),
     "s5_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "s6_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "s7_quantize" -> ((s, d) => quantize(s, d)),
@@ -676,6 +745,47 @@ object SimilarityQueries {
          |SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) AS cosine
          |FROM cand JOIN e ON e.vec_id = cand.vec_id, q
          |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "s13_mips" -> {
+      val m2 = MipsM * MipsM
+      val ss = (0 until LshPlanes).map { p =>
+        val terms = (0 until LshDims)
+          .map(i => s"v[${i + 1}] * ${if (mipsSigns(p)(i) > 0) "1.0" else "-1.0"}")
+          .mkString(" + ")
+        val s65 = if (mipsSigns(p)(LshDims) > 0) "1.0" else "-1.0"
+        s"(w * ($terms) + aug * $s65) > 0 s$p"
+      }.mkString(",\n       ")
+      val bands = (0 until 4).map { b =>
+        val k = (0 until 4)
+          .map(r => s"(CASE WHEN s${4 * b + r} THEN ${1 << r} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT vec_id, $b bid, $k bkey FROM bits"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |a1 AS (SELECT vec_id, v,
+         |         CASE WHEN vec_id = 0 THEN 1.0
+         |              ELSE 1.0 + CAST(vec_id % 7 AS DOUBLE) / 4.0 END w
+         |       FROM e),
+         |a2 AS (SELECT vec_id, v, w,
+         |         CASE WHEN vec_id = 0 THEN 0.0
+         |              ELSE sqrt($m2 - w * w * list_dot_product(v, v)) END aug
+         |       FROM a1),
+         |bits AS (SELECT vec_id, v, w, aug,
+         |       $ss
+         |  FROM a2),
+         |bands AS (
+         |$bands),
+         |cand AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM bands q JOIN bands b ON q.bid = b.bid AND q.bkey = b.bkey
+         |  WHERE q.vec_id = 0 AND b.vec_id > 0),
+         |q AS (SELECT v qv FROM e WHERE vec_id = 0)
+         |SELECT a.vec_id,
+         |       CAST(round(a.w * list_dot_product(a.v, q.qv) * 1000000.0, 0)
+         |            AS BIGINT) AS dot_micro
+         |FROM cand c JOIN a2 a ON a.vec_id = c.vec_id, q
+         |ORDER BY dot_micro DESC, a.vec_id ASC LIMIT 10""".stripMargin
+    },
     "s1_ann_topk" ->
       s"""WITH $duckEmb,
          |q AS (SELECT v, nrm FROM e WHERE vec_id = 0)
