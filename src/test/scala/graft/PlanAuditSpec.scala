@@ -90,6 +90,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert((exact intersect ivf).size >= 5, s"IVF recall: ${(exact intersect ivf).size}/10")
   }
 
+  test("MIPS LSH recovers most of the exact max-dot top-10") {
+    graft.functions.GraftFunctions.register(spark)
+    val lsh = SparkEntry.queries("s13_mips")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .selectExpr("embedding as qv")
+    val exact = e.filter(org.apache.spark.sql.functions.col("vec_id") > 0)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .selectExpr("vec_id",
+        "cast(round((1.0D + cast(vec_id % 7 as double) / 4.0D) * " +
+          "dot_product(embedding, qv) * 1000000.0D, 0) as bigint) as dm")
+      .orderBy(org.apache.spark.sql.functions.col("dm").desc,
+        org.apache.spark.sql.functions.col("vec_id").asc)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    assert(lsh.size == 10 && exact.size == 10)
+    assert((exact intersect lsh).size >= 5,
+      s"MIPS recall: ${(exact intersect lsh).size}/10")
+  }
+
   test("whole-stage codegen covers the similarity hot path (no fallback islands)") {
     // AQE's pre-execution formatted plan carries no codegen annotations;
     // execute first, then read the final adaptive plan.
