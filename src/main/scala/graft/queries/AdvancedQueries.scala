@@ -389,69 +389,17 @@ object AdvancedQueries {
       .orderBy("c_nationkey")
   }
 
-  /** q55 — exact global median by sketch-bracketed selection: never sorts
-    * or range-shuffles the fact table, and never aggregates every value
-    * into one `percentile` buffer (the thing that doesn't exist at
-    * 100 TB).
-    *
-    * Pass 1 (narrow column scan): `count` + an `approx_percentile`
-    * bracket `[lo, hi]` whose GK rank guarantee (error ≤ n/accuracy)
-    * provably contains both middle order statistics. Pass 2 (scan):
-    * `count(v < lo)` and `count(v <= hi)` — the band's global rank
-    * offset and the safety check. Pass 3: exact distributed selection
-    * (RankOps) over ONLY the band — ~6·n/accuracy rows (hundreds at
-    * sf0.1, ~10⁸ even at 10¹² rows), so the only shuffle in the plan
-    * moves a vanishing fraction of the data. If the sketch invariant
-    * somehow fails the query falls back to a full RankOps rank —
-    * correctness never rests on the sketch.
-    *
-    * Interpolation at 0.5 is the mean of the two middle elements,
-    * matching `quantile_cont`. Rank tiebreaks (orderkey, linenumber)
-    * give a total order; equal-valued ranks differ but their VALUES
-    * agree, so the median is exact regardless. */
-  def q55ExactMedian(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(spark, dir, "lineitem")
-      .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
-    val acc = 1000 // GK rank error ≤ n/acc; band ≈ 6n/acc rows
-    val head = base.agg(
-      count(lit(1)).as("n"),
-      expr(s"approx_percentile(v, array(greatest(0.5d - 3.0d/$acc, 0.0d)," +
-        s" least(0.5d + 3.0d/$acc, 1.0d)), $acc)").as("br")).first()
-    val n = head.getLong(0)
-    if (n == 0)
-      // Match the oracle's aggregate shape (count(*)=0, quantile_cont
-      // → NULL) instead of NPE-ing on the degenerate input.
-      spark.range(1).select(lit(0L).as("n"), lit(null).cast("double").as("median"))
-    else {
-      val br = head.getSeq[Double](1)
-      val (lo, hi) = (br(0), br(1))
-      val k1 = (n - 1) / 2
-      val k2 = n / 2
-      val counts = base.agg(
-        sum(when(col("v") < lo, 1L).otherwise(0L)).as("c_lo"),
-        sum(when(col("v") <= hi, 1L).otherwise(0L)).as("c_hi")).first()
-      val (cLo, cHi) = (counts.getLong(0), counts.getLong(1))
-      val sel =
-        if (cLo <= k1 && k2 < cHi) {
-          // Partition the band rank by its KNOWN size (c_hi − c_lo):
-          // hundreds of rows get one task, 10⁸ rows get the full width.
-          val bandParts = math.min(spark.sparkContext.defaultParallelism.toLong,
-            (cHi - cLo) / 100000 + 1).toInt
-          graft.ops.RankOps.withGlobalRank(
-              base.filter(col("v") >= lo && col("v") <= hi),
-              bandParts, "rk",
-              col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-            .filter((col("rk") + cLo).isin(k1, k2))
-        }
-        else // sketch bound violated (can't happen); exact full-rank path
-          graft.ops.RankOps.withGlobalRank(
-              base, spark.sparkContext.defaultParallelism, "rk",
-              col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-            .filter(col("rk").isin(k1, k2))
-      sel.agg(round(avg(col("v")), 6).as("median"))
-        .select(lit(n).as("n"), col("median"))
-    }
-  }
+  /** q55 — exact global median by sketch-bracketed distributed selection
+    * ([[graft.ops.MedianOps.exactMedian]] — the three-pass bracket/count/
+    * band-select engine, property-tested against a sequential median in
+    * PropertySpec). Interpolation at 0.5 is the mean of the two middle
+    * elements, matching `quantile_cont`; (orderkey, linenumber)
+    * tiebreaks give the rank a total order — equal-valued ranks differ
+    * but their VALUES agree, so the median is exact regardless. */
+  def q55ExactMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MedianOps.exactMedian(
+      Tables.load(spark, dir, "lineitem"),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
 
   /** q56 — salted fact-dim join ([[graft.ops.SkewOps.saltedJoin]]):
     * events×customer with the fact side salted `Salts` ways and the dim

@@ -35,6 +35,34 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
   private def sample[A](g: Gen[List[A]]): List[A] =
     g.sample.getOrElse(sys.error("generator exhausted"))
 
+  test("sketch-bracketed exact median equals the sequential median") {
+    // Guards MedianOps' rank arithmetic (k1/k2, the c_lo offset, the
+    // band bounds) on shapes the fixture never produces: heavy
+    // duplication, two-point distributions, tiny n, odd/even n.
+    val gens: Seq[Gen[List[Double]]] = Seq(
+      Gen.listOfN(1, Gen.choose(-100.0, 100.0)),
+      Gen.listOfN(2, Gen.choose(-100.0, 100.0)),
+      Gen.listOfN(501, Gen.choose(-5.0, 5.0)),
+      Gen.listOfN(500, Gen.oneOf(1.0, 2.0)),          // two-point mass
+      Gen.listOfN(400, Gen.const(7.5)),               // single value
+      Gen.listOfN(333, Gen.choose(0, 5).map(_.toDouble))) // heavy dupes
+    gens.foreach { g =>
+      val xs = sample(g)
+      val df = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val row = graft.ops.MedianOps.exactMedian(df, col("v"), col("id")).collect()(0)
+      val sorted = xs.sorted
+      val exp = (sorted((xs.size - 1) / 2) + sorted(xs.size / 2)) / 2.0
+      assert(row.getLong(0) == xs.size.toLong)
+      assert(math.abs(row.getDouble(1) - BigDecimal(exp)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9,
+        s"n=${xs.size}: got ${row.getDouble(1)}, want $exp")
+    }
+    // Degenerate: empty frame yields (0, NULL), not an NPE.
+    val empty = graft.ops.MedianOps.exactMedian(
+      Seq.empty[(Double, Long)].toDF("v", "id"), col("v"), col("id")).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
   test("base64 encode -> unbase64 decode is the identity for arbitrary unicode strings") {
     val strs = sample(Gen.listOfN(200, Gen.frequency(
       5 -> Gen.alphaNumStr,
