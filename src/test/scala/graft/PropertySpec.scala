@@ -18,7 +18,10 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     // the linear probe's confusion grid, the correlation moments.
     val dir = "/root/testdata/sf0.001"
     val names = Seq("q49_ewma", "q50_cdc_compact", "q52_peak_concurrency",
-      "s12_linear_probe", "q45_series_corr", "p2_token_packing")
+      "s12_linear_probe", "q45_series_corr", "p2_token_packing",
+      "q55_exact_median", "q56_salted_join", "q57_bloom_join",
+      "q58_sharded_distinct", "q59_rollup_maintenance", "s13_mips",
+      "s6_label_centroids")
     def run(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
     val before = spark.conf.get("spark.sql.shuffle.partitions")
