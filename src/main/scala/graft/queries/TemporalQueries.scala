@@ -356,7 +356,37 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  /** q60 — sliding-window distinct count: distinct users per trailing
+    * 7-day window, one row per day present in the log. The scalable
+    * exact shape: dedup to (day, user) first (the big shuffle, but on a
+    * frame already |days|×|users| at most), then explode each pair into
+    * the ≤7 window-ends it serves and count distinct per window — never
+    * a per-window rescan of the raw log, never a window function holding
+    * a running distinct set. (The approximate path at extreme scale
+    * swaps the final count-distinct for per-day HLL sketches merged per
+    * window — t6's sketch family; this query is the exact contract.) */
+  val SlideDays = 7
+  def q60SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val ends = du.select(col("day")).distinct().select(col("day").as("win_end"))
+    du
+      .select(col("user_id"),
+        explode(expr(s"sequence(0, ${SlideDays - 1})")).as("off"),
+        col("day"))
+      .select(col("user_id"), expr("date_add(day, off)").as("win_end"))
+      // only windows ending on a day that actually occurs in the log
+      .join(ends, Seq("win_end"), "left_semi")
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end"),
+        col("n_users"))
+      .orderBy("win_end")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_sliding_distinct" -> ((s, d) => q60SlidingDistinct(s, d)),
     "q46_funnel" -> ((s, d) => q46Funnel(s, d)),
     "q50_cdc_compact" -> ((s, d) => q50CdcCompact(s, d)),
     "q51_scd2" -> ((s, d) => q51Scd2(s, d)),
@@ -372,6 +402,16 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: per-window correlated rescan of the raw
+    // log differentially checks the explode-into-windows Spark plan.
+    "q60_sliding_distinct" ->
+      s"""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) d FROM events)
+         |SELECT strftime(d, '%Y-%m-%d') AS win_end,
+         |       (SELECT count(DISTINCT user_id) FROM events e
+         |        WHERE CAST(e.ts AS DATE) BETWEEN d - ${SlideDays - 1} AND d)
+         |         AS n_users
+         |FROM days ORDER BY win_end""".stripMargin,
+
     // Independent formulation: ROW_NUMBER latest-wins (the sort-based
     // compaction) differentially checks the aggregate-based Spark plan.
     "q50_cdc_compact" ->
