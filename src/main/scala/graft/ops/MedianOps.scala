@@ -20,13 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object MedianOps {
 
-  /** One row `(n BIGINT, median DOUBLE)`: `n` = row count, `median` =
-    * `quantile_cont(value, 0.5)` (mean of the two middle order
-    * statistics, rounded to 6 dp; NULL when the frame is empty).
-    * `tiebreaks` must make (value, tiebreaks) a total order. */
+  /** One row `(n BIGINT, median DOUBLE)`: `n` = count of NON-NULL
+    * values, `median` = `quantile_cont(value, 0.5)` over them (mean of
+    * the two middle order statistics, rounded to 6 dp; NULL when no
+    * values exist). NULLs are excluded from both `n` and the median —
+    * SQL aggregate semantics; NaN values are unsupported (they have no
+    * consistent quantile position). `tiebreaks` must make
+    * (value, tiebreaks) a total order; they may be arbitrary expressions
+    * (each is aliased internally, so computed tiebreaks resolve fine). */
   def exactMedian(df: DataFrame, value: Column, tiebreaks: Column*): DataFrame = {
     val spark = df.sparkSession
-    val base = df.select((value.cast("double").as("__mv") +: tiebreaks): _*)
+    // Alias every tiebreak: the same Column objects are used again as
+    // sort keys against the PROJECTED frame, where an unaliased computed
+    // expression (or its inputs) no longer resolves.
+    val tbNames = tiebreaks.indices.map(i => s"__tb$i")
+    val base = df
+      .select((value.cast("double").as("__mv") +:
+        tiebreaks.zip(tbNames).map { case (c, n) => c.as(n) }): _*)
+      .filter(col("__mv").isNotNull)
     val acc = 1000 // GK rank error ≤ n/acc; band ≈ 6n/acc rows
     val head = base.agg(
       count(lit(1)).as("n"),
@@ -44,7 +55,7 @@ object MedianOps {
         sum(when(col("__mv") < lo, 1L).otherwise(0L)).as("c_lo"),
         sum(when(col("__mv") <= hi, 1L).otherwise(0L)).as("c_hi")).first()
       val (cLo, cHi) = (counts.getLong(0), counts.getLong(1))
-      val sortCols = col("__mv").asc +: tiebreaks.map(_.asc)
+      val sortCols = col("__mv").asc +: tbNames.map(col(_).asc)
       val sel =
         if (cLo <= k1 && k2 < cHi) {
           // Partition the band rank by its KNOWN size (c_hi − c_lo):

@@ -544,7 +544,7 @@ object AdvancedQueries {
     // Independent formulation: interpolated quantile_cont vs the
     // selection-based two-order-statistics construction.
     "q55_exact_median" ->
-      """SELECT count(*) AS n,
+      """SELECT count(l_extendedprice) AS n,
         |       round(quantile_cont(l_extendedprice, 0.5), 6) AS median
         |FROM lineitem""".stripMargin,
 
