@@ -336,13 +336,15 @@ object TemporalQueries {
     * how skewed the types are. Ends sort before starts at equal t
     * (delta −1 < +1), making the end exclusive. */
   def q52PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val iv = Tables.load(spark, dir, "events")
-      .select(col("event_type"), col("ts"), col("event_id"))
-    val pts = iv.select(col("event_type"), col("ts").as("t"),
-        lit(1L).as("delta"), col("event_id"))
-      .unionByName(iv.select(col("event_type"),
-        (col("ts") + expr("interval 1 hour")).as("t"),
-        lit(-1L).as("delta"), col("event_id")))
+    // ONE scan: each event explodes into its (+1 at start, −1 at end)
+    // endpoint pair — the union formulation read the log twice.
+    val pts = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        explode(expr(
+          "array(struct(ts as t, 1L as delta), " +
+            "struct(ts + interval 1 hour as t, -1L as delta))")).as("u"))
+      .select(col("event_type"), col("u.t").as("t"),
+        col("u.delta").as("delta"), col("event_id"))
     val par = spark.sparkContext.defaultParallelism
     val run = graft.ops.RankOps
       .withGlobalPrefixSum(pts, par, "pre", col("delta"),
