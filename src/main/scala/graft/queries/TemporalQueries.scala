@@ -387,7 +387,49 @@ object TemporalQueries {
       .orderBy("win_end")
   }
 
+  /** q61 — trajectory similarity search (the REPOSE/ICDE'21 problem
+    * shape): each user's behavior is the ordered string of their
+    * event-type initials; the query is one user's trajectory, the answer
+    * the 10 users whose trajectories are closest by edit distance. One
+    * shuffle builds every trajectory (groupBy user, order inside the
+    * aggregate by (ts, event_id) — deterministic, no per-user window
+    * sort), the query trajectory broadcasts as a literal, the DP runs
+    * per user in one codegen'd projection, and top-k plans as
+    * TakeOrderedAndProject. Trajectories cap at [[TrajCap]] initials so
+    * a whale user bounds the per-row DP cost (at real scale, cap BEFORE
+    * the collect with a windowed row_number or a slice-on-ingest). */
+  val TrajCap = 256
+  def q61TrajSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val traj = ev
+      .groupBy(col("user_id"))
+      .agg(expr(
+        s"""substring(array_join(transform(
+           |  array_sort(collect_list(struct(ts, event_id, event_type))),
+           |  x -> substring(x.event_type, 1, 1)), ''), 1, $TrajCap)""".stripMargin)
+        .as("traj"))
+    val qUser = ev.agg(min(col("user_id"))).first().getLong(0)
+    // The query trajectory from ONE user's events (a filtered scan),
+    // not from the full corpus aggregate.
+    val qTraj = ev.filter(col("user_id") === qUser)
+      .groupBy(col("user_id"))
+      .agg(expr(
+        s"""substring(array_join(transform(
+           |  array_sort(collect_list(struct(ts, event_id, event_type))),
+           |  x -> substring(x.event_type, 1, 1)), ''), 1, $TrajCap)""".stripMargin)
+        .as("traj"))
+      .first().getString(1)
+    traj.filter(col("user_id") =!= qUser)
+      .select(col("user_id"),
+        length(col("traj")).cast("long").as("traj_len"),
+        levenshtein(col("traj"), lit(qTraj)).cast("long").as("edit_dist"))
+      .orderBy(col("edit_dist").asc, col("user_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_traj_similarity" -> ((s, d) => q61TrajSimilarity(s, d)),
     "q60_sliding_distinct" -> ((s, d) => q60SlidingDistinct(s, d)),
     "q46_funnel" -> ((s, d) => q46Funnel(s, d)),
     "q50_cdc_compact" -> ((s, d) => q50CdcCompact(s, d)),
@@ -404,6 +446,19 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_traj_similarity" ->
+      s"""WITH t AS (
+         |  SELECT user_id,
+         |         substr(string_agg(substr(event_type, 1, 1), ''
+         |                ORDER BY ts, event_id), 1, $TrajCap) traj
+         |  FROM events GROUP BY user_id),
+         |q AS (SELECT traj qt FROM t
+         |      WHERE user_id = (SELECT min(user_id) FROM events))
+         |SELECT user_id, CAST(length(traj) AS BIGINT) AS traj_len,
+         |       CAST(levenshtein(traj, qt) AS BIGINT) AS edit_dist
+         |FROM t, q WHERE user_id <> (SELECT min(user_id) FROM events)
+         |ORDER BY edit_dist ASC, user_id ASC LIMIT 10""".stripMargin,
+
     // Independent formulation: per-window correlated rescan of the raw
     // log differentially checks the explode-into-windows Spark plan.
     "q60_sliding_distinct" ->
