@@ -388,7 +388,29 @@ object PipelineQueries {
       .orderBy("shard")
   }
 
+  /** p13 — the corpus data card: the one-row release profile every
+    * training corpus ships (doc/lang/source counts, token volume, exact
+    * duplication, median length). One aggregate scan plus
+    * [[graft.ops.MedianOps.exactMedian]] for the length median (the
+    * sketch-bracketed selection — no full sort, no single percentile
+    * buffer), so the whole card costs a handful of narrow passes at any
+    * corpus size. */
+  def datacard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(size(split(lower(col("text")), " ")).cast("long")).as("total_toks"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupe_docs"))
+    val med = graft.ops.MedianOps
+      .exactMedian(docs, col("n_chars"), col("doc_id"))
+      .select(col("median").as("median_chars"))
+    stats.crossJoin(med)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_datacard" -> ((s, d) => datacard(s, d)),
     "p12_pack_boundaries" -> ((s, d) => packBoundaries(s, d)),
     "p11_epochs" -> ((s, d) => epochSchedule(s, d)),
     "p10_reservoir" -> ((s, d) => reservoirSample(s, d)),
@@ -404,6 +426,15 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p13_datacard" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs,
+        |       count(DISTINCT source) AS n_sources,
+        |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_toks,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dupe_docs,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+        |FROM documents""".stripMargin,
+
     "p12_pack_boundaries" ->
       s"""WITH t AS (SELECT doc_id,
          |             CAST(len(string_split(lower(text), ' ')) AS BIGINT) n_toks
