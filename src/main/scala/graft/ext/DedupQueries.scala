@@ -746,9 +746,7 @@ object DedupQueries {
     * argmax's own score by construction). */
   def clusterReps(spark: SparkSession, dir: String): DataFrame = {
     val clusters = dedupClusters(spark, dir)
-    val qual = graft.ext.TextQueries.qualityOf(
-        Tables.load(spark, dir, "documents")
-          .withColumn("toks", split(lower(col("text")), " ")))
+    val qual = graft.ext.TextQueries.qualityStats(spark, dir)
       .select(col("doc_id"), col("quality_score"))
     clusters.join(qual, Seq("doc_id"))
       .groupBy(col("cluster_root"))

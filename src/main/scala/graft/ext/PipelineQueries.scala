@@ -295,9 +295,7 @@ object PipelineQueries {
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.RankOps
     val par = spark.sparkContext.defaultParallelism
-    val scored = TextQueries.qualityOf(
-        Tables.load(spark, dir, "documents")
-          .withColumn("toks", split(lower(col("text")), " ")))
+    val scored = TextQueries.qualityStats(spark, dir)
       .select(col("doc_id"), col("quality_score"))
     // Row count from the rank's totals job: the separate count(*) pass
     // would re-run the whole quality-scoring tokenization a second time.

@@ -37,10 +37,26 @@ object TextQueries {
         col("cnt_en"), col("cnt_es"), col("cnt_de"), col("pred_lang"))
       .orderBy("doc_id")
 
+  /** The per-document quality-stat frame (doc_id + the numeric stats,
+    * no text), checkpointed once per (session, dir): t2's probe, d13's
+    * survivor pick and p9's curriculum all rank on these scores, and the
+    * tokenize-and-fold pass over the corpus is the expensive part —
+    * built once like the tf/bigram/shingle indexes. */
+  private lazy val scoreCache = caches.newCache()
+  def qualityStats(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    scoreCache.getOrElseUpdate((spark, dir), {
+      qualityOf(docs(spark, dir))
+        .select(col("doc_id"), col("n_toks"), col("tok_chars"),
+          col("stop_ratio_raw"), col("punct_ratio_raw"), col("quality_score"))
+        .localCheckpoint()
+    })
+  }
+
   /** t2 — quality scoring: token stats + stopword/punctuation ratios folded
     * into a bounded [0,1] score. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    qualityOf(docs(spark, dir))
+    qualityStats(spark, dir)
       .select(
         col("doc_id"), col("n_toks"),
         round(expr("tok_chars * 1.0D / n_toks"), 6).as("avg_token_len"),
