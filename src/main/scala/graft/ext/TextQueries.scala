@@ -188,6 +188,74 @@ object TextQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** t14 — Okapi BM25 ranked retrieval over the inverted index: the
+    * classic `idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` scoring for a
+    * fixed term query, top-[[Bm25TopK]] documents. Per-term contributions
+    * are rounded to micro-unit BIGINTs before the per-doc sum, so the
+    * cross-engine aggregate is exact integer math (double `sum()` order
+    * differs between engines; see s6's discipline).
+    *
+    * Scale shape: the tf index ([[termFreq]], built once) filters to the
+    * query terms FIRST — the postings join probes only `df(t)` rows per
+    * term, never the corpus; df and the corpus stats broadcast as
+    * single-row/|Q|-row frames. The only corpus-sized side is the
+    * doc-length table, partition-aligned with tf on doc_id. */
+  val Bm25QueryTerms: Seq[String] = Seq("hash", "merge", "dup")
+  val Bm25TopK = 10
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tt"))
+    val qtf = tf.filter(col("term").isin(Bm25QueryTerms: _*))
+    val dfq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tt") / col("n"))
+      // idf/tf-norm written with the same literal constants and the same
+      // parenthesization as the oracle SQL: double IEEE ops are
+      // deterministic, so identical expression trees give identical bits.
+      .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("cm", expr(
+        "cast(round(idf * (tf * 2.2D) / (tf + 1.2D * (0.25D + 0.75D * (dl / avgdl)))" +
+          " * 1000000.0D, 0) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cm")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
+  /** t15 — PMI collocation mining over the corpus bigram stream:
+    * `pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2)))` with positional
+    * marginals (w1 counted as left element, w2 as right), the standard
+    * collocation/multi-word-expression detector for tokenizer and
+    * phrase-vocabulary construction. The ratio is computed as a chain of
+    * double divisions (`c12/c1/c2*nb`) — never `c12*nb` as integers,
+    * which would overflow BIGINT at corpus scale (1e12 bigrams × 1e12
+    * pair count). One ln() of an exactly-agreed double, rounded — no
+    * double aggregation anywhere.
+    *
+    * Scale shape: three combinable counts over the cached bigram stream
+    * (pair / left / right keys), then joins on VOCABULARY-sized frames
+    * (bigram types, not tokens) — the corpus is reduced map-side and
+    * never reshuffled. */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigrams(spark, dir)
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    c12.filter(col("c12") >= PmiMinCount)
+      .join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log(col("c12") / col("c1") / col("c2") * col("nb")), 6))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+  }
+
   /** t6 — KMV (k-minimum-values) distinct-count sketch per language: the
     * estimate is (k-1) * |hash space| / h_(k), needing only the k smallest
     * 60-bit md5-derived hash values per group — a bounded sketch where
@@ -333,9 +401,11 @@ object TextQueries {
     * doc_id with map-side partial aggregation. Per-bigram log-probs are
     * rounded before averaging so both engines aggregate identical
     * doubles (t5 discipline). */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Cached corpus bigram stream `(doc_id, w1, w2)` (see [[bgCache]]) —
+    * t10's LM count tables and t15's collocation mining both reduce it. */
+  private def bigrams(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
-    val bg = bgCache.getOrElseUpdate((spark, dir), {
+    bgCache.getOrElseUpdate((spark, dir), {
       docs(spark, dir)
         .filter(size(col("toks")) >= 2)
         .withColumn("b", explode(expr(
@@ -344,6 +414,10 @@ object TextQueries {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .localCheckpoint()
     })
+  }
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigrams(spark, dir)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // denominator = bigram-context count of w1 (occurrences followed by
     // anything), so per-context probabilities sum to 1
@@ -441,7 +515,9 @@ object TextQueries {
     "t3_tokencount" -> ((s, d) => tokenCount(s, d)),
     "t4_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "t5_tfidf" -> ((s, d) => tfidf(s, d)),
-    "t6_kmv_distinct" -> ((s, d) => kmvDistinct(s, d))
+    "t6_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
+    "t14_bm25" -> ((s, d) => bm25(s, d)),
+    "t15_pmi" -> ((s, d) => pmiCollocations(s, d))
   )
 
   private val duckTokenVal: String = (1 to 4)
@@ -628,6 +704,43 @@ object TextQueries {
          |             THEN ${KmvK - 1} * 1152921504606846976.0 / kth_hash
          |             ELSE n_exact * 1.0 END, 4) AS est
          |FROM exact LEFT JOIN kth ON exact.lang = kth.lang
-         |ORDER BY exact.lang""".stripMargin
+         |ORDER BY exact.lang""".stripMargin,
+
+    // Fractional literals are ::DOUBLE so DuckDB doesn't read them as
+    // DECIMAL (decimal-exact `tf * 2.2` would differ from Spark's
+    // double(tf)*double(2.2) in the last ulp).
+    "t14_bm25" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString("(", ",", ")")
+      s"""WITH ex AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) tf FROM ex GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dl) AS BIGINT) tt FROM dl),
+         |qt AS (SELECT * FROM tf WHERE term IN $terms),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qt GROUP BY 1),
+         |sc AS (SELECT q.doc_id,
+         |         CAST(round(ln(1.0::DOUBLE + (st.n - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+         |           * (q.tf * 2.2::DOUBLE)
+         |           / (q.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (d.dl / (st.tt / st.n))))
+         |           * 1000000.0::DOUBLE, 0) AS BIGINT) cm
+         |       FROM qt q JOIN dfq USING (term) JOIN dl d USING (doc_id), st)
+         |SELECT doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
+         |       CAST(count(*) AS BIGINT) AS n_terms
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+    },
+
+    "t15_pmi" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+         |s AS (SELECT doc_id, tk, unnest(range(1, len(tk))) i
+         |      FROM t WHERE len(tk) >= 2),
+         |bg AS (SELECT doc_id, tk[i] w1, tk[i+1] w2 FROM s),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) c1 FROM bg GROUP BY 1),
+         |c2 AS (SELECT w2, CAST(count(*) AS BIGINT) c2 FROM bg GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) nb FROM bg)
+         |SELECT w1, w2, c12, round(ln(c12 / c1 / c2 * nb), 6) AS pmi
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), nb
+         |WHERE c12 >= $PmiMinCount
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PmiTopK""".stripMargin
   )
 }

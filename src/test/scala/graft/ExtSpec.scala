@@ -260,6 +260,45 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bm25 matches a brute-force reference ranking on the fixture") {
+    import TextQueries.{Bm25QueryTerms, Bm25TopK}
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val dfm = Bm25QueryTerms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val want = docs.flatMap { case (id, toks) =>
+      val cms = Bm25QueryTerms.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          Some(math.round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (toks.length / avgdl))) * 1e6))
+        }
+      }
+      if (cms.isEmpty) None else Some((id, cms.sum, cms.length.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(Bm25TopK).toSeq
+    val got = TextQueries.bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("pmi is symmetric-marginal-consistent and bounded by the count floor") {
+    import TextQueries.{PmiMinCount, PmiTopK}
+    val rows = TextQueries.pmiCollocations(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= PmiTopK)
+    val pmis = rows.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c12") >= PmiMinCount)
+      // PMI can't exceed min(ln N/c1, ln N/c2) <= ln(N/c12); loose sanity
+      // bound: |pmi| < ln(corpus bigram count).
+      assert(math.abs(r.getAs[Double]("pmi")) < 30.0)
+    }
+  }
+
   test("kmv estimate lands within the sketch's error envelope") {
     val rows = TextQueries.kmvDistinct(spark, dir).collect()
     assert(rows.nonEmpty)
