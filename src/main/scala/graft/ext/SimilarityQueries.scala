@@ -542,7 +542,38 @@ object SimilarityQueries {
       .orderBy("label", "pred")
   }
 
+  /** s14 — one exact Lloyd k-means step (assignment + centroid update +
+    * inertia) from deterministic seeds (vec_id 1..[[KmeansK]]), the
+    * oracle-pinned round of [[graft.ops.KMeansOps]]'s BSP loop. All math
+    * is micro-unit BIGINT (see KMeansOps scaladoc), so DuckDB replicates
+    * the step bit-for-bit — including the argmin tie-break.
+    *
+    * Scale shape: broadcast k-row centroid table, bounded k-row window
+    * argmin per vector, map-side-combined (cluster, dim) reduction —
+    * no corpus shuffle. Inertia is emitted as BIGINT here (exact at
+    * verify SFs); the loop in KMeansOps sums decimal(38,0) for the
+    * 100 TB path where sum(d2m) can exceed 2^63. */
+  val KmeansK = 10
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.KMeansOps
+    val e = KMeansOps.microVectors(emb(spark, dir))
+    val cents = e.filter(col("vec_id").between(1, KmeansK))
+      .select(col("vec_id").as("cent_id"), col("vm").as("cm"))
+    val asgn = KMeansOps.assign(e, cents)
+    val stats = asgn.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2m")).as("inertia_micro2"))
+    asgn.select(col("cluster"), posexplode(col("vm")).as(Seq("pos", "x")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(expr("cast(sum(x) div count(1) as bigint)").as("centroid_micro"))
+      .join(broadcast(stats), "cluster")
+      .select(col("cluster"), col("dim"), col("centroid_micro"),
+        col("n_vecs"), col("inertia_micro2"))
+      .orderBy("cluster", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "s12_linear_probe" -> ((s, d) => linearProbe(s, d)),
     "s11_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "s10_knn_join" -> ((s, d) => knnJoin(s, d)),
@@ -600,6 +631,28 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s14_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id,
+         |       list_transform(embedding::DOUBLE[],
+         |         x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) vm
+         |     FROM embeddings),
+         |c AS (SELECT vec_id cent_id, vm cm FROM e WHERE vec_id BETWEEN 1 AND $KmeansK),
+         |d AS (SELECT e.vec_id, c.cent_id, e.vm,
+         |        CAST(list_aggregate(list_transform(range(1, ${LshDims + 1}),
+         |          i -> (e.vm[i] - c.cm[i]) * (e.vm[i] - c.cm[i])), 'sum') AS BIGINT) d2m
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2m ASC, cent_id ASC) rk FROM d),
+         |asgn AS (SELECT vec_id, cent_id AS cluster, vm, d2m FROM a WHERE rk = 1),
+         |st AS (SELECT cluster, CAST(count(*) AS BIGINT) n_vecs,
+         |         CAST(sum(d2m) AS BIGINT) inertia_micro2 FROM asgn GROUP BY 1),
+         |dd AS (SELECT unnest(range(1, ${LshDims + 1})) dim),
+         |nx AS (SELECT cluster, CAST(dim AS BIGINT) AS dim,
+         |         CAST(sum(vm[dim]) // count(*) AS BIGINT) centroid_micro
+         |       FROM asgn CROSS JOIN dd GROUP BY 1, 2)
+         |SELECT nx.cluster, nx.dim, centroid_micro, n_vecs, inertia_micro2
+         |FROM nx JOIN st USING (cluster) ORDER BY cluster, dim""".stripMargin,
+
     "s12_linear_probe" -> {
       val wDuck = probeWeights
         .map(_.mkString("[", ", ", "]"))
