@@ -371,6 +371,38 @@ object AdvancedQueries {
     * true half, where Spark's decimal-string `round` and DuckDB's
     * numeric `round` disagree by one ulp of intent. Integer emission has
     * no such edge. */
+  /** q63 — robust outlier detection per segment via median absolute
+    * deviation: the data-cleaning gate that survives the outliers it
+    * hunts (mean/stddev z-scores get dragged by the very tail they
+    * should flag). `x` is an outlier iff `|x - median| > 3·MAD`.
+    *
+    * Two grouped exact medians → two aggregations of the fact table on
+    * the (low-cardinality) segment key, with the tiny per-segment
+    * median/MAD frames broadcast back onto the scan. Exact percentile
+    * keeps the DuckDB oracle bit-true (quantile_cont semantics, q23
+    * precedent); at 100 TB the same shape runs on approx_percentile or
+    * q55's sketch-bracketed exact selection when the per-group value
+    * multiset no longer fits an aggregation buffer. */
+  def q63MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("x"))
+    val med = j.groupBy(col("segment")).agg(expr("percentile(x, 0.5D)").as("med"))
+    val dev = j.join(broadcast(med), "segment")
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("segment")).agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "segment")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("adev") > col("mad") * lit(3.0), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("adev")), 6).as("max_adev"))
+      .orderBy("segment")
+  }
+
   def q54Winsorize(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
     val pct = c.groupBy(col("c_nationkey")).agg(
@@ -482,6 +514,7 @@ object AdvancedQueries {
     "q58_sharded_distinct" -> ((s, d) => q58ShardedDistinct(s, d)),
     "q55_exact_median" -> ((s, d) => q55ExactMedian(s, d)),
     "q54_winsorize" -> ((s, d) => q54Winsorize(s, d)),
+    "q63_mad_outliers" -> ((s, d) => q63MadOutliers(s, d)),
     "q53_topk_other" -> ((s, d) => q53TopkOther(s, d)),
     "q47_histogram" -> ((s, d) => q47Histogram(s, d)),
     "q43_running_distinct" -> ((s, d) => q43RunningDistinct(s, d)),
@@ -564,6 +597,22 @@ object AdvancedQueries {
         |       CAST(sum(rawm) // count(*) AS BIGINT) AS raw_mean_micro,
         |       CAST(sum(wm) // count(*) AS BIGINT) AS wins_mean_micro
         |FROM m GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q63_mad_outliers" ->
+      """WITH j AS (SELECT c_mktsegment segment, o_totalprice x
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |med AS (SELECT segment, quantile_cont(x, 0.5) med FROM j GROUP BY 1),
+        |dev AS (SELECT j.segment, x, med.med, abs(x - med.med) adev
+        |        FROM j JOIN med USING (segment)),
+        |mad AS (SELECT segment, quantile_cont(adev, 0.5) mad FROM dev GROUP BY 1)
+        |SELECT d.segment, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(d.med), 6) AS med,
+        |       round(max(m.mad), 6) AS mad,
+        |       CAST(sum(CASE WHEN adev > m.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       round(max(adev), 6) AS max_adev
+        |FROM dev d JOIN mad m USING (segment)
+        |GROUP BY d.segment ORDER BY d.segment""".stripMargin,
 
     "q53_topk_other" ->
       """WITH r AS (

@@ -428,7 +428,32 @@ object TemporalQueries {
       .limit(10)
   }
 
+  /** q62 — sequential pattern mining: the most frequent event-type
+    * trigrams across per-user event streams (ordered by ts, event_id),
+    * with user reach alongside — the "common behavioral motifs" query a
+    * clickstream/trajectory pipeline runs before sequence featurization.
+    *
+    * Scale shape: one per-user window (the same user_id shuffle every
+    * sessionization query pays), then a combinable count over a key
+    * space bounded by |event_types|³ — map-side partials collapse the
+    * corpus before the tiny final exchange; top-k is TakeOrdered, never
+    * a global sort. */
+  val NgramTopK = 20
+  def q62EventNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(NgramTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_event_ngrams" -> ((s, d) => q62EventNgrams(s, d)),
     "q61_traj_similarity" -> ((s, d) => q61TrajSimilarity(s, d)),
     "q60_sliding_distinct" -> ((s, d) => q60SlidingDistinct(s, d)),
     "q46_funnel" -> ((s, d) => q46Funnel(s, d)),
@@ -446,6 +471,18 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_event_ngrams" ->
+      s"""WITH s AS (
+         |  SELECT user_id, event_type e1,
+         |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) e2,
+         |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) e3
+         |  FROM events)
+         |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM s WHERE e3 IS NOT NULL
+         |GROUP BY e1, e2, e3
+         |ORDER BY n DESC, e1, e2, e3 LIMIT $NgramTopK""".stripMargin,
+
     "q61_traj_similarity" ->
       s"""WITH t AS (
          |  SELECT user_id,

@@ -95,6 +95,38 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("event trigram counts match a brute-force per-user sequence walk") {
+    val got = TemporalQueries.q62EventNgrams(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val seqs = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3)).toSeq)
+    val tri = seqs.toSeq.flatMap { case (uid, es) =>
+      es.sliding(3).filter(_.length == 3).map(t => ((t(0), t(1), t(2)), uid))
+    }
+    val want = tri.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).distinct.size.toLong)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(want(k) == v, s"trigram $k") }
+    // the returned set is exactly the global top-|got| by count
+    val floor = got.values.map(_._1).min
+    assert(want.values.count(_._1 > floor) <= got.size)
+  }
+
+  test("mad outliers: outlier share is small and deviations are median-consistent") {
+    val rows = graft.queries.AdvancedQueries.q63MadOutliers(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val out = r.getAs[Long]("n_outliers")
+      assert(out >= 0 && out < n / 4, "MAD flags a minority tail")
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Double]("max_adev") >= r.getAs[Double]("mad"))
+    }
+  }
+
   test("range join covers every event exactly once") {
     val n = TemporalQueries.q20RangeJoin(spark, dir).collect().map(_.getLong(2)).sum
     assert(n == Tables.load(spark, dir, "events").count())
