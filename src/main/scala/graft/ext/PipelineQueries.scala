@@ -420,10 +420,51 @@ object PipelineQueries {
     "p2_token_packing" -> ((s, d) => tokenPacking(s, d)),
     "p3_chunk" -> ((s, d) => chunk(s, d)),
     "p4_split" -> ((s, d) => trainValTestSplit(s, d)),
-    "p5_mixture" -> ((s, d) => mixtureSample(s, d))
+    "p5_mixture" -> ((s, d) => mixtureSample(s, d)),
+    "p14_temperature" -> ((s, d) => temperatureMix(s, d))
   )
 
+  /** p14 — temperature-scaled source mixture (the multilingual/DoReMi
+    * `w_s ∝ n_s^α` reweighting that upsamples small sources relative to
+    * their raw share; α = 0.5 here). Where p5 APPLIES a configured mix,
+    * p14 COMPUTES one from corpus counts. α = 0.5 makes the power an
+    * IEEE `sqrt` — correctly rounded by both engines, so the weights are
+    * bit-identical without a micro-unit detour; the weight NORMALIZATION
+    * still goes through micro-unit BIGINTs (summing raw doubles across
+    * sources would reintroduce merge-order drift). `alloc_10k` is the
+    * floor integer allocation of a 10 000-sample budget — what the
+    * sampler downstream actually consumes.
+    *
+    * Scale shape: one combinable count per source (the corpus reduces
+    * map-side to |sources| rows), then arithmetic on a broadcast
+    * single-row total. Nothing else moves. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.load(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wm", expr("cast(round(sqrt(n_docs) * 1000000.0D, 0) as bigint)"))
+    val tot = cnt.agg(sum(col("n_docs")).as("n_total"), sum(col("wm")).as("w_total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("n_total"), 6).as("raw_share"),
+        round(col("wm") / col("w_total"), 6).as("temp_share"),
+        expr("wm * 10000 div w_total").as("alloc_10k"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "p14_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) n_docs
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(round(sqrt(n_docs) * 1000000.0, 0) AS BIGINT) wm FROM c),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) n_total,
+        |        CAST(sum(wm) AS BIGINT) w_total FROM w)
+        |SELECT source, n_docs,
+        |       round(n_docs / n_total, 6) AS raw_share,
+        |       round(wm / w_total, 6) AS temp_share,
+        |       CAST(wm * 10000 // w_total AS BIGINT) AS alloc_10k
+        |FROM w, t ORDER BY source""".stripMargin,
+
     "p13_datacard" ->
       """SELECT count(*) AS n_docs,
         |       count(DISTINCT lang) AS n_langs,

@@ -299,6 +299,21 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("temperature mixture flattens shares monotonically and allocates within budget") {
+    val rows = ext.PipelineQueries.temperatureMix(spark, dir).collect()
+    assert(rows.length > 1)
+    val shares = rows.map(r => (r.getAs[Long]("n_docs"), r.getAs[Double]("raw_share"),
+      r.getAs[Double]("temp_share"), r.getAs[Long]("alloc_10k")))
+    // w ∝ sqrt(n): the boost ratio temp/raw is decreasing in n, so small
+    // sources gain share relative to large ones.
+    val byN = shares.sortBy(_._1)
+    val ratios = byN.map { case (_, raw, temp, _) => temp / raw }
+    assert(ratios.sliding(2).forall { case Array(a, b) => a >= b - 1e-9 })
+    assert(math.abs(shares.map(_._3).sum - 1.0) < 1e-3)
+    val alloc = shares.map(_._4).sum
+    assert(alloc <= 10000 && alloc > 10000 - shares.length)
+  }
+
   test("kmv estimate lands within the sketch's error envelope") {
     val rows = TextQueries.kmvDistinct(spark, dir).collect()
     assert(rows.nonEmpty)
