@@ -229,7 +229,32 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m10 — scene-cut detection (the shot-boundary stub): a cut is a
+    * frame whose energy jumps by more than [[CutThreshold]] (~p95 of
+    * frame deltas) from its predecessor — the thresholded-frame-difference
+    * detector every video ingest pipeline runs before per-shot sampling,
+    * on the same 16-byte stub frames as m8/m9 (a real pipeline swaps in
+    * decoded luma histograms; the lag/threshold/segment plumbing is
+    * identical). Per payload: cut count, first cut, max delta, and the
+    * resulting segment count. One per-doc window over the frame stream +
+    * one aggregate — frames never leave their doc partition. */
+  val CutThreshold = 40000L
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+    framesWithEnergy(spark, dir)
+      .withColumn("delta", abs(col("energy") - lag(col("energy"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > CutThreshold, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("delta") > CutThreshold, col("frame_idx"))).as("first_cut_idx"),
+        max(col("delta")).as("max_delta"))
+      .withColumn("n_segments", col("n_cuts") + lit(1L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
     "m9_quiet_runs" -> ((s, d) => quietRuns(s, d)),
     "m8_frame_energy" -> ((s, d) => frameEnergy(s, d)),
     "m7_aspect_buckets" -> ((s, d) => aspectBuckets(s, d)),
@@ -242,6 +267,31 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m10_scene_cuts" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) i
+         |  FROM documents WHERE length(text) > 0),
+         |fr AS (SELECT doc_id, i frame_idx,
+         |         substr(text, CAST(i * 16 + 1 AS INT), 16) fb
+         |       FROM g),
+         |en AS (SELECT doc_id, frame_idx,
+         |         CAST(list_aggregate(list_transform(range(1, len(fb) + 1),
+         |           j -> ascii(substr(fb, CAST(j AS INT), 1))
+         |                * ascii(substr(fb, CAST(j AS INT), 1))), 'sum') AS BIGINT) energy
+         |       FROM fr),
+         |dl AS (SELECT doc_id, frame_idx,
+         |         abs(energy - lag(energy) OVER (PARTITION BY doc_id
+         |           ORDER BY frame_idx)) delta
+         |       FROM en)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |       CAST(sum(CASE WHEN delta > $CutThreshold THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_cuts,
+         |       min(CASE WHEN delta > $CutThreshold THEN frame_idx END) AS first_cut_idx,
+         |       CAST(max(delta) AS BIGINT) AS max_delta,
+         |       CAST(sum(CASE WHEN delta > $CutThreshold THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         |         AS n_segments
+         |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m9_quiet_runs" ->
       s"""WITH g AS (
          |  SELECT doc_id, text,

@@ -299,6 +299,23 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("scene cuts: segment accounting and threshold consistency per payload") {
+    import graft.ext.MultimodalQueries
+    val rows = MultimodalQueries.sceneCuts(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_cuts") > 0), "threshold should fire somewhere")
+    rows.foreach { r =>
+      val cuts = r.getAs[Long]("n_cuts")
+      assert(r.getAs[Long]("n_segments") == cuts + 1)
+      if (cuts > 0) {
+        assert(!r.isNullAt(r.fieldIndex("first_cut_idx")))
+        assert(r.getAs[Long]("max_delta") > MultimodalQueries.CutThreshold)
+      } else if (!r.isNullAt(r.fieldIndex("max_delta"))) {
+        assert(r.getAs[Long]("max_delta") <= MultimodalQueries.CutThreshold)
+      }
+    }
+  }
+
   test("temperature mixture flattens shares monotonically and allocates within budget") {
     val rows = ext.PipelineQueries.temperatureMix(spark, dir).collect()
     assert(rows.length > 1)
