@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means over an embedding column, in exact
@@ -41,17 +40,30 @@ object KMeansOps {
         .as("vm"))
 
   /** Nearest-centroid assignment: `(vec_id, vm, cluster, d2m)`.
-    * `cents` must be a small frame `(cent_id, cm: array<bigint>)` — it is
-    * broadcast; ties break to the lowest cent_id. */
-  def assign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("d2m", expr(
-        "aggregate(zip_with(vm, cm, (a, b) -> (a - b) * (a - b)), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2m").asc, col("cent_id").asc)))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("vm"), col("cent_id").as("cluster"), col("d2m"))
+    * `cents` is a small `(cent_id, cm: array<bigint>)` frame — model
+    * state, not data — so it is collected and folded into a literal
+    * array column: assignment becomes a pure per-row projection
+    * (`transform` to (d2m, cent_id) structs + `array_min`, whose struct
+    * ordering IS the (distance, lowest-cent_id) tie-break). No cross
+    * join, no per-vector window, no shuffle — the corpus never leaves
+    * its partitions, which is what makes the Lloyd round O(scan) at
+    * 100 TB. */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = cents.select(col("cent_id"), col("cm")).collect()
+      .sortBy(_.getLong(0))
+    val centArr = array(cs.map { r =>
+      struct(lit(r.getLong(0)).as("cent_id"),
+        array(r.getAs[scala.collection.Seq[Long]]("cm").toSeq.map(lit): _*).as("cm"))
+    }.toIndexedSeq: _*)
+    e.withColumn("cents", centArr)
+      .withColumn("best", expr(
+        "array_min(transform(cents, c -> struct(" +
+          "aggregate(zip_with(vm, c.cm, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x) as d2m, " +
+          "c.cent_id as cent_id)))"))
+      .select(col("vec_id"), col("vm"),
+        col("best.cent_id").as("cluster"), col("best.d2m").as("d2m"))
+  }
 
   /** Exact integer centroid update: per (cluster, dim) mean as
     * `sum div n` — `(cent_id, cm)` rebuilt as array frames. */
