@@ -266,4 +266,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!read.contains("props") && !read.contains("value"), read)
   }
+
+  test("kmeans step assigns without a window or per-vector shuffle") {
+    val p = plan("s14_kmeans_step")
+    // Assignment is a literal-centroid projection: the old cross-join +
+    // row_number formulation would show a Window here and shuffle the
+    // k-per-vector frame on vec_id.
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // stats frame onto centroids
+  }
+
+  test("bm25 probes the tf index with broadcast df/stats and a bounded top-k") {
+    val p = plan("t14_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pmi joins only vocabulary-sized frames, all broadcast") {
+    val p = plan("t15_pmi")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("event trigrams: one user window, map-side partials, bounded top-k") {
+    val p = plan("q62_event_ngrams")
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("mad outliers broadcast the per-segment median/MAD frames") {
+    val p = plan("q63_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scene cuts: join-free single tree over the frame stream") {
+    val p = plan("m10_scene_cuts")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("temperature mixture reduces map-side and broadcasts the totals row") {
+    val p = plan("p14_temperature")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
