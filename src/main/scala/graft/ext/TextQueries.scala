@@ -256,6 +256,49 @@ object TextQueries {
       .limit(PmiTopK)
   }
 
+  /** t16 — Zipf rank-frequency fit: least-squares slope/intercept of
+    * `ln(freq)` against `ln(rank)` over the corpus vocabulary — the
+    * one-row diagnostic that tells a corpus curator whether token
+    * frequencies look natural (slope ≈ −1), templated (flat), or
+    * degenerate. Both logs are rounded to micro-unit BIGINTs FIRST, so
+    * every regression sum is exact integer math and the closed-form
+    * slope/intercept divide one exactly-agreed integer by another — the
+    * cross-engine regression without `regr_slope`'s float-merge-order
+    * hazard. Sums are BIGINT here (exact up to ~1e5-term vocabularies;
+    * beyond that the same shape sums decimal(38,0) or drops to
+    * milli-units).
+    *
+    * Scale shape: the corpus reduces map-side to a vocabulary-sized
+    * frequency frame; ranking that frame is the only (vocab-sized)
+    * sort; the regression is a single-row aggregate. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs(spark, dir)
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+      .select(
+        expr("cast(round(ln(cast(rank as double)) * 1000000.0D, 0) as bigint)").as("xm"),
+        expr("cast(round(ln(cast(c as double)) * 1000000.0D, 0) as bigint)").as("ym"))
+    // The closed-form cross-products (sy·sxx etc.) reach ~1e22 even on a
+    // 30-term vocabulary — decimal(38,0), not BIGINT, keeps them exact;
+    // the final integer→double conversions round identically everywhere.
+    freq.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n_terms"),
+        sum(col("xm").cast("decimal(38,0)")).as("sx"),
+        sum(col("ym").cast("decimal(38,0)")).as("sy"),
+        // products fit BIGINT per-row but their corpus-wide sums don't:
+        // widen BEFORE the sum, not after.
+        sum(expr("cast(xm * ym as decimal(38,0))")).as("sxy"),
+        sum(expr("cast(xm * xm as decimal(38,0))")).as("sxx"))
+      .select(col("n_terms").cast("long").as("n_terms"),
+        round(expr("cast(n_terms * sxy - sx * sy as double) / " +
+          "cast(n_terms * sxx - sx * sx as double)"), 6).as("slope"),
+        round(expr("(cast(sy * sxx - sx * sxy as double) / " +
+          "cast(n_terms * sxx - sx * sx as double)) / 1000000.0D"), 6).as("intercept"))
+  }
+
   /** t6 — KMV (k-minimum-values) distinct-count sketch per language: the
     * estimate is (k-1) * |hash space| / h_(k), needing only the k smallest
     * 60-bit md5-derived hash values per group — a bounded sketch where
@@ -517,7 +560,8 @@ object TextQueries {
     "t5_tfidf" -> ((s, d) => tfidf(s, d)),
     "t6_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "t14_bm25" -> ((s, d) => bm25(s, d)),
-    "t15_pmi" -> ((s, d) => pmiCollocations(s, d))
+    "t15_pmi" -> ((s, d) => pmiCollocations(s, d)),
+    "t16_zipf" -> ((s, d) => zipfFit(s, d))
   )
 
   private val duckTokenVal: String = (1 to 4)
@@ -741,6 +785,22 @@ object TextQueries {
          |SELECT w1, w2, c12, round(ln(c12 / c1 / c2 * nb), 6) AS pmi
          |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), nb
          |WHERE c12 >= $PmiMinCount
-         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PmiTopK""".stripMargin
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PmiTopK""".stripMargin,
+
+    "t16_zipf" ->
+      """WITH ex AS (SELECT unnest(string_split(lower(text), ' ')) term FROM documents),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) c FROM ex GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) rank FROM f),
+        |m AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT) xm,
+        |             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ym
+        |      FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) n_terms, sum(xm) sx, sum(ym) sy,
+        |             sum(xm * ym) sxy, sum(xm * xm) sxx FROM m)
+        |SELECT n_terms,
+        |       round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |             / CAST(n_terms * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS intercept
+        |FROM a""".stripMargin
   )
 }

@@ -299,6 +299,30 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("zipf fit matches a brute-force double-precision regression") {
+    val r = TextQueries.zipfFit(spark, dir).collect().head
+    val freqs = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+    val pts = freqs.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+    assert(r.getAs[Long]("n_terms") == freqs.length)
+    // micro-unit quantization of the logs costs < 1e-4 on the estimates
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3, s"$r vs $slope")
+    assert(math.abs(r.getAs[Double]("intercept") - intercept) < 1e-3)
+    assert(r.getAs[Double]("slope") < 0.0, "frequency decreases with rank")
+  }
+
   test("scene cuts: segment accounting and threshold consistency per payload") {
     import graft.ext.MultimodalQueries
     val rows = MultimodalQueries.sceneCuts(spark, dir).collect()
