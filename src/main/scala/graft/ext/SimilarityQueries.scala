@@ -46,6 +46,7 @@ object SimilarityQueries {
   private val bandsCache = caches.newCache()
   private val cellsCache = caches.newCache()
   private val pqCache = caches.newCache()
+  private val kmeansCache = caches.newCache()
 
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
     caches.evictOtherDirs(spark, dir)
@@ -556,10 +557,17 @@ object SimilarityQueries {
   val KmeansK = 10
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.KMeansOps
-    val e = KMeansOps.microVectors(emb(spark, dir))
-    val cents = e.filter(col("vec_id").between(1, KmeansK))
-      .select(col("vec_id").as("cent_id"), col("vm").as("cm"))
-    val asgn = KMeansOps.assign(e, cents)
+    evictOtherDirs(spark, dir)
+    // Both output aggregates (per-cluster stats, per-dim centroid sums)
+    // consume the assignment; checkpoint it once per (session, dir) —
+    // the same build-once index discipline as the band/cell tables, so
+    // clearCaches() frees the blocks at teardown.
+    val asgn = kmeansCache.getOrElseUpdate((spark, dir), {
+      val e = KMeansOps.microVectors(emb(spark, dir))
+      val cents = e.filter(col("vec_id").between(1, KmeansK))
+        .select(col("vec_id").as("cent_id"), col("vm").as("cm"))
+      KMeansOps.assign(e, cents).localCheckpoint()
+    })
     val stats = asgn.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2m")).as("inertia_micro2"))
     asgn.select(col("cluster"), posexplode(col("vm")).as(Seq("pos", "x")))
