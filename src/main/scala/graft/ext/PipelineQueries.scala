@@ -421,8 +421,35 @@ object PipelineQueries {
     "p3_chunk" -> ((s, d) => chunk(s, d)),
     "p4_split" -> ((s, d) => trainValTestSplit(s, d)),
     "p5_mixture" -> ((s, d) => mixtureSample(s, d)),
-    "p14_temperature" -> ((s, d) => temperatureMix(s, d))
+    "p14_temperature" -> ((s, d) => temperatureMix(s, d)),
+    "p15_exact_split" -> ((s, d) => exactSplit(s, d))
   )
+
+  /** p15 — exact-quota stratified split: within each stratum (lang),
+    * docs ranked by doc_id; the first `floor(0.9·n_s)` go to train, the
+    * rest are held out. p4's hash split only hits its proportions in
+    * expectation — an eval-set contract ("exactly 10% per language,
+    * reproducibly") needs rank-based quotas. The quota test is pure
+    * integer arithmetic (`rank·10 ≤ n_s·9` ⇔ rank ≤ 0.9·n_s): no float
+    * anywhere. Strata ranking runs through
+    * [[graft.ops.RankOps.withGroupRank]] (distributed global rank minus
+    * broadcast per-group offsets), NOT a per-stratum window — a corpus
+    * with 5 langs would otherwise sort 20% of 100 TB through each of 5
+    * reducers. Output is the per-(stratum, part) audit. */
+  def exactSplit(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val d = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val ranked = graft.ops.RankOps.withGroupRank(
+      d, par, "rk", Seq("lang"), Seq(col("doc_id").asc))
+    val cnt = d.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    ranked.join(broadcast(cnt), "lang")
+      .withColumn("part",
+        when((col("rk") + 1) * 10 <= col("n_s") * 9, "train").otherwise("held"))
+      .groupBy(col("lang"), col("part"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("lang", "part")
+  }
 
   /** p14 — temperature-scaled source mixture (the multilingual/DoReMi
     * `w_s ∝ n_s^α` reweighting that upsamples small sources relative to
@@ -464,6 +491,18 @@ object PipelineQueries {
         |       round(wm / w_total, 6) AS temp_share,
         |       CAST(wm * 10000 // w_total AS BIGINT) AS alloc_10k
         |FROM w, t ORDER BY source""".stripMargin,
+
+    "p15_exact_split" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) rk,
+        |         count(*) OVER (PARTITION BY lang) n_s
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN rk * 10 <= n_s * 9 THEN 'train' ELSE 'held' END AS part,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r GROUP BY 1, 2 ORDER BY lang, part""".stripMargin,
 
     "p13_datacard" ->
       """SELECT count(*) AS n_docs,

@@ -299,6 +299,38 @@ object TextQueries {
           "cast(n_terms * sxx - sx * sx as double)) / 1000000.0D"), 6).as("intercept"))
   }
 
+  /** t17 — per-source distribution drift: KL(source ∥ corpus) over token
+    * unigram distributions — the drift monitor a continuously-ingesting
+    * corpus runs per source/crawl-batch to catch domain shift and
+    * template floods before they skew the mix. Per-term log-ratios are
+    * rounded to micro-units FIRST; the per-source reduction
+    * `Σ c_st · lrm` is then exact integer math (widened to decimal
+    * before summing — token counts × 1e7-scale log-ratios overflow
+    * BIGINT at corpus scale), divided once at the end.
+    *
+    * Scale shape: the corpus reduces map-side to a (source × vocab)
+    * count frame; the corpus-marginal and per-source-total frames are
+    * vocab-/source-sized broadcasts. Nothing corpus-sized shuffles
+    * twice. */
+  def klDrift(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(col("toks")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tot = ct.agg(sum(col("c_t")).as("n"))
+    st.join(broadcast(ct), "term").join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("lrm", expr(
+        "cast(round(ln(cast(c_st as double) / n_s / c_t * n) * 1000000.0D, 0) as bigint)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_toks"),
+        sum(expr("cast(c_st * lrm as decimal(38,0))")).as("klsum"))
+      .select(col("source"), col("n_toks"),
+        round(expr("cast(klsum as double) / n_toks / 1000000.0D"), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** t6 — KMV (k-minimum-values) distinct-count sketch per language: the
     * estimate is (k-1) * |hash space| / h_(k), needing only the k smallest
     * 60-bit md5-derived hash values per group — a bounded sketch where
@@ -561,7 +593,8 @@ object TextQueries {
     "t6_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "t14_bm25" -> ((s, d) => bm25(s, d)),
     "t15_pmi" -> ((s, d) => pmiCollocations(s, d)),
-    "t16_zipf" -> ((s, d) => zipfFit(s, d))
+    "t16_zipf" -> ((s, d) => zipfFit(s, d)),
+    "t17_kl_drift" -> ((s, d) => klDrift(s, d))
   )
 
   private val duckTokenVal: String = (1 to 4)
@@ -801,6 +834,21 @@ object TextQueries {
         |             / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope,
         |       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
         |             / CAST(n_terms * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS intercept
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "t17_kl_drift" ->
+      """WITH ex AS (SELECT source, unnest(string_split(lower(text), ' ')) term
+        |            FROM documents),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) c_st FROM ex GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) c_t FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) n_s FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) n FROM ct),
+        |j AS (SELECT st.source, st.c_st, ns.n_s,
+        |        CAST(round(ln(CAST(c_st AS DOUBLE) / n_s / c_t * n) * 1000000.0, 0)
+        |          AS BIGINT) lrm
+        |      FROM st JOIN ct USING (term) JOIN ns USING (source), tot)
+        |SELECT source, max(n_s) AS n_toks,
+        |       round(CAST(sum(c_st * lrm) AS DOUBLE) / max(n_s) / 1000000.0, 6) AS kl
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -299,6 +299,30 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("exact split hits its per-stratum quota exactly and in rank order") {
+    val rows = ext.PipelineQueries.exactSplit(spark, dir).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, g) =>
+      val train = g.find(_.getString(1) == "train").get
+      val held = g.find(_.getString(1) == "held").get
+      val n = train.getAs[Long]("n_docs") + held.getAs[Long]("n_docs")
+      assert(train.getAs[Long]("n_docs") == n * 9 / 10, s"$lang quota")
+      // rank order: every train doc precedes every held doc
+      assert(train.getAs[Long]("max_doc") < held.getAs[Long]("min_doc"), lang)
+    }
+  }
+
+  test("kl drift is Gibbs-nonnegative per source (up to micro quantization)") {
+    val rows = TextQueries.klDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl") >= -1e-5, r.toString)
+      assert(r.getAs[Long]("n_toks") > 0)
+    }
+    assert(rows.exists(_.getAs[Double]("kl") > 0.0), "some source must drift")
+  }
+
   test("zipf fit matches a brute-force double-precision regression") {
     val r = TextQueries.zipfFit(spark, dir).collect().head
     val freqs = Tables.load(spark, dir, "documents")
