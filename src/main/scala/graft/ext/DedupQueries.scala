@@ -122,7 +122,7 @@ object DedupQueries {
   private[ext] def shingled(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir).select(col("doc_id"), col("shh"))
 
-  private val duckShingled =
+  private[ext] val duckShingled =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
       |shingled AS (
       |  SELECT doc_id,
@@ -254,6 +254,24 @@ object DedupQueries {
     * audits against it). */
   private val exactPairCache = caches.newCache()
 
+  /** Per-doc shingle fingerprints in GLOBAL df-ascending (rarest-first)
+    * order, fingerprint tie-break — the one corpus-wide ordering both
+    * prefix-filter joins (d4 Jaccard, d16 containment) slice their
+    * prefixes from. One df aggregate + one per-doc sort, checkpointed
+    * per (session, dir); each consumer then pays only a `slice`. */
+  private val dfSortedCache = caches.newCache()
+
+  private def dfSorted(spark: SparkSession, dir: String): DataFrame =
+    dfSortedCache.getOrElseUpdate((spark, dir), {
+      val ex = shingled(spark, dir).select(col("doc_id"), explode(col("shh")).as("g"))
+      val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      ex.join(broadcast(freq), "g")
+        .groupBy(col("doc_id")).agg(collect_list(struct(col("f"), col("g"))).as("fg"))
+        .select(col("doc_id"), size(col("fg")).as("n"),
+          expr("transform(array_sort(fg), x -> x.g)").as("gs"))
+        .localCheckpoint()
+    })
+
   private def ngramJaccardPairsRaw(spark: SparkSession, dir: String): DataFrame =
     exactPairCache.getOrElseUpdate((spark, dir),
       ngramJaccardPairsBuild(spark, dir).localCheckpoint())
@@ -269,13 +287,8 @@ object DedupQueries {
     // only the verified, thresholded output must match — and verification
     // intersects the same fingerprint arrays either way.
     val exP = prefixCache.getOrElseUpdate((spark, dir), {
-      val ex = sets.select(col("doc_id"), explode(col("shh")).as("g"))
-      val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
-      val fg = ex.join(broadcast(freq), "g")
-        .groupBy(col("doc_id")).agg(collect_list(struct(col("f"), col("g"))).as("fg"))
-      val prefixed = fg.select(col("doc_id"), size(col("fg")).as("n"), expr(
-        s"transform(slice(array_sort(fg), 1, " +
-          s"size(fg) - cast(ceil(${JaccardThreshold}D * size(fg)) as int) + 1), x -> x.g)")
+      val prefixed = dfSorted(spark, dir).select(col("doc_id"), col("n"), expr(
+        s"slice(gs, 1, n - cast(ceil(${JaccardThreshold}D * n) as int) + 1)")
         .as("pref"))
       // The checkpoint is both the index materialization (the candidate
       // stage self-joins this frame — without a barrier the whole df-join
@@ -304,6 +317,49 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardVerify(cand, sets)
+  }
+
+  /** Containment threshold for d16: c(A→B) = |A∩B| / |A| — the directional
+    * "A is (nearly) a subset of B" signal Jaccard misses when |A| << |B|
+    * (a quoted snippet inside a long doc has tiny Jaccard but containment
+    * ≈ 1). Planted near-dups sit well above it, unrelated docs far below. */
+  val ContainThreshold = 0.8
+
+  /** d16 — near-superset detection: every DIRECTED pair (a contained-in b)
+    * with shingle containment `|A∩B|/|A| >=` [[ContainThreshold]] — the
+    * dedup flavor that catches snippet/quote/subset duplicates whose
+    * symmetric Jaccard stays under d4's threshold.
+    *
+    * Exact recall by ONE-SIDED prefix filtering: |A∩B| >= ceil(t·|A|)
+    * forces at least one of A's rarest-first prefix of size
+    * `|A| - ceil(t·|A|) + 1` to land in B (fewer than ceil(t·|A|)
+    * elements sit outside the prefix), so joining the contained side's
+    * prefix against the container side's FULL posting list cannot miss a
+    * true pair; rarest-first ordering keeps the probe lists short.
+    * Unlike d4, the container side is never prefixed — containment puts
+    * no upper bound on |B| — and the only extra prune is
+    * `|B| >= ceil(t·|A|)`. Candidates then pay the same
+    * sorted-fingerprint merge-count verification as d4. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingled(spark, dir)
+    val ds = dfSorted(spark, dir)
+    val pref = ds.select(col("doc_id"), col("n"), explode(expr(
+      s"slice(gs, 1, n - cast(ceil(${ContainThreshold}D * n) as int) + 1)")).as("g"))
+    val full = ds.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
+    val cand = pref.as("a")
+      .join(full.as("b"), col("a.g") === col("b.g") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.n") >= ceil(col("a.n") * lit(ContainThreshold)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("i", expr("sorted_intersect_count(x.shh, y.shh)").cast("double"))
+      .withColumn("cont", col("i") / size(col("x.shh")))
+      .filter(round(col("cont"), 6) >= ContainThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cont"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Join candidate pairs back to shingle sets, compute exact Jaccard
@@ -839,6 +895,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_containment" -> ((s, d) => containmentPairs(s, d)),
     "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
     "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
@@ -857,6 +914,23 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d16_containment" ->
+      s"""WITH $duckShingled,
+         |ex AS (SELECT doc_id, unnest(sh) g FROM shingled),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) nx
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, round(i/nx, 6) AS containment
+         |FROM v WHERE round(i/nx, 6) >= $ContainThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "d15_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
         |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i

@@ -407,7 +407,30 @@ object PipelineQueries {
     stats.crossJoin(med)
   }
 
+  /** p16 — priority survivorship: when identical documents arrive from
+    * several sources, keep the copy from the most-trusted source (lowest
+    * source index — think "curated > crawl"), tie-break min doc_id — the
+    * policy layer a multi-source ingest runs ON TOP of d1's exact-dup
+    * groups (d1 answers "which docs collide", p16 answers "which copy
+    * ships").
+    *
+    * One hash aggregate: `min(struct(priority, doc_id, source))` picks
+    * the survivor with a combinable map-side partial (struct ordering is
+    * lexicographic and doc_id is unique, so the winning source rides
+    * along) — no window, no second shuffle, vs the row_number
+    * formulation the oracle cross-checks with. */
+  def prioritySurvivor(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("prio", expr("cast(substr(source, 4) as int)"))
+      .groupBy(col("text"))
+      .agg(min(struct(col("prio"), col("doc_id"), col("source"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+        col("n_copies"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_priority_survivor" -> ((s, d) => prioritySurvivor(s, d)),
     "p13_datacard" -> ((s, d) => datacard(s, d)),
     "p12_pack_boundaries" -> ((s, d) => packBoundaries(s, d)),
     "p11_epochs" -> ((s, d) => epochSchedule(s, d)),
@@ -479,6 +502,21 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: row_number-over-window survivor pick
+    // differentially checks the min(struct) aggregate plan.
+    "p16_priority_survivor" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(substr(source, 4) AS INT) prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY text ORDER BY prio, doc_id) rn,
+        |         count(*) OVER (PARTITION BY text) n_copies
+        |  FROM p)
+        |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "p14_temperature" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) n_docs
         |           FROM documents GROUP BY 1),

@@ -577,7 +577,32 @@ object TextQueries {
   def shingleStream(spark: SparkSession, dir: String): DataFrame =
     posShingles(spark, dir).orderBy("doc_id", "pos")
 
+  /** t18 — inter-document n-gram novelty: the share of a document's
+    * distinct trigrams that appear in NO other document (corpus df == 1)
+    * — the "how much of this doc is new text" score a curriculum or
+    * quality-weighted sampler ranks on (near-dups score ~0, unique docs
+    * ~1).
+    *
+    * Shares [[DedupQueries.shingled]]'s checkpointed fingerprint index
+    * (64-bit trigram hashes, the d4/d16 machinery) instead of
+    * re-shingling: one explode + one combinable df count over the
+    * bounded trigram vocabulary + a broadcast join back — no corpus
+    * shuffle beyond the df aggregate. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = DedupQueries.shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shh")).as("g"))
+    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    ex.join(broadcast(df), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_novelty" -> ((s, d) => novelty(s, d)),
     "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),
     "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "t11_repetition" -> ((s, d) => repetition(s, d)),
@@ -602,6 +627,17 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t18_novelty" ->
+      s"""WITH ${DedupQueries.duckShingled},
+         |ex AS (SELECT doc_id, unnest(sh) g FROM shingled),
+         |f AS (SELECT g, count(*) f FROM ex GROUP BY g)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |         AS novelty
+         |FROM ex JOIN f USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t13_shingle_udtf" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
         |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i

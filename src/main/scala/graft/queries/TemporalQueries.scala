@@ -452,7 +452,38 @@ object TemporalQueries {
       .limit(NgramTopK)
   }
 
+  /** q64 — merge overlapping intervals (gaps-and-islands on RANGES): each
+    * event opens a 1-hour activity interval; per user, transitively
+    * overlapping-or-touching intervals coalesce into maximal islands.
+    * Complements q21 (fixed-gap sessionize: gaps between POINTS) and q52
+    * (concurrency: counting, not coalescing) — this is the canonical
+    * "merge intervals" op behind availability windows, maintenance-window
+    * flattening and span compaction.
+    *
+    * Scale shape: one hash shuffle on user_id + one in-partition sort —
+    * a new island starts exactly where `ts` exceeds the running max of
+    * all PRECEDING interval ends (running max, not lag: an early long
+    * interval can swallow many short successors), then island ids are a
+    * running sum of those breaks. Never an interval self-join. */
+  def q64MergeIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("ts") + expr("interval 1 hour")).as("te"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val prevMaxEnd = max(col("te")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("brk",
+        when(prevMaxEnd.isNull || col("ts") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("span_start"), max(col("te")).as("span_end"),
+        (max(unix_micros(col("te"))) - min(unix_micros(col("ts")))).as("dur_us"))
+      .orderBy("user_id", "island")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_merge_intervals" -> ((s, d) => q64MergeIntervals(s, d)),
     "q62_event_ngrams" -> ((s, d) => q62EventNgrams(s, d)),
     "q61_traj_similarity" -> ((s, d) => q61TrajSimilarity(s, d)),
     "q60_sliding_distinct" -> ((s, d) => q60SlidingDistinct(s, d)),
@@ -471,6 +502,29 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts, event_id, ts + INTERVAL 1 HOUR te FROM events),
+        |g AS (
+        |  SELECT user_id, ts, te,
+        |         CASE WHEN max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR ts > max(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END brk,
+        |         event_id
+        |  FROM iv),
+        |s AS (
+        |  SELECT user_id, ts, te,
+        |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) island
+        |  FROM g)
+        |SELECT user_id, island, count(*) AS n_events,
+        |       min(ts) AS span_start, max(te) AS span_end,
+        |       max(epoch_us(te)) - min(epoch_us(ts)) AS dur_us
+        |FROM s GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
     "q62_event_ngrams" ->
       s"""WITH s AS (
          |  SELECT user_id, event_type e1,

@@ -188,6 +188,69 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(row.getLong(3) == tris)
   }
 
+  test("containment pairs match a brute-force trigram-set sweep") {
+    def shingles(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a != b
+      i = (sa intersect sb).size.toDouble
+      c = BigDecimal(i / sa.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if c >= BigDecimal(ext.DedupQueries.ContainThreshold)
+    } yield (a, b) -> c.toDouble).toMap
+    val got = ext.DedupQueries.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9, s"pair $k") }
+    assert(expected.nonEmpty, "fixtures should contain planted near-supersets")
+  }
+
+  test("novelty is the exact share of corpus-unique trigrams, and exact dups score 0") {
+    def shingles(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    val df = byDoc.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.length }
+    val rows = ext.TextQueries.novelty(spark, dir).collect()
+    assert(rows.length == byDoc.length)
+    rows.foreach { r =>
+      val sh = byDoc.toMap.apply(r.getLong(0))
+      val novel = sh.count(df(_) == 1)
+      assert(r.getLong(1) == sh.size && r.getLong(2) == novel.toLong)
+      assert(math.abs(r.getDouble(3) - novel.toDouble / sh.size) < 1e-6)
+    }
+    // Planted near-dups share most trigrams, so they score well below
+    // unique docs (no EXACT text dups exist in the fixtures — d1 keeps
+    // every doc — so the floor is near-zero, not zero).
+    val nearDup = ext.DedupQueries.ngramJaccardPairs(spark, dir).collect()
+      .filter(_.getDouble(2) >= 0.8).flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dupScores = rows.filter(r => nearDup.contains(r.getLong(0))).map(_.getDouble(3))
+    assert(dupScores.nonEmpty && dupScores.forall(_ <= 0.5),
+      s"near-dup novelty should collapse: ${dupScores.toSeq.take(5)}")
+  }
+
+  test("priority survivor keeps exactly one copy per text, from the lowest-index source") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._3).map { case (_, g) =>
+      val w = g.minBy(d => (d._2.drop(3).toInt, d._1))
+      (w._1, w._2, g.length.toLong)
+    }.toSet
+    val got = ext.PipelineQueries.prioritySurvivor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)

@@ -190,6 +190,40 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("merged intervals match a brute-force per-user sweep and never overlap") {
+    val rows = TemporalQueries.q64MergeIntervals(spark, dir).collect()
+    // Timestamps carry microseconds, so the sweep runs in micros (getTime
+    // alone truncates to ms and the duration check misses the sub-ms part).
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val ev = Tables.load(spark, dir, "events").select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1))))
+    val lenUs = 3600000000L
+    ev.groupBy(_._1).foreach { case (uid, g) =>
+      // Brute-force sweep: sort starts, cut where start > running max end.
+      val starts = g.map(_._2).sorted
+      val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var (s0, e0, n0) = (starts.head, starts.head + lenUs, 1L)
+      starts.tail.foreach { t =>
+        if (t > e0) { islands += ((s0, e0, n0)); s0 = t; e0 = t + lenUs; n0 = 1 }
+        else { e0 = math.max(e0, t + lenUs); n0 += 1 }
+      }
+      islands += ((s0, e0, n0))
+      val got = rows.filter(_.getLong(0) == uid).sortBy(_.getLong(1))
+      assert(got.length == islands.length, s"island count for user $uid")
+      got.zip(islands).foreach { case (r, (s, e, n)) =>
+        assert(r.getLong(2) == n)
+        assert(us(r.getTimestamp(3)) == s)
+        assert(us(r.getTimestamp(4)) == e)
+        assert(r.getLong(5) == e - s)
+      }
+      // Islands are maximal: consecutive spans are separated by a true gap.
+      got.sliding(2).foreach {
+        case Array(a, b) => assert(us(b.getTimestamp(3)) > us(a.getTimestamp(4)))
+        case _ => ()
+      }
+    }
+  }
+
   test("ivf ann returns k results and never beats the exact top-1 by construction") {
     val ivf = graft.ext.SimilarityQueries.annIvf(spark, dir).collect()
     assert(ivf.length == 10)
