@@ -414,18 +414,25 @@ object PipelineQueries {
     * groups (d1 answers "which docs collide", p16 answers "which copy
     * ships").
     *
-    * One hash aggregate: `min(struct(priority, doc_id, source))` picks
-    * the survivor with a combinable map-side partial (struct ordering is
-    * lexicographic and doc_id is unique, so the winning source rides
-    * along) — no window, no second shuffle, vs the row_number
-    * formulation the oracle cross-checks with. */
+    * One HASH aggregate: the (priority, doc_id) argmin packs into a
+    * single BIGINT `prio·2⁴⁰ + doc_id` (doc_id < 2⁴⁰, priority < 2²³ —
+    * far above any source count), whose `min` is the lexicographic
+    * argmin with a combinable map-side partial. A `min(struct(...))`
+    * formulation is semantically identical but plans as SortAggregate
+    * (struct min has no hash-agg buffer) and sorts every partition by
+    * text; the packed key keeps the whole reduction in HashAggregate.
+    * The survivor's source is reconstructed from the priority
+    * (`source = 'src' || prio`) — no join back, no window, no second
+    * shuffle, vs the row_number formulation the oracle cross-checks
+    * with. */
   def prioritySurvivor(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .withColumn("prio", expr("cast(substr(source, 4) as int)"))
+      .withColumn("prio", expr("cast(substr(source, 4) as bigint)"))
       .groupBy(col("text"))
-      .agg(min(struct(col("prio"), col("doc_id"), col("source"))).as("k"),
+      .agg(min(col("prio") * lit(1L << 40) + col("doc_id")).as("k"),
         count(lit(1)).as("n_copies"))
-      .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+      .select(expr(s"k % ${1L << 40}").as("doc_id"),
+        concat(lit("src"), expr(s"k div ${1L << 40}").cast("string")).as("source"),
         col("n_copies"))
       .orderBy("doc_id")
 

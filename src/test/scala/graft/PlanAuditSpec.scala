@@ -312,4 +312,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("containment join probes the checkpointed index (no re-shingle) and never sort-merges") {
+    // Force the index build, then audit the steady-state plan.
+    SparkEntry.queries("d16_containment")(spark, dir).count()
+    val p = plan("d16_containment")
+    assert(!p.contains("SortMergeJoin"), p)
+    // All three joins (prefix x postings, cand x sets x sets) stay hash joins
+    // over the LogicalRDD leaves of the checkpointed indexes - no Generate
+    // re-deriving shingles from text inside this plan.
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("documents.parquet"), p)
+  }
+
+  test("novelty reuses the shingle index and reduces df map-side before the broadcast-back") {
+    SparkEntry.queries("t18_novelty")(spark, dir).count()
+    val p = plan("t18_novelty")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("documents.parquet"), p)
+  }
+
+  test("merge intervals is one user shuffle: window sort then partial/final aggregate") {
+    val p = plan("q64_merge_intervals")
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Join"), p)
+    // One hash exchange for the window, one for the final agg, plus the
+    // harness sort - never an interval self-join.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("priority survivor is a single partial/final aggregate, no window in the plan") {
+    val p = plan("p16_priority_survivor")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
