@@ -109,6 +109,62 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).isNullAt(1))
   }
 
+  test("containment/novelty/survivor handle short docs, exact dups and numeric source order") {
+    val docs = Seq(
+      // exact dups from differently-numbered sources: 'src10' sorts
+      // BEFORE 'src2' lexically, so a string-ordered survivor pick would
+      // wrongly keep doc 1 — the priority must compare numerically.
+      (1L, "a b c d e", "en", "src10", 9L),
+      (2L, "a b c d e", "en", "src2", 9L),
+      (3L, "a b", "en", "src0", 3L), // < 3 tokens: no shingles at all
+      (4L, "q r s t u v w x y z", "en", "src1", 19L),
+      // proper superset of docs 1/2: containment is directional
+      (5L, "a b c d e f g h i j", "en", "src3", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dedupedge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cont = graft.ext.DedupQueries.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // dups contain each other at 1.0; both embed in the superset at 1.0;
+    // the reverse direction (5 into 1/2: 3 of 8 shingles) never appears;
+    // the short doc pairs with nothing.
+    assert(cont.keySet == Set((1L, 2L), (2L, 1L), (1L, 5L), (2L, 5L)), cont)
+    assert(cont.values.forall(_ == 1.0))
+
+    val nov = graft.ext.TextQueries.novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!nov.contains(3L), "shingle-less docs carry no novelty row")
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0, "exact dups are 0-novel")
+    assert(nov(4L) == 1.0, "an all-unique doc is fully novel")
+    assert(nov(5L) == 0.625, "5 of its 8 shingles are unique to doc 5")
+
+    val kept = graft.ext.PipelineQueries.prioritySurvivor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kept == Set((2L, "src2", 2L), (3L, "src0", 1L),
+      (4L, "src1", 1L), (5L, "src3", 1L)), kept)
+  }
+
+  test("merge-intervals: a lone event is one island; a touching start still merges") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val plus = (m: Int) => new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val rows = Seq(
+      (1L, t0, 1L, "click", 1.0, "{}"), // user 1: single event
+      (2L, t0, 2L, "click", 1.0, "{}"), // user 2: chain where each start
+      (3L, plus(60), 2L, "click", 1.0, "{}"), // touches the prior end —
+      (4L, plus(120), 2L, "click", 1.0, "{}"), // one island, not three
+      (5L, plus(181), 2L, "click", 1.0, "{}") // 1 min past the end: break
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("mergeedge").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.TemporalQueries.q64MergeIntervals(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 3600000000L), // lone event: exactly the interval length
+      (2L, 1L, 3L, 10800000000L), // 3 touching intervals: 3h island
+      (2L, 2L, 1L, 3600000000L)))
+  }
+
   test("cluster extension path injects the full native function surface") {
     // Parity with GraftFunctions.register is by construction (one builder
     // list); this pins the surface itself and that injection doesn't throw.
