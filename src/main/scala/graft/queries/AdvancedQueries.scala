@@ -507,7 +507,66 @@ object AdvancedQueries {
       .orderBy("event_type", "month")
   }
 
+  /** q65 — mergeable-sketch set algebra: KMV (bottom-k) audience sketches
+    * per event type, combined pairwise to estimate audience union size,
+    * Jaccard and intersection WITHOUT re-touching the raw log — t6's
+    * point-estimate sketch upgraded to an algebra (union sketch = k
+    * smallest of the merged hash sets; J ≈ share of the union's bottom-k
+    * lying in both input sketches; |A∩B| ≈ J·|A∪B|). The exact
+    * counterparts ride along as the audit.
+    *
+    * Scale shape: the sketch build is the bounded-heap
+    * [[graft.functions.TopKPairs]] aggregate over distinct (type, hash)
+    * — map-side partial heaps, k longs per type cross the shuffle — and
+    * the pairwise algebra runs on a |types|²-row frame of k-length
+    * arrays. Hashes are 48-bit so the heap's double score is exact.
+    * Deterministic md5 hashing: the oracle rebuilds the identical
+    * sketches. */
+  val KmvOverlapK = 32
+  private val HashSpace48 = 281474976710656.0 // 2^48 = 16^12
+  def q65SketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val du = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val dh = du.select(col("event_type"), expr(
+      "cast(conv(substr(md5(cast(user_id as string)), 1, 12), 16, 10) as bigint)").as("h"))
+      .distinct() // KMV sketches the distinct HASH set (collisions collapse)
+    val sk = dh.groupBy(col("event_type"))
+      .agg(expr(s"transform(topk_pairs(cast(-h as double), h, $KmvOverlapK), x -> x.id)")
+        .as("hs")) // score -h => ascending hash order
+    val ex = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val side = sk.join(ex, "event_type")
+    val a = side.select(col("event_type").as("type_a"), col("hs").as("ha"), col("n").as("n_a"))
+    val b = side.select(col("event_type").as("type_b"), col("hs").as("hb"), col("n").as("n_b"))
+    val est = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("u", expr("array_sort(array_distinct(concat(ha, hb)))"))
+      // If the union sketch holds < k hashes, BOTH inputs were complete
+      // sets and the "estimates" are exact by construction.
+      .withColumn("denom", least(lit(KmvOverlapK), size(col("u"))))
+      .withColumn("kth", expr("element_at(u, denom)"))
+      .withColumn("est_union",
+        when(size(col("u")) >= KmvOverlapK,
+          lit(KmvOverlapK - 1) * lit(HashSpace48) / col("kth"))
+          .otherwise(size(col("u")).cast("double")))
+      .withColumn("common_bottom", expr(
+        "size(array_intersect(slice(u, 1, denom), array_intersect(ha, hb)))"))
+      .withColumn("jac_est", col("common_bottom").cast("double") / col("denom"))
+    val common = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("nc"))
+    est.join(broadcast(common), Seq("type_a", "type_b"), "left")
+      .withColumn("n_common", coalesce(col("nc"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jac_exact"),
+        round(col("jac_est"), 6).as("jac_est"),
+        round(col("jac_est") * col("est_union"), 4).as("est_common"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_sketch_overlap" -> ((s, d) => q65SketchOverlap(s, d)),
     "q59_rollup_maintenance" -> ((s, d) => q59RollupMaintenance(s, d)),
     "q56_salted_join" -> ((s, d) => q56SaltedJoin(s, d)),
     "q57_bloom_join" -> ((s, d) => q57BloomJoin(s, d)),
@@ -541,6 +600,43 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_sketch_overlap" ->
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |dh AS (SELECT DISTINCT event_type,
+         |         ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT h FROM du),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) rk FROM dh),
+         |sk AS (SELECT event_type, list(h ORDER BY h) hs
+         |       FROM r WHERE rk <= $KmvOverlapK GROUP BY event_type),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) n FROM du GROUP BY 1),
+         |side AS (SELECT sk.event_type, hs, n FROM sk JOIN n USING (event_type)),
+         |p AS (SELECT a.event_type type_a, b.event_type type_b,
+         |             a.hs ha, b.hs hb, a.n n_a, b.n n_b
+         |      FROM side a JOIN side b ON a.event_type < b.event_type),
+         |c AS (SELECT *, list_sort(list_distinct(list_concat(ha, hb))) u FROM p),
+         |d AS (SELECT *, least($KmvOverlapK, len(u)) denom,
+         |             u[least($KmvOverlapK, len(u))] kth FROM c),
+         |e AS (SELECT *,
+         |        CASE WHEN len(u) >= $KmvOverlapK
+         |             THEN ${KmvOverlapK - 1} * 281474976710656.0::DOUBLE / kth
+         |             ELSE len(u)::DOUBLE END est_union,
+         |        len(list_intersect(array_slice(u, 1, denom),
+         |            list_intersect(ha, hb))) common_bottom
+         |      FROM d),
+         |x AS (SELECT a.event_type type_a, b.event_type type_b,
+         |             CAST(count(*) AS BIGINT) nc
+         |      FROM du a JOIN du b
+         |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |      GROUP BY 1, 2)
+         |SELECT e.type_a, e.type_b, n_a, n_b,
+         |       coalesce(nc, 0) AS n_common,
+         |       round(coalesce(nc, 0)::DOUBLE / (n_a + n_b - coalesce(nc, 0)), 6)
+         |         AS jac_exact,
+         |       round(common_bottom::DOUBLE / denom, 6) AS jac_est,
+         |       round(common_bottom::DOUBLE / denom * est_union, 4) AS est_common
+         |FROM e LEFT JOIN x ON e.type_a = x.type_a AND e.type_b = x.type_b
+         |ORDER BY e.type_a, e.type_b""".stripMargin,
+
     // Oracles state the PLAIN join/distinct semantics; the Spark side
     // runs the salted / bloom-pruned / sharded rewrites, so the compare
     // proves each rewrite is result-identical to the naive form.

@@ -482,7 +482,46 @@ object TemporalQueries {
       .orderBy("user_id", "island")
   }
 
+  /** q66 — CUSUM changepoint detection per user: the one-sided upper
+    * CUSUM `s_i = max(0, s_{i-1} + (x_i - target))` against the user's
+    * own mean, alarming when the peak excursion exceeds 4× the user's
+    * mean absolute deviation — the sequential level-shift detector a
+    * metrics pipeline runs per series (t17 covers distributional drift;
+    * this is the ordered, per-key variant).
+    *
+    * The max-recurrence looks fold-only, but decomposes into pure window
+    * algebra: with P_i the running sum of deviations (P_0 = 0),
+    * `s_i = P_i - min(0, min_{j<=i} P_j)` — so the whole detector is one
+    * user-hash shuffle of running sums + running mins, never a per-user
+    * serial fold (q49's collect_list pattern) and never a driver loop.
+    * All arithmetic is micro-unit BIGINT (values are non-negative, so
+    * `div` and DuckDB `//` agree); the mean target uses the integer mean
+    * `sum div n` — bit-identical on any partitioning. */
+  def q66Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(round(value * 1000000.0D, 0) as bigint)").as("vm"))
+      .withColumn("tm", expr("sum(vm) over (partition by user_id) div count(*) over (partition by user_id)"))
+      .withColumn("d", col("vm") - col("tm"))
+      .withColumn("p", sum(col("d")).over(wRun))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wRun)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("tm")).as("mean_micro"),
+        max(col("s")).as("peak_cusum_micro"),
+        expr("sum(abs(d)) div count(*)").as("mad_micro"))
+      .withColumn("alarm", col("peak_cusum_micro") > lit(4L) * col("mad_micro"))
+      .select(col("user_id"), col("n_events"), col("mean_micro"),
+        col("peak_cusum_micro"), col("mad_micro"), col("alarm"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_cusum" -> ((s, d) => q66Cusum(s, d)),
     "q64_merge_intervals" -> ((s, d) => q64MergeIntervals(s, d)),
     "q62_event_ngrams" -> ((s, d) => q62EventNgrams(s, d)),
     "q61_traj_similarity" -> ((s, d) => q61TrajSimilarity(s, d)),
@@ -502,6 +541,33 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_cusum" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 1000000.0, 0) AS BIGINT) vm
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, ts, event_id, vm,
+        |         CAST(sum(vm) OVER (PARTITION BY user_id)
+        |           // count(*) OVER (PARTITION BY user_id) AS BIGINT) tm
+        |  FROM v),
+        |p AS (
+        |  SELECT user_id, ts, event_id, tm, vm - tm d,
+        |         sum(vm - tm) OVER w p
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT user_id, tm, d,
+        |         CAST(p - least(0, min(p) OVER w2) AS BIGINT) s
+        |  FROM p WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, count(*) AS n_events,
+        |       max(tm) AS mean_micro,
+        |       max(s) AS peak_cusum_micro,
+        |       CAST(sum(abs(d)) // count(*) AS BIGINT) AS mad_micro,
+        |       max(s) > 4 * CAST(sum(abs(d)) // count(*) AS BIGINT) AS alarm
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q64_merge_intervals" ->
       """WITH iv AS (
         |  SELECT user_id, ts, event_id, ts + INTERVAL 1 HOUR te FROM events),

@@ -313,6 +313,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("kmv overlap builds sketches via bounded-heap partial aggregation") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = plan("q65_sketch_overlap")
+    // topk_pairs is a TypedImperativeAggregate: partial+final ObjectHashAggregate,
+    // k entries per type across the shuffle — never a per-type sort.
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cusum is window algebra on one user shuffle — no join, no fold, no extra exchange") {
+    val p = plan("q66_cusum")
+    assert(!p.contains("Join"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    // The running windows, the per-user aggregate and AQE reuse one
+    // user_id hash exchange; only the harness sort ranges on top.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("containment join probes the checkpointed index (no re-shingle) and never sort-merges") {
     // Force the index build, then audit the steady-state plan.
     SparkEntry.queries("d16_containment")(spark, dir).count()

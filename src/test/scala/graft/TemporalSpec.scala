@@ -224,6 +224,60 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cusum peak matches a sequential integer replay per user") {
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val rows = TemporalQueries.q66Cusum(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), (us(r.getTimestamp(1)), r.getLong(2),
+        math.round(r.getDouble(3) * 1000000.0))))
+      .groupBy(_._1)
+    ev.foreach { case (uid, g) =>
+      val vs = g.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)
+      val tm = vs.sum / vs.length // both engines floor non-negative sums
+      var s = 0L; var peak = 0L
+      vs.foreach { v => s = math.max(0L, s + (v - tm)); peak = math.max(peak, s) }
+      val mad = vs.map(v => math.abs(v - tm)).sum / vs.length
+      val r = rows(uid)
+      assert(r.getLong(1) == vs.length && r.getLong(2) == tm)
+      assert(r.getLong(3) == peak, s"user $uid peak")
+      assert(r.getLong(4) == mad && r.getBoolean(5) == (peak > 4 * mad))
+    }
+  }
+
+  test("kmv overlap sketches replay exactly from raw hashes and track exact jaccard") {
+    val k = graft.queries.AdvancedQueries.KmvOverlapK
+    def h48(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val du = Tables.load(spark, dir, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = du.groupBy(_._1).map { case (t, g) => t -> g.map(_._2).toSet }
+    val rows = graft.queries.AdvancedQueries.q65SketchOverlap(spark, dir).collect()
+    assert(rows.length == byType.size * (byType.size - 1) / 2)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (byType(ta), byType(tb))
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size)
+      assert(r.getLong(4) == (sa intersect sb).size)
+      // Replay the sketch algebra from scratch on raw hashes.
+      val (ha, hb) = (sa.map(u => h48(u.toString)).toSeq.sorted.take(k),
+        sb.map(u => h48(u.toString)).toSeq.sorted.take(k))
+      val u = (ha ++ hb).distinct.sorted
+      val denom = math.min(k, u.length)
+      val bottom = u.take(denom).toSet
+      val common = (ha.toSet intersect hb.toSet intersect bottom).size
+      val jacEst = common.toDouble / denom
+      assert(math.abs(r.getDouble(6) - jacEst) < 1e-6, s"($ta,$tb) jac_est")
+      // The sketch estimate should be a usable stand-in for exact jaccard.
+      assert(math.abs(r.getDouble(6) - r.getDouble(5)) < 0.35, s"($ta,$tb) error")
+    }
+  }
+
   test("ivf ann returns k results and never beats the exact top-1 by construction") {
     val ivf = graft.ext.SimilarityQueries.annIvf(spark, dir).collect()
     assert(ivf.length == 10)
