@@ -436,7 +436,41 @@ object PipelineQueries {
         col("n_copies"))
       .orderBy("doc_id")
 
+  /** p17 — rendezvous (HRW) shard assignment and minimal-movement
+    * resharding audit: every doc goes to the shard maximizing
+    * `h(doc, shard)`; growing the ring from [[HrwShards]] to
+    * [[HrwShards]]+1 reassigns ONLY the docs whose new argmax is the new
+    * shard (expected 1/(N+1) of the corpus) — vs `hash mod N`, which
+    * moves ~N/(N+1) of everything. The per-shard movement ledger is the
+    * audit a 100 TB layout publishes before a reshard.
+    *
+    * One broadcast cross join against the (N+1)-row shard dim and one
+    * hash aggregate: both assignments come from conditional `max` over
+    * the same packed `hash·256 + shard` key (48-bit hash, shard < 2⁸ —
+    * exact in a BIGINT), so the old and new rings never scan the corpus
+    * twice. */
+  val HrwShards = 10
+  def rendezvousReshard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shards = (0 to HrwShards).toDF("shard")
+    val packed = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(shards))
+      .withColumn("pk", expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), '#', cast(shard as string))), 1, 12), 16, 10) as bigint)" +
+          " * 256 + shard"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("shard") < HrwShards, col("pk"))).as("p_old"),
+        max(col("pk")).as("p_new"))
+      .select(col("doc_id"), expr("p_old % 256").as("s_old"),
+        expr("p_new % 256").as("s_new"))
+    packed.groupBy(col("s_new").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L)).as("n_moved_in"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_rendezvous" -> ((s, d) => rendezvousReshard(s, d)),
     "p16_priority_survivor" -> ((s, d) => prioritySurvivor(s, d)),
     "p13_datacard" -> ((s, d) => datacard(s, d)),
     "p12_pack_boundaries" -> ((s, d) => packBoundaries(s, d)),
@@ -509,6 +543,23 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "p17_rendezvous" ->
+      s"""WITH sh AS (SELECT unnest(range(0, ${HrwShards + 1})) shard),
+         |pk AS (
+         |  SELECT doc_id, shard,
+         |         ('0x' || substr(md5(doc_id::VARCHAR || '#' || shard::VARCHAR),
+         |            1, 12))::BIGINT * 256 + shard pk
+         |  FROM documents, sh),
+         |a AS (
+         |  SELECT doc_id,
+         |         CAST(max(CASE WHEN shard < $HrwShards THEN pk END) % 256 AS BIGINT) s_old,
+         |         CAST(max(pk) % 256 AS BIGINT) s_new
+         |  FROM pk GROUP BY doc_id)
+         |SELECT s_new AS shard, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_moved_in
+         |FROM a GROUP BY s_new ORDER BY shard""".stripMargin,
+
     // Independent formulation: row_number-over-window survivor pick
     // differentially checks the min(struct) aggregate plan.
     "p16_priority_survivor" ->

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch OLAP operator surface over the TPC-H-ish fixtures — the
@@ -242,7 +243,30 @@ object OlapQueries {
       .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** q67 — deterministic MODE: each user's most frequent event type,
+    * ties to the lexicographically smallest type (SQL's `mode()` leaves
+    * tie order engine-defined, so a portable pipeline needs the explicit
+    * formulation). Two hash aggregates + one per-user argmax window over
+    * the tiny (user, type) count frame — the corpus-sized shuffle is the
+    * first count, whose map-side partials collapse it to
+    * |users|·|types| rows. */
+  def q67Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", sum(col("cnt")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+        col("cnt").as("n_mode"), col("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_mode" -> ((s, d) => q67Mode(s, d)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q16_topk_group" -> ((s, d) => q16TopkGroup(s, d)),
     "q17_pivot" -> ((s, d) => q17Pivot(s, d)),
@@ -265,6 +289,19 @@ object OlapQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, cnt,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY cnt DESC, event_type ASC) rn,
+        |         CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) n_events
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, cnt AS n_mode, n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,

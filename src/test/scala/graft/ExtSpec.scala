@@ -251,6 +251,25 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(got == expected)
   }
 
+  test("rendezvous reshard moves docs ONLY into the new shard, near the 1/(N+1) rate") {
+    val n = ext.PipelineQueries.HrwShards
+    val rows = ext.PipelineQueries.rendezvousReshard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    assert(total == 500L, "every doc is assigned exactly one shard")
+    assert(rows.map(_._1).toSeq == (0L to n.toLong), "all N+1 shards populated")
+    // THE minimal-movement property: a doc's argmax over shards 0..N-1
+    // only changes when shard N wins, so every mover lands on shard N.
+    rows.filter(_._1 < n).foreach { case (s, _, moved) =>
+      assert(moved == 0L, s"shard $s received moved docs — HRW violated")
+    }
+    val movedIn = rows.find(_._1 == n.toLong).get._3
+    assert(movedIn == rows.find(_._1 == n.toLong).get._2)
+    // Expected movement is total/(N+1) ≈ 45; allow generous sampling slack.
+    assert(movedIn > total / (n + 1) / 3 && movedIn < total * 3 / (n + 1),
+      s"moved $movedIn of $total")
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)

@@ -278,6 +278,20 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("mode picks each user's most frequent type with lexicographic tie-break") {
+    val ev = Tables.load(spark, dir, "events").select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rows = graft.queries.OlapQueries.q67Mode(spark, dir).collect()
+    assert(rows.length == ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val g = ev.filter(_._1 == r.getLong(0)).map(_._2)
+      val counts = g.groupBy(identity).map { case (t, xs) => (t, xs.length) }
+      val best = counts.toSeq.minBy { case (t, c) => (-c, t) }
+      assert(r.getString(1) == best._1 && r.getLong(2) == best._2.toLong)
+      assert(r.getLong(3) == g.length.toLong)
+    }
+  }
+
   test("ivf ann returns k results and never beats the exact top-1 by construction") {
     val ivf = graft.ext.SimilarityQueries.annIvf(spark, dir).collect()
     assert(ivf.length == 10)
