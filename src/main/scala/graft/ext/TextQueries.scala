@@ -601,7 +601,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t19 — classifier evaluation in-engine: the confusion matrix of t1's
+    * marker language-ID against the labeled `lang`, with per-cell corpus
+    * share — the self-audit a pipeline publishes before trusting a
+    * heuristic gate for routing/filtering (same discipline as s12's
+    * linear-probe confusion grid and d10's LSH recall). One combinable
+    * count over a |langs|·|preds| key space on top of t1's narrow
+    * projection — no extra corpus pass beyond t1's own. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cm = langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    // Total via a 1-row aggregate of the tiny cell frame, broadcast back
+    // — no driver-side count(), no unpartitioned window.
+    val tot = cm.agg(sum(col("n")).as("tot"))
+    cm.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n").cast("double") / col("tot"), 6))
+      .withColumn("is_hit", col("labeled_lang") === col("pred_lang"))
+      .select(col("labeled_lang"), col("pred_lang"), col("n"), col("share"),
+        col("is_hit"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_langid_confusion" -> ((s, d) => langIdConfusion(s, d)),
     "t18_novelty" -> ((s, d) => novelty(s, d)),
     "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),
     "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
@@ -627,6 +650,27 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t19_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') toks FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |        len(list_filter(toks, w -> w IN $EnMarkers)) cnt_en,
+         |        len(list_filter(toks, w -> w IN $EsMarkers)) cnt_es,
+         |        len(list_filter(toks, w -> w IN $DeMarkers)) cnt_de
+         |      FROM t),
+         |p AS (SELECT lang labeled_lang,
+         |        CASE WHEN cnt_en > cnt_es AND cnt_en > cnt_de THEN 'en'
+         |             WHEN cnt_es > cnt_de THEN 'es'
+         |             WHEN cnt_de > cnt_en THEN 'de'
+         |             ELSE 'und' END pred_lang
+         |      FROM c),
+         |cm AS (SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) n
+         |       FROM p GROUP BY 1, 2),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) tot FROM cm)
+         |SELECT labeled_lang, pred_lang, n,
+         |       round(n::DOUBLE / tot, 6) AS share,
+         |       labeled_lang = pred_lang AS is_hit
+         |FROM cm, tt ORDER BY labeled_lang, pred_lang""".stripMargin,
+
     "t18_novelty" ->
       s"""WITH ${DedupQueries.duckShingled},
          |ex AS (SELECT doc_id, unnest(sh) g FROM shingled),

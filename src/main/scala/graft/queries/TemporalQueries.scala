@@ -520,7 +520,58 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** q68 — nearest-event join: for every `purchase`, the click by the
+    * same user closest IN EITHER DIRECTION in time (ties: the earlier
+    * click, then max event_id — q19's backward as-of generalized to
+    * sensor-alignment semantics, where the nearest reading may come
+    * after the probe).
+    *
+    * Same union+window shape as q19 run in both directions — a backward
+    * pass (`last(click) ≤ t`) and a forward pass (`first(click) ≥ t`,
+    * i.e. the backward pass over the reversed sort) — then a row-local
+    * argmin of the two time gaps. Two sorts of one user-hash shuffle,
+    * state O(1) per row; never a per-row subquery. */
+  def q68NearestEvent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"),
+        col("event_id"), col("event_id").as("c_eid"),
+        unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_click"),
+        col("event_id"), lit(null).cast("long").as("c_eid"),
+        lit(null).cast("long").as("c_us"))
+    val both = clicks.unionByName(purchases)
+    // Backward: clicks sort before purchases at equal ts (at-or-before
+    // includes same-instant); forward: the mirror image.
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("is_click").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    both
+      .withColumn("b_eid", last(col("c_eid"), ignoreNulls = true).over(wb))
+      .withColumn("b_us", last(col("c_us"), ignoreNulls = true).over(wb))
+      .withColumn("f_eid", last(col("c_eid"), ignoreNulls = true).over(wf))
+      .withColumn("f_us", last(col("c_us"), ignoreNulls = true).over(wf))
+      .filter(col("is_click") === 0)
+      .withColumn("p_us", unix_micros(col("ts")))
+      .withColumn("db", col("p_us") - col("b_us")) // >= 0 or null
+      .withColumn("df", col("f_us") - col("p_us")) // >= 0 or null
+      .withColumn("click_id",
+        when(col("db").isNotNull && (col("df").isNull || col("db") <= col("df")),
+          col("b_eid")).otherwise(col("f_eid")))
+      .withColumn("gap_us",
+        when(col("db").isNotNull && (col("df").isNull || col("db") <= col("df")),
+          col("db")).otherwise(col("df")))
+      .select(col("event_id").as("pid"), col("user_id"), col("click_id"),
+        col("gap_us"))
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_nearest_event" -> ((s, d) => q68NearestEvent(s, d)),
     "q66_cusum" -> ((s, d) => q66Cusum(s, d)),
     "q64_merge_intervals" -> ((s, d) => q64MergeIntervals(s, d)),
     "q62_event_ngrams" -> ((s, d) => q62EventNgrams(s, d)),
@@ -541,6 +592,22 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: per-row nearest lookup (correct and
+    // quadratic) differentially checks the two-pass window plan,
+    // including the direction-specific tie-breaks (backward keeps the
+    // max event_id of an equal-ts group, forward the min).
+    "q68_nearest_event" ->
+      """SELECT p.event_id AS pid, p.user_id, c.event_id AS click_id,
+        |       c.g AS gap_us
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT c.event_id, abs(epoch_us(c.ts) - epoch_us(p.ts)) g
+        |  FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |  ORDER BY g ASC, c.ts ASC,
+        |    CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC
+        |  LIMIT 1) c ON TRUE
+        |WHERE p.event_type = 'purchase' ORDER BY pid""".stripMargin,
+
     "q66_cusum" ->
       """WITH v AS (
         |  SELECT user_id, ts, event_id,

@@ -270,6 +270,18 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       s"moved $movedIn of $total")
   }
 
+  test("langid confusion matrix tiles the corpus and agrees cell-by-cell with t1") {
+    val cm = TextQueries.langIdConfusion(spark, dir).collect()
+    assert(cm.map(_.getLong(2)).sum == 500L)
+    assert(math.abs(cm.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    val preds = TextQueries.langId(spark, dir).collect()
+      .groupBy(r => (r.getString(1), r.getString(5))).view.mapValues(_.length.toLong)
+    cm.foreach { r =>
+      assert(preds((r.getString(0), r.getString(1))) == r.getLong(2))
+      assert(r.getBoolean(4) == (r.getString(0) == r.getString(1)))
+    }
+  }
+
   test("minhash signatures are deterministic and distinct for non-dup docs") {
     val sigs = DedupQueries.minhashSignature(spark, dir).collect().map(_.getString(1))
     assert(sigs.length == sigs.distinct.length || sigs.length - sigs.distinct.length < 60)

@@ -292,6 +292,27 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("nearest-event join matches a brute-force bidirectional scan with tie rules") {
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+    val rows = TemporalQueries.q68NearestEvent(spark, dir).collect()
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(rows.length == purchases.length)
+    val got = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    purchases.foreach { case (uid, pus, pid, _) =>
+      val best = clicksByUser.getOrElse(uid, Array.empty).map { case (_, cus, ceid, _) =>
+        val gap = math.abs(cus - pus)
+        // order: gap, then earlier click, then backward:max-eid / forward:min-eid
+        ((gap, cus, if (cus <= pus) -ceid else ceid), (ceid, gap))
+      }.sortBy(_._1).headOption.map(_._2)
+      assert(got(pid) == best, s"purchase $pid")
+    }
+  }
+
   test("ivf ann returns k results and never beats the exact top-1 by construction") {
     val ivf = graft.ext.SimilarityQueries.annIvf(spark, dir).collect()
     assert(ivf.length == 10)
