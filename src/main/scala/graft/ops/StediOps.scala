@@ -111,6 +111,27 @@ object StediOps {
       risk: DataFrame, customer: DataFrame, delay: String): DataFrame =
     watermarkedJoin(risk, customer, delay, "leftOuter")
 
+  /** Left-semi variant: risk events that HAVE an in-window customer match,
+    * emitted once each (never multiplied by match count) and carrying only
+    * risk-side columns — the streaming filter-by-existence that completes
+    * the stream-stream join taxonomy (inner / left-outer / left-semi are
+    * the three Spark supports). State bounds exactly as the inner
+    * variant's. */
+  def joinRiskWithCustomerSemi(
+      risk: DataFrame, customer: DataFrame, delay: String): DataFrame = {
+    val r = risk.withColumn("riskTs", to_timestamp(col("riskDate")))
+      .withWatermark("riskTs", delay)
+    val cBase =
+      if (customer.columns.contains("custTs")) customer
+      else customer.withColumn("custTs", current_timestamp())
+    val c = cBase.withWatermark("custTs", delay)
+    r.as("r").join(c.as("c"),
+        expr(s"r.customer = c.email AND " +
+          s"r.riskTs >= c.custTs - INTERVAL $delay AND " +
+          s"r.riskTs <= c.custTs + INTERVAL $delay"), "left_semi")
+      .select(col("customer"), col("score"))
+  }
+
   private def watermarkedJoin(
       risk: DataFrame, customer: DataFrame, delay: String,
       joinType: String): DataFrame = {

@@ -570,7 +570,43 @@ object TemporalQueries {
       .orderBy("pid")
   }
 
+  /** q69 — interval-overlap join, bucketized: every (click, error) pair of
+    * same-user 1-hour activity intervals that overlap in time. The naive
+    * formulation is a theta join (`a.start < b.end AND b.start < a.end`)
+    * — a per-user cross product that Spark can only nest-loop. The scale
+    * shape maps each interval onto the hour buckets it covers
+    * (≤ 2 for 1-hour intervals), equi-joins on (user, bucket) — a plain
+    * hash shuffle — re-checks the exact overlap predicate, and dedups
+    * pairs that met in both buckets. Bucket width tracks interval length,
+    * so the equi-join's fan-out is O(intervals), not O(intervals²).
+    * The oracle states the theta-join semantics directly. */
+  def q69IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, eid: String, s: String, e: String) =
+      Tables.load(spark, dir, "events")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(eid),
+          unix_micros(col("ts")).as(s),
+          (unix_micros(col("ts")) + lit(3600000000L)).as(e))
+    val HourUs = 3600000000L
+    val clicks = side("click", "click_eid", "a_s", "a_e")
+      .withColumn("bucket", explode(expr(s"sequence(a_s div ${HourUs}L, (a_e - 1) div ${HourUs}L)")))
+    val errors = side("error", "error_eid", "b_s", "b_e")
+      .withColumn("bucket", explode(expr(s"sequence(b_s div ${HourUs}L, (b_e - 1) div ${HourUs}L)")))
+    clicks.join(errors, Seq("user_id", "bucket"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      // Dedup-free: a pair meeting in several buckets is emitted only
+      // from the FIRST bucket both intervals cover (the later of the two
+      // start buckets) — no distinct, so the join output never re-shuffles.
+      .filter(col("bucket") ===
+        greatest(expr(s"a_s div ${HourUs}L"), expr(s"b_s div ${HourUs}L")))
+      .select(col("user_id"), col("click_eid"), col("error_eid"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_us"))
+      .orderBy("user_id", "click_eid", "error_eid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_interval_join" -> ((s, d) => q69IntervalJoin(s, d)),
     "q68_nearest_event" -> ((s, d) => q68NearestEvent(s, d)),
     "q66_cusum" -> ((s, d) => q66Cusum(s, d)),
     "q64_merge_intervals" -> ((s, d) => q64MergeIntervals(s, d)),
@@ -592,6 +628,24 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: the plain theta join — proves the
+    // bucketized equi-join + dedup is result-identical to the
+    // overlap semantics it rewrites.
+    "q69_interval_join" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id click_eid, epoch_us(ts) a_s,
+        |         epoch_us(ts) + 3600000000 a_e
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, event_id error_eid, epoch_us(ts) b_s,
+        |         epoch_us(ts) + 3600000000 b_e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT a.user_id, click_eid, error_eid,
+        |       least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_s < b_e AND b_s < a_e
+        |ORDER BY a.user_id, click_eid, error_eid""".stripMargin,
+
     // Independent formulation: per-row nearest lookup (correct and
     // quadratic) differentially checks the two-pass window plan,
     // including the direction-specific tie-breaks (backward keeps the

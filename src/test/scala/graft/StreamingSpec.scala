@@ -108,6 +108,32 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("left-semi watermarked join emits each matched risk once, never multiplied") {
+    val customers = MemoryStream[String]
+    val risks = MemoryStream[String]
+    val t0 = java.time.Instant.now()
+    val cust = StediOps.customerChain(customers.toDF().select(col("value")))
+      .withColumn("custTs", to_timestamp(lit(t0.toString)))
+    val risk = StediOps.parseRiskEvent(risks.toDF().select(col("value")))
+    val joined = StediOps.joinRiskWithCustomerSemi(risk, cust, "1 HOUR")
+    val q = joined.writeStream.format("memory").queryName("semi_join")
+      .outputMode("append").start()
+    try {
+      // TWO customer records for the same email: inner join would emit the
+      // risk row twice; semi must emit exactly one row with risk columns.
+      customers.addData(mkEnvelope("A", "a@test.com", "1990-05-01"))
+      customers.addData(mkEnvelope("A2", "a@test.com", "1991-06-02"))
+      customers.addData(mkEnvelope("B", "b@test.com", "1970-01-01"))
+      risks.addData(s"""{"customer":"a@test.com","score":5.0,"riskDate":"$t0"}""")
+      risks.addData(s"""{"customer":"ghost@test.com","score":9.0,"riskDate":"$t0"}""")
+      q.processAllAvailable()
+      val rows = spark.table("semi_join").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq(("a@test.com", 5.0)))
+      assert(spark.table("semi_join").columns.toSeq == Seq("customer", "score"))
+    } finally q.stop()
+  }
+
   test("left-outer watermarked join emits unmatched risk rows null-padded after the watermark closes") {
     val customers = MemoryStream[String]
     val risks = MemoryStream[String]

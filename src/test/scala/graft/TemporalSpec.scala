@@ -313,6 +313,23 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bucketized interval join equals the brute-force overlap product") {
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val h = 3600000000L
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2), r.getString(3)))
+    val expected = (for {
+      (ua, sa, ca, ta) <- ev if ta == "click"
+      (ub, sb, cb, tb) <- ev if tb == "error" && ub == ua
+      if sa < sb + h && sb < sa + h
+    } yield (ua, ca, cb, math.min(sa + h, sb + h) - math.max(sa, sb))).toSet
+    val got = TemporalQueries.q69IntervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("ivf ann returns k results and never beats the exact top-1 by construction") {
     val ivf = graft.ext.SimilarityQueries.annIvf(spark, dir).collect()
     assert(ivf.length == 10)
