@@ -72,6 +72,7 @@ object Bench {
     graft.ext.TextQueries.clearCaches()
     graft.ext.SimilarityQueries.clearCaches()
     graft.ext.PipelineQueries.clearCaches()
+    graft.queries.AdvancedQueries.clearCaches()
     graft.ops.RankOps.clearCaches()
     spark.stop()
   }

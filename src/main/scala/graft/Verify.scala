@@ -45,6 +45,7 @@ object Verify {
     graft.ext.TextQueries.clearCaches()
     graft.ext.SimilarityQueries.clearCaches()
     graft.ext.PipelineQueries.clearCaches()
+    graft.queries.AdvancedQueries.clearCaches()
     graft.ops.RankOps.clearCaches()
     spark.stop()
   }

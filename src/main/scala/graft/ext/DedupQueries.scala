@@ -261,10 +261,22 @@ object DedupQueries {
     * per (session, dir); each consumer then pays only a `slice`. */
   private val dfSortedCache = caches.newCache()
 
+  /** Per-shingle global document frequency `(g, f)` — ONE corpus df
+    * aggregate shared by the prefix ordering below and t18's novelty
+    * score (TextQueries). Tiny output (the bounded trigram vocabulary),
+    * checkpointed per (session, dir). */
+  private val shingleDfCache = caches.newCache()
+
+  private[ext] def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    shingleDfCache.getOrElseUpdate((spark, dir),
+      shingled(spark, dir).select(explode(col("shh")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("f"))
+        .localCheckpoint())
+
   private def dfSorted(spark: SparkSession, dir: String): DataFrame =
     dfSortedCache.getOrElseUpdate((spark, dir), {
       val ex = shingled(spark, dir).select(col("doc_id"), explode(col("shh")).as("g"))
-      val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      val freq = shingleDf(spark, dir)
       ex.join(broadcast(freq), "g")
         .groupBy(col("doc_id")).agg(collect_list(struct(col("f"), col("g"))).as("fg"))
         .select(col("doc_id"), size(col("fg")).as("n"),
@@ -357,7 +369,11 @@ object DedupQueries {
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("i", expr("sorted_intersect_count(x.shh, y.shh)").cast("double"))
       .withColumn("cont", col("i") / size(col("x.shh")))
-      .filter(round(col("cont"), 6) >= ContainThreshold)
+      // Filter on the EXACT ratio: the prefix filter only guarantees recall
+      // for cont >= t, so a pair in [t - 5e-7, t) that ROUNDS to t would be
+      // emitted nondeterministically (only if it happens to share a prefix
+      // shingle). Rounding is display-only; the oracle filter matches.
+      .filter(col("cont") >= ContainThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("cont"), 6).as("containment"))
       .orderBy("doc_a", "doc_b")
   }
@@ -372,7 +388,9 @@ object DedupQueries {
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("i", expr("sorted_intersect_count(x.shh, y.shh)").cast("double"))
       .withColumn("jac", col("i") / (size(col("x.shh")) + size(col("y.shh")) - col("i")))
-      .filter(round(col("jac"), 6) >= JaccardThreshold)
+      // Exact-ratio filter for the same reason as containmentPairs: the
+      // prefix/LSH candidate guarantee covers jac >= t, not round(jac) >= t.
+      .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       // No sort here: d8's edge build and d10's recall join consume these
       // pairs as inputs — only the harness-facing d3/d4 wrappers add the
@@ -388,7 +406,7 @@ object DedupQueries {
        |  FROM $cand JOIN shingled x ON $cand.doc_a = x.doc_id
        |             JOIN shingled y ON $cand.doc_b = y.doc_id),
        |$out AS (SELECT doc_a, doc_b FROM ${out}_v
-       |         WHERE round(i/(tot-i), 6) >= $JaccardThreshold)""".stripMargin
+       |         WHERE i/(tot-i) >= $JaccardThreshold)""".stripMargin
 
   private val duckJaccardTail =
     s"""verified AS (
@@ -398,7 +416,7 @@ object DedupQueries {
        |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
        |            JOIN shingled y ON cand.doc_b = y.doc_id)
        |SELECT doc_a, doc_b, round(i/(tot-i), 6) AS jaccard
-       |FROM verified WHERE round(i/(tot-i), 6) >= $JaccardThreshold
+       |FROM verified WHERE i/(tot-i) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 16-bit SimHash over distinct tokens, bits drawn from md5 hex digits
@@ -928,7 +946,7 @@ object DedupQueries {
          |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
          |            JOIN shingled y ON cand.doc_b = y.doc_id)
          |SELECT doc_a, doc_b, round(i/nx, 6) AS containment
-         |FROM v WHERE round(i/nx, 6) >= $ContainThreshold
+         |FROM v WHERE i/nx >= $ContainThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d15_dup_spans" ->

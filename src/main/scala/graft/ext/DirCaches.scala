@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * One instance per module (not global): each module's clearCaches()
   * remains an independent, individually-testable hook.
   */
-private[ext] final class DirCaches {
+private[graft] final class DirCaches {
   import scala.collection.concurrent.TrieMap
 
   private val registered =

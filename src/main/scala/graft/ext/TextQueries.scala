@@ -325,7 +325,10 @@ object TextQueries {
         "cast(round(ln(cast(c_st as double) / n_s / c_t * n) * 1000000.0D, 0) as bigint)"))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_toks"),
-        sum(expr("cast(c_st * lrm as decimal(38,0))")).as("klsum"))
+        // Widen an OPERAND, not the product: c_st * lrm in BIGINT can wrap
+        // (c_st ~ 1e12 occurrences x |lrm| ~ 2.8e7 micro-units > 2^63)
+        // before a cast applied to the result ever sees it.
+        sum(expr("cast(c_st as decimal(38,0)) * lrm")).as("klsum"))
       .select(col("source"), col("n_toks"),
         round(expr("cast(klsum as double) / n_toks / 1000000.0D"), 6).as("kl"))
       .orderBy("source")
@@ -585,13 +588,14 @@ object TextQueries {
     *
     * Shares [[DedupQueries.shingled]]'s checkpointed fingerprint index
     * (64-bit trigram hashes, the d4/d16 machinery) instead of
-    * re-shingling: one explode + one combinable df count over the
-    * bounded trigram vocabulary + a broadcast join back — no corpus
-    * shuffle beyond the df aggregate. */
+    * re-shingling, and the checkpointed [[DedupQueries.shingleDf]] df
+    * aggregate the prefix ordering already pays for — per call this is
+    * one explode over the cached index + a broadcast join back; the
+    * corpus-wide df count is never recomputed. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     val ex = DedupQueries.shingled(spark, dir)
       .select(col("doc_id"), explode(col("shh")).as("g"))
-    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val df = DedupQueries.shingleDf(spark, dir)
     ex.join(broadcast(df), "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -928,7 +932,7 @@ object TextQueries {
         |          AS BIGINT) lrm
         |      FROM st JOIN ct USING (term) JOIN ns USING (source), tot)
         |SELECT source, max(n_s) AS n_toks,
-        |       round(CAST(sum(c_st * lrm) AS DOUBLE) / max(n_s) / 1000000.0, 6) AS kl
+        |       round(CAST(sum(CAST(c_st AS HUGEINT) * lrm) AS DOUBLE) / max(n_s) / 1000000.0, 6) AS kl
         |FROM j GROUP BY source ORDER BY source""".stripMargin
   )
 }

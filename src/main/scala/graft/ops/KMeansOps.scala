@@ -66,14 +66,31 @@ object KMeansOps {
   }
 
   /** Exact integer centroid update: per (cluster, dim) mean as
-    * `sum div n` — `(cent_id, cm)` rebuilt as array frames. */
-  def updateCentroids(asgn: DataFrame): DataFrame =
-    asgn.select(col("cluster"), posexplode(col("vm")).as(Seq("pos", "x")))
+    * `sum div n` — `(cent_id, cm)` rebuilt as array frames.
+    *
+    * A cluster that captured zero vectors this round has no rows in the
+    * groupBy output; without `prev` it would vanish and k would shrink
+    * permanently (possible from round 1 when two seeds are duplicate
+    * vectors — the tie-break sends every point to the lower cent_id).
+    * Passing the previous centroid frame keeps empty clusters at their
+    * old position (the standard keep-old-centroid policy), so `lloyd`
+    * always returns exactly k centroids. */
+  def updateCentroids(asgn: DataFrame, prev: Option[DataFrame] = None): DataFrame = {
+    val means = asgn
+      .select(col("cluster"), posexplode(col("vm")).as(Seq("pos", "x")))
       .groupBy(col("cluster"), col("pos"))
       .agg(expr("cast(sum(x) div count(1) as bigint)").as("c"))
       .groupBy(col("cluster"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cm"))
       .select(col("cluster").as("cent_id"), col("cm"))
+    prev match {
+      case None => means
+      case Some(p) =>
+        p.select(col("cent_id"), col("cm").as("cm_prev"))
+          .join(means.withColumnRenamed("cm", "cm_new"), Seq("cent_id"), "left")
+          .select(col("cent_id"), coalesce(col("cm_new"), col("cm_prev")).as("cm"))
+    }
+  }
 
   /** Total inertia as an overflow-proof exact decimal. */
   private def inertia(asgn: DataFrame): java.math.BigDecimal =
@@ -95,7 +112,7 @@ object KMeansOps {
     var it = 1
     var done = false
     while (it < maxIter && !done) {
-      val nextCents = updateCentroids(asgn).localCheckpoint()
+      val nextCents = updateCentroids(asgn, Some(cents)).localCheckpoint()
       val nextAsgn = assign(e, nextCents).localCheckpoint()
       val nextInertia = inertia(nextAsgn)
       if (nextInertia.compareTo(trace.last) < 0) {

@@ -118,21 +118,15 @@ object StediOps {
     * the three Spark supports). State bounds exactly as the inner
     * variant's. */
   def joinRiskWithCustomerSemi(
-      risk: DataFrame, customer: DataFrame, delay: String): DataFrame = {
-    val r = risk.withColumn("riskTs", to_timestamp(col("riskDate")))
-      .withWatermark("riskTs", delay)
-    val cBase =
-      if (customer.columns.contains("custTs")) customer
-      else customer.withColumn("custTs", current_timestamp())
-    val c = cBase.withWatermark("custTs", delay)
-    r.as("r").join(c.as("c"),
-        expr(s"r.customer = c.email AND " +
-          s"r.riskTs >= c.custTs - INTERVAL $delay AND " +
-          s"r.riskTs <= c.custTs + INTERVAL $delay"), "left_semi")
+      risk: DataFrame, customer: DataFrame, delay: String): DataFrame =
+    boundedJoin(risk, customer, delay, "left_semi")
       .select(col("customer"), col("score"))
-  }
 
-  private def watermarkedJoin(
+  /** Shared join construction for all three watermarked variants: event
+    * time parse, custTs ingestion-time fallback, symmetric watermarks and
+    * the time-bounded equi-join condition — only the join type and the
+    * output projection differ per variant. */
+  private def boundedJoin(
       risk: DataFrame, customer: DataFrame, delay: String,
       joinType: String): DataFrame = {
     val r = risk.withColumn("riskTs", to_timestamp(col("riskDate")))
@@ -142,12 +136,17 @@ object StediOps {
       else customer.withColumn("custTs", current_timestamp())
     val c = cBase.withWatermark("custTs", delay)
     r.as("r").join(c.as("c"),
-        expr(s"r.customer = c.email AND " +
-          s"r.riskTs >= c.custTs - INTERVAL $delay AND " +
-          s"r.riskTs <= c.custTs + INTERVAL $delay"), joinType)
+      expr(s"r.customer = c.email AND " +
+        s"r.riskTs >= c.custTs - INTERVAL $delay AND " +
+        s"r.riskTs <= c.custTs + INTERVAL $delay"), joinType)
+  }
+
+  private def watermarkedJoin(
+      risk: DataFrame, customer: DataFrame, delay: String,
+      joinType: String): DataFrame =
+    boundedJoin(risk, customer, delay, joinType)
       .select(col("r.customer").as("customer"), col("r.score").as("score"),
         col("c.email").as("email"), col("c.birthYear").as("birthYear"))
-  }
 
   /** F4+F5 — Kafka sink projection: key = customer, value = JSON with
     * `score`/`birthYear` deliberately cast to JSON *strings*, matching the

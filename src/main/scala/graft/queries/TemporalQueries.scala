@@ -410,16 +410,10 @@ object TemporalQueries {
            |  x -> substring(x.event_type, 1, 1)), ''), 1, $TrajCap)""".stripMargin)
         .as("traj"))
     val qUser = ev.agg(min(col("user_id"))).first().getLong(0)
-    // The query trajectory from ONE user's events (a filtered scan),
-    // not from the full corpus aggregate.
-    val qTraj = ev.filter(col("user_id") === qUser)
-      .groupBy(col("user_id"))
-      .agg(expr(
-        s"""substring(array_join(transform(
-           |  array_sort(collect_list(struct(ts, event_id, event_type))),
-           |  x -> substring(x.event_type, 1, 1)), ''), 1, $TrajCap)""".stripMargin)
-        .as("traj"))
-      .first().getString(1)
+    // The query trajectory is a groupBy-key filter over the SAME traj
+    // definition (Catalyst pushes the filter below the aggregate, so this
+    // compiles to a filtered scan) — one place defines the trajectory.
+    val qTraj = traj.filter(col("user_id") === qUser).first().getString(1)
     traj.filter(col("user_id") =!= qUser)
       .select(col("user_id"),
         length(col("traj")).cast("long").as("traj_len"),
@@ -498,7 +492,6 @@ object TemporalQueries {
     * `div` and DuckDB `//` agree); the mean target uses the integer mean
     * `sum div n` — bit-identical on any partitioning. */
   def q66Cusum(spark: SparkSession, dir: String): DataFrame = {
-    val wAll = Window.partitionBy(col("user_id"))
     val wRun = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -18,6 +18,8 @@ class KMeansOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.length == n, "every vector is assigned exactly once")
     val clusters = rows.map(_.getAs[Long]("cluster")).distinct
     assert(clusters.forall(c => c >= 1 && c <= 10))
+    assert(clusters.length == 10,
+      "empty clusters keep their previous centroid — k never shrinks")
     // Seeds are 10 arbitrary vectors, so at least one update round must
     // improve on them; strict decrease is the loop's acceptance rule.
     assert(trace.length >= 2, s"expected an improving round, trace=$trace")
@@ -43,5 +45,21 @@ class KMeansOpsSpec extends AnyFunSuite with SparkSuite {
     next.foreach { r =>
       assert(r.getAs[scala.collection.Seq[Long]]("cm").length == 64)
     }
+  }
+
+  test("updateCentroids keeps an empty cluster at its previous centroid") {
+    import spark.implicits._
+    // Two identical seed vectors: the (distance, lowest-cent_id) tie-break
+    // sends both points to cluster 1, so cluster 2 captures nothing.
+    val vecs = Seq((1L, Seq(0L, 0L)), (2L, Seq(0L, 0L)))
+      .toDF("vec_id", "vm")
+    val cents = Seq((1L, Seq(0L, 0L)), (2L, Seq(0L, 0L)))
+      .toDF("cent_id", "cm")
+    val asgn = KMeansOps.assign(vecs, cents)
+    assert(asgn.collect().forall(_.getAs[Long]("cluster") == 1L))
+    val next = KMeansOps.updateCentroids(asgn, Some(cents))
+      .orderBy("cent_id").collect()
+    assert(next.length == 2, "k is preserved through an empty-cluster round")
+    assert(next(1).getAs[scala.collection.Seq[Long]]("cm") == Seq(0L, 0L))
   }
 }
