@@ -627,7 +627,32 @@ object TextQueries {
       .orderBy("labeled_lang", "pred_lang")
   }
 
+  /** t20 — readability scoring: Flesch-reading-ease-shaped formula over
+    * deterministic proxies — syllables as vowel-group runs per word
+    * (min 1, so consonant-only tokens still count one), sentences as
+    * fixed 15-token pseudo-sentences (the corpus carries no terminal
+    * punctuation; a real corpus would count `[.!?]+` runs the same
+    * way). The score orders documents by structural complexity for
+    * curriculum/quality gates. Pure per-row projection — one codegen'd
+    * scan, no shuffle; both factors are exact-integer ratios pushed
+    * through one fixed double expression tree (t2's emission
+    * discipline). */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_syll", expr(
+        "aggregate(toks, 0L, (acc, w) -> acc + " +
+          "greatest(cast(size(regexp_extract_all(w, '[aeiou]+', 0)) as bigint), 1L))"))
+      .withColumn("n_sent", expr("greatest((n_toks + 14L) div 15L, 1L)"))
+      .withColumn("flesch", round(
+        expr("206.835D - 1.015D * (n_toks * 1.0D / n_sent) " +
+          "- 84.6D * (n_syll * 1.0D / n_toks)"), 6))
+      .select(col("doc_id"), col("n_toks"), col("n_syll"), col("n_sent"),
+        col("flesch"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_readability" -> ((s, d) => readability(s, d)),
     "t19_langid_confusion" -> ((s, d) => langIdConfusion(s, d)),
     "t18_novelty" -> ((s, d) => novelty(s, d)),
     "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),
@@ -654,6 +679,22 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t20_readability" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) n_toks,
+        |        CAST(list_aggregate(list_transform(toks, w ->
+        |          greatest(len(regexp_extract_all(w, '[aeiou]+')), 1)),
+        |          'sum') AS BIGINT) n_syll
+        |      FROM t)
+        |SELECT doc_id, n_toks, n_syll,
+        |       greatest((n_toks + 14) // 15, 1) AS n_sent,
+        |       round(206.835 - 1.015 * (CAST(n_toks AS DOUBLE) /
+        |               greatest((n_toks + 14) // 15, 1))
+        |             - 84.6 * (CAST(n_syll AS DOUBLE) / n_toks), 6) AS flesch
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "t19_langid_confusion" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') toks FROM documents),
          |c AS (SELECT doc_id, lang,

@@ -579,7 +579,98 @@ object AdvancedQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** q72 — 2-D Pareto skyline of orders (maximize price AND recency): an
+    * order is on the frontier iff no other order is at least as good on
+    * both axes and strictly better on one. The naive formulation is an
+    * O(n²) dominance anti-join; sorting one axis reduces it to window
+    * algebra: with rows ordered by price, `m_gt` = max recency among
+    * strictly-pricier rows and `m_ge` = max recency from the current
+    * price up — a row survives iff `m_gt < odd` (nothing pricier is as
+    * recent) and `m_ge == odd` (nothing equally-priced is more recent).
+    *
+    * Scale shape is the standard two-phase skyline: phase 1 computes the
+    * frontier per hash bucket (a partitioned window — the corpus sorts
+    * only within buckets, never globally), phase 2 re-runs the same
+    * algebra on the surviving ~bucket_count·|frontier| rows (random 2-D
+    * data has an O(log n) frontier, so phase 2 is a few rows on one
+    * partition). Both axes are exact integers (price cents, epoch days),
+    * so window results are engine-identical; the oracle runs the
+    * single-pass global form, proving the two-phase split result-equal. */
+  def q72Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(col("o_orderkey"),
+      expr("cast(round(o_totalprice * 100.0D, 0) as bigint)").as("tpc"),
+      expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
+        .as("odd"))
+    def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
+      val base =
+        if (part.isEmpty) Window.orderBy(col("tpc"))
+        else Window.partitionBy(part.map(col): _*).orderBy(col("tpc"))
+      val mGt = max(col("odd"))
+        .over(base.rangeBetween(1L, Window.unboundedFollowing))
+      val mGe = max(col("odd"))
+        .over(base.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+      df.withColumn("m_gt", mGt).withColumn("m_ge", mGe)
+        .filter((col("m_gt").isNull || col("m_gt") < col("odd")) &&
+          col("m_ge") <= col("odd"))
+        .drop("m_gt", "m_ge")
+    }
+    val local = frontier(
+      o.withColumn("bucket", pmod(col("o_orderkey"), lit(32))), Seq("bucket"))
+      .drop("bucket")
+    frontier(local, Nil)
+      .select(col("o_orderkey"), col("tpc").as("price_cents"),
+        col("odd").as("epoch_day"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q73 — A/B lift per market segment: users split into arms by id
+    * parity, "conversion" = any purchase event; per segment the arm
+    * sizes, conversion counts, exact micro-unit conversion rates
+    * (`sum·1e6 div n` — integer, engine-identical), the rate lift, and
+    * the two-proportion z-score. One user-level reduction of events
+    * (max-flag aggregate), one join to the customer dim for the segment,
+    * one tiny (segment × arm) rollup pivoted by conditional aggregation
+    * — the experiment-readout query an analytics engine serves
+    * continuously. The z double derives from exact integer counts
+    * through one fixed expression tree, so both engines compute the
+    * identical IEEE value. */
+  def q73AbLift(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("treat", pmod(col("user_id"), lit(2)))
+    val seg = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    u.join(seg, col("user_id") === col("c_custkey"))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat") === 1, col("conv")).otherwise(0L)).as("c_t"),
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treat") === 0, col("conv")).otherwise(0L)).as("c_c"))
+      // A segment with an empty arm has no defined lift (and would divide
+      // by zero under ANSI): the readout covers two-arm segments only.
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .withColumn("rate_t_micro", expr("c_t * 1000000L div n_t"))
+      .withColumn("rate_c_micro", expr("c_c * 1000000L div n_c"))
+      .withColumn("lift_micro", col("rate_t_micro") - col("rate_c_micro"))
+      // Degenerate pooled rate (0 or 1) zeroes the variance — z is
+      // undefined (0/0), reported as NULL rather than NaN/Inf.
+      .withColumn("z", round(expr(
+        "CASE WHEN c_t + c_c > 0 AND c_t + c_c < n_t + n_c THEN " +
+          "(c_t * 1.0D / n_t - c_c * 1.0D / n_c) / " +
+          "sqrt(((c_t + c_c) * 1.0D / (n_t + n_c)) * " +
+          "(1.0D - (c_t + c_c) * 1.0D / (n_t + n_c)) * " +
+          "(1.0D / n_t + 1.0D / n_c)) END"), 6))
+      .select(col("segment"), col("n_t"), col("c_t"), col("n_c"), col("c_c"),
+        col("rate_t_micro"), col("rate_c_micro"), col("lift_micro"), col("z"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_skyline" -> ((s, d) => q72Skyline(s, d)),
+    "q73_ab_lift" -> ((s, d) => q73AbLift(s, d)),
     "q65_sketch_overlap" -> ((s, d) => q65SketchOverlap(s, d)),
     "q59_rollup_maintenance" -> ((s, d) => q59RollupMaintenance(s, d)),
     "q56_salted_join" -> ((s, d) => q56SaltedJoin(s, d)),
@@ -614,6 +705,55 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Single-pass global form of the same window algebra — proves the
+    // two-phase (per-bucket then global) split is result-identical.
+    "q72_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) tpc,
+        |         CAST(date_diff('day', DATE '1970-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT) odd
+        |  FROM orders),
+        |w AS (
+        |  SELECT *,
+        |    max(odd) OVER (ORDER BY tpc
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) m_gt,
+        |    max(odd) OVER (ORDER BY tpc
+        |      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) m_ge
+        |  FROM o)
+        |SELECT o_orderkey, tpc AS price_cents, odd AS epoch_day
+        |FROM w
+        |WHERE (m_gt IS NULL OR m_gt < odd) AND m_ge <= odd
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q73_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+        |                       ELSE 0 END) AS BIGINT) conv,
+        |         user_id % 2 AS treat
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT c_mktsegment segment,
+        |         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) n_t,
+        |         CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS BIGINT) c_t,
+        |         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) n_c,
+        |         CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS BIGINT) c_c
+        |  FROM u JOIN customer ON user_id = c_custkey
+        |  GROUP BY 1
+        |  HAVING n_t > 0 AND n_c > 0)
+        |SELECT segment, n_t, c_t, n_c, c_c,
+        |       c_t * 1000000 // n_t AS rate_t_micro,
+        |       c_c * 1000000 // n_c AS rate_c_micro,
+        |       c_t * 1000000 // n_t - c_c * 1000000 // n_c AS lift_micro,
+        |       round(CASE WHEN c_t + c_c > 0 AND c_t + c_c < n_t + n_c THEN
+        |             (CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c) /
+        |             sqrt((CAST(c_t + c_c AS DOUBLE) / (n_t + n_c)) *
+        |                  (1 - CAST(c_t + c_c AS DOUBLE) / (n_t + n_c)) *
+        |                  (CAST(1 AS DOUBLE) / n_t + CAST(1 AS DOUBLE) / n_c))
+        |             END, 6) AS z
+        |FROM g ORDER BY segment""".stripMargin,
+
     "q65_sketch_overlap" ->
       s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
          |dh AS (SELECT DISTINCT event_type,

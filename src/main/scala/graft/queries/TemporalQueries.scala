@@ -598,7 +598,40 @@ object TemporalQueries {
       .orderBy("user_id", "click_eid", "error_eid")
   }
 
+  /** q70 — cohort retention matrix: users grouped by the epoch week of
+    * their FIRST event (the cohort), tracked across later weeks as the
+    * share of the cohort still active at each week offset — the classic
+    * product-analytics triangle every events warehouse serves.
+    *
+    * One user-keyed shuffle carries both the cohort assignment (a window
+    * `min(week)` per user — no separate first-event aggregate + join
+    * back) and the distinct (user, cohort, offset) reduction; the final
+    * (cohort, offset) rollup is a second, far smaller shuffle. Cohort
+    * sizes are the offset-0 diagonal of the same aggregate — a tiny
+    * frame broadcast back, never a third pass over events. Week ids and
+    * offsets are exact integer `div`s of epoch micros. */
+  def q70Retention(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 604800000000L
+    val wU = Window.partitionBy(col("user_id"))
+    val act = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${WeekUs}L").as("week"))
+      .withColumn("cohort_week", min(col("week")).over(wU))
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_weeks"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("offset_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+    val size = act.filter(col("offset_weeks") === 0)
+      .select(col("cohort_week"), col("n_active").as("n_cohort"))
+    act.join(broadcast(size), Seq("cohort_week"))
+      .select(col("cohort_week"), col("offset_weeks"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active") * lit(1.0d) / col("n_cohort"), 6).as("retention"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_retention" -> ((s, d) => q70Retention(s, d)),
     "q69_interval_join" -> ((s, d) => q69IntervalJoin(s, d)),
     "q68_nearest_event" -> ((s, d) => q68NearestEvent(s, d)),
     "q66_cusum" -> ((s, d) => q66Cusum(s, d)),
@@ -621,6 +654,25 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: a separate first-event aggregate joined
+    // back — proves the single-shuffle window form computes the same
+    // cohort assignment.
+    "q70_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk_id FROM events),
+        |c AS (SELECT user_id, min(wk_id) cohort_week FROM wk GROUP BY 1),
+        |a AS (SELECT DISTINCT wk.user_id, cohort_week,
+        |             wk_id - cohort_week offset_weeks
+        |      FROM wk JOIN c USING (user_id)),
+        |act AS (SELECT cohort_week, offset_weeks,
+        |               CAST(count(*) AS BIGINT) n_active
+        |        FROM a GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, n_active n_cohort FROM act
+        |       WHERE offset_weeks = 0)
+        |SELECT act.cohort_week, offset_weeks, n_active, n_cohort,
+        |       round(n_active * 1.0 / n_cohort, 6) AS retention
+        |FROM act JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
     // Independent formulation: the plain theta join — proves the
     // bucketized equi-join + dedup is result-identical to the
     // overlap semantics it rewrites.

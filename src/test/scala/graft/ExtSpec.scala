@@ -913,4 +913,27 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("readability replays from a sequential syllable count") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = ext.TextQueries.readability(spark, dir).collect()
+    assert(rows.length == texts.size)
+    val vg = java.util.regex.Pattern.compile("[aeiou]+")
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ", -1)
+      val syll = toks.map { w =>
+        val m = vg.matcher(w); var c = 0; while (m.find()) c += 1; math.max(c, 1)
+      }.sum.toLong
+      assert(r.getLong(1) == toks.length.toLong)
+      assert(r.getLong(2) == syll)
+      // every word contributes at least one syllable
+      assert(r.getLong(2) >= r.getLong(1))
+      assert(r.getLong(3) == math.max((toks.length + 14) / 15, 1).toLong)
+      val expected = 206.835 - 1.015 * (toks.length.toDouble / r.getLong(3)) -
+        84.6 * (syll.toDouble / toks.length)
+      assert(math.abs(r.getDouble(4) - expected) < 5e-7)
+    }
+  }
+
 }

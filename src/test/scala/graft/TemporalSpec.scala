@@ -340,4 +340,60 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     // Descending order.
     assert(ivf.map(_.getDouble(2)).toSeq == ivf.map(_.getDouble(2)).sortBy(-_).toSeq)
   }
+
+  test("retention matrix matches a brute-force cohort replay") {
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val wk = 604800000000L
+    val ev = Tables.load(spark, dir, "events").select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)) / wk))
+    val first = ev.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val cells = ev.map { case (u, w) => (first(u), w - first(u), u) }.distinct
+      .groupBy(t => (t._1, t._2)).map { case (k, g) => k -> g.map(_._3).distinct.length }
+    val rows = graft.queries.TemporalQueries.q70Retention(spark, dir).collect()
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val (cw, off) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == cells((cw, off)), s"cell ($cw, $off)")
+      assert(r.getLong(3) == cells((cw, 0L)))
+      // offset 0 is the cohort definition itself: retention exactly 1.
+      if (off == 0L) assert(r.getDouble(4) == 1.0)
+      assert(r.getLong(2) <= r.getLong(3), "a cohort never grows")
+    }
+  }
+
+  test("skyline survivors are exactly the non-dominated orders") {
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100.0),
+        // o_orderdate is TIMESTAMP_NTZ — collects as LocalDateTime.
+        r.getAs[java.time.LocalDateTime](2).toLocalDate.toEpochDay))
+    def dominated(a: (Long, Long, Long)) = o.exists(b => b._1 != a._1 &&
+      b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3))
+    val expected = o.filterNot(dominated).map(_._1).sorted.toSeq
+    val got = graft.queries.AdvancedQueries.q72Skyline(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("ab lift arms partition the joined users and rates replay exactly") {
+    val conv = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, g) => u -> (if (g.exists(_.getString(1) == "purchase")) 1L else 0L) }
+    val seg = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byArm = conv.toSeq.flatMap { case (u, c) =>
+      seg.get(u).map(s => (s, u % 2, c)) }
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    graft.queries.AdvancedQueries.q73AbLift(spark, dir).collect().foreach { r =>
+      val s = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == byArm((s, 1L)))
+      assert((r.getLong(3), r.getLong(4)) == byArm((s, 0L)))
+      assert(r.getLong(5) == r.getLong(2) * 1000000L / r.getLong(1))
+      assert(r.getLong(7) == r.getLong(5) - r.getLong(6))
+    }
+  }
 }
