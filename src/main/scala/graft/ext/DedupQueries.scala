@@ -358,7 +358,13 @@ object DedupQueries {
     val pref = ds.select(col("doc_id"), col("n"), explode(expr(
       s"slice(gs, 1, n - cast(ceil(${ContainThreshold}D * n) as int) + 1)")).as("g"))
     val full = ds.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
-    val cand = pref.as("a")
+    // Pin the candidate join to shuffle-hash: both sides are explodes over
+    // the checkpointed index whose size ESTIMATES straddle the broadcast
+    // threshold, so the static plan would otherwise flip between broadcast
+    // and sort-merge run to run. Hash on g with the (smaller) prefix side
+    // as build is the 100 TB shape anyway — posting lists are corpus-sized
+    // (never broadcastable) and need no sort order.
+    val cand = pref.as("a").hint("shuffle_hash")
       .join(full.as("b"), col("a.g") === col("b.g") &&
         col("a.doc_id") =!= col("b.doc_id") &&
         col("b.n") >= ceil(col("a.n") * lit(ContainThreshold)))
@@ -1105,7 +1111,7 @@ object DedupQueries {
          |            JOIN shingled y ON cand.doc_old = y.doc_id),
          |m AS (SELECT doc_new, count(*) n_matches,
          |             max(round(i/(tot-i), 6)) best_jaccard
-         |      FROM v WHERE round(i/(tot-i), 6) >= $JaccardThreshold
+         |      FROM v WHERE i/(tot-i) >= $JaccardThreshold
          |      GROUP BY doc_new)
          |SELECT s.doc_id,
          |       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
@@ -1207,7 +1213,7 @@ object DedupQueries {
          |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
          |            JOIN shingled y ON cand.doc_b = y.doc_id),
          |pairs AS (SELECT doc_a, doc_b FROM verified
-         |          WHERE round(i/(tot-i), 6) >= $JaccardThreshold),
+         |          WHERE i/(tot-i) >= $JaccardThreshold),
          |undirected AS (
          |  SELECT doc_a a, doc_b b FROM pairs
          |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
