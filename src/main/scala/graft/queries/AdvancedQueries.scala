@@ -668,7 +668,82 @@ object AdvancedQueries {
       .orderBy("segment")
   }
 
+  /** q74 — rank-distribution battery: the full ranking-function family
+    * (row_number / rank / dense_rank / ntile / percent_rank / cume_dist)
+    * over orders partitioned by priority, with the two fractional
+    * readouts recast as exact integer micro-units
+    * (`(rank−1)·1e6 div (n−1)`, `cnt_le·1e6 div n`) so both engines
+    * compute identical values — no IEEE division in the compare surface.
+    *
+    * Two deliberately different window orders: rank / dense_rank / the
+    * distribution stats order by price alone (ties share a rank), while
+    * row_number and ntile — whose outputs are undefined under ties —
+    * order by (price, orderkey), a total order. Scale shape: one
+    * shuffle by priority, sorts confined to partitions, nothing global;
+    * all six functions ride the same sorted run per window order. */
+  def q74RankDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority").as("priority"),
+      expr("cast(round(o_totalprice * 100.0D, 0) as bigint)").as("tpc"))
+    val wTies = Window.partitionBy(col("priority")).orderBy(col("tpc"))
+    val wTotal = Window.partitionBy(col("priority"))
+      .orderBy(col("tpc"), col("o_orderkey"))
+    o.withColumn("n", count(lit(1)).over(Window.partitionBy(col("priority"))))
+      .withColumn("rnk", rank().over(wTies).cast("long"))
+      .withColumn("drnk", dense_rank().over(wTies).cast("long"))
+      .withColumn("rn", row_number().over(wTotal).cast("long"))
+      .withColumn("nt", ntile(4).over(wTotal).cast("long"))
+      .withColumn("cnt_le", count(lit(1)).over(
+        wTies.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pr_micro", expr(
+        "CASE WHEN n > 1 THEN (rnk - 1) * 1000000L div (n - 1) ELSE 0L END"))
+      .withColumn("cd_micro", expr("cnt_le * 1000000L div n"))
+      .select(col("o_orderkey"), col("priority"), col("tpc"), col("rnk"),
+        col("drnk"), col("rn"), col("nt"), col("pr_micro"), col("cd_micro"))
+      .orderBy("priority", "rn")
+  }
+
+  /** q75 — Mann-Whitney AUC per market segment: how well account balance
+    * rank-orders customers into converters (≥1 purchase event) vs
+    * non-converters — the model-free ranking-quality readout behind every
+    * score-evaluation dashboard. AUC = U/(n_pos·n_neg) with the standard
+    * average-rank tie correction, computed entirely in integers: per row
+    * `2·r_avg = 2·rank + ties − 1`, so `2U = Σ_pos 2·r_avg − n_pos·(n_pos+1)` and
+    * `auc_micro = 2U·1e6 div (2·n_pos·n_neg)` — no doubles anywhere.
+    * (Long headroom: 2U·1e6 ≤ n²·1e6, safe below ~3M rows per segment;
+    * beyond that, lift the algebra to decimal(38,0).)
+    *
+    * Scale shape: one user-level reduction of events to a conversion
+    * flag, a dim-sized left join, one window partitioned by segment
+    * (sort within segment only), one five-row rollup. */
+  def q75Auc(spark: SparkSession, dir: String): DataFrame = {
+    val conv = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_mktsegment").as("segment"),
+      expr("cast(round(c_acctbal * 100.0D, 0) as bigint)").as("score"))
+    c.join(conv, col("c_custkey") === col("user_id"), "left")
+      .withColumn("pos", when(col("user_id").isNotNull, 1L).otherwise(0L))
+      .withColumn("r2",
+        lit(2L) * rank().over(
+          Window.partitionBy(col("segment")).orderBy(col("score"))) +
+          count(lit(1)).over(
+            Window.partitionBy(col("segment"), col("score"))) - lit(1L))
+      .groupBy(col("segment"))
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(col("r2") * col("pos")).as("s2r"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("auc_micro", expr(
+        "(s2r - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)"))
+      .select(col("segment"), col("n_pos"), col("n_neg"), col("auc_micro"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_rank_distribution" -> ((s, d) => q74RankDistribution(s, d)),
+    "q75_auc" -> ((s, d) => q75Auc(s, d)),
     "q72_skyline" -> ((s, d) => q72Skyline(s, d)),
     "q73_ab_lift" -> ((s, d) => q73AbLift(s, d)),
     "q65_sketch_overlap" -> ((s, d) => q65SketchOverlap(s, d)),
@@ -705,6 +780,57 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q74_rank_distribution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority priority,
+        |         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) tpc
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, priority, tpc,
+        |    CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) n,
+        |    CAST(rank() OVER (PARTITION BY priority ORDER BY tpc)
+        |         AS BIGINT) rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY priority ORDER BY tpc)
+        |         AS BIGINT) drnk,
+        |    CAST(row_number() OVER (PARTITION BY priority
+        |         ORDER BY tpc, o_orderkey) AS BIGINT) rn,
+        |    CAST(ntile(4) OVER (PARTITION BY priority
+        |         ORDER BY tpc, o_orderkey) AS BIGINT) nt,
+        |    CAST(count(*) OVER (PARTITION BY priority ORDER BY tpc
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) cnt_le
+        |  FROM o)
+        |SELECT o_orderkey, priority, tpc, rnk, drnk, rn, nt,
+        |       CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+        |                 ELSE 0 END AS BIGINT) pr_micro,
+        |       CAST(cnt_le * 1000000 // n AS BIGINT) cd_micro
+        |FROM w ORDER BY priority, rn""".stripMargin,
+
+    "q75_auc" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT c_mktsegment segment,
+        |         CAST(round(c_acctbal * 100.0, 0) AS BIGINT) score,
+        |         CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END pos
+        |  FROM customer LEFT JOIN conv ON c_custkey = user_id),
+        |r AS (
+        |  SELECT segment, pos,
+        |         2 * rank() OVER (PARTITION BY segment ORDER BY score)
+        |           + count(*) OVER (PARTITION BY segment, score) - 1 AS r2
+        |  FROM c),
+        |g AS (
+        |  SELECT segment, CAST(sum(pos) AS BIGINT) n_pos,
+        |         CAST(sum(1 - pos) AS BIGINT) n_neg,
+        |         CAST(sum(r2 * pos) AS BIGINT) s2r
+        |  FROM r GROUP BY segment)
+        |SELECT segment, n_pos, n_neg,
+        |       CAST((s2r - n_pos * (n_pos + 1)) * 1000000
+        |            // (2 * n_pos * n_neg) AS BIGINT) auc_micro
+        |FROM g WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY segment""".stripMargin,
+
     // Single-pass global form of the same window algebra — proves the
     // two-phase (per-bucket then global) split is result-identical.
     "q72_skyline" ->

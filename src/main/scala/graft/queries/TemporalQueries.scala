@@ -630,7 +630,45 @@ object TemporalQueries {
       .orderBy("cohort_week", "offset_weeks")
   }
 
+  /** q76 — last-touch attribution: every purchase is credited to the
+    * most recent preceding non-purchase event ("touch") by the same user
+    * within a 7-day lookback, and revenue rolls up by touch channel —
+    * the marketing-attribution query every events warehouse serves.
+    *
+    * Spark-first shape: join-free. One user-keyed window carries the
+    * last touch forward as a running `last(struct(ts, channel), ignore
+    * nulls)` in (ts, event_id) order — a purchase row reads its
+    * attribution directly off the frame (purchases are null in the
+    * carried column, so "at or before current row" means "strictly
+    * before" for them), the lookback filter drops stale credits, and a
+    * tiny channel rollup finishes. One scan of events, one shuffle,
+    * no join to skew or broadcast at any scale; revenue is exact
+    * cents. The oracle deliberately runs a DIFFERENT algebra — a
+    * running touch counter `tg` plus an equi-join of each purchase to
+    * its user's `tg`-th touch — proving the carried-struct form against
+    * an independent formulation. */
+  def q76LastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val LookbackUs = 7L * 86400 * 1000000
+    val e = Tables.load(spark, dir, "events").select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      expr("cast(round(value * 100.0D, 0) as bigint)").as("vc"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("lt", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("us").as("t_us"), col("event_type").as("channel"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("lt").isNotNull &&
+        col("us") - col("lt.t_us") <= LookbackUs)
+      .groupBy(col("lt.channel").as("channel"))
+      .agg(count(lit(1)).as("n_attr"), sum(col("vc")).as("rev_cents"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_last_touch" -> ((s, d) => q76LastTouch(s, d)),
     "q70_retention" -> ((s, d) => q70Retention(s, d)),
     "q69_interval_join" -> ((s, d) => q69IntervalJoin(s, d)),
     "q68_nearest_event" -> ((s, d) => q68NearestEvent(s, d)),
@@ -654,6 +692,27 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) us,
+        |         CAST(round(value * 100.0, 0) AS BIGINT) vc
+        |  FROM events),
+        |f AS (
+        |  SELECT *, sum(CASE WHEN event_type <> 'purchase' THEN 1
+        |                     ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) tg
+        |  FROM e),
+        |t AS (SELECT user_id, tg, event_type channel, us t_us
+        |      FROM f WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, tg, us, vc
+        |      FROM f WHERE event_type = 'purchase' AND tg > 0)
+        |SELECT channel, CAST(count(*) AS BIGINT) n_attr,
+        |       CAST(sum(p.vc) AS BIGINT) rev_cents
+        |FROM p JOIN t USING (user_id, tg)
+        |WHERE p.us - t.t_us <= 604800000000
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
     // Independent formulation: a separate first-event aggregate joined
     // back — proves the single-shuffle window form computes the same
     // cohort assignment.

@@ -357,13 +357,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), p)
     // One hash exchange for the window, one for the final agg, plus the
     // harness sort - never an interval self-join.
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 2, p)
   }
 
   test("priority survivor is a single partial/final aggregate, no window in the plan") {
     val p = plan("p16_priority_survivor")
     assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rank battery rides one priority shuffle for all six ranking functions") {
+    val p = plan("q74_rank_distribution")
+    assert(!p.contains("Join"), p)
+    // One hash exchange feeds every Window (the orders share the
+    // priority partitioning); the only other exchange is the harness
+    // output sort.
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("auc: conversion flags broadcast onto the dim, one segment window, map-side partials") {
+    val p = plan("q75_auc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("last-touch attribution is join-free: one user window shuffle then a channel rollup") {
+    val p = plan("q76_last_touch")
+    assert(!p.contains("Join"), p)
+    // user-window exchange + channel-agg exchange only (plus the range
+    // exchange of the output sort, which is not hashpartitioning)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 }
