@@ -17,6 +17,7 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ReferenceQueries.queries, ReferenceQueries.oracles),
+      (StreamReplayQueries.queries, StreamReplayQueries.oracles),
       (OlapQueries.queries, OlapQueries.oracles),
       (TemporalQueries.queries, TemporalQueries.oracles),
       (AdvancedQueries.queries, AdvancedQueries.oracles),

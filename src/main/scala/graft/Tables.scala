@@ -45,17 +45,19 @@ object Tables {
     relCache.getOrElse((spark, dir, name), {
       sweepStopped()
       relCache.getOrElseUpdate((spark, dir, name), {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses outright
-      // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then truncate to micros
-      // with integer division (`div`, not `/`: double math would lose
-      // sub-microsecond precision on epoch-nanos magnitudes and round
-      // differently than the oracle's integer truncation).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" &&
-          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
+      // Fixture timestamps are parquet TIMESTAMP_MICROS with
+      // isAdjustedToUTC=false, which Spark 4 surfaces as TIMESTAMP_NTZ.
+      // The engine's time algebra (unix_micros, window(), watermarks) wants
+      // TIMESTAMP; the session timezone is pinned UTC everywhere
+      // (build.sbt / Verify / Bench), so the NTZ->LTZ cast is a pure
+      // re-tag — identical micros value, no wall-clock shift.
+      val ntzCols = df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+      }
+      ntzCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, d(c).cast(org.apache.spark.sql.types.TimestampType))
+      }
       })
     })
 

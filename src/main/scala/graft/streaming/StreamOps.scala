@@ -43,10 +43,16 @@ object StreamOps {
       .agg(
         count(lit(1)).as("n_events"),
         round(avg(col("score")), 6).as("avg_score"),
-        max(col("score")).as("max_score"))
+        max(col("score")).as("max_score"),
+        // Integer-exact twin of the score sum (per-row micro-quantize, then
+        // a long sum): merge-order-independent, so the batch replay of this
+        // exact plan can be hash-compared against a DuckDB oracle — the
+        // double avg above is for human consumption only.
+        sum(expr("cast(round(score * 1000000.0) as bigint)")).as("sum_score_micro"))
       .select(
         col("window.start").as("window_start"),
-        col("customer"), col("n_events"), col("avg_score"), col("max_score"))
+        col("customer"), col("n_events"), col("avg_score"), col("max_score"),
+        col("sum_score_micro"))
 
   /** Sliding event-time windows: like [[windowedRiskStats]] but each event
     * contributes to every window whose span covers it (len/slide windows),
@@ -87,11 +93,14 @@ object StreamOps {
       .groupBy(session_window(col("riskTs"), gap), col("customer"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("score")), 6).as("total_score"))
+        round(sum(col("score")), 6).as("total_score"),
+        // Integer-exact sum twin — see windowedRiskStats.
+        sum(expr("cast(round(score * 1000000.0) as bigint)")).as("total_score_micro"))
       .select(
         col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
-        col("customer"), col("n_events"), col("total_score"))
+        col("customer"), col("n_events"), col("total_score"),
+        col("total_score_micro"))
 
   /** 0..n outputs per key per batch via flatMapGroupsWithState: alert rows
     * whenever a score exceeds 2x the customer's prior running mean (two

@@ -365,8 +365,9 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     val o = Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderdate").collect()
       .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100.0),
-        // o_orderdate is TIMESTAMP_NTZ — collects as LocalDateTime.
-        r.getAs[java.time.LocalDateTime](2).toLocalDate.toEpochDay))
+        // Tables.load normalizes NTZ to TIMESTAMP; session tz is UTC.
+        r.getTimestamp(2).toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate.toEpochDay))
     def dominated(a: (Long, Long, Long)) = o.exists(b => b._1 != a._1 &&
       b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3))
     val expected = o.filterNot(dominated).map(_._1).sorted.toSeq
