@@ -57,9 +57,61 @@ object StreamReplayQueries {
         col("customer"), col("n_events"), col("total_score_micro"))
       .orderBy("customer", "sess_start")
 
+  /** Sliding 10-minute windows every 5 — twin of StreamOps.slidingRiskStats
+    * (each event lands in exactly len/slide = 2 windows). */
+  def slidingReplay(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingRiskStats(riskFrame(spark, dir))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("customer"), col("n_events"), col("sum_score_micro"))
+      .orderBy("window_start", "customer")
+
+  /** Watermarked exact dedup — twin of StreamOps.dedupRiskEvents. In batch
+    * execution `dropDuplicatesWithinWatermark` degenerates to
+    * `dropDuplicates` over the same keys; (customer, riskDate) is unique in
+    * the synthesized frame (no (user_id, ts) collisions in the fixtures),
+    * so the surviving (score) per key is well-defined on both engines. */
+  def dedupReplay(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.dedupRiskEvents(riskFrame(spark, dir))
+      .orderBy("customer", "riskDate")
+
+  /** Per-customer spike alerts — twin of StreamOps.riskSpikeAlerts, which
+    * batch execution runs as one stateless fold per key (empty initial
+    * state, full group per invocation). The integer cross-multiplied
+    * trigger makes every alert decision engine-exact. */
+  def spikeReplay(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.riskSpikeAlerts(spark, riskFrame(spark, dir)).toDF()
+      .select(col("customer"), col("score"), col("prior_mean_micro"))
+      .orderBy("customer", "score", "prior_mean_micro")
+
+  /** Running per-customer totals — twin of StreamOps.runningRiskTotals
+    * (mapGroupsWithState in batch = the final state per key). */
+  def runningReplay(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.runningRiskTotals(spark, riskFrame(spark, dir)).toDF()
+      .select(col("customer"), col("n_events"), col("total_score_micro"))
+      .orderBy("customer")
+
+  /** Unbounded-history integer EWMA — twin of StreamOps.ewmaStream; the
+    * recurrence is the q49 integer fold, so the oracle is q49's list_reduce
+    * emitting the raw micro value. */
+  def ewmaReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "ts", "event_id",
+        "cast(round(value * 1000000.0D, 0) as bigint) as vm")
+      .as[graft.streaming.EwmaPoint]
+    StreamOps.ewmaStream(spark, pts).toDF()
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_stream_window_replay" -> ((s, d) => windowReplay(s, d)),
-    "r_stream_session_replay" -> ((s, d) => sessionReplay(s, d))
+    "r_stream_session_replay" -> ((s, d) => sessionReplay(s, d)),
+    "r_stream_sliding_replay" -> ((s, d) => slidingReplay(s, d)),
+    "r_stream_dedup_replay" -> ((s, d) => dedupReplay(s, d)),
+    "r_stream_spike_replay" -> ((s, d) => spikeReplay(s, d)),
+    "r_stream_running_replay" -> ((s, d) => runningReplay(s, d)),
+    "r_stream_ewma_replay" -> ((s, d) => ewmaReplay(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -99,6 +151,78 @@ object StreamReplayQueries {
         |       CAST(SUM(CAST(round(score * 1000000.0) AS BIGINT)) AS BIGINT) AS total_score_micro
         |FROM sess
         |GROUP BY customer, sid
-        |ORDER BY customer, sess_start""".stripMargin
+        |ORDER BY customer, sess_start""".stripMargin,
+
+    // Every event is covered by exactly len/slide = 2 sliding windows:
+    // starts at time_bucket(5 min) and 5 minutes before it.
+    "r_stream_sliding_replay" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
+        |                - k * INTERVAL '5 minutes',
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       'user' || user_id || '@test.com' AS customer,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_score_micro
+        |FROM events, unnest([0, 1]) AS t(k)
+        |GROUP BY 1, 2
+        |ORDER BY window_start, customer""".stripMargin,
+
+    // (customer, riskDate) is unique in the synthesized frame, so dedup
+    // keeps every row — the oracle is the identity projection. The twin
+    // still exercises the dropDuplicatesWithinWatermark plan shape.
+    "r_stream_dedup_replay" ->
+      """SELECT 'user' || user_id || '@test.com' AS customer,
+        |       value AS score,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS riskDate
+        |FROM events
+        |ORDER BY customer, riskDate""".stripMargin,
+
+    // Running-prefix replay of the integer spike trigger: an event alerts
+    // when at least 2 prior events exist (per customer, ordered by
+    // (riskDate, score)) and score_micro * n_prior > 2 * prior_sum_micro.
+    "r_stream_spike_replay" ->
+      """WITH r AS (
+        |  SELECT 'user' || user_id || '@test.com' AS customer,
+        |         value AS score,
+        |         CAST(round(value * 1000000.0) AS BIGINT) AS score_micro,
+        |         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS rd
+        |  FROM events
+        |), pre AS (
+        |  SELECT customer, score, score_micro,
+        |         ROW_NUMBER() OVER w - 1 AS n_prior,
+        |         CAST(COALESCE(SUM(score_micro) OVER
+        |           (PARTITION BY customer ORDER BY rd, score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS prior_sum
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY customer ORDER BY rd, score)
+        |)
+        |SELECT customer, score, prior_sum // n_prior AS prior_mean_micro
+        |FROM pre
+        |WHERE n_prior >= 2 AND score_micro * n_prior > 2 * prior_sum
+        |ORDER BY customer, score, prior_mean_micro""".stripMargin,
+
+    "r_stream_running_replay" ->
+      """SELECT 'user' || user_id || '@test.com' AS customer,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |         AS total_score_micro
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY customer""".stripMargin,
+
+    // q49's list_reduce fold, emitting the raw integer micro value the
+    // stream keeps as state (q49 itself publishes the rounded double).
+    "r_stream_ewma_replay" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 1000000.0, 0) AS BIGINT) vm
+        |  FROM events),
+        |l AS (SELECT user_id, list(vm ORDER BY ts, event_id) xs,
+        |             count(*) n_events
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CAST(list_reduce(xs, (acc, x) -> (15 * x + 85 * acc) // 100)
+        |            AS BIGINT) AS ewma_micro
+        |FROM l ORDER BY user_id""".stripMargin
   )
 }

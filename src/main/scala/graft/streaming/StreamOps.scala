@@ -7,12 +7,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 /** Parsed stedi risk event (FIXTURES.md A3 after StediOps.parseRiskEvent). */
 case class RiskEvent(customer: String, score: Double, riskDate: String)
 
-/** Running per-customer aggregate emitted by [[StreamOps.runningRiskTotals]]. */
-case class CustomerRunning(customer: String, n_events: Long, total_score: Double)
+/** Running per-customer aggregate emitted by [[StreamOps.runningRiskTotals]].
+  * `total_score_micro` is the merge-order-independent integer twin of the
+  * double sum (per-event micro-quantize, long add) — the column the batch
+  * replay hash-checks against DuckDB. */
+case class CustomerRunning(customer: String, n_events: Long,
+    total_score: Double, total_score_micro: Long)
 
 /** Spike alert emitted by [[StreamOps.riskSpikeAlerts]] when a score
-  * exceeds twice the customer's prior running mean. */
-case class RiskAlert(customer: String, score: Double, prior_mean: Double)
+  * exceeds twice the customer's prior running mean. `prior_mean_micro` is
+  * the exact integer mean (floor of micro-units); `prior_mean` is its
+  * human-readable double shadow. */
+case class RiskAlert(customer: String, score: Double, prior_mean: Double,
+    prior_mean_micro: Long)
 
 /** One observation of a user's value series, the streaming input to
   * [[StreamOps.ewmaStream]] (vm = value in micro-units, the q49 grid). */
@@ -66,19 +73,28 @@ object StreamOps {
       .withColumn("riskTs", to_timestamp(col("riskDate")))
       .withWatermark("riskTs", watermark)
       .groupBy(window(col("riskTs"), windowLen, slide), col("customer"))
-      .agg(count(lit(1)).as("n_events"), round(avg(col("score")), 6).as("avg_score"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("score")), 6).as("avg_score"),
+        // Integer-exact sum twin — see windowedRiskStats.
+        sum(expr("cast(round(score * 1000000.0) as bigint)")).as("sum_score_micro"))
       .select(col("window.start").as("window_start"),
-        col("customer"), col("n_events"), col("avg_score"))
+        col("customer"), col("n_events"), col("avg_score"), col("sum_score_micro"))
 
   /** Streaming exact dedup on (customer, riskDate) with watermark-bounded
     * state — re-delivered Kafka records (the at-least-once sink's
     * duplicates) collapse to one row. */
-  def dedupRiskEvents(risk: DataFrame, watermark: String = "30 minutes"): DataFrame =
-    risk
-      .withColumn("riskTs", to_timestamp(col("riskDate")))
-      .withWatermark("riskTs", watermark)
-      .dropDuplicatesWithinWatermark("customer", "riskDate")
-      .select(col("customer"), col("score"), col("riskDate"))
+  def dedupRiskEvents(risk: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val ts = risk.withColumn("riskTs", to_timestamp(col("riskDate")))
+    // dropDuplicatesWithinWatermark is streaming-only (it needs an eviction
+    // horizon); over a bounded frame the watermark is past every event, so
+    // plain dropDuplicates on the same keys IS its batch semantics — one
+    // operator, both execution modes.
+    val deduped =
+      if (risk.isStreaming)
+        ts.withWatermark("riskTs", watermark)
+          .dropDuplicatesWithinWatermark("customer", "riskDate")
+      else ts.dropDuplicates("customer", "riskDate")
+    deduped.select(col("customer"), col("score"), col("riskDate"))
+  }
 
   /** Event-time session windows: per-customer activity bursts separated by
     * `gap` of silence, state evicted at the watermark — the streaming twin
@@ -112,7 +128,12 @@ object StreamOps {
     * baseline fires differently than after). The sort makes the output a
     * pure function of the batch's event SET — ties on the full sort key
     * are identical values, interchangeable in the fold — same discipline
-    * as [[ewmaStream]]. */
+    * as [[ewmaStream]].
+    *
+    * The fold state and trigger are INTEGER (micro-units): the condition
+    * `score_micro · n > 2 · sum_micro` is the exact cross-multiplied form
+    * of `score > 2·mean` — no double division anywhere in the decision, so
+    * stream, batch replay, and SQL oracle agree on every boundary case. */
   def riskSpikeAlerts(spark: SparkSession, risk: DataFrame): Dataset[RiskAlert] = {
     import spark.implicits._
     risk.as[RiskEvent]
@@ -120,14 +141,17 @@ object StreamOps {
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
-        (customer: String, events: Iterator[RiskEvent], state: GroupState[(Long, Double)]) =>
-          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+        (customer: String, events: Iterator[RiskEvent], state: GroupState[(Long, Long)]) =>
+          var (n, sMicro) = state.getOption.getOrElse((0L, 0L))
           val alerts = scala.collection.mutable.Buffer.empty[RiskAlert]
           events.toSeq.sortBy(e => (e.riskDate, e.score)).foreach { e =>
-            if (n >= 2 && e.score > 2 * (s / n)) alerts += RiskAlert(customer, e.score, s / n)
-            n += 1; s += e.score
+            val eMicro = math.round(e.score * 1e6)
+            if (n >= 2 && eMicro * n > 2 * sMicro)
+              alerts += RiskAlert(customer, e.score,
+                sMicro.toDouble / n / 1e6, sMicro / n)
+            n += 1; sMicro += eMicro
           }
-          state.update((n, s))
+          state.update((n, sMicro))
           alerts.iterator
       }
   }
@@ -148,7 +172,12 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (uid: Long, events: Iterator[EwmaPoint], state: GroupState[(Long, Long)]) =>
           var (n, e) = state.getOption.getOrElse((0L, 0L))
-          events.toSeq.sortBy(p => (p.ts.getTime, p.event_id)).foreach { p =>
+          // Full-microsecond sort key: Timestamp.getTime is millis-only and
+          // would tie events inside the same millisecond, diverging from
+          // the batch q49 fold's exact (ts, event_id) order.
+          def micros(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          events.toSeq.sortBy(p => (micros(p.ts), p.event_id)).foreach { p =>
             e = if (n == 0) p.vm else (15 * p.vm + 85 * e) / 100
             n += 1
           }
@@ -174,13 +203,13 @@ object StreamOps {
     risk.as[RiskEvent]
       .groupByKey(_.customer)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (customer: String, events: Iterator[RiskEvent], state: GroupState[(Long, Double)]) =>
-          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
-          val (n, s) = events.foldLeft((n0, s0)) { case ((cn, cs), e) =>
-            (cn + 1, cs + e.score)
+        (customer: String, events: Iterator[RiskEvent], state: GroupState[(Long, Double, Long)]) =>
+          val (n0, s0, m0) = state.getOption.getOrElse((0L, 0.0, 0L))
+          val (n, s, m) = events.foldLeft((n0, s0, m0)) { case ((cn, cs, cm), e) =>
+            (cn + 1, cs + e.score, cm + math.round(e.score * 1e6))
           }
-          state.update((n, s))
-          CustomerRunning(customer, n, s)
+          state.update((n, s, m))
+          CustomerRunning(customer, n, s, m)
       }
   }
 }
