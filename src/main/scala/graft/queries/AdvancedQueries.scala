@@ -750,7 +750,82 @@ object AdvancedQueries {
       .orderBy("segment")
   }
 
+  /** q78 — half-life time-decay scoring: each event's micro-unit value is
+    * halved for every whole week between it and the newest event in the
+    * log, then rolled up per type — the freshness-weighted engagement
+    * rollup every feed/ranking pipeline maintains. The decay is an
+    * integer SHIFT (`vm >> weeks`, capped at 62) — floor-exact in any
+    * engine, no floating-point decay factor to drift between engines or
+    * partitionings. The anchor (global max ts) is a 1-row aggregate
+    * broadcast into the projection, so the whole query is one scan + one
+    * small rollup; at 100 TB the anchor comes from the table's watermark
+    * and the scan shape is unchanged. */
+  def q78DecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 7L * 86400 * 1000000
+    val e = Tables.load(spark, dir, "events").select(
+      col("event_type"), unix_micros(col("ts")).as("us"),
+      expr("cast(round(value * 1000000.0D, 0) as bigint)").as("vm"))
+    val anchor = e.agg(max(col("us")).as("anchor_us"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("wk", expr(s"cast(least((anchor_us - us) div ${WeekUs}L, 62L) as int)"))
+      .withColumn("decayed", expr("shiftright(vm, wk)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vm")).as("raw_micro"),
+        sum(col("decayed")).as("decayed_micro"))
+      .orderBy("event_type")
+  }
+
+  /** q79 — GDPR-style erasure cascade: a tombstone set (customers in one
+    * segment with negative balance) propagates down the FK chain
+    * (customer → orders → lineitem), reporting per table how many rows
+    * the erasure deletes vs retains and the retained value. The scale
+    * shape is the deletion-propagation pattern: the tombstone key set is
+    * tiny, so each fact table takes ONE broadcast hash join (flag, then
+    * aggregate) and never shuffles; the derived order-key tombstones stay
+    * a broadcast too. At 100 TB with a large tombstone set, swap the
+    * broadcasts for the q57 bloom-pruned join — the cascade shape is
+    * unchanged. */
+  def q79ErasureCascade(spark: SparkSession, dir: String): DataFrame = {
+    def cents(cn: String) = expr(s"cast(round($cn * 100.0D, 0) as bigint)")
+    val c = Tables.load(spark, dir, "customer")
+    val victimCond = col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") < 0
+    val victims = c.filter(victimCond).select(col("c_custkey").as("v_key"))
+
+    val custRow = c
+      .withColumn("del", victimCond.cast("long"))
+      .agg(lit("customer").as("table_name"),
+        sum(col("del")).as("n_deleted"),
+        sum(lit(1L) - col("del")).as("n_retained"),
+        sum(when(col("del") === 0L, cents("c_acctbal")).otherwise(0L))
+          .as("retained_cents"))
+
+    val o = Tables.load(spark, dir, "orders")
+      .join(broadcast(victims), col("o_custkey") === col("v_key"), "left")
+      .withColumn("del", col("v_key").isNotNull.cast("long"))
+    val orderRow = o
+      .agg(lit("orders").as("table_name"),
+        sum(col("del")).as("n_deleted"),
+        sum(lit(1L) - col("del")).as("n_retained"),
+        sum(when(col("del") === 0L, cents("o_totalprice")).otherwise(0L))
+          .as("retained_cents"))
+
+    val delOrders = o.filter(col("del") === 1L).select(col("o_orderkey").as("d_okey"))
+    val lineRow = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(delOrders), col("l_orderkey") === col("d_okey"), "left")
+      .withColumn("del", col("d_okey").isNotNull.cast("long"))
+      .agg(lit("lineitem").as("table_name"),
+        sum(col("del")).as("n_deleted"),
+        sum(lit(1L) - col("del")).as("n_retained"),
+        sum(when(col("del") === 0L, cents("l_extendedprice")).otherwise(0L))
+          .as("retained_cents"))
+
+    custRow.unionAll(orderRow).unionAll(lineRow).orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_decay_score" -> ((s, d) => q78DecayScore(s, d)),
+    "q79_erasure_cascade" -> ((s, d) => q79ErasureCascade(s, d)),
     "q74_rank_distribution" -> ((s, d) => q74RankDistribution(s, d)),
     "q75_auc" -> ((s, d) => q75Auc(s, d)),
     "q72_skyline" -> ((s, d) => q72Skyline(s, d)),
@@ -789,6 +864,62 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_decay_score" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) us,
+        |         CAST(round(value * 1000000.0, 0) AS BIGINT) vm
+        |  FROM events),
+        |a AS (SELECT max(us) anchor_us FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(vm) AS BIGINT) AS raw_micro,
+        |       CAST(SUM(vm >> CAST(least((anchor_us - us) // 604800000000, 62)
+        |                           AS INTEGER)) AS BIGINT) AS decayed_micro
+        |FROM e, a
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q79_erasure_cascade" ->
+      """WITH victims AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM victims))
+        |SELECT * FROM (
+        |  SELECT 'customer' AS table_name,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0
+        |                  THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0
+        |                  THEN 0
+        |                  ELSE CAST(round(c_acctbal * 100.0, 0) AS BIGINT)
+        |             END) AS BIGINT) AS retained_cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM victims)
+        |                  THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM victims)
+        |                  THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM victims)
+        |                  THEN 0
+        |                  ELSE CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+        |             END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+        |                  THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+        |                  THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+        |                  THEN 0
+        |                  ELSE CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |             END) AS BIGINT)
+        |  FROM lineitem)
+        |ORDER BY table_name""".stripMargin,
+
     "q74_rank_distribution" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority priority,

@@ -667,7 +667,53 @@ object TemporalQueries {
       .orderBy("channel")
   }
 
+  /** q77 — position-based (U-shaped) multi-touch attribution: every
+    * non-purchase touch is assigned to the user's NEXT purchase within a
+    * 7-day lookahead; within each conversion group the first and last
+    * touch take 40 % of the credit each and the middles split the
+    * remaining 20 % evenly (1 touch → 100 %, 2 → 50/50). Weights are
+    * integer parts-per-million with floor division, so the rollup is
+    * engine-exact.
+    *
+    * The purchase assignment is join-free, mirroring q76's carried
+    * window: ordered (us, event_id) DESC per user, a running
+    * `last(purchase struct, ignoreNulls)` carries the nearest following
+    * purchase onto every touch — an incremental cumulative frame, never a
+    * per-row rescan (if the nearest purchase is out of lookback, every
+    * later one is too, so the post-filter loses nothing). One second
+    * shuffle keys the conversion groups for position ranks, and the
+    * channel rollup is aggregate-only. The oracle derives the same
+    * relation through a correlated next-purchase subquery — an
+    * independent formulation. */
+  def q77Multitouch(spark: SparkSession, dir: String): DataFrame = {
+    val LookaheadUs = 7L * 86400 * 1000000
+    val e = Tables.load(spark, dir, "events").select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touches = e.withColumn("np", last(
+        when(col("event_type") === "purchase",
+          struct(col("us").as("p_us"), col("event_id").as("p_id"))),
+        ignoreNulls = true).over(wDesc))
+      .filter(col("event_type") =!= "purchase" && col("np").isNotNull &&
+        col("np.p_us") - col("us") <= LookaheadUs)
+    val wGrp = Window.partitionBy(col("user_id"), col("np.p_id"))
+    touches
+      .withColumn("pos", row_number().over(wGrp.orderBy(col("us"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wGrp))
+      .withColumn("w_ppm", expr(
+        "case when n = 1 then 1000000L when n = 2 then 500000L " +
+          "when pos = 1 or pos = n then 400000L " +
+          "else 200000L div (n - 2) end"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("w_ppm")).as("credit_ppm"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_multitouch" -> ((s, d) => q77Multitouch(s, d)),
     "q76_last_touch" -> ((s, d) => q76LastTouch(s, d)),
     "q70_retention" -> ((s, d) => q70Retention(s, d)),
     "q69_interval_join" -> ((s, d) => q69IntervalJoin(s, d)),
@@ -692,6 +738,31 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: correlated next-purchase subquery instead
+    // of the carried DESC window.
+    "q77_multitouch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events),
+        |t AS (
+        |  SELECT t.user_id, t.event_id, t.event_type, t.us,
+        |         (SELECT p.event_id FROM e p
+        |          WHERE p.user_id = t.user_id AND p.event_type = 'purchase'
+        |            AND p.us > t.us AND p.us - t.us <= 604800000000
+        |          ORDER BY p.us, p.event_id LIMIT 1) AS p_id
+        |  FROM e t WHERE t.event_type <> 'purchase'),
+        |g AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, p_id
+        |                            ORDER BY us, event_id) pos,
+        |         COUNT(*) OVER (PARTITION BY user_id, p_id) n
+        |  FROM t WHERE p_id IS NOT NULL)
+        |SELECT event_type AS channel, COUNT(*) AS n_touches,
+        |       CAST(SUM(CASE WHEN n = 1 THEN 1000000
+        |                     WHEN n = 2 THEN 500000
+        |                     WHEN pos = 1 OR pos = n THEN 400000
+        |                     ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm
+        |FROM g GROUP BY channel ORDER BY channel""".stripMargin,
+
     "q76_last_touch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) us,

@@ -397,4 +397,71 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       assert(r.getLong(7) == r.getLong(5) - r.getLong(6))
     }
   }
+
+  test("multi-touch attribution replays a brute-force next-purchase U-shape fold") {
+    val LookaheadUs = 7L * 86400 * 1000000
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), us(r.getTimestamp(3))))
+    val expected = ev.filter(_._3 != "purchase").flatMap { t =>
+      ev.filter(p => p._1 == t._1 && p._3 == "purchase" && p._4 > t._4)
+        .sortBy(p => (p._4, p._2)).headOption
+        .filter(p => p._4 - t._4 <= LookaheadUs)
+        .map(p => (t._1, p._2, t._2, t._3, t._4))
+    }.groupBy(t => (t._1, t._2)).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(t => (t._5, t._3))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case (t, i) =>
+        val w =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (i == 0 || i == n - 1) 400000L
+          else 200000L / (n - 2)
+        (t._4, w)
+      }
+    }.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val got = graft.queries.TemporalQueries.q77Multitouch(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("decay score halves micro-units per whole week from the newest event") {
+    val rows = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "unix_micros(ts) as us",
+        "cast(round(value * 1000000.0D, 0) as bigint) as vm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val anchor = rows.map(_._2).max
+    val expected = rows.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(_._3).sum,
+        g.map(t => t._3 >> math.min((anchor - t._2) / 604800000000L, 62L).toInt).sum)
+    }.toMap
+    val got = graft.queries.AdvancedQueries.q78DecayScore(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // decay never increases value and must strictly shrink something old
+    got.foreach { case (_, (_, raw, dec)) => assert(dec <= raw) }
+    assert(got.values.map(_._2).sum > got.values.map(_._3).sum)
+  }
+
+  test("erasure cascade counts partition each table and respect the FK chain") {
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+    val victims = cust.filter(r =>
+      r.getString(1) == "AUTOMOBILE" && r.getDouble(2) < 0).map(_.getLong(0)).toSet
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+    val delOrders = orders.filter(r => victims(r.getLong(1))).map(_.getLong(0)).toSet
+    val lines = Tables.load(spark, dir, "lineitem").select("l_orderkey").collect()
+    val got = graft.queries.AdvancedQueries.q79ErasureCascade(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("customer") == (victims.size.toLong, (cust.length - victims.size).toLong))
+    assert(got("orders") == (delOrders.size.toLong, (orders.length - delOrders.size).toLong))
+    val delLines = lines.count(r => delOrders(r.getLong(0))).toLong
+    assert(got("lineitem") == (delLines, lines.length - delLines))
+    assert(victims.nonEmpty && delOrders.nonEmpty, "fixture must exercise the cascade")
+  }
 }
