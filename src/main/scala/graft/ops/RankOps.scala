@@ -113,6 +113,40 @@ object RankOps {
       .drop("__v"), offsets.last)
   }
 
+  /** Append `prefixCol` = MAX of `value` over all rows STRICTLY BEFORE
+    * the current row in `sortCols` order (a distributed exclusive running
+    * max; Long.MinValue where no predecessor exists — callers translate
+    * that sentinel, never subtract from it). Same two-job range-partition
+    * shape as [[withGlobalPrefixSumAndTotal]]: per-partition maxes to the
+    * driver (P scalars), exclusive max-scan of those, one streaming
+    * output pass — running max is associative exactly like sum, so the
+    * whole prefix-scan pattern carries over unchanged. */
+  def withGlobalPrefixMax(df: DataFrame, numPartitions: Int, prefixCol: String,
+      value: Column, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = persistBounded(sorted.rdd)
+    val maxes = rdd
+      .mapPartitions(it =>
+        Iterator(it.foldLeft(Long.MinValue)((a, r) => math.max(a, r.getLong(vIdx)))))
+      .collect()
+    val offsets = maxes.scanLeft(Long.MinValue)(math.max)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        val o = Row.fromSeq(r.toSeq :+ acc)
+        acc = math.max(acc, r.getLong(vIdx))
+        o
+      }
+    }
+    spark.createDataFrame(out,
+        sorted.schema.add(prefixCol, LongType, nullable = false))
+      .drop("__v")
+  }
+
   /** Append 0-based rank WITHIN each `groupKeys` group under `sortCols`
     * (the scalable `row_number() OVER (PARTITION BY group ORDER BY sort)`
     * for groups too big or too skewed for one reducer each): one global

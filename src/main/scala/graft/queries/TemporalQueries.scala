@@ -712,7 +712,50 @@ object TemporalQueries {
       .orderBy("channel")
   }
 
+  /** q80 — watermark lateness audit: how late would events be under a
+    * given arrival process, per type — the measurement that CHOOSES a
+    * streaming watermark (pick the delay bound that keeps the dropped
+    * fraction acceptable; StreamOps' "30 minutes" defaults come from
+    * exactly this kind of readout). The fixture log is in-order, so
+    * arrival is modeled as event time plus a deterministic per-event
+    * network delay (`event_id·2654435761 mod 1000` seconds — pure integer
+    * arithmetic, identical in any engine); the high-watermark before each
+    * arrival is the max event time among earlier arrivals, and lateness
+    * is how far behind it the event lands.
+    *
+    * The running max over global arrival order is the scale-critical
+    * part: a `Window.orderBy(arrival)` would funnel the log through one
+    * task, so it runs as [[graft.ops.RankOps.withGlobalPrefixMax]] — the
+    * prefix-scan pattern with max in place of sum (P balanced range
+    * partitions, P scalars to the driver). */
+  def q80LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select(
+      col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("arrival_us",
+        expr("us + (event_id * 2654435761L % 1000) * 1000000L"))
+    val par = spark.sparkContext.defaultParallelism
+    val wm = graft.ops.RankOps.withGlobalPrefixMax(
+      e, par, "pm", col("us"), col("arrival_us"), col("event_id"))
+    wm
+      // first arrival carries the Long.MinValue sentinel — never subtract
+      // from it (overflow); it simply means "nothing earlier", late = 0.
+      .withColumn("late", when(col("pm") === Long.MinValue || col("pm") <= col("us"), 0L)
+        .otherwise(col("pm") - col("us")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("late") > 60L * 1000000, 1L).otherwise(0L)).as("n_late_1m"),
+        sum(when(col("late") > 600L * 1000000, 1L).otherwise(0L)).as("n_late_10m"),
+        sum(when(col("late") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late")).as("max_late_us"))
+      .withColumn("late_ppm", expr("n_late * 1000000L div n"))
+      .select(col("event_type"), col("n"), col("n_late"), col("n_late_1m"),
+        col("n_late_10m"), col("late_ppm"), col("max_late_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_lateness_audit" -> ((s, d) => q80LatenessAudit(s, d)),
     "q77_multitouch" -> ((s, d) => q77Multitouch(s, d)),
     "q76_last_touch" -> ((s, d) => q76LastTouch(s, d)),
     "q70_retention" -> ((s, d) => q70Retention(s, d)),
@@ -738,6 +781,31 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Single-pass window formulation (the engine runs the distributed
+    // prefix-max instead of one global sort).
+    "q80_lateness_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) us,
+        |         epoch_us(ts) + (event_id * 2654435761 % 1000) * 1000000 arrival_us
+        |  FROM events),
+        |w AS (
+        |  SELECT *, max(us) OVER (ORDER BY arrival_us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) pm
+        |  FROM e),
+        |l AS (
+        |  SELECT event_type,
+        |         CASE WHEN pm IS NULL OR pm <= us THEN 0 ELSE pm - us END late
+        |  FROM w)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       CAST(SUM(CASE WHEN late > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+        |       CAST(SUM(CASE WHEN late > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+        |       CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) * 1000000
+        |            // COUNT(*) AS BIGINT) AS late_ppm,
+        |       CAST(MAX(late) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Independent formulation: correlated next-purchase subquery instead
     // of the carried DESC window.
     "q77_multitouch" ->

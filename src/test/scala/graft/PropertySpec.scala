@@ -178,6 +178,20 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(got == want, s"nPart=$nPart")
   }
 
+  test("distributed prefix max equals the sequential exclusive max-scan") {
+    val values = sample(Gen.listOfN(300, Gen.chooseNum(-1000L, 1000L)))
+    val rows = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val nPart = Gen.chooseNum(1, 40).sample.getOrElse(8)
+    val got = graft.ops.RankOps
+      .withGlobalPrefixMax(rows.toDF("id", "v"), nPart, "pm", col("v"), col("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pm")).toMap
+    var acc = Long.MinValue
+    val want = rows.map { case (id, v) =>
+      val p = id -> acc; acc = math.max(acc, v); p
+    }.toMap
+    assert(got == want, s"nPart=$nPart")
+  }
+
   test("z-interleave is a bijection on the 8-bit x 8-bit grid") {
     // Distinct (x, y) pairs must map to distinct z (the curve visits every
     // cell exactly once); evaluated through the same SQL expression p6
