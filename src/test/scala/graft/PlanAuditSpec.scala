@@ -392,4 +392,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("multi-touch attribution is join-free: carried window + group window + rollup") {
+    val p = plan("q77_multitouch")
+    assert(!p.contains("Join"), p)
+    // TWO hash exchanges only: the user-carry window's
+    // hashpartitioning(user_id) already satisfies the second window's
+    // (user_id, p_id) clustering (subset rule), so the position window
+    // inserts just a sort — then the channel agg exchange.
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("decay score broadcasts the 1-row anchor and reduces map-side") {
+    val p = plan("q78_decay_score")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("erasure cascade: every tombstone join broadcasts, fact sides never shuffle") {
+    val p = plan("q79_erasure_cascade")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("lateness audit never funnels through one task (no single-partition window)") {
+    val p = plan("q80_lateness_audit")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("windowed stream replay is one shuffle with map-side partials") {
+    val p = plan("r_stream_window_replay")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("session replay plans a session-window aggregate, not a cross product") {
+    val p = plan("r_stream_session_replay")
+    assert(!p.contains("Join"), p)
+    assert(p.toLowerCase.contains("session"), p)
+  }
 }
