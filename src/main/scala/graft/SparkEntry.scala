@@ -21,6 +21,7 @@ object SparkEntry {
       (OlapQueries.queries, OlapQueries.oracles),
       (TemporalQueries.queries, TemporalQueries.oracles),
       (AdvancedQueries.queries, AdvancedQueries.oracles),
+      (TpchQueries.queries, TpchQueries.oracles),
       (graft.ext.DedupQueries.queries, graft.ext.DedupQueries.oracles),
       (graft.ext.SimilarityQueries.queries, graft.ext.SimilarityQueries.oracles),
       (graft.ext.TextQueries.queries, graft.ext.TextQueries.oracles),

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped multi-way join plans over the fixture star schema — the
+  * deepest join trees in the suite (4-6 relations), exercising the
+  * broadcast-vs-shuffle planning mix a warehouse engine lives on:
+  * selective dimensions broadcast, the orders⋈lineitem spine shuffles on
+  * the order key, semi-joins stay semi (never materialize the probe), and
+  * top-k over an aggregate plans as TakeOrderedAndProject.
+  *
+  * Revenue is quantized PER ROW to 1e-4 dollars
+  * (`round(extprice·(1−disc)·10000)` — one fixed expression tree, so both
+  * engines compute the identical IEEE double before the exact integer
+  * round) and summed as BIGINT: merge-order-independent, hash-stable.
+  * The queries adapt TPC-H Q3/Q5/Q10/Q4 to the fixture columns (no
+  * commitdate/receiptdate exists, so Q4's lateness predicate becomes
+  * "shipped more than 60 days after ordering").
+  */
+object TpchQueries {
+
+  private def revE4 = expr(
+    "cast(round(l_extendedprice * (1.0D - l_discount) * 10000.0D, 0) as bigint)")
+
+  /** q81 / TPC-H Q3 — shipping priority: top 10 unshipped-revenue orders
+    * for one market segment at a cutoff date. customer (filtered to one
+    * segment) broadcasts into orders; the orders⋈lineitem spine is the
+    * only big shuffle; the LIMIT 10 rides a bounded heap. */
+  def q81Tpch3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-07-01"
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"), revE4.as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q82 / TPC-H Q5 — local supplier volume: revenue per nation for one
+    * region and one year, counted only where customer and supplier sit in
+    * the same nation. Five dimension joins all broadcast; the only wide
+    * exchanges are the orders⋈lineitem spine and the final 5-row rollup. */
+  def q82Tpch5(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revE4.as("rev"))
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.load(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+  }
+
+  /** q83 / TPC-H Q10 — returned-item reporting: the 20 customers who
+    * returned the most revenue in a quarter. The c⋈n dimension chain
+    * broadcasts onto the aggregated fact side, keeping the wide work on
+    * (custkey) only. */
+  def q83Tpch10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revE4.as("rev"))
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("revenue_e4"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        expr("cast(round(c_acctbal * 100.0D, 0) as bigint)").as("acctbal_cents"),
+        col("n_name"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** q84 / TPC-H Q4 shape — order-priority checking: orders in a half-year
+    * with at least one LATE line (shipped > 60 days after ordering),
+    * counted per priority. The lateness predicate correlates both sides,
+    * so the plan must keep the lineitem probe as a LEFT SEMI join (exists
+    * short-circuit, no fact-side duplication, no distinct repair). */
+  def q84Tpch4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_tpch3" -> ((s, d) => q81Tpch3(s, d)),
+    "q82_tpch5" -> ((s, d) => q82Tpch5(s, d)),
+    "q83_tpch10" -> ((s, d) => q83Tpch10(s, d)),
+    "q84_tpch4" -> ((s, d) => q84Tpch4(s, d))
+  )
+
+  private val revSql =
+    "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q81_tpch3" ->
+      s"""SELECT l_orderkey,
+         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |       o_orderpriority,
+         |       CAST(SUM($revSql) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-07-01'
+         |  AND l_shipdate > TIMESTAMP '1998-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_e4 DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q82_tpch5" ->
+      s"""SELECT n_name,
+         |       CAST(SUM($revSql) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+
+    "q83_tpch10" ->
+      s"""SELECT c_custkey, c_name,
+         |       CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS acctbal_cents,
+         |       n_name,
+         |       CAST(SUM($revSql) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue_e4 DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q84_tpch4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -423,6 +423,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("tpch q3: filtered customer broadcasts, top-10 is a bounded heap") {
+    val p = plan("q81_tpch3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch q5: every dimension broadcasts; only the order-key spine shuffles") {
+    val p = plan("q82_tpch5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(p).size == 1, p)
+  }
+
+  test("tpch q4: the exists probe stays a LEFT SEMI join") {
+    val p = plan("q84_tpch4")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("windowed stream replay is one shuffle with map-side partials") {
     val p = plan("r_stream_window_replay")
     assert(!p.contains("Join"), p)
