@@ -120,7 +120,61 @@ object TpchQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** q85 / TPC-H Q18 — large-volume orders: the 100 biggest orders by
+    * total quantity above a HAVING threshold. The aggregate-then-back-join
+    * shape: lineitem reduces to (orderkey, qty) WITH map-side partials,
+    * the HAVING filter shrinks that to a few hundred keys, and only then
+    * do orders/customer attach — the surviving-key frame is small enough
+    * to broadcast onto the dimension joins, so nothing wide happens after
+    * the first aggregation. Quantity quantizes to centi-units per row. */
+  def q85Tpch18(spark: SparkSession, dir: String): DataFrame = {
+    val ThresholdCenti = 22000L
+    val big = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("cast(round(l_quantity * 100.0D, 0) as bigint)").as("qc"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qc")).as("qty_centi"))
+      .filter(col("qty_centi") > ThresholdCenti)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val c = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        expr("cast(round(o_totalprice * 100.0D, 0) as bigint)").as("totalprice_cents"),
+        col("qty_centi"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q86 / TPC-H Q22 shape — inactive high-balance customers per nation:
+    * balance above the positive-balance integer mean AND no order since a
+    * cutoff. Two classic sub-plan shapes: a scalar subquery threshold
+    * (computed as an exact integer `sum div n` so the comparison can't
+    * flip on float merge order, then broadcast into the filter) and a
+    * LEFT ANTI join whose probe side (recent orders) is the LARGE side —
+    * the anti join reduces it to its key column before the shuffle. */
+  def q86Tpch22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("cast(round(c_acctbal * 100.0D, 0) as bigint)").as("bal_cents"))
+    val meanPos = c.filter(col("bal_cents") > 0)
+      .agg(expr("sum(bal_cents) div count(1)").as("mean_cents"))
+    val recent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(meanPos))
+      .filter(col("bal_cents") > col("mean_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("total_cents"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_tpch18" -> ((s, d) => q85Tpch18(s, d)),
+    "q86_tpch22" -> ((s, d) => q86Tpch22(s, d)),
     "q81_tpch3" -> ((s, d) => q81Tpch3(s, d)),
     "q82_tpch5" -> ((s, d) => q82Tpch5(s, d)),
     "q83_tpch10" -> ((s, d) => q83Tpch10(s, d)),
@@ -131,6 +185,41 @@ object TpchQueries {
     "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q85_tpch18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |           AS qty_centi
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) > 22000)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS totalprice_cents,
+        |       qty_centi
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q86_tpch22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100.0, 0) AS BIGINT) bal_cents
+        |  FROM customer),
+        |m AS (SELECT CAST(SUM(bal_cents) // COUNT(*) AS BIGINT) mean_cents
+        |      FROM c WHERE bal_cents > 0)
+        |SELECT c_nationkey, COUNT(*) AS n_custs,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+        |FROM c, m
+        |WHERE bal_cents > mean_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     "q81_tpch3" ->
       s"""SELECT l_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -441,6 +441,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("tpch q18: aggregate first, then the shrunken key set broadcasts") {
+    val p = plan("q85_tpch18")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch q22: integer-mean scalar broadcast and a LEFT ANTI probe") {
+    val p = plan("q86_tpch22")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("windowed stream replay is one shuffle with map-side partials") {
     val p = plan("r_stream_window_replay")
     assert(!p.contains("Join"), p)
