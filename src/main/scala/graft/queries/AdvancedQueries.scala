@@ -307,7 +307,11 @@ object AdvancedQueries {
         |       count(*) AS n_all,
         |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
         |       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05D), 2) AS rev_disc,
-        |       round(avg(l_quantity) FILTER (WHERE l_linenumber = 1), 6) AS avg_qty_l1
+        |       (sum(cast(round(l_quantity * 100.0D, 0) as bigint))
+        |          FILTER (WHERE l_linenumber = 1) * 20000L
+        |        + count(*) FILTER (WHERE l_linenumber = 1))
+        |       div (2L * nullif(count(*) FILTER (WHERE l_linenumber = 1), 0L))
+        |       / 1000000.0D AS avg_qty_l1
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
@@ -1170,7 +1174,11 @@ object AdvancedQueries {
         |       count(*) AS n_all,
         |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
         |       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_disc,
-        |       round(avg(l_quantity) FILTER (WHERE l_linenumber = 1), 6) AS avg_qty_l1
+        |       (SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT))
+        |          FILTER (WHERE l_linenumber = 1) * 20000
+        |        + count(*) FILTER (WHERE l_linenumber = 1))
+        |       // (2 * NULLIF(count(*) FILTER (WHERE l_linenumber = 1), 0))
+        |       / 1000000.0 AS avg_qty_l1
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

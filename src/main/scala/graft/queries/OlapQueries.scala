@@ -17,7 +17,17 @@ import org.apache.spark.sql.functions._
 object OlapQueries {
 
   /** TPC-H Q1: sliced full-table aggregation with partial (map-side)
-    * aggregation before a 2-key shuffle — the canonical scan-heavy query. */
+    * aggregation before a 2-key shuffle — the canonical scan-heavy query.
+    *
+    * The avg columns compute as INTEGER half-up means — per-row exact
+    * cents/basis-points, long sum, `(2s·scale + n) div 2n`, back to
+    * double by one exact /1e6 — because `round(avg(double), 6)` can land
+    * on a TRUE decimal half where Spark's and DuckDB's rounding modes
+    * disagree (observed on this fixture family once), and float merge
+    * order makes the miss intermittent. The emitted values are identical
+    * everywhere else. The sum columns stay double: their true values sit
+    * on the cents grid, 0.005 from any round-boundary — 1e-10 float
+    * drift cannot cross that. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -27,10 +37,19 @@ object OlapQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        sum(expr("cast(round(l_quantity * 100.0D, 0) as bigint)")).as("__sq"),
+        sum(expr("cast(round(l_extendedprice * 100.0D, 0) as bigint)")).as("__sp"),
+        sum(expr("cast(round(l_discount * 10000.0D, 0) as bigint)")).as("__sd"),
         count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        expr("cast((__sq * 20000L + count_order) div (2L * count_order) as double) / 1000000.0D"))
+      .withColumn("avg_price",
+        expr("cast((__sp * 20000L + count_order) div (2L * count_order) as double) / 1000000.0D"))
+      .withColumn("avg_disc",
+        expr("cast((__sd * 200L + count_order) div (2L * count_order) as double) / 1000000.0D"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        col("avg_qty"), col("avg_price"), col("avg_disc"), col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Top-k with deterministic tie-break — plans as TakeOrderedAndProject
@@ -96,7 +115,16 @@ object OlapQueries {
       .agg(
         count(lit(1)).as("n_customers"),
         round(sum(col("c_acctbal")), 2).as("total_bal"),
-        round(avg(col("c_acctbal")), 6).as("avg_bal"))
+        sum(expr("cast(round(c_acctbal * 100.0D, 0) as bigint)")).as("__sb"))
+      // Integer half-up mean (see q1Agg); balances can be NEGATIVE, so
+      // compute on |s| and re-apply the sign — keeps the floor/trunc
+      // division distinction between engines out of play.
+      .withColumn("avg_bal", expr(
+        "cast((case when __sb < 0 then -1L else 1L end) * " +
+          "((abs(__sb) * 20000L + n_customers) div (2L * n_customers)) as double) " +
+          "/ 1000000.0D"))
+      .select(col("r_name"), col("n_name"), col("n_customers"),
+        col("total_bal"), col("avg_bal"))
       .orderBy("r_name", "n_name")
   }
 
@@ -308,9 +336,12 @@ object OlapQueries {
         |  round(sum(l_extendedprice),2) AS sum_base_price,
         |  round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
         |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
-        |  round(avg(l_quantity),6) AS avg_qty,
-        |  round(avg(l_extendedprice),6) AS avg_price,
-        |  round(avg(l_discount),6) AS avg_disc,
+        |  (SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) * 20000 + count(*))
+        |    // (2 * count(*)) / 1000000.0 AS avg_qty,
+        |  (SUM(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) * 20000 + count(*))
+        |    // (2 * count(*)) / 1000000.0 AS avg_price,
+        |  (SUM(CAST(round(l_discount * 10000.0, 0) AS BIGINT)) * 200 + count(*))
+        |    // (2 * count(*)) / 1000000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -375,7 +406,10 @@ object OlapQueries {
     "q6_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |       round(sum(c_acctbal),2) AS total_bal,
-        |       round(avg(c_acctbal),6) AS avg_bal
+        |       (CASE WHEN SUM(CAST(round(c_acctbal * 100.0, 0) AS BIGINT)) < 0
+        |             THEN -1 ELSE 1 END) *
+        |       ((abs(SUM(CAST(round(c_acctbal * 100.0, 0) AS BIGINT))) * 20000
+        |         + count(*)) // (2 * count(*))) / 1000000.0 AS avg_bal
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey

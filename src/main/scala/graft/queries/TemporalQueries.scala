@@ -131,7 +131,13 @@ object TemporalQueries {
       .groupBy(col("band_id"), col("band"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+        sum(expr("cast(round(value * 100.0D, 0) as bigint)")).as("__sv"))
+      // Integer half-up mean (see OlapQueries.q1Agg) — values are
+      // non-negative, so no sign handling needed.
+      .withColumn("avg_value",
+        expr("cast((__sv * 20000L + n) div (2L * n) as double) / 1000000.0D"))
+      .select(col("band_id"), col("band"), col("n"), col("total_value"),
+        col("avg_value"))
       .orderBy("band_id")
   }
 
@@ -1132,7 +1138,8 @@ object TemporalQueries {
     "q20_range_join" ->
       """SELECT CAST(t.band_id AS BIGINT) AS band_id, t.band, count(*) AS n,
         |       round(sum(e.value), 2) AS total_value,
-        |       round(avg(e.value), 6) AS avg_value
+        |       (SUM(CAST(round(e.value * 100.0, 0) AS BIGINT)) * 20000 + count(*))
+        |         // (2 * count(*)) / 1000000.0 AS avg_value
         |FROM events e
         |JOIN (VALUES (0, 'low', -1e18, 50.0), (1, 'mid', 50.0, 200.0),
         |             (2, 'high', 200.0, 1e18)) t(band_id, band, lo, hi)
