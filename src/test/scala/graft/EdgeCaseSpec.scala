@@ -100,6 +100,17 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == Seq(0L, 0L, 2L))
   }
 
+  test("prefix max on empty input and on all-equal keys degrades cleanly") {
+    import org.apache.spark.sql.functions.col
+    val empty = graft.ops.RankOps.withGlobalPrefixMax(
+      Seq.empty[(Long, Long)].toDF("id", "v"), 4, "pm", col("v"), col("id"))
+    assert(empty.collect().isEmpty)
+    // one row: no predecessor, sentinel only
+    val one = graft.ops.RankOps.withGlobalPrefixMax(
+      Seq((1L, 42L)).toDF("id", "v"), 4, "pm", col("v"), col("id")).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("pm") == Long.MinValue)
+  }
+
   test("q55 exact median returns (0, NULL) on an empty relation, not an NPE") {
     val dir = java.nio.file.Files.createTempDirectory("q55empty").toString
     Seq.empty[(Double, Long, Int)]
