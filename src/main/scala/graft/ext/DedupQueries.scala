@@ -811,6 +811,54 @@ object DedupQueries {
         .localCheckpoint()
     })
 
+  /** d17 — multi-source BFS hop distance over the near-dup graph: every
+    * graph participant whose id is ≡ 0 (mod 10) seeds at hops 0 (the
+    * "known-bad set"), and each reachable document reports its minimum
+    * near-duplication distance to any seed — the contamination-radius
+    * question (everything within k hops of a bad document is suspect).
+    * Completes the graph-algorithm family: d8 computes components
+    * (min-label), d12 stationary mass (PageRank), d14 local density
+    * (triangles); this is (multi-)source distance.
+    *
+    * Classic frontier BSP: per round, the frontier's neighbors minus the
+    * visited set become the next frontier at hops+1 — rounds = the
+    * seeded components' eccentricity, and each round's frontier/visited
+    * frames are localCheckpointed so no lineage accumulates (the d8
+    * discipline). Near-dup frontiers are tiny relative to the corpus, so
+    * both per-round joins broadcast; the driver sees ONE scalar per
+    * round (the frontier size), never data. The oracle walks the same
+    * graph as a bounded recursive CTE ((node, hops) pairs — the bound
+    * caps cycle replay; near-dup components are dense, diameter ≪ 100). */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedEdges(spark, dir)
+    var visited = und.select(col("doc_a").as("doc_id"))
+      .filter(col("doc_id") % 10 === 0).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = visited
+    var frontierSize = visited.count()
+    while (frontierSize > 0) {
+      val next = und
+        .join(broadcast(frontier), und("doc_a") === frontier("doc_id"))
+        .select(col("doc_b").as("doc_id"), (col("hops") + 1L).as("hops"))
+        .groupBy(col("doc_id")).agg(min(col("hops")).as("hops"))
+        .join(broadcast(visited.select(col("doc_id").as("seen"))),
+          col("doc_id") === col("seen"), "left_anti")
+        .localCheckpoint()
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        val nv = visited.unionAll(next).localCheckpoint()
+        graft.CheckpointUtil.release(visited)
+        graft.CheckpointUtil.release(frontier)
+        visited = nv
+        frontier = next
+      } else {
+        graft.CheckpointUtil.release(frontier)
+      }
+    }
+    visited.orderBy("doc_id")
+  }
+
   /** d13 — cluster representative selection: dedup's final emit. d8 says
     * which documents are interchangeable; this picks WHICH copy survives —
     * the highest t2 quality score per component, ties to the lowest
@@ -934,7 +982,8 @@ object DedupQueries {
     "d5_simhash" -> ((s, d) => simhash(s, d)),
     "d6_levenshtein" -> ((s, d) => levenshteinPairs(s, d)),
     "d7_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
-    "d8_dedup_clusters" -> ((s, d) => dedupClusters(s, d))
+    "d8_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "d17_bfs_hops" -> ((s, d) => bfsHops(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1195,6 +1244,36 @@ object DedupQueries {
          |FROM shh a JOIN shh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= $MaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d17_bfs_hops" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM verified
+         |          WHERE i/(tot-i) >= $JaccardThreshold),
+         |undirected AS (
+         |  SELECT doc_a a, doc_b b FROM pairs
+         |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
+         |walk AS (
+         |  SELECT DISTINCT a AS node, 0 AS hops FROM undirected WHERE a % 10 = 0
+         |  UNION
+         |  SELECT u.b, w.hops + 1 FROM walk w JOIN undirected u ON u.a = w.node
+         |  WHERE w.hops < 100)
+         |SELECT node AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM walk
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $duckShingled,
