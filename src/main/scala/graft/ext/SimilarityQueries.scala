@@ -66,6 +66,72 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** s15 — Maximal Marginal Relevance: diversified top-k retrieval. Pure
+    * relevance ranking returns near-duplicates of each other; MMR
+    * iteratively picks argmax of `λ·rel − (1−λ)·max_sim(selected)` so
+    * each pick is relevant AND far from everything already chosen — the
+    * selection rule for dedup-aware training-data retrieval.
+    *
+    * Scale shape: MMR is inherently sequential in k but only ever runs
+    * over a bounded SHORTLIST — the corpus-sized work is producing that
+    * shortlist (here brute-force top-[[MmrShortlist]] by relevance; at
+    * scale the s4/s5 ANN paths), after which each of the k rounds is a
+    * distributed argmax over ≤ shortlist rows with the selected vectors
+    * broadcast as literals. The driver sees one row per round. All
+    * similarities go through the same round-6 cosine the s-family
+    * oracles replicate, and the MMR combine is one fixed double
+    * expression — engine-identical, no knife edges. */
+  val MmrK = 5
+  val MmrShortlist = 20
+  val MmrLambda = 0.7
+  // NOT computed as 1.0 - MmrLambda: that double is 0.30000000000000004,
+  // while the oracle's literal 0.3 is not — the weights must be the same
+  // parsed literal on both engines.
+  val MmrLambdaBar = 0.3
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val shortlist = e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(expr("cosine_sim(embedding, qv)"), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(MmrShortlist)
+      .localCheckpoint()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    var rank = 1
+    var exhausted = false
+    while (rank <= MmrK && !exhausted) {
+      val sims = pickedVecs.toSeq.map { v =>
+        round(call_function("cosine_sim", col("embedding"),
+          array(v.map(x => lit(x)): _*)), 6)
+      }
+      val maxSim = sims match {
+        case Seq() => lit(0.0)
+        case Seq(one) => one
+        case many => greatest(many: _*)
+      }
+      val rows = shortlist
+        .filter(if (picked.isEmpty) lit(true)
+          else !col("vec_id").isin(picked.toSeq.map(_._2): _*))
+        .withColumn("mmr", lit(MmrLambda) * col("rel") -
+          lit(MmrLambdaBar) * maxSim)
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+        .limit(1).collect()
+      if (rows.isEmpty) exhausted = true
+      else {
+        val r = rows(0)
+        picked += ((rank.toLong, r.getAs[Long]("vec_id"), r.getAs[Double]("mmr")))
+        pickedVecs += r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        rank += 1
+      }
+    }
+    graft.CheckpointUtil.release(shortlist)
+    picked.toSeq.toDF("rank", "vec_id", "mmr").orderBy("rank")
+  }
+
   /** s2 — embedding-cosine near-duplicate pairs (the embedding flavor of
     * dedup). Pairs are generated label-blocked + upper-triangular; the
     * unblocked variant at scale is s4's LSH. */
@@ -586,6 +652,7 @@ object SimilarityQueries {
     "s11_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "s10_knn_join" -> ((s, d) => knnJoin(s, d)),
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
+    "s15_mmr" -> ((s, d) => mmrTopK(s, d)),
     "s8_pq" -> ((s, d) => pqCodes(s, d)),
     "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "s3_label_paircounts" -> ((s, d) => labelPairCounts(s, d)),
@@ -863,6 +930,43 @@ object SimilarityQueries {
          |SELECT e.vec_id, round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS cosine
          |FROM e, q WHERE e.vec_id > 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // MMR unrolled: pick k = 5 sequential argmaxes over the top-20
+    // relevance shortlist; sel_i carries the chosen vectors forward so
+    // each step's penalty is max cosine to everything already picked.
+    "s15_mmr" -> {
+      val lam = s"CAST($MmrLambda AS DOUBLE)"
+      val bar = s"CAST($MmrLambdaBar AS DOUBLE)"
+      def pick(i: Int): String = {
+        val sel = if (i == 1) "" else
+          s""", sel${i - 1} AS (${(1 until i).map(j =>
+            s"SELECT vec_id, v, nrm FROM p$j").mkString(" UNION ALL ")}),
+             |c$i AS (
+             |  SELECT sl.vec_id, sl.v, sl.nrm, sl.rel,
+             |         $lam * sl.rel - $bar * (
+             |           SELECT max(round(list_dot_product(sl.v, s.v)
+             |                            / (sl.nrm * s.nrm), 6))
+             |           FROM sel${i - 1} s) AS mmr
+             |  FROM sl WHERE sl.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}))""".stripMargin
+        val src = if (i == 1)
+          s"(SELECT vec_id, v, nrm, rel, $lam * rel - $bar * CAST(0.0 AS DOUBLE) AS mmr FROM sl)"
+        else s"c$i"
+        s"""$sel,
+           |p$i AS (SELECT * FROM $src ORDER BY mmr DESC, vec_id ASC LIMIT 1)""".stripMargin
+      }
+      s"""WITH $duckEmb,
+         |q AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+         |sl AS (
+         |  SELECT e.vec_id, e.v, e.nrm,
+         |         round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS rel
+         |  FROM e, q WHERE e.vec_id > 0
+         |  ORDER BY rel DESC, vec_id ASC LIMIT $MmrShortlist)
+         |${(1 to MmrK).map(pick).mkString("\n")}
+         |${(1 to MmrK).map(i =>
+           s"SELECT CAST($i AS BIGINT) AS rank, vec_id, mmr FROM p$i")
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY rank""".stripMargin
+    },
 
     "s2_cosine_pairs" ->
       s"""WITH $duckEmb
