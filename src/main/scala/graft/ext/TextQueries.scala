@@ -171,6 +171,33 @@ object TextQueries {
     })
   }
 
+  /** t21 — head-vocabulary coverage / OOV-rate audit: per document, what
+    * fraction of token occurrences falls outside the corpus's
+    * [[OovVocabK]] most frequent terms — the tokenizer-health readout
+    * that decides vocabulary size and flags documents a fixed vocab
+    * serves poorly (head size 10 here: the synthetic corpus has ~31
+    * distinct tokens, so a production-sized head would be degenerate).
+    *
+    * Rides the cached (doc, term, tf) inverted index: the head vocab is
+    * one tiny aggregate of it (total count desc, term asc — fully
+    * deterministic), broadcast back as a membership probe; the per-doc
+    * rollup is integer ppm. Nothing re-tokenizes the corpus. */
+  val OovVocabK = 10
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(OovVocabK)
+      .select(col("term").as("v_term"))
+    tf.join(broadcast(vocab), col("term") === col("v_term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(when(col("v_term").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L div n_toks"))
+      .orderBy("doc_id")
+  }
+
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = termFreq(spark, dir)
@@ -671,7 +698,8 @@ object TextQueries {
     "t14_bm25" -> ((s, d) => bm25(s, d)),
     "t15_pmi" -> ((s, d) => pmiCollocations(s, d)),
     "t16_zipf" -> ((s, d) => zipfFit(s, d)),
-    "t17_kl_drift" -> ((s, d) => klDrift(s, d))
+    "t17_kl_drift" -> ((s, d) => klDrift(s, d)),
+    "t21_oov_rate" -> ((s, d) => oovRate(s, d))
   )
 
   private val duckTokenVal: String = (1 to 4)
@@ -679,6 +707,26 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t21_oov_rate" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w AS term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) w
+         |    FROM documents)
+         |  GROUP BY doc_id, w),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, CAST(SUM(tf) AS BIGINT) cnt FROM tf GROUP BY term)
+         |  ORDER BY cnt DESC, term ASC LIMIT $OovVocabK)
+         |SELECT doc_id,
+         |       CAST(SUM(tf) AS BIGINT) AS n_toks,
+         |       CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab)
+         |                     THEN 0 ELSE tf END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab)
+         |                     THEN 0 ELSE tf END) * 1000000
+         |            // SUM(tf) AS BIGINT) AS oov_ppm
+         |FROM tf
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t20_readability" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
         |           FROM documents),
