@@ -295,6 +295,52 @@ object TemporalQueries {
         col("n_changes"))
       .orderBy("user_id")
 
+  /** q87 — incremental MERGE apply: snapshot(T₂) built by merging the
+    * pre-cutoff snapshot with the post-cutoff change set — the lakehouse
+    * MERGE INTO step that turns a CDC stream into a maintained table
+    * without recompacting history. Both sides are q50-style last-writer
+    * compactions that KEEP tombstones (a key deleted before the cutoff
+    * and re-inserted after must resurrect with the right lineage count);
+    * the merge is one full-outer join on the key, winner = the change
+    * side when present, change counts additive, tombstone winners
+    * dropped at the end.
+    *
+    * The oracle deliberately states the BATCH form — one compaction over
+    * the whole log — so the hash compare PROVES the incremental
+    * equivalence merge(compact(≤T), compact(>T)) = compact(all), which
+    * is the invariant incremental materialization relies on. Scale
+    * shape: the change set is a fraction of the snapshot, both sides
+    * aggregate before the join, and the join keys are the snapshot key —
+    * at 100 TB the snapshot side is the bucketed/sorted table and the
+    * change side broadcasts when small. */
+  def q87MergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-04").cast("timestamp")
+    def compact(df: DataFrame): DataFrame =
+      df.select(col("user_id"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("value"), col("ts"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(struct(col("op"), col("value"), col("ts"), col("event_id")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          count(lit(1)).as("n"))
+    val e = Tables.load(spark, dir, "events")
+    val base = compact(e.filter(col("ts") < cutoff))
+      .select(col("user_id"), col("last").as("b_last"), col("n").as("b_n"))
+    val changes = compact(e.filter(col("ts") >= cutoff))
+      .select(col("user_id"), col("last").as("c_last"), col("n").as("c_n"))
+    base.join(changes, Seq("user_id"), "full_outer")
+      .withColumn("w", coalesce(col("c_last"), col("b_last")))
+      .withColumn("n_changes",
+        coalesce(col("b_n"), lit(0L)) + coalesce(col("c_n"), lit(0L)))
+      .filter(col("w.op") =!= "delete")
+      .select(col("user_id"), col("w.value").as("value"),
+        col("w.ts").as("updated_at"), col("w.event_id").as("src_event_id"),
+        col("n_changes"))
+      .orderBy("user_id")
+  }
+
   /** q51 — SCD type-2 history build (gaps-and-islands): each run of
     * consecutive equal `event_type` per user becomes one dimension
     * version with [valid_from, valid_to) effectivity, `valid_to` = the
@@ -762,6 +808,7 @@ object TemporalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_lateness_audit" -> ((s, d) => q80LatenessAudit(s, d)),
+    "q87_merge_apply" -> ((s, d) => q87MergeApply(s, d)),
     "q77_multitouch" -> ((s, d) => q77Multitouch(s, d)),
     "q76_last_touch" -> ((s, d) => q76LastTouch(s, d)),
     "q70_retention" -> ((s, d) => q70Retention(s, d)),
@@ -998,6 +1045,24 @@ object TemporalQueries {
 
     // Independent formulation: ROW_NUMBER latest-wins (the sort-based
     // compaction) differentially checks the aggregate-based Spark plan.
+    // The BATCH form of the incremental merge: one compaction over the
+    // whole log. Hash equality proves merge(compact(<T), compact(>=T))
+    // = compact(all).
+    "q87_merge_apply" ->
+      """WITH log AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_type = 'error' THEN 'delete'
+        |              ELSE 'upsert' END op,
+        |         value, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) rn,
+        |         count(*) OVER (PARTITION BY user_id) n_changes
+        |  FROM events)
+        |SELECT user_id, value, ts AS updated_at, event_id AS src_event_id,
+        |       CAST(n_changes AS BIGINT) AS n_changes
+        |FROM log WHERE rn = 1 AND op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
+
     "q50_cdc_compact" ->
       """WITH log AS (
         |  SELECT user_id,

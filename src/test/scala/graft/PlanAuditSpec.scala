@@ -454,6 +454,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("merge apply: both sides compact before the single full-outer key join") {
+    val p = plan("q87_merge_apply")
+    assert(p.contains("FullOuter"), p)
+    // two compactions (max_by plans as SortAggregate), each with a
+    // partial/final split, all BEFORE the join sees a row
+    assert("Aggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("windowed stream replay is one shuffle with map-side partials") {
     val p = plan("r_stream_window_replay")
     assert(!p.contains("Join"), p)
