@@ -132,6 +132,52 @@ object SimilarityQueries {
     picked.toSeq.toDF("rank", "vec_id", "mmr").orderBy("rank")
   }
 
+  /** s16 — k-center farthest-point traversal: greedy coreset selection.
+    * Starting from vector 0, each round adds the vector FARTHEST from the
+    * selected set (max over candidates of min cosine-distance = argmin of
+    * max cosine) — the classic 2-approximation to the k-center cover and
+    * the diversity-sampling rule for picking a small training subset that
+    * spans the embedding space. The dual of s15: MMR trades relevance
+    * against redundancy over a shortlist; k-center maximizes pure
+    * coverage over the WHOLE corpus.
+    *
+    * Scale shape: each of the k rounds is one distributed argmin over
+    * the full vector set with the ≤k selected vectors broadcast as
+    * literals — a narrow scan + TakeOrdered(1), no shuffle, no pairwise
+    * materialization; rounds are sequential by nature (greedy), driver
+    * traffic is one row per round. Cosines go through the s-family's
+    * round-6 parity grid. */
+  val KCenterK = 5
+  def kCenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val seed = e.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    picked += ((1L, seed.getAs[Long]("vec_id"), 1.0))
+    pickedVecs += seed.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    (2 to KCenterK).foreach { rank =>
+      val sims = pickedVecs.toSeq.map { v =>
+        round(call_function("cosine_sim", col("embedding"),
+          array(v.map(x => lit(x)): _*)), 6)
+      }
+      val maxSim = sims match {
+        case Seq(one) => one
+        case many => greatest(many: _*)
+      }
+      val r = e.filter(!col("vec_id").isin(picked.toSeq.map(_._2): _*))
+        .withColumn("max_sim", maxSim)
+        .orderBy(col("max_sim").asc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      picked += ((rank.toLong, r.getAs[Long]("vec_id"), r.getAs[Double]("max_sim")))
+      pickedVecs += r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    }
+    graft.CheckpointUtil.release(e)
+    picked.toSeq.toDF("rank", "vec_id", "max_sim_at_pick").orderBy("rank")
+  }
+
   /** s2 — embedding-cosine near-duplicate pairs (the embedding flavor of
     * dedup). Pairs are generated label-blocked + upper-triangular; the
     * unblocked variant at scale is s4's LSH. */
@@ -653,6 +699,7 @@ object SimilarityQueries {
     "s10_knn_join" -> ((s, d) => knnJoin(s, d)),
     "s1_ann_topk" -> ((s, d) => annTopK(s, d)),
     "s15_mmr" -> ((s, d) => mmrTopK(s, d)),
+    "s16_kcenter" -> ((s, d) => kCenter(s, d)),
     "s8_pq" -> ((s, d) => pqCodes(s, d)),
     "s2_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "s3_label_paircounts" -> ((s, d) => labelPairCounts(s, d)),
@@ -930,6 +977,32 @@ object SimilarityQueries {
          |SELECT e.vec_id, round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS cosine
          |FROM e, q WHERE e.vec_id > 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // k-center unrolled: seed = vec 0, then 4 sequential argmins of the
+    // max cosine to everything already selected (farthest-point rule).
+    "s16_kcenter" -> {
+      def pick(i: Int): String = {
+        val selPrev = s"sel${i - 1}"
+        s""",
+           |$selPrev AS (${(1 until i).map(j =>
+             s"SELECT vec_id, v, nrm FROM p$j").mkString(" UNION ALL ")}),
+           |c$i AS (
+           |  SELECT e.vec_id, e.v, e.nrm,
+           |         (SELECT max(round(list_dot_product(e.v, s.v)
+           |                           / (e.nrm * s.nrm), 6))
+           |          FROM $selPrev s) AS max_sim
+           |  FROM e WHERE e.vec_id NOT IN (SELECT vec_id FROM $selPrev)),
+           |p$i AS (SELECT * FROM c$i ORDER BY max_sim ASC, vec_id ASC LIMIT 1)""".stripMargin
+      }
+      s"""WITH $duckEmb,
+         |p1 AS (SELECT vec_id, v, nrm, CAST(1.0 AS DOUBLE) AS max_sim
+         |       FROM e WHERE vec_id = 0)
+         |${(2 to KCenterK).map(pick).mkString("\n")}
+         |${(1 to KCenterK).map(i =>
+           s"SELECT CAST($i AS BIGINT) AS rank, vec_id, max_sim AS max_sim_at_pick FROM p$i")
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY rank""".stripMargin
+    },
 
     // MMR unrolled: pick k = 5 sequential argmaxes over the top-20
     // relevance shortlist; sel_i carries the chosen vectors forward so
