@@ -253,7 +253,60 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m11 — content-defined chunking (the CAS/backup dedup shape): each
+    * payload splits at positions where a 4-byte polynomial rolling hash
+    * hits `≡ 0 (mod 16)` — boundaries follow CONTENT, not offsets, so an
+    * insertion early in a payload shifts only the chunk it lands in and
+    * every later chunk still fingerprints identically (the property that
+    * makes chunk-level dedup survive edits, unlike m4's fixed frames).
+    * Per doc: chunk count, bytes, how many of its chunks also occur in
+    * some other document, and that as an integer ppm share — the
+    * storage-dedup savings estimate.
+    *
+    * All byte math is `ascii(substr(...))` integer arithmetic through
+    * SQL higher-order functions — engine-identical, and one narrow
+    * projection per document until the small (fp → doc count) aggregate
+    * joins back; payload bytes shuffle only as their chunk fingerprints. */
+  val CdcWindow = 4
+  val CdcMask = 16
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val B1 = 31 * 31 * 31; val B2 = 31 * 31; val B3 = 31
+    val rolling = s"(ascii(substr(text, cast(i as int) - 3, 1)) * $B1 + " +
+      s"ascii(substr(text, cast(i as int) - 2, 1)) * $B2 + " +
+      s"ascii(substr(text, cast(i as int) - 1, 1)) * $B3 + " +
+      s"ascii(substr(text, cast(i as int), 1)))"
+    val chunks = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .withColumn("ends", expr(
+        // sequence(lo, hi) runs DESCENDING when hi < lo (the m4 trap):
+        // docs shorter than the window get no hash positions, only the
+        // final boundary.
+        s"array_distinct(concat(case when length(text) >= $CdcWindow then " +
+          s"filter(sequence(${CdcWindow}L, length(text)), " +
+          s"i -> $rolling % $CdcMask = 0) else cast(array() as array<bigint>) end, " +
+          s"array(cast(length(text) as bigint))))"))
+      .withColumn("spans", expr(
+        "transform(ends, (e, k) -> struct(" +
+          "case when k = 0 then 1L else element_at(ends, k) + 1L end as s, e as e))"))
+      .select(col("doc_id"), col("text"), explode(col("spans")).as("sp"))
+      .select(col("doc_id"),
+        col("sp.s").as("start"), (col("sp.e") - col("sp.s") + 1L).as("len"),
+        expr("md5(substr(text, cast(sp.s as int), cast(sp.e - sp.s + 1 as int)))")
+          .as("fp"))
+    // how many documents contain each chunk fingerprint — the CAS index
+    val fpDocs = chunks.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    chunks.join(fpDocs, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("n_bytes"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("n_shared * 1000000L div n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "m10_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
     "m9_quiet_runs" -> ((s, d) => quietRuns(s, d)),
     "m8_frame_energy" -> ((s, d) => frameEnergy(s, d)),
@@ -267,6 +320,47 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m11_cdc_chunks" -> {
+      val rolling = "(ascii(substr(text, CAST(i - 3 AS INT), 1)) * 29791 + " +
+        "ascii(substr(text, CAST(i - 2 AS INT), 1)) * 961 + " +
+        "ascii(substr(text, CAST(i - 1 AS INT), 1)) * 31 + " +
+        "ascii(substr(text, CAST(i AS INT), 1)))"
+      s"""WITH b0 AS (
+         |  SELECT doc_id, text,
+         |         list_filter(range(${CdcWindow}, length(text) + 1),
+         |                     i -> $rolling % $CdcMask = 0) bounds
+         |  FROM documents WHERE length(text) > 0),
+         |b AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN len(bounds) > 0
+         |                   AND bounds[-1] = CAST(length(text) AS BIGINT)
+         |              THEN bounds
+         |              ELSE list_concat(bounds, [CAST(length(text) AS BIGINT)])
+         |         END ends
+         |  FROM b0),
+         |sp AS (
+         |  SELECT doc_id, text, unnest(range(1, len(ends) + 1)) k, ends
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id,
+         |         CASE WHEN k = 1 THEN 1 ELSE ends[CAST(k - 1 AS INT)] + 1 END s,
+         |         ends[CAST(k AS INT)] e
+         |  FROM sp),
+         |fp AS (
+         |  SELECT doc_id, e - s + 1 AS len,
+         |         md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS fp
+         |  FROM ch JOIN b USING (doc_id)),
+         |fd AS (SELECT fp, count(DISTINCT doc_id) n_docs FROM fp GROUP BY fp)
+         |SELECT doc_id,
+         |       COUNT(*) AS n_chunks,
+         |       CAST(SUM(len) AS BIGINT) AS n_bytes,
+         |       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_shared,
+         |       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1000000
+         |            // COUNT(*) AS BIGINT) AS shared_ppm
+         |FROM fp JOIN fd USING (fp)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "m10_scene_cuts" ->
       s"""WITH g AS (
          |  SELECT doc_id, text,
