@@ -271,24 +271,43 @@ object MultimodalQueries {
   val CdcMask = 16
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val B1 = 31 * 31 * 31; val B2 = 31 * 31; val B3 = 31
-    val rolling = s"(ascii(substr(text, cast(i as int) - 3, 1)) * $B1 + " +
-      s"ascii(substr(text, cast(i as int) - 2, 1)) * $B2 + " +
-      s"ascii(substr(text, cast(i as int) - 1, 1)) * $B3 + " +
-      s"ascii(substr(text, cast(i as int), 1)))"
+    // Two performance traps, both measured in the hundreds of seconds at
+    // sf0.1 before being designed out:
+    //  (1) ascii(substr(text, i, 1)) inside the position lambda is O(i)
+    //      per call (UTF8String re-scans to the char offset) — the
+    //      boundary pass goes O(n²) per document. So the byte codes
+    //      materialize once as an array and positions read element_at.
+    //  (2) a `withColumn` alias for that array gets INLINED by
+    //      CollapseProject into every lambda reference, re-evaluating the
+    //      whole array build per element — same O(n²), sneakier. A
+    //      1-element `transform(array(<expensive>), x -> ...)` is the
+    //      SQL LET: the input evaluates exactly once and the lambda var
+    //      is a cheap bound attribute. Both bindings below use it.
+    val rolling = s"(element_at(codes, cast(i as int) - 3) * $B1 + " +
+      s"element_at(codes, cast(i as int) - 2) * $B2 + " +
+      s"element_at(codes, cast(i as int) - 1) * $B3 + " +
+      s"element_at(codes, cast(i as int)))"
+    // sequence(lo, hi) runs DESCENDING when hi < lo (the m4 trap): docs
+    // shorter than the window get no hash positions, only the final
+    // boundary.
+    val endsExpr =
+      s"""element_at(transform(array(transform(split(text, '') , c -> ascii(c))),
+         |  codes -> array_distinct(concat(
+         |    case when size(codes) >= $CdcWindow then
+         |      filter(sequence(${CdcWindow}L, size(codes)), i -> $rolling % $CdcMask = 0)
+         |    else cast(array() as array<bigint>) end,
+         |    array(cast(size(codes) as bigint))))), 1)""".stripMargin
+    val spansExpr =
+      s"""element_at(transform(array($endsExpr),
+         |  ends -> transform(ends, (e, k) -> struct(
+         |    case when k = 0 then 1L else element_at(ends, k) + 1L end as s,
+         |    e as e))), 1)""".stripMargin
     val chunks = Tables.load(spark, dir, "documents")
       .filter(length(col("text")) > 0)
-      .withColumn("ends", expr(
-        // sequence(lo, hi) runs DESCENDING when hi < lo (the m4 trap):
-        // docs shorter than the window get no hash positions, only the
-        // final boundary.
-        s"array_distinct(concat(case when length(text) >= $CdcWindow then " +
-          s"filter(sequence(${CdcWindow}L, length(text)), " +
-          s"i -> $rolling % $CdcMask = 0) else cast(array() as array<bigint>) end, " +
-          s"array(cast(length(text) as bigint))))"))
-      .withColumn("spans", expr(
-        "transform(ends, (e, k) -> struct(" +
-          "case when k = 0 then 1L else element_at(ends, k) + 1L end as s, e as e))"))
-      .select(col("doc_id"), col("text"), explode(col("spans")).as("sp"))
+      // single-row-group fixture → one input split; the per-byte rolling
+      // hash is the whole cost, so fan out before it (see levenshteinPairs)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"), explode(expr(spansExpr)).as("sp"))
       .select(col("doc_id"),
         col("sp.s").as("start"), (col("sp.e") - col("sp.s") + 1L).as("len"),
         expr("md5(substr(text, cast(sp.s as int), cast(sp.e - sp.s + 1 as int)))")

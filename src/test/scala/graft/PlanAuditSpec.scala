@@ -454,6 +454,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("cdc chunking: fingerprints join hash-to-hash, no nested-loop anywhere") {
+    val p = plan("m11_cdc_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("merge apply: both sides compact before the single full-outer key join") {
     val p = plan("q87_merge_apply")
     assert(p.contains("FullOuter"), p)
