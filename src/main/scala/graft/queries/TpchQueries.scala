@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.PlanHints.broadcastIfSmall
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,8 +51,12 @@ object TpchQueries {
 
   /** q82 / TPC-H Q5 — local supplier volume: revenue per nation for one
     * region and one year, counted only where customer and supplier sit in
-    * the same nation. Five dimension joins all broadcast; the only wide
-    * exchanges are the orders⋈lineitem spine and the final 5-row rollup. */
+    * the same nation. nation/region are schema-bounded (25/5 rows) and
+    * broadcast unconditionally; customer and supplier SCALE WITH THE FACT
+    * DATA, so their hints are size-gated — at bench scale the gate attaches
+    * the hint (same plan as before), at 100 TB the gate withholds it and
+    * the spine falls back to a shuffle join (AQE may still promote). The
+    * only wide exchanges are orders⋈lineitem and the final 5-row rollup. */
   def q82Tpch5(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -64,8 +69,8 @@ object TpchQueries {
     val n = Tables.load(spark, dir, "nation")
     val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(s), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -75,9 +80,12 @@ object TpchQueries {
   }
 
   /** q83 / TPC-H Q10 — returned-item reporting: the 20 customers who
-    * returned the most revenue in a quarter. The c⋈n dimension chain
-    * broadcasts onto the aggregated fact side, keeping the wide work on
-    * (custkey) only. */
+    * returned the most revenue in a quarter. customer is projected to the
+    * four output columns BEFORE any join (the scan prunes to them) and its
+    * broadcast is size-gated — customer scales with the fact data, so at
+    * 100 TB the gate withholds the hint and the post-aggregate (custkey)
+    * frame shuffle-joins instead; nation (25 rows) broadcasts
+    * unconditionally. The wide work stays on (custkey) only. */
   def q83Tpch10(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -87,11 +95,12 @@ object TpchQueries {
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), revE4.as("rev"))
     val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
     val n = Tables.load(spark, dir, "nation")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("rev")).as("revenue_e4"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"),
         expr("cast(round(c_acctbal * 100.0D, 0) as bigint)").as("acctbal_cents"),
@@ -139,7 +148,7 @@ object TpchQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
     val c = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
     o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         expr("cast(round(o_totalprice * 100.0D, 0) as bigint)").as("totalprice_cents"),

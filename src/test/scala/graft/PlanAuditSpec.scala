@@ -436,6 +436,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "SortMergeJoin".r.findAllIn(p).size == 1, p)
   }
 
+  /** The scale-survival property the raw hints lacked: customer/supplier
+    * grow with the fact data, so their broadcasts are size-gated on the
+    * session's autoBroadcastJoinThreshold. When the dimension exceeds the
+    * threshold (simulated here by setting it below any table's size) the
+    * hint is WITHHELD and the plan degrades to a shuffle join instead of
+    * pinning a 100 TB-scale driver collect; the schema-bounded
+    * nation/region hints (25/5 rows) stay forced. */
+  test("tpch q5/q10: scale-growing dimension broadcasts degrade to shuffle joins below threshold") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")  // 1 byte: every size-gated hint must withhold
+      val p5 = plan("q82_tpch5")
+      assert(p5.contains("SortMergeJoin") || p5.contains("ShuffledHashJoin"), p5)
+      // nation/region raw hints survive the threshold (bounded by schema)
+      assert("BroadcastHashJoin".r.findAllIn(p5).size >= 2, p5)
+      val p10 = plan("q83_tpch10")
+      assert(p10.contains("SortMergeJoin") || p10.contains("ShuffledHashJoin"), p10)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("tpch q10: customer scan prunes to the four output columns") {
+    val p = plan("q83_tpch10")
+    val custScan = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("c_custkey")).mkString
+    assert(custScan.contains("c_name") && !custScan.contains("c_comment") &&
+      !custScan.contains("c_mktsegment"), custScan)
+  }
+
   test("tpch q4: the exists probe stays a LEFT SEMI join") {
     val p = plan("q84_tpch4")
     assert(p.contains("LeftSemi"), p)
