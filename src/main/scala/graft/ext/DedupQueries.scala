@@ -586,19 +586,24 @@ object DedupQueries {
     * repeatedly. */
   private val edgeCache = caches.newCache()
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint = materialize AND truncate lineage. Without it every
-    // round's logical plan re-embeds the full lshPairs tree (the minhash /
-    // band / verify expression forest), and the per-round lineage DOUBLES
-    // (und appears under both join inputs) — Catalyst then spends ~1 s per
-    // action re-analyzing and re-optimizing a plan whose physical work is
-    // milliseconds. Checkpointing the edge list and each round's label
-    // frame keeps every loop plan a join of two LogicalRDD leaves — the
-    // same lineage-truncation discipline GraphX applies to Pregel state.
-    // The loop state is ONLY the docs that appear in an edge — near-dup
-    // graphs are sparse, so every per-round frame broadcasts; singletons
-    // (label = own id by construction) join back after convergence.
-    val und = undirectedEdges(spark, dir)
+  /** The d8 BSP loop, factored so d9 can run it over the cosine pair
+    * graph: min-label connected components over an undirected edge frame
+    * (cols `doc_a`, `doc_b`, both directions present). Returns
+    * `(doc_id, label)` for every node that APPEARS IN AN EDGE — label =
+    * min reachable id, the component root; callers re-attach singletons
+    * with a left join + coalesce.
+    *
+    * localCheckpoint = materialize AND truncate lineage. Without it every
+    * round's logical plan re-embeds the full pair-generation tree (the
+    * minhash / band / verify expression forest), and the per-round lineage
+    * DOUBLES (the edge frame appears under both join inputs) — Catalyst
+    * then spends ~1 s per action re-analyzing and re-optimizing a plan
+    * whose physical work is milliseconds. Checkpointing each round's label
+    * frame keeps every loop plan a join of two LogicalRDD leaves — the
+    * same lineage-truncation discipline GraphX applies to Pregel state.
+    * The loop state is ONLY the docs that appear in an edge — near-dup
+    * graphs are sparse, so every per-round frame broadcasts. */
+  private def minLabelComponents(und: DataFrame): DataFrame = {
     // Round 1 is degenerate — every node's label IS its id, so gathering
     // neighbor labels needs no join: min(doc_a) grouped by doc_b, with the
     // self-label via the identity union. Later rounds join the previous
@@ -637,6 +642,13 @@ object DedupQueries {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
     }
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // Singletons (label = own id by construction) join back after
+    // convergence.
+    val labels = minLabelComponents(undirectedEdges(spark, dir))
     Tables.load(spark, dir, "documents").select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_root"))
@@ -671,26 +683,20 @@ object DedupQueries {
   }
 
   /** d9 — embedding-cosine near-dup dedup: the embedding flavor of
-    * duplicate removal. Every vector resolves to its DIRECT-neighbor
-    * minimum — `canon(v) = min(v, min{a < v : cos(a,v) >= t})` over
-    * upper-triangular pairs at [[EmbDupThreshold]] — and `is_kept`
-    * marks vectors that are their own canon (no lower near-dup).
-    *
-    * NOTE on semantics: canon_id is the min over direct neighbors only,
-    * NOT a surviving representative. In a chain a–b, b–c with no a–c
-    * edge, c's canon_id is b even though b itself is dropped — a dropped
-    * vector's canon_id may reference another dropped vector. The kept
-    * rule is "survives iff no lower-id neighbor", which prunes MORE than
-    * the greedy independent-set survivor scan (greedy would re-keep c
-    * above because its only lower neighbor was itself dropped).
-    * Consumers needing a transitive root per component should run the
-    * d8 connected-components loop over the cosine pair graph instead.
+    * duplicate removal. `canon_id` is the TRANSITIVE representative: the
+    * minimum vec_id reachable through the cosine near-dup graph (pairs at
+    * [[EmbDupThreshold]]), computed with the same min-label BSP loop d8
+    * uses for shingle dedup ([[minLabelComponents]]). `is_kept` marks the
+    * component roots — so every dropped vector's canon_id references a
+    * KEPT vector (never another dropped one; in a chain a–b, b–c with no
+    * a–c edge, both b and c resolve to a), and the kept set is exactly
+    * one survivor per connected component.
     *
     * Pair generation is label-blocked here (the corpus's natural
     * cluster key); the unblocked scale path swaps in s4's
     * random-hyperplane LSH buckets — either way no all-pairs join ever
-    * materializes, and the neighbor-min aggregate shuffles one (lo, hi)
-    * row per candidate pair, never vectors. */
+    * materializes, and the BSP loop shuffles one (lo, hi) row per
+    * candidate pair, never vectors. */
   val EmbDupThreshold = SimilarityQueries.NearDupThreshold
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -699,16 +705,21 @@ object DedupQueries {
       // quadratic in-block cosine work (see levenshteinPairs)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"))
-    val mins = e.as("a")
+    val pairs = e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6) >= EmbDupThreshold)
-      .groupBy(col("b.vec_id").as("vec_id"))
-      .agg(min(col("a.vec_id")).as("min_lo"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val und = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val labels = minLabelComponents(und)
+    // The loop's per-round frames are all materialized off `und` by now.
+    graft.CheckpointUtil.release(und)
     e.select(col("vec_id"))
-      .join(broadcast(mins), Seq("vec_id"), "left")
+      .join(broadcast(labels), col("vec_id") === col("doc_id"), "left")
       .select(col("vec_id"),
-        coalesce(col("min_lo"), col("vec_id")).as("canon_id"))
+        coalesce(col("label"), col("vec_id")).as("canon_id"))
       .withColumn("is_kept", col("canon_id") === col("vec_id"))
       .orderBy("vec_id")
   }
@@ -848,11 +859,13 @@ object DedupQueries {
       frontierSize = next.count()
       if (frontierSize > 0) {
         val nv = visited.unionAll(next).localCheckpoint()
+        // In round 1 frontier IS visited (seeded from the same frame) —
+        // release the shared frame once, not twice.
+        if (!(frontier eq visited)) graft.CheckpointUtil.release(frontier)
         graft.CheckpointUtil.release(visited)
-        graft.CheckpointUtil.release(frontier)
         visited = nv
         frontier = next
-      } else {
+      } else if (!(frontier eq visited)) {
         graft.CheckpointUtil.release(frontier)
       }
     }
@@ -1304,19 +1317,23 @@ object DedupQueries {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "d9_embedding_dedup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
          |            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
          |           FROM embeddings),
          |p AS (SELECT a.vec_id lo, b.vec_id hi
          |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
          |              >= $EmbDupThreshold),
-         |m AS (SELECT hi vec_id, min(lo) min_lo FROM p GROUP BY hi)
-         |SELECT e.vec_id,
-         |       coalesce(m.min_lo, e.vec_id) AS canon_id,
-         |       (coalesce(m.min_lo, e.vec_id) = e.vec_id) AS is_kept
-         |FROM e LEFT JOIN m ON e.vec_id = m.vec_id
-         |ORDER BY e.vec_id""".stripMargin,
+         |undirected AS (
+         |  SELECT lo a, hi b FROM p
+         |  UNION ALL SELECT hi a, lo b FROM p),
+         |reach AS (
+         |  SELECT vec_id node, vec_id x FROM e
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x)
+         |SELECT node AS vec_id, min(x) AS canon_id,
+         |       (min(x) = node) AS is_kept
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     "d6_levenshtein" ->
       s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,

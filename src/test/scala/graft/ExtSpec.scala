@@ -700,11 +700,18 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       assert(r.getLong(1) <= r.getLong(0))
       assert(r.getAs[Boolean]("is_kept") == (r.getLong(1) == r.getLong(0)))
     }
+    // Transitive-root semantics: every canon_id references a KEPT row —
+    // a dropped vector never points at another dropped vector.
+    rows.foreach { r => assert(canon(r.getLong(1)) == r.getLong(1)) }
     // Cross-check against the pairwise query: every near-dup pair's higher
-    // id must NOT be kept with itself as canon unless it has no lower peer.
+    // id must NOT be kept with itself as canon unless it has no lower peer,
+    // and under component semantics both ends share one root.
     val pairs = SimilarityQueries.cosinePairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    pairs.foreach { case (lo, hi) => assert(canon(hi) <= lo) }
+    pairs.foreach { case (lo, hi) =>
+      assert(canon(hi) <= lo)
+      assert(canon(hi) == canon(lo), s"pair ($lo,$hi) split across components")
+    }
   }
 
   test("knn graph gives every vector k in-block neighbors, ranked consistently with s2") {
