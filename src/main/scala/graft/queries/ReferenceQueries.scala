@@ -150,6 +150,31 @@ object ReferenceQueries {
       .orderBy("event_id")
   }
 
+  /** J1 bounded-state variant — batch twin of
+    * `StediOps.joinRiskWithCustomerWatermarked`: the SAME operator
+    * function on batch inputs. Catalyst's EliminateEventTimeWatermark
+    * drops the watermark nodes over batch children, leaving exactly the
+    * time-bounded equi-join algebra that the streaming variant evicts
+    * state by — so the DuckDB oracle pins the join-condition semantics
+    * the streaming specs assert only pointwise. custTs is synthesized
+    * DETERMINISTICALLY (key-spread hourly across the events month) to
+    * exercise the custTs-present branch; the ingestion-time fallback is
+    * nondeterministic by design and stays streaming-only. The ±36 h bound
+    * keeps roughly a tenth of each customer's events, so the time
+    * predicate does real filtering at every scale factor. */
+  def joinWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val risk = StediOps.parseRiskEvent(
+      syntheticRiskEvents(spark, dir).repartition(par))
+    val customers = Tables.load(spark, dir, "customer").select(
+      emailCol("c_custkey").as("email"),
+      (lit(1950) + col("c_custkey") % 50).cast("string").as("birthYear"),
+      expr("timestamp'2024-01-01 00:00:00' + (c_custkey % 720) * INTERVAL 1 HOUR")
+        .as("custTs"))
+    StediOps.joinRiskWithCustomerWatermarked(risk, broadcast(customers), "36 HOURS")
+      .orderBy("customer", "score", "email", "birthYear")
+  }
+
   /** F4 — to_json(struct(...)) serialization (Kafka sink value leg). */
   def toJsonStruct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
@@ -176,6 +201,7 @@ object ReferenceQueries {
     "r_null_filter" -> ((s, d) => nullFilter(s, d)),
     "r_split_year" -> ((s, d) => splitYear(s, d)),
     "r_join_events_customer" -> ((s, d) => joinEventsCustomer(s, d)),
+    "r_join_watermarked" -> ((s, d) => joinWatermarked(s, d)),
     "r_to_json_struct" -> ((s, d) => toJsonStruct(s, d)),
     "r_sql_over_view" -> ((s, d) => sqlOverView(s, d))
   )
@@ -238,6 +264,24 @@ object ReferenceQueries {
       """SELECT event_id, c_name, event_type, value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "r_join_watermarked" ->
+      """WITH risk AS (
+        |  SELECT 'user' || user_id || '@test.com' AS customer, value AS score,
+        |         date_trunc('milliseconds', ts) AS riskTs
+        |  FROM events
+        |), cust AS (
+        |  SELECT 'user' || c_custkey || '@test.com' AS email,
+        |         CAST(1950 + c_custkey % 50 AS VARCHAR) AS birthYear,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (c_custkey % 720) * INTERVAL 1 HOUR AS custTs
+        |  FROM customer
+        |)
+        |SELECT r.customer, r.score, c.email, c.birthYear
+        |FROM risk r JOIN cust c ON r.customer = c.email
+        |  AND r.riskTs >= c.custTs - INTERVAL 36 HOUR
+        |  AND r.riskTs <= c.custTs + INTERVAL 36 HOUR
+        |ORDER BY customer, score, email, birthYear""".stripMargin,
 
     "r_to_json_struct" ->
       """SELECT event_id,
