@@ -181,13 +181,96 @@ object TpchQueries {
       .orderBy("c_nationkey")
   }
 
+  /** q88 / TPC-H Q21 shape — suppliers who kept orders waiting: late lines
+    * (shipped > 60 days after ordering, finalized orders) where SOME other
+    * supplier shares the order (EXISTS) but NO other supplier was late in
+    * it (NOT EXISTS) — the hardest plan in the TPC-H suite: two
+    * correlated self-joins against lineitem. Both subqueries plan as
+    * hash joins on the order key with the supplier inequality as a
+    * residual condition — LEFT SEMI for the EXISTS, LEFT ANTI for the
+    * NOT EXISTS — so the fact side is never duplicated and no distinct
+    * repair is needed; the `late` frame is one subtree reused by both the
+    * probe and the anti build (exchange reuse). The region-filtered
+    * supplier dimension attaches last, size-gated. */
+  def q88Tpch21(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val allLines = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .filter(col("n_regionkey") === 2).select(col("n_nationkey"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    late.as("l1")
+      .join(allLines.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
+      .join(broadcastIfSmall(sup), col("l1.l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** q89 / TPC-H Q20 shape — excess-stock suppliers: suppliers (in one
+    * region) who shipped MORE of some matching part in 1997 than half
+    * their all-time volume of it. Q20's nested IN with a correlated
+    * scalar aggregate decorrelates into a SINGLE grouped pass: one
+    * shuffle on (suppkey, partkey) computing both the all-time sum and
+    * the 1997 conditional sum side by side, then the HAVING comparison
+    * as an integer filter (2·qc97 > total — exact centi-unit arithmetic,
+    * no float halves). The part-name IN-list prunes lineitem through a
+    * size-gated semi join BEFORE the shuffle, and the surviving supplier
+    * key set semi-joins the dimension last. Catalyst produces this same
+    * decorrelation for the SQL form; writing it directly keeps the plan
+    * explicit and the pass count at one. */
+  def q89Tpch20(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        expr("cast(round(l_quantity * 100.0D, 0) as bigint)").as("qc"))
+      .join(broadcastIfSmall(redParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val in97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+    val excess = li
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("qc")).as("total_qc"),
+        sum(when(in97, col("qc")).otherwise(0L)).as("qc97"))
+      .filter(col("qc97") * 2 > col("total_qc"))
+      .select(col("l_suppkey")).distinct()
+    val nat = Tables.load(spark, dir, "nation")
+      .filter(col("n_regionkey") === 1).select(col("n_nationkey"))
+    Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcastIfSmall(excess),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_suppkey"))
+      .orderBy("s_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_tpch18" -> ((s, d) => q85Tpch18(s, d)),
     "q86_tpch22" -> ((s, d) => q86Tpch22(s, d)),
     "q81_tpch3" -> ((s, d) => q81Tpch3(s, d)),
     "q82_tpch5" -> ((s, d) => q82Tpch5(s, d)),
     "q83_tpch10" -> ((s, d) => q83Tpch10(s, d)),
-    "q84_tpch4" -> ((s, d) => q84Tpch4(s, d))
+    "q84_tpch4" -> ((s, d) => q84Tpch4(s, d)),
+    "q88_tpch21" -> ((s, d) => q88Tpch21(s, d)),
+    "q89_tpch20" -> ((s, d) => q89Tpch20(s, d))
   )
 
   private val revSql =
@@ -274,6 +357,44 @@ object TpchQueries {
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue_e4 DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    "q88_tpch21" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q89_tpch20" ->
+      """SELECT s_name, s_suppkey
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 1 AND s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'red%')
+        |    AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING 2*SUM(CAST(round(l1.l_quantity*100.0,0) AS BIGINT)) >
+        |    (SELECT SUM(CAST(round(l2.l_quantity*100.0,0) AS BIGINT))
+        |     FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey
+        |       AND l2.l_suppkey = l1.l_suppkey))
+        |ORDER BY s_name""".stripMargin,
 
     "q84_tpch4" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count

@@ -483,6 +483,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("tpch q21: EXISTS stays LEFT SEMI, NOT EXISTS stays LEFT ANTI, no fact duplication") {
+    val p = plan("q88_tpch21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // No inner-join + distinct repair of the EXISTS, no cartesian fallback
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("Keys") &&
+        l.contains("l_orderkey") && l.contains("l_suppkey") &&
+        !l.contains("Functions=[")), "distinct repair over fact keys\n" + p)
+  }
+
+  test("tpch q20: correlated scalar agg decorrelates to ONE grouped pass") {
+    val p = plan("q89_tpch20")
+    assert(p.contains("LeftSemi"), p)
+    // Single (suppkey, partkey) aggregation computing both sums: exactly
+    // one partial/final pair over lineitem keys (plus the distinct over
+    // suppkey), never two fact-side shuffles.
+    val aggLines = p.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("l_partkey")).toSeq
+    assert(aggLines.size <= 2, aggLines.mkString("\n"))
+  }
+
   test("cdc chunking: fingerprints join hash-to-hash, no nested-loop anywhere") {
     val p = plan("m11_cdc_chunks")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
