@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamReplayQueries {
 
-  private def riskFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def riskFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events").select(
       concat(lit("user"), col("user_id"), lit("@test.com")).as("customer"),
       col("value").as("score"),
