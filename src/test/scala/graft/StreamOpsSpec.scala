@@ -258,6 +258,75 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.contains(("a@test.com", 6.0)) && rows.contains(("b@test.com", 1.0)))
   }
 
+  /** Shared stop/restart harness for the watermarked aggregations: land
+    * files, run the op file-source → file-sink with AvailableNow against a
+    * persistent checkpoint, repeat. Each runOnce is a fresh query resuming
+    * from the checkpointed StateStore — the recovery shape the dedup test
+    * established, applied to windowed state. */
+  private def recoveryRuns(op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Seq[(String, Double, String)] => Unit = {
+    val in = java.nio.file.Files.createTempDirectory("wckpt_in").toString
+    val out = java.nio.file.Files.createTempDirectory("wckpt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wckpt_state").toString
+    outDirs += out
+    rows => {
+      rows.toSeq.toDF("customer", "score", "riskDate")
+        .write.mode("append").parquet(in)
+      val q = op(spark.readStream
+          .schema("customer STRING, score DOUBLE, riskDate STRING")
+          .parquet(in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+  private val outDirs = scala.collection.mutable.Buffer.empty[String]
+
+  test("windowed aggregation survives a stop/restart: post-restart rows merge into recovered window state") {
+    val run = recoveryRuns(StreamOps.windowedRiskStats(_))
+    // run 1: three events in the 07:00 window; watermark stays behind it
+    run(Seq(("a@test.com", 1.0, "2020-09-14T07:01:00.000Z"),
+        ("a@test.com", 2.0, "2020-09-14T07:04:00.000Z"),
+        ("b@test.com", 4.0, "2020-09-14T07:05:00.000Z")))
+    // run 2 (restart): one MORE event for the same window — must merge into
+    // the recovered state — plus a late-morning event that drags the
+    // watermark past the window's end
+    run(Seq(("a@test.com", 3.0, "2020-09-14T07:07:00.000Z"),
+        ("c@test.com", 9.9, "2020-09-14T09:00:00.000Z")))
+    // run 3: a further event whose batch emits the now-closed 07:00 window
+    run(Seq(("c@test.com", 1.1, "2020-09-14T10:00:00.000Z")))
+    val rows = spark.read.parquet(outDirs.last).collect()
+      .map(r => (r.getAs[String]("customer"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_score_micro"))).toSet
+    assert(rows.contains(("a@test.com", 3L, 6000000L)),
+      s"recovered window must hold all three a-events (2 pre- + 1 post-restart): $rows")
+    assert(rows.contains(("b@test.com", 1L, 4000000L)), rows.toString)
+  }
+
+  test("session aggregation survives a stop/restart: post-restart rows extend the recovered session") {
+    val run = recoveryRuns(StreamOps.sessionRiskStats(_))
+    // run 1: two events 4 min apart — one open session [07:00, 07:09)
+    run(Seq(("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        ("a@test.com", 2.0, "2020-09-14T07:04:00.000Z")))
+    // run 2 (restart): an event 3 min after the last — must EXTEND the
+    // recovered session (not open a new one) — plus a watermark-advancer
+    run(Seq(("a@test.com", 3.0, "2020-09-14T07:07:00.000Z"),
+        ("c@test.com", 9.9, "2020-09-14T09:00:00.000Z")))
+    // run 3: flush batch for the closed session
+    run(Seq(("c@test.com", 1.1, "2020-09-14T10:00:00.000Z")))
+    val sess = spark.read.parquet(outDirs.last).collect()
+      .filter(_.getAs[String]("customer") == "a@test.com")
+      .map(r => (r.getAs[java.sql.Timestamp]("sess_start").toString,
+        r.getAs[java.sql.Timestamp]("sess_end").toString,
+        r.getAs[Long]("n_events"), r.getAs[Long]("total_score_micro")))
+    assert(sess.toSeq == Seq(("2020-09-14 07:00:00.0", "2020-09-14 07:12:00.0",
+      3L, 6000000L)),
+      s"one merged session spanning the restart, ending last-event+gap: ${sess.mkString(",")}")
+  }
+
   test("streaming ewma replays the batch q49 recurrence bit-for-bit across batches") {
     import graft.streaming.EwmaPoint
     val dir = "/root/testdata/sf0.001"
