@@ -27,24 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object KafkaSmoke {
 
-  private val InTopic = "graft-smoke-in"
-  private val OutTopic = "graft-smoke-out"
-
   def connectorPresent: Boolean =
     try {
       Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
       true
     } catch { case _: ClassNotFoundException => false }
 
-  private def brokerReachable(broker: String): Boolean = {
-    val Array(host, port) = broker.split(":", 2)
-    val s = new java.net.Socket()
-    try {
-      s.connect(new java.net.InetSocketAddress(host, port.toInt), 2000)
-      true
-    } catch { case _: java.io.IOException => false }
-    finally s.close()
-  }
+  /** Probe the broker's TCP endpoint. A malformed SPARK_GRAFT_KAFKA value
+    * (no colon, non-numeric port) must take the clean skip path rather
+    * than crash the smoke with a MatchError. */
+  private def brokerReachable(broker: String): Boolean =
+    broker.split(":", 2) match {
+      case Array(host, port) if port.nonEmpty && port.forall(_.isDigit) &&
+          host.nonEmpty =>
+        val s = new java.net.Socket()
+        try {
+          s.connect(new java.net.InetSocketAddress(host, port.toInt), 2000)
+          true
+        } catch { case _: java.io.IOException => false }
+        finally s.close()
+      case _ => false
+    }
 
   def main(args: Array[String]): Unit = {
     if (!connectorPresent) {
@@ -56,6 +59,16 @@ object KafkaSmoke {
       println(s"KAFKA SMOKE SKIPPED (broker unreachable at $broker)")
       return
     }
+    // Per-run topic suffix: earliest-offset reads accumulate rows across
+    // runs against the same broker, so a rerun on the shared topic names
+    // could satisfy the count check with a PRIOR run's output even if this
+    // run's streaming leg processed nothing. Fresh topics per run keep the
+    // assertion about THIS run (pass an explicit suffix as args(0) to
+    // reuse a namespace).
+    val nonce = args.headOption.getOrElse(
+      java.lang.Long.toHexString(System.currentTimeMillis()))
+    val InTopic = s"graft-smoke-in-$nonce"
+    val OutTopic = s"graft-smoke-out-$nonce"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

@@ -742,8 +742,18 @@ object TemporalQueries {
     val e = Tables.load(spark, dir, "events").select(
       col("user_id"), col("event_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
+    // The oracle's next purchase is STRICTLY later (p.us > t.us). At equal
+    // us the DESC traversal must therefore see the touch BEFORE the
+    // purchase so the purchase never lands in the touch's cumulative
+    // frame: the secondary key sorts touches (1) above purchases (0) at
+    // the same timestamp. (A post-filter `p_us > us` alone would be
+    // wrong — it DROPS the tied touch instead of attributing it to the
+    // next strictly-later purchase like the oracle does.) Among purchases
+    // the carry then picks min (us, event_id) above the touch — exactly
+    // the oracle's ORDER BY p.us, p.event_id LIMIT 1.
     val wDesc = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").desc, col("event_id").desc)
+      .orderBy(col("us").desc,
+        (col("event_type") =!= "purchase").cast("int").desc, col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val touches = e.withColumn("np", last(
         when(col("event_type") === "purchase",

@@ -429,6 +429,28 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("multi-touch attribution requires a STRICTLY later purchase at timestamp collisions") {
+    // A touch tied with a purchase at the same microsecond, whose only
+    // strictly-later purchase is beyond the 7-day lookahead: the oracle's
+    // p.us > t.us rejects the tie AND the late purchase, so the touch must
+    // drop entirely. The fixtures never collide on (user_id, ts), so only
+    // this synthetic frame exercises the boundary.
+    val tmp = java.nio.file.Files.createTempDirectory("q77tie").toString
+    import spark.implicits._
+    Seq(
+      (1L, 1L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, 2L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, 3L, "purchase", java.sql.Timestamp.valueOf("2024-01-10 10:00:00")),
+      // control: tie replaced by a strictly-later in-window purchase
+      (2L, 4L, "click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 5L, "purchase", java.sql.Timestamp.valueOf("2024-01-01 10:00:01")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = graft.queries.TemporalQueries.q77Multitouch(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("click" -> (1L, 1000000L)), got.toString)
+  }
+
   test("decay score halves micro-units per whole week from the newest event") {
     val rows = Tables.load(spark, dir, "events")
       .selectExpr("event_type", "unix_micros(ts) as us",
