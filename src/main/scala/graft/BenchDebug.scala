@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc stage timing for hot queries (not part of the driver contract). */
+/** Ad-hoc stage timing for hot queries (not part of the driver contract).
+  * Each timed pass also prints the pass's job/stage/task counts and
+  * shuffle/scan byte totals from a stage-completion listener — the
+  * attribution anchor for regressions (is a query slow because of MORE
+  * SHUFFLE, MORE SCAN, or MORE ROUNDS?). */
 object BenchDebug {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,10 +19,41 @@ object BenchDebug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Accumulates per-pass execution shape; reset before each timed pass.
+    object stats extends org.apache.spark.scheduler.SparkListener {
+      var jobs, stages, tasks = 0L
+      var shuffleWrite, shuffleRead, input, cpuNanos = 0L
+      def reset(): Unit = { jobs = 0; stages = 0; tasks = 0
+        shuffleWrite = 0; shuffleRead = 0; input = 0; cpuNanos = 0 }
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += s.stageInfo.numTasks
+        val m = s.stageInfo.taskMetrics
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        input += m.inputMetrics.bytesRead
+        cpuNanos += m.executorCpuTime
+      }
+    }
+    spark.sparkContext.addSparkListener(stats)
+
     def time(name: String)(f: => Long): Unit = {
+      stats.reset()
       val t0 = System.nanoTime()
       val n = f
-      println(f"[dbg] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // Listener events drain asynchronously (the bus API is
+      // private[spark]); a short settle keeps this debug readout honest.
+      Thread.sleep(300)
+      println(f"[dbg] $name%-28s $wall%8.2f s  rows=$n")
+      println(f"[dbg]   jobs=${stats.jobs} stages=${stats.stages} " +
+        f"tasks=${stats.tasks} scan=${stats.input / 1e6}%.1fMB " +
+        f"shufW=${stats.shuffleWrite / 1e6}%.1fMB " +
+        f"shufR=${stats.shuffleRead / 1e6}%.1fMB " +
+        f"cpu=${stats.cpuNanos / 1e9}%.1fs")
     }
 
     val Q = SparkEntry.queries
