@@ -162,18 +162,40 @@ object ReferenceQueries {
     * nondeterministic by design and stays streaming-only. The ±36 h bound
     * keeps roughly a tenth of each customer's events, so the time
     * predicate does real filtering at every scale factor. */
-  def joinWatermarked(spark: SparkSession, dir: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val risk = StediOps.parseRiskEvent(
-      syntheticRiskEvents(spark, dir).repartition(par))
-    val customers = Tables.load(spark, dir, "customer").select(
+  def joinWatermarked(spark: SparkSession, dir: String): DataFrame =
+    StediOps.joinRiskWithCustomerWatermarked(
+      wmRisk(spark, dir), broadcast(wmCustomers(spark, dir)), "36 HOURS")
+      .orderBy("customer", "score", "email", "birthYear")
+
+  /** Shared deterministic frames for the watermarked-join twins. */
+  private def wmRisk(spark: SparkSession, dir: String): DataFrame =
+    StediOps.parseRiskEvent(syntheticRiskEvents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  private def wmCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer").select(
       emailCol("c_custkey").as("email"),
       (lit(1950) + col("c_custkey") % 50).cast("string").as("birthYear"),
       expr("timestamp'2024-01-01 00:00:00' + (c_custkey % 720) * INTERVAL 1 HOUR")
         .as("custTs"))
-    StediOps.joinRiskWithCustomerWatermarked(risk, broadcast(customers), "36 HOURS")
+
+  /** Left-outer variant twin — risk events with NO in-window customer
+    * match still emit with null email/birthYear (the unmatched-events
+    * audit stream). Same operator, batch inputs; the outer emission rule
+    * the stream defers to watermark passage is, over a bounded frame,
+    * just the left join's null padding. */
+  def joinWatermarkedOuter(spark: SparkSession, dir: String): DataFrame =
+    StediOps.joinRiskWithCustomerLeftOuter(
+      wmRisk(spark, dir), broadcast(wmCustomers(spark, dir)), "36 HOURS")
       .orderBy("customer", "score", "email", "birthYear")
-  }
+
+  /** Left-semi variant twin — risk events that HAVE an in-window match,
+    * emitted once each with risk-side columns only (never multiplied by
+    * match count). */
+  def joinWatermarkedSemi(spark: SparkSession, dir: String): DataFrame =
+    StediOps.joinRiskWithCustomerSemi(
+      wmRisk(spark, dir), broadcast(wmCustomers(spark, dir)), "36 HOURS")
+      .orderBy("customer", "score")
 
   /** F4 — to_json(struct(...)) serialization (Kafka sink value leg). */
   def toJsonStruct(spark: SparkSession, dir: String): DataFrame =
@@ -202,6 +224,8 @@ object ReferenceQueries {
     "r_split_year" -> ((s, d) => splitYear(s, d)),
     "r_join_events_customer" -> ((s, d) => joinEventsCustomer(s, d)),
     "r_join_watermarked" -> ((s, d) => joinWatermarked(s, d)),
+    "r_join_watermarked_outer" -> ((s, d) => joinWatermarkedOuter(s, d)),
+    "r_join_watermarked_semi" -> ((s, d) => joinWatermarkedSemi(s, d)),
     "r_to_json_struct" -> ((s, d) => toJsonStruct(s, d)),
     "r_sql_over_view" -> ((s, d) => sqlOverView(s, d))
   )
@@ -282,6 +306,41 @@ object ReferenceQueries {
         |  AND r.riskTs >= c.custTs - INTERVAL 36 HOUR
         |  AND r.riskTs <= c.custTs + INTERVAL 36 HOUR
         |ORDER BY customer, score, email, birthYear""".stripMargin,
+
+    "r_join_watermarked_outer" ->
+      """WITH risk AS (
+        |  SELECT 'user' || user_id || '@test.com' AS customer, value AS score,
+        |         date_trunc('milliseconds', ts) AS riskTs
+        |  FROM events
+        |), cust AS (
+        |  SELECT 'user' || c_custkey || '@test.com' AS email,
+        |         CAST(1950 + c_custkey % 50 AS VARCHAR) AS birthYear,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (c_custkey % 720) * INTERVAL 1 HOUR AS custTs
+        |  FROM customer
+        |)
+        |SELECT r.customer, r.score, c.email, c.birthYear
+        |FROM risk r LEFT JOIN cust c ON r.customer = c.email
+        |  AND r.riskTs >= c.custTs - INTERVAL 36 HOUR
+        |  AND r.riskTs <= c.custTs + INTERVAL 36 HOUR
+        |ORDER BY customer, score,
+        |         email NULLS FIRST, birthYear NULLS FIRST""".stripMargin,
+
+    "r_join_watermarked_semi" ->
+      """WITH cust AS (
+        |  SELECT 'user' || c_custkey || '@test.com' AS email,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (c_custkey % 720) * INTERVAL 1 HOUR AS custTs
+        |  FROM customer
+        |)
+        |SELECT 'user' || user_id || '@test.com' AS customer, value AS score
+        |FROM events e
+        |WHERE EXISTS (
+        |  SELECT 1 FROM cust c
+        |  WHERE c.email = 'user' || e.user_id || '@test.com'
+        |    AND date_trunc('milliseconds', e.ts) >= c.custTs - INTERVAL 36 HOUR
+        |    AND date_trunc('milliseconds', e.ts) <= c.custTs + INTERVAL 36 HOUR)
+        |ORDER BY customer, score""".stripMargin,
 
     "r_to_json_struct" ->
       """SELECT event_id,
