@@ -22,6 +22,7 @@ object SparkEntry {
       (TemporalQueries.queries, TemporalQueries.oracles),
       (AdvancedQueries.queries, AdvancedQueries.oracles),
       (TpchQueries.queries, TpchQueries.oracles),
+      (TpchQueries2.queries, TpchQueries2.oracles),
       (graft.ext.DedupQueries.queries, graft.ext.DedupQueries.oracles),
       (graft.ext.SimilarityQueries.queries, graft.ext.SimilarityQueries.oracles),
       (graft.ext.TextQueries.queries, graft.ext.TextQueries.oracles),

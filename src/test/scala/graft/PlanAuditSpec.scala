@@ -531,4 +531,64 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), p)
     assert(p.toLowerCase.contains("session"), p)
   }
+
+  private def scanCount(p: String): Int =
+    """\(\d+\) Scan parquet""".r.findAllIn(p).size
+
+  test("tpch q1: one pruned scan, map-side partials, integer means") {
+    val p = plan("q90_tpch1")
+    assert(scanCount(p) == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_returnflag") && !read.contains("l_orderkey"), read)
+  }
+
+  test("tpch q2: the per-part min is a window, not a join-back double scan") {
+    val p = plan("q91_tpch2")
+    // exactly one scan per relation: lineitem, part, supplier, nation —
+    // the min-cost correlation must NOT recompute the supply subtree
+    assert(scanCount(p) == 4, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("tpch q11/q15: the scalar total reuses the grouped exchange (one fact scan)") {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      // exchange reuse surfaces in the static plan with AQE off; with AQE
+      // on the same dedup happens at runtime via the stage cache
+      spark.conf.set(key, "false")
+      assert(plan("q95_tpch11").contains("ReusedExchange"), plan("q95_tpch11"))
+      assert(plan("q99_tpch15").contains("ReusedExchange"), plan("q99_tpch15"))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("tpch q13: customer keeps zero-order rows through a LEFT OUTER join") {
+    val p = plan("q97_tpch13")
+    assert(p.contains("LeftOuter"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // custkey agg + histogram agg
+  }
+
+  test("tpch q16: the exclusion probe stays LEFT ANTI before the distinct count") {
+    val p = plan("q100_tpch16")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q17: correlated avg is a window over one brand-pruned scan") {
+    val p = plan("q101_tpch17")
+    assert(scanCount(p) == 2, p) // lineitem + part, never lineitem twice
+    assert(p.contains("Window"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("tpch q19: disjunction pushes to the part scan, equi-key stays clean") {
+    val p = plan("q102_tpch19")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the brand/size OR reaches the part scan as a pushed filter
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("Or("), pushed)
+    // one join, not a union of three brand-specific joins
+    assert(scanCount(p) == 2, p)
+  }
 }
