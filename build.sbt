@@ -5,6 +5,16 @@ name := "stedihumanbalancerediskafkasparkstreamingspark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
+//
+// spark-sql-kafka-0-10 (the connector the reference ships via
+// --packages in its submit scripts) is deliberately ABSENT: it is in
+// neither /opt/spark/jars nor the offline coursier cache (verified by a
+// full-filesystem search), so declaring it here would simply fail
+// resolution. graft.io.KafkaSmoke therefore classloads for
+// KafkaSourceProvider at runtime and skips cleanly when the connector
+// (or a reachable broker) is missing; on a cluster with the connector
+// on the classpath the same code runs the real round-trip. Deploys
+// should add: "org.apache.spark" %% "spark-sql-kafka-0-10" % sparkVersion.
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
