@@ -678,7 +678,49 @@ object TextQueries {
         col("flesch"))
       .orderBy("doc_id")
 
+  /** t22 — Gopher-style quality-rule battery (Rae et al. 2021 §A1.1,
+    * adapted): the published multi-rule document gate with PER-RULE
+    * attribution — corpus curation tunes thresholds off which rule
+    * rejects how much, so the gate must emit each rule's verdict, not
+    * just the conjunction. Rules (every comparison exact-integer via
+    * cross-multiplication — no float ratio ever compared):
+    *   r_len      word count ≥ [[GateMinToks]]
+    *   r_meanlen  mean token length in [3.8, 5.2]  (10·chars ⋛ 38·n / 52·n)
+    *   r_ttr      type-token ratio ≥ 0.4           (5·distinct ≥ 2·n)
+    *   r_top      top-token fraction ≤ 0.2         (5·top ≤ n)
+    *   r_stop     ≥ 1 stopword present
+    * Scale shape: pure per-row projection over one scan — the top-token
+    * count folds over the doc's own distinct-token array (docs are
+    * bounded; O(|doc|·|vocab_doc|) per row, embarrassingly parallel)
+    * instead of an explode→groupBy corpus shuffle. No shuffle at any SF
+    * beyond the harness sort. */
+  val GateMinToks = 20
+  def gopherGate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("tok_chars",
+        expr("aggregate(toks, 0, (acc, w) -> acc + length(w))").cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("top_tok", expr(
+        "array_max(transform(array_distinct(toks), " +
+          "u -> size(filter(toks, w -> w = u))))").cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, w -> w IN ('the','a','of','and','to')))").cast("long"))
+      .withColumn("r_len", (col("n_toks") >= GateMinToks).cast("int"))
+      .withColumn("r_meanlen",
+        (col("tok_chars") * 10 >= col("n_toks") * 38 &&
+          col("tok_chars") * 10 <= col("n_toks") * 52).cast("int"))
+      .withColumn("r_ttr", (col("n_distinct") * 5 >= col("n_toks") * 2).cast("int"))
+      .withColumn("r_top", (col("top_tok") * 5 <= col("n_toks")).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 1).cast("int"))
+      .withColumn("pass",
+        least(col("r_len"), col("r_meanlen"), col("r_ttr"), col("r_top"), col("r_stop")))
+      .select(col("doc_id"), col("n_toks"), col("r_len"), col("r_meanlen"),
+        col("r_ttr"), col("r_top"), col("r_stop"), col("pass"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_gopher_gate" -> ((s, d) => gopherGate(s, d)),
     "t20_readability" -> ((s, d) => readability(s, d)),
     "t19_langid_confusion" -> ((s, d) => langIdConfusion(s, d)),
     "t18_novelty" -> ((s, d) => novelty(s, d)),
@@ -707,6 +749,32 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t22_gopher_gate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) n_toks,
+         |        CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum')
+         |             AS BIGINT) tok_chars,
+         |        CAST(len(list_distinct(toks)) AS BIGINT) n_distinct,
+         |        CAST(list_aggregate(list_transform(list_distinct(toks),
+         |               u -> len(list_filter(toks, w -> w = u))), 'max')
+         |             AS BIGINT) top_tok,
+         |        CAST(len(list_filter(toks,
+         |               w -> w IN ('the','a','of','and','to'))) AS BIGINT) n_stop
+         |      FROM t),
+         |r AS (SELECT doc_id, n_toks,
+         |        CASE WHEN n_toks >= $GateMinToks THEN 1 ELSE 0 END r_len,
+         |        CASE WHEN tok_chars * 10 >= n_toks * 38
+         |              AND tok_chars * 10 <= n_toks * 52 THEN 1 ELSE 0 END r_meanlen,
+         |        CASE WHEN n_distinct * 5 >= n_toks * 2 THEN 1 ELSE 0 END r_ttr,
+         |        CASE WHEN top_tok * 5 <= n_toks THEN 1 ELSE 0 END r_top,
+         |        CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END r_stop
+         |      FROM s)
+         |SELECT doc_id, n_toks, r_len, r_meanlen, r_ttr, r_top, r_stop,
+         |       least(r_len, r_meanlen, r_ttr, r_top, r_stop) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "t21_oov_rate" ->
       s"""WITH tf AS (
          |  SELECT doc_id, w AS term, count(*) AS tf FROM (
