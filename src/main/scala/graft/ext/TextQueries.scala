@@ -719,7 +719,60 @@ object TextQueries {
         col("r_ttr"), col("r_top"), col("r_stop"), col("pass"))
       .orderBy("doc_id")
 
+  /** t23 — DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-bigram profile looks like a
+    * TARGET domain (here sources src0/src1) versus the rest of the
+    * corpus. Per-bucket weight = ln p̂_target(b) − ln p̂_raw(b) with
+    * add-1 smoothing over [[DsirBuckets]] hashed buckets; a document's
+    * log-importance is the sum over its bigram occurrences. The score
+    * frame is what importance RESAMPLING consumes (rank/threshold =
+    * p9/p10 territory).
+    *
+    * Cross-engine float discipline (t10's): each bucket's ln is rounded
+    * to 6 decimals THEN quantized to micro-unit BIGINT; documents sum
+    * integers, so the emitted `logw_micro` is exact and partition-order
+    * independent — no double ever aggregated.
+    *
+    * Scale shape: one explode scan builds (doc, bucket) pairs; the
+    * bucket histogram is B×2 counters via map-side combine; the weight
+    * table (B rows — model state, like k-means centroids) broadcasts
+    * back onto the same pairs; per-doc sums combine map-side on doc_id.
+    * Two corpus-sized passes, no all-pairs, no skew (buckets are
+    * md5-uniform). */
+  val DsirBuckets = 64
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(spark, dir)
+      .withColumn("is_tgt", col("source").isin("src0", "src1").cast("int"))
+      .select(col("doc_id"), col("is_tgt"),
+        explode(expr("transform(sequence(0, size(toks)-2), " +
+          "i -> concat(toks[i], ' ', toks[i+1]))")).as("g"))
+      .withColumn("b",
+        expr(s"cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint) % $DsirBuckets"))
+      .select(col("doc_id"), col("is_tgt"), col("b"))
+    val cnts = pairs.groupBy(col("b")).agg(
+      sum(col("is_tgt")).cast("long").as("tgt_b"),
+      sum(lit(1) - col("is_tgt")).cast("long").as("raw_b"))
+    // bucket spine 0..B-1: absent buckets still carry +1 smoothing mass
+    val spine = spark.range(0, DsirBuckets.toLong).select(col("id").as("b"))
+    val filled = spine.join(cnts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("tgt_b"), lit(0L)).as("tgt_b"),
+        coalesce(col("raw_b"), lit(0L)).as("raw_b"))
+    val tot = filled.agg(sum(col("tgt_b")).as("tgt_tot"), sum(col("raw_b")).as("raw_tot"))
+    val wtab = filled.crossJoin(broadcast(tot))
+      .withColumn("wm", expr(
+        s"cast(round(round(ln((tgt_b + 1) * 1.0D / (tgt_tot + $DsirBuckets)), 6) * 1000000.0D, 0) as bigint) " +
+          s"- cast(round(round(ln((raw_b + 1) * 1.0D / (raw_tot + $DsirBuckets)), 6) * 1000000.0D, 0) as bigint)"))
+      .select(col("b"), col("wm"))
+    pairs.join(broadcast(wtab), "b")
+      .groupBy(col("doc_id"), col("is_tgt"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wm")).as("logw_micro"))
+      .select(col("doc_id"), col("is_tgt"), col("n_bigrams"), col("logw_micro"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_dsir" -> ((s, d) => dsirWeights(s, d)),
     "t22_gopher_gate" -> ((s, d) => gopherGate(s, d)),
     "t20_readability" -> ((s, d) => readability(s, d)),
     "t19_langid_confusion" -> ((s, d) => langIdConfusion(s, d)),
@@ -749,6 +802,33 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t23_dsir" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END is_tgt,
+         |        string_split(lower(text), ' ') toks
+         |      FROM documents),
+         |g AS (SELECT doc_id, is_tgt,
+         |        ('0x' || substr(md5(gg), 1, 8))::BIGINT % $DsirBuckets b
+         |      FROM (SELECT doc_id, is_tgt,
+         |              unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i+1])) gg
+         |            FROM t)),
+         |c AS (SELECT b, SUM(is_tgt) tgt_b, SUM(1 - is_tgt) raw_b FROM g GROUP BY b),
+         |sp AS (SELECT unnest(range(0, $DsirBuckets)) b),
+         |cc AS (SELECT sp.b, coalesce(tgt_b, 0) tgt_b, coalesce(raw_b, 0) raw_b
+         |       FROM sp LEFT JOIN c USING (b)),
+         |tot AS (SELECT SUM(tgt_b) tgt_tot, SUM(raw_b) raw_tot FROM cc),
+         |w AS (SELECT b,
+         |        CAST(round(round(ln((tgt_b + 1) * 1.0 / (tgt_tot + $DsirBuckets)), 6)
+         |             * 1000000.0, 0) AS BIGINT)
+         |        - CAST(round(round(ln((raw_b + 1) * 1.0 / (raw_tot + $DsirBuckets)), 6)
+         |             * 1000000.0, 0) AS BIGINT) wm
+         |      FROM cc CROSS JOIN tot)
+         |SELECT doc_id, is_tgt, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(wm) AS BIGINT) AS logw_micro
+         |FROM g JOIN w USING (b)
+         |GROUP BY doc_id, is_tgt ORDER BY doc_id""".stripMargin,
+
     "t22_gopher_gate" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
          |           FROM documents),
