@@ -667,19 +667,25 @@ object SimilarityQueries {
     * verify SFs); the loop in KMeansOps sums decimal(38,0) for the
     * 100 TB path where sum(d2m) can exceed 2^63. */
   val KmeansK = 10
-  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Seed-centroid (vec_id 1..K) nearest-centroid assignment
+    * `(vec_id, vm, cluster, d2m)` in exact micro-unit integers,
+    * checkpointed once per (session, dir) — s14's Lloyd step and d18's
+    * SemDeDup both consume it (build-once index discipline, freed by
+    * [[clearCaches]]). */
+  def kmeansAssignment(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.KMeansOps
     evictOtherDirs(spark, dir)
-    // Both output aggregates (per-cluster stats, per-dim centroid sums)
-    // consume the assignment; checkpoint it once per (session, dir) —
-    // the same build-once index discipline as the band/cell tables, so
-    // clearCaches() frees the blocks at teardown.
-    val asgn = kmeansCache.getOrElseUpdate((spark, dir), {
+    kmeansCache.getOrElseUpdate((spark, dir), {
       val e = KMeansOps.microVectors(emb(spark, dir))
       val cents = e.filter(col("vec_id").between(1, KmeansK))
         .select(col("vec_id").as("cent_id"), col("vm").as("cm"))
       KMeansOps.assign(e, cents).localCheckpoint()
     })
+  }
+
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val asgn = kmeansAssignment(spark, dir)
     val stats = asgn.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2m")).as("inertia_micro2"))
     asgn.select(col("cluster"), posexplode(col("vm")).as(Seq("pos", "x")))
@@ -692,7 +698,50 @@ object SimilarityQueries {
       .orderBy("cluster", "dim")
   }
 
+  /** d18 — SemDeDup (Abbas et al. 2023): semantic deduplication scoped
+    * to k-means clusters. Pairwise cosine runs ONLY within a cluster;
+    * in a similar pair (cos ≥ [[SemDedupEps]]) the member CLOSER to its
+    * centroid is dropped — the paper's keep-farthest rule, which retains
+    * cluster-edge diversity and sheds the redundant core. Ties on exact
+    * integer centroid distance break to the lower vec_id, so the verdict
+    * is deterministic per vector with no dropped→dropped chains (each
+    * vector's fate depends only on its own neighbors, not on other
+    * verdicts).
+    *
+    * Registered under the d-family: it is a dedup operator that happens
+    * to live here to share [[kmeansAssignment]]'s checkpointed index.
+    *
+    * Scale shape: assignment is the shuffle-free literal-centroid argmin
+    * (s14); candidate generation is an equi-join on cluster id — at
+    * fixture k=10 that is a coarse key, but SemDeDup's production
+    * setting scales k WITH the corpus (the paper uses k≈100k) so
+    * per-cluster populations stay bounded and the join key stays
+    * fine-grained; the precedence filter halves the cosine evaluations
+    * before the codegen'd cosine_sim runs. */
+  val SemDedupEps = 0.4
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val asgn = kmeansAssignment(spark, dir)
+      .select(col("vec_id"), col("cluster"), col("d2m"))
+    val withVec = asgn.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withVec.select(col("vec_id").as("a_id"), col("cluster"),
+      col("d2m").as("a_d2m"), col("embedding").as("a_emb"))
+    val b = withVec.select(col("vec_id").as("b_id"), col("cluster"),
+      col("d2m").as("b_d2m"), col("embedding").as("b_emb"))
+    val droppedIds = a.join(b, "cluster")
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_d2m") > col("a_d2m") ||
+        (col("b_d2m") === col("a_d2m") && col("b_id") < col("a_id")))
+      .filter(round(expr("cosine_sim(a_emb, b_emb)"), 6) >= SemDedupEps)
+      .select(col("a_id").as("vec_id")).distinct()
+    asgn.join(droppedIds.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("d2m"),
+        coalesce(col("dropped"), lit(0)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_semdedup" -> ((s, d) => semDedup(s, d)),
     "s14_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "s12_linear_probe" -> ((s, d) => linearProbe(s, d)),
     "s11_ivfpq" -> ((s, d) => annIvfPq(s, d)),
@@ -753,6 +802,36 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "d18_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |        list_transform(embedding::DOUBLE[],
+         |          x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) vm,
+         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |      FROM embeddings),
+         |c AS (SELECT vec_id cent_id, vm cm FROM e WHERE vec_id BETWEEN 1 AND $KmeansK),
+         |d AS (SELECT e.vec_id, c.cent_id,
+         |        CAST(list_aggregate(list_transform(range(1, ${LshDims + 1}),
+         |          i -> (e.vm[i] - c.cm[i]) * (e.vm[i] - c.cm[i])), 'sum') AS BIGINT) d2m
+         |      FROM e CROSS JOIN c),
+         |aa AS (SELECT vec_id, cent_id, d2m, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY d2m ASC, cent_id ASC) rk FROM d),
+         |asgn AS (SELECT vec_id, cent_id AS cluster, d2m FROM aa WHERE rk = 1),
+         |pr AS (SELECT x.vec_id,
+         |         max(CASE WHEN round(list_dot_product(ex.v, ey.v)
+         |                     / (ex.nrm * ey.nrm), 6) >= $SemDedupEps
+         |                   AND (y.d2m > x.d2m
+         |                        OR (y.d2m = x.d2m AND y.vec_id < x.vec_id))
+         |              THEN 1 ELSE 0 END) dropped
+         |       FROM asgn x JOIN asgn y
+         |         ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+         |       JOIN e ex ON ex.vec_id = x.vec_id
+         |       JOIN e ey ON ey.vec_id = y.vec_id
+         |       GROUP BY x.vec_id)
+         |SELECT asgn.vec_id, asgn.cluster, asgn.d2m,
+         |       CAST(coalesce(pr.dropped, 0) AS INTEGER) AS dropped
+         |FROM asgn LEFT JOIN pr ON asgn.vec_id = pr.vec_id
+         |ORDER BY asgn.vec_id""".stripMargin,
+
     "s14_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id,
          |       list_transform(embedding::DOUBLE[],
