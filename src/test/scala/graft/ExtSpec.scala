@@ -920,6 +920,119 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("gopher gate replays every rule from a brute-force token scan") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stops = Set("the", "a", "of", "and", "to")
+    val rows = ext.TextQueries.gopherGate(spark, dir).collect()
+    assert(rows.length == texts.size)
+    var fails = Array.fill(5)(0)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ", -1)
+      val n = toks.length.toLong
+      val chars = toks.map(_.length.toLong).sum
+      val distinct = toks.distinct.length.toLong
+      val top = toks.groupBy(identity).values.map(_.length).max.toLong
+      val nStop = toks.count(stops).toLong
+      val exp = Array(
+        if (n >= ext.TextQueries.GateMinToks) 1 else 0,
+        if (chars * 10 >= n * 38 && chars * 10 <= n * 52) 1 else 0,
+        if (distinct * 5 >= n * 2) 1 else 0,
+        if (top * 5 <= n) 1 else 0,
+        if (nStop >= 1) 1 else 0)
+      assert(r.getLong(1) == n)
+      (0 until 5).foreach { i =>
+        assert(r.getInt(2 + i) == exp(i), s"rule $i for doc ${r.getLong(0)}")
+        if (exp(i) == 0) fails(i) += 1
+      }
+      assert(r.getInt(7) == exp.min)
+    }
+    // thresholds must stay calibrated: every rule rejects SOMETHING
+    fails.zipWithIndex.foreach { case (f, i) =>
+      assert(f > 0, s"rule $i rejects nothing — gate threshold went vacuous")
+    }
+  }
+
+  test("dsir weights replay from brute-force hashed-bigram counts") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val B = ext.TextQueries.DsirBuckets
+    val docsRows = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Seq[Int] = {
+      val toks = text.toLowerCase.split(" ", -1)
+      toks.sliding(2).filter(_.length == 2).map { p =>
+        (java.lang.Long.parseLong(md5hex(p(0) + " " + p(1)).take(8), 16) % B).toInt
+      }.toSeq
+    }
+    val tgt = Array.fill(B)(0L); val raw = Array.fill(B)(0L)
+    docsRows.foreach { case (_, src, text) =>
+      val arr = if (src == "src0" || src == "src1") tgt else raw
+      buckets(text).foreach(b => arr(b) += 1)
+    }
+    val (tt, rt) = (tgt.sum, raw.sum)
+    def q6(x: Double): Long =
+      math.round(BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    val wm = (0 until B).map(b =>
+      q6((tgt(b) + 1).toDouble / (tt + B)) - q6((raw(b) + 1).toDouble / (rt + B)))
+    val got = ext.TextQueries.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == docsRows.length)
+    docsRows.foreach { case (id, src, text) =>
+      val bs = buckets(text)
+      val (isTgt, nBg, lw) = got(id)
+      assert(isTgt == (if (src == "src0" || src == "src1") 1 else 0))
+      assert(nBg == bs.length.toLong)
+      assert(lw == bs.map(wm).sum, s"doc $id")
+    }
+    // the signal must point the right way: targets average above the rest
+    val (tScores, rScores) = got.values.partition(_._1 == 1)
+    assert(tScores.map(_._3).sum / tScores.size >
+      rScores.map(_._3).sum / rScores.size)
+  }
+
+  test("semdedup drops exactly the vectors with a closer-precedence similar neighbor") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val micro = vecs.view.mapValues(_.map(x => math.round(x * 1e6))).toMap
+    val cents = (1L to ext.SimilarityQueries.KmeansK.toLong).map(micro)
+    def d2m(v: Array[Long], c: Array[Long]): Long =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val asgn = micro.map { case (id, vm) =>
+      val best = cents.zipWithIndex
+        .map { case (c, i) => (d2m(vm, c), i + 1L) }.min
+      id -> best // (d2m, cluster)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = ext.SimilarityQueries.semDedup(spark, dir).collect()
+    assert(rows.length == vecs.size)
+    var nDropped = 0
+    rows.foreach { r =>
+      val (id, cl, dd, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(asgn(id) == ((dd, cl)), s"assignment mismatch for $id")
+      val witness = asgn.exists { case (oid, (od2m, ocl)) =>
+        oid != id && ocl == cl &&
+          (od2m > dd || (od2m == dd && oid < id)) &&
+          cos(vecs(id), vecs(oid)) >= ext.SimilarityQueries.SemDedupEps
+      }
+      assert((dropped == 1) == witness, s"verdict mismatch for $id")
+      if (dropped == 1) nDropped += 1
+    }
+    assert(nDropped > 0, "fixtures should contain semantic near-dups")
+  }
+
   test("readability replays from a sequential syllable count") {
     val texts = Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
