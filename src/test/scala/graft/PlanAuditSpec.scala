@@ -591,4 +591,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // one join, not a union of three brand-specific joins
     assert(scanCount(p) == 2, p)
   }
+
+  test("gopher gate is a pure projection: no join, no aggregate exchange") {
+    val p = plan("t22_gopher_gate")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // only the harness sort exchanges (count the detail headers, which
+    // appear once per operator — tree lines would double-count)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*")) <= 1, p)
+  }
+
+  test("dsir weight table joins back by broadcast; doc sums combine map-side") {
+    val p = plan("t23_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-doc sums split partial/final around the doc_id shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("semdedup reuses the checkpointed assignment and joins inside the cluster") {
+    val p = plan("d18_semdedup")
+    // the candidate join is an equi-join (cluster key), never a cross join
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the assignment index is probed from its checkpoint, not rebuilt:
+    // no parquet scan of embeddings for the assignment side
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
 }
