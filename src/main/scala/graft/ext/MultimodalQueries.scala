@@ -324,7 +324,47 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m12 — payload byte-entropy profile: Shannon entropy (nats) of each
+    * payload's byte histogram — the compressibility/corruption gate a
+    * media-curation pipeline runs before decode. Near-zero entropy means
+    * padding/black frames/stuck encoders; near-maximal (ln 256 ≈ 5.55)
+    * means encrypted or noise payloads — both get quarantined before
+    * they waste decoder time.
+    *
+    * Per doc the histogram folds over the payload's OWN distinct byte
+    * values (≤ 256, so O(n·|alphabet|) per row, embarrassingly
+    * parallel) — no (doc, byte) explode, no shuffle; the byte-codes
+    * array materializes once via the m11 LET discipline. Per-count
+    * ln c is rounded to 6 then quantized to micro-units (t10's float
+    * discipline), so `sum_clnc_micro` is an exact integer and the
+    * emitted entropy `H = ln n − (Σ c·ln c)/n` evaluates one identical
+    * float expression tree on both engines. */
+  def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val statsExpr =
+      """element_at(transform(array(transform(split(text, ''), c -> ascii(c))),
+        |  codes -> element_at(transform(array(array_distinct(codes)),
+        |    db -> struct(
+        |      cast(size(codes) as bigint) as n_bytes,
+        |      cast(size(db) as bigint) as n_distinct,
+        |      aggregate(transform(db, v -> cast(size(filter(codes, x -> x = v)) as bigint)),
+        |        cast(0 as bigint),
+        |        (acc, c) -> acc + c * cast(round(round(ln(c), 6) * 1000000.0D, 0) as bigint))
+        |        as sum_clnc_micro)), 1)), 1)""".stripMargin
+    Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      // per-byte CPU-bound over a single-row-group fixture: fan out first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(statsExpr).as("st"))
+      .select(col("doc_id"), col("st.n_bytes").as("n_bytes"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.sum_clnc_micro").as("sum_clnc_micro"))
+      .withColumn("entropy", round(
+        expr("round(ln(n_bytes), 6) - sum_clnc_micro / 1000000.0D / n_bytes"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_byte_entropy" -> ((s, d) => byteEntropy(s, d)),
     "m11_cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "m10_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
     "m9_quiet_runs" -> ((s, d) => quietRuns(s, d)),
@@ -339,6 +379,27 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m12_byte_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |        list_transform(string_split(text, ''), c -> ascii(c)) codes
+        |      FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id,
+        |        CAST(len(codes) AS BIGINT) n_bytes,
+        |        list_distinct(codes) db,
+        |        codes
+        |      FROM t),
+        |x AS (SELECT doc_id, n_bytes,
+        |        CAST(len(db) AS BIGINT) n_distinct,
+        |        CAST(list_aggregate(list_transform(db, v ->
+        |          len(list_filter(codes, c -> c = v))
+        |          * CAST(round(round(ln(len(list_filter(codes, c -> c = v))), 6)
+        |                 * 1000000.0, 0) AS BIGINT)), 'sum') AS BIGINT) sum_clnc_micro
+        |      FROM s)
+        |SELECT doc_id, n_bytes, n_distinct, sum_clnc_micro,
+        |       round(round(ln(n_bytes), 6) - sum_clnc_micro / 1000000.0 / n_bytes, 6)
+        |         AS entropy
+        |FROM x ORDER BY doc_id""".stripMargin,
+
     "m11_cdc_chunks" -> {
       val rolling = "(ascii(substr(text, CAST(i - 3 AS INT), 1)) * 29791 + " +
         "ascii(substr(text, CAST(i - 2 AS INT), 1)) * 961 + " +

@@ -1033,6 +1033,29 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("byte entropy replays from a brute-force histogram and stays in [0, ln 256]") {
+    def q6ln(x: Double): Long =
+      math.round(BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = ext.MultimodalQueries.byteEntropy(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val bytes = texts(r.getLong(0)).toCharArray.map(_.toInt)
+      val hist = bytes.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sumMicro = hist.values.map(c => c * q6ln(c.toDouble)).sum
+      assert(r.getLong(1) == bytes.length.toLong)
+      assert(r.getLong(2) == hist.size.toLong)
+      assert(r.getLong(3) == sumMicro, s"doc ${r.getLong(0)}")
+      val h = r.getDouble(4)
+      assert(h >= 0.0 && h <= math.log(256.0) + 1e-9)
+      // a uniform-ish text can't be constant: entropy must vary across docs
+    }
+    assert(rows.map(_.getDouble(4)).distinct.length > 1)
+  }
+
   test("readability replays from a sequential syllable count") {
     val texts = Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
