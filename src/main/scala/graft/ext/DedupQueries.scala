@@ -655,6 +655,59 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d19 — bounded-round label-propagation communities over the near-dup
+    * graph: each round every node adopts the most frequent label among
+    * its neighbors PLUS its own previous label (ties → min label), run
+    * for exactly [[LpaRounds]] synchronous rounds. Communities REFINE
+    * d8's components: a bridge edge joins two cliques into one component,
+    * but each clique out-votes the single cross-edge, so LPA keeps them
+    * apart — the structure a dedup reviewer wants when one borderline
+    * pair chains two otherwise-distinct duplicate groups together.
+    *
+    * The self-vote is load-bearing, not a tweak: pure synchronous LPA
+    * OSCILLATES on bipartite structures (an isolated similar pair swaps
+    * labels forever); counting the node's own previous label breaks the
+    * symmetry and the pair converges to its min id in one round. The
+    * fixed round count (production practice — LPA is run capped) keeps
+    * the operator deterministic and lets the DuckDB oracle unroll the
+    * rounds as chained CTEs (the d12 discipline; standard SQL forbids
+    * aggregation inside a recursive term).
+    *
+    * Scale shape: per round one broadcast join across the sparse edge
+    * list and one map-side-combinable (node, label) count — the d8 BSP
+    * loop with a mode-vote instead of a min; every round's frame is
+    * localCheckpointed and the previous round's blocks are freed. */
+  val LpaRounds = 3
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedEdges(spark, dir)
+    var labels: DataFrame = und.select(col("doc_a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to LpaRounds) {
+      val next = und
+        .join(broadcast(labels), und("doc_a") === labels("node"))
+        .select(col("doc_b").as("node"), col("label"))
+        .unionAll(labels) // the self-vote
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): max over (c, -label) structs
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (lit(0L) - col("label")).as("nl"))).as("best"))
+        .select(col("node"), (lit(0L) - col("best.nl")).as("label"))
+        .localCheckpoint()
+      graft.CheckpointUtil.release(labels)
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(labels.withColumnRenamed("node", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+      .join(broadcast(sizes.withColumnRenamed("label", "community")),
+        Seq("community"), "left")
+      .select(col("doc_id"), col("community"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+      .orderBy("doc_id")
+  }
+
   /** d10 — LSH index quality audit: recall/precision of the d3 LSH pair
     * set against the d4 exact PPJoin result at the same threshold — the
     * self-measurement a production dedup pipeline publishes with every
@@ -996,7 +1049,8 @@ object DedupQueries {
     "d6_levenshtein" -> ((s, d) => levenshteinPairs(s, d)),
     "d7_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "d8_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
-    "d17_bfs_hops" -> ((s, d) => bfsHops(s, d))
+    "d17_bfs_hops" -> ((s, d) => bfsHops(s, d)),
+    "d19_lpa" -> ((s, d) => lpaCommunities(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1287,6 +1341,57 @@ object DedupQueries {
          |SELECT node AS doc_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM walk
          |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "d19_lpa" -> {
+      // LpaRounds synchronous mode-vote rounds unrolled as chained CTEs
+      // (the d12 discipline): per round, a node's new label is the most
+      // frequent among its neighbors' previous labels plus its own
+      // (ties to the min label via ORDER BY c DESC, label ASC).
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS (
+           |  SELECT node, label FROM (
+           |    SELECT v.node, v.label,
+           |           row_number() OVER (PARTITION BY v.node
+           |             ORDER BY v.c DESC, v.label ASC) rn
+           |    FROM (SELECT node, label, count(*) c FROM (
+           |            SELECT u.b node, l.label
+           |            FROM undirected u JOIN l${r - 1} l ON l.node = u.a
+           |            UNION ALL SELECT node, label FROM l${r - 1})
+           |          GROUP BY node, label) v)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM verified
+         |          WHERE i/(tot-i) >= $JaccardThreshold),
+         |undirected AS (
+         |  SELECT doc_a a, doc_b b FROM pairs
+         |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
+         |l0 AS (SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM undirected)),
+         |$rounds,
+         |sizes AS (SELECT label, CAST(count(*) AS BIGINT) n_members
+         |          FROM l$LpaRounds GROUP BY label)
+         |SELECT d.doc_id,
+         |       coalesce(l.label, d.doc_id) AS community,
+         |       coalesce(s.n_members, 1) AS n_members
+         |FROM documents d
+         |LEFT JOIN l$LpaRounds l ON l.node = d.doc_id
+         |LEFT JOIN sizes s ON s.label = coalesce(l.label, d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $duckShingled,

@@ -1033,6 +1033,39 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("lpa communities replay 3 self-vote rounds and refine d8's components") {
+    val edges = DedupQueries.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    (1 to ext.DedupQueries.LpaRounds).foreach { _ =>
+      labels = adj.map { case (n, ns) =>
+        val votes = (ns.map(labels) :+ labels(n))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        // most frequent, ties to min label
+        n -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    val rows = ext.DedupQueries.lpaCommunities(spark, dir).collect()
+    val comm = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = comm.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (id, c, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(c == labels.getOrElse(id, id), s"label mismatch for $id")
+      assert(n == sizes(c), s"size mismatch for community $c")
+    }
+    // refinement: nodes sharing an LPA community share a d8 component
+    val root = DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comm.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(root).toSet.size == 1,
+        "an LPA community must never straddle two connected components")
+    }
+    // and on this fixture the mode-vote must actually merge something
+    assert(comm.exists { case (id, c) => id != c })
+  }
+
   test("byte entropy replays from a brute-force histogram and stays in [0, ln 256]") {
     def q6ln(x: Double): Long =
       math.round(BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
