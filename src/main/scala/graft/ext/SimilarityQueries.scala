@@ -740,7 +740,61 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** s17 — retrieval-quality eval: label-aware recall@[[EvalK]] and
+    * MRR@[[EvalK]] over a deterministic sampled query set (every
+    * [[EvalSampleMod]]-th vector), reported per label — the
+    * embedding-space health dashboard a training pipeline recomputes
+    * per checkpoint (did today's encoder still retrieve same-class
+    * neighbors?). "Relevant" = same label; a query with no relevant
+    * hit in the top k scores MRR 0, the standard convention.
+    *
+    * Exact-integer emission: per-query recall and reciprocal rank are
+    * ppm/micro integer divisions, and the per-label means are
+    * `sum div n` — no float ever aggregated (the s6 discipline); only
+    * the rounded cosine ranks, tie-broken by neighbor id (t5).
+    *
+    * Scale shape: the query set is bounded BY DESIGN (eval is always
+    * sampled), so it broadcasts and the corpus side never shuffles for
+    * scoring; the per-query top-k filter rewrites to WindowGroupLimit,
+    * whose PARTIAL mode caps every map partition at k rows per query
+    * BEFORE the q_id shuffle — the shuffle moves O(|Q|·k·partitions)
+    * rows, not |corpus|·|Q|. At 100 TB the scoring pass rides the same
+    * scan the s4/s5 ANN paths index. */
+  val EvalK = 10
+  val EvalSampleMod = 50
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") % EvalSampleMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val top = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
+      .filter(col("rk") <= EvalK)
+    val perQ = top.groupBy(col("q_id"), col("q_label"))
+      .agg(
+        sum(when(col("nbr_label") === col("q_label"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("nbr_label") === col("q_label"), col("rk"))).as("first_hit"))
+      .select(col("q_label"),
+        expr(s"hits * 1000000L div $EvalK").as("recall_ppm"),
+        coalesce(expr("1000000L div first_hit"), lit(0L)).as("rr_micro"))
+    perQ.groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr("cast(sum(recall_ppm) div count(1) as bigint)").as("mean_recall_ppm"),
+        expr("cast(sum(rr_micro) div count(1) as bigint)").as("mean_rr_micro"))
+      .select(col("q_label").as("label"), col("n_queries"),
+        col("mean_recall_ppm"), col("mean_rr_micro"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_retrieval_eval" -> ((s, d) => retrievalEval(s, d)),
     "d18_semdedup" -> ((s, d) => semDedup(s, d)),
     "s14_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
     "s12_linear_probe" -> ((s, d) => linearProbe(s, d)),
@@ -802,6 +856,29 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s17_retrieval_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |      FROM embeddings),
+         |q AS (SELECT vec_id q_id, label q_label, v qv, nrm qn
+         |      FROM e WHERE vec_id % $EvalSampleMod = 0),
+         |r AS (SELECT q.q_id, q.q_label, e.vec_id nbr_id, e.label nbr_label,
+         |        round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) cosine
+         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |rnk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, nbr_id ASC) rk FROM r),
+         |top AS (SELECT * FROM rnk WHERE rk <= $EvalK),
+         |pq AS (SELECT q_id, q_label,
+         |         SUM(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END) hits,
+         |         MIN(CASE WHEN nbr_label = q_label THEN rk END) first_hit
+         |       FROM top GROUP BY 1, 2)
+         |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(SUM(hits * 1000000 // $EvalK) // count(*) AS BIGINT)
+         |         AS mean_recall_ppm,
+         |       CAST(SUM(coalesce(1000000 // first_hit, 0)) // count(*) AS BIGINT)
+         |         AS mean_rr_micro
+         |FROM pq GROUP BY q_label ORDER BY label""".stripMargin,
+
     "d18_semdedup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
          |        list_transform(embedding::DOUBLE[],

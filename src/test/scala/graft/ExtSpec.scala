@@ -1033,6 +1033,38 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("retrieval eval replays recall@10 and MRR from a brute-force top-k") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val K = ext.SimilarityQueries.EvalK
+    val perLabel = vecs.filter(_._1 % ext.SimilarityQueries.EvalSampleMod == 0)
+      .map { case (qid, qv, ql) =>
+        val top = vecs.filter(_._1 != qid)
+          .map { case (id, v, l) => (-cos(v, qv), id, l) }.sorted.take(K)
+        val hits = top.count(_._3 == ql).toLong
+        val firstHit = top.zipWithIndex.collectFirst {
+          case ((_, _, l), i) if l == ql => i + 1L
+        }
+        (ql, hits * 1000000L / K, firstHit.map(1000000L / _).getOrElse(0L))
+      }.groupBy(_._1)
+    val rows = ext.SimilarityQueries.retrievalEval(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSet == perLabel.keySet)
+    rows.foreach { r =>
+      val qs = perLabel(r.getInt(0))
+      assert(r.getLong(1) == qs.length.toLong)
+      assert(r.getLong(2) == qs.map(_._2).sum / qs.length)
+      assert(r.getLong(3) == qs.map(_._3).sum / qs.length)
+    }
+    // the embedding space is label-structured: retrieval must beat zero
+    assert(rows.map(_.getLong(3)).max > 0L)
+  }
+
   test("lpa communities replay 3 self-vote rounds and refine d8's components") {
     val edges = DedupQueries.lshPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

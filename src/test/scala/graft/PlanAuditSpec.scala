@@ -609,6 +609,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("retrieval eval broadcasts the query set and caps top-k pre-shuffle") {
+    val p = plan("s17_retrieval_eval")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // per-query top-k is a WindowGroupLimit (partial per-partition heap
+    // before the q_id shuffle), not a full per-query sort
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("semdedup reuses the checkpointed assignment and joins inside the cluster") {
     val p = plan("d18_semdedup")
     // the candidate join is an equi-join (cluster key), never a cross join
