@@ -695,8 +695,14 @@ object TextQueries {
     * instead of an explode→groupBy corpus shuffle. No shuffle at any SF
     * beyond the harness sort. */
   val GateMinToks = 20
-  def gopherGate(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+
+  /** Gopher rules over an arbitrary (doc_id, toks) frame — a pure per-row
+    * projection (no shuffle, no state), so it runs identically under a
+    * streaming watermark ([[qualityOf]]'s shape; StreamBatchEqualitySpec
+    * pins stream = batch for it). Appends the five rule verdicts and
+    * `pass` without narrowing. */
+  def gopherRulesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("tok_chars",
         expr("aggregate(toks, 0, (acc, w) -> acc + length(w))").cast("long"))
@@ -715,6 +721,9 @@ object TextQueries {
       .withColumn("r_stop", (col("n_stop") >= 1).cast("int"))
       .withColumn("pass",
         least(col("r_len"), col("r_meanlen"), col("r_ttr"), col("r_top"), col("r_stop")))
+
+  def gopherGate(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(docs(spark, dir))
       .select(col("doc_id"), col("n_toks"), col("r_len"), col("r_meanlen"),
         col("r_ttr"), col("r_top"), col("r_stop"), col("pass"))
       .orderBy("doc_id")

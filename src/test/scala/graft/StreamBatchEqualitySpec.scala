@@ -136,4 +136,26 @@ class StreamBatchEqualitySpec extends AnyFunSuite with SparkSuite {
     val stream = spark.table("eq_ewma").orderBy("user_id")
     assertFramesEqual(stream, StreamReplayQueries.ewmaReplay(spark, dir))
   }
+
+  test("gopher gate: stream projection equals the oracle-checked batch query") {
+    // The gate is a stateless projection, so its streaming form needs no
+    // watermark and emits in append mode; the batch t22 query IS the twin
+    // the driver hash-checks, closing stream = batch = oracle for it.
+    val docRows = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = ext.TextQueries.gopherRulesOf(
+        input.toDF().toDF("doc_id", "text")
+          .withColumn("toks", split(lower(col("text")), " ")))
+      .select(col("doc_id"), col("n_toks"), col("r_len"), col("r_meanlen"),
+        col("r_ttr"), col("r_top"), col("r_stop"), col("pass"))
+      .writeStream.format("memory").queryName("eq_gopher")
+      .outputMode("append").start()
+    try {
+      input.addData(docRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("eq_gopher").orderBy("doc_id")
+    assertFramesEqual(stream, ext.TextQueries.gopherGate(spark, dir))
+  }
 }
