@@ -469,7 +469,45 @@ object PipelineQueries {
       .orderBy("shard")
   }
 
+  /** p18 — per-source contribution cap: keep at most [[CapPerSource]]
+    * documents per source, best quality first (ties → lower doc_id) —
+    * the domain-dominance control every web-scale corpus applies so no
+    * single crawl source swamps the mixture (C4-style per-domain caps).
+    *
+    * Scale shape — the naive form is a full per-source sort window over
+    * the corpus; this plans the 100 TB version instead: (1) the top-N
+    * PER SOURCE comes from a `row_number <= N` filter that Spark rewrites
+    * to WindowGroupLimit (bounded per-partition heaps pre-shuffle);
+    * (2) each source's admission THRESHOLD (its N-th best
+    * (quality, −doc_id) key) is a |sources|-row frame broadcast back;
+    * (3) the corpus pass flags `kept` by comparing against the
+    * threshold struct — a per-row projection, so the full corpus is
+    * never sorted per source. The DuckDB oracle states the naive
+    * row_number formulation, proving the two result-identical (the p16
+    * differential discipline). */
+  val CapPerSource = 20
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def joined = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(TextQueries.qualityStats(spark, dir)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .withColumn("k", struct(col("quality_score"),
+        (lit(0L) - col("doc_id")).as("nid")))
+    val thresholds = joined
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .filter(col("rk") <= CapPerSource)
+      .groupBy(col("source")).agg(min(col("k")).as("t"))
+    joined.join(broadcast(thresholds), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("k") >= col("t")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_source_cap" -> ((s, d) => sourceCap(s, d)),
     "p17_rendezvous" -> ((s, d) => rendezvousReshard(s, d)),
     "p16_priority_survivor" -> ((s, d) => prioritySurvivor(s, d)),
     "p13_datacard" -> ((s, d) => datacard(s, d)),
@@ -543,6 +581,29 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: the naive full row_number-over-source
+    // window differentially checks the broadcast-threshold plan.
+    "p18_source_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |        string_split(lower(text), ' ') toks FROM documents),
+         |c AS (SELECT doc_id, source,
+         |        len(toks) n_toks,
+         |        len(list_filter(toks, w -> w IN ('the','a','of'))) n_stop,
+         |        len(regexp_extract_all(text, '[^a-z0-9 ]')) n_punct,
+         |        length(text) n_chars
+         |      FROM t),
+         |q AS (SELECT doc_id, source,
+         |        round((least(n_toks, 100) / 100.0) * (1.0 - n_stop * 1.0 / n_toks)
+         |              * (1.0 - n_punct * 1.0 / n_chars), 6) quality_score
+         |      FROM c),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_score DESC, doc_id ASC) rn
+         |      FROM q)
+         |SELECT doc_id, source,
+         |       CAST(CASE WHEN rn <= $CapPerSource THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "p17_rendezvous" ->
       s"""WITH sh AS (SELECT unnest(range(0, ${HrwShards + 1})) shard),
          |pk AS (

@@ -1033,6 +1033,25 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("source cap keeps exactly the per-source quality top-N") {
+    val qual = TextQueries.quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val docsBySource = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val rows = ext.PipelineQueries.sourceCap(spark, dir).collect()
+    val kept = rows.filter(_.getInt(2) == 1).map(r => r.getLong(0)).toSet
+    docsBySource.foreach { case (src, ids) =>
+      val expectKept = ids.sortBy(id => (-qual(id), id))
+        .take(ext.PipelineQueries.CapPerSource).toSet
+      val gotKept = ids.filter(kept).toSet
+      assert(gotKept == expectKept, s"source $src")
+    }
+    // the cap must actually bind on this fixture
+    assert(rows.exists(_.getInt(2) == 0))
+  }
+
   test("retrieval eval replays recall@10 and MRR from a brute-force top-k") {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding", "label").collect()

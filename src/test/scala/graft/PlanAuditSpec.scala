@@ -618,6 +618,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("source cap never sorts the full corpus per source") {
+    val p = plan("p18_source_cap")
+    // the top-N side is WindowGroupLimit-bounded; the corpus-side flag is
+    // a broadcast-threshold comparison, not a second window
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) <= 1, p)
+  }
+
   test("semdedup reuses the checkpointed assignment and joins inside the cluster") {
     val p = plan("d18_semdedup")
     // the candidate join is an equi-join (cluster key), never a cross join
