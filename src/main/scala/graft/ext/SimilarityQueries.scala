@@ -793,7 +793,51 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** s18 — embedding-space drift monitor: per-label centroid shift
+    * between two ingest batches (even vs odd vec_id — the deterministic
+    * stand-in for "yesterday's corpus vs today's delta"). Emits each
+    * label's batch populations, the exact squared L2 centroid shift in
+    * micro² integers, and the centroid cosine — the alarm a curation
+    * pipeline wires to "did the new crawl/encoder shift this class's
+    * distribution" (t17 is the token-level twin; this is the embedding
+    * level).
+    *
+    * Exactness: centroids are micro-unit `sum div n` per (label, batch,
+    * dim) — the s6 discipline — and every cross-term (dot, norms,
+    * squared shift) is an exact BIGINT sum; only the final cosine is one
+    * float expression over those integers, rounded to 6.
+    *
+    * Scale shape: one scan; the per-dim centroid reduction keys on
+    * (label, batch, dim) so it map-side combines, and everything after
+    * is |labels|·|dims|-sized. No joins touch the corpus. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("label"),
+      (col("vec_id") % 2).as("batch"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))")
+        .as("vm"))
+    val byDim = base
+      .select(col("label"), col("batch"), posexplode(col("vm")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("batch"), col("pos"))
+      .agg(expr("cast(sum(x) div count(1) as bigint)").as("c"))
+    val paired = byDim.groupBy(col("label"), col("pos"))
+      .agg(max(when(col("batch") === 0, col("c"))).as("c0"),
+        max(when(col("batch") === 1, col("c"))).as("c1"))
+    val counts = base.groupBy(col("label")).agg(
+      sum(when(col("batch") === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("batch") === 1, 1L).otherwise(0L)).as("n_new"))
+    paired.groupBy(col("label"))
+      .agg(sum(expr("(c0 - c1) * (c0 - c1)")).as("shift2_micro2"),
+        sum(expr("c0 * c1")).as("dot"),
+        sum(expr("c0 * c0")).as("nn0"),
+        sum(expr("c1 * c1")).as("nn1"))
+      .join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n_ref"), col("n_new"), col("shift2_micro2"),
+        round(expr("dot / (sqrt(nn0) * sqrt(nn1))"), 6).as("centroid_cos"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
     "s17_retrieval_eval" -> ((s, d) => retrievalEval(s, d)),
     "d18_semdedup" -> ((s, d) => semDedup(s, d)),
     "s14_kmeans_step" -> ((s, d) => kmeansStep(s, d)),
@@ -856,6 +900,33 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s18_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, label, vec_id % 2 AS batch,
+         |        list_transform(embedding::DOUBLE[],
+         |          x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) vm
+         |      FROM embeddings),
+         |d AS (SELECT unnest(range(1, ${LshDims + 1})) dim),
+         |cd AS (SELECT label, batch, dim,
+         |         CAST(sum(vm[dim]) // count(*) AS BIGINT) c
+         |       FROM e CROSS JOIN d GROUP BY 1, 2, 3),
+         |pr AS (SELECT label, dim,
+         |         max(CASE WHEN batch = 0 THEN c END) c0,
+         |         max(CASE WHEN batch = 1 THEN c END) c1
+         |       FROM cd GROUP BY 1, 2),
+         |ag AS (SELECT label,
+         |         CAST(sum((c0 - c1) * (c0 - c1)) AS BIGINT) shift2_micro2,
+         |         CAST(sum(c0 * c1) AS BIGINT) dot,
+         |         CAST(sum(c0 * c0) AS BIGINT) nn0,
+         |         CAST(sum(c1 * c1) AS BIGINT) nn1
+         |       FROM pr GROUP BY 1),
+         |ct AS (SELECT label,
+         |         CAST(SUM(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS BIGINT) n_ref,
+         |         CAST(SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT) n_new
+         |       FROM e GROUP BY 1)
+         |SELECT ag.label, n_ref, n_new, shift2_micro2,
+         |       round(dot / (sqrt(nn0) * sqrt(nn1)), 6) AS centroid_cos
+         |FROM ag JOIN ct USING (label) ORDER BY label""".stripMargin,
+
     "s17_retrieval_eval" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
          |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm

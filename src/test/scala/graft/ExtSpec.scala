@@ -1033,6 +1033,40 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("embedding drift replays from brute-force per-batch integer centroids") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray,
+        r.getInt(2)))
+    val rows = ext.SimilarityQueries.embeddingDrift(spark, dir).collect()
+    rows.foreach { r =>
+      val label = r.getInt(0)
+      val Array(ref, nw) = Array(0L, 1L).map(b =>
+        vecs.filter(v => v._3 == label && v._1 % 2 == b).map(_._2))
+      assert(r.getLong(1) == ref.length.toLong && r.getLong(2) == nw.length.toLong)
+      // Spark's `div` truncates toward zero (plain Long division)
+      def centroid(vs: Array[Array[Long]]): Array[Long] =
+        vs.transpose.map(col => col.sum / vs.length.toLong)
+      val (c0, c1) = (centroid(ref), centroid(nw))
+      val shift2 = c0.zip(c1).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(r.getLong(3) == shift2, s"label $label")
+      val dot = c0.zip(c1).map { case (a, b) => a * b }.sum.toDouble
+      val cosExp = BigDecimal(dot /
+        (math.sqrt(c0.map(x => x * x).sum.toDouble) *
+          math.sqrt(c1.map(x => x * x).sum.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - cosExp) < 2e-6)
+      assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+    assert(rows.nonEmpty)
+    // the monitor must order labels: on this fixture at least one label's
+    // halves agree positively (a constant or degenerate metric would not)
+    assert(rows.map(_.getDouble(4)).max > 0.0)
+    assert(rows.map(_.getDouble(4)).distinct.length > 1)
+  }
+
   test("source cap keeps exactly the per-source quality top-N") {
     val qual = TextQueries.quality(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(5)).toMap
