@@ -327,6 +327,51 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       s"one merged session spanning the restart, ending last-event+gap: ${sess.mkString(",")}")
   }
 
+  test("mapGroupsWithState running totals survive a stop/restart via foreachBatch") {
+    // The GroupState recovery path is distinct from window/session state:
+    // user-defined state round-trips through the checkpoint's state store
+    // encoder. Update-mode emissions can't land in a file sink directly,
+    // so foreachBatch stamps each micro-batch's frame with its batch id —
+    // the recoverable update-sink shape — and the LAST emission per key
+    // must carry totals spanning the restart.
+    val in = java.nio.file.Files.createTempDirectory("gckpt_in").toString
+    val out = java.nio.file.Files.createTempDirectory("gckpt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gckpt_state").toString
+    def land(rows: (String, Double, String)*): Unit =
+      rows.toSeq.toDF("customer", "score", "riskDate")
+        .write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.runningRiskTotals(spark,
+          spark.readStream
+            .schema("customer STRING, score DOUBLE, riskDate STRING")
+            .parquet(in))
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.CustomerRunning], id: Long) =>
+          ds.toDF().withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land(("a@test.com", 1.0, "2020-09-14T07:01:00.000Z"),
+      ("a@test.com", 2.0, "2020-09-14T07:02:00.000Z"),
+      ("b@test.com", 4.0, "2020-09-14T07:03:00.000Z"))
+    runOnce()
+    land(("a@test.com", 3.0, "2020-09-14T07:04:00.000Z"))
+    runOnce() // fresh query resuming the checkpointed GroupState
+    val last = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("customer"),
+        r.getAs[Long]("batch_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("total_score_micro")))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    assert(last("a@test.com")._3 == 3L && last("a@test.com")._4 == 6000000L,
+      s"recovered state must fold the post-restart event into (2, 3.0): $last")
+    assert(last("b@test.com")._3 == 1L && last("b@test.com")._4 == 4000000L, last.toString)
+  }
+
   test("streaming ewma replays the batch q49 recurrence bit-for-bit across batches") {
     import graft.streaming.EwmaPoint
     val dir = "/root/testdata/sf0.001"
