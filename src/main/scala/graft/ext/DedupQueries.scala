@@ -1050,8 +1050,46 @@ object DedupQueries {
     "d7_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "d8_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "d17_bfs_hops" -> ((s, d) => bfsHops(s, d)),
-    "d19_lpa" -> ((s, d) => lpaCommunities(s, d))
+    "d19_lpa" -> ((s, d) => lpaCommunities(s, d)),
+    "d20_threshold_sweep" -> ((s, d) => thresholdSweep(s, d))
   )
+
+  /** d20 — near-dup threshold sensitivity sweep: pair count and distinct
+    * document coverage at each candidate Jaccard threshold in
+    * [[SweepPcts]] (percent points at/above the [[JaccardThreshold]]
+    * index floor) — the tuning dashboard that picks a production
+    * threshold: how many pairs and how much of the corpus each setting
+    * would implicate. d10 audits ONE threshold's recall; this shows the
+    * whole operating curve in a single readout.
+    *
+    * Runs entirely over the cached verified exact-pair frame (built once
+    * for d4/d10) — the corpus never re-scans; the sweep is a 5×
+    * amplification of a pair set that is tiny relative to the corpus,
+    * grouped with map-side combine on the 5-value threshold key. The
+    * comparison uses the ROUNDED published jaccard on both engines, so
+    * engine and oracle bucket identically at the boundaries. */
+  val SweepPcts = Seq(90, 93, 95, 97, 99) // fixture near-dups sit in
+                                          // [0.89, 0.99] — this range is
+                                          // where the curve actually moves
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val arr = s"array(${SweepPcts.mkString(", ")})"
+    val hit = ngramJaccardPairsRaw(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(expr(arr)).as("pct"))
+      .filter(col("jaccard") >= col("pct").cast("double") / lit(100.0))
+    val np = hit.groupBy(col("pct")).agg(count(lit(1)).as("n_pairs"))
+    val nd = hit.select(col("pct"), col("doc_a").as("d"))
+      .unionAll(hit.select(col("pct"), col("doc_b").as("d")))
+      .distinct().groupBy(col("pct")).agg(count(lit(1)).as("n_docs"))
+    // spine: thresholds with zero pairs still report (the dashboard's
+    // whole point is seeing where the curve hits zero)
+    spark.range(1).select(explode(expr(arr)).as("pct"))
+      .join(np, Seq("pct"), "left").join(nd, Seq("pct"), "left")
+      .select(col("pct").cast("long").as("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold_pct")
+  }
 
   val oracles: Map[String, String] = Map(
     "d16_containment" ->
@@ -1268,6 +1306,39 @@ object DedupQueries {
          |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |$duckJaccardTail""".stripMargin,
+
+    "d20_threshold_sweep" -> {
+      val pctList = SweepPcts.mkString("[", ", ", "]")
+      s"""WITH $duckShingled,
+         |ex AS (SELECT doc_id, unnest(sh) g FROM shingled),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id),
+         |p AS (SELECT doc_a, doc_b, round(i/(tot-i), 6) jaccard
+         |      FROM verified WHERE i/(tot-i) >= $JaccardThreshold),
+         |sp AS (SELECT unnest($pctList) pct),
+         |hit AS (SELECT pct, doc_a, doc_b FROM p CROSS JOIN sp
+         |        WHERE jaccard >= pct / 100.0),
+         |np AS (SELECT pct, CAST(count(*) AS BIGINT) n_pairs FROM hit GROUP BY 1),
+         |nd AS (SELECT pct, CAST(count(*) AS BIGINT) n_docs FROM (
+         |         SELECT DISTINCT pct, d FROM (
+         |           SELECT pct, doc_a d FROM hit
+         |           UNION ALL SELECT pct, doc_b d FROM hit))
+         |       GROUP BY 1)
+         |SELECT CAST(sp.pct AS BIGINT) AS threshold_pct,
+         |       coalesce(np.n_pairs, 0) AS n_pairs,
+         |       coalesce(nd.n_docs, 0) AS n_docs
+         |FROM sp LEFT JOIN np ON np.pct = sp.pct
+         |        LEFT JOIN nd ON nd.pct = sp.pct
+         |ORDER BY threshold_pct""".stripMargin
+    },
 
     "d10_lsh_recall" ->
       s"""WITH $duckShingled,

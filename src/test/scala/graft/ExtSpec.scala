@@ -1033,6 +1033,25 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("threshold sweep replays from d4's pair set and the curve is monotone") {
+    val pairs = DedupQueries.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rows = ext.DedupQueries.thresholdSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == ext.DedupQueries.SweepPcts.map(_.toLong))
+    rows.foreach { case (pct, nPairs, nDocs) =>
+      val hit = pairs.filter(_._3 >= pct / 100.0)
+      assert(nPairs == hit.length.toLong, s"pct $pct")
+      assert(nDocs == hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    // tightening the threshold can only shrink the result
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3)
+    }
+    // and on this fixture the curve must actually move
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("embedding drift replays from brute-force per-batch integer centroids") {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select("vec_id", "embedding", "label").collect()
