@@ -1033,6 +1033,27 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("dir-switch eviction: cached indexes rebuild correctly after alternating fixtures") {
+    // Verify/Bench switch fixture dirs mid-session; every checkpointed
+    // index (shingle base, LSH pair set, k-means assignment) keys on
+    // (session, dir) and evicts other dirs on access. A stale or
+    // half-evicted index would silently return the WRONG corpus's
+    // results — assert a round trip dirA -> dirB -> dirA reproduces
+    // dirA's frames exactly.
+    val dirB = "/root/testdata/sf0.01"
+    def pairs(d: String) = DedupQueries.lshPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def asgn(d: String) = SimilarityQueries.kmeansAssignment(spark, d)
+      .select("vec_id", "cluster", "d2m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (p1, a1) = (pairs(dir), asgn(dir))
+    val (pb, ab) = (pairs(dirB), asgn(dirB))
+    assert(pb != p1 && ab != a1, "different fixtures must index differently")
+    val (p2, a2) = (pairs(dir), asgn(dir))
+    assert(p2 == p1, "LSH pair index must rebuild identically after eviction")
+    assert(a2 == a1, "k-means assignment must rebuild identically after eviction")
+  }
+
   test("threshold sweep replays from d4's pair set and the curve is monotone") {
     val pairs = DedupQueries.ngramJaccardPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
