@@ -90,8 +90,10 @@ object MultimodalQueries {
     * — equal-phash groups are the image-dedup candidate buckets (hamming
     * widening = d7's flip-enumeration on this column). */
   val PhashBits = 16
-  def phash(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+
+  /** The (doc_id, phash16) projection shared by m6 (group counts) and m13
+    * (hamming pairs) — a cheap narrow scan, recomputed per call. */
+  private def phashBase(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "documents")
       .withColumn("n", length(col("text")))
     val withPix = (0 until PhashBits).foldLeft(base) { (d, i) =>
@@ -104,10 +106,52 @@ object MultimodalQueries {
       .mkString(" + ")
     withPix.withColumn("ps", expr(ps))
       .withColumn("phash16", expr(bits).cast("long"))
+      .select(col("doc_id"), col("phash16"))
+  }
+
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    phashBase(spark, dir)
       .select(col("doc_id"), col("phash16"),
         count(lit(1)).over(Window.partitionBy(col("phash16")))
           .cast("long").as("n_same_hash"))
       .orderBy("doc_id")
+  }
+
+  /** m13 — perceptual near-duplicate pairs: payloads whose perceptual
+    * hashes differ by at most [[PhashMaxHamming]] bit — the image-dedup
+    * candidate generator (a re-encoded/slightly-cropped image keeps an
+    * almost-identical phash). The d7 flip-enumeration algebra on the m6
+    * hash column: distance-0 pairs from an equi-join on the full hash,
+    * distance-1 from joining each hash against every one-bit FLIP-DOWN
+    * of the other — never a bit_count over all pairs, so the work is
+    * bucket-join-shaped and scales like the hash cardinality, not n².
+    * The DuckDB oracle states the naive all-pairs bit_count formulation,
+    * proving the flip algebra result-identical. */
+  val PhashMaxHamming = 1
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = phashBase(spark, dir)
+    val same = h.as("a")
+      .join(h.as("b"),
+        col("a.phash16") === col("b.phash16") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val flips = (0 until PhashBits)
+      .map(b => s"phash16 ^ ${1 << b}").mkString(", ")
+    val flipped = h
+      .select(col("doc_id"), col("phash16"),
+        explode(expr(s"array($flips)")).as("fkey"))
+      // keep only flips that CLEAR a bit: for a distance-1 pair the lower
+      // hash equals exactly one flip-down of the higher one (d7's rule)
+      .filter(col("fkey") < col("phash16"))
+    val dist1 = h.as("a")
+      .join(flipped.as("b"), col("a.phash16") === col("b.fkey"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        lit(1L).as("hamming"))
+    same.unionAll(dist1).orderBy("doc_a", "doc_b")
   }
 
   /** m7 — aspect-ratio bucketing: group images by shape class (tall /
@@ -370,6 +414,7 @@ object MultimodalQueries {
     "m9_quiet_runs" -> ((s, d) => quietRuns(s, d)),
     "m8_frame_energy" -> ((s, d) => frameEnergy(s, d)),
     "m7_aspect_buckets" -> ((s, d) => aspectBuckets(s, d)),
+    "m13_phash_pairs" -> ((s, d) => phashPairs(s, d)),
     "m6_phash" -> ((s, d) => phash(s, d)),
     "m1_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
     "m2_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
@@ -543,6 +588,29 @@ object MultimodalQueries {
          |SELECT bucket, batch_idx, n_imgs, w_max, h_max,
          |       n_imgs * w_max * h_max - area_sum AS pad_waste
          |FROM a ORDER BY bucket, batch_idx""".stripMargin,
+
+    "m13_phash_pairs" -> {
+      // Naive all-pairs bit_count formulation — the independent check of
+      // the engine's flip-enumeration algebra.
+      val pix = (0 until PhashBits)
+        .map(i => s"ascii(substr(text, CAST((($i * n) // $PhashBits) + 1 AS INT), 1)) p$i")
+        .mkString(",\n       ")
+      val ps = (0 until PhashBits).map(i => s"p$i").mkString(" + ")
+      val bits = (0 until PhashBits)
+        .map(i => s"(CASE WHEN $PhashBits * p$i > ps THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, text, length(text) n FROM documents),
+         |p AS (SELECT doc_id,
+         |       $pix
+         |      FROM b),
+         |s AS (SELECT *, $ps ps FROM p),
+         |h AS (SELECT doc_id, CAST($bits AS BIGINT) phash16 FROM s)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.phash16, b.phash16)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash16, b.phash16)) <= $PhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "m6_phash" -> {
       val pix = (0 until PhashBits)

@@ -1033,6 +1033,21 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("phash pairs equal the brute-force all-pairs hamming scan") {
+    val hashes = ext.MultimodalQueries.phash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (da, ha) <- hashes; (db, hb) <- hashes if da < db
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= ext.MultimodalQueries.PhashMaxHamming
+    } yield (da, db, d.toLong)).toSet
+    val got = ext.MultimodalQueries.phashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.exists(_._3 == 0L) && got.exists(_._3 == 1L),
+      "fixture must exercise both distance classes")
+  }
+
   test("dir-switch eviction: cached indexes rebuild correctly after alternating fixtures") {
     // Verify/Bench switch fixture dirs mid-session; every checkpointed
     // index (shingle base, LSH pair set, k-means assignment) keys on
