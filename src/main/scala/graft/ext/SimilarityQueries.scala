@@ -836,7 +836,56 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** s19 — IVF nprobe tuning sweep: recall@10 and candidate volume at
+    * each probe width in [[NprobeSweep]] against the exact top-10 — the
+    * d20 analog for the ANN index: s9 audits the DEPLOYED setting, this
+    * shows the whole recall-vs-cost curve so the nprobe knob is chosen
+    * from data (more probed cells = more exact-cosine work = higher
+    * recall; the curve says where it saturates).
+    *
+    * All rank comparisons use the rounded cosine with id tie-breaks
+    * (the t5 discipline). One pass over the checkpointed cell index:
+    * the (np, cell) probe table is |sweep|×|centroids| rows broadcast,
+    * candidates amplify only by how many sweep settings probe their
+    * cell, and each setting's top-10 rides a WindowGroupLimit. */
+  val NprobeSweep = Seq(1, 2, 4, 8)
+  def nprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = s"array(${NprobeSweep.mkString(", ")})"
+    val e = emb(spark, dir)
+    val cells = cellIndex(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val ranked = cents.crossJoin(broadcast(q))
+      .withColumn("qcos", round(expr("cosine_sim(cv, qv)"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("qcos").desc, col("cent_id").asc)))
+    val probeTab = ranked
+      .select(col("cent_id"), col("rk"), explode(expr(arr)).as("np"))
+      .filter(col("rk") <= col("np"))
+      .select(col("np"), col("cent_id").as("pcell"))
+    val cand = cells.join(broadcast(probeTab), col("cell") === col("pcell"))
+      .crossJoin(broadcast(q))
+      .select(col("np"), col("vec_id"),
+        round(expr("cosine_sim(embedding, qv)"), 6).as("cosine"))
+    val top = cand.withColumn("rrk", row_number().over(
+        Window.partitionBy(col("np")).orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rrk") <= 10)
+    val exact = annTopK(spark, dir).select(col("vec_id"))
+    val nCand = cand.groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
+    val hits = top.join(exact, "vec_id").groupBy(col("np")).agg(count(lit(1)).as("hits"))
+    spark.range(1).select(explode(expr(arr)).as("np"))
+      .join(nCand, Seq("np"), "left").join(hits, Seq("np"), "left")
+      .select(col("np").cast("long").as("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("coalesce(hits, 0L) * 1000000L div 10").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "s18_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
     "s17_retrieval_eval" -> ((s, d) => retrievalEval(s, d)),
     "d18_semdedup" -> ((s, d) => semDedup(s, d)),
@@ -900,6 +949,50 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s19_nprobe_sweep" -> {
+      val spList = NprobeSweep.mkString("[", ", ", "]")
+      s"""WITH $duckEmb,
+         |cents AS (SELECT vec_id cent_id, v cv, nrm cnrm FROM e
+         |          WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+         |asgn AS (
+         |  SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY round(list_dot_product(v, cv) / (nrm * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM e CROSS JOIN cents WHERE vec_id > 0),
+         |cells AS (SELECT vec_id, cent_id FROM asgn WHERE rk = 1),
+         |q AS (SELECT v qv, nrm qnrm FROM e WHERE vec_id = 0),
+         |qprobe AS (
+         |  SELECT cent_id, row_number() OVER (
+         |           ORDER BY round(list_dot_product(qv, cv) / (qnrm * cnrm), 6) DESC,
+         |                    cent_id ASC) rk
+         |  FROM q CROSS JOIN cents),
+         |sp AS (SELECT unnest($spList) np),
+         |probed AS (SELECT sp.np, qprobe.cent_id
+         |           FROM qprobe CROSS JOIN sp WHERE qprobe.rk <= sp.np),
+         |cand AS (SELECT p.np, c.vec_id,
+         |           round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) cosine
+         |         FROM cells c JOIN probed p ON c.cent_id = p.cent_id
+         |         JOIN e ON e.vec_id = c.vec_id, q),
+         |top AS (SELECT np, vec_id FROM (
+         |          SELECT np, vec_id, row_number() OVER (PARTITION BY np
+         |            ORDER BY cosine DESC, vec_id ASC) rrk FROM cand)
+         |        WHERE rrk <= 10),
+         |ex AS (SELECT vec_id FROM (
+         |         SELECT e.vec_id,
+         |                round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) cosine
+         |         FROM e, q WHERE e.vec_id > 0
+         |         ORDER BY cosine DESC, vec_id ASC LIMIT 10)),
+         |nc AS (SELECT np, CAST(count(*) AS BIGINT) n_candidates FROM cand GROUP BY 1),
+         |ht AS (SELECT np, CAST(count(*) AS BIGINT) hits
+         |       FROM top JOIN ex USING (vec_id) GROUP BY 1)
+         |SELECT CAST(sp.np AS BIGINT) AS nprobe,
+         |       coalesce(nc.n_candidates, 0) AS n_candidates,
+         |       coalesce(ht.hits, 0) AS hits,
+         |       CAST(coalesce(ht.hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM sp LEFT JOIN nc ON nc.np = sp.np LEFT JOIN ht ON ht.np = sp.np
+         |ORDER BY nprobe""".stripMargin
+    },
+
     "s18_embedding_drift" ->
       s"""WITH e AS (SELECT vec_id, label, vec_id % 2 AS batch,
          |        list_transform(embedding::DOUBLE[],

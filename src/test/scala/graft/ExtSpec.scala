@@ -1033,6 +1033,25 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("nprobe sweep is monotone and widest probe contains s5's deployed result") {
+    val rows = ext.SimilarityQueries.nprobeSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == ext.SimilarityQueries.NprobeSweep.map(_.toLong))
+    // widening the probe can only add candidates and hits
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3, s"$a -> $b")
+    }
+    rows.foreach { case (_, nc, hits, ppm) =>
+      assert(hits <= 10 && ppm == hits * 1000000L / 10 && nc >= hits)
+    }
+    // the deployed setting's row must reproduce s9's ivf hit count
+    val deployed = rows.find(_._1 == ext.SimilarityQueries.IvfNProbe.toLong).get
+    val s9 = ext.SimilarityQueries.annRecall(spark, dir).collect().head
+    assert(deployed._3 == s9.getLong(2), "sweep row at IvfNProbe must match s9's ivf_hits")
+    // and the curve must move on this fixture
+    assert(rows.map(_._3).distinct.length > 1)
+  }
+
   test("phash pairs equal the brute-force all-pairs hamming scan") {
     val hashes = ext.MultimodalQueries.phash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
