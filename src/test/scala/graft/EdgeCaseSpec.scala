@@ -31,6 +31,30 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(out(3L) == "")
   }
 
+  test("gopher gate verdicts on adversarial documents: empty, degenerate, boilerplate") {
+    val docs = Seq(
+      (1L, ""),                                       // empty text
+      (2L, Seq.fill(40)("spam").mkString(" ")),       // one token repeated
+      (3L, Seq.fill(8)("the a of and to").mkString(" ")), // all stopwords
+      (4L, (1 to 40).map(i => s"tok$i").mkString(" "))) // 40 distinct 4-5 char tokens
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(lower(col("text")), " "))
+    val out = graft.ext.TextQueries.gopherRulesOf(docs)
+      .select("doc_id", "r_len", "r_meanlen", "r_ttr", "r_top", "r_stop", "pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    // empty text tokenizes to [""]: too short, zero mean length -> rejected
+    assert(out(1L) == ((0, 0, 1, 0, 0, 0)))
+    // spam x40: length ok, mean length 4 ok, but TTR=1/40 and top=40/40 fail
+    assert(out(2L) == ((1, 1, 0, 0, 0, 0)))
+    // stopword soup: stopword rule passes, mean length 2.2 and TTR/top fail
+    assert(out(3L)._5 == 1 && out(3L)._2 == 0 && out(3L)._6 == 0)
+    // clean doc: everything passes except the stopword requirement
+    assert(out(4L) == ((1, 1, 1, 1, 0, 0)))
+    // no adversarial document may slip through the full gate
+    assert(out.values.forall(_._6 == 0))
+  }
+
   test("chunking a single-token document emits exactly one full-coverage chunk") {
     val one = Seq((7L, "word")).toDF("doc_id", "text")
     val rows = graft.ext.PipelineQueries.chunkOf(one).collect()
