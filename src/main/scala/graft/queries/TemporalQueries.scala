@@ -816,7 +816,40 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  /** q104 — multi-snapshot changelog reconstruction (time travel /
+    * dataset versioning): treat the event stream as a per-user changelog
+    * and rebuild every user's latest state AS OF each cutoff in
+    * [[SnapshotCuts]] — the "reproduce the corpus as of the training
+    * cutoff" operation a versioned data pipeline must answer for
+    * arbitrary past instants. q46-family CDC compaction gives the
+    * log-END state; this gives N interior snapshots in ONE pass: each
+    * event explodes into only the snapshots it is visible to, and the
+    * per-(snapshot, user) argmax is a map-side-combinable max over
+    * packed (ts, event_id, value) structs — never a window over the log,
+    * never N separate passes. Ties on ts break by event_id, so the
+    * reconstruction is deterministic. */
+  val SnapshotCuts = Seq("2024-01-08", "2024-01-16", "2024-01-24")
+  def q104Snapshots(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = SnapshotCuts.map(c =>
+      (c, java.time.Instant.parse(s"${c}T00:00:00Z").toEpochMilli * 1000L))
+    val arrExpr = "array(" + cuts.map { case (l, u) =>
+      s"struct('$l' as snap, ${u}L as cut_us)"
+    }.mkString(", ") + ")"
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("cast(round(value * 1000000.0D, 0) as bigint)").as("vm"),
+        explode(expr(arrExpr)).as("c"))
+      .filter(col("us") <= col("c.cut_us"))
+      .groupBy(col("c.snap").as("snap"), col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("vm"))).as("last"))
+      .select(col("snap"), col("user_id"), col("last.us").as("last_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.vm").as("last_value_micro"))
+      .orderBy("snap", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_snapshots" -> ((s, d) => q104Snapshots(s, d)),
     "q80_lateness_audit" -> ((s, d) => q80LatenessAudit(s, d)),
     "q87_merge_apply" -> ((s, d) => q87MergeApply(s, d)),
     "q77_multitouch" -> ((s, d) => q77Multitouch(s, d)),
@@ -844,6 +877,22 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_snapshots" -> {
+      val cutVals = SnapshotCuts.map(c =>
+        s"('$c', ${java.time.Instant.parse(s"${c}T00:00:00Z").toEpochMilli * 1000L})")
+        .mkString(", ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) us, event_id,
+         |        CAST(round(value * 1000000.0, 0) AS BIGINT) vm FROM events),
+         |c(snap, cut_us) AS (VALUES $cutVals),
+         |f AS (SELECT c.snap, e.user_id, e.us, e.event_id, e.vm
+         |      FROM e CROSS JOIN c WHERE e.us <= c.cut_us),
+         |r AS (SELECT snap, user_id, us, event_id, vm,
+         |        row_number() OVER (PARTITION BY snap, user_id
+         |          ORDER BY us DESC, event_id DESC, vm DESC) rn FROM f)
+         |SELECT snap, user_id, us AS last_us, event_id AS last_event_id,
+         |       vm AS last_value_micro
+         |FROM r WHERE rn = 1 ORDER BY snap, user_id""".stripMargin
+    },
     // Single-pass window formulation (the engine runs the distributed
     // prefix-max instead of one global sort).
     "q80_lateness_audit" ->

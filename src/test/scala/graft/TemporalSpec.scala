@@ -486,4 +486,29 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(got("lineitem") == (delLines, lines.length - delLines))
     assert(victims.nonEmpty && delOrders.nonEmpty, "fixture must exercise the cascade")
   }
+
+  test("snapshot reconstruction replays per-cut argmax and nests monotonically") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cuts = TemporalQueries.SnapshotCuts.map(c =>
+      c -> java.time.Instant.parse(s"${c}T00:00:00Z").toEpochMilli * 1000L)
+    val got = TemporalQueries.q104Snapshots(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    cuts.foreach { case (snap, cutUs) =>
+      val expect = ev.filter(_._2 <= cutUs).groupBy(_._1)
+        .map { case (u, es) => (snap, u) -> { val m = es.maxBy(e => (e._2, e._3)); (m._2, m._3) } }
+      expect.foreach { case (k, v) => assert(got(k) == v, s"$k") }
+      assert(got.count(_._1._1 == snap) == expect.size)
+    }
+    // later snapshots can only see MORE users, and a user's last_us is
+    // non-decreasing across snapshots
+    cuts.map(_._1).sliding(2).foreach { case Seq(a, b) =>
+      val ua = got.keys.filter(_._1 == a).map(_._2).toSet
+      val ub = got.keys.filter(_._1 == b).map(_._2).toSet
+      assert(ua.subsetOf(ub))
+      ua.foreach(u => assert(got((a, u))._1 <= got((b, u))._1))
+    }
+  }
 }
