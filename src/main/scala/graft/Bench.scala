@@ -73,6 +73,7 @@ object Bench {
     graft.ext.SimilarityQueries.clearCaches()
     graft.ext.PipelineQueries.clearCaches()
     graft.queries.AdvancedQueries.clearCaches()
+    graft.queries.ReferenceQueries.clearCaches()
     graft.ops.RankOps.clearCaches()
     spark.stop()
   }

@@ -46,6 +46,7 @@ object Verify {
     graft.ext.SimilarityQueries.clearCaches()
     graft.ext.PipelineQueries.clearCaches()
     graft.queries.AdvancedQueries.clearCaches()
+    graft.queries.ReferenceQueries.clearCaches()
     graft.ops.RankOps.clearCaches()
     spark.stop()
   }

@@ -167,10 +167,25 @@ object ReferenceQueries {
       wmRisk(spark, dir), broadcast(wmCustomers(spark, dir)), "36 HOURS")
       .orderBy("customer", "score", "email", "birthYear")
 
-  /** Shared deterministic frames for the watermarked-join twins. */
-  private def wmRisk(spark: SparkSession, dir: String): DataFrame =
-    StediOps.parseRiskEvent(syntheticRiskEvents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism))
+  /** Shared deterministic frames for the watermarked-join twins. The
+    * parsed risk frame is checkpointed once per (session, dir): the JSON
+    * synth+parse chain dominates all three twins' cost (BASELINE.md
+    * residual attribution) and is identical across them — the same
+    * build-once DirCaches discipline the ext indexes use. */
+  private val caches = new graft.ext.DirCaches
+  private val wmRiskCache = caches.newCache()
+
+  /** Bench/Verify teardown hook (see [[graft.ext.DedupQueries.clearCaches]]). */
+  def clearCaches(): Unit = caches.clear()
+
+  private def wmRisk(spark: SparkSession, dir: String): DataFrame = {
+    caches.evictOtherDirs(spark, dir)
+    wmRiskCache.getOrElseUpdate((spark, dir), {
+      StediOps.parseRiskEvent(syntheticRiskEvents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism))
+        .localCheckpoint()
+    })
+  }
 
   private def wmCustomers(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer").select(
