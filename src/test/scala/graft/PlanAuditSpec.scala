@@ -627,6 +627,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) <= 1, p)
   }
 
+  test("threshold sweep probes the cached pair frame, never rescanning the corpus") {
+    val p = plan("d20_threshold_sweep")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("phash pairs join on hash buckets, never a cartesian hamming scan") {
+    val p = plan("m13_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("snapshot reconstruction is one scan + hash aggregate, no window") {
+    val p = plan("q104_snapshots")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_max") || p.contains("partial_"), p)
+  }
+
+  test("embedding drift aggregates map-side; only tiny frames join") {
+    val p = plan("s18_embedding_drift")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("lpa rounds broadcast the label frame across the edge list") {
+    val p = plan("d19_lpa")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("semdedup reuses the checkpointed assignment and joins inside the cluster") {
     val p = plan("d18_semdedup")
     // the candidate join is an equi-join (cluster key), never a cross join
