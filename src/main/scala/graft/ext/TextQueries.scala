@@ -780,7 +780,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t24 — hashing-trick featurizer (Weinberger et al. 2009): each
+    * document's token stream folds into a fixed [[HashFeatDim]]-wide
+    * count vector via md5 bucket hashing — the input representation a
+    * fastText-style linear quality classifier consumes (s12's linear
+    * probe is the consumer shape; t23 uses the same trick for bigram
+    * importance). Emitted flattened (f0..f15, the s12 MediaFeatures
+    * discipline) plus the exact integer squared L2 norm so downstream
+    * normalization needs no second pass.
+    *
+    * One shuffle-free scan: the bucket codes materialize once per doc
+    * via the m11 LET discipline (md5 once per token, not once per
+    * (token, bucket) probe), and each feature is a fold over that
+    * array. */
+  val HashFeatDim = 16
+  def hashFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val fields = (0 until HashFeatDim)
+      .map(b => s"cast(size(filter(bs, x -> x = $b)) as bigint) as f$b")
+      .mkString(", ")
+    val statsExpr =
+      s"""element_at(transform(array(transform(toks,
+         |  w -> cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint) % $HashFeatDim)),
+         |  bs -> struct(cast(size(bs) as bigint) as n_toks, $fields)), 1)""".stripMargin
+    val norm2 = (0 until HashFeatDim).map(b => s"f$b * f$b").mkString(" + ")
+    docs(spark, dir)
+      .select(col("doc_id"), expr(statsExpr).as("st"))
+      .select(col("doc_id") +: col("st.n_toks").as("n_toks") +:
+        (0 until HashFeatDim).map(b => col(s"st.f$b").as(s"f$b")): _*)
+      .withColumn("norm2", expr(norm2))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_hash_features" -> ((s, d) => hashFeatures(s, d)),
     "t23_dsir" -> ((s, d) => dsirWeights(s, d)),
     "t22_gopher_gate" -> ((s, d) => gopherGate(s, d)),
     "t20_readability" -> ((s, d) => readability(s, d)),
@@ -811,6 +843,21 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t24_hash_features" -> {
+      val fields = (0 until HashFeatDim)
+        .map(b => s"CAST(len(list_filter(bs, x -> x = $b)) AS BIGINT) f$b")
+        .mkString(",\n         |       ")
+      val norm2 = (0 until HashFeatDim).map(b => s"f$b * f$b").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |        list_transform(string_split(lower(text), ' '),
+         |          w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $HashFeatDim) bs
+         |      FROM documents),
+         |f AS (SELECT doc_id, CAST(len(bs) AS BIGINT) n_toks,
+         |       $fields
+         |      FROM t)
+         |SELECT *, $norm2 AS norm2 FROM f ORDER BY doc_id""".stripMargin
+    },
+
     "t23_dsir" ->
       s"""WITH t AS (SELECT doc_id,
          |        CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END is_tgt,

@@ -1033,6 +1033,32 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("hash features replay from java md5 buckets and partition the token count") {
+    import java.security.MessageDigest
+    def bucket(w: String): Int = {
+      val hex = MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % ext.TextQueries.HashFeatDim).toInt
+    }
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = ext.TextQueries.hashFeatures(spark, dir).collect()
+    assert(rows.length == texts.size)
+    val D = ext.TextQueries.HashFeatDim
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ", -1)
+      val expect = Array.fill(D)(0L)
+      toks.foreach(w => expect(bucket(w)) += 1)
+      val fs = (0 until D).map(b => r.getLong(2 + b))
+      assert(r.getLong(1) == toks.length.toLong)
+      assert(fs == expect.toSeq, s"doc ${r.getLong(0)}")
+      // the feature vector partitions the token count exactly
+      assert(fs.sum == toks.length.toLong)
+      assert(r.getLong(2 + D) == fs.map(f => f * f).sum)
+    }
+  }
+
   test("nprobe sweep is monotone and widest probe contains s5's deployed result") {
     val rows = ext.SimilarityQueries.nprobeSweep(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
