@@ -1051,8 +1051,39 @@ object DedupQueries {
     "d8_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "d17_bfs_hops" -> ((s, d) => bfsHops(s, d)),
     "d19_lpa" -> ((s, d) => lpaCommunities(s, d)),
-    "d20_threshold_sweep" -> ((s, d) => thresholdSweep(s, d))
+    "d20_threshold_sweep" -> ((s, d) => thresholdSweep(s, d)),
+    "d21_dedup_funnel" -> ((s, d) => dedupFunnel(s, d))
   )
+
+  /** d21 — the dedup funnel: corpus size after each dedup stage in one
+    * readout — raw documents → exact-duplicate survivors (distinct
+    * texts, the d1 key) → near-duplicate component representatives (one
+    * per d8 connected component). This is the shrinkage report every
+    * dedup pipeline publishes with a corpus release ("N raw, M after
+    * exact, K after fuzzy"), with removal expressed as exact integer
+    * ppm of the raw count.
+    *
+    * Cost: three tiny aggregates — a corpus count, a distinct-text
+    * count (one shuffle on the text hash), and a distinct-root count
+    * over the (cached) d8 component labels; the expensive BSP loop and
+    * LSH index are shared with d8/d3, not rebuilt. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n")).select(lit(0L).as("stage"),
+        lit("raw").as("stage_name"), col("n"))
+    val exact = Tables.load(spark, dir, "documents")
+      .agg(countDistinct(col("text")).as("n")).select(lit(1L).as("stage"),
+        lit("exact_dedup").as("stage_name"), col("n"))
+    val fuzzy = dedupClusters(spark, dir)
+      .agg(countDistinct(col("cluster_root")).as("n")).select(lit(2L).as("stage"),
+        lit("near_dedup").as("stage_name"), col("n"))
+    val stages = raw.unionAll(exact).unionAll(fuzzy)
+    val total = stages.filter(col("stage") === 0).select(col("n").as("n_raw"))
+    stages.crossJoin(broadcast(total))
+      .select(col("stage"), col("stage_name"), col("n").as("n_docs"),
+        expr("(n_raw - n) * 1000000L div n_raw").as("removed_ppm"))
+      .orderBy("stage")
+  }
 
   /** d20 — near-dup threshold sensitivity sweep: pair count and distinct
     * document coverage at each candidate Jaccard threshold in
@@ -1463,6 +1494,46 @@ object DedupQueries {
          |LEFT JOIN sizes s ON s.label = coalesce(l.label, d.doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "d21_dedup_funnel" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM verified
+         |          WHERE i/(tot-i) >= $JaccardThreshold),
+         |undirected AS (
+         |  SELECT doc_a a, doc_b b FROM pairs
+         |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
+         |reach AS (
+         |  SELECT doc_id node, doc_id x FROM documents
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x),
+         |cc AS (SELECT node, min(x) cluster_root FROM reach GROUP BY node),
+         |raw AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+         |st AS (
+         |  SELECT 0 stage, 'raw' stage_name, n FROM raw
+         |  UNION ALL
+         |  SELECT 1, 'exact_dedup', CAST(count(DISTINCT text) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 2, 'near_dedup', CAST(count(DISTINCT cluster_root) AS BIGINT)
+         |  FROM cc)
+         |SELECT CAST(st.stage AS BIGINT) AS stage, st.stage_name,
+         |       st.n AS n_docs,
+         |       CAST((raw.n - st.n) * 1000000 // raw.n AS BIGINT) AS removed_ppm
+         |FROM st, raw ORDER BY stage""".stripMargin,
 
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $duckShingled,

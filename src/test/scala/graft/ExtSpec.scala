@@ -1033,6 +1033,23 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("dedup funnel stages agree with their source queries and shrink monotonically") {
+    val rows = ext.DedupQueries.dedupFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, "raw"), (1L, "exact_dedup"), (2L, "near_dedup")))
+    val nRaw = Tables.load(spark, dir, "documents").count()
+    val nRoots = DedupQueries.dedupClusters(spark, dir)
+      .select("cluster_root").distinct().count()
+    assert(rows(0)._3 == nRaw && rows(2)._3 == nRoots)
+    // stages only ever shrink, and ppm is exact against raw
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
+    rows.foreach { case (_, _, n, ppm) =>
+      assert(ppm == (nRaw - n) * 1000000L / nRaw)
+    }
+    assert(rows(2)._4 > 0, "near-dedup must remove something on this fixture")
+  }
+
   test("hash features replay from java md5 buckets and partition the token count") {
     import java.security.MessageDigest
     def bucket(w: String): Int = {
