@@ -848,7 +848,42 @@ object TemporalQueries {
       .orderBy("snap", "user_id")
   }
 
+  /** q105 — per-user time-weighted average (TWAP): each reading is
+    * weighted by how long it remained current (until the user's next
+    * event), the standard telemetry/financial mean that a plain avg
+    * gets wrong whenever sampling is irregular — a burst of identical
+    * readings must not dominate a long-held value.
+    *
+    * Exactness: values quantize to MILLI units so the per-interval
+    * product `vm · Δt_us` stays inside BIGINT even for month-long
+    * holds, and the per-user numerator sums as decimal(38,0) (the d8
+    * overflow discipline — micro units would overflow the product at
+    * this fixture's spans). The emitted TWAP is the exact integer
+    * division `num div span`. Single-event users have no held interval
+    * and are excluded (no 0/0 row).
+    *
+    * Shape: one (user) window for `lead`, one aggregate — both on the
+    * same user_id shuffle, map-side combinable after the window. */
+  def q105Twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("cast(round(value * 1000.0D, 0) as bigint)").as("vmilli"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt_us", col("next_us") - col("us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        sum((col("vmilli") * col("dt_us")).cast("decimal(38,0)")).as("num"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        expr("cast(num div span_us as bigint)").as("twap_milli"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_twap" -> ((s, d) => q105Twap(s, d)),
     "q104_snapshots" -> ((s, d) => q104Snapshots(s, d)),
     "q80_lateness_audit" -> ((s, d) => q80LatenessAudit(s, d)),
     "q87_merge_apply" -> ((s, d) => q87MergeApply(s, d)),
@@ -877,6 +912,20 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) us, event_id,
+        |        CAST(round(value * 1000.0, 0) AS BIGINT) vmilli FROM events),
+        |l AS (SELECT user_id, us, vmilli,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) next_us
+        |      FROM e),
+        |iv AS (SELECT user_id, vmilli, next_us - us dt_us FROM l
+        |       WHERE next_us IS NOT NULL)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |       CAST(sum(vmilli * dt_us) // sum(dt_us) AS BIGINT) AS twap_milli
+        |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q104_snapshots" -> {
       val cutVals = SnapshotCuts.map(c =>
         s"('$c', ${java.time.Instant.parse(s"${c}T00:00:00Z").toEpochMilli * 1000L})")

@@ -487,6 +487,37 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(victims.nonEmpty && delOrders.nonEmpty, "fixture must exercise the cascade")
   }
 
+  test("twap replays from a sequential interval walk and diverges from the plain mean") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3) * 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .groupBy(_._1)
+    val got = graft.queries.TemporalQueries.q105Twap(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    var diverged = 0
+    ev.foreach { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val ivs = sorted.sliding(2).collect {
+        case Array(a, b) => (a._4, b._2 - a._2)
+      }.toSeq
+      if (ivs.isEmpty) assert(!got.contains(u))
+      else {
+        val span = ivs.map(_._2).sum
+        val num = ivs.map { case (v, dt) => BigInt(v) * BigInt(dt) }.sum
+        assert(got(u) == ((ivs.length.toLong, span, (num / span).toLong)), s"user $u")
+        val mean = sorted.map(_._4).sum / sorted.length
+        if ((got(u)._3 - mean).abs > mean / 20) diverged += 1
+      }
+    }
+    // on irregular sampling TWAP must genuinely differ from the plain mean
+    assert(diverged > 0, "TWAP never diverged from the naive mean — weight is dead")
+  }
+
   test("snapshot reconstruction replays per-cut argmax and nests monotonically") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val ev = Tables.load(spark, dir, "events")
