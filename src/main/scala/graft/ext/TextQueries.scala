@@ -811,7 +811,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t25 — CCNet-style per-language quantile buckets (Wenzek et al.
+    * 2020): rank every document WITHIN its language by LM fluency (t10's
+    * score) and split into head/middle/tail terciles — the calibration
+    * step that makes fluency thresholds comparable ACROSS languages (a
+    * global cutoff over-prunes whichever language the LM scores low).
+    *
+    * Scale shape: per-language ranking goes through
+    * [[graft.ops.RankOps.withGroupRank]] — a balanced global range
+    * partition on (lang, score) minus broadcast group offsets — NOT a
+    * `PARTITION BY lang` window, which would sort each language's whole
+    * corpus on one reducer (few languages = few reducers at 100 TB).
+    * The rank key is the integer micro fluency with doc_id tie-break,
+    * and the tercile is exact integer arithmetic from the 0-based rank,
+    * so both engines bucket identically. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val scored = lmScore(spark, dir).select(col("doc_id"), col("avg_logprob"))
+      .join(Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("alp_micro",
+        expr("cast(round(avg_logprob * 1000000.0D, 0) as bigint)"))
+    val ranked = graft.ops.RankOps.withGroupRank(scored, par, "rk0",
+      Seq("lang"), Seq(lit(0L) - col("alp_micro"), col("doc_id")))
+    val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (col("rk0") + 1).cast("long").as("rank_in_lang"),
+        expr("CASE WHEN rk0 * 3 div nl = 0 THEN 'head' " +
+          "WHEN rk0 * 3 div nl = 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
     "t24_hash_features" -> ((s, d) => hashFeatures(s, d)),
     "t23_dsir" -> ((s, d) => dsirWeights(s, d)),
     "t22_gopher_gate" -> ((s, d) => gopherGate(s, d)),
@@ -843,6 +876,35 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t25_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(range(1, len(tk))) i
+        |      FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT doc_id, tk[i] w1, tk[i+1] w2 FROM s),
+        |c12 AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) c1 FROM bg GROUP BY 1),
+        |j AS (SELECT doc_id,
+        |        CAST(round(round(ln(c12.c12 * 1.0 / c1.c1), 6) * 1000000.0, 0)
+        |          AS BIGINT) lpm
+        |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+        |lm AS (SELECT doc_id,
+        |         round(CAST(sum(lpm) AS DOUBLE) / count(*) / 1000000.0, 6)
+        |           avg_logprob
+        |       FROM j GROUP BY doc_id),
+        |sc AS (SELECT lm.doc_id, d.lang,
+        |         CAST(round(avg_logprob * 1000000.0, 0) AS BIGINT) alp
+        |       FROM lm JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY alp DESC, doc_id ASC) - 1 rk0,
+        |        count(*) OVER (PARTITION BY lang) nl
+        |      FROM sc)
+        |SELECT doc_id, lang, CAST(rk0 + 1 AS BIGINT) AS rank_in_lang,
+        |       CASE WHEN rk0 * 3 // nl = 0 THEN 'head'
+        |            WHEN rk0 * 3 // nl = 1 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "t24_hash_features" -> {
       val fields = (0 until HashFeatDim)
         .map(b => s"CAST(len(list_filter(bs, x -> x = $b)) AS BIGINT) f$b")

@@ -1033,6 +1033,30 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(nDropped > 0, "fixtures should contain semantic near-dups")
   }
 
+  test("ccnet buckets are balanced per-language terciles ordered by fluency") {
+    val lm = TextQueries.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(2) * 1e6)).toMap
+    val rows = ext.TextQueries.ccnetBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == lm.size)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      // ranks are a permutation of 1..n and agree with the score order
+      assert(rs.map(_._3).sorted.toSeq == (1L to n.toLong))
+      val byRank = rs.sortBy(_._3)
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        val (sa, sb) = (lm(a._1), lm(b._1))
+        assert(sa > sb || (sa == sb && a._1 < b._1), s"$lang rank order")
+      }
+      // tercile sizes differ by at most one and are ordered head->tail
+      val sizes = Seq("head", "middle", "tail").map(bk => rs.count(_._4 == bk))
+      assert(sizes.sum == n && sizes.max - sizes.min <= 1, s"$lang $sizes")
+      val worstHead = byRank.filter(_._4 == "head").map(t => lm(t._1)).min
+      val bestTail = byRank.filter(_._4 == "tail").map(t => lm(t._1)).max
+      assert(worstHead >= bestTail, s"$lang head/tail overlap")
+    }
+  }
+
   test("dedup funnel stages agree with their source queries and shrink monotonically") {
     val rows = ext.DedupQueries.dedupFunnel(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
