@@ -191,6 +191,28 @@ object DedupQueries {
       .select(col("keep_id"), col("n_copies"), col("text"))
       .orderBy("keep_id")
 
+  /** d22 — word-order-insensitive (bag-of-words) dedup: canonicalize
+    * each document as the md5 of its sorted distinct token set and keep
+    * the minimum doc_id per signature. This catches the permutation/
+    * reshuffle duplicates that exact dedup (d1) misses and MinHash (d3)
+    * only catches probabilistically — scraped pages re-rendered with
+    * reordered boilerplate collapse to the same token set. `n_texts >
+    * 1` rows are exactly the groups where BOW dedup beat exact dedup.
+    *
+    * Scale shape: one per-row projection (tokenize, sort the ~100-token
+    * set, hash) and one hash aggregate keyed on a 128-bit digest —
+    * embarrassingly parallel, uniform keys, no index needed. */
+  def bowDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("bow_sig", md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), " "))))))
+      .groupBy(col("bow_sig"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"))
+      .select(col("keep_id"), col("bow_sig"), col("n_docs"), col("n_texts"))
+      .orderBy("keep_id")
+
   /** d2 — MinHash signatures: one md5 digest over the 16 minhashes. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame =
     minhashed(spark, dir)
@@ -1040,6 +1062,7 @@ object DedupQueries {
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
     "d11_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "d22_bow_dedup" -> ((s, d) => bowDedup(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
@@ -1309,6 +1332,17 @@ object DedupQueries {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, text
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d22_bow_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |         md5(array_to_string(
+        |           list_sort(list_distinct(string_split(lower(text), ' '))),
+        |           ' ')) bow_sig
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, bow_sig, count(*) AS n_docs,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_texts
+        |FROM b GROUP BY bow_sig ORDER BY keep_id""".stripMargin,
 
     "d2_minhash_signature" ->
       s"""WITH $duckShingled,

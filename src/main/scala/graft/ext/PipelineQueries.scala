@@ -506,7 +506,62 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p19 — seeded deterministic global shuffle: the training-order
+    * permutation. Every epoch of LM training consumes the corpus in a
+    * pseudo-random order that must be REPRODUCIBLE (elastic restarts,
+    * re-sharded retries, and audit re-runs must all see the same order),
+    * so the permutation is keyed, not drawn: `shuffle_key =
+    * md5(seed # doc_id)` and `position` = global rank under that key.
+    *
+    * Scale shape: the rank is [[graft.ops.RankOps.withGlobalRank]] —
+    * range-partition on the hash key (uniform by construction, so the
+    * range partitioner needs no skew handling) + per-partition offsets;
+    * never a single-task `row_number() OVER (ORDER BY ...)` window. The
+    * same two-job pass would lay out a 100 TB corpus across P writers
+    * with each writer streaming its range in order. */
+  val ShuffleSeed = 42
+  def seededShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val keyed = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("shuffle_key",
+        md5(concat_ws("#", lit(ShuffleSeed), col("doc_id"))))
+    graft.ops.RankOps
+      .withGlobalRank(keyed, par, "position", col("shuffle_key"), col("doc_id"))
+      .select(col("doc_id"), col("shuffle_key"), col("position"))
+      .orderBy("doc_id")
+  }
+
+  /** p20 — sequence-length bucketing / padding-waste audit: assign each
+    * doc to the smallest power-of-two token bucket that fits it and
+    * report, per bucket, the document count, real token mass, padded
+    * token mass (`bucket · n_docs` — what the accelerator actually
+    * processes when batches are padded to the bucket width), and the
+    * waste as exact ppm. This is the readout that decides bucket
+    * boundaries for batch packing: too few buckets → padding waste; too
+    * many → small batches. Pure projection + one hash aggregate over ~10
+    * groups — embarrassingly scalable; the when-chain keeps the bucket
+    * math integer-exact (no float log2 at bucket boundaries). */
+  val PadBuckets: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+    val bucket = PadBuckets.foldRight(lit(2048L): org.apache.spark.sql.Column) {
+      (b, acc) => when(col("n_toks") <= b, b).otherwise(acc)
+    }
+    toks.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .withColumn("padded_toks", col("bucket") * col("n_docs"))
+      .withColumn("waste_ppm", expr(
+        "cast((cast(padded_toks - sum_toks as decimal(38,0)) * 1000000) div padded_toks as bigint)"))
+      .select("bucket", "n_docs", "sum_toks", "padded_toks", "waste_ppm")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_seeded_shuffle" -> ((s, d) => seededShuffle(s, d)),
+    "p20_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "p18_source_cap" -> ((s, d) => sourceCap(s, d)),
     "p17_rendezvous" -> ((s, d) => rendezvousReshard(s, d)),
     "p16_priority_survivor" -> ((s, d) => prioritySurvivor(s, d)),
@@ -581,6 +636,30 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: a plain global row_number window
+    // differentially checks the RankOps range-partition rank.
+    "p19_seeded_shuffle" ->
+      s"""SELECT doc_id,
+         |       md5($ShuffleSeed || '#' || doc_id::VARCHAR) AS shuffle_key,
+         |       CAST(row_number() OVER (
+         |         ORDER BY md5($ShuffleSeed || '#' || doc_id::VARCHAR), doc_id)
+         |         - 1 AS BIGINT) AS position
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p20_length_buckets" -> {
+      val caseSql = PadBuckets.map(b => s"WHEN n_toks <= $b THEN $b")
+        .mkString("CASE ", " ", " ELSE 2048 END")
+      s"""WITH t AS (SELECT len(string_split(lower(text), ' '))::BIGINT n_toks
+         |           FROM documents),
+         |b AS (SELECT CAST($caseSql AS BIGINT) bucket, n_toks FROM t),
+         |g AS (SELECT bucket, count(*) n_docs, CAST(sum(n_toks) AS BIGINT) sum_toks
+         |      FROM b GROUP BY bucket)
+         |SELECT bucket, n_docs, sum_toks,
+         |       CAST(bucket * n_docs AS BIGINT) AS padded_toks,
+         |       CAST((bucket * n_docs - sum_toks) * 1000000
+         |            // (bucket * n_docs) AS BIGINT) AS waste_ppm
+         |FROM g ORDER BY bucket""".stripMargin
+    },
     // Independent formulation: the naive full row_number-over-source
     // window differentially checks the broadcast-threshold plan.
     "p18_source_cap" ->

@@ -884,7 +884,63 @@ object SimilarityQueries {
       .orderBy("nprobe")
   }
 
+  /** s20 — centroid-silhouette clustering-quality audit: per label, the
+    * mean simplified silhouette `s = (b − a) / max(a, b)` where `a` is a
+    * vector's squared distance to its OWN label centroid and `b` the
+    * minimum squared distance to any OTHER label centroid, in exact
+    * micro²-unit integers (the "medoid-free" silhouette used to monitor
+    * embedding-space class separation at corpus scale, where true
+    * pairwise silhouette is O(n²) and never computed). `n_misfit` counts
+    * vectors strictly closer to a foreign centroid — the cross-label
+    * confusion a label-quality audit alerts on.
+    *
+    * Scale shape: centroids are a 10×64 model-state table (collected,
+    * folded into a literal array); the corpus pass is one projection +
+    * one 10-group aggregate — no shuffle larger than the group count,
+    * no pairwise work. Signs are handled by branching before the
+    * integral division so truncating and floor division coincide (both
+    * engines divide non-negative operands only — the EWMA discipline). */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    val ml = emb(spark, dir).select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))")
+        .as("vm"))
+    // label centroids: exact micro-integer per-dim means — model state
+    // (10 labels x 64 dims), collected once and inlined as a literal.
+    val cents = ml
+      .select(col("label"), posexplode(col("vm")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("cast(sum(x) div count(1) as bigint)").as("cm"))
+      .groupBy(col("label"))
+      .agg(expr("array_sort(collect_list(struct(pos, cm)))").as("pcs"))
+      .select(col("label"), expr("transform(pcs, p -> p.cm)").as("cm"))
+      .collect().sortBy(_.getLong(0))
+    val centArr = array(cents.map { r =>
+      struct(lit(r.getLong(0)).as("clabel"),
+        array(r.getAs[scala.collection.Seq[Long]]("cm").toSeq.map(lit): _*).as("cm"))
+    }.toIndexedSeq: _*)
+    ml.withColumn("cents", centArr)
+      .withColumn("ds", expr(
+        "transform(cents, c -> struct(" +
+          "aggregate(zip_with(vm, c.cm, (p, q) -> (p - q) * (p - q)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x) as d2, c.clabel as clabel))"))
+      .withColumn("a2", expr("element_at(filter(ds, d -> d.clabel = label), 1).d2"))
+      .withColumn("b2", expr("array_min(transform(filter(ds, d -> d.clabel != label), d -> d.d2))"))
+      .withColumn("s_ppm", expr(
+        "case when greatest(a2, b2) = 0 then cast(0 as bigint) " +
+          "when b2 >= a2 then cast((cast(b2 - a2 as decimal(38,0)) * 1000000) div greatest(a2, b2) as bigint) " +
+          "else -cast((cast(a2 - b2 as decimal(38,0)) * 1000000) div greatest(a2, b2) as bigint) end"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("case when sum(s_ppm) >= 0 then cast(sum(s_ppm) div count(1) as bigint) " +
+          "else -cast((-sum(s_ppm)) div count(1) as bigint) end").as("mean_sil_ppm"),
+        sum(when(col("s_ppm") < 0, 1L).otherwise(0L)).as("n_misfit"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_silhouette" -> ((s, d) => silhouette(s, d)),
     "s19_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "s18_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
     "s17_retrieval_eval" -> ((s, d) => retrievalEval(s, d)),
@@ -949,6 +1005,42 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: centroid distances via a corpus x centroid
+    // cross join + conditional aggregation (vs the literal-array
+    // projection the engine plans). Sign-branched floor division matches
+    // the engine's non-negative-operand discipline.
+    "s20_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |       list_transform(embedding::DOUBLE[],
+         |         x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) vm
+         |     FROM embeddings),
+         |dd AS (SELECT unnest(range(1, ${LshDims + 1})) dim),
+         |cx AS (SELECT label, dim, CAST(sum(vm[dim]) // count(*) AS BIGINT) cm
+         |       FROM e CROSS JOIN dd GROUP BY 1, 2),
+         |c AS (SELECT label clabel, list(cm ORDER BY dim) cm FROM cx GROUP BY 1),
+         |d AS (SELECT e.vec_id, e.label, c.clabel,
+         |        CAST(list_aggregate(list_transform(range(1, ${LshDims + 1}),
+         |          i -> (e.vm[i] - c.cm[i]) * (e.vm[i] - c.cm[i])), 'sum') AS BIGINT) d2
+         |      FROM e CROSS JOIN c),
+         |ab AS (SELECT vec_id, label,
+         |         max(CASE WHEN clabel = label THEN d2 END) a2,
+         |         min(CASE WHEN clabel <> label THEN d2 END) b2
+         |       FROM d GROUP BY 1, 2),
+         |s AS (SELECT label,
+         |        CASE WHEN greatest(a2, b2) = 0 THEN 0
+         |             WHEN b2 >= a2
+         |               THEN CAST(CAST(b2 - a2 AS HUGEINT) * 1000000
+         |                         // greatest(a2, b2) AS BIGINT)
+         |             ELSE -CAST(CAST(a2 - b2 AS HUGEINT) * 1000000
+         |                        // greatest(a2, b2) AS BIGINT)
+         |        END s_ppm
+         |      FROM ab)
+         |SELECT label, count(*) AS n_vecs,
+         |       CASE WHEN sum(s_ppm) >= 0
+         |            THEN CAST(sum(s_ppm) // count(*) AS BIGINT)
+         |            ELSE -CAST((-sum(s_ppm)) // count(*) AS BIGINT) END AS mean_sil_ppm,
+         |       CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+         |FROM s GROUP BY label ORDER BY label""".stripMargin,
     "s19_nprobe_sweep" -> {
       val spList = NprobeSweep.mkString("[", ", ", "]")
       s"""WITH $duckEmb,

@@ -1338,4 +1338,101 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("seeded shuffle is a permutation, reproducible, and follows the hash order") {
+    val rows = ext.PipelineQueries.seededShuffle(spark, dir).collect()
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong == n)
+    // positions are exactly 0..n-1 (a permutation, no gaps or dupes)
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until n).toSeq)
+    // order follows the md5 key: sort driver-side and compare
+    val byKey = rows.sortBy(r => (r.getString(1), r.getLong(0)))
+    byKey.zipWithIndex.foreach { case (r, i) => assert(r.getLong(2) == i.toLong) }
+    // reproducible: a second run yields the identical permutation
+    val again = ext.PipelineQueries.seededShuffle(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
+  test("length buckets tile the corpus and waste matches padded minus real mass") {
+    val rows = ext.PipelineQueries.lengthBuckets(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("size(split(lower(text), ' ')) n").collect().map(_.getInt(0).toLong)
+    assert(rows.map(_.getLong(1)).sum == docs.length.toLong)
+    assert(rows.map(_.getLong(2)).sum == docs.sum)
+    rows.foreach { r =>
+      val (bucket, nDocs, sumToks, padded, ppm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(padded == bucket * nDocs)
+      assert(sumToks <= padded, "no bucket packs more tokens than its padded width")
+      assert(ppm == (padded - sumToks) * 1000000L / padded)
+      // every doc in the bucket must actually fit (and not fit the next-smaller)
+      val prev = ext.PipelineQueries.PadBuckets.filter(_ < bucket).lastOption.getOrElse(0L)
+      val members = docs.filter(t => t > prev && t <= bucket)
+      assert(members.length.toLong == nDocs)
+    }
+  }
+
+  test("bow dedup groups word-order permutations that exact dedup keeps apart") {
+    val rows = ext.DedupQueries.bowDedup(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bow(t: String) = t.toLowerCase.split(" ", -1).distinct.sorted.toSeq
+    val groups = docs.groupBy { case (_, t) => bow(t) }
+    assert(rows.length == groups.size)
+    assert(rows.map(_.getLong(2)).sum == docs.length.toLong)
+    val byKeep = rows.map(r => r.getLong(0) -> r).toMap
+    groups.foreach { case (_, members) =>
+      val keep = members.map(_._1).min
+      val r = byKeep(keep)
+      assert(r.getLong(2) == members.length.toLong)
+      assert(r.getLong(3) == members.map(_._2).distinct.length.toLong)
+    }
+    // BOW dedup must be at least as coarse as exact dedup
+    assert(groups.size <= docs.map(_._2).distinct.length)
+  }
+
+  test("silhouette matches a driver-side integer recompute per label") {
+    val rows = SimilarityQueries.silhouette(spark, dir).collect()
+    val embs = Tables.load(spark, dir, "embeddings").collect().map { r =>
+      (r.getInt(2).toLong,
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.round(x.toDouble * 1e6)).toArray)
+    }
+    val byLabel = embs.groupBy(_._1)
+    val cents = byLabel.map { case (l, vs) =>
+      val dims = vs.head._2.length
+      l -> Array.tabulate(dims) { d =>
+        val s = vs.map(_._2(d)).sum
+        // integer floor division matching `sum div count` on non-negative
+        // and negative sums alike (quot truncation == the engine's div)
+        s / vs.length
+      }
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = byLabel.map { case (l, vs) =>
+      val sppm = vs.map { case (_, vm) =>
+        val a2 = d2(vm, cents(l))
+        val b2 = cents.filter(_._1 != l).map(c => d2(vm, c._2)).min
+        if (math.max(a2, b2) == 0) 0L
+        else {
+          val num = (BigInt(b2) - BigInt(a2)) * 1000000
+          val q = num.abs / BigInt(math.max(a2, b2))
+          (if (num >= 0) q else -q).toLong
+        }
+      }
+      val sum = sppm.sum
+      val mean = if (sum >= 0) sum / sppm.length else -(-sum / sppm.length)
+      l -> (vs.length.toLong, mean, sppm.count(_ < 0).toLong)
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, mean, mis) = expected(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == mean, s"label ${r.getLong(0)} mean")
+      assert(r.getLong(3) == mis)
+    }
+  }
+
 }
