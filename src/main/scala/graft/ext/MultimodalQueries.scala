@@ -407,7 +407,35 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** m14 — lead/tail silence trim (the VAD-style boundary cut): per
+    * payload, find the FIRST and LAST frame at-or-above the m9 energy
+    * threshold and report how many leading/trailing quiet frames a trim
+    * would drop and how many frames survive. m9 reports interior quiet
+    * runs (split points); m14 is the complementary edge operation every
+    * audio/video ingest applies before chunking — leading/trailing
+    * silence is storage with zero training signal. An all-quiet payload
+    * trims to zero frames (`first_loud`/`last_loud` NULL).
+    *
+    * Shape: the frame explode feeds ONE conditional min/max aggregate —
+    * no window, no second scan; the trim arithmetic is a 500-row
+    * projection on the aggregate output. */
+  def silenceTrim(spark: SparkSession, dir: String): DataFrame =
+    framesWithEnergy(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(when(col("energy") >= QuietThreshold, col("frame_idx")))
+          .as("first_loud"),
+        max(when(col("energy") >= QuietThreshold, col("frame_idx")))
+          .as("last_loud"))
+      .withColumn("kept_frames",
+        coalesce(col("last_loud") - col("first_loud") + 1, lit(0L)))
+      .withColumn("trim_lead", coalesce(col("first_loud"), col("n_frames")))
+      .withColumn("trim_tail", when(col("last_loud").isNull, 0L)
+        .otherwise(col("n_frames") - 1 - col("last_loud")))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_silence_trim" -> ((s, d) => silenceTrim(s, d)),
     "m12_byte_entropy" -> ((s, d) => byteEntropy(s, d)),
     "m11_cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "m10_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
@@ -424,6 +452,33 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m14_silence_trim" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) i
+         |  FROM documents WHERE length(text) > 0),
+         |fr AS (SELECT doc_id, i frame_idx,
+         |         substr(text, CAST(i * 16 + 1 AS INT), 16) fb
+         |       FROM g),
+         |en AS (SELECT doc_id, frame_idx,
+         |         CAST(list_aggregate(list_transform(range(1, len(fb) + 1),
+         |           j -> ascii(substr(fb, CAST(j AS INT), 1))
+         |                * ascii(substr(fb, CAST(j AS INT), 1))), 'sum') AS BIGINT) energy
+         |       FROM fr),
+         |ag AS (SELECT doc_id, count(*) n_frames,
+         |         min(CASE WHEN energy >= $QuietThreshold THEN frame_idx END)
+         |           first_loud,
+         |         max(CASE WHEN energy >= $QuietThreshold THEN frame_idx END)
+         |           last_loud
+         |       FROM en GROUP BY doc_id)
+         |SELECT doc_id, n_frames, first_loud, last_loud,
+         |       CAST(coalesce(last_loud - first_loud + 1, 0) AS BIGINT)
+         |         AS kept_frames,
+         |       CAST(coalesce(first_loud, n_frames) AS BIGINT) AS trim_lead,
+         |       CAST(CASE WHEN last_loud IS NULL THEN 0
+         |            ELSE n_frames - 1 - last_loud END AS BIGINT) AS trim_tail
+         |FROM ag ORDER BY doc_id""".stripMargin,
+
     "m12_byte_entropy" ->
       """WITH t AS (SELECT doc_id,
         |        list_transform(string_split(text, ''), c -> ascii(c)) codes

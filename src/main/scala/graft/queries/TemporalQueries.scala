@@ -882,7 +882,60 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** q106 — zone-map / data-skipping audit: build a [[ZonesN]]-zone
+    * min-max index over the event log in storage order (contiguous
+    * event_id ranges — the parquet row-group analogue) and, for a
+    * 3-predicate battery, report how many zones the zone map PRUNES vs
+    * how many actually contain matches. This is the audit a lakehouse
+    * layout publishes to decide whether a column's min/max statistics
+    * are worth anything: `ts` is correlated with insertion order (zones
+    * prune), `value` is uniform noise (zone maps useless — every zone
+    * overlaps), and the string `event_type` shows lexicographic min/max
+    * pruning. `false_pos_zones` = scanned-but-empty — the I/O a better
+    * clustering (e.g. p6's Z-order) would eliminate.
+    *
+    * Shape: ONE scan aggregating per-zone stats + per-zone conditional
+    * hit counts (32-group hash agg), then three 32-row passes over the
+    * zone-stat frame — the corpus is never scanned per predicate. At
+    * 100 TB this is exactly how skipping stats are computed: metadata
+    * scale, not data scale. */
+  val ZonesN = 32
+  def q106ZoneMap(spark: SparkSession, dir: String): DataFrame = {
+    val tsCut = "timestamp'2024-01-25 00:00:00'"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"), col("event_type"))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val zones = ev.crossJoin(broadcast(mx))
+      .withColumn("zone", expr(s"cast(event_id * $ZonesN div (mx + 1) as bigint)"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        min(col("event_type")).as("et_min"), max(col("event_type")).as("et_max"),
+        sum(when(col("ts") >= expr(tsCut), 1L).otherwise(0L)).as("h_ts"),
+        sum(when(col("value") >= 400.0, 1L).otherwise(0L)).as("h_v"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("h_et"))
+    def audit(pred: String, scanCond: org.apache.spark.sql.Column,
+        hits: org.apache.spark.sql.Column): DataFrame =
+      zones.agg(
+        count(lit(1)).as("n_zones"),
+        sum(when(scanCond, 1L).otherwise(0L)).as("zones_scanned"),
+        sum(when(hits > 0L, 1L).otherwise(0L)).as("zones_with_hits"),
+        sum(when(scanCond && hits === 0L, 1L).otherwise(0L)).as("false_pos_zones"),
+        sum(when(scanCond, col("rows")).otherwise(0L)).as("rows_scanned"),
+        sum(hits).as("rows_matched"))
+        .select(lit(pred).as("pred"), col("n_zones"), col("zones_scanned"),
+          col("zones_with_hits"), col("false_pos_zones"),
+          col("rows_scanned"), col("rows_matched"))
+    audit("p1_ts_late", col("ts_max") >= expr(tsCut), col("h_ts"))
+      .unionAll(audit("p2_value_hi", col("v_max") >= 400.0, col("h_v")))
+      .unionAll(audit("p3_purchase",
+        col("et_min") <= "purchase" && col("et_max") >= "purchase", col("h_et")))
+      .orderBy("pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_zonemap" -> ((s, d) => q106ZoneMap(s, d)),
     "q105_twap" -> ((s, d) => q105Twap(s, d)),
     "q104_snapshots" -> ((s, d) => q104Snapshots(s, d)),
     "q80_lateness_audit" -> ((s, d) => q80LatenessAudit(s, d)),
@@ -912,6 +965,45 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: per-predicate zone verdicts via three
+    // grouped subqueries over an explicitly materialized zone table (vs
+    // the engine's single conditional-aggregate scan).
+    "q106_zonemap" ->
+      s"""WITH mx AS (SELECT max(event_id) mx FROM events),
+         |z AS (SELECT e.event_id * $ZonesN // (mx.mx + 1) AS zone,
+         |             e.ts, e.value, e.event_type
+         |      FROM events e CROSS JOIN mx),
+         |zs AS (SELECT zone, count(*) nrows,
+         |         min(ts) ts_min, max(ts) ts_max,
+         |         min(value) v_min, max(value) v_max,
+         |         min(event_type) et_min, max(event_type) et_max,
+         |         sum(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+         |             THEN 1 ELSE 0 END) h_ts,
+         |         sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) h_v,
+         |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) h_et
+         |       FROM z GROUP BY zone),
+         |p(pred) AS (VALUES ('p1_ts_late'), ('p2_value_hi'), ('p3_purchase')),
+         |a AS (SELECT p.pred, zs.nrows,
+         |        CASE p.pred
+         |          WHEN 'p1_ts_late' THEN zs.ts_max >= TIMESTAMP '2024-01-25 00:00:00'
+         |          WHEN 'p2_value_hi' THEN zs.v_max >= 400.0
+         |          ELSE zs.et_min <= 'purchase' AND zs.et_max >= 'purchase'
+         |        END scanned,
+         |        CASE p.pred WHEN 'p1_ts_late' THEN zs.h_ts
+         |          WHEN 'p2_value_hi' THEN zs.h_v ELSE zs.h_et END hits
+         |      FROM p CROSS JOIN zs)
+         |SELECT pred, count(*) AS n_zones,
+         |       CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS zones_scanned,
+         |       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS zones_with_hits,
+         |       CAST(sum(CASE WHEN scanned AND hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS false_pos_zones,
+         |       CAST(sum(CASE WHEN scanned THEN nrows ELSE 0 END) AS BIGINT)
+         |         AS rows_scanned,
+         |       CAST(sum(hits) AS BIGINT) AS rows_matched
+         |FROM a GROUP BY pred ORDER BY pred""".stripMargin,
+
     "q105_twap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) us, event_id,
         |        CAST(round(value * 1000.0, 0) AS BIGINT) vmilli FROM events),

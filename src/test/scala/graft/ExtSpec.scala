@@ -1392,6 +1392,33 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(groups.size <= docs.map(_._2).distinct.length)
   }
 
+  test("silence trim agrees with quiet-run accounting and a brute-force edge scan") {
+    val trims = ext.MultimodalQueries.silenceTrim(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    assert(trims.length == docs.size)
+    trims.foreach { r =>
+      val text = docs(r.getLong(0))
+      val energies = text.grouped(16).map(_.map(c => c.toLong * c).sum).toArray
+      val loud = energies.zipWithIndex
+        .filter(_._1 >= ext.MultimodalQueries.QuietThreshold).map(_._2)
+      assert(r.getLong(1) == energies.length.toLong)
+      if (loud.isEmpty) {
+        assert(r.isNullAt(2) && r.isNullAt(3))
+        assert(r.getLong(4) == 0L)
+        assert(r.getLong(5) == energies.length.toLong && r.getLong(6) == 0L)
+      } else {
+        assert(r.getLong(2) == loud.head.toLong && r.getLong(3) == loud.last.toLong)
+        assert(r.getLong(4) == (loud.last - loud.head + 1).toLong)
+        assert(r.getLong(5) == loud.head.toLong)
+        assert(r.getLong(6) == (energies.length - 1 - loud.last).toLong)
+        // trim accounting tiles the frame axis: lead + kept + tail = total
+        assert(r.getLong(5) + r.getLong(4) + r.getLong(6) == r.getLong(1))
+      }
+    }
+  }
+
   test("silhouette matches a driver-side integer recompute per label") {
     val rows = SimilarityQueries.silhouette(spark, dir).collect()
     val embs = Tables.load(spark, dir, "embeddings").collect().map { r =>

@@ -542,4 +542,35 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       ua.foreach(u => assert(got((a, u))._1 <= got((b, u))._1))
     }
   }
+
+  test("zone-map audit matches a brute-force zone recompute and never misses a hit") {
+    val rows = TemporalQueries.q106ZoneMap(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 3)
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "value", "event_type").collect()
+    val mx = ev.map(_.getLong(0)).max
+    val z = TemporalQueries.ZonesN
+    val zoneOf = (id: Long) => id * z / (mx + 1)
+    val cut = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val preds: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+      "p1_ts_late" -> (r => !r.getTimestamp(1).before(cut)),
+      "p2_value_hi" -> (r => r.getDouble(2) >= 400.0),
+      "p3_purchase" -> (r => r.getString(3) == "purchase"))
+    val byZone = ev.groupBy(r => zoneOf(r.getLong(0)))
+    preds.foreach { case (name, p) =>
+      val r = rows(name)
+      val hitsPerZone = byZone.view.mapValues(_.count(p)).toMap
+      assert(r.getLong(1) == byZone.size.toLong, s"$name n_zones")
+      assert(r.getLong(3) == hitsPerZone.count(_._2 > 0).toLong, s"$name zones_with_hits")
+      assert(r.getLong(6) == hitsPerZone.values.sum.toLong, s"$name rows_matched")
+      // soundness: scanning is a SUPERSET of matching — a zone map may
+      // over-scan (false positives) but must never skip a zone with hits
+      assert(r.getLong(2) >= r.getLong(3), s"$name scans fewer zones than have hits")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), s"$name false_pos accounting")
+      assert(r.getLong(5) >= r.getLong(6), s"$name scanned rows < matched rows")
+    }
+    // the correlated ts predicate must actually PRUNE on this fixture
+    assert(rows("p1_ts_late").getLong(2) < rows("p1_ts_late").getLong(1))
+  }
 }
