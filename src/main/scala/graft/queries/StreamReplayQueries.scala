@@ -104,7 +104,21 @@ object StreamReplayQueries {
       .orderBy("user_id")
   }
 
+  /** CEP A-then-B pattern hits — twin of StreamOps.patternMatches (batch
+    * execution = one stateless fold per user over the full timeline). The
+    * oracle is the q76 carried-group trick: a running count of 'view'
+    * events labels each purchase with its latest-view group. */
+  def patternReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "event_type")
+      .as[graft.streaming.TypedEvent]
+    StreamOps.patternMatches(spark, ev).toDF()
+      .orderBy("user_id", "b_us", "b_event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_stream_pattern_replay" -> ((s, d) => patternReplay(s, d)),
     "r_stream_window_replay" -> ((s, d) => windowReplay(s, d)),
     "r_stream_session_replay" -> ((s, d) => sessionReplay(s, d)),
     "r_stream_sliding_replay" -> ((s, d) => slidingReplay(s, d)),
@@ -115,6 +129,26 @@ object StreamReplayQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: the carried-group window join (each
+    // purchase joins the view sharing its running-view-count group)
+    // differentially checks the stateful fold.
+    "r_stream_pattern_replay" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) us, event_id, event_type
+         |           FROM events),
+         |f AS (SELECT *, sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY us, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) vg
+         |      FROM e),
+         |v AS (SELECT user_id, vg, us a_us, event_id a_eid
+         |      FROM f WHERE event_type = 'view'),
+         |p AS (SELECT user_id, vg, us b_us, event_id b_eid
+         |      FROM f WHERE event_type = 'purchase' AND vg > 0)
+         |SELECT p.user_id, v.a_eid AS a_event_id, p.b_eid AS b_event_id,
+         |       v.a_us AS a_us, p.b_us AS b_us,
+         |       CAST(p.b_us - v.a_us AS BIGINT) AS gap_us
+         |FROM p JOIN v USING (user_id, vg)
+         |WHERE p.b_us - v.a_us <= ${StreamOps.PatternWindowUs}
+         |ORDER BY user_id, b_us, b_event_id""".stripMargin,
     // time_bucket aligns to 2000-01-01, which is a whole multiple of 10
     // minutes from the epoch Spark's window() aligns to — same buckets.
     "r_stream_window_replay" ->

@@ -28,6 +28,15 @@ case class EwmaPoint(user_id: Long, ts: java.sql.Timestamp, event_id: Long, vm: 
 /** Running EWMA state emitted by [[StreamOps.ewmaStream]] per key per batch. */
 case class EwmaRunning(user_id: Long, n_events: Long, ewma_micro: Long)
 
+/** One typed event on a user's timeline, the input to
+  * [[StreamOps.patternMatches]] (us = event time in microseconds). */
+case class TypedEvent(user_id: Long, us: Long, event_id: Long, event_type: String)
+
+/** An A-then-B pattern hit emitted by [[StreamOps.patternMatches]]: the
+  * B event plus the latest preceding A event and their gap. */
+case class PatternMatch(user_id: Long, a_event_id: Long, b_event_id: Long,
+    a_us: Long, b_us: Long, gap_us: Long)
+
 /** Stateful streaming operators the reference lacks (SURVEY §2.8): event-time
   * windows, watermarked dedup, and arbitrary keyed state. These are the
   * bounded-state building blocks for running the stedi pipelines at scale —
@@ -183,6 +192,42 @@ object StreamOps {
           }
           state.update((n, e))
           EwmaRunning(uid, n, e)
+      }
+  }
+
+  /** CEP-style A-then-B pattern detection: emit a match for every
+    * 'purchase' that follows a 'view' by the same user within
+    * [[PatternWindowUs]], paired with the LATEST such view (the
+    * non-consuming followed-by of CEP engines — one view can witness
+    * several purchases; each purchase reports its nearest antecedent).
+    *
+    * State per key is TWO longs — the (us, event_id) of the latest view —
+    * so state size is O(keys) regardless of traffic, and the decision
+    * `b.us − a.us ≤ W` is pure integer time math: the stream, the batch
+    * replay (`r_stream_pattern_replay`), and the DuckDB oracle agree on
+    * every boundary (ties inside one timestamp break by event_id, the
+    * same lexicographic order the fold processes). Within a micro-batch
+    * events sort by (us, event_id); across batches arrival order must be
+    * event order (in-order source — the ewmaStream discipline). */
+  val PatternWindowUs: Long = 86400L * 1000000L  // 24 h
+  def patternMatches(spark: SparkSession, events: Dataset[TypedEvent]): Dataset[PatternMatch] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, es: Iterator[TypedEvent], state: GroupState[(Long, Long)]) =>
+          var last = state.getOption.getOrElse((-1L, -1L))
+          val out = scala.collection.mutable.Buffer.empty[PatternMatch]
+          es.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase" && last._1 >= 0 &&
+                e.us - last._1 <= PatternWindowUs)
+              out += PatternMatch(uid, last._2, e.event_id,
+                last._1, e.us, e.us - last._1)
+            if (e.event_type == "view") last = (e.us, e.event_id)
+          }
+          state.update(last)
+          out.iterator
       }
   }
 

@@ -137,6 +137,28 @@ class StreamBatchEqualitySpec extends AnyFunSuite with SparkSuite {
     assertFramesEqual(stream, StreamReplayQueries.ewmaReplay(spark, dir))
   }
 
+  test("pattern matches: stream frame equals the batch twin") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "event_type")
+      .as[graft.streaming.TypedEvent].collect().toSeq
+    val input = MemoryStream[graft.streaming.TypedEvent]
+    val q = StreamOps.patternMatches(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("eq_pattern")
+      .outputMode("append").start()
+    try {
+      // split across TWO micro-batches at a user-timeline-safe point (by
+      // event time) to also exercise the cross-batch carried view state
+      val (b1, b2) = ev.sortBy(e => (e.us, e.event_id)).splitAt(ev.size / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("eq_pattern")
+      .orderBy("user_id", "b_us", "b_event_id")
+    assertFramesEqual(stream, StreamReplayQueries.patternReplay(spark, dir))
+  }
+
   test("gopher gate: stream projection equals the oracle-checked batch query") {
     // The gate is a stateless projection, so its streaming form needs no
     // watermark and emits in append mode; the batch t22 query IS the twin
