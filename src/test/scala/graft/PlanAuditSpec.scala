@@ -665,4 +665,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // no parquet scan of embeddings for the assignment side
     assert(p.contains("Scan ExistingRDD"), p)
   }
+
+  test("seeded shuffle ranks via the range-partition primitive, never a global window") {
+    val p = plan("p19_seeded_shuffle")
+    // the RankOps pass surfaces as an RDD scan; a single-task
+    // row_number() OVER (ORDER BY ...) would show an empty-key Window
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("length buckets is one projection + one tiny hash aggregate") {
+    val p = plan("p20_length_buckets")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+    // column pruning: only `text` leaves the scan
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  test("bow dedup is a single map-side-combined hash aggregate") {
+    val p = plan("d22_bow_dedup")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("silhouette never shuffles the corpus: literal centroids, 10-group agg") {
+    val p = plan("s20_silhouette")
+    // centroid table is folded in as a literal — no join anywhere
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("zone-map audit is one corpus scan + metadata-scale passes") {
+    val p = plan("q106_zonemap")
+    // the event log is scanned once per audit branch at most — the
+    // predicate battery must NOT scan per predicate x zone
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("silence trim is explode + one conditional aggregate, no window") {
+    val p = plan("m14_silence_trim")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("pattern replay folds per user in one pass: no join, one key exchange") {
+    val p = plan("r_stream_pattern_replay")
+    assert(!p.contains("Join"), p)
+    // batch execution lowers flatMapGroupsWithState to MapGroups
+    assert(p.contains("MapGroups"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*")) <= 2, p)
+  }
 }
