@@ -559,7 +559,38 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  /** p21 — corpus version diff: the dataset-versioning readout between
+    * two corpus snapshots — which documents were added, removed, changed
+    * (content hash differs) or unchanged. Every corpus release ships
+    * this ledger ("v2 adds N docs, edits M, drops K"), and incremental
+    * pipelines schedule work off it (re-embed only added+changed).
+    * The two versions are synthesized deterministically from the one
+    * fixture: v_old lacks `doc_id % 10 = 0` (those appear in v_new →
+    * added), v_new lacks `doc_id % 13 = 0` (removed) and revises the
+    * text of `doc_id % 7 = 0` (changed).
+    *
+    * Scale shape: one full-outer equi-join of the two hash manifests on
+    * doc_id — the manifests carry (id, 128-bit digest) only, never the
+    * payloads, so the diff of a 100 TB corpus joins ~16 bytes/doc; the
+    * status column is a per-row projection on the join output. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val vOld = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val vNew = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), md5(when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))).as("h_new"))
+    vOld.join(vNew, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_corpus_diff" -> ((s, d) => corpusDiff(s, d)),
     "p19_seeded_shuffle" -> ((s, d) => seededShuffle(s, d)),
     "p20_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
     "p18_source_cap" -> ((s, d) => sourceCap(s, d)),
@@ -636,6 +667,22 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "p21_corpus_diff" ->
+      """WITH vold AS (
+        |  SELECT doc_id, md5(text) h_old FROM documents WHERE doc_id % 10 <> 0),
+        |vnew AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |             ELSE text END) h_new
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT coalesce(vold.doc_id, vnew.doc_id) AS doc_id,
+        |       CASE WHEN vold.doc_id IS NULL THEN 'added'
+        |            WHEN vnew.doc_id IS NULL THEN 'removed'
+        |            WHEN h_old <> h_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM vold FULL OUTER JOIN vnew ON vold.doc_id = vnew.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // Independent formulation: a plain global row_number window
     // differentially checks the RankOps range-partition rank.
     "p19_seeded_shuffle" ->

@@ -939,7 +939,55 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** s21 — classifier calibration / reliability audit over the s12 probe:
+    * per margin decile (top1 − top2 score, the confidence proxy), the
+    * vector count, exact integer mean margin, and accuracy against the
+    * deterministic target `label mod ProbeClasses` in exact ppm. A
+    * monotone accuracy-vs-margin curve is what makes a quality
+    * classifier's threshold MEANINGFUL — this is the readout that
+    * decides where a curation pipeline cuts.
+    *
+    * Scale shape: scoring is the s12 literal-weight projection (no
+    * shuffle); deciles come from [[graft.ops.RankOps]]' range-partition
+    * global rank + the exact NTILE arithmetic — never a single-task
+    * `ntile() OVER (ORDER BY margin)` window; the rollup is a 10-group
+    * aggregate. Margins are exact integer micro-dots, so decile
+    * boundaries are engine-identical. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val wLit = probeWeights
+      .map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val par = spark.sparkContext.defaultParallelism
+    val scored = emb(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("em", expr(
+        "transform(v, x -> cast(round(x * 1000000.0D, 0) as bigint))"))
+      .withColumn("scores", expr(
+        s"transform($wLit, ws -> aggregate(zip_with(ws, em, (w, e) -> w * e), " +
+          "cast(0 as bigint), (acc, p) -> acc + p))"))
+      .select(col("vec_id"),
+        (col("label").cast("long") % ProbeClasses).as("target"),
+        expr("array_position(scores, array_max(scores)) - 1").as("pred"),
+        (expr("array_max(scores)") -
+          expr(s"element_at(array_sort(scores), ${ProbeClasses - 1})"))
+          .as("margin"))
+    val (ranked, total) = graft.ops.RankOps.withGlobalRankAndTotal(
+      scored, par, "rk", col("margin"), col("vec_id"))
+    ranked
+      .withColumn("n_total", lit(total))
+      .withColumn("decile",
+        graft.ops.RankOps.ntileFromRank("rk", "n_total", 10))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("target"), 1L).otherwise(0L)).as("n_correct"),
+        expr("cast(sum(margin) div count(1) as bigint)").as("mean_margin"),
+        expr("cast((cast(sum(case when pred = target then 1L else 0L end) " +
+          "as decimal(38,0)) * 1000000) div count(1) as bigint)").as("acc_ppm"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_calibration" -> ((s, d) => calibration(s, d)),
     "s20_silhouette" -> ((s, d) => silhouette(s, d)),
     "s19_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "s18_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
@@ -1005,6 +1053,40 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: a plain ntile() window over the margins
+    // differentially checks the RankOps rank + exact-NTILE arithmetic.
+    "s21_calibration" -> {
+      val wDuck = probeWeights
+        .map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding::DOUBLE[],
+         |           x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) em
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) % $ProbeClasses AS target,
+         |         list_transform($wDuck,
+         |           ws -> CAST(list_dot_product(ws::DOUBLE[], em::DOUBLE[]) AS BIGINT))
+         |           AS scores
+         |  FROM e),
+         |m AS (
+         |  SELECT vec_id, target,
+         |         CAST(list_position(scores, list_aggregate(scores, 'max')) - 1
+         |              AS BIGINT) pred,
+         |         CAST(list_aggregate(scores, 'max')
+         |              - list_sort(scores)[${ProbeClasses - 1}] AS BIGINT) margin
+         |  FROM s),
+         |t AS (SELECT *, CAST(ntile(10) OVER (ORDER BY margin, vec_id) AS BIGINT)
+         |        decile FROM m)
+         |SELECT decile, count(*) AS n_vecs,
+         |       CAST(sum(CASE WHEN pred = target THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_correct,
+         |       CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin,
+         |       CAST(sum(CASE WHEN pred = target THEN 1 ELSE 0 END) * 1000000
+         |            // count(*) AS BIGINT) AS acc_ppm
+         |FROM t GROUP BY decile ORDER BY decile""".stripMargin
+    },
     // Independent formulation: centroid distances via a corpus x centroid
     // cross join + conditional aggregation (vs the literal-array
     // projection the engine plans). Sign-branched floor division matches

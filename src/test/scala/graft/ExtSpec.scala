@@ -1419,6 +1419,47 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("corpus diff assigns every id the status the version rules dictate") {
+    val rows = ext.PipelineQueries.corpusDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val inOld = id % 10 != 0
+      val inNew = id % 13 != 0
+      val expected =
+        if (!inOld && !inNew) None
+        else if (!inOld) Some("added")
+        else if (!inNew) Some("removed")
+        else if (id % 7 == 0) Some("changed")
+        else Some("unchanged")
+      assert(rows.get(id) == expected, s"doc $id")
+    }
+    assert(rows.size == ids.count(id => id % 10 != 0 || id % 13 != 0))
+    // all four statuses must occur (the fixture exercises every branch)
+    assert(rows.values.toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("calibration deciles tile the corpus with exact NTILE sizes and ordered margins") {
+    val rows = SimilarityQueries.calibration(spark, dir).collect()
+    assert(rows.length == 10)
+    val n = Tables.load(spark, dir, "embeddings").count()
+    val sizes = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(sizes.sum == n)
+    // SQL NTILE: the first n % 10 deciles carry one extra row
+    val base = n / 10
+    sizes.zipWithIndex.foreach { case (s, i) =>
+      assert(s == base + (if (i < n % 10) 1 else 0), s"decile ${i + 1}")
+    }
+    // margins are ranked ascending, so decile mean margins are non-decreasing
+    val means = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+    means.zip(means.tail).foreach { case (a, b) => assert(a <= b) }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
   test("silhouette matches a driver-side integer recompute per label") {
     val rows = SimilarityQueries.silhouette(spark, dir).collect()
     val embs = Tables.load(spark, dir, "embeddings").collect().map { r =>

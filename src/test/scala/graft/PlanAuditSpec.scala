@@ -710,6 +710,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("corpus diff joins 16-byte hash manifests, never payloads") {
+    val p = plan("p21_corpus_diff")
+    // full-outer on a high-cardinality key is the one sort-merge join we
+    // WANT here (both sides corpus-sized — nothing to broadcast)
+    assert(p.contains("SortMergeJoin"), p)
+    // the text payload is digested to h_old/h_new BELOW the exchange:
+    // no shuffle write carries a text column
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach {
+      l => assert(!l.contains("text#"), s"payload crosses the shuffle: $l")
+    }
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("calibration scores with literal weights: no join before the decile rank") {
+    val p = plan("s21_calibration")
+    assert(!p.contains("Join"), p)
+    // the decile pass rides the RankOps RDD, not an empty-key window
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 0, p)
+  }
+
   test("pattern replay folds per user in one pass: no join, one key exchange") {
     val p = plan("r_stream_pattern_replay")
     assert(!p.contains("Join"), p)
