@@ -843,7 +843,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t26 — term burstiness (variance-to-mean ratio) for the corpus's
+    * top-[[BurstTopK]] terms: a term whose occurrences CLUMP into few
+    * documents (VMR ≫ 1) behaves like content vocabulary; a term spread
+    * evenly (VMR ≈ 1, the Poisson baseline) behaves like function-word
+    * glue — the Church–Gale dispersion diagnostic used to pick stopword
+    * lists and spot template/boilerplate vocabulary at corpus scale.
+    *
+    * VMR is exact integer ppm over the INCLUDING-ZEROS distribution:
+    * `vmr_ppm = (N·Σtf² − (Σtf)²) · 1e6 div (N·Σtf)` (decimal-widened;
+    * Cauchy–Schwarz keeps the numerator non-negative, so truncating
+    * division is floor on both engines). Rides the cached (doc, term,
+    * tf) inverted index — one per-term aggregate plus a broadcast
+    * 1-row corpus count; nothing re-tokenizes. */
+  val BurstTopK = 20
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    termFreq(spark, dir)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .crossJoin(broadcast(n))
+      .withColumn("vmr_ppm", expr(
+        "cast((cast(n * sum_tf2 - total_tf * total_tf as decimal(38,0)) * 1000000) " +
+          "div (n * total_tf) as bigint)"))
+      .orderBy(col("total_tf").desc, col("term").asc)
+      .limit(BurstTopK)
+      .select(col("term"), col("df"), col("total_tf"), col("sum_tf2"), col("vmr_ppm"))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_burstiness" -> ((s, d) => burstiness(s, d)),
     "t25_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
     "t24_hash_features" -> ((s, d) => hashFeatures(s, d)),
     "t23_dsir" -> ((s, d) => dsirWeights(s, d)),
@@ -876,6 +908,21 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t26_burstiness" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term
+         |           FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) tf FROM t GROUP BY 1, 2),
+         |n AS (SELECT count(*) n FROM documents),
+         |g AS (SELECT term, CAST(count(*) AS BIGINT) df,
+         |        CAST(sum(tf) AS BIGINT) total_tf,
+         |        CAST(sum(tf * tf) AS BIGINT) sum_tf2
+         |      FROM tf GROUP BY term),
+         |top AS (SELECT * FROM g, n
+         |        ORDER BY total_tf DESC, term ASC LIMIT $BurstTopK)
+         |SELECT term, df, total_tf, sum_tf2,
+         |       CAST(CAST(n * sum_tf2 - total_tf * total_tf AS HUGEINT) * 1000000
+         |            // (n * total_tf) AS BIGINT) AS vmr_ppm
+         |FROM top ORDER BY term""".stripMargin,
     "t25_ccnet_buckets" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
         |s AS (SELECT doc_id, tk, unnest(range(1, len(tk))) i

@@ -1419,6 +1419,32 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("burstiness matches a brute-force VMR recompute and sits at/above Poisson") {
+    val rows = ext.TextQueries.burstiness(spark, dir).collect()
+    assert(rows.length == ext.TextQueries.BurstTopK)
+    val docs = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val n = BigInt(docs.length)
+    val counts = docs.map(_.toLowerCase.split(" ", -1)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    rows.foreach { r =>
+      val term = r.getString(0)
+      val tfs = counts.flatMap(_.get(term))
+      val (df, tot, s2) =
+        (tfs.size.toLong, tfs.sum, tfs.map(t => t * t).sum)
+      assert(r.getLong(1) == df, s"$term df")
+      assert(r.getLong(2) == tot, s"$term total")
+      assert(r.getLong(3) == s2, s"$term sum_tf2")
+      val vmr = (n * s2 - BigInt(tot) * tot) * 1000000 / (n * tot)
+      assert(r.getLong(4) == vmr.toLong, s"$term vmr")
+      // including-zeros VMR of counts is >= (1 - mean) scaled; for terms
+      // rarer than one-per-doc the Poisson floor in ppm is 1e6 - mean_ppm
+      val meanPpm = BigInt(tot) * 1000000 / n
+      assert(BigInt(r.getLong(4)) >= 1000000 - meanPpm - 1,
+        s"$term below the dispersion floor")
+    }
+  }
+
   test("corpus diff assigns every id the status the version rules dictate") {
     val rows = ext.PipelineQueries.corpusDiff(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
