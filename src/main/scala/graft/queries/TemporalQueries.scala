@@ -934,7 +934,50 @@ object TemporalQueries {
       .orderBy("pred")
   }
 
+  /** q107 — clustering what-if: the same zone-map pruning measured under
+    * two physical layouts — the natural insertion order (event_id) vs a
+    * user-clustered re-sort — for one user-equality predicate. The
+    * insertion layout scatters a user's rows across every zone (no
+    * pruning); the clustered layout packs them into ~1 zone. The
+    * side-by-side ledger is the quantified argument for a re-clustering
+    * job (p6's Z-order being the multi-column version): "this predicate
+    * family scans 32× fewer rows after re-sort".
+    *
+    * Zones under the clustered layout come from the global rank under
+    * (user_id, event_id) — [[graft.ops.RankOps.withGlobalRank]]'s
+    * range-partition pass, the same machinery the re-sort itself would
+    * use to write the new layout, never a single-task window. */
+  def q107LayoutWhatIf(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val targetUser = 7L
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    val n = ev.count()
+    def audit(layout: String, zoned: DataFrame): DataFrame =
+      zoned.groupBy(col("zone"))
+        .agg(count(lit(1)).as("nrows"),
+          sum(when(col("user_id") === targetUser, 1L).otherwise(0L)).as("hits"),
+          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("u_min") <= targetUser && col("u_max") >= targetUser, 1L)
+            .otherwise(0L)).as("zones_scanned"),
+          sum(when(col("u_min") <= targetUser && col("u_max") >= targetUser,
+            col("nrows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("hits")).as("rows_matched"))
+        .select(lit(layout).as("layout"), col("n_zones"), col("zones_scanned"),
+          col("rows_scanned"), col("rows_matched"))
+    val byInsertion = ev
+      .withColumn("zone", expr(s"cast(event_id * $ZonesN div $n as bigint)"))
+    val byUser = graft.ops.RankOps
+      .withGlobalRank(ev, par, "rk", col("user_id"), col("event_id"))
+      .withColumn("zone", expr(s"cast(rk * $ZonesN div $n as bigint)"))
+    audit("a_insertion", byInsertion)
+      .unionAll(audit("b_user_clustered", byUser))
+      .orderBy("layout")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_layout_whatif" -> ((s, d) => q107LayoutWhatIf(s, d)),
     "q106_zonemap" -> ((s, d) => q106ZoneMap(s, d)),
     "q105_twap" -> ((s, d) => q105Twap(s, d)),
     "q104_snapshots" -> ((s, d) => q104Snapshots(s, d)),
@@ -968,6 +1011,41 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    // Independent formulation: the clustered layout's zones via a plain
+    // row_number window (vs the engine's RankOps range-partition rank).
+    "q107_layout_whatif" ->
+      s"""WITH n AS (SELECT count(*) n FROM events),
+         |a AS (SELECT user_id, event_id * $ZonesN // n.n AS zone
+         |      FROM events, n),
+         |b AS (SELECT user_id,
+         |        (row_number() OVER (ORDER BY user_id, event_id) - 1)
+         |          * $ZonesN // n.n AS zone
+         |      FROM events, n),
+         |az AS (SELECT zone, count(*) nrows,
+         |         sum(CASE WHEN user_id = 7 THEN 1 ELSE 0 END) hits,
+         |         min(user_id) u_min, max(user_id) u_max
+         |       FROM a GROUP BY zone),
+         |bz AS (SELECT zone, count(*) nrows,
+         |         sum(CASE WHEN user_id = 7 THEN 1 ELSE 0 END) hits,
+         |         min(user_id) u_min, max(user_id) u_max
+         |       FROM b GROUP BY zone),
+         |ra AS (SELECT 'a_insertion' layout, count(*) n_zones,
+         |         CAST(sum(CASE WHEN u_min <= 7 AND u_max >= 7 THEN 1 ELSE 0 END)
+         |              AS BIGINT) zones_scanned,
+         |         CAST(sum(CASE WHEN u_min <= 7 AND u_max >= 7 THEN nrows
+         |              ELSE 0 END) AS BIGINT) rows_scanned,
+         |         CAST(sum(hits) AS BIGINT) rows_matched
+         |       FROM az),
+         |rb AS (SELECT 'b_user_clustered' layout, count(*) n_zones,
+         |         CAST(sum(CASE WHEN u_min <= 7 AND u_max >= 7 THEN 1 ELSE 0 END)
+         |              AS BIGINT) zones_scanned,
+         |         CAST(sum(CASE WHEN u_min <= 7 AND u_max >= 7 THEN nrows
+         |              ELSE 0 END) AS BIGINT) rows_scanned,
+         |         CAST(sum(hits) AS BIGINT) rows_matched
+         |       FROM bz)
+         |SELECT layout, n_zones, zones_scanned, rows_scanned, rows_matched
+         |FROM ra UNION ALL SELECT * FROM rb ORDER BY layout""".stripMargin,
+
     "q106_zonemap" ->
       s"""WITH mx AS (SELECT max(event_id) mx FROM events),
          |z AS (SELECT e.event_id * $ZonesN // (mx.mx + 1) AS zone,

@@ -731,6 +731,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 0, p)
   }
 
+  test("layout what-if ranks the clustered layout via RankOps, no global window") {
+    val p = plan("q107_layout_whatif")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pattern replay folds per user in one pass: no join, one key exchange") {
     val p = plan("r_stream_pattern_replay")
     assert(!p.contains("Join"), p)

@@ -573,4 +573,24 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     // the correlated ts predicate must actually PRUNE on this fixture
     assert(rows("p1_ts_late").getLong(2) < rows("p1_ts_late").getLong(1))
   }
+
+  test("layout what-if: clustering prunes to a near-minimal zone set, same matches") {
+    val rows = TemporalQueries.q107LayoutWhatIf(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 2)
+    val (a, b) = (rows("a_insertion"), rows("b_user_clustered"))
+    // both layouts see the same corpus and the same true matches
+    assert(a.getLong(1) == b.getLong(1))
+    assert(a.getLong(4) == b.getLong(4) && a.getLong(4) > 0)
+    // clustering strictly reduces scanned zones and rows on this fixture
+    assert(b.getLong(2) < a.getLong(2))
+    assert(b.getLong(3) < a.getLong(3))
+    // the clustered layout packs one user into at most ceil(hits/zone)+1
+    // zones: hits span contiguous ranks, so zones touched <= 2 + hits*Z/n
+    val n = Tables.load(spark, dir, "events").count()
+    val maxZones = 2 + a.getLong(4) * TemporalQueries.ZonesN / n
+    assert(b.getLong(2) <= maxZones, s"clustered zones ${b.getLong(2)} > $maxZones")
+    // scanning never undercounts: rows_scanned >= rows_matched
+    Seq(a, b).foreach(r => assert(r.getLong(3) >= r.getLong(4)))
+  }
 }
