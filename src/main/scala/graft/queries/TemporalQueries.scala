@@ -976,7 +976,37 @@ object TemporalQueries {
       .orderBy("layout")
   }
 
+  /** q108 — k-anonymity / l-diversity audit: for each quasi-identifier
+    * combination (nation, market segment), the group size, the count of
+    * distinct sensitive values (account balance in exact 1000-dollar
+    * cent-buckets), and whether the group violates k-anonymity (size <
+    * [[KAnonK]]: those members are re-identifiable by the quasi-IDs
+    * alone) or l-diversity (< [[LDivL]] distinct sensitive values: the
+    * sensitive attribute leaks even inside a large-enough group). This
+    * is the governance gate a dataset passes before release, published
+    * as the violating-group ledger.
+    *
+    * One hash aggregate on the quasi-ID key with a distinct-count —
+    * metadata-scale output (|nations|·|segments| rows). Sensitive
+    * buckets are integer cents `div` 100000, so bucket edges are exact
+    * on both engines (never float division at a boundary). */
+  val KAnonK = 5L
+  val LDivL = 3L
+  def q108KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        expr("cast(round(c_acctbal * 100.0D, 0) as bigint) div 100000")
+          .as("bal_bucket"))
+      .groupBy(col("nationkey"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_bucket")).as("l_distinct"))
+      .withColumn("k_violation", (col("n") < KAnonK).cast("int"))
+      .withColumn("l_violation", (col("l_distinct") < LDivL).cast("int"))
+      .orderBy("nationkey", "segment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_kanonymity" -> ((s, d) => q108KAnonymity(s, d)),
     "q107_layout_whatif" -> ((s, d) => q107LayoutWhatIf(s, d)),
     "q106_zonemap" -> ((s, d) => q106ZoneMap(s, d)),
     "q105_twap" -> ((s, d) => q105Twap(s, d)),
@@ -1011,6 +1041,20 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    "q108_kanonymity" ->
+      s"""WITH c AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) nationkey,
+         |         c_mktsegment segment,
+         |         CAST(round(c_acctbal * 100.0, 0) AS BIGINT) // 100000 bal_bucket
+         |  FROM customer)
+         |SELECT nationkey, segment, count(*) AS n,
+         |       CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_distinct,
+         |       CAST(CASE WHEN count(*) < $KAnonK THEN 1 ELSE 0 END AS INTEGER)
+         |         AS k_violation,
+         |       CAST(CASE WHEN count(DISTINCT bal_bucket) < $LDivL THEN 1 ELSE 0
+         |            END AS INTEGER) AS l_violation
+         |FROM c GROUP BY 1, 2 ORDER BY nationkey, segment""".stripMargin,
+
     // Independent formulation: the clustered layout's zones via a plain
     // row_number window (vs the engine's RankOps range-partition rank).
     "q107_layout_whatif" ->

@@ -593,4 +593,23 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     // scanning never undercounts: rows_scanned >= rows_matched
     Seq(a, b).foreach(r => assert(r.getLong(3) >= r.getLong(4)))
   }
+
+  test("k-anonymity audit matches a brute-force group recompute and tiles the table") {
+    val rows = TemporalQueries.q108KAnonymity(spark, dir).collect()
+    val cust = Tables.load(spark, dir, "customer")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getDouble(2)))
+    val groups = cust.groupBy(c => (c._1, c._2))
+    assert(rows.length == groups.size)
+    assert(rows.map(_.getLong(2)).sum == cust.length.toLong)
+    rows.foreach { r =>
+      val g = groups((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == g.length.toLong)
+      val buckets = g.map(c => math.round(c._3 * 100.0) / 100000L).distinct
+      assert(r.getLong(3) == buckets.length.toLong,
+        s"group ${(r.getLong(0), r.getString(1))} l_distinct")
+      assert(r.getInt(4) == (if (g.length < TemporalQueries.KAnonK) 1 else 0))
+      assert(r.getInt(5) == (if (buckets.length < TemporalQueries.LDivL) 1 else 0))
+    }
+  }
 }
