@@ -1005,7 +1005,66 @@ object TemporalQueries {
       .withColumn("l_violation", (col("l_distinct") < LDivL).cast("int"))
       .orderBy("nationkey", "segment")
 
+  /** q109 — weekly growth accounting: per calendar week, how many active
+    * users are NEW (first week ever), RETAINED (also active the week
+    * before), or RESURRECTED (active before, but not last week), plus
+    * how many CHURNED into this week (active last week, absent now).
+    * This is the new/retained/resurrected/churned ledger every growth
+    * dashboard runs — q70's cohort matrix answers "how do cohorts
+    * decay", this answers "where did this week's actives come from".
+    * Identity `actives(w) = new + retained + resurrected` holds per row,
+    * and `churned(w) = actives(w−1) − retained(w)` by construction.
+    *
+    * Shape: one distinct (user, week) reduction, one per-user lag
+    * window on the SAME user shuffle, then a tiny per-week conditional
+    * aggregate; churn re-keys the lag frame by week+1 — metadata-scale
+    * frames only after the first reduction. Weeks are exact integer
+    * `div`s of epoch micros (q70's grid). */
+  def q109GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 604800000000L
+    q109GrowthAccountingOf(
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div ${WeekUs}L").as("week")))
+  }
+
+  /** The ledger over any `(user_id, week)` activity frame — the fixture's
+    * users are active every week (no churn), so the spec drives the
+    * churn/resurrection branches through this entry with built events. */
+  def q109GrowthAccountingOf(activity: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("week").asc)
+    val act = activity
+      .select(col("user_id"), col("week"))
+      .distinct()
+      .withColumn("prev_week", lag(col("week"), 1).over(wU))
+    val maxWeek = act.agg(max(col("week"))).head().getLong(0)
+    val statuses = act
+      .withColumn("status",
+        when(col("prev_week").isNull, "new")
+          .when(col("prev_week") === col("week") - 1, "retained")
+          .otherwise("resurrected"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churned INTO week w+1: active in w, not in w+1 (lead gap or end of
+    // history); attributed from the same lag frame re-keyed by week+1
+    val wL = Window.partitionBy(col("user_id")).orderBy(col("week").asc)
+    val churn = act
+      .withColumn("next_week", lead(col("week"), 1).over(wL))
+      .filter(col("week") < maxWeek &&
+        (col("next_week").isNull || col("next_week") > col("week") + 1))
+      .select((col("week") + 1).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    statuses.join(churn, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_growth_accounting" -> ((s, d) => q109GrowthAccounting(s, d)),
     "q108_kanonymity" -> ((s, d) => q108KAnonymity(s, d)),
     "q107_layout_whatif" -> ((s, d) => q107LayoutWhatIf(s, d)),
     "q106_zonemap" -> ((s, d) => q106ZoneMap(s, d)),
@@ -1041,6 +1100,34 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    "q109_growth_accounting" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |l AS (SELECT user_id, week,
+        |        lag(week) OVER (PARTITION BY user_id ORDER BY week) prev_week,
+        |        lead(week) OVER (PARTITION BY user_id ORDER BY week) next_week
+        |      FROM a),
+        |mx AS (SELECT max(week) mw FROM a),
+        |st AS (SELECT week, count(*) n_active,
+        |         sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) n_new,
+        |         sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) n_retained,
+        |         sum(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 1
+        |             THEN 1 ELSE 0 END) n_resurrected
+        |       FROM l GROUP BY week),
+        |ch AS (SELECT week + 1 AS week, count(*) n_churned
+        |       FROM l, mx
+        |       WHERE week < mx.mw
+        |         AND (next_week IS NULL OR next_week > week + 1)
+        |       GROUP BY 1)
+        |SELECT st.week, st.n_active,
+        |       CAST(st.n_new AS BIGINT) AS n_new,
+        |       CAST(st.n_retained AS BIGINT) AS n_retained,
+        |       CAST(st.n_resurrected AS BIGINT) AS n_resurrected,
+        |       CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM st LEFT JOIN ch ON st.week = ch.week
+        |ORDER BY st.week""".stripMargin,
+
     "q108_kanonymity" ->
       s"""WITH c AS (
          |  SELECT CAST(c_nationkey AS BIGINT) nationkey,

@@ -594,6 +594,30 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     Seq(a, b).foreach(r => assert(r.getLong(3) >= r.getLong(4)))
   }
 
+  test("growth accounting classifies new/retained/resurrected/churned on built timelines") {
+    import spark.implicits._
+    // u1: 1,2,3 (new, retained x2); u2: 1,3 (new, resurrected; churn into 2)
+    // u3: 2 (new; churn into 3); u4: 1 (new; churn into 2)
+    val act = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L),
+      (3L, 2L), (4L, 1L)).toDF("user_id", "week")
+    val got = TemporalQueries.q109GrowthAccountingOf(act).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) == ((3L, 3L, 0L, 0L, 0L)))
+    assert(got(2L) == ((2L, 1L, 1L, 0L, 2L))) // u3 new, u1 retained; u2+u4 churned in
+    assert(got(3L) == ((2L, 0L, 1L, 1L, 1L))) // u1 retained, u2 resurrected; u3 churned
+    // identities: actives = new + retained + resurrected per week;
+    // churned(w) = actives(w-1) - retained(w)
+    got.foreach { case (_, (a, n, r, res, _)) => assert(a == n + r + res) }
+    Seq(2L, 3L).foreach { w =>
+      assert(got(w)._5 == got(w - 1)._1 - got(w)._3)
+    }
+    // the fixture corpus: every user active every week -> no churn at all
+    val fix = TemporalQueries.q109GrowthAccounting(spark, dir).collect()
+    assert(fix.map(_.getLong(5)).sum == 0L)
+    assert(fix.map(_.getLong(4)).sum == 0L)
+  }
+
   test("k-anonymity audit matches a brute-force group recompute and tiles the table") {
     val rows = TemporalQueries.q108KAnonymity(spark, dir).collect()
     val cust = Tables.load(spark, dir, "customer")
