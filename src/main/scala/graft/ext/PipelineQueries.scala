@@ -589,7 +589,35 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p22 — small-file compaction plan: over p7's shard manifest, group
+    * adjacent undersized shards (within a split, in shard order) into
+    * compaction bins of ~[[CompactTarget]] tokens via the p2 exclusive
+    * prefix-sum rule, and emit the per-bin work order — input shard
+    * range, shard count, and output size. This is the maintenance job
+    * every lakehouse schedules against small-file buildup; planning on
+    * the MANIFEST (metadata scale: one row per shard, ~corpus/2048
+    * rows) rather than the data is what makes it schedulable at 100 TB.
+    * The per-split running sum is a window over the manifest — at full
+    * scale that is ≤ a few million metadata rows per split, not corpus
+    * data. */
+  val CompactTarget = 4096L
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("split")).orderBy(col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardManifest(spark, dir)
+      .select(col("split"), col("shard"), col("n_chunks"), col("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cast(tok_before div $CompactTarget as bigint)"))
+      .groupBy(col("split"), col("bin"))
+      .agg(count(lit(1)).as("n_input_shards"),
+        min(col("shard")).as("first_shard"), max(col("shard")).as("last_shard"),
+        sum(col("n_chunks")).as("n_chunks"), sum(col("n_tokens")).as("out_tokens"))
+      .orderBy("split", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "p21_corpus_diff" -> ((s, d) => corpusDiff(s, d)),
     "p19_seeded_shuffle" -> ((s, d) => seededShuffle(s, d)),
     "p20_length_buckets" -> ((s, d) => lengthBuckets(s, d)),
@@ -665,6 +693,38 @@ object PipelineQueries {
         expr("wm * 10000 div w_total").as("alloc_10k"))
       .orderBy("source")
   }
+
+  /** The p7 manifest as portable SQL (no trailing ORDER BY) — p7's oracle
+    * totals-orders it; p22's oracle nests it as a CTE to plan bins. */
+  private lazy val duckManifestSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |ch AS (SELECT doc_id, toks, len(toks) n,
+       |         unnest(range(0, len(toks), $ChunkStride)) st
+       |       FROM t),
+       |chunks AS (SELECT doc_id,
+       |             CAST(least($ChunkSize, n - st) AS BIGINT) chunk_len,
+       |             md5(array_to_string(
+       |               list_slice(toks, st + 1, st + least($ChunkSize, n - st)), ' ')) cmd5
+       |           FROM ch),
+       |r AS (SELECT doc_id,
+       |        coalesce(sum(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
+       |      FROM t),
+       |sh AS (SELECT doc_id, CAST(tok_before // $PackBudget AS BIGINT) shard FROM r),
+       |sp AS (SELECT doc_id,
+       |         ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |           % $SplitBuckets b
+       |       FROM documents),
+       |sps AS (SELECT doc_id,
+       |          CASE WHEN b < ${SplitBuckets - 2} THEN 'train'
+       |               WHEN b = ${SplitBuckets - 2} THEN 'val'
+       |               ELSE 'test' END split
+       |        FROM sp)
+       |SELECT split, shard, count(*) AS n_chunks,
+       |       CAST(sum(chunk_len) AS BIGINT) AS n_tokens,
+       |       md5(string_agg(cmd5, ',' ORDER BY cmd5)) AS content_md5
+       |FROM chunks JOIN sh USING (doc_id) JOIN sps USING (doc_id)
+       |GROUP BY split, shard""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "p21_corpus_diff" ->
@@ -947,35 +1007,24 @@ object PipelineQueries {
          |       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS achieved_rate
          |FROM b GROUP BY source, rate_millis ORDER BY source""".stripMargin,
 
-    "p7_manifest" ->
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
-         |ch AS (SELECT doc_id, toks, len(toks) n,
-         |         unnest(range(0, len(toks), $ChunkStride)) st
-         |       FROM t),
-         |chunks AS (SELECT doc_id,
-         |             CAST(least($ChunkSize, n - st) AS BIGINT) chunk_len,
-         |             md5(array_to_string(
-         |               list_slice(toks, st + 1, st + least($ChunkSize, n - st)), ' ')) cmd5
-         |           FROM ch),
-         |r AS (SELECT doc_id,
-         |        coalesce(sum(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+    "p7_manifest" -> (duckManifestSql + "\nORDER BY split, shard"),
+
+    // p22 nests the p7 manifest as a CTE and plans bins over it with the
+    // p2 exclusive-prefix rule — an independent window formulation vs
+    // the engine's manifest reuse.
+    "p22_compaction_plan" ->
+      s"""WITH m AS ($duckManifestSql),
+         |r AS (SELECT split, shard, n_chunks, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY shard
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) tok_before
-         |      FROM t),
-         |sh AS (SELECT doc_id, CAST(tok_before // $PackBudget AS BIGINT) shard FROM r),
-         |sp AS (SELECT doc_id,
-         |         ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
-         |           % $SplitBuckets b
-         |       FROM documents),
-         |sps AS (SELECT doc_id,
-         |          CASE WHEN b < ${SplitBuckets - 2} THEN 'train'
-         |               WHEN b = ${SplitBuckets - 2} THEN 'val'
-         |               ELSE 'test' END split
-         |        FROM sp)
-         |SELECT split, shard, count(*) AS n_chunks,
-         |       CAST(sum(chunk_len) AS BIGINT) AS n_tokens,
-         |       md5(string_agg(cmd5, ',' ORDER BY cmd5)) AS content_md5
-         |FROM chunks JOIN sh USING (doc_id) JOIN sps USING (doc_id)
-         |GROUP BY split, shard ORDER BY split, shard""".stripMargin,
+         |      FROM m),
+         |b AS (SELECT split, shard, n_chunks, n_tokens,
+         |        CAST(tok_before // $CompactTarget AS BIGINT) bin FROM r)
+         |SELECT split, bin, count(*) AS n_input_shards,
+         |       min(shard) AS first_shard, max(shard) AS last_shard,
+         |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |       CAST(sum(n_tokens) AS BIGINT) AS out_tokens
+         |FROM b GROUP BY split, bin ORDER BY split, bin""".stripMargin,
 
     "p6_zorder" -> {
       val duckZ = (0 until ZBits).map { i =>

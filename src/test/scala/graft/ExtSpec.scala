@@ -1445,6 +1445,32 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("compaction plan tiles the manifest into contiguous near-target bins") {
+    val manifest = ext.PipelineQueries.shardManifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val plan = ext.PipelineQueries.compactionPlan(spark, dir).collect()
+    // every input shard lands in exactly one bin
+    assert(plan.map(_.getLong(2)).sum == manifest.length.toLong)
+    assert(plan.map(_.getLong(5)).sum == manifest.map(_._3).sum)
+    assert(plan.map(_.getLong(6)).sum == manifest.map(_._4).sum)
+    plan.groupBy(_.getString(0)).foreach { case (split, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      // bins are contiguous, non-overlapping shard ranges in order
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getLong(4) < b.getLong(3), s"$split bins overlap")
+        assert(a.getLong(4) + 1 == b.getLong(3), s"$split bins leave a gap")
+      }
+      // exclusive-prefix rule: every bin except the last must have
+      // crossed the target once its last shard was added
+      sorted.dropRight(1).foreach { b =>
+        val range = (b.getLong(3) to b.getLong(4)).toSet
+        val toks = manifest.filter(m => m._1 == split && range(m._2)).map(_._4).sum
+        assert(toks >= ext.PipelineQueries.CompactTarget - ext.PipelineQueries.PackBudget,
+          s"$split bin ${b.getLong(1)} badly undersized")
+      }
+    }
+  }
+
   test("corpus diff assigns every id the status the version rules dictate") {
     val rows = ext.PipelineQueries.corpusDiff(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
