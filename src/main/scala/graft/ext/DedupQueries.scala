@@ -213,6 +213,33 @@ object DedupQueries {
       .select(col("keep_id"), col("bow_sig"), col("n_docs"), col("n_texts"))
       .orderBy("keep_id")
 
+  /** d23 — cluster-weighted soft dedup (duplication-aware sampling):
+    * instead of hard-dropping near-duplicates, keep each document with
+    * probability ~1/|its d8 cluster| via a deterministic hash draw
+    * (`bucket(doc) · size < 1000` with a 1000-bucket md5 draw), so
+    * every duplicate GROUP contributes ~one expected copy while unique
+    * documents pass untouched. This is the softened dedup several
+    * curation pipelines prefer over hard survivorship — it preserves a
+    * duplicate group's chance of representation without letting its
+    * multiplicity bias the mixture, stays reproducible under retries
+    * (hash draw, no RNG state), and composes with any downstream
+    * sampler. A cluster can draw zero copies — that is sampling
+    * semantics, not a bug (hard survivorship is d8/d13's job).
+    *
+    * Cost beyond the shared component labels: one tiny size aggregate
+    * broadcast back and a per-row projection. */
+  def softDedupSample(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val sizes = clusters.groupBy(col("cluster_root"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(broadcast(sizes), Seq("cluster_root"))
+      .withColumn("bucket", expr(
+        "cast(conv(substr(md5(concat('soft|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000"))
+      .select(col("doc_id"), col("cluster_root"), col("cluster_size"),
+        (col("bucket") * col("cluster_size") < 1000L).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** d2 — MinHash signatures: one md5 digest over the 16 minhashes. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame =
     minhashed(spark, dir)
@@ -557,6 +584,33 @@ object DedupQueries {
       s"SELECT doc_id, $b bid, md5($ks) bkey FROM minhashed"
     }.mkString("\nUNION ALL\n")
   }
+
+  /** The LSH-candidate → verified-pair → connected-component CTE chain
+    * (requires `shingled`/`minhashed`/`bands` in scope, needs WITH
+    * RECURSIVE) — shared verbatim by the d8/d21/d23 oracles; ends at
+    * `cc(node, cluster_root)`. */
+  private lazy val duckComponentsSql: String =
+    s"""cand AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+       |         len(x.sh) + len(y.sh) tot
+       |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+       |            JOIN shingled y ON cand.doc_b = y.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM verified
+       |          WHERE i/(tot-i) >= $JaccardThreshold),
+       |undirected AS (
+       |  SELECT doc_a a, doc_b b FROM pairs
+       |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
+       |reach AS (
+       |  SELECT doc_id node, doc_id x FROM documents
+       |  UNION
+       |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x),
+       |cc AS (SELECT node, min(x) cluster_root FROM reach GROUP BY node)""".stripMargin
 
   /** d6 — edit-distance fuzzy matching: near-identical customer names
     * within a nation block (classic blocked record-linkage dedup; both
@@ -1063,6 +1117,7 @@ object DedupQueries {
     "d11_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "d22_bow_dedup" -> ((s, d) => bowDedup(s, d)),
+    "d23_soft_dedup" -> ((s, d) => softDedupSample(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
@@ -1534,27 +1589,7 @@ object DedupQueries {
          |$duckMinhashed,
          |bands AS (
          |$duckBands),
-         |cand AS (
-         |  SELECT a.doc_id doc_a, b.doc_id doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |verified AS (
-         |  SELECT doc_a, doc_b,
-         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
-         |         len(x.sh) + len(y.sh) tot
-         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
-         |            JOIN shingled y ON cand.doc_b = y.doc_id),
-         |pairs AS (SELECT doc_a, doc_b FROM verified
-         |          WHERE i/(tot-i) >= $JaccardThreshold),
-         |undirected AS (
-         |  SELECT doc_a a, doc_b b FROM pairs
-         |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
-         |reach AS (
-         |  SELECT doc_id node, doc_id x FROM documents
-         |  UNION
-         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x),
-         |cc AS (SELECT node, min(x) cluster_root FROM reach GROUP BY node),
+         |$duckComponentsSql,
          |raw AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
          |st AS (
          |  SELECT 0 stage, 'raw' stage_name, n FROM raw
@@ -1574,28 +1609,22 @@ object DedupQueries {
          |$duckMinhashed,
          |bands AS (
          |$duckBands),
-         |cand AS (
-         |  SELECT a.doc_id doc_a, b.doc_id doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |verified AS (
-         |  SELECT doc_a, doc_b,
-         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
-         |         len(x.sh) + len(y.sh) tot
-         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
-         |            JOIN shingled y ON cand.doc_b = y.doc_id),
-         |pairs AS (SELECT doc_a, doc_b FROM verified
-         |          WHERE i/(tot-i) >= $JaccardThreshold),
-         |undirected AS (
-         |  SELECT doc_a a, doc_b b FROM pairs
-         |  UNION ALL SELECT doc_b a, doc_a b FROM pairs),
-         |reach AS (
-         |  SELECT doc_id node, doc_id x FROM documents
-         |  UNION
-         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x)
-         |SELECT node AS doc_id, min(x) AS cluster_root
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+         |$duckComponentsSql
+         |SELECT node AS doc_id, cluster_root FROM cc ORDER BY doc_id""".stripMargin,
+
+    "d23_soft_dedup" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |$duckComponentsSql,
+         |cs AS (SELECT cluster_root, CAST(count(*) AS BIGINT) cluster_size
+         |       FROM cc GROUP BY 1)
+         |SELECT cc.node AS doc_id, cc.cluster_root, cs.cluster_size,
+         |       CAST(CASE WHEN ('0x' || substr(md5('soft|' || cc.node::VARCHAR),
+         |              1, 8))::BIGINT % 1000 * cs.cluster_size < 1000
+         |            THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM cc JOIN cs USING (cluster_root) ORDER BY doc_id""".stripMargin,
 
     "d9_embedding_dedup" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v,

@@ -1445,6 +1445,45 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("soft dedup keeps uniques at the base rate and scales draws by cluster size") {
+    val rows = DedupQueries.softDedupSample(spark, dir).collect()
+    val clusters = DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == clusters.size)
+    val sizes = clusters.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (id, root, size, kept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(root == clusters(id))
+      assert(size == sizes(root))
+      // replicate the hash draw exactly
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"soft|$id".getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 1000
+      assert(kept == (if (bucket * size < 1000) 1 else 0), s"doc $id")
+    }
+    // every singleton with bucket 0 is kept; multi-doc clusters keep
+    // fewer docs in total than their membership (the whole point)
+    val multi = rows.filter(_.getLong(2) > 1)
+    if (multi.nonEmpty)
+      assert(multi.count(_.getInt(3) == 1) < multi.length)
+  }
+
+  test("cas savings rollup is consistent with the per-doc m11 profile") {
+    val row = ext.MultimodalQueries.casSavings(spark, dir).head()
+    val perDoc = ext.MultimodalQueries.cdcChunks(spark, dir).collect()
+    assert(row.getLong(0) == perDoc.map(_.getLong(1)).sum)  // logical chunks
+    assert(row.getLong(1) == perDoc.map(_.getLong(2)).sum)  // logical bytes
+    assert(row.getLong(2) <= row.getLong(0))
+    assert(row.getLong(3) <= row.getLong(1))
+    assert(row.getLong(4) ==
+      (row.getLong(1) - row.getLong(3)) * 1000000L / row.getLong(1))
+    // the fixture contains exact-duplicate payloads, so the store must
+    // actually save something
+    assert(row.getLong(4) > 0)
+  }
+
   test("compaction plan tiles the manifest into contiguous near-target bins") {
     val manifest = ext.PipelineQueries.shardManifest(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

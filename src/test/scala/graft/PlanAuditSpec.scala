@@ -738,6 +738,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("soft dedup broadcasts cluster sizes over the cached labels") {
+    val p = plan("d23_soft_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cas savings re-aggregates the checkpointed chunk frame, no re-chunk") {
+    val p = plan("m15_cas_savings")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("compaction plan windows the manifest, never the corpus") {
+    val p = plan("p22_compaction_plan")
+    // exactly one Window pass (the metadata prefix sum over the manifest)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 1, p)
+  }
+
+  test("k-anonymity is one hash aggregate with pruned input") {
+    val p = plan("q108_kanonymity")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains(
+      "ReadSchema: struct<c_nationkey:int,c_acctbal:double,c_mktsegment:string>"), p)
+  }
+
+  test("growth accounting shares one user shuffle between lag and churn") {
+    val p = plan("q109_growth_accounting")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the distinct + two windows + rollups — user_id exchanges only
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("user_id") || l.contains("week"), l)
+    }
+  }
+
   test("pattern replay folds per user in one pass: no join, one key exchange") {
     val p = plan("r_stream_pattern_replay")
     assert(!p.contains("Join"), p)
