@@ -1063,7 +1063,35 @@ object TemporalQueries {
       .orderBy("week")
   }
 
+  /** q110 — corrupt-record quarantine routing: the operational extension
+    * of the reference's PERMISSIVE `from_json` (SURVEY §2.4 F1). The
+    * canonical Spark pattern: declare `_corrupt_record` IN the schema,
+    * parse PERMISSIVE, and route rows whose corrupt column is non-null
+    * to a quarantine side-output instead of silently nulling them — at
+    * ingest scale the quarantine stream (with the original payload
+    * preserved for replay) is what makes a malformed-upstream incident
+    * recoverable. Corruption is synthesized deterministically (every
+    * 17th event's JSON loses its closing brace) so both engines see the
+    * identical byte stream.
+    *
+    * Pure per-row projection — no shuffle before the harness sort. */
+  def q110JsonQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("payload", when(col("event_id") % 17 === 0,
+        expr("substr(props, 1, length(props) - 1)")).otherwise(col("props")))
+      .withColumn("parsed",
+        from_json(col("payload"), "k INT, _corrupt_record STRING",
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(col("event_id"),
+        when(col("parsed._corrupt_record").isNull, "clean")
+          .otherwise("quarantined").as("status"),
+        col("parsed.k").as("k"),
+        col("parsed._corrupt_record").as("quarantined_payload"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_json_quarantine" -> ((s, d) => q110JsonQuarantine(s, d)),
     "q109_growth_accounting" -> ((s, d) => q109GrowthAccounting(s, d)),
     "q108_kanonymity" -> ((s, d) => q108KAnonymity(s, d)),
     "q107_layout_whatif" -> ((s, d) => q107LayoutWhatIf(s, d)),
@@ -1100,6 +1128,23 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    "q110_json_quarantine" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 17 = 0
+        |              THEN substr(props, 1, length(props) - 1)
+        |              ELSE props END payload
+        |  FROM events)
+        |SELECT event_id,
+        |       CASE WHEN json_valid(payload) THEN 'clean'
+        |            ELSE 'quarantined' END AS status,
+        |       CASE WHEN json_valid(payload)
+        |            THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+        |       END AS k,
+        |       CASE WHEN NOT json_valid(payload) THEN payload
+        |       END AS quarantined_payload
+        |FROM m ORDER BY event_id""".stripMargin,
+
     "q109_growth_accounting" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week

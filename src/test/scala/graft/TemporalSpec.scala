@@ -618,6 +618,28 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(fix.map(_.getLong(4)).sum == 0L)
   }
 
+  test("json quarantine routes exactly the mangled rows and preserves payloads") {
+    val rows = TemporalQueries.q110JsonQuarantine(spark, dir).collect()
+    val props = Tables.load(spark, dir, "events")
+      .select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == props.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 17 == 0) {
+        assert(r.getString(1) == "quarantined", s"event $id")
+        assert(r.isNullAt(2))
+        // the original (mangled) payload is preserved verbatim for replay
+        assert(r.getString(3) == props(id).dropRight(1))
+      } else {
+        assert(r.getString(1) == "clean", s"event $id")
+        val k = """"k":\s*(\d+)""".r.findFirstMatchIn(props(id)).get.group(1).toInt
+        assert(r.getInt(2) == k)
+        assert(r.isNullAt(3))
+      }
+    }
+  }
+
   test("k-anonymity audit matches a brute-force group recompute and tiles the table") {
     val rows = TemporalQueries.q108KAnonymity(spark, dir).collect()
     val cust = Tables.load(spark, dir, "customer")
