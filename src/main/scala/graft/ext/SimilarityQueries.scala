@@ -986,7 +986,40 @@ object SimilarityQueries {
       .orderBy("decile")
   }
 
+  /** s22 — index reassignment churn after one Lloyd step: how many
+    * vectors would change IVF cell if the cells were re-trained on the
+    * current corpus (seed assignment → one exact centroid update →
+    * re-assignment), reported per original cell with exact ppm. This is
+    * the index-staleness readout an ANN deployment watches to schedule
+    * re-training: low churn = the index still fits the data; high churn
+    * in a cell = its region drifted. Complements s18 (distribution
+    * drift between batches) with the INDEX-side consequence.
+    *
+    * Cost: one centroid update (64·k-cell map-side reduction), one more
+    * literal-centroid argmin pass over the checkpointed assignment, and
+    * a k-row aggregate — the corpus never shuffles. */
+  def reassignmentChurn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.KMeansOps
+    val asgn = kmeansAssignment(spark, dir)
+    val seedCents = KMeansOps.microVectors(emb(spark, dir))
+      .filter(col("vec_id").between(1, KmeansK))
+      .select(col("vec_id").as("cent_id"), col("vm").as("cm"))
+    val newCents = KMeansOps.updateCentroids(asgn, Some(seedCents))
+    val re = KMeansOps.assign(
+      asgn.select(col("vec_id"), col("vm")), newCents)
+      .select(col("vec_id"), col("cluster").as("new_cluster"))
+    asgn.select(col("vec_id"), col("cluster").as("old_cluster"))
+      .join(re, "vec_id")
+      .groupBy(col("old_cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("new_cluster") =!= col("old_cluster"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("churn_ppm", expr("n_moved * 1000000L div n_vecs"))
+      .orderBy("old_cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_reassignment_churn" -> ((s, d) => reassignmentChurn(s, d)),
     "s21_calibration" -> ((s, d) => calibration(s, d)),
     "s20_silhouette" -> ((s, d) => silhouette(s, d)),
     "s19_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
@@ -1053,6 +1086,46 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: both assignment passes as cross join +
+    // row_number argmin (vs the engine's literal-centroid projections).
+    "s22_reassignment_churn" ->
+      s"""WITH e AS (SELECT vec_id,
+         |       list_transform(embedding::DOUBLE[],
+         |         x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) vm
+         |     FROM embeddings),
+         |c AS (SELECT vec_id cent_id, vm cm FROM e
+         |      WHERE vec_id BETWEEN 1 AND $KmeansK),
+         |d AS (SELECT e.vec_id, c.cent_id, e.vm,
+         |        CAST(list_aggregate(list_transform(range(1, ${LshDims + 1}),
+         |          i -> (e.vm[i] - c.cm[i]) * (e.vm[i] - c.cm[i])), 'sum') AS BIGINT) d2m
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2m ASC, cent_id ASC) rk FROM d),
+         |asgn AS (SELECT vec_id, cent_id AS cluster, vm FROM a WHERE rk = 1),
+         |dd AS (SELECT unnest(range(1, ${LshDims + 1})) dim),
+         |nx AS (SELECT cluster, dim,
+         |         CAST(sum(vm[dim]) // count(*) AS BIGINT) cmv
+         |       FROM asgn CROSS JOIN dd GROUP BY 1, 2),
+         |nc0 AS (SELECT cluster cent_id, list(cmv ORDER BY dim) cm
+         |        FROM nx GROUP BY 1),
+         |nc AS (SELECT c.cent_id, coalesce(nc0.cm, c.cm) cm
+         |       FROM c LEFT JOIN nc0 USING (cent_id)),
+         |d2 AS (SELECT asgn.vec_id, asgn.cluster old_cluster, nc.cent_id,
+         |         CAST(list_aggregate(list_transform(range(1, ${LshDims + 1}),
+         |           i -> (asgn.vm[i] - nc.cm[i]) * (asgn.vm[i] - nc.cm[i])),
+         |           'sum') AS BIGINT) d2m
+         |       FROM asgn CROSS JOIN nc),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY d2m ASC, cent_id ASC) rk FROM d2),
+         |fin AS (SELECT vec_id, old_cluster, cent_id new_cluster
+         |        FROM r2 WHERE rk = 1)
+         |SELECT old_cluster, count(*) AS n_vecs,
+         |       CAST(sum(CASE WHEN new_cluster <> old_cluster THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_moved,
+         |       CAST(sum(CASE WHEN new_cluster <> old_cluster THEN 1 ELSE 0 END)
+         |            * 1000000 // count(*) AS BIGINT) AS churn_ppm
+         |FROM fin GROUP BY old_cluster ORDER BY old_cluster""".stripMargin,
+
     // Independent formulation: a plain ntile() window over the margins
     // differentially checks the RankOps rank + exact-NTILE arithmetic.
     "s21_calibration" -> {

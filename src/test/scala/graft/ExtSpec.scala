@@ -1445,6 +1445,19 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("reassignment churn: ledger is consistent and one Lloyd step strictly helps") {
+    val rows = SimilarityQueries.reassignmentChurn(spark, dir).collect()
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // seed centroids are arbitrary vectors, so the first Lloyd update
+    // must move SOME assignments (if nothing churns the test is vacuous)
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
   test("soft dedup keeps uniques at the base rate and scales draws by cluster size") {
     val rows = DedupQueries.softDedupSample(spark, dir).collect()
     val clusters = DedupQueries.dedupClusters(spark, dir).collect()
