@@ -1090,7 +1090,37 @@ object TemporalQueries {
         col("parsed._corrupt_record").as("quarantined_payload"))
       .orderBy("event_id")
 
+  /** q111 — point-in-time feature join (the feature-store lookup that
+    * prevents training-serving leakage): each purchase event is joined
+    * to the q51 SCD2 status version VALID AT its event time
+    * (`valid_from ≤ t < valid_to`, half-open), never to a later
+    * version — the temporal-correctness contract a feature platform
+    * guarantees when materializing training examples. Every probe
+    * matches exactly one version, so row count = probe count is itself
+    * an audit.
+    *
+    * Scale shape: an entity-keyed EQUI-join (user_id) with the interval
+    * predicate residual — versions ride the same user shuffle as the
+    * probes and per-entity version counts are bounded, so this never
+    * becomes an interval cross join (q69's bucketized shape is for
+    * non-entity-aligned intervals). */
+  def q111PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val v = q51Scd2(spark, dir).select(col("user_id"), col("version"),
+      col("status"), unix_micros(col("valid_from")).as("vf_us"),
+      unix_micros(col("valid_to")).as("vt_us"))
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("p_us"))
+    p.join(v, Seq("user_id"))
+      .filter(col("vf_us") <= col("p_us") &&
+        (col("vt_us").isNull || col("p_us") < col("vt_us")))
+      .select(col("user_id"), col("event_id"), col("p_us"),
+        col("version"), col("status"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_pit_join" -> ((s, d) => q111PitJoin(s, d)),
     "q110_json_quarantine" -> ((s, d) => q110JsonQuarantine(s, d)),
     "q109_growth_accounting" -> ((s, d) => q109GrowthAccounting(s, d)),
     "q108_kanonymity" -> ((s, d) => q108KAnonymity(s, d)),
@@ -1123,6 +1153,30 @@ object TemporalQueries {
     "q23_percentiles" -> ((s, d) => q23Percentiles(s, d)),
     "q45_series_corr" -> ((s, d) => q45SeriesCorr(s, d))
   )
+
+  /** The q51 SCD2 history as portable SQL (no trailing ORDER BY) —
+    * q51's oracle totals-orders it; q111's nests it as a CTE. */
+  private lazy val duckScd2Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM g),
+      |s AS (
+      |  SELECT user_id, version, min(event_type) status, min(ts) valid_from,
+      |         count(*) n_events
+      |  FROM v GROUP BY 1, 2)
+      |SELECT user_id, version, status, valid_from,
+      |       lead(valid_from) OVER w2 AS valid_to,
+      |       n_events,
+      |       (lead(valid_from) OVER w2 IS NULL) AS is_current
+      |FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Independent formulation: per-predicate zone verdicts via three
@@ -1532,28 +1586,20 @@ object TemporalQueries {
         |FROM log WHERE rn = 1 AND op <> 'delete'
         |ORDER BY user_id""".stripMargin,
 
-    "q51_scd2" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         CASE WHEN lag(event_type) OVER w IS NULL
-        |                OR lag(event_type) OVER w <> event_type
-        |              THEN 1 ELSE 0 END chg
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |v AS (
-        |  SELECT user_id, ts, event_type,
-        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
-        |  FROM g),
-        |s AS (
-        |  SELECT user_id, version, min(event_type) status, min(ts) valid_from,
-        |         count(*) n_events
-        |  FROM v GROUP BY 1, 2)
-        |SELECT user_id, version, status, valid_from,
-        |       lead(valid_from) OVER w2 AS valid_to,
-        |       n_events,
-        |       (lead(valid_from) OVER w2 IS NULL) AS is_current
-        |FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
-        |ORDER BY user_id, version""".stripMargin,
+    "q51_scd2" -> (duckScd2Sql + "\nORDER BY user_id, version"),
+
+    // q111 nests the q51 history as a CTE and probes it with the
+    // half-open interval predicate — the same SQL both engines agree on
+    // for the version build, so the lookup itself is what differs.
+    "q111_pit_join" ->
+      s"""WITH sv AS ($duckScd2Sql),
+         |p AS (SELECT user_id, event_id, epoch_us(ts) p_us
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT p.user_id, p.event_id, p.p_us, sv.version, sv.status
+         |FROM p JOIN sv ON p.user_id = sv.user_id
+         |  AND epoch_us(sv.valid_from) <= p.p_us
+         |  AND (sv.valid_to IS NULL OR p.p_us < epoch_us(sv.valid_to))
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "q52_peak_concurrency" ->
       """WITH iv AS (SELECT event_type, ts, ts + INTERVAL 1 HOUR te, event_id

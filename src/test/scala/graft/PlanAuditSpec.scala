@@ -772,6 +772,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("pit join is an entity-keyed equi-join with the interval residual") {
+    val p = plan("q111_pit_join")
+    // the interval predicate must ride an equi-join on user_id, never a
+    // nested-loop/cross interval join
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("pattern replay folds per user in one pass: no join, one key exchange") {
     val p = plan("r_stream_pattern_replay")
     assert(!p.contains("Join"), p)

@@ -618,6 +618,34 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(fix.map(_.getLong(4)).sum == 0L)
   }
 
+  test("point-in-time join attaches exactly one leak-free version per probe") {
+    val rows = TemporalQueries.q111PitJoin(spark, dir).collect()
+    val probes = Tables.load(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    // exactly one version per probe — no fan-out, no drop
+    assert(rows.length.toLong == probes)
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    val versions = TemporalQueries.q51Scd2(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val (uid, pUs, version) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      def micros(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val vs = versions(uid).map { v =>
+        (v.getLong(1), micros(v.getTimestamp(3)),
+          Option(v.getTimestamp(4)).map(micros))
+      }
+      // brute force: the version whose half-open interval contains p_us
+      val expect = vs.filter { case (_, vf, vt) =>
+        vf <= pUs && vt.forall(pUs < _)
+      }
+      assert(expect.length == 1, s"user $uid at $pUs")
+      assert(version == expect.head._1)
+      // leak-free: the matched version began at or before the probe
+      assert(expect.head._2 <= pUs)
+    }
+  }
+
   test("json quarantine routes exactly the mangled rows and preserves payloads") {
     val rows = TemporalQueries.q110JsonQuarantine(spark, dir).collect()
     val props = Tables.load(spark, dir, "events")
