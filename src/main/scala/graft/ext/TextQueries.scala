@@ -874,7 +874,45 @@ object TextQueries {
       .orderBy(col("term"))
   }
 
+  /** t27 — cross-source vocabulary overlap matrix: pairwise Jaccard of
+    * the distinct trigram-shingle vocabularies of each source, in exact
+    * ppm — the provenance diagnostic that spots near-mirror crawl
+    * sources (high overlap → candidate for source-level dedup before
+    * any document-level pass) and quantifies how much each source
+    * actually diversifies the corpus. Complements t17 (unigram
+    * DISTRIBUTION drift) with set-level n-gram identity.
+    *
+    * Rides the d2-d4 checkpointed shingle index on its 64-bit
+    * fingerprints (the p8/d4 collision argument: P ≈ n²/2^65, so
+    * fingerprint-set Jaccard equals string-set Jaccard and the oracle
+    * states the string side). Shape: one (source, fp) distinct
+    * reduction, one inverted-index self-join on the fingerprint (the
+    * LSH-bucket shape — pairs are generated per posting, never |S|²
+    * vocab scans), broadcast size frames. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val vocab = DedupQueries.shingled(spark, dir)
+      .join(src, "doc_id")
+      .select(col("source"), explode(col("shh")).as("fp"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard_ppm", expr(
+        "cast((cast(n_common as decimal(38,0)) * 1000000) div (n_a + n_b - n_common) as bigint)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "t26_burstiness" -> ((s, d) => burstiness(s, d)),
     "t25_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
     "t24_hash_features" -> ((s, d) => hashFeatures(s, d)),
@@ -908,6 +946,24 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    // States the STRING-shingle side of the d4 fingerprint argument.
+    "t27_source_overlap" ->
+      s"""WITH ${DedupQueries.duckShingled},
+         |sv AS (SELECT DISTINCT d.source, u.fp
+         |       FROM (SELECT doc_id, unnest(sh) fp FROM shingled) u
+         |       JOIN documents d USING (doc_id)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) n FROM sv GROUP BY 1),
+         |it AS (SELECT a.source src_a, b.source src_b,
+         |         CAST(count(*) AS BIGINT) n_common
+         |       FROM sv a JOIN sv b ON a.fp = b.fp AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, za.n AS n_a, zb.n AS n_b, n_common,
+         |       CAST(CAST(n_common AS HUGEINT) * 1000000
+         |            // (za.n + zb.n - n_common) AS BIGINT) AS jaccard_ppm
+         |FROM it JOIN sz za ON za.source = it.src_a
+         |        JOIN sz zb ON zb.source = it.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
     "t26_burstiness" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term
          |           FROM documents),

@@ -1419,6 +1419,31 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("source overlap matches a brute-force string-shingle Jaccard matrix") {
+    val rows = ext.TextQueries.sourceOverlap(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.map(d => shingles(d._2)).reduce(_ ++ _)).toMap
+    val expected = for {
+      a <- vocab.keys.toSeq.sorted; b <- vocab.keys.toSeq.sorted if a < b
+      inter = (vocab(a) & vocab(b)).size if inter > 0
+    } yield (a, b) -> (vocab(a).size.toLong, vocab(b).size.toLong, inter.toLong)
+    assert(rows.length == expected.length)
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    expected.foreach { case (k, (na, nb, ni)) =>
+      val r = got(k)
+      assert(r.getLong(2) == na && r.getLong(3) == nb && r.getLong(4) == ni, s"$k")
+      assert(r.getLong(5) == ni * 1000000L / (na + nb - ni))
+    }
+  }
+
   test("burstiness matches a brute-force VMR recompute and sits at/above Poisson") {
     val rows = ext.TextQueries.burstiness(spark, dir).collect()
     assert(rows.length == ext.TextQueries.BurstTopK)
