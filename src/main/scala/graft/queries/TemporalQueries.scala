@@ -1036,7 +1036,11 @@ object TemporalQueries {
       .select(col("user_id"), col("week"))
       .distinct()
       .withColumn("prev_week", lag(col("week"), 1).over(wU))
-    val maxWeek = act.agg(max(col("week"))).head().getLong(0)
+    // empty activity → empty ledger (not an NPE on the null max)
+    val maxWeek = act.agg(max(col("week"))).head() match {
+      case r if r.isNullAt(0) => Long.MinValue
+      case r => r.getLong(0)
+    }
     val statuses = act
       .withColumn("status",
         when(col("prev_week").isNull, "new")
@@ -1119,7 +1123,38 @@ object TemporalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** q112 — dead-letter repair-and-replay reconciliation: the close of
+    * q110's quarantine loop. Quarantined payloads get the upstream fix
+    * applied (the dropped brace restored), re-parse, and the ledger
+    * proves `clean + repaired = direct` — the row the incident
+    * post-mortem publishes to show the replay recovered every record
+    * with nothing double-counted. Three conditional aggregates over one
+    * scan; the reconciliation identity is IN the output (all_direct row)
+    * so any drift is a hash mismatch, not a dashboard footnote. */
+  def q112DlqReplay(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "events")
+      .withColumn("payload", when(col("event_id") % 17 === 0,
+        expr("substr(props, 1, length(props) - 1)")).otherwise(col("props")))
+      .withColumn("corrupt", col("event_id") % 17 === 0)
+      .withColumn("repaired_payload",
+        when(col("corrupt"), concat(col("payload"), lit("}")))
+          .otherwise(col("payload")))
+      .withColumn("k_routed",
+        expr("from_json(repaired_payload, 'k INT').k"))
+      .withColumn("k_direct", expr("from_json(props, 'k INT').k"))
+    def route(name: String, cond: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column): DataFrame =
+      base.filter(cond).agg(count(lit(1)).as("n"),
+        sum(k.cast("long")).as("sum_k"))
+        .select(lit(name).as("route"), col("n"), col("sum_k"))
+    route("a_clean", !col("corrupt"), col("k_routed"))
+      .unionAll(route("b_repaired", col("corrupt"), col("k_routed")))
+      .unionAll(route("c_all_direct", lit(true), col("k_direct")))
+      .orderBy("route")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_dlq_replay" -> ((s, d) => q112DlqReplay(s, d)),
     "q111_pit_join" -> ((s, d) => q111PitJoin(s, d)),
     "q110_json_quarantine" -> ((s, d) => q110JsonQuarantine(s, d)),
     "q109_growth_accounting" -> ((s, d) => q109GrowthAccounting(s, d)),
@@ -1182,6 +1217,27 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    "q112_dlq_replay" ->
+      """WITH m AS (
+        |  SELECT event_id, props,
+        |         event_id % 17 = 0 AS corrupt,
+        |         CASE WHEN event_id % 17 = 0
+        |              THEN substr(props, 1, length(props) - 1) || '}'
+        |              ELSE props END repaired
+        |  FROM events),
+        |r(route) AS (VALUES ('a_clean'), ('b_repaired'), ('c_all_direct')),
+        |x AS (SELECT r.route, m.event_id,
+        |        CASE r.route
+        |          WHEN 'c_all_direct'
+        |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |          ELSE CAST(json_extract_string(repaired, '$.k') AS BIGINT)
+        |        END k,
+        |        CASE r.route WHEN 'a_clean' THEN NOT corrupt
+        |          WHEN 'b_repaired' THEN corrupt ELSE TRUE END keep
+        |      FROM m CROSS JOIN r)
+        |SELECT route, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM x WHERE keep GROUP BY route ORDER BY route""".stripMargin,
+
     "q110_json_quarantine" ->
       """WITH m AS (
         |  SELECT event_id,

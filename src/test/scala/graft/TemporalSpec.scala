@@ -616,6 +616,10 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     val fix = TemporalQueries.q109GrowthAccounting(spark, dir).collect()
     assert(fix.map(_.getLong(5)).sum == 0L)
     assert(fix.map(_.getLong(4)).sum == 0L)
+    // empty activity yields an empty ledger, not an NPE
+    val empty = TemporalQueries.q109GrowthAccountingOf(
+      Seq.empty[(Long, Long)].toDF("user_id", "week"))
+    assert(empty.collect().isEmpty)
   }
 
   test("point-in-time join attaches exactly one leak-free version per probe") {
@@ -644,6 +648,19 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       // leak-free: the matched version began at or before the probe
       assert(expect.head._2 <= pUs)
     }
+  }
+
+  test("dlq replay reconciles: clean + repaired equals the direct parse exactly") {
+    val rows = TemporalQueries.q112DlqReplay(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 3)
+    val (clean, rep, direct) =
+      (rows("a_clean"), rows("b_repaired"), rows("c_all_direct"))
+    assert(clean._1 + rep._1 == direct._1, "row counts reconcile")
+    assert(clean._2 + rep._2 == direct._2, "value masses reconcile")
+    // the repaired route carries exactly the 1-in-17 mangled population
+    val n = Tables.load(spark, dir, "events").count()
+    assert(rep._1 == (0L until n).count(_ % 17 == 0).toLong)
   }
 
   test("json quarantine routes exactly the mangled rows and preserves payloads") {
