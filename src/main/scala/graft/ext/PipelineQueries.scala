@@ -616,7 +616,46 @@ object PipelineQueries {
       .orderBy("split", "bin")
   }
 
+  /** p24 — mixture-proportional epoch ordering (weighted fair
+    * interleave): a single deterministic global order in which EVERY
+    * prefix holds each source at ≈ its temperature share — the order a
+    * mixture-trained model should actually consume, vs p19's uniform
+    * shuffle (which only converges to the mixture in expectation) or
+    * per-source files (which destroy the mixture entirely). Classic
+    * weighted-fair-queueing virtual time: within each source docs rank
+    * by a seeded hash; the k-th doc of source s finishes at virtual
+    * time `k·1e9 div w_s` (w_s = p14's sqrt-temperature micro-weight),
+    * and the epoch order is ascending virtual time. WFQ bounds each
+    * source's lag in any prefix to O(1) items — the test asserts it.
+    *
+    * Scale shape: both ranks are RankOps passes (per-source rank via
+    * group-rank = global rank minus broadcast offsets; final position
+    * via the range-partition global rank) — never a per-source or
+    * global single-reducer window; weights are a |sources|-row
+    * broadcast. */
+  def mixtureOrder(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val weights = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("wm", expr("cast(round(sqrt(n) * 1000000.0D, 0) as bigint)"))
+      .select(col("source"), col("wm"))
+    val ranked = graft.ops.RankOps.withGroupRank(
+      docs.withColumn("h", md5(concat_ws("|", lit("ord"), col("doc_id")))),
+      par, "k0", Seq("source"), Seq(col("h"), col("doc_id")))
+    val vt = ranked.join(broadcast(weights), "source")
+      .withColumn("k_in_source", col("k0") + 1L)
+      .withColumn("vt", expr(
+        "cast(cast(k_in_source as decimal(38,0)) * 1000000000 div wm as bigint)"))
+    graft.ops.RankOps
+      .withGlobalRank(vt, par, "position", col("vt"), col("source"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("k_in_source"), col("vt"),
+        col("position"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_mixture_order" -> ((s, d) => mixtureOrder(s, d)),
     "p22_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "p21_corpus_diff" -> ((s, d) => corpusDiff(s, d)),
     "p19_seeded_shuffle" -> ((s, d) => seededShuffle(s, d)),
@@ -727,6 +766,24 @@ object PipelineQueries {
        |GROUP BY split, shard""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: plain per-source and global row_number
+    // windows (vs the engine's two RankOps passes).
+    "p24_mixture_order" ->
+      """WITH c AS (SELECT source, count(*) n FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |        CAST(round(sqrt(n) * 1000000.0, 0) AS BIGINT) wm FROM c),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5('ord|' || doc_id::VARCHAR), doc_id) k
+        |      FROM documents),
+        |v AS (SELECT doc_id, r.source, CAST(k AS BIGINT) k_in_source,
+        |        CAST(CAST(k AS HUGEINT) * 1000000000 // wm AS BIGINT) vt
+        |      FROM r JOIN w ON r.source = w.source)
+        |SELECT doc_id, source, k_in_source, vt,
+        |       CAST(row_number() OVER (ORDER BY vt, source, doc_id) - 1
+        |            AS BIGINT) AS position
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     "p21_corpus_diff" ->
       """WITH vold AS (
         |  SELECT doc_id, md5(text) h_old FROM documents WHERE doc_id % 10 <> 0),

@@ -1018,7 +1018,40 @@ object SimilarityQueries {
       .orderBy("old_cluster")
   }
 
+  /** s23 — embedding-space geometry audit: per dimension, the exact
+    * integer mean and the variance share of total variance in ppm —
+    * the anisotropy readout. Healthy embedding spaces spread variance
+    * across dimensions; a handful of dominant "rogue" dimensions (a
+    * known pathology of LM embeddings) wrecks cosine comparability and
+    * is the standard cue for whitening or mean-centering before ANN
+    * indexing. Dominance = max share vs the uniform 1/d baseline.
+    *
+    * All math in exact micro-integers off one map-side-combined
+    * (dim → sum, sumsq) aggregate; variance numerators are
+    * `n·Σx² − (Σx)²` in decimal(38,0) (non-negative by Cauchy-Schwarz,
+    * so both engines floor identically). Output is d rows — metadata
+    * scale. */
+  def isotropyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).count()
+    val dims = emb(spark, dir)
+      .select(posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"))
+      .withColumn("var_num", expr(
+        s"cast($n as decimal(38,0)) * sx2 - cast(sx as decimal(38,0)) * sx"))
+    val total = dims.agg(sum(col("var_num")).as("tot"))
+    dims.crossJoin(broadcast(total))
+      .select(col("dim"),
+        expr(s"cast(sx div $n as bigint)").as("mean_micro"),
+        expr("cast((var_num * 1000000) div tot as bigint)").as("var_share_ppm"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
     "s22_reassignment_churn" -> ((s, d) => reassignmentChurn(s, d)),
     "s21_calibration" -> ((s, d) => calibration(s, d)),
     "s20_silhouette" -> ((s, d) => silhouette(s, d)),
@@ -1086,6 +1119,25 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s23_isotropy" ->
+      s"""WITH e AS (SELECT vec_id,
+         |       list_transform(embedding::DOUBLE[],
+         |         x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) vm
+         |     FROM embeddings),
+         |nn AS (SELECT count(*) n FROM e),
+         |dd AS (SELECT unnest(range(1, ${LshDims + 1})) dim),
+         |g AS (SELECT dim, CAST(sum(vm[dim]) AS BIGINT) sx,
+         |        CAST(sum(vm[dim] * vm[dim]) AS BIGINT) sx2
+         |      FROM e CROSS JOIN dd GROUP BY dim),
+         |v AS (SELECT dim, sx, nn.n,
+         |        CAST(nn.n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx var_num
+         |      FROM g, nn),
+         |t AS (SELECT sum(var_num) tot FROM v)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |       CAST(sx // n AS BIGINT) AS mean_micro,
+         |       CAST(var_num * 1000000 // t.tot AS BIGINT) AS var_share_ppm
+         |FROM v, t ORDER BY dim""".stripMargin,
+
     // Independent formulation: both assignment passes as cross join +
     // row_number argmin (vs the engine's literal-centroid projections).
     "s22_reassignment_churn" ->

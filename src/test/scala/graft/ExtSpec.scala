@@ -1483,6 +1483,59 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_.getLong(2)).sum > 0)
   }
 
+  test("mixture order is a permutation whose every prefix tracks the weights") {
+    val rows = ext.PipelineQueries.mixtureOrder(spark, dir).collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(4)).sorted.toSeq == (0L until n).toSeq)
+    val weights = rows.groupBy(_.getString(1)).view
+      .mapValues(g => math.round(math.sqrt(g.length) * 1e6)).toMap
+    val wTotal = weights.values.sum.toDouble
+    // WFQ prefix fairness: at every checkpoint prefix, each source holds
+    // within a couple of items of its weighted share
+    val byPos = rows.sortBy(_.getLong(4))
+    Seq(n / 10, n / 4, n / 2, (3 * n) / 4).foreach { p =>
+      val prefix = byPos.take(p).groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      weights.foreach { case (src, w) =>
+        val expectShare = p * (w / wTotal)
+        val got = prefix.getOrElse(src, 0)
+        assert(math.abs(got - expectShare) <= 2.0 + expectShare * 0.15,
+          s"prefix $p source $src: got $got expected ~$expectShare")
+      }
+    }
+    // virtual-time order: within a source, positions strictly follow k
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(2))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getLong(4) < b.getLong(4))
+      }
+    }
+  }
+
+  test("isotropy audit: shares sum to one million and match a brute-force recompute") {
+    val rows = SimilarityQueries.isotropyAudit(spark, dir).collect()
+    val embs = Tables.load(spark, dir, "embeddings").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.round(x.toDouble * 1e6)).toArray)
+    assert(rows.length == embs.head.length)
+    val n = BigInt(embs.length)
+    val varNums = (0 until embs.head.length).map { d =>
+      val xs = embs.map(_(d))
+      val (sx, sx2) = (BigInt(xs.sum), xs.map(x => BigInt(x) * x).sum)
+      (sx, n * sx2 - sx * sx)
+    }
+    val tot = varNums.map(_._2).sum
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (sx, vn) = varNums(i)
+      assert(r.getLong(0) == i + 1L)
+      val meanExpect = (sx.abs / n) * (if (sx.signum < 0) -1 else 1)
+      assert(r.getLong(1) == meanExpect.toLong, s"dim ${i + 1} mean")
+      assert(r.getLong(2) == (vn * 1000000 / tot).toLong, s"dim ${i + 1} share")
+    }
+    // floor-division shares sum to at most 1e6 (and nearly reach it)
+    val s = rows.map(_.getLong(2)).sum
+    assert(s <= 1000000L && s >= 1000000L - rows.length)
+  }
+
   test("soft dedup keeps uniques at the base rate and scales draws by cluster size") {
     val rows = DedupQueries.softDedupSample(spark, dir).collect()
     val clusters = DedupQueries.dedupClusters(spark, dir).collect()

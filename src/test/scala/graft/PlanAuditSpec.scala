@@ -772,6 +772,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("mixture order runs both ranks through RankOps, no per-source window") {
+    val p = plan("p24_mixture_order")
+    // the final position rank is a RankOps RDD (everything upstream —
+    // the group rank and the broadcast weight join — is inside its
+    // lineage, behind the createDataFrame boundary); what must NOT
+    // appear is any window or sort-merge join in the visible plan
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("isotropy audit is one map-side-combined dim aggregate") {
+    val p = plan("s23_isotropy")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
   test("pit join is an entity-keyed equi-join with the interval residual") {
     val p = plan("q111_pit_join")
     // the interval predicate must ride an equi-join on user_id, never a
