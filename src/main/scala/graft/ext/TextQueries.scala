@@ -911,7 +911,31 @@ object TextQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** t28 — blocklist gate (the C4 "bad words" filter shape): per
+    * document, total occurrences and distinct hits against a fixed
+    * blocklist, plus the C4-style hard verdict (any hit → drop). The
+    * list here is a stand-in drawn from the fixture vocabulary (real
+    * deployments plug in their word list — the operator is the same
+    * membership probe); C4 famously applied exactly this gate to every
+    * page. Pure projection against a literal set — the list is plan
+    * metadata, no broadcast, no shuffle; at any corpus size this is a
+    * free rider on the ingest scan. */
+  val Blocklist: Seq[String] = Seq("slow", "error", "drop")
+  def blocklistGate(spark: SparkSession, dir: String): DataFrame = {
+    val listLit = Blocklist.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr(s"cast(size(filter(toks, t -> array_contains($listLit, t))) as bigint)")
+          .as("n_blocked"),
+        expr(s"cast(size(array_intersect(array_distinct(toks), $listLit)) as bigint)")
+          .as("n_distinct_blocked"))
+      .withColumn("pass", (col("n_blocked") === 0L).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_blocklist_gate" -> ((s, d) => blocklistGate(s, d)),
     "t27_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "t26_burstiness" -> ((s, d) => burstiness(s, d)),
     "t25_ccnet_buckets" -> ((s, d) => ccnetBuckets(s, d)),
@@ -946,6 +970,23 @@ object TextQueries {
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
   val oracles: Map[String, String] = Map(
+    "t28_blocklist_gate" -> {
+      val listSql = Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+         |           FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_toks,
+         |       CAST(len(list_filter(toks, x -> list_contains($listSql, x)))
+         |            AS BIGINT) AS n_blocked,
+         |       CAST(len(list_filter(list_distinct(toks),
+         |            x -> list_contains($listSql, x))) AS BIGINT)
+         |         AS n_distinct_blocked,
+         |       CAST(CASE WHEN len(list_filter(toks,
+         |            x -> list_contains($listSql, x))) = 0
+         |            THEN 1 ELSE 0 END AS INTEGER) AS pass
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
     // States the STRING-shingle side of the d4 fingerprint argument.
     "t27_source_overlap" ->
       s"""WITH ${DedupQueries.duckShingled},

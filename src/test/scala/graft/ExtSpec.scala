@@ -1419,6 +1419,24 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("blocklist gate counts occurrences exactly and passes only clean docs") {
+    val rows = ext.TextQueries.blocklistGate(spark, dir).collect()
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bl = ext.TextQueries.Blocklist.toSet
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).toLowerCase.split(" ", -1)
+      assert(r.getLong(1) == toks.length.toLong)
+      assert(r.getLong(2) == toks.count(bl).toLong)
+      assert(r.getLong(3) == toks.distinct.count(bl).toLong)
+      assert(r.getInt(4) == (if (toks.count(bl) == 0) 1 else 0))
+    }
+    // the gate must actually discriminate on this fixture
+    assert(rows.exists(_.getInt(4) == 1) && rows.exists(_.getInt(4) == 0))
+  }
+
   test("source overlap matches a brute-force string-shingle Jaccard matrix") {
     val rows = ext.TextQueries.sourceOverlap(spark, dir).collect()
     val docs = Tables.load(spark, dir, "documents")
