@@ -616,7 +616,7 @@ object PipelineQueries {
       .orderBy("split", "bin")
   }
 
-  /** p24 — mixture-proportional epoch ordering (weighted fair
+  /** p23 — mixture-proportional epoch ordering (weighted fair
     * interleave): a single deterministic global order in which EVERY
     * prefix holds each source at ≈ its temperature share — the order a
     * mixture-trained model should actually consume, vs p19's uniform
@@ -655,7 +655,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p24_mixture_order" -> ((s, d) => mixtureOrder(s, d)),
+    "p23_mixture_order" -> ((s, d) => mixtureOrder(s, d)),
     "p22_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "p21_corpus_diff" -> ((s, d) => corpusDiff(s, d)),
     "p19_seeded_shuffle" -> ((s, d) => seededShuffle(s, d)),
@@ -768,7 +768,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     // Independent formulation: plain per-source and global row_number
     // windows (vs the engine's two RankOps passes).
-    "p24_mixture_order" ->
+    "p23_mixture_order" ->
       """WITH c AS (SELECT source, count(*) n FROM documents GROUP BY 1),
         |w AS (SELECT source,
         |        CAST(round(sqrt(n) * 1000000.0, 0) AS BIGINT) wm FROM c),

@@ -773,7 +773,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("mixture order runs both ranks through RankOps, no per-source window") {
-    val p = plan("p24_mixture_order")
+    val p = plan("p23_mixture_order")
     // the final position rank is a RankOps RDD (everything upstream —
     // the group rank and the broadcast weight join — is inside its
     // lineage, behind the createDataFrame boundary); what must NOT
