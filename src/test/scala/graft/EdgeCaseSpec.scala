@@ -11,6 +11,28 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
 
   private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
 
+  test("query registry: no silent key collisions across modules, oracles subset") {
+    // SparkEntry.queries unions per-module maps — a duplicated key would
+    // silently drop one module's operator from the driver's correctness
+    // sweep. Assert the union preserves every registration.
+    val groups = Seq(
+      graft.queries.ReferenceQueries.queries, graft.queries.StreamReplayQueries.queries,
+      graft.queries.OlapQueries.queries, graft.queries.TemporalQueries.queries,
+      graft.queries.AdvancedQueries.queries, graft.queries.TpchQueries.queries,
+      graft.queries.TpchQueries2.queries, graft.ext.DedupQueries.queries,
+      graft.ext.SimilarityQueries.queries, graft.ext.TextQueries.queries,
+      graft.ext.MultimodalQueries.queries, graft.ext.PipelineQueries.queries)
+    assert(groups.map(_.size).sum == SparkEntry.queries.size,
+      "a query key is registered twice across modules")
+    // every oracle refers to a registered query (a dangling oracle means
+    // a rename missed one side)
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+    // and every query HAS an oracle (this suite has no rows-only ops)
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+  }
+
   test("chunking an empty corpus yields zero chunks, not a plan error") {
     assert(graft.ext.PipelineQueries.chunkOf(emptyDocs).count() == 0)
   }
