@@ -1050,7 +1050,42 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** s24 — hybrid retrieval fusion (Reciprocal Rank Fusion): merge the
+    * lexical ranking (t14's BM25 top-10) and the dense ranking (s1's
+    * cosine top-10) by `Σ 1/(60 + rank)` — the standard hybrid-search
+    * combiner in every RAG stack, robust to the two scorers'
+    * incomparable scales because only RANKS cross the fusion boundary.
+    * Scores are exact integer nano-units (`1e9 div (60+rank)`), so the
+    * fused order is engine-identical with no float reciprocals. Doc and
+    * vector ids align 1:1 in the fixture (vec i embeds doc i) — the
+    * stand-in for a production id join.
+    *
+    * Cost: both inputs are k-row frames (driver scale) — the corpus
+    * work lives in the upstream rankings; the rank windows here run
+    * over ≤ k rows, not data. */
+  val RrfK = 60
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = TextQueries.bm25(spark, dir)
+      .select(col("doc_id"), col("score_micro"))
+      .withColumn("r_bm", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_bm"))
+    val ann = annTopK(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+      .withColumn("r_ann", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_ann"))
+    bm.join(ann, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_nano", expr(
+        s"coalesce(1000000000 div ($RrfK + r_bm), 0L) + " +
+          s"coalesce(1000000000 div ($RrfK + r_ann), 0L)"))
+      .select(col("doc_id"), col("r_bm"), col("r_ann"), col("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
     "s22_reassignment_churn" -> ((s, d) => reassignmentChurn(s, d)),
     "s21_calibration" -> ((s, d) => calibration(s, d)),
@@ -1117,6 +1152,15 @@ object SimilarityQueries {
        |  WHERE q.vec_id = 0 AND b.vec_id > 0),
        |q AS (SELECT v qv, nrm qnrm FROM e WHERE vec_id = 0)""".stripMargin
   }
+
+  /** The s1 exact-cosine top-10 as a full standalone statement — its own
+    * oracle entry, and nested by s24's fusion. */
+  private lazy val duckS1Sql: String =
+    s"""WITH $duckEmb,
+       |q AS (SELECT v, nrm FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS cosine
+       |FROM e, q WHERE e.vec_id > 0
+       |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s23_isotropy" ->
@@ -1590,12 +1634,25 @@ object SimilarityQueries {
          |FROM cand c JOIN a2 a ON a.vec_id = c.vec_id, q
          |ORDER BY dot_micro DESC, a.vec_id ASC LIMIT 10""".stripMargin
     },
-    "s1_ann_topk" ->
-      s"""WITH $duckEmb,
-         |q AS (SELECT v, nrm FROM e WHERE vec_id = 0)
-         |SELECT e.vec_id, round(list_dot_product(e.v, q.v) / (e.nrm * q.nrm), 6) AS cosine
-         |FROM e, q WHERE e.vec_id > 0
-         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s1_ann_topk" -> duckS1Sql,
+
+    // RRF over the two nested full ranking statements (a CTE body may
+    // carry its own ORDER BY + LIMIT).
+    "s24_rrf_fusion" ->
+      s"""WITH bm AS (${TextQueries.oracles("t14_bm25")}),
+         |ann AS ($duckS1Sql),
+         |bmr AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) r_bm
+         |        FROM bm),
+         |annr AS (SELECT vec_id doc_id, CAST(row_number() OVER (
+         |           ORDER BY cosine DESC, vec_id ASC) AS BIGINT) r_ann
+         |         FROM ann)
+         |SELECT coalesce(bmr.doc_id, annr.doc_id) AS doc_id,
+         |       bmr.r_bm AS r_bm, annr.r_ann AS r_ann,
+         |       coalesce(1000000000 // ($RrfK + r_bm), 0)
+         |         + coalesce(1000000000 // ($RrfK + r_ann), 0) AS rrf_nano
+         |FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id
+         |ORDER BY rrf_nano DESC, doc_id""".stripMargin,
 
     // k-center unrolled: seed = vec 0, then 4 sequential argmins of the
     // max cosine to everything already selected (farthest-point rule).

@@ -1529,6 +1529,30 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("rrf fusion carries both rank lists and scores by exact reciprocal ranks") {
+    val rows = SimilarityQueries.rrfFusion(spark, dir).collect()
+    val bm = ext.TextQueries.bm25(spark, dir).collect().map(_.getLong(0))
+    val ann = SimilarityQueries.annTopK(spark, dir).collect().map(_.getLong(0))
+    assert(rows.length == (bm ++ ann).distinct.length)
+    val k = SimilarityQueries.RrfK
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val rBm = Option(r.get(1)).map(_.asInstanceOf[Long])
+      val rAnn = Option(r.get(2)).map(_.asInstanceOf[Long])
+      assert(rBm == (if (bm.contains(id)) Some(bm.indexOf(id) + 1L) else None))
+      assert(rAnn == (if (ann.contains(id)) Some(ann.indexOf(id) + 1L) else None))
+      val expect = rBm.map(x => 1000000000L / (k + x)).getOrElse(0L) +
+        rAnn.map(x => 1000000000L / (k + x)).getOrElse(0L)
+      assert(r.getLong(3) == expect, s"doc $id")
+    }
+    // a doc present in BOTH lists must outrank one present in only the
+    // tail of a single list (the point of fusion)
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = rows.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getLong(3)).max > single.map(_.getLong(3)).min)
+  }
+
   test("isotropy audit: shares sum to one million and match a brute-force recompute") {
     val rows = SimilarityQueries.isotropyAudit(spark, dir).collect()
     val embs = Tables.load(spark, dir, "embeddings").collect()
