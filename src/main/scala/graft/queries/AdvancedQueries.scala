@@ -827,7 +827,42 @@ object AdvancedQueries {
     custRow.unionAll(orderRow).unionAll(lineRow).orderBy("table_name")
   }
 
+  /** q114 — referential-integrity audit across the star schema: for each
+    * foreign-key relationship, the child row count, the count of
+    * orphaned children (FK value absent from the parent key set) and
+    * distinct orphaned key values — the data-quality contract check a
+    * warehouse runs after every load, published as a per-relationship
+    * ledger (all-zeros on a consistent load; any orphan is a pipeline
+    * incident). Each relationship is one LEFT ANTI join on the key —
+    * the parent key sets here are dimension-sized (broadcastable); a
+    * fact-fact edge (lineitem→orders) rides the key shuffle. */
+  def q114FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      val totals = child.agg(count(lit(1)).as("n_child"))
+      val o = orphans.agg(count(lit(1)).as("n_orphans"),
+        countDistinct(col(fk)).as("n_orphan_keys"))
+      totals.crossJoin(o)
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }
+    def t(n: String) = graft.Tables.load(spark, dir, n)
+    rel("1_lineitem_orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey")
+      .unionAll(rel("2_orders_customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"))
+      .unionAll(rel("3_customer_nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"))
+      .unionAll(rel("4_supplier_nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey"))
+      .unionAll(rel("5_nation_region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey"))
+      .orderBy("relationship")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_fk_audit" -> ((s, d) => q114FkAudit(s, d)),
     "q78_decay_score" -> ((s, d) => q78DecayScore(s, d)),
     "q79_erasure_cascade" -> ((s, d) => q79ErasureCascade(s, d)),
     "q74_rank_distribution" -> ((s, d) => q74RankDistribution(s, d)),
@@ -868,6 +903,25 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_fk_audit" -> {
+      def rel(name: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT count(*) FROM $child) AS n_child,
+           |  (SELECT count(*) FROM $child c
+           |    WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+           |    AS n_orphans,
+           |  (SELECT count(DISTINCT c.$fk) FROM $child c
+           |    WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+           |    AS n_orphan_keys""".stripMargin
+      Seq(
+        rel("1_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("2_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("3_customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("4_supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        rel("5_nation_region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
     "q78_decay_score" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) us,

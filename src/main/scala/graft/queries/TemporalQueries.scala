@@ -1153,7 +1153,39 @@ object TemporalQueries {
       .orderBy("route")
   }
 
+  /** q113 — equi-depth histogram statistics (the ANALYZE-stats builder):
+    * [[StatsBins]] equal-population bins over `events.value` with each
+    * bin's row count, min and max — exactly the column statistic a
+    * cost-based optimizer stores for selectivity estimation (Spark's
+    * own `ANALYZE ... FOR COLUMNS` computes this shape). Complements
+    * q47's fixed-WIDTH histogram: equi-depth adapts bin boundaries to
+    * the data, which is what makes selectivity estimates robust to
+    * skew.
+    *
+    * Bins come from the RankOps global rank + exact NTILE arithmetic —
+    * the statistics pass runs as one range-partitioned rank over the
+    * column, never a single-reducer `ntile() OVER (ORDER BY value)`;
+    * values are exact integer cents so bin boundaries have no float
+    * edges. */
+  val StatsBins = 32
+  def q113EquidepthStats(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val vals = Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        expr("cast(round(value * 100.0D, 0) as bigint)").as("vc"))
+    val (ranked, total) = graft.ops.RankOps.withGlobalRankAndTotal(
+      vals, par, "rk", col("vc"), col("event_id"))
+    ranked
+      .withColumn("n_total", lit(total))
+      .withColumn("bin", graft.ops.RankOps.ntileFromRank("rk", "n_total", StatsBins))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("vc")).as("lo_cents"), max(col("vc")).as("hi_cents"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_equidepth_stats" -> ((s, d) => q113EquidepthStats(s, d)),
     "q112_dlq_replay" -> ((s, d) => q112DlqReplay(s, d)),
     "q111_pit_join" -> ((s, d) => q111PitJoin(s, d)),
     "q110_json_quarantine" -> ((s, d) => q110JsonQuarantine(s, d)),
@@ -1217,6 +1249,18 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    // Independent formulation: a plain global ntile window (vs the
+    // RankOps rank + exact-NTILE arithmetic).
+    "q113_equidepth_stats" ->
+      s"""WITH v AS (SELECT event_id,
+         |        CAST(round(value * 100.0, 0) AS BIGINT) vc FROM events),
+         |t AS (SELECT vc, CAST(ntile($StatsBins) OVER (ORDER BY vc, event_id)
+         |        AS BIGINT) bin FROM v)
+         |SELECT bin, count(*) AS n_rows,
+         |       CAST(min(vc) AS BIGINT) AS lo_cents,
+         |       CAST(max(vc) AS BIGINT) AS hi_cents
+         |FROM t GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q112_dlq_replay" ->
       """WITH m AS (
         |  SELECT event_id, props,

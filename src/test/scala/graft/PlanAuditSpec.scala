@@ -789,6 +789,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
+  test("equi-depth stats ride the RankOps rank, no single-reducer ntile window") {
+    val p = plan("q113_equidepth_stats")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 0, p)
+  }
+
+  test("fk audit plans every relationship as an anti join, dims broadcast") {
+    val p = plan("q114_fk_audit")
+    assert("LeftAnti".r.findAllIn(p).size >= 5, p)
+    // the four dimension-parent edges broadcast; only lineitem->orders
+    // may legitimately shuffle both sides
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).size >= 4, p)
+  }
+
   test("pit join is an entity-keyed equi-join with the interval residual") {
     val p = plan("q111_pit_join")
     // the interval predicate must ride an equi-join on user_id, never a

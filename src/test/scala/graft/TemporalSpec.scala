@@ -650,6 +650,42 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("equi-depth stats: exact NTILE populations, ordered non-overlapping ranges") {
+    val rows = TemporalQueries.q113EquidepthStats(spark, dir).collect().sortBy(_.getLong(0))
+    val n = Tables.load(spark, dir, "events").count()
+    val k = TemporalQueries.StatsBins
+    assert(rows.length == k)
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == n / k + (if (i < n % k) 1 else 0), s"bin ${i + 1} depth")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    // boundaries ascend: bin i's max <= bin i+1's min (ties allowed at
+    // the boundary value since rank, not value, cuts the bins)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getLong(3) <= b.getLong(2) ||
+        (a.getLong(3) == b.getLong(2)), s"bins ${a.getLong(0)}/${b.getLong(0)} overlap")
+      assert(a.getLong(2) <= b.getLong(2))
+    }
+  }
+
+  test("fk audit reports zero orphans on the consistent fixture star schema") {
+    val rows = graft.queries.AdvancedQueries.q114FkAudit(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L, r.getString(0))
+      assert(r.getLong(1) > 0L)
+    }
+    // and the audit actually detects a planted orphan
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 99L)).toDF("ck", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val orphans = child.join(parent,
+      org.apache.spark.sql.functions.col("fk") === org.apache.spark.sql.functions.col("pk"),
+      "left_anti").count()
+    assert(orphans == 1L)
+  }
+
   test("dlq replay reconciles: clean + repaired equals the direct parse exactly") {
     val rows = TemporalQueries.q112DlqReplay(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
