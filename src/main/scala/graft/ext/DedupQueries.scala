@@ -240,6 +240,40 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d24 — b-bit minhash accuracy audit (Li & König): for every verified
+    * near-dup pair, the exact Jaccard next to its 16-hash minhash
+    * estimate AND the 1-bit-per-hash estimate (`Ĵ₁ = max(2A−1, 0)` over
+    * parity agreements) — the sketch-compression trade-off table. b-bit
+    * minhash stores 32× less per signature; this readout is how a
+    * deployment decides whether the cheaper sketch's variance is
+    * acceptable before re-indexing a 100 TB corpus.
+    *
+    * Cost: the verified pair frame is cached (d3's index); the audit
+    * joins it to the signature frame twice on doc id and computes 32
+    * equality terms per pair — pairs-scale work, not corpus-scale. */
+  def bbitMinhashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashed(spark, dir)
+    def side(p: String) = sigs.select(col("doc_id").as(s"${p}_id") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"${p}h$i")): _*)
+    val agreeFull = (0 until NumHashes)
+      .map(i => when(col(s"ah$i") === col(s"bh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agree1 = (0 until NumHashes)
+      .map(i => when(col(s"ah$i") % 2 === col(s"bh$i") % 2, 1L).otherwise(0L))
+      .reduce(_ + _)
+    lshPairsRaw(spark, dir)
+      .join(side("a"), col("doc_a") === col("a_id"))
+      .join(side("b"), col("doc_b") === col("b_id"))
+      .withColumn("n_agree_full", agreeFull)
+      .withColumn("n_agree_1bit", agree1)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("n_agree_full"), col("n_agree_1bit"),
+        expr(s"n_agree_full * 1000000L div $NumHashes").as("est_full_ppm"),
+        expr(s"greatest(2L * n_agree_1bit - $NumHashes, 0L) * 1000000L div $NumHashes")
+          .as("est_1bit_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d2 — MinHash signatures: one md5 digest over the 16 minhashes. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame =
     minhashed(spark, dir)
@@ -1118,6 +1152,7 @@ object DedupQueries {
     "d1_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "d22_bow_dedup" -> ((s, d) => bowDedup(s, d)),
     "d23_soft_dedup" -> ((s, d) => softDedupSample(s, d)),
+    "d24_bbit_minhash" -> ((s, d) => bbitMinhashAudit(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
@@ -1611,6 +1646,43 @@ object DedupQueries {
          |$duckBands),
          |$duckComponentsSql
          |SELECT node AS doc_id, cluster_root FROM cc ORDER BY doc_id""".stripMargin,
+
+    "d24_bbit_minhash" -> {
+      val aFull = (0 until NumHashes)
+        .map(i => s"CASE WHEN ma.h$i = mb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val a1 = (0 until NumHashes)
+        .map(i => s"CASE WHEN ma.h$i % 2 = mb.h$i % 2 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id),
+         |p AS (SELECT doc_a, doc_b, round(i/(tot-i), 6) jaccard
+         |      FROM verified WHERE i/(tot-i) >= $JaccardThreshold),
+         |ag AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+         |         CAST($aFull AS BIGINT) n_agree_full,
+         |         CAST($a1 AS BIGINT) n_agree_1bit
+         |       FROM p JOIN minhashed ma ON ma.doc_id = p.doc_a
+         |              JOIN minhashed mb ON mb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, jaccard, n_agree_full, n_agree_1bit,
+         |       CAST(n_agree_full * 1000000 // $NumHashes AS BIGINT)
+         |         AS est_full_ppm,
+         |       CAST(greatest(2 * n_agree_1bit - $NumHashes, 0) * 1000000
+         |            // $NumHashes AS BIGINT) AS est_1bit_ppm
+         |FROM ag ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "d23_soft_dedup" ->
       s"""WITH RECURSIVE $duckShingled,

@@ -1578,6 +1578,30 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(s <= 1000000L && s >= 1000000L - rows.length)
   }
 
+  test("b-bit minhash audit: estimates bracket truth and 1-bit never beats full") {
+    val rows = DedupQueries.bbitMinhashAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val sigs = DedupQueries.minhashSignature(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (full, one) = (r.getLong(3), r.getLong(4))
+      assert(full >= 0 && full <= 16 && one >= 0 && one <= 16)
+      // parity agreement is implied by full agreement: one >= full
+      assert(one >= full, s"pair ${(r.getLong(0), r.getLong(1))}")
+      assert(r.getLong(5) == full * 1000000L / 16)
+      assert(r.getLong(6) == math.max(2 * one - 16, 0) * 1000000L / 16)
+      // a pair with identical signatures must estimate exactly 1.0
+      if (sigs(r.getLong(0)) == sigs(r.getLong(1)))
+        assert(r.getLong(5) == 1000000L)
+      // minhash agreement is an unbiased Jaccard estimator: on the
+      // verified (j >= 0.5) pairs the full estimate must stay within
+      // the 16-hash binomial envelope of truth (~4 sigma ≈ 0.5)
+      val j = r.getDouble(2)
+      assert(math.abs(r.getLong(5) / 1e6 - j) <= 0.5,
+        s"estimate wildly off: ${r.getLong(5) / 1e6} vs $j")
+    }
+  }
+
   test("soft dedup keeps uniques at the base rate and scales draws by cluster size") {
     val rows = DedupQueries.softDedupSample(spark, dir).collect()
     val clusters = DedupQueries.dedupClusters(spark, dir).collect()
