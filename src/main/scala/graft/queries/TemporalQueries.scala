@@ -1184,7 +1184,46 @@ object TemporalQueries {
       .orderBy("bin")
   }
 
+  /** q115 — pairwise frequent-itemset mining (the A-priori level-2 pass):
+    * baskets are (user, day) distinct event-type sets; for every type
+    * pair, the co-occurrence count, support in exact ppm of baskets,
+    * and lift in exact ppm (`P(ab)/(P(a)·P(b))`, decimal-widened) — the
+    * unordered-co-occurrence complement to q62's sequential n-gram
+    * motifs, and the standard market-basket association readout.
+    *
+    * Scale shape: the per-basket pair fanout is bounded by the item-set
+    * size (≤|types| per basket), so the self-join on the basket key
+    * never explodes — at any corpus size the work is Σ|basket|², not
+    * N². Item marginals broadcast back as |types|-row frames. */
+  def q115Itemsets(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .distinct()
+    val nBaskets = items.select(col("user_id"), col("day")).distinct().count()
+    val cntItem = items.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    items.as("x")
+      .join(items.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("item_a"), col("y.event_type").as("item_b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+      .join(broadcast(cntItem.select(col("event_type").as("item_a"),
+        col("cnt").as("cnt_a"))), "item_a")
+      .join(broadcast(cntItem.select(col("event_type").as("item_b"),
+        col("cnt").as("cnt_b"))), "item_b")
+      .withColumn("support_ppm", expr(
+        s"cast((cast(cnt_ab as decimal(38,0)) * 1000000) div $nBaskets as bigint)"))
+      .withColumn("lift_ppm", expr(
+        s"cast((cast(cnt_ab as decimal(38,0)) * $nBaskets * 1000000) " +
+          "div (cnt_a * cnt_b) as bigint)"))
+      .select(col("item_a"), col("item_b"), col("cnt_ab"), col("cnt_a"),
+        col("cnt_b"), col("support_ppm"), col("lift_ppm"))
+      .orderBy("item_a", "item_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_itemsets" -> ((s, d) => q115Itemsets(s, d)),
     "q113_equidepth_stats" -> ((s, d) => q113EquidepthStats(s, d)),
     "q112_dlq_replay" -> ((s, d) => q112DlqReplay(s, d)),
     "q111_pit_join" -> ((s, d) => q111PitJoin(s, d)),
@@ -1249,6 +1288,31 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    "q115_itemsets" ->
+      """WITH it AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         event_type
+        |  FROM events),
+        |nb AS (SELECT count(*) n FROM
+        |        (SELECT DISTINCT user_id, day FROM it)),
+        |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) cnt
+        |       FROM it GROUP BY 1),
+        |pr AS (SELECT x.event_type item_a, y.event_type item_b,
+        |         CAST(count(*) AS BIGINT) cnt_ab
+        |       FROM it x JOIN it y
+        |         ON x.user_id = y.user_id AND x.day = y.day
+        |        AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT item_a, item_b, cnt_ab,
+        |       ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |       CAST(CAST(cnt_ab AS HUGEINT) * 1000000 // nb.n AS BIGINT)
+        |         AS support_ppm,
+        |       CAST(CAST(cnt_ab AS HUGEINT) * nb.n * 1000000
+        |            // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN ci ca ON ca.event_type = pr.item_a
+        |        JOIN ci cb ON cb.event_type = pr.item_b, nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
     // Independent formulation: a plain global ntile window (vs the
     // RankOps rank + exact-NTILE arithmetic).
     "q113_equidepth_stats" ->

@@ -650,6 +650,29 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("itemset pairs match a brute-force basket walk with exact support and lift") {
+    val rows = TemporalQueries.q115Itemsets(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 as day", "event_type")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val baskets = ev.groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSet).toMap
+    val n = BigInt(baskets.size)
+    val cnt = baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCnt = baskets.values.flatMap { b =>
+      val s = b.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == pairCnt.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == pairCnt(k), s"$k cnt_ab")
+      assert(r.getLong(3) == cnt(k._1) && r.getLong(4) == cnt(k._2))
+      assert(r.getLong(5) == (BigInt(pairCnt(k)) * 1000000 / n).toLong)
+      assert(r.getLong(6) == (BigInt(pairCnt(k)) * n * 1000000 /
+        (BigInt(cnt(k._1)) * cnt(k._2))).toLong)
+    }
+  }
+
   test("equi-depth stats: exact NTILE populations, ordered non-overlapping ranges") {
     val rows = TemporalQueries.q113EquidepthStats(spark, dir).collect().sortBy(_.getLong(0))
     val n = Tables.load(spark, dir, "events").count()
