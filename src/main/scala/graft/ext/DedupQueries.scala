@@ -232,7 +232,12 @@ object DedupQueries {
     val clusters = dedupClusters(spark, dir)
     val sizes = clusters.groupBy(col("cluster_root"))
       .agg(count(lit(1)).as("cluster_size"))
-    clusters.join(broadcast(sizes), Seq("cluster_root"))
+    // NO broadcast hint on sizes: it has ~one row per CLUSTER, which at
+    // corpus scale is corpus-sized (singletons dominate) — exactly the
+    // scale-growing-broadcast trap the TPC-H battery was cured of. Both
+    // sides key on cluster_root, so the planner co-partitions them (and
+    // AQE still broadcasts at fixture scale where sizes is tiny).
+    clusters.join(sizes, Seq("cluster_root"))
       .withColumn("bucket", expr(
         "cast(conv(substr(md5(concat('soft|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000"))
       .select(col("doc_id"), col("cluster_root"), col("cluster_size"),
