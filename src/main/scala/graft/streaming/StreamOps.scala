@@ -28,6 +28,12 @@ case class EwmaPoint(user_id: Long, ts: java.sql.Timestamp, event_id: Long, vm: 
 /** Running EWMA state emitted by [[StreamOps.ewmaStream]] per key per batch. */
 case class EwmaRunning(user_id: Long, n_events: Long, ewma_micro: Long)
 
+/** A closed session emitted by [[StreamOps.sessionCloseEvents]] when the
+  * watermark passes the session's gap horizon (times in micros; the
+  * score sum is the merge-order-independent integer twin). */
+case class SessionClosed(customer: String, start_us: Long, last_us: Long,
+    n_events: Long, sum_score_micro: Long)
+
 /** One typed event on a user's timeline, the input to
   * [[StreamOps.patternMatches]] (us = event time in microseconds). */
 case class TypedEvent(user_id: Long, us: Long, event_id: Long, event_type: String)
@@ -192,6 +198,71 @@ object StreamOps {
           }
           state.update((n, e))
           EwmaRunning(uid, n, e)
+      }
+  }
+
+  /** Custom sessionization with EVENT-TIME TIMEOUT state eviction — the
+    * arbitrary-stateful analogue of [[sessionRiskStats]], and the one
+    * GroupStateTimeout pattern the built-in session_window cannot
+    * express: the session summary is emitted ONLY when the watermark
+    * passes the session's gap horizon (the timeout callback fires with
+    * an empty input iterator), never incrementally — an exactly-once
+    * "session closed" event per burst, with the per-key state explicitly
+    * evicted by `state.remove()` at emission. State per key is three
+    * longs + a count; keys whose sessions closed hold NO state — the TTL
+    * discipline that keeps arbitrary-state jobs bounded at 100 TB of
+    * traffic.
+    *
+    * Batch semantics note: timeouts never fire in batch execution
+    * (there is no watermark), so — unlike the other StreamOps operators
+    * — this one has NO batch twin; its contract is pinned by the
+    * MemoryStream spec (session closes exactly once, after the
+    * watermark crosses `last + gap`; state removed). */
+  val SessionGapUs: Long = 300L * 1000000L  // 5 minutes, the q21 gap
+  def sessionCloseEvents(spark: SparkSession, risk: DataFrame,
+      watermark: String = "30 minutes"): Dataset[SessionClosed] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ts = risk.withColumn("riskTs", to_timestamp(col("riskDate")))
+      .withWatermark("riskTs", watermark)
+      .select(col("customer"), col("score"), col("riskTs"))
+      .as[(String, Double, java.sql.Timestamp)]
+    ts.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (customer: String,
+            events: Iterator[(String, Double, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long, Long)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: close the session, EVICT state
+            val (start, last, n, sm) = state.get
+            state.remove()
+            Iterator.single(SessionClosed(customer, start, last, n, sm))
+          } else {
+            val sorted = events.map(e => (micros(e._3), e._2)).toSeq.sortBy(_._1)
+            var (start, last, n, sm) = state.getOption.getOrElse(
+              (Long.MaxValue, Long.MinValue, 0L, 0L))
+            val closed = scala.collection.mutable.Buffer.empty[SessionClosed]
+            sorted.foreach { case (us, score) =>
+              if (last != Long.MinValue && us - last > SessionGapUs) {
+                // gap inside one batch: the old burst closes immediately
+                closed += SessionClosed(customer, start, last, n, sm)
+                start = Long.MaxValue; n = 0L; sm = 0L
+              }
+              start = math.min(start, us); last = math.max(last, us)
+              n += 1; sm += math.round(score * 1e6)
+            }
+            if (n > 0) {
+              state.update((start, last, n, sm))
+              // close when the WATERMARK (not processing time) passes the
+              // gap horizon of the last event seen for this key
+              state.setTimeoutTimestamp((last + SessionGapUs) / 1000L + 1L)
+            }
+            closed.iterator
+          }
       }
   }
 

@@ -426,4 +426,64 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       assert(last("b@test.com") == ("b@test.com", 1L, 10.0))
     } finally q.stop()
   }
+
+  test("timeout sessionizer closes a session exactly once, after the watermark") {
+    val input = MemoryStream[String]
+    val q = StreamOps.sessionCloseEvents(spark, parsed(input)).toDF()
+      .writeStream.format("memory").queryName("sess_close")
+      .outputMode("append").start()
+    try {
+      // a 3-event burst for A within the 5-minute gap
+      input.addData(
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        mkRisk("a@test.com", 2.0, "2020-09-14T07:02:00.000Z"),
+        mkRisk("a@test.com", 4.0, "2020-09-14T07:03:30.000Z"))
+      q.processAllAvailable()
+      // session still open: watermark (max - 30min) is far before the
+      // gap horizon, and append-mode timeouts haven't fired
+      assert(spark.table("sess_close").count() == 0)
+      // B's event at 07:40 pushes the watermark to 07:10 > A's horizon
+      // (07:03:30 + 5min); the following (no-data) batch fires A's timeout
+      input.addData(mkRisk("b@test.com", 8.0, "2020-09-14T07:40:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("b@test.com", 1.0, "2020-09-14T07:41:00.000Z"))
+      q.processAllAvailable()
+      val afterA = spark.table("sess_close").as[graft.streaming.SessionClosed]
+        .collect()
+      assert(afterA.count(_.customer == "a@test.com") == 1,
+        s"A must close exactly once: ${afterA.mkString(",")}")
+      val a = afterA.find(_.customer == "a@test.com").get
+      assert(a.n_events == 3L)
+      assert(a.sum_score_micro == 7000000L)
+      assert(a.last_us - a.start_us == 210L * 1000000L) // 07:00 -> 07:03:30
+      // far-future C closes B's burst too; A must NOT re-emit (state gone)
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T09:00:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T09:30:00.000Z"))
+      q.processAllAvailable()
+      val fin = spark.table("sess_close").as[graft.streaming.SessionClosed].collect()
+      assert(fin.count(_.customer == "a@test.com") == 1)
+      val b = fin.filter(_.customer == "b@test.com")
+      assert(b.length == 1 && b.head.n_events == 2L)
+    } finally q.stop()
+  }
+
+  test("timeout sessionizer splits an intra-batch gap into two sessions") {
+    val input = MemoryStream[String]
+    val q = StreamOps.sessionCloseEvents(spark, parsed(input)).toDF()
+      .writeStream.format("memory").queryName("sess_close2")
+      .outputMode("append").start()
+    try {
+      // one batch carrying TWO bursts separated by > gap: the first burst
+      // closes inline (no timeout needed), the second stays open
+      input.addData(
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:01:00.000Z"),
+        mkRisk("a@test.com", 5.0, "2020-09-14T07:30:00.000Z"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_close2").as[graft.streaming.SessionClosed].collect()
+      assert(rows.length == 1)
+      assert(rows.head.n_events == 2L && rows.head.sum_score_micro == 2000000L)
+    } finally q.stop()
+  }
 }
