@@ -468,6 +468,48 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("timeout sessionizer state and its pending timeout survive a stop/restart") {
+    // The EventTimeTimeout recovery path must restore BOTH the keyed
+    // state and its registered timeout timestamp from the checkpoint:
+    // the session opens before the stop, and the watermark that closes
+    // it only arrives after the restart — the close event must still
+    // fire exactly once, from the recovered query.
+    val in = java.nio.file.Files.createTempDirectory("tckpt_in").toString
+    val out = java.nio.file.Files.createTempDirectory("tckpt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tckpt_state").toString
+    def land(rows: (String, Double, String)*): Unit =
+      rows.toSeq.toDF("customer", "score", "riskDate")
+        .write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.sessionCloseEvents(spark,
+          spark.readStream
+            .schema("customer STRING, score DOUBLE, riskDate STRING")
+            .parquet(in)).toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land(("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+      ("a@test.com", 2.0, "2020-09-14T07:02:00.000Z"))
+    runOnce()  // session open, nothing closed yet
+    land(("b@test.com", 8.0, "2020-09-14T07:40:00.000Z"),
+      ("b@test.com", 1.0, "2020-09-14T09:00:00.000Z"),
+      ("b@test.com", 1.0, "2020-09-14T09:40:00.000Z"))
+    runOnce()  // fresh query: watermark passes A's horizon post-restart
+    val rows = spark.read.schema(
+        "customer STRING, start_us LONG, last_us LONG, n_events LONG, " +
+          "sum_score_micro LONG")
+      .parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    val a = rows.filter(_._1 == "a@test.com")
+    assert(a.length == 1, s"A must close exactly once across the restart: ${rows.mkString(",")}")
+    assert(a.head._2 == 2L && a.head._3 == 3000000L)
+  }
+
   test("timeout sessionizer splits an intra-batch gap into two sessions") {
     val input = MemoryStream[String]
     val q = StreamOps.sessionCloseEvents(spark, parsed(input)).toDF()
