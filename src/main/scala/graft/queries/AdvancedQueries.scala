@@ -861,7 +861,41 @@ object AdvancedQueries {
       .orderBy("relationship")
   }
 
+  /** The (table → key expression) list behind q116: composite keys
+    * concat with '#', every key cast to string. */
+  private val manifestKeys: Seq[(String, String)] = Seq(
+    "region" -> "cast(r_regionkey as string)",
+    "nation" -> "cast(n_nationkey as string)",
+    "customer" -> "cast(c_custkey as string)",
+    "supplier" -> "cast(s_suppkey as string)",
+    "part" -> "cast(p_partkey as string)",
+    "orders" -> "cast(o_orderkey as string)",
+    "lineitem" -> "concat(cast(l_orderkey as string), '#', cast(l_linenumber as string))",
+    "events" -> "cast(event_id as string)",
+    "documents" -> "cast(doc_id as string)",
+    "embeddings" -> "cast(vec_id as string)")
+
+  /** q116 — snapshot manifest: per table, the row count and an
+    * order-insensitive key checksum (sum of each key's leading-32-bit
+    * md5 value) — the data-contract artifact a platform publishes per
+    * snapshot so two sides of a replication / migration can prove
+    * table-level equality without comparing rows. Sum-of-hashes is the
+    * standard mergeable table checksum: partition-order independent,
+    * map-side combinable, and any single-row difference moves it.
+    *
+    * One combinable aggregate per table; no joins, no windows. */
+  def q116TableManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestKeys.map { case (t, keyExpr) =>
+      graft.Tables.load(spark, dir, t)
+        .select(expr(keyExpr).as("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(conv(substr(md5(k), 1, 8), 16, 10) as bigint)"))
+            .as("key_checksum"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("key_checksum"))
+    }.reduce(_ unionAll _).orderBy("table_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_table_manifest" -> ((s, d) => q116TableManifest(s, d)),
     "q114_fk_audit" -> ((s, d) => q114FkAudit(s, d)),
     "q78_decay_score" -> ((s, d) => q78DecayScore(s, d)),
     "q79_erasure_cascade" -> ((s, d) => q79ErasureCascade(s, d)),
@@ -903,6 +937,22 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_table_manifest" -> {
+      val duckKeys = Map(
+        "lineitem" -> "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
+        "region" -> "r_regionkey::VARCHAR", "nation" -> "n_nationkey::VARCHAR",
+        "customer" -> "c_custkey::VARCHAR", "supplier" -> "s_suppkey::VARCHAR",
+        "part" -> "p_partkey::VARCHAR", "orders" -> "o_orderkey::VARCHAR",
+        "events" -> "event_id::VARCHAR", "documents" -> "doc_id::VARCHAR",
+        "embeddings" -> "vec_id::VARCHAR")
+      manifestKeys.map { case (t, _) =>
+        s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+           |  CAST(sum(('0x' || substr(md5(${duckKeys(t)}), 1, 8))::BIGINT)
+           |       AS BIGINT) AS key_checksum
+           |FROM $t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+
     "q114_fk_audit" -> {
       def rel(name: String, child: String, fk: String,
           parent: String, pk: String): String =

@@ -692,6 +692,29 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("table manifest checksums are partition-order invariant and row-sensitive") {
+    val rows = graft.queries.AdvancedQueries.q116TableManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 10)
+    // counts match the tables
+    Seq("events", "documents", "embeddings").foreach { t =>
+      assert(rows(t)._1 == Tables.load(spark, dir, t).count(), t)
+    }
+    // checksum replay: driver-side md5 over doc ids equals the engine's
+    val docsum = Tables.load(spark, dir, "documents").select("doc_id").collect()
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      }.sum
+    assert(rows("documents")._2 == docsum)
+    // sensitivity: removing one row must move the checksum
+    val md0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("0".getBytes("UTF-8"))
+    val h0 = java.lang.Long.parseLong(md0.take(4).map("%02x".format(_)).mkString, 16)
+    assert(rows("documents")._2 - h0 != rows("documents")._2)
+  }
+
   test("fk audit reports zero orphans on the consistent fixture star schema") {
     val rows = graft.queries.AdvancedQueries.q114FkAudit(spark, dir).collect()
     assert(rows.length == 5)
