@@ -279,6 +279,29 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d25 — duplication provenance: the verified near-dup pairs broken
+    * down by the SOURCE pair they connect — is the duplication
+    * intra-site boilerplate (same source twice) or cross-site
+    * syndication/mirroring? The answer routes the remediation: template
+    * stripping and t28-style gates for intra-source mass, source-level
+    * dedup (t27's overlap matrix) for cross-source mirrors. Pairs-scale
+    * work off the cached verified index plus two dimension joins on the
+    * doc id; sources order canonically so (a,b) and (b,a) collapse. */
+  def dupProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    lshPairsRaw(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("intra_source",
+        (col("source_lo") === col("source_hi")).cast("int"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** d2 — MinHash signatures: one md5 digest over the 16 minhashes. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame =
     minhashed(spark, dir)
@@ -1158,6 +1181,7 @@ object DedupQueries {
     "d22_bow_dedup" -> ((s, d) => bowDedup(s, d)),
     "d23_soft_dedup" -> ((s, d) => softDedupSample(s, d)),
     "d24_bbit_minhash" -> ((s, d) => bbitMinhashAudit(s, d)),
+    "d25_dup_provenance" -> ((s, d) => dupProvenance(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
@@ -1688,6 +1712,34 @@ object DedupQueries {
          |            // $NumHashes AS BIGINT) AS est_1bit_ppm
          |FROM ag ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "d25_dup_provenance" ->
+      s"""WITH $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |cand AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+         |         len(x.sh) + len(y.sh) tot
+         |  FROM cand JOIN shingled x ON cand.doc_a = x.doc_id
+         |            JOIN shingled y ON cand.doc_b = y.doc_id),
+         |p AS (SELECT doc_a, doc_b FROM verified
+         |      WHERE i/(tot-i) >= $JaccardThreshold),
+         |sp AS (SELECT least(da.source, db.source) source_lo,
+         |         greatest(da.source, db.source) source_hi
+         |       FROM p JOIN documents da ON da.doc_id = p.doc_a
+         |              JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT source_lo, source_hi, count(*) AS n_pairs,
+         |       CAST(CASE WHEN source_lo = source_hi THEN 1 ELSE 0 END
+         |            AS INTEGER) AS intra_source
+         |FROM sp GROUP BY source_lo, source_hi
+         |ORDER BY source_lo, source_hi""".stripMargin,
 
     "d23_soft_dedup" ->
       s"""WITH RECURSIVE $duckShingled,

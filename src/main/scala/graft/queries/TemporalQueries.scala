@@ -1222,7 +1222,52 @@ object TemporalQueries {
       .orderBy("item_a", "item_b")
   }
 
+  /** q117 — Population Stability Index (PSI) feature-drift monitor: the
+    * value distribution of the FIRST week vs the LAST week over
+    * [[PsiBins]] shared equi-width bins, with per-bin Laplace-smoothed
+    * PSI terms (`(q−p)·ln(q/p)`) — the standard ML-monitoring score for
+    * "did this feature's distribution move since the baseline"
+    * (PSI > 0.2 → retrain). The numeric-feature twin of t17's token KL
+    * and s18's embedding drift.
+    *
+    * Per-bin counts are exact integers; the smoothed ratio goes through
+    * one fixed double expression (the t17/m12 ln discipline: identical
+    * literal structure on both engines, rounded once at nano) — no
+    * double aggregation anywhere; terms sum driver-side or in any
+    * order. One scan, two tiny aggregates, a 10-row dense-bin frame. */
+  val PsiBins = 10
+  def q117Psi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("cast(round(value * 100.0D, 0) as bigint)").as("vc"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+    val stats = ev.agg(min(col("vc")).as("vmin"), max(col("vc")).as("vmax"),
+      min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+    val binned = ev.crossJoin(broadcast(stats))
+      .filter(col("wk") === col("w0") || col("wk") === col("w1"))
+      .withColumn("bin", expr(
+        s"least($PsiBins - 1, cast((vc - vmin) * $PsiBins div (vmax - vmin + 1) as bigint))"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("wk") === col("w0"), 1L).otherwise(0L)).as("c_base"),
+        sum(when(col("wk") === col("w1"), 1L).otherwise(0L)).as("c_cur"))
+    val dense = (0 until PsiBins).map(_.toLong).toDF("bin")
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("c_base"), lit(0L)).as("c_base"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val totals = dense.agg(sum(col("c_base")).as("n_base"),
+      sum(col("c_cur")).as("n_cur"))
+    dense.crossJoin(broadcast(totals))
+      .withColumn("term_nano", expr(
+        s"cast(round((cast(c_cur + 1 as double) / (n_cur + $PsiBins) " +
+          s"- cast(c_base + 1 as double) / (n_base + $PsiBins)) " +
+          s"* ln(cast(c_cur + 1 as double) * (n_base + $PsiBins) " +
+          s"/ (c_base + 1) / (n_cur + $PsiBins)) * 1000000000.0D, 0) as bigint)"))
+      .select(col("bin"), col("c_base"), col("c_cur"), col("term_nano"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_psi" -> ((s, d) => q117Psi(s, d)),
     "q115_itemsets" -> ((s, d) => q115Itemsets(s, d)),
     "q113_equidepth_stats" -> ((s, d) => q113EquidepthStats(s, d)),
     "q112_dlq_replay" -> ((s, d) => q112DlqReplay(s, d)),
@@ -1288,6 +1333,33 @@ object TemporalQueries {
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
+    "q117_psi" ->
+      s"""WITH e AS (SELECT CAST(round(value * 100.0, 0) AS BIGINT) vc,
+         |        epoch_us(ts) // 604800000000 AS wk FROM events),
+         |st AS (SELECT min(vc) vmin, max(vc) vmax, min(wk) w0, max(wk) w1
+         |       FROM e),
+         |b AS (SELECT least($PsiBins - 1,
+         |          (vc - vmin) * $PsiBins // (vmax - vmin + 1)) bin, wk, w0, w1
+         |      FROM e, st WHERE wk = w0 OR wk = w1),
+         |c AS (SELECT bin,
+         |        sum(CASE WHEN wk = w0 THEN 1 ELSE 0 END) c_base,
+         |        sum(CASE WHEN wk = w1 THEN 1 ELSE 0 END) c_cur
+         |      FROM b GROUP BY bin),
+         |dn AS (SELECT unnest(range(0, $PsiBins)) bin),
+         |d AS (SELECT dn.bin, coalesce(c.c_base, 0) c_base,
+         |        coalesce(c.c_cur, 0) c_cur
+         |      FROM dn LEFT JOIN c ON dn.bin = c.bin),
+         |t AS (SELECT sum(c_base) n_base, sum(c_cur) n_cur FROM d)
+         |SELECT CAST(d.bin AS BIGINT) AS bin,
+         |       CAST(c_base AS BIGINT) AS c_base,
+         |       CAST(c_cur AS BIGINT) AS c_cur,
+         |       CAST(round((CAST(c_cur + 1 AS DOUBLE) / (n_cur + $PsiBins)
+         |           - CAST(c_base + 1 AS DOUBLE) / (n_base + $PsiBins))
+         |           * ln(CAST(c_cur + 1 AS DOUBLE) * (n_base + $PsiBins)
+         |           / (c_base + 1) / (n_cur + $PsiBins)) * 1000000000.0, 0)
+         |         AS BIGINT) AS term_nano
+         |FROM d, t ORDER BY bin""".stripMargin,
+
     "q115_itemsets" ->
       """WITH it AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,

@@ -1578,6 +1578,27 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(s <= 1000000L && s >= 1000000L - rows.length)
   }
 
+  test("dup provenance tiles the verified pair set by canonical source pair") {
+    val rows = DedupQueries.dupProvenance(spark, dir).collect()
+    val src = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupQueries.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong)
+    val want = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == want(k), s"$k")
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getInt(3) == (if (k._1 == k._2) 1 else 0))
+    }
+  }
+
   test("b-bit minhash audit: estimates bracket truth and 1-bit never beats full") {
     val rows = DedupQueries.bbitMinhashAudit(spark, dir).collect()
     assert(rows.nonEmpty)

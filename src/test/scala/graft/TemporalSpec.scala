@@ -650,6 +650,34 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("psi bins tile both weeks and terms match a driver-side recompute") {
+    val rows = TemporalQueries.q117Psi(spark, dir).collect().sortBy(_.getLong(0))
+    assert(rows.length == TemporalQueries.PsiBins)
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("cast(round(value * 100.0D, 0) as bigint) vc",
+        "unix_micros(ts) div 604800000000 wk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (vmin, vmax) = (ev.map(_._1).min, ev.map(_._1).max)
+    val (w0, w1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val k = TemporalQueries.PsiBins
+    def bin(v: Long) = math.min(k - 1, (v - vmin) * k / (vmax - vmin + 1)).toInt
+    val base = ev.filter(_._2 == w0).map(e => bin(e._1))
+    val cur = ev.filter(_._2 == w1).map(e => bin(e._1))
+    assert(rows.map(_.getLong(1)).sum == base.length.toLong)
+    assert(rows.map(_.getLong(2)).sum == cur.length.toLong)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      val (cb, cc) = (base.count(_ == b).toLong, cur.count(_ == b).toLong)
+      assert(r.getLong(1) == cb && r.getLong(2) == cc, s"bin $b counts")
+      val (nb, nc) = (base.length.toLong + k, cur.length.toLong + k)
+      val term = ((cc + 1).toDouble / nc - (cb + 1).toDouble / nb) *
+        math.log((cc + 1).toDouble * nb / (cb + 1) / nc) * 1e9
+      assert(math.abs(r.getLong(3) - term) <= 1.0, s"bin $b term")
+    }
+    // PSI terms are individually non-negative ((q-p) and ln(q/p) share sign)
+    rows.foreach(r => assert(r.getLong(3) >= 0L))
+  }
+
   test("itemset pairs match a brute-force basket walk with exact support and lift") {
     val rows = TemporalQueries.q115Itemsets(spark, dir).collect()
     val ev = Tables.load(spark, dir, "events")
