@@ -1084,7 +1084,38 @@ object SimilarityQueries {
       .orderBy(col("rrf_nano").desc, col("doc_id").asc)
   }
 
+  /** s25 — coreset-quality audit: the k-center selection (s16) compared
+    * against the naive first-k ids on pairwise-similarity diversity —
+    * max and exact-integer mean pairwise cosine (micro) per method. The
+    * quantified answer to "did farthest-point selection actually buy
+    * diversity over just taking the head", which is the justification a
+    * coreset step needs before spending its extra passes. Both methods'
+    * pair sets are k·(k−1)/2 rows — driver-scale; the only corpus work
+    * is s16's own selection, reused. */
+  def coresetQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kcIds = kCenter(spark, dir).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSeq
+    val sel = (kcIds.map(id => ("a_kcenter", id)) ++
+      (0L until KCenterK.toLong).map(id => ("b_first_k", id)))
+      .toDF("method", "vec_id")
+    val withVec = sel.join(
+      emb(spark, dir).select(col("vec_id"), col("embedding")), "vec_id")
+    withVec.as("x")
+      .join(withVec.as("y"),
+        col("x.method") === col("y.method") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.method").as("method"), expr(
+        "cast(round(round(cosine_sim(x.embedding, y.embedding), 6) " +
+          "* 1000000.0D, 0) as bigint)").as("cm"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("cm")).as("max_cos_micro"),
+        expr("cast(sum(cm) div count(1) as bigint)").as("mean_cos_micro"))
+      .orderBy("method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
     "s22_reassignment_churn" -> ((s, d) => reassignmentChurn(s, d)),
@@ -1153,6 +1184,32 @@ object SimilarityQueries {
        |q AS (SELECT v qv, nrm qnrm FROM e WHERE vec_id = 0)""".stripMargin
   }
 
+  /** The s16 k-center selection as a full standalone statement — its own
+    * oracle entry, and nested by s25's coreset-quality comparison. */
+  private lazy val duckS16Sql: String = {
+    def pick(i: Int): String = {
+      val selPrev = s"sel${i - 1}"
+      s""",
+         |$selPrev AS (${(1 until i).map(j =>
+           s"SELECT vec_id, v, nrm FROM p$j").mkString(" UNION ALL ")}),
+         |c$i AS (
+         |  SELECT e.vec_id, e.v, e.nrm,
+         |         (SELECT max(round(list_dot_product(e.v, s.v)
+         |                           / (e.nrm * s.nrm), 6))
+         |          FROM $selPrev s) AS max_sim
+         |  FROM e WHERE e.vec_id NOT IN (SELECT vec_id FROM $selPrev)),
+         |p$i AS (SELECT * FROM c$i ORDER BY max_sim ASC, vec_id ASC LIMIT 1)""".stripMargin
+    }
+    s"""WITH $duckEmb,
+       |p1 AS (SELECT vec_id, v, nrm, CAST(1.0 AS DOUBLE) AS max_sim
+       |       FROM e WHERE vec_id = 0)
+       |${(2 to KCenterK).map(pick).mkString("\n")}
+       |${(1 to KCenterK).map(i =>
+         s"SELECT CAST($i AS BIGINT) AS rank, vec_id, max_sim AS max_sim_at_pick FROM p$i")
+         .mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+  }
+
   /** The s1 exact-cosine top-10 as a full standalone statement — its own
     * oracle entry, and nested by s24's fusion. */
   private lazy val duckS1Sql: String =
@@ -1163,6 +1220,24 @@ object SimilarityQueries {
        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s25_coreset_quality" ->
+      s"""WITH kc AS ($duckS16Sql),
+         |$duckEmb,
+         |sel AS (SELECT 'a_kcenter' AS method, vec_id FROM kc
+         |        UNION ALL
+         |        SELECT 'b_first_k', unnest(range(0, $KCenterK))),
+         |wv AS (SELECT sel.method, sel.vec_id, e.v, e.nrm
+         |       FROM sel JOIN e USING (vec_id)),
+         |pr AS (SELECT x.method,
+         |         CAST(round(round(list_dot_product(x.v, y.v)
+         |              / (x.nrm * y.nrm), 6) * 1000000.0, 0) AS BIGINT) cm
+         |       FROM wv x JOIN wv y
+         |         ON x.method = y.method AND x.vec_id < y.vec_id)
+         |SELECT method, count(*) AS n_pairs,
+         |       CAST(max(cm) AS BIGINT) AS max_cos_micro,
+         |       CAST(sum(cm) // count(*) AS BIGINT) AS mean_cos_micro
+         |FROM pr GROUP BY method ORDER BY method""".stripMargin,
+
     "s23_isotropy" ->
       s"""WITH e AS (SELECT vec_id,
          |       list_transform(embedding::DOUBLE[],
@@ -1656,29 +1731,7 @@ object SimilarityQueries {
 
     // k-center unrolled: seed = vec 0, then 4 sequential argmins of the
     // max cosine to everything already selected (farthest-point rule).
-    "s16_kcenter" -> {
-      def pick(i: Int): String = {
-        val selPrev = s"sel${i - 1}"
-        s""",
-           |$selPrev AS (${(1 until i).map(j =>
-             s"SELECT vec_id, v, nrm FROM p$j").mkString(" UNION ALL ")}),
-           |c$i AS (
-           |  SELECT e.vec_id, e.v, e.nrm,
-           |         (SELECT max(round(list_dot_product(e.v, s.v)
-           |                           / (e.nrm * s.nrm), 6))
-           |          FROM $selPrev s) AS max_sim
-           |  FROM e WHERE e.vec_id NOT IN (SELECT vec_id FROM $selPrev)),
-           |p$i AS (SELECT * FROM c$i ORDER BY max_sim ASC, vec_id ASC LIMIT 1)""".stripMargin
-      }
-      s"""WITH $duckEmb,
-         |p1 AS (SELECT vec_id, v, nrm, CAST(1.0 AS DOUBLE) AS max_sim
-         |       FROM e WHERE vec_id = 0)
-         |${(2 to KCenterK).map(pick).mkString("\n")}
-         |${(1 to KCenterK).map(i =>
-           s"SELECT CAST($i AS BIGINT) AS rank, vec_id, max_sim AS max_sim_at_pick FROM p$i")
-           .mkString("\nUNION ALL\n")}
-         |ORDER BY rank""".stripMargin
-    },
+    "s16_kcenter" -> duckS16Sql,
 
     // MMR unrolled: pick k = 5 sequential argmaxes over the top-20
     // relevance shortlist; sel_i carries the chosen vectors forward so

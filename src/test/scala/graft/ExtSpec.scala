@@ -1529,6 +1529,35 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("coreset quality: k-center picks are strictly more diverse than first-k") {
+    val rows = SimilarityQueries.coresetQuality(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 2)
+    val k = SimilarityQueries.KCenterK.toLong
+    rows.values.foreach(r => assert(r.getLong(1) == k * (k - 1) / 2))
+    // farthest-point selection must beat the head on max pairwise
+    // similarity (that is its objective), and not lose on the mean
+    val (kc, fk) = (rows("a_kcenter"), rows("b_first_k"))
+    assert(kc.getLong(2) < fk.getLong(2), "k-center max pairwise cos must be lower")
+    assert(kc.getLong(3) <= fk.getLong(3))
+    // replay: the kcenter picks' pairwise max equals a driver recompute
+    val ids = SimilarityQueries.kCenter(spark, dir).collect().map(_.getLong(1)).toSet
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(ids.toSeq: _*)).collect()
+      .map(r => r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      math.round(BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    val maxPair = (for (i <- vecs.indices; j <- i + 1 until vecs.length)
+      yield cos(vecs(i), vecs(j))).max
+    assert(kc.getLong(2) == maxPair)
+  }
+
   test("rrf fusion carries both rank lists and scores by exact reciprocal ranks") {
     val rows = SimilarityQueries.rrfFusion(spark, dir).collect()
     val bm = ext.TextQueries.bm25(spark, dir).collect().map(_.getLong(0))
