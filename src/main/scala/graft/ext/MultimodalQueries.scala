@@ -511,7 +511,43 @@ object MultimodalQueries {
        |  FROM ch JOIN b USING (doc_id))""".stripMargin
   }
 
+  /** m16 — CAS chunk-level near-dup pairs: payload pairs sharing at
+    * least [[MinSharedChunks]] content-defined chunks, scored by chunk
+    * containment (`shared / min(|A|, |B|)` in exact ppm) — the binary-
+    * payload near-dup detector (partial re-uploads, appended variants,
+    * embedded copies) that token-shingle dedup (d3/d4) cannot see.
+    * Chunks with document frequency above [[MaxChunkDf]] are dropped
+    * before pairing — ubiquitous boilerplate chunks don't discriminate
+    * AND their posting lists are the quadratic fanout risk, the same
+    * df-cap discipline as d4's prefix filter. Candidates come from the
+    * inverted-index self-join on the chunk fingerprint over the cached
+    * chunk frame; count frames join co-partitioned on doc id with no
+    * broadcast hint (they are corpus-scale). */
+  val MinSharedChunks = 2L
+  val MaxChunkDf = 50L
+  def chunkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunkFrame(spark, dir).select(col("doc_id"), col("fp")).distinct()
+    val counts = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val rare = ch.join(
+      ch.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxChunkDf).select(col("fp")), "fp")
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedChunks)
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_chunks").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_chunks").as("n_b")), "doc_b")
+      .withColumn("containment_ppm", expr(
+        "cast((cast(n_shared as decimal(38,0)) * 1000000) div least(n_a, n_b) as bigint)"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("containment_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_chunk_pairs" -> ((s, d) => chunkPairs(s, d)),
     "m15_cas_savings" -> ((s, d) => casSavings(s, d)),
     "m14_silence_trim" -> ((s, d) => silenceTrim(s, d)),
     "m12_byte_entropy" -> ((s, d) => byteEntropy(s, d)),
@@ -530,6 +566,29 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m16_chunk_pairs" ->
+      s"""WITH $duckChunkSql,
+         |cd AS (SELECT DISTINCT doc_id, fp FROM fp),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks
+         |        FROM cd GROUP BY 1),
+         |rare AS (SELECT cd.doc_id, cd.fp FROM cd
+         |         JOIN (SELECT fp FROM cd GROUP BY fp
+         |               HAVING count(*) <= $MaxChunkDf) r USING (fp)),
+         |pr AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |         CAST(count(*) AS BIGINT) n_shared
+         |       FROM rare a JOIN rare b
+         |         ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2
+         |       HAVING count(*) >= $MinSharedChunks)
+         |SELECT doc_a, doc_b, n_shared,
+         |       ca.n_chunks AS n_a, cb.n_chunks AS n_b,
+         |       CAST(CAST(n_shared AS HUGEINT) * 1000000
+         |            // least(ca.n_chunks, cb.n_chunks) AS BIGINT)
+         |         AS containment_ppm
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.doc_a
+         |        JOIN cnt cb ON cb.doc_id = pr.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "m14_silence_trim" ->
       s"""WITH g AS (
          |  SELECT doc_id, text,

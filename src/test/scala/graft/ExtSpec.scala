@@ -1677,6 +1677,37 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       assert(multi.count(_.getInt(3) == 1) < multi.length)
   }
 
+  test("chunk pairs: exact duplicates hit full containment; df cap is honored") {
+    val rows = ext.MultimodalQueries.chunkPairs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= ext.MultimodalQueries.MinSharedChunks)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)),
+        "shared cannot exceed either chunk set")
+      assert(r.getLong(5) ==
+        r.getLong(2) * 1000000L / math.min(r.getLong(3), r.getLong(4)))
+    }
+    // exact duplicate payloads (d1 groups with >1 copy) must appear at
+    // (or near) full containment: every non-capped chunk is shared
+    val dupPair = DedupQueries.dedupExact(spark, dir).collect()
+      .filter(_.getLong(1) > 1).map(_.getLong(0)).headOption
+    dupPair.foreach { keepId =>
+      val texts = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val dupOf = texts.find(_._1 == keepId).map(_._2).flatMap { t =>
+        texts.find(p => p._1 != keepId && p._2 == t).map(_._1)
+      }
+      dupOf.foreach { other =>
+        val (a, b) = (math.min(keepId, other), math.max(keepId, other))
+        val hit = rows.find(r => r.getLong(0) == a && r.getLong(1) == b)
+        // the pair may only be absent if ALL its chunks are df-capped
+        hit.foreach(r => assert(r.getLong(5) == 1000000L,
+          s"exact dup pair ($a,$b) below full containment"))
+      }
+    }
+  }
+
   test("cas savings rollup is consistent with the per-doc m11 profile") {
     val row = ext.MultimodalQueries.casSavings(spark, dir).head()
     val perDoc = ext.MultimodalQueries.cdcChunks(spark, dir).collect()
