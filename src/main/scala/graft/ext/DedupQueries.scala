@@ -1026,11 +1026,18 @@ object DedupQueries {
     * visited set become the next frontier at hops+1 — rounds = the
     * seeded components' eccentricity, and each round's frontier/visited
     * frames are localCheckpointed so no lineage accumulates (the d8
-    * discipline). Near-dup frontiers are tiny relative to the corpus, so
-    * both per-round joins broadcast; the driver sees ONE scalar per
-    * round (the frontier size), never data. The oracle walks the same
-    * graph as a bounded recursive CTE ((node, hops) pairs — the bound
-    * caps cycle replay; near-dup components are dense, diameter ≪ 100). */
+    * discipline). The FRONTIER join is size-gated through
+    * [[graft.ops.PlanHints.broadcastIfSmall]] — frontiers are usually
+    * tiny, but a 10 %-of-corpus seed set makes round 1 corpus-scale, and
+    * a raw hint there has no AQE fallback. The VISITED anti-join side is
+    * deliberately NOT hinted at all: visited grows monotonically toward
+    * the whole reachable region, so it must stay a co-partitioned
+    * shuffle anti-join (one long column — cheap to shuffle; AQE may
+    * still promote small instances at runtime). The driver sees ONE
+    * scalar per round (the frontier size), never data. The oracle walks
+    * the same graph as a bounded recursive CTE ((node, hops) pairs — the
+    * bound caps cycle replay; near-dup components are dense,
+    * diameter ≪ 100). */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     val und = undirectedEdges(spark, dir)
     var visited = und.select(col("doc_a").as("doc_id"))
@@ -1040,13 +1047,7 @@ object DedupQueries {
     var frontier = visited
     var frontierSize = visited.count()
     while (frontierSize > 0) {
-      val next = und
-        .join(broadcast(frontier), und("doc_a") === frontier("doc_id"))
-        .select(col("doc_b").as("doc_id"), (col("hops") + 1L).as("hops"))
-        .groupBy(col("doc_id")).agg(min(col("hops")).as("hops"))
-        .join(broadcast(visited.select(col("doc_id").as("seen"))),
-          col("doc_id") === col("seen"), "left_anti")
-        .localCheckpoint()
+      val next = bfsRound(und, frontier, visited).localCheckpoint()
       frontierSize = next.count()
       if (frontierSize > 0) {
         val nv = visited.unionAll(next).localCheckpoint()
@@ -1061,6 +1062,24 @@ object DedupQueries {
       }
     }
     visited.orderBy("doc_id")
+  }
+
+  /** One BSP round of [[bfsHops]], exposed so PlanAuditSpec can pin the
+    * hint policy per round: the frontier join is size-gated (withheld
+    * above the session threshold — no forced corpus-scale broadcast when
+    * the seed set is large), and the growing `visited` anti-join side is
+    * NEVER hinted (it trends toward the whole reachable region; the
+    * co-partitioned shuffle anti-join over one long column is the shape
+    * that survives 100 TB, with AQE still free to promote small
+    * instances at runtime). */
+  def bfsRound(und: DataFrame, frontier: DataFrame, visited: DataFrame): DataFrame = {
+    val hintedFrontier = graft.ops.PlanHints.broadcastIfSmall(frontier)
+    und
+      .join(hintedFrontier, und("doc_a") === hintedFrontier("doc_id"))
+      .select(col("doc_b").as("doc_id"), (col("hops") + 1L).as("hops"))
+      .groupBy(col("doc_id")).agg(min(col("hops")).as("hops"))
+      .join(visited.select(col("doc_id").as("seen")),
+        col("doc_id") === col("seen"), "left_anti")
   }
 
   /** d13 — cluster representative selection: dedup's final emit. d8 says
@@ -1170,7 +1189,7 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d16_containment" -> ((s, d) => containmentPairs(s, d)),
     "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
@@ -1264,7 +1283,10 @@ object DedupQueries {
       .orderBy("threshold_pct")
   }
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "d16_containment" ->
       s"""WITH $duckShingled,
          |ex AS (SELECT doc_id, unnest(sh) g FROM shingled),

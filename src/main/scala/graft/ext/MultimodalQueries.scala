@@ -546,7 +546,7 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m16_chunk_pairs" -> ((s, d) => chunkPairs(s, d)),
     "m15_cas_savings" -> ((s, d) => casSavings(s, d)),
     "m14_silence_trim" -> ((s, d) => silenceTrim(s, d)),
@@ -565,7 +565,10 @@ object MultimodalQueries {
     "m5_resize" -> ((s, d) => resizeStub(s, d))
   )
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "m16_chunk_pairs" ->
       s"""WITH $duckChunkSql,
          |cd AS (SELECT DISTINCT doc_id, fp FROM fp),

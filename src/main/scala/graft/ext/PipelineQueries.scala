@@ -541,17 +541,30 @@ object PipelineQueries {
     * boundaries for batch packing: too few buckets → padding waste; too
     * many → small batches. Pure projection + one hash aggregate over ~10
     * groups — embarrassingly scalable; the when-chain keeps the bucket
-    * math integer-exact (no float log2 at bucket boundaries). */
+    * math integer-exact (no float log2 at bucket boundaries).
+    *
+    * Contract: `sum_toks <= padded_toks` in EVERY bucket (so waste_ppm
+    * ∈ [0, 1e6]) — documents longer than the [[PadMaxBucket]] terminal
+    * bucket are accounted at their TRUNCATED length (`least(n_toks,
+    * max)`), modeling what the accelerator actually sees when the
+    * packer truncates to the widest bucket; without the clamp a single
+    * over-long doc would make padded < real and the ppm negative. */
   val PadBuckets: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
-  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.load(spark, dir, "documents")
-      .select(size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
-    val bucket = PadBuckets.foldRight(lit(2048L): org.apache.spark.sql.Column) {
+  val PadMaxBucket = 2048L
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketsOf(Tables.load(spark, dir, "documents")
+      .select(size(split(lower(col("text")), " ")).cast("long").as("n_toks")))
+
+  /** The bucket audit over any 1-column `n_toks` frame (spec entry for
+    * the overflow branch the fixture's short docs never reach). */
+  def lengthBucketsOf(toks: DataFrame): DataFrame = {
+    val bucket = PadBuckets.foldRight(lit(PadMaxBucket): org.apache.spark.sql.Column) {
       (b, acc) => when(col("n_toks") <= b, b).otherwise(acc)
     }
     toks.withColumn("bucket", bucket)
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_toks"), lit(PadMaxBucket))).as("sum_toks"))
       .withColumn("padded_toks", col("bucket") * col("n_docs"))
       .withColumn("waste_ppm", expr(
         "cast((cast(padded_toks - sum_toks as decimal(38,0)) * 1000000) div padded_toks as bigint)"))
@@ -654,7 +667,7 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p23_mixture_order" -> ((s, d) => mixtureOrder(s, d)),
     "p22_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "p21_corpus_diff" -> ((s, d) => corpusDiff(s, d)),
@@ -765,7 +778,10 @@ object PipelineQueries {
        |FROM chunks JOIN sh USING (doc_id) JOIN sps USING (doc_id)
        |GROUP BY split, shard""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     // Independent formulation: plain per-source and global row_number
     // windows (vs the engine's two RankOps passes).
     "p23_mixture_order" ->
@@ -812,10 +828,11 @@ object PipelineQueries {
 
     "p20_length_buckets" -> {
       val caseSql = PadBuckets.map(b => s"WHEN n_toks <= $b THEN $b")
-        .mkString("CASE ", " ", " ELSE 2048 END")
+        .mkString("CASE ", " ", s" ELSE $PadMaxBucket END")
       s"""WITH t AS (SELECT len(string_split(lower(text), ' '))::BIGINT n_toks
          |           FROM documents),
-         |b AS (SELECT CAST($caseSql AS BIGINT) bucket, n_toks FROM t),
+         |b AS (SELECT CAST($caseSql AS BIGINT) bucket,
+         |        least(n_toks, $PadMaxBucket) n_toks FROM t),
          |g AS (SELECT bucket, count(*) n_docs, CAST(sum(n_toks) AS BIGINT) sum_toks
          |      FROM b GROUP BY bucket)
          |SELECT bucket, n_docs, sum_toks,

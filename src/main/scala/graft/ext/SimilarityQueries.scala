@@ -1114,7 +1114,7 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -1219,7 +1219,10 @@ object SimilarityQueries {
        |FROM e, q WHERE e.vec_id > 0
        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "s25_coreset_quality" ->
       s"""WITH kc AS ($duckS16Sql),
          |$duckEmb,

@@ -296,15 +296,22 @@ object TextQueries {
     * milli-units).
     *
     * Scale shape: the corpus reduces map-side to a vocabulary-sized
-    * frequency frame; ranking that frame is the only (vocab-sized)
-    * sort; the regression is a single-row aggregate. */
+    * frequency frame; ranking that frame goes through
+    * [[graft.ops.RankOps.withGlobalRank]] (range partition on
+    * (c desc, term) + per-partition offsets — P balanced tasks, never a
+    * single-task global `Window.orderBy`; a web-scale vocabulary is
+    * 10⁸–10⁹ terms and would otherwise sort on one executor); the
+    * regression is a single-row aggregate. */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val freq = docs(spark, dir)
+    val par = spark.sparkContext.defaultParallelism
+    val vocab = docs(spark, dir)
       .select(explode(col("toks")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("c").desc, col("term").asc)).cast("long"))
+    val freq = graft.ops.RankOps
+      .withGlobalRank(vocab, par, "__r0", col("c").desc, col("term").asc)
+      // RankOps ranks are 0-based; Zipf (and the oracle's row_number)
+      // are 1-based.
+      .withColumn("rank", col("__r0") + lit(1L))
       .select(
         expr("cast(round(ln(cast(rank as double)) * 1000000.0D, 0) as bigint)").as("xm"),
         expr("cast(round(ln(cast(c as double)) * 1000000.0D, 0) as bigint)").as("ym"))
@@ -865,9 +872,13 @@ object TextQueries {
         sum(col("tf")).as("total_tf"),
         sum(col("tf") * col("tf")).as("sum_tf2"))
       .crossJoin(broadcast(n))
+      // Widen BEFORE the products (the q115/s23 pattern): total_tf ~1e12
+      // squared overflows int64 at the 100 TB target, and the DuckDB
+      // oracle computes the same numerator in HUGEINT.
       .withColumn("vmr_ppm", expr(
-        "cast((cast(n * sum_tf2 - total_tf * total_tf as decimal(38,0)) * 1000000) " +
-          "div (n * total_tf) as bigint)"))
+        "cast((cast(n as decimal(38,0)) * sum_tf2 " +
+          "- cast(total_tf as decimal(38,0)) * total_tf) * 1000000 " +
+          "div (cast(n as decimal(38,0)) * total_tf) as bigint)"))
       .orderBy(col("total_tf").desc, col("term").asc)
       .limit(BurstTopK)
       .select(col("term"), col("df"), col("total_tf"), col("sum_tf2"), col("vmr_ppm"))
@@ -934,7 +945,7 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t28_blocklist_gate" -> ((s, d) => blocklistGate(s, d)),
     "t27_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "t26_burstiness" -> ((s, d) => burstiness(s, d)),
@@ -969,7 +980,10 @@ object TextQueries {
     .map(k => s"(strpos('0123456789abcdef', substr(md5(w), $k, 1)) - 1)")
     .reduce((a, b) => s"(($a) * 16 + $b)")
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "t28_blocklist_gate" -> {
       val listSql = Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks

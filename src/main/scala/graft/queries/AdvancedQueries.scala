@@ -894,7 +894,7 @@ object AdvancedQueries {
         .select(lit(t).as("table_name"), col("n_rows"), col("key_checksum"))
     }.reduce(_ unionAll _).orderBy("table_name")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q116_table_manifest" -> ((s, d) => q116TableManifest(s, d)),
     "q114_fk_audit" -> ((s, d) => q114FkAudit(s, d)),
     "q78_decay_score" -> ((s, d) => q78DecayScore(s, d)),
@@ -936,7 +936,10 @@ object AdvancedQueries {
     "q29_in_subquery" -> ((s, d) => q29InSubquery(s, d))
   )
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "q116_table_manifest" -> {
       val duckKeys = Map(
         "lineitem" -> "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",

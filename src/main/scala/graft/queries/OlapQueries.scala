@@ -293,7 +293,7 @@ object OlapQueries {
       .orderBy("user_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_mode" -> ((s, d) => q67Mode(s, d)),
     "q1_agg" -> ((s, d) => q1Agg(s, d)),
     "q16_topk_group" -> ((s, d) => q16TopkGroup(s, d)),
@@ -316,7 +316,10 @@ object OlapQueries {
     "q15_events_agg" -> ((s, d) => q15EventsAgg(s, d))
   )
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "q67_mode" ->
       """WITH c AS (
         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) cnt

@@ -229,7 +229,7 @@ object ReferenceQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stedi_pipeline" -> ((s, d) => stediPipeline(s, d)),
     "r_cast_binary_string" -> ((s, d) => castBinaryString(s, d)),
     "r_json_parse" -> ((s, d) => jsonParse(s, d)),
@@ -249,7 +249,10 @@ object ReferenceQueries {
     * legs are identities, so the oracle derives the same final relation
     * directly); a mismatch anywhere in the Spark chain breaks hash equality.
     */
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "stedi_pipeline" ->
       """WITH cust AS (
         |  SELECT 'user' || c_custkey || '@test.com' AS email,

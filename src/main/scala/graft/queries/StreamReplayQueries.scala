@@ -117,7 +117,7 @@ object StreamReplayQueries {
       .orderBy("user_id", "b_us", "b_event_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_stream_pattern_replay" -> ((s, d) => patternReplay(s, d)),
     "r_stream_window_replay" -> ((s, d) => windowReplay(s, d)),
     "r_stream_session_replay" -> ((s, d) => sessionReplay(s, d)),
@@ -128,7 +128,10 @@ object StreamReplayQueries {
     "r_stream_ewma_replay" -> ((s, d) => ewmaReplay(s, d))
   )
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     // Independent formulation: the carried-group window join (each
     // purchase joins the view sharing its running-view-count group)
     // differentially checks the stateful fold.

@@ -1061,9 +1061,17 @@ object TemporalQueries {
         (col("next_week").isNull || col("next_week") > col("week") + 1))
       .select((col("week") + 1).as("week"))
       .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
-    statuses.join(churn, Seq("week"), "left")
-      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
-        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    // FULL outer, not left: a globally idle week inside the range has no
+    // statuses row, but the users active the week before still churned
+    // into it — a left join from statuses would silently drop that
+    // ledger row and break `churned(w) = actives(w−1) − retained(w)`.
+    statuses.join(churn, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
       .orderBy("week")
   }
 
@@ -1191,17 +1199,29 @@ object TemporalQueries {
     * unordered-co-occurrence complement to q62's sequential n-gram
     * motifs, and the standard market-basket association readout.
     *
-    * Scale shape: the per-basket pair fanout is bounded by the item-set
-    * size (≤|types| per basket), so the self-join on the basket key
-    * never explodes — at any corpus size the work is Σ|basket|², not
-    * N². Item marginals broadcast back as |types|-row frames. */
+    * Scale shape: the A-priori level-1 min-support prefilter
+    * ([[ItemsetMinSupPpm]] ppm of baskets) prunes the item set BEFORE
+    * pairing — baskets shed their infrequent items via a broadcast
+    * semi-join against the |frequent types|-row survivor frame, so the
+    * per-basket pair fanout is Σ|frequent-items-per-basket|², bounded
+    * for ARBITRARY basket sizes (the downward-closure guarantee: a pair
+    * can only be frequent if both items are). Item marginals broadcast
+    * back as |types|-row frames. */
+  val ItemsetMinSupPpm = 10000L // items in ≥ 1 % of baskets survive level 1
   def q115Itemsets(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.load(spark, dir, "events")
+    val itemsAll = Tables.load(spark, dir, "events")
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
       .distinct()
-    val nBaskets = items.select(col("user_id"), col("day")).distinct().count()
-    val cntItem = items.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val nBaskets = itemsAll.select(col("user_id"), col("day")).distinct().count()
+    // Level-1 pass: per-item basket counts, thresholded in exact integer
+    // ppm (decimal-widened product — cnt·1e6 would still fit BIGINT, but
+    // the q115/s23 discipline widens before multiplying).
+    val cntItem = itemsAll.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .filter(expr(s"cast(cnt as decimal(38,0)) * 1000000 >= " +
+        s"cast($ItemsetMinSupPpm as decimal(38,0)) * $nBaskets"))
+    val items = itemsAll.join(
+      broadcast(cntItem.select(col("event_type"))), Seq("event_type"), "left_semi")
     items.as("x")
       .join(items.as("y"),
         col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
@@ -1266,7 +1286,7 @@ object TemporalQueries {
       .orderBy("bin")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_psi" -> ((s, d) => q117Psi(s, d)),
     "q115_itemsets" -> ((s, d) => q115Itemsets(s, d)),
     "q113_equidepth_stats" -> ((s, d) => q113EquidepthStats(s, d)),
@@ -1329,7 +1349,10 @@ object TemporalQueries {
       |       (lead(valid_from) OVER w2 IS NULL) AS is_current
       |FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).
@@ -1361,20 +1384,24 @@ object TemporalQueries {
          |FROM d, t ORDER BY bin""".stripMargin,
 
     "q115_itemsets" ->
-      """WITH it AS (
-        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
-        |         event_type
-        |  FROM events),
-        |nb AS (SELECT count(*) n FROM
-        |        (SELECT DISTINCT user_id, day FROM it)),
-        |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) cnt
-        |       FROM it GROUP BY 1),
-        |pr AS (SELECT x.event_type item_a, y.event_type item_b,
-        |         CAST(count(*) AS BIGINT) cnt_ab
-        |       FROM it x JOIN it y
-        |         ON x.user_id = y.user_id AND x.day = y.day
-        |        AND x.event_type < y.event_type
-        |       GROUP BY 1, 2)
+      s"""WITH it0 AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+         |         event_type
+         |  FROM events),
+         |nb AS (SELECT count(*) n FROM
+         |        (SELECT DISTINCT user_id, day FROM it0)),
+         |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) cnt
+         |       FROM it0 GROUP BY 1
+         |       HAVING CAST(count(*) AS HUGEINT) * 1000000
+         |              >= $ItemsetMinSupPpm * (SELECT n FROM nb)),
+         |it AS (SELECT it0.* FROM it0
+         |       WHERE event_type IN (SELECT event_type FROM ci)),
+         |pr AS (SELECT x.event_type item_a, y.event_type item_b,
+         |         CAST(count(*) AS BIGINT) cnt_ab
+         |       FROM it x JOIN it y
+         |         ON x.user_id = y.user_id AND x.day = y.day
+         |        AND x.event_type < y.event_type
+         |       GROUP BY 1, 2)
         |SELECT item_a, item_b, cnt_ab,
         |       ca.cnt AS cnt_a, cb.cnt AS cnt_b,
         |       CAST(CAST(cnt_ab AS HUGEINT) * 1000000 // nb.n AS BIGINT)
@@ -1455,13 +1482,14 @@ object TemporalQueries {
         |       WHERE week < mx.mw
         |         AND (next_week IS NULL OR next_week > week + 1)
         |       GROUP BY 1)
-        |SELECT st.week, st.n_active,
-        |       CAST(st.n_new AS BIGINT) AS n_new,
-        |       CAST(st.n_retained AS BIGINT) AS n_retained,
-        |       CAST(st.n_resurrected AS BIGINT) AS n_resurrected,
+        |SELECT coalesce(st.week, ch.week) AS week,
+        |       CAST(coalesce(st.n_active, 0) AS BIGINT) AS n_active,
+        |       CAST(coalesce(st.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(coalesce(st.n_retained, 0) AS BIGINT) AS n_retained,
+        |       CAST(coalesce(st.n_resurrected, 0) AS BIGINT) AS n_resurrected,
         |       CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
-        |FROM st LEFT JOIN ch ON st.week = ch.week
-        |ORDER BY st.week""".stripMargin,
+        |FROM st FULL OUTER JOIN ch ON st.week = ch.week
+        |ORDER BY week""".stripMargin,
 
     "q108_kanonymity" ->
       s"""WITH c AS (

@@ -262,7 +262,7 @@ object TpchQueries {
       .orderBy("s_name")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_tpch18" -> ((s, d) => q85Tpch18(s, d)),
     "q86_tpch22" -> ((s, d) => q86Tpch22(s, d)),
     "q81_tpch3" -> ((s, d) => q81Tpch3(s, d)),
@@ -276,7 +276,10 @@ object TpchQueries {
   private val revSql =
     "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)"
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "q85_tpch18" ->
       """WITH big AS (
         |  SELECT l_orderkey,

@@ -396,7 +396,7 @@ object TpchQueries2 {
       .agg(sum(col("rev")).as("revenue_e4"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_tpch1" -> ((s, d) => q90Tpch1(s, d)),
     "q91_tpch2" -> ((s, d) => q91Tpch2(s, d)),
     "q92_tpch7" -> ((s, d) => q92Tpch7(s, d)),
@@ -417,7 +417,10 @@ object TpchQueries2 {
     "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)"
   private val qcSql = "CAST(round(l_quantity * 100.0, 0) AS BIGINT)"
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
     "q90_tpch1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM($qcSql) AS BIGINT) AS sum_qty_centi,

@@ -204,20 +204,26 @@ object StreamOps {
   /** Custom sessionization with EVENT-TIME TIMEOUT state eviction — the
     * arbitrary-stateful analogue of [[sessionRiskStats]], and the one
     * GroupStateTimeout pattern the built-in session_window cannot
-    * express: the session summary is emitted ONLY when the watermark
-    * passes the session's gap horizon (the timeout callback fires with
-    * an empty input iterator), never incrementally — an exactly-once
-    * "session closed" event per burst, with the per-key state explicitly
-    * evicted by `state.remove()` at emission. State per key is three
-    * longs + a count; keys whose sessions closed hold NO state — the TTL
-    * discipline that keeps arbitrary-state jobs bounded at 100 TB of
-    * traffic.
+    * express: a session summary is emitted ONLY once the WATERMARK has
+    * passed that session's gap horizon (`last + gap`), never
+    * incrementally and never early — an exactly-once "session closed"
+    * event per burst. This holds even for bursts separated by an
+    * intra-batch gap: the older burst is NOT emitted eagerly at the gap
+    * (the watermark may still admit out-of-order events that belong to
+    * it) — it is held in state as a PENDING burst and released only when
+    * the watermark crosses its horizon, so a late event inside the
+    * watermark tolerance merges into the correct pending burst instead
+    * of contaminating the next one. State per key is the list of
+    * not-yet-releasable bursts (4 longs each; bounded by
+    * watermark-delay/gap, e.g. 30 min/5 min = ≤ 7 here), evicted by
+    * `state.remove()` once the last burst closes — the TTL discipline
+    * that keeps arbitrary-state jobs bounded at 100 TB of traffic.
     *
     * Batch semantics note: timeouts never fire in batch execution
     * (there is no watermark), so — unlike the other StreamOps operators
     * — this one has NO batch twin; its contract is pinned by the
     * MemoryStream spec (session closes exactly once, after the
-    * watermark crosses `last + gap`; state removed). */
+    * watermark crosses `last + gap`; late-merge; state removed). */
   val SessionGapUs: Long = 300L * 1000000L  // 5 minutes, the q21 gap
   def sessionCloseEvents(spark: SparkSession, risk: DataFrame,
       watermark: String = "30 minutes"): Dataset[SessionClosed] = {
@@ -227,41 +233,50 @@ object StreamOps {
       .withWatermark("riskTs", watermark)
       .select(col("customer"), col("score"), col("riskTs"))
       .as[(String, Double, java.sql.Timestamp)]
+    val gapUs = SessionGapUs
     ts.groupByKey(_._1)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
         (customer: String,
             events: Iterator[(String, Double, java.sql.Timestamp)],
-            state: GroupState[(Long, Long, Long, Long)]) =>
+            state: GroupState[Seq[(Long, Long, Long, Long)]]) =>
+          // a burst is (start_us, last_us, n_events, sum_score_micro)
+          type Burst = (Long, Long, Long, Long)
           def micros(t: java.sql.Timestamp): Long =
             math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          // releasable once the watermark passes this (the exact timestamp
+          // registered with setTimeoutTimestamp — one comparison everywhere)
+          def horizonMs(b: Burst): Long = (b._2 + gapUs) / 1000L + 1L
+          def release(bursts: Seq[Burst], wmMs: Long): Iterator[SessionClosed] = {
+            val (closed, open) = bursts.partition(horizonMs(_) <= wmMs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              // next close when the watermark passes the OLDEST open
+              // horizon; clamp above the current watermark (Spark
+              // rejects stale timeouts)
+              state.setTimeoutTimestamp(math.max(open.map(horizonMs).min, wmMs + 1L))
+            }
+            closed.sortBy(_._1).iterator
+              .map(b => SessionClosed(customer, b._1, b._2, b._3, b._4))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
-            // watermark passed last + gap: close the session, EVICT state
-            val (start, last, n, sm) = state.get
-            state.remove()
-            Iterator.single(SessionClosed(customer, start, last, n, sm))
+            release(state.get, wmMs)
           } else {
-            val sorted = events.map(e => (micros(e._3), e._2)).toSeq.sortBy(_._1)
-            var (start, last, n, sm) = state.getOption.getOrElse(
-              (Long.MaxValue, Long.MinValue, 0L, 0L))
-            val closed = scala.collection.mutable.Buffer.empty[SessionClosed]
-            sorted.foreach { case (us, score) =>
-              if (last != Long.MinValue && us - last > SessionGapUs) {
-                // gap inside one batch: the old burst closes immediately
-                closed += SessionClosed(customer, start, last, n, sm)
-                start = Long.MaxValue; n = 0L; sm = 0L
+            // fold each event into the burst set: merge every burst within
+            // gap reach of the event (an event can BRIDGE two bursts)
+            var bursts = state.getOption.getOrElse(Seq.empty[Burst])
+            events.map(e => (micros(e._3), math.round(e._2 * 1e6)))
+              .toSeq.sortBy(_._1)
+              .foreach { case (us, sm) =>
+                val (touch, rest) = bursts.partition(
+                  b => us >= b._1 - gapUs && us <= b._2 + gapUs)
+                bursts = ((us +: touch.map(_._1)).min, (us +: touch.map(_._2)).max,
+                  touch.map(_._3).sum + 1L, touch.map(_._4).sum + sm) +: rest
               }
-              start = math.min(start, us); last = math.max(last, us)
-              n += 1; sm += math.round(score * 1e6)
-            }
-            if (n > 0) {
-              state.update((start, last, n, sm))
-              // close when the WATERMARK (not processing time) passes the
-              // gap horizon of the last event seen for this key
-              state.setTimeoutTimestamp((last + SessionGapUs) / 1000L + 1L)
-            }
-            closed.iterator
+            release(bursts, wmMs)
           }
       }
   }

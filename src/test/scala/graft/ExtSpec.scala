@@ -1370,6 +1370,19 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       val members = docs.filter(t => t > prev && t <= bucket)
       assert(members.length.toLong == nDocs)
     }
+    // overflow branch the fixture never reaches: a doc LONGER than the
+    // terminal bucket is accounted at its truncated length, so the
+    // sum_toks <= padded_toks contract (waste_ppm in [0, 1e6]) holds for
+    // arbitrary corpora — pre-clamp, a 5000-token doc made waste negative
+    import spark.implicits._
+    val over = ext.PipelineQueries.lengthBucketsOf(
+      Seq(5000L, 3000L, 2048L, 10L).toDF("n_toks")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val top = over(ext.PipelineQueries.PadMaxBucket)
+    assert(top.getLong(1) == 3L) // 5000, 3000 and 2048 all land in 2048
+    assert(top.getLong(2) == 3L * ext.PipelineQueries.PadMaxBucket) // truncated mass
+    assert(top.getLong(2) <= top.getLong(3) && top.getLong(4) == 0L)
+    over.values.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L))
   }
 
   test("bow dedup groups word-order permutations that exact dedup keeps apart") {

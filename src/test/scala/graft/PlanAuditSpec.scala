@@ -769,7 +769,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
 
   test("growth accounting shares one user shuffle between lag and churn") {
     val p = plan("q109_growth_accounting")
-    assert(!p.contains("SortMergeJoin"), p)
+    // the only permitted sort-merge join is the final week-keyed FULL
+    // OUTER between the two per-week rollups — both sides are
+    // |weeks|-row aggregates, metadata-scale at any corpus size (the
+    // full outer is what keeps idle weeks' churn rows in the ledger)
+    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin") || p.contains("SortMergeJoin FullOuter"), p)
     // the distinct + two windows + rollups — user_id exchanges only
     p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
       assert(l.contains("user_id") || l.contains("week"), l)
@@ -822,5 +827,70 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // batch execution lowers flatMapGroupsWithState to MapGroups
     assert(p.contains("MapGroups"), p)
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*")) <= 2, p)
+  }
+
+  test("zipf fit ranks the vocabulary via RankOps, never a single-task window") {
+    // a web-scale vocabulary is 1e8-1e9 terms; a global
+    // row_number() OVER (ORDER BY c) would sort it on ONE executor
+    val p = plan("t16_zipf")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 0, p)
+  }
+
+  /** The d17 BSP-round hint policy: the frontier broadcast is size-gated
+    * (withheld above the session threshold — round 1 of a 10 %-of-corpus
+    * seed set is corpus-scale), and the monotonically-growing `visited`
+    * anti-join side carries NO hint at any threshold, so it degrades to
+    * a co-partitioned shuffle anti-join exactly when stats say it must —
+    * the same proof q82/q83's dimensions got. */
+  test("bfs round: gated frontier broadcast, unhinted visited side degrades to shuffle") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val und = spark.range(2000).selectExpr("id AS doc_a", "(id + 1) % 2000 AS doc_b")
+    val seed = spark.range(200).selectExpr("id * 10 AS doc_id", "0L AS hops")
+    def roundPlan(): String = graft.ext.DedupQueries.bfsRound(und, seed, seed)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // default threshold: the tiny frontier broadcasts (the fast path)
+    assert(roundPlan().contains("BroadcastHashJoin"), roundPlan())
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1") // every frame is now "too big to broadcast"
+      val p = roundPlan()
+      // the gate withholds the frontier hint and the visited side was
+      // never hinted: NOTHING broadcasts, both joins shuffle
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert("(SortMergeJoin|ShuffledHashJoin).*LeftAnti".r.findAllIn(p).nonEmpty, p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("source overlap generates pairs per posting; only size frames broadcast") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // auto-broadcast off: only FORCED hints survive
+      val p = plan("t27_source_overlap")
+      // exactly the two |sources|-row size frames carry forced hints; the
+      // fingerprint self-join (corpus-scale postings) must shuffle
+      // (each physical node appears twice in formatted output: once in
+      // the tree, once in the detail section — count detail headers)
+      assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("chunk pairs: df-cap filters before the self-join, count frames never forced") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("m16_chunk_pairs")
+      // no forced hint anywhere: the per-doc count frames are
+      // corpus-scale and join co-partitioned on the doc id
+      assert(!p.contains("BroadcastHashJoin"), p)
+      // the quadratic-fanout guard (df <= MaxChunkDf) is IN the plan,
+      // below the self-join, not applied post-hoc
+      assert(p.contains(s"<= ${graft.ext.MultimodalQueries.MaxChunkDf}"), p)
+    } finally spark.conf.set(key, prev)
   }
 }

@@ -510,22 +510,78 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(a.head._2 == 2L && a.head._3 == 3000000L)
   }
 
-  test("timeout sessionizer splits an intra-batch gap into two sessions") {
+  test("timeout sessionizer splits an intra-batch gap into two sessions, " +
+      "neither emitted before its own watermark horizon") {
     val input = MemoryStream[String]
     val q = StreamOps.sessionCloseEvents(spark, parsed(input)).toDF()
       .writeStream.format("memory").queryName("sess_close2")
       .outputMode("append").start()
     try {
       // one batch carrying TWO bursts separated by > gap: the first burst
-      // closes inline (no timeout needed), the second stays open
+      // is HELD in state (watermark 07:00 hasn't passed its 07:06
+      // horizon — a late event could still belong to it), not emitted
       input.addData(
         mkRisk("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
         mkRisk("a@test.com", 1.0, "2020-09-14T07:01:00.000Z"),
         mkRisk("a@test.com", 5.0, "2020-09-14T07:30:00.000Z"))
       q.processAllAvailable()
+      assert(spark.table("sess_close2").count() == 0,
+        "no burst may emit before the watermark passes ITS gap horizon")
+      // 08:00 pushes the watermark to 07:30: burst 1 (horizon 07:06)
+      // closes; burst 2 (horizon 07:35) is still pending
+      input.addData(mkRisk("b@test.com", 1.0, "2020-09-14T08:00:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("b@test.com", 1.0, "2020-09-14T08:01:00.000Z"))
+      q.processAllAvailable()
       val rows = spark.table("sess_close2").as[graft.streaming.SessionClosed].collect()
+        .filter(_.customer == "a@test.com")
       assert(rows.length == 1)
       assert(rows.head.n_events == 2L && rows.head.sum_score_micro == 2000000L)
+      // 09:00 → watermark 08:30: burst 2 closes with its own stats
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T09:00:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T09:01:00.000Z"))
+      q.processAllAvailable()
+      val fin = spark.table("sess_close2").as[graft.streaming.SessionClosed].collect()
+        .filter(_.customer == "a@test.com").sortBy(_.start_us)
+      assert(fin.length == 2)
+      assert(fin(1).n_events == 1L && fin(1).sum_score_micro == 5000000L)
+    } finally q.stop()
+  }
+
+  test("timeout sessionizer merges a late in-tolerance event into the PENDING burst") {
+    // The contract ADVICE flagged: after an intra-batch gap, the older
+    // burst must stay open to late events until the watermark passes its
+    // horizon. 07:02 arrives AFTER the 07:30 event (out of order, but
+    // above the 07:00 watermark) and belongs to the first burst — the
+    // eager-emit implementation had already shipped that burst with
+    // n=2 and silently glued 07:02 onto the 07:30 one.
+    val input = MemoryStream[String]
+    val q = StreamOps.sessionCloseEvents(spark, parsed(input)).toDF()
+      .writeStream.format("memory").queryName("sess_close3")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:01:00.000Z"),
+        mkRisk("a@test.com", 5.0, "2020-09-14T07:30:00.000Z"))
+      q.processAllAvailable()
+      // late but within the 30-min tolerance (watermark is 07:00)
+      input.addData(mkRisk("a@test.com", 2.0, "2020-09-14T07:02:00.000Z"))
+      q.processAllAvailable()
+      // close everything: watermark well past both horizons
+      input.addData(mkRisk("b@test.com", 1.0, "2020-09-14T10:00:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("b@test.com", 1.0, "2020-09-14T10:01:00.000Z"))
+      q.processAllAvailable()
+      val a = spark.table("sess_close3").as[graft.streaming.SessionClosed].collect()
+        .filter(_.customer == "a@test.com").sortBy(_.start_us)
+      assert(a.length == 2, s"two sessions expected: ${a.mkString(",")}")
+      // the late 07:02 landed in the FIRST burst...
+      assert(a(0).n_events == 3L && a(0).sum_score_micro == 4000000L)
+      assert(a(0).last_us - a(0).start_us == 120L * 1000000L)
+      // ...and the second burst is untouched
+      assert(a(1).n_events == 1L && a(1).sum_score_micro == 5000000L)
     } finally q.stop()
   }
 }

@@ -620,6 +620,18 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     val empty = TemporalQueries.q109GrowthAccountingOf(
       Seq.empty[(Long, Long)].toDF("user_id", "week"))
     assert(empty.collect().isEmpty)
+    // a globally idle week still reports its churn row (the full-outer
+    // ledger): both users skip week 2 entirely, so week 2 has zero
+    // actives but two churners — a left join FROM statuses would drop it
+    val idle = TemporalQueries.q109GrowthAccountingOf(
+      Seq((1L, 1L), (1L, 3L), (2L, 1L), (2L, 3L)).toDF("user_id", "week"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(idle(2L) == ((0L, 0L, 0L, 0L, 2L)))
+    assert(idle(3L) == ((2L, 0L, 0L, 2L, 0L)))
+    // and the identity holds THROUGH the idle week
+    assert(idle(2L)._5 == idle(1L)._1 - idle(2L)._3)
   }
 
   test("point-in-time join attaches exactly one leak-free version per probe") {
@@ -736,11 +748,19 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
         java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
       }.sum
     assert(rows("documents")._2 == docsum)
-    // sensitivity: removing one row must move the checksum
-    val md0 = java.security.MessageDigest.getInstance("MD5")
-      .digest("0".getBytes("UTF-8"))
-    val h0 = java.lang.Long.parseLong(md0.take(4).map("%02x".format(_)).mkString, 16)
-    assert(rows("documents")._2 - h0 != rows("documents")._2)
+    // sensitivity: RECOMPUTE the manifest checksum over documents minus
+    // one row (driver-side, same per-row hash) and check it against the
+    // reported key_checksum — removing a row must move the checksum
+    val docsumMinus0 = Tables.load(spark, dir, "documents")
+      .select("doc_id").collect()
+      .filter(_.getLong(0) != 0L)
+      .map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      }.sum
+    assert(docsumMinus0 != rows("documents")._2,
+      "dropping doc 0 must change the reported documents checksum")
   }
 
   test("fk audit reports zero orphans on the consistent fixture star schema") {
