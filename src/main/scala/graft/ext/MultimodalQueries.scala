@@ -546,7 +546,48 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m17 — container sniffing by magic bytes: classify every binary
+    * payload by its leading signature (RIFF / PNG / ID3 / ftyp, else
+    * unknown) and report the per-source container mix (row counts and
+    * byte mass; the unknown rows are the quarantine set) — the first
+    * gate of any multimodal
+    * ingest (dispatch to the right decoder, quarantine unrecognized
+    * blobs) run as a pure projection: the sniff reads a 4-byte prefix,
+    * classification is a literal CASE over its hex, and the only wide op
+    * is the (source × container)-row aggregate. Magic prefixes are
+    * synthesized deterministically onto the fixture payloads
+    * (`doc_id % 5` picks the container; one class stays bare = unknown)
+    * so both engines see identical bytes.
+    *
+    * Scale shape: payload bytes never shuffle — the prefix hex and
+    * container label are extracted in the scan projection; at 100 TB
+    * this is a free rider on the ingest pass (the m1 discipline). */
+  def magicSniff(spark: SparkSession, dir: String): DataFrame = {
+    val payload = Tables.load(spark, dir, "documents")
+      .withColumn("magic", expr(
+        "CASE cast(doc_id % 5 as int) " +
+          "WHEN 0 THEN X'52494646' " +  // 'RIFF'
+          "WHEN 1 THEN X'89504E47' " +  // PNG
+          "WHEN 2 THEN X'494433' " +    // 'ID3'
+          "WHEN 3 THEN X'66747970' " +  // 'ftyp'
+          "ELSE X'' END"))
+      .withColumn("payload", concat(col("magic"), col("text").cast("binary")))
+    payload
+      .withColumn("pfx", upper(hex(expr("substring(payload, 1, 4)"))))
+      .withColumn("container", expr(
+        "CASE WHEN pfx LIKE '52494646%' THEN 'riff' " +
+          "WHEN pfx LIKE '89504E47%' THEN 'png' " +
+          "WHEN pfx LIKE '494433%' THEN 'id3' " +
+          "WHEN pfx LIKE '66747970%' THEN 'ftyp' " +
+          "ELSE 'unknown' END"))
+      .groupBy(col("source"), col("container"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"))
+      .orderBy("source", "container")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_magic_sniff" -> ((s, d) => magicSniff(s, d)),
     "m16_chunk_pairs" -> ((s, d) => chunkPairs(s, d)),
     "m15_cas_savings" -> ((s, d) => casSavings(s, d)),
     "m14_silence_trim" -> ((s, d) => silenceTrim(s, d)),
@@ -569,6 +610,30 @@ object MultimodalQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "m17_magic_sniff" ->
+      """WITH p AS (
+        |  SELECT source,
+        |         (CASE CAST(doc_id % 5 AS INT)
+        |            WHEN 0 THEN '\x52\x49\x46\x46'::BLOB
+        |            WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+        |            WHEN 2 THEN '\x49\x44\x33'::BLOB
+        |            WHEN 3 THEN '\x66\x74\x79\x70'::BLOB
+        |            ELSE ''::BLOB END) || encode(text) AS payload
+        |  FROM documents),
+        |c AS (SELECT source, payload,
+        |        substr(upper(hex(payload)), 1, 8) pfx
+        |      FROM p),
+        |k AS (SELECT source, octet_length(payload) nb,
+        |        CASE WHEN pfx LIKE '52494646%' THEN 'riff'
+        |             WHEN pfx LIKE '89504E47%' THEN 'png'
+        |             WHEN pfx LIKE '494433%' THEN 'id3'
+        |             WHEN pfx LIKE '66747970%' THEN 'ftyp'
+        |             ELSE 'unknown' END AS container
+        |      FROM c)
+        |SELECT source, container, count(*) AS n_payloads,
+        |       CAST(sum(nb) AS BIGINT) AS total_bytes
+        |FROM k GROUP BY source, container
+        |ORDER BY source, container""".stripMargin,
     "m16_chunk_pairs" ->
       s"""WITH $duckChunkSql,
          |cd AS (SELECT DISTINCT doc_id, fp FROM fp),

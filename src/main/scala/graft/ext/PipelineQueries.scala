@@ -667,7 +667,68 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p24 — water-filling token-budget allocation across sources: given
+    * each source's token supply `s_i` and a mixture weight `w_i`, find
+    * the largest integer water level λ with
+    * `Σ min(s_i, λ·w_i) ≤ B` (budget B = [[BudgetPct]] % of corpus
+    * tokens) and allocate `min(s_i, λ·w_i)` — the standard capped
+    * proportional-mixture solve (a DoReMi-style weighted budget where
+    * small sources saturate and the remainder redistributes to the
+    * rest). Reports per source the supply, weight, allocation and a
+    * saturation flag, plus the chosen λ.
+    *
+    * Allocation-vs-λ is piecewise linear and nondecreasing, so the
+    * optimal integer λ lies in a finite candidate set: every saturation
+    * breakpoint `floor(s_i / w_i)`, plus for each saturation regime the
+    * linear solve `(B − Σ_sat s_j) div Σ_unsat w_j` (sources at or below
+    * the regime's breakpoint saturated, the rest sharing the residual
+    * budget by weight), plus the no-saturation solve `B div Σw`. The
+    * search is a candidates × sources cross join — |sources|² rows,
+    * metadata-scale at any corpus size since supplies come out of a
+    * map-side-combined per-source aggregate. Integer division
+    * throughout; the remainder below B is reported, not
+    * force-allocated. */
+  val BudgetPct = 50L
+  def budgetAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val supply = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("supply"))
+      .withColumn("weight", expr(
+        "cast(conv(substr(md5(source), 1, 6), 16, 10) % 3 + 1 as bigint)"))
+    val tot = supply.agg(sum(col("supply")).as("tot_toks"),
+      sum(col("weight")).as("tot_w"))
+    val base = supply.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"tot_toks * $BudgetPct div 100"))
+      .withColumn("ratio", expr("supply div weight"))
+    // one regime solve per breakpoint threshold t: sources with
+    // ratio <= t saturated, the rest share (B - sat_supply) by weight
+    val regime = base.select(col("ratio").as("t")).distinct()
+      .crossJoin(base.select(col("ratio"), col("supply"), col("weight"), col("budget")))
+      .groupBy(col("t"), col("budget"))
+      .agg(sum(when(col("ratio") <= col("t"), col("supply")).otherwise(0L)).as("sat_s"),
+        sum(when(col("ratio") > col("t"), col("weight")).otherwise(0L)).as("unsat_w"))
+      .filter(col("unsat_w") > 0L && col("budget") > col("sat_s"))
+      .select(expr("(budget - sat_s) div unsat_w").as("lam"))
+    val cands = base.select(col("ratio").as("lam"))
+      .unionAll(regime)
+      .unionAll(base.select(expr("budget div tot_w").as("lam")).limit(1))
+      .distinct()
+    val lamStar = base.crossJoin(broadcast(cands))
+      .groupBy(col("lam"), col("budget"))
+      .agg(sum(least(col("supply"), col("lam") * col("weight"))).as("alloc_tot"))
+      .filter(col("alloc_tot") <= col("budget"))
+      .agg(max(col("lam")).as("lambda_star"))
+    base.crossJoin(broadcast(lamStar))
+      .withColumn("alloc", least(col("supply"), col("lambda_star") * col("weight")))
+      .select(col("source"), col("supply"), col("weight"), col("alloc"),
+        (col("alloc") === col("supply")).cast("int").as("saturated"),
+        col("lambda_star"), col("budget"))
+      .orderBy("source")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_budget_alloc" -> ((s, d) => budgetAlloc(s, d)),
     "p23_mixture_order" -> ((s, d) => mixtureOrder(s, d)),
     "p22_compaction_plan" -> ((s, d) => compactionPlan(s, d)),
     "p21_corpus_diff" -> ((s, d) => corpusDiff(s, d)),
@@ -782,6 +843,40 @@ object PipelineQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "p24_budget_alloc" ->
+      s"""WITH sup AS (
+         |  SELECT source,
+         |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) supply,
+         |         CAST(('0x' || substr(md5(source), 1, 6))::BIGINT % 3 + 1
+         |           AS BIGINT) weight
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(supply) tot_toks, sum(weight) tot_w FROM sup),
+         |b AS (SELECT sup.*, tot_toks * $BudgetPct // 100 AS budget,
+         |        supply // weight AS ratio
+         |      FROM sup, tot),
+         |reg AS (SELECT (budget - sat_s) // unsat_w lam FROM (
+         |          SELECT t.t, any_value(b.budget) budget,
+         |            sum(CASE WHEN b.ratio <= t.t THEN b.supply ELSE 0 END) sat_s,
+         |            sum(CASE WHEN b.ratio > t.t THEN b.weight ELSE 0 END) unsat_w
+         |          FROM (SELECT DISTINCT ratio t FROM b) t, b
+         |          GROUP BY t.t)
+         |        WHERE unsat_w > 0 AND budget > sat_s),
+         |cand AS (SELECT DISTINCT lam FROM (
+         |           SELECT ratio lam FROM b
+         |           UNION ALL SELECT lam FROM reg
+         |           UNION ALL SELECT budget // tot_w FROM b, tot)),
+         |feas AS (SELECT max(lam) lambda_star FROM (
+         |           SELECT c.lam, any_value(b.budget) budget,
+         |             sum(least(b.supply, c.lam * b.weight)) alloc_tot
+         |           FROM cand c, b GROUP BY c.lam)
+         |         WHERE alloc_tot <= budget)
+         |SELECT b.source, b.supply, b.weight,
+         |       CAST(least(b.supply, f.lambda_star * b.weight) AS BIGINT) AS alloc,
+         |       CAST(CASE WHEN least(b.supply, f.lambda_star * b.weight) = b.supply
+         |            THEN 1 ELSE 0 END AS INTEGER) AS saturated,
+         |       CAST(f.lambda_star AS BIGINT) AS lambda_star,
+         |       CAST(b.budget AS BIGINT) AS budget
+         |FROM b, feas f ORDER BY source""".stripMargin,
     // Independent formulation: plain per-source and global row_number
     // windows (vs the engine's two RankOps passes).
     "p23_mixture_order" ->

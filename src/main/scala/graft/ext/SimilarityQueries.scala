@@ -1114,7 +1114,80 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
+  /** s26 — kNN-graph hubness audit: the in-degree distribution of s10's
+    * k-nearest-neighbor graph, zero-degree vectors (antihubs) included.
+    * High-dimensional embedding spaces concentrate neighborhoods onto a
+    * few "hub" vectors (Radovanović et al., JMLR 2010); a heavy right
+    * tail here means retrieval over-returns hubs and dedup under-merges
+    * antihubs — the standard embedding-health readout next to s23's
+    * per-dim isotropy (hubness is CROSS-vector concentration, isotropy
+    * is per-dim variance).
+    *
+    * Shape: rides the s10 kNN join (bounded WindowGroupLimit heap per
+    * key), one count per target id, one left join against the id column
+    * to surface 0-degree vectors, and a |distinct degrees|-row histogram
+    * — nothing beyond s10's own cost. */
+  def hubness(spark: SparkSession, dir: String): DataFrame = {
+    val indeg = knnJoin(spark, dir)
+      .groupBy(col("nbr_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    emb(spark, dir).select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      .groupBy(col("in_deg"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("in_deg")
+  }
+
+  /** s27 — dominant principal direction via power iteration: three
+    * matrix-free rounds of `v ← normalize(Σ_x (x·v)·x)` over the
+    * micro-quantized embedding matrix, starting from the all-ones
+    * vector — the top-eigenvector readout (which single direction
+    * carries the anisotropy s23 detects per-dim) that decides whether a
+    * corpus needs mean-removal/whitening before ANN indexing (the
+    * "common discourse vector" of Arora et al.; dense retrieval quality
+    * drops when one direction dominates every cosine).
+    *
+    * Exact integer arithmetic end-to-end: per-vector dots fold 64
+    * micro×micro products in int64 (≤ 6.4e13), per-dim re-projections
+    * sum in decimal(38,0), and each round renormalizes to micro units by
+    * the max |component| with truncating division — so all three rounds
+    * are bit-identical on both engines and the oracle unrolls the same
+    * three rounds in SQL. Per round the cluster ships the driver exactly
+    * [[PowerDim]] integers (the new v) — the s20 literal-centroid
+    * discipline; the corpus is scanned once per round, no shuffle beyond
+    * the 64-column aggregate. */
+  val PowerDim = 64
+  val PowerRounds = 3
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val xm = emb(spark, dir).select(expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))")
+      .as("xm"))
+    var v: IndexedSeq[java.math.BigInteger] =
+      IndexedSeq.fill(PowerDim)(java.math.BigInteger.valueOf(1000000L))
+    for (_ <- 1 to PowerRounds) {
+      val vLit = v.map(b => s"${b}L").mkString("array(", ", ", ")")
+      val dotted = xm.withColumn("d", expr(
+        s"aggregate(zip_with(xm, $vLit, (a, b) -> a * b), 0L, (acc, y) -> acc + y) div 1000000"))
+      val row = dotted.select((0 until PowerDim).map(k =>
+        sum(expr(s"cast(d as decimal(38,0)) * xm[$k]")).as(s"s$k")): _*).head()
+      val raw = (0 until PowerDim).map(k =>
+        row.getDecimal(k).toBigInteger)
+      val maxAbs = raw.map(_.abs).max.max(java.math.BigInteger.ONE)
+      // BigInteger.divide truncates toward zero — the Spark `div` /
+      // DuckDB `//` convention, so the oracle's renormalize matches.
+      v = raw.map(_.multiply(java.math.BigInteger.valueOf(1000000L)).divide(maxAbs))
+    }
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (b, k) => ((k + 1).toLong, b.longValueExact()) }
+      .toDF("dim", "v_micro")
+      .orderBy("dim")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_power_iteration" -> ((s, d) => powerIteration(s, d)),
+    "s26_hubness" -> ((s, d) => hubness(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -1223,6 +1296,51 @@ object SimilarityQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "s26_hubness" ->
+      s"""WITH $duckEmb,
+         |c AS (SELECT a.vec_id vec_id, b.vec_id nbr_id,
+         |        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) cosine
+         |      FROM e a JOIN e b
+         |        ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT nbr_id,
+         |        CAST(row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cosine DESC, nbr_id ASC) AS BIGINT) rk
+         |      FROM c),
+         |ind AS (SELECT nbr_id, CAST(count(*) AS BIGINT) n
+         |        FROM r WHERE rk <= $KnnK GROUP BY 1),
+         |d AS (SELECT e.vec_id, coalesce(ind.n, 0) in_deg
+         |      FROM e LEFT JOIN ind ON ind.nbr_id = e.vec_id)
+         |SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM d GROUP BY in_deg ORDER BY in_deg""".stripMargin,
+
+    // The three power-iteration rounds unrolled; HUGEINT sums and //
+    // renormalization mirror the engine's decimal(38,0) + truncating
+    // division exactly.
+    "s27_power_iteration" -> {
+      def round(prev: String, out: String) =
+        s"""d$out AS (SELECT vec_id,
+           |        SUM(CAST(val AS HUGEINT) * v) // 1000000 AS d
+           |      FROM u JOIN $prev USING (dim) GROUP BY vec_id),
+           |n$out AS (SELECT dim, SUM(CAST(d AS HUGEINT) * val) s
+           |      FROM u JOIN d$out USING (vec_id) GROUP BY dim),
+           |m$out AS (SELECT greatest(MAX(ABS(s)), 1) m FROM n$out),
+           |$out AS (SELECT dim, CAST(s * 1000000 // m AS HUGEINT) v
+           |      FROM n$out, m$out)""".stripMargin
+      s"""WITH x AS (SELECT vec_id,
+         |        list_transform(embedding::DOUBLE[],
+         |          e -> CAST(round(e * 1000000.0, 0) AS BIGINT)) xm
+         |      FROM embeddings),
+         |u AS (SELECT vec_id, CAST(i AS BIGINT) dim, xm[CAST(i AS INT)] val
+         |      FROM x, unnest(range(1, $PowerDim + 1)) t(i)),
+         |v0 AS (SELECT CAST(i AS BIGINT) dim, CAST(1000000 AS HUGEINT) v
+         |      FROM unnest(range(1, $PowerDim + 1)) t(i)),
+         |${round("v0", "v1")},
+         |${round("v1", "v2")},
+         |${round("v2", "v3")}
+         |SELECT dim, CAST(v AS BIGINT) AS v_micro
+         |FROM v3 ORDER BY dim""".stripMargin
+    },
+
     "s25_coreset_quality" ->
       s"""WITH kc AS ($duckS16Sql),
          |$duckEmb,

@@ -945,7 +945,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t29 — winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    * the MOSS algorithm): hash every [[WinnowK]]-gram, slide a
+    * [[WinnowW]]-hash window, and in each window select the RIGHTMOST
+    * minimal hash — the local-fingerprinting scheme whose guarantee
+    * (every ≥ w+k−1-token match shares a selected print; expected
+    * density 2/(w+1)) is what plagiarism/near-copy detectors actually
+    * deploy, vs t4's single whole-doc rolling hash and d2's global
+    * minhash. Per doc: gram count, selected positions, distinct prints
+    * and selection density in exact ppm of windows.
+    *
+    * Scale shape: pure per-row HOFs over the token array (hash once,
+    * window-min by slice/reverse/position — O(n·w) integer ops, no
+    * joins, no shuffle before the final doc-grain projection); documents
+    * shorter than one window (< w+k−1 tokens) carry no fingerprint and
+    * are excluded on both engines. Hashes are 60-bit md5 slices (the d2
+    * discipline), so numeric min == lexicographic-free min on both
+    * engines and the rightmost-tie rule is pure integer comparison. */
+  val WinnowK = 3
+  val WinnowW = 4
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val hashG = "cast(conv(substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 15), 16, 10) as bigint)"
+    docs(spark, dir)
+      .filter(size(col("toks")) >= WinnowK + WinnowW - 1)
+      .withColumn("hs", expr(
+        s"transform(sequence(0, size(toks) - $WinnowK), i -> $hashG)"))
+      // window j selects position p = j + w - (1-based index of the min
+      // in the REVERSED window slice) — the rightmost minimum
+      .withColumn("sel", expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $WinnowW), j -> " +
+          s"j + $WinnowW - array_position(reverse(slice(hs, j + 1, $WinnowW)), " +
+          s"array_min(slice(hs, j + 1, $WinnowW)))))"))
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        (size(col("hs")) - lit(WinnowW) + 1).cast("long").as("n_windows"),
+        size(col("sel")).cast("long").as("n_selected"),
+        expr("cast(size(array_distinct(transform(sel, p -> hs[cast(p as int)]))) as bigint)")
+          .as("n_prints"))
+      .withColumn("density_ppm",
+        expr("n_selected * 1000000L div n_windows"))
+      .orderBy("doc_id")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_winnowing" -> ((s, d) => winnowing(s, d)),
     "t28_blocklist_gate" -> ((s, d) => blocklistGate(s, d)),
     "t27_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "t26_burstiness" -> ((s, d) => burstiness(s, d)),
@@ -984,6 +1028,31 @@ object TextQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    // 1-based list positions: Duck's selected q = Spark's p + 1 — counts
+    // and prints agree, the position sets are never emitted.
+    "t29_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+         |           FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(generate_series(1, len(toks) - ${WinnowK - 1}), i ->
+         |          ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+         |           1, 15))::BIGINT) hs
+         |      FROM t WHERE len(toks) >= ${WinnowK + WinnowW - 1}),
+         |s AS (SELECT doc_id, hs,
+         |        list_distinct(list_transform(generate_series(1, len(hs) - ${WinnowW - 1}), j ->
+         |          j + $WinnowW - list_position(list_reverse(hs[j:j+${WinnowW - 1}]),
+         |            list_aggregate(hs[j:j+${WinnowW - 1}], 'min')))) sel
+         |      FROM g)
+         |SELECT doc_id,
+         |       CAST(len(hs) AS BIGINT) AS n_grams,
+         |       CAST(len(hs) - ${WinnowW - 1} AS BIGINT) AS n_windows,
+         |       CAST(len(sel) AS BIGINT) AS n_selected,
+         |       CAST(len(list_distinct(list_transform(sel,
+         |            p -> hs[CAST(p AS INT)]))) AS BIGINT) AS n_prints,
+         |       CAST(len(sel) AS BIGINT) * 1000000
+         |         // (len(hs) - ${WinnowW - 1}) AS density_ppm
+         |FROM s ORDER BY doc_id""".stripMargin,
+
     "t28_blocklist_gate" -> {
       val listSql = Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks

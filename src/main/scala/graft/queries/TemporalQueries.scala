@@ -1286,7 +1286,57 @@ object TemporalQueries {
       .orderBy("bin")
   }
 
+  /** q118 — multi-touch attribution: for every purchase, gather the
+    * user's non-purchase touches in the preceding [[AttribWindowUs]]
+    * window and split conversion credit three ways — first-touch,
+    * last-touch, and linear — then roll credit up per touch type. The
+    * standard marketing-analytics credit assignment (which channel
+    * "caused" the conversion), and the unordered complement of q62's
+    * sequential motifs: attribution cares who was in the window and
+    * where, not the full path.
+    *
+    * Credit is exact integer micro-units per purchase (1e6 total per
+    * model): linear gives each touch `1e6 div n` with the remainder to
+    * the FIRST touch, so per-purchase credit sums to exactly 1e6 and
+    * corpus totals are engine-identical — no float shares. Ties inside
+    * one timestamp break by event_id everywhere.
+    *
+    * Scale shape: the touch-to-purchase pairing is a per-user equi-join
+    * with a time-band residual (the q111 PIT shape — co-partitioned on
+    * user_id, never a time cross join), fanout bounded by the window;
+    * ranking runs per purchase (bounded groups, not corpus-wide); the
+    * rollup is a |types|-row aggregate. */
+  val AttribWindowUs: Long = 86400L * 1000000L  // 24 h lookback
+  def q118Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val touch = e.filter(col("event_type") =!= "purchase")
+    val tp = touch.join(purch, Seq("user_id"))
+      .filter(col("us") < col("p_us") && col("us") >= col("p_us") - AttribWindowUs)
+    val wP = Window.partitionBy(col("p_id"))
+    val ranked = tp
+      .withColumn("rk", row_number().over(
+        wP.orderBy(col("us").asc, col("event_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("base", expr("1000000L div n"))
+      .withColumn("c_linear", when(col("rk") === 1L,
+        lit(1000000L) - col("base") * (col("n") - 1L)).otherwise(col("base")))
+      .withColumn("c_first", when(col("rk") === 1L, 1000000L).otherwise(0L))
+      .withColumn("c_last", when(col("rk") === col("n"), 1000000L).otherwise(0L))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("c_first")).as("credit_first_micro"),
+        sum(col("c_last")).as("credit_last_micro"),
+        sum(col("c_linear")).as("credit_linear_micro"))
+      .orderBy("event_type")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_attribution" -> ((s, d) => q118Attribution(s, d)),
     "q117_psi" -> ((s, d) => q117Psi(s, d)),
     "q115_itemsets" -> ((s, d) => q115Itemsets(s, d)),
     "q113_equidepth_stats" -> ((s, d) => q113EquidepthStats(s, d)),
@@ -1353,6 +1403,31 @@ object TemporalQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "q118_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |             epoch_us(ts) us FROM events),
+         |p AS (SELECT user_id, event_id p_id, us p_us FROM e
+         |      WHERE event_type = 'purchase'),
+         |t AS (SELECT e.* FROM e WHERE event_type <> 'purchase'),
+         |tp AS (SELECT t.event_type, t.event_id, t.us, p.p_id
+         |       FROM t JOIN p ON t.user_id = p.user_id
+         |        AND t.us < p.p_us AND t.us >= p.p_us - $AttribWindowUs),
+         |r AS (SELECT event_type, p_id,
+         |        CAST(row_number() OVER (PARTITION BY p_id
+         |          ORDER BY us ASC, event_id ASC) AS BIGINT) rk,
+         |        CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) n
+         |      FROM tp),
+         |c AS (SELECT event_type, p_id, rk, n, 1000000 // n AS base FROM r)
+         |SELECT event_type,
+         |       CAST(count(*) AS BIGINT) AS n_touches,
+         |       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+         |       CAST(sum(CASE WHEN rk = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+         |         AS credit_first_micro,
+         |       CAST(sum(CASE WHEN rk = n THEN 1000000 ELSE 0 END) AS BIGINT)
+         |         AS credit_last_micro,
+         |       CAST(sum(CASE WHEN rk = 1 THEN 1000000 - base * (n - 1)
+         |                ELSE base END) AS BIGINT) AS credit_linear_micro
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Independent formulation: per-predicate zone verdicts via three
     // grouped subqueries over an explicitly materialized zone table (vs
     // the engine's single conditional-aggregate scan).

@@ -1845,4 +1845,139 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("winnowing density obeys the window guarantee; rightmost-min rule replays") {
+    val w = TextQueries.WinnowW
+    val rows = TextQueries.winnowing(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nGrams, nWin, nSel, nPrints) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nWin == nGrams - w + 1)
+      // every window selects one position; a position covers <= w windows
+      assert(nSel <= nWin && nSel >= (nWin + w - 1) / w,
+        s"doc ${r.getLong(0)}: $nSel selections for $nWin windows")
+      assert(nPrints <= nSel && nPrints >= 1)
+      assert(r.getLong(5) == nSel * 1000000L / nWin)
+    }
+    // the MOSS guarantee in aggregate: expected density ~2/(w+1) = 40%;
+    // the corpus-wide mean must land well inside (10%, 100%)
+    val meanDensity = rows.map(_.getLong(5)).sum / rows.length
+    assert(meanDensity > 100000L && meanDensity < 1000000L, s"mean $meanDensity")
+    // rightmost-min rule on a crafted tie: tokens "a b a b a b a b"
+    // give identical alternating gram hashes — every window's min is
+    // duplicated and the RIGHTMOST occurrence must win, collapsing the
+    // selection set far below one-per-window
+    import spark.implicits._
+    val toksDoc = Seq((0L, "a b a b a b a b")).toDF("doc_id", "text")
+    // run the same expressions through a temp table of one doc
+    toksDoc.createOrReplaceTempView("winnow_probe")
+    val probe = spark.sql(
+      s"""SELECT hs,
+         |  array_distinct(transform(sequence(0, size(hs) - $w), j ->
+         |    j + $w - array_position(reverse(slice(hs, j + 1, $w)),
+         |      array_min(slice(hs, j + 1, $w))))) sel
+         |FROM (
+         |  SELECT transform(sequence(0, size(toks) - 3), i ->
+         |    cast(conv(substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 15), 16, 10) as bigint)) hs
+         |  FROM (SELECT split(lower(text), ' ') toks FROM winnow_probe))""".stripMargin)
+      .collect()
+    val hsArr = probe.head.getSeq[Long](0)
+    val sel = probe.head.getSeq[Long](1)
+    // alternating duplicated hashes: 6 grams, two distinct hash values
+    assert(hsArr.distinct.length == 2)
+    // each window [j, j+3] holds the min twice; rightmost wins, so the
+    // selected position strictly advances with j: 3 windows, 3 positions
+    val expectSel = (0 to hsArr.length - w).map { j =>
+      val win = hsArr.slice(j, j + w)
+      val m = win.min
+      j + win.lastIndexOf(m)
+    }.distinct
+    assert(sel.sorted == expectSel.sorted.map(_.toLong))
+  }
+
+  test("hubness histogram conserves vectors and kNN edge mass") {
+    val hist = SimilarityQueries.hubness(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nVecs = Tables.load(spark, dir, "embeddings").count()
+    val nEdges = SimilarityQueries.knnJoin(spark, dir).count()
+    // every vector appears in exactly one degree bucket
+    assert(hist.map(_._2).sum == nVecs)
+    // total in-degree mass IS the edge count of the kNN graph
+    assert(hist.map { case (d, n) => d * n }.sum == nEdges)
+    // the fixture's label blocking guarantees both hubs and antihubs
+    assert(hist.head._1 == 0L || hist.length > 1)
+  }
+
+  test("power iteration replays exactly in BigInt and normalizes to max |v| = 1e6") {
+    val rows = SimilarityQueries.powerIteration(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rows.length == SimilarityQueries.PowerDim)
+    assert(rows.map(x => math.abs(x._2)).max == 1000000L)
+    // driver-side exact replay: same quantization, same three rounds,
+    // same truncating renormalization
+    val xs = Tables.load(spark, dir, "embeddings").collect().map(
+      _.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => BigInt(math.rint(x.toDouble * 1e6).toLong)).toArray)
+    var v = Array.fill(SimilarityQueries.PowerDim)(BigInt(1000000))
+    for (_ <- 1 to SimilarityQueries.PowerRounds) {
+      val next = Array.fill(SimilarityQueries.PowerDim)(BigInt(0))
+      xs.foreach { x =>
+        val dRaw = x.zip(v).map { case (a, b) => a * b }.sum
+        // quot semantics: BigInt / truncates toward zero like Spark div
+        val d = dRaw / 1000000
+        var k = 0
+        while (k < next.length) { next(k) += d * x(k); k += 1 }
+      }
+      val maxAbs = next.map(_.abs).max.max(BigInt(1))
+      v = next.map(n => n * 1000000 / maxAbs)
+    }
+    rows.foreach { case (dim, got) =>
+      assert(BigInt(got) == v(dim.toInt - 1), s"dim $dim")
+    }
+  }
+
+  test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
+    val rows = ext.PipelineQueries.budgetAlloc(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getLong(6)
+    val lam = rows.head.getLong(5)
+    rows.foreach { r =>
+      val (supply, weight, alloc, sat) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(alloc == math.min(supply, lam * weight))
+      assert((sat == 1) == (alloc == supply))
+      assert(r.getLong(5) == lam && r.getLong(6) == budget)
+    }
+    // feasible at lambda*...
+    val at = rows.map(r => math.min(r.getLong(1), lam * r.getLong(2))).sum
+    assert(at <= budget, s"alloc $at > budget $budget")
+    // ...and infeasible at lambda*+1 — the level is MAXIMAL, so the
+    // candidate-set solve found the true integer water level
+    val above = rows.map(r => math.min(r.getLong(1), (lam + 1) * r.getLong(2))).sum
+    assert(above > budget, s"lambda*+1 still feasible: $above <= $budget")
+  }
+
+  test("magic sniff classifies exactly by the synthesized doc_id partition") {
+    val rows = ext.MultimodalQueries.magicSniff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("source", "doc_id", "length(text) nb", "substring(lower(text), 1, 4) head4")
+      .collect()
+    val magicOf = Map(0 -> ("riff", 4), 1 -> ("png", 4), 2 -> ("id3", 3), 3 -> ("ftyp", 4))
+    val expected = docs.groupBy { r =>
+      val m = (r.getLong(1) % 5).toInt
+      val viaMagic = magicOf.get(m).map(_._1)
+      // a bare payload sniffs 'ftyp' iff the text itself starts with it
+      (r.getString(0), viaMagic.getOrElse(
+        if (r.getString(3).startsWith("ftyp")) "ftyp" else "unknown"))
+    }.map { case (k, rs) =>
+      k -> (rs.length.toLong,
+        rs.map(r => r.getInt(2).toLong +
+          magicOf.get((r.getLong(1) % 5).toInt).map(_._2.toLong).getOrElse(0L)).sum)
+    }
+    assert(rows == expected)
+    // every source reports all five containers on this fixture
+    assert(rows.keys.map(_._1).toSet.size * 5 >= rows.size)
+  }
+
 }

@@ -879,6 +879,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("winnowing is a pure per-row projection: no join, no window, no hash exchange") {
+    val p = plan("t29_winnowing")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // only the final total-order sort exchanges; nothing hash-partitions
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text") && !read.contains("props"), read)
+  }
+
+  test("magic sniff rides the scan: prefix classify in the projection, one tiny agg") {
+    val p = plan("m17_magic_sniff")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("attribution pairs touches per user, never a time cross join") {
+    val p = plan("q118_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the band predicate rides the user_id equi-join as a residual
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("user_id") || l.contains("p_id"), l)
+    }
+  }
+
+  test("hubness rides the bounded per-key kNN heap, no global sort before the histogram") {
+    val p = plan("s26_hubness")
+    // Spark 4 rewrites rank-filter windows into WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("chunk pairs: df-cap filters before the self-join, count frames never forced") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)

@@ -634,6 +634,34 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(idle(2L)._5 == idle(1L)._1 - idle(2L)._3)
   }
 
+  test("attribution credit conserves exactly 1e6 per touched purchase under all three models") {
+    val rows = graft.queries.TemporalQueries.q118Attribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // purchases with at least one in-window touch, computed independently
+    val e = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) us")
+    e.createOrReplaceTempView("attr_e")
+    val touched = spark.sql(
+      s"""SELECT count(DISTINCT p.event_id) n FROM attr_e p
+         |WHERE p.event_type = 'purchase' AND EXISTS (
+         |  SELECT 1 FROM attr_e t WHERE t.user_id = p.user_id
+         |   AND t.event_type <> 'purchase'
+         |   AND t.us < p.us
+         |   AND t.us >= p.us - ${graft.queries.TemporalQueries.AttribWindowUs})
+         |""".stripMargin).head().getLong(0)
+    // each model hands out exactly 1e6 micro-credits per touched purchase
+    Seq(3, 4, 5).foreach { c =>
+      assert(rows.map(_.getLong(c)).sum == touched * 1000000L,
+        s"credit column $c must conserve")
+    }
+    // first- and last-touch are one-hot: their totals split over types,
+    // and no type can carry more credit than 1e6 x its touched purchases
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) * 1000000L)
+      assert(r.getLong(4) <= r.getLong(2) * 1000000L)
+    }
+  }
+
   test("point-in-time join attaches exactly one leak-free version per probe") {
     val rows = TemporalQueries.q111PitJoin(spark, dir).collect()
     val probes = Tables.load(spark, dir, "events")
