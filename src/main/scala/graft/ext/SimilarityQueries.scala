@@ -1185,7 +1185,63 @@ object SimilarityQueries {
       .orderBy("dim")
   }
 
+  /** s28 — Matryoshka truncation audit: recall@[[MatryoshkaK]] of
+    * nearest-neighbor search run on only the FIRST 8/16/32 embedding
+    * dimensions, against the full-width ranking — the measurement that
+    * decides whether a corpus can ship truncated vectors (Matryoshka
+    * representation learning; 4× storage and bandwidth back if
+    * recall@10 holds at d/4). Per budget: query count and mean recall
+    * in exact ppm (overlap counts are integers; the mean is
+    * `Σoverlap · 1e6 div (k · n_q)`).
+    *
+    * Brute-force by construction — the point is measuring the
+    * truncation, not the index, so every budget scores the same
+    * query × corpus frame (the s9 recall-audit discipline: the query
+    * set broadcasts, candidates rank through the bounded
+    * WindowGroupLimit heap, never a global sort). At deployment scale
+    * the scored pairs come from the s4/s5 ANN candidates instead of the
+    * full cross — the audit shape is unchanged. */
+  val MatryoshkaBudgets: Seq[Int] = Seq(8, 16, 32)
+  val MatryoshkaK = 10
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val budgets = (MatryoshkaBudgets :+ 64).map(b => s"$b").mkString("array(", ", ", ")")
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("qv"),
+        explode(expr(budgets)).as("budget"))
+      .withColumn("cos", round(expr(
+        "cosine_sim(slice(embedding, 1, budget), slice(qv, 1, budget))"), 6))
+    val top = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("budget"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= MatryoshkaK)
+      .select(col("qid"), col("vec_id"), col("budget"))
+    val full = top.filter(col("budget") === 64)
+      .select(col("qid"), col("vec_id"))
+    // denominator = ALL queries, not just those with overlap — a budget
+    // whose top-k misses entirely for some query must still divide by it
+    val nq = q.count()
+    val overlap = top.filter(col("budget") =!= 64)
+      .join(full, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_overlap"))
+    import spark.implicits._
+    MatryoshkaBudgets.toDF("budget")
+      .join(overlap, Seq("budget"), "left")
+      .select(col("budget").cast("long").as("dim_budget"),
+        lit(nq).as("n_queries"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr(
+        s"n_overlap * 1000000L div (n_queries * $MatryoshkaK)"))
+      .orderBy("dim_budget")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_matryoshka" -> ((s, d) => matryoshkaRecall(s, d)),
     "s27_power_iteration" -> ((s, d) => powerIteration(s, d)),
     "s26_hubness" -> ((s, d) => hubness(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
@@ -1296,6 +1352,38 @@ object SimilarityQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "s28_matryoshka" -> {
+      val budgetsVals = (MatryoshkaBudgets :+ 64)
+        .map(b => s"($b)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id % 97 = 0),
+         |bg(budget) AS (VALUES $budgetsVals),
+         |sc AS (SELECT q.qid, e.vec_id, bg.budget,
+         |         round(list_dot_product(e.v[1:bg.budget], q.qv[1:bg.budget])
+         |           / (sqrt(list_dot_product(e.v[1:bg.budget], e.v[1:bg.budget]))
+         |            * sqrt(list_dot_product(q.qv[1:bg.budget], q.qv[1:bg.budget]))),
+         |           6) cos
+         |       FROM e, q, bg WHERE e.vec_id <> q.qid),
+         |tp AS (SELECT qid, vec_id, budget FROM (
+         |         SELECT qid, vec_id, budget, row_number() OVER (
+         |           PARTITION BY qid, budget ORDER BY cos DESC, vec_id ASC) rk
+         |         FROM sc) WHERE rk <= $MatryoshkaK),
+         |fl AS (SELECT qid, vec_id FROM tp WHERE budget = 64),
+         |ov AS (SELECT t.budget, CAST(count(*) AS BIGINT) n_overlap
+         |       FROM tp t SEMI JOIN fl
+         |         ON t.qid = fl.qid AND t.vec_id = fl.vec_id
+         |       WHERE t.budget <> 64 GROUP BY t.budget),
+         |nq AS (SELECT count(*) n FROM q)
+         |SELECT CAST(bg.budget AS BIGINT) dim_budget,
+         |       CAST(nq.n AS BIGINT) n_queries,
+         |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) n_overlap,
+         |       CAST(CAST(coalesce(ov.n_overlap, 0) AS HUGEINT) * 1000000
+         |         // (nq.n * $MatryoshkaK) AS BIGINT) AS recall_ppm
+         |FROM bg LEFT JOIN ov ON ov.budget = bg.budget, nq
+         |WHERE bg.budget <> 64
+         |ORDER BY dim_budget""".stripMargin
+    },
+
     "s26_hubness" ->
       s"""WITH $duckEmb,
          |c AS (SELECT a.vec_id vec_id, b.vec_id nbr_id,

@@ -1291,9 +1291,12 @@ object TemporalQueries {
     * window and split conversion credit three ways — first-touch,
     * last-touch, and linear — then roll credit up per touch type. The
     * standard marketing-analytics credit assignment (which channel
-    * "caused" the conversion), and the unordered complement of q62's
-    * sequential motifs: attribution cares who was in the window and
-    * where, not the full path.
+    * "caused" the conversion). Completes the attribution family:
+    * q76 carries each purchase's single LAST touch, q77 single-assigns
+    * every touch to its NEXT purchase (U-shaped weights); here each
+    * purchase independently credits ALL touches in its lookback window,
+    * so one touch may fund several conversions — the per-conversion
+    * window model the other two deliberately exclude.
     *
     * Credit is exact integer micro-units per purchase (1e6 total per
     * model): linear gives each touch `1e6 div n` with the remainder to

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Parsed stedi risk event (FIXTURES.md A3 after StediOps.parseRiskEvent). */
 case class RiskEvent(customer: String, score: Double, riskDate: String)
@@ -342,5 +342,48 @@ object StreamOps {
           state.update((n, s, m))
           CustomerRunning(customer, n, s, m)
       }
+  }
+
+  /** [[runningRiskTotals]] on Spark 4's `transformWithState` API — the
+    * GA arbitrary-state operator that supersedes mapGroupsWithState:
+    * typed composite state handles (ValueState here; List/Map state and
+    * timers on the same [[org.apache.spark.sql.streaming
+    * .StatefulProcessorHandle]]), per-state TTL, and schema-evolvable
+    * RocksDB-backed storage. Semantics are pinned identical to the
+    * mapGroupsWithState twin by `StreamOpsSpec` (same totals per key per
+    * micro-batch), so either operator can serve the pipeline.
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` on the running session —
+    * transformWithState does not execute on the default HDFS-backed
+    * store; callers (and the spec) set it per query via the session
+    * conf. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, RiskEvent, CustomerRunning] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var totals: ValueState[(Long, Double, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double, Long)](
+        "totals", org.apache.spark.sql.Encoders.product[(Long, Double, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(customer: String, rows: Iterator[RiskEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CustomerRunning] = {
+      val (n0, s0, m0) = if (totals.exists()) totals.get() else (0L, 0.0, 0L)
+      val (n, s, m) = rows.foldLeft((n0, s0, m0)) { case ((cn, cs, cm), e) =>
+        (cn + 1, cs + e.score, cm + math.round(e.score * 1e6))
+      }
+      totals.update((n, s, m))
+      Iterator.single(CustomerRunning(customer, n, s, m))
+    }
+  }
+
+  def runningRiskTotalsTws(spark: SparkSession, risk: DataFrame): Dataset[CustomerRunning] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    risk.as[RiskEvent]
+      .groupByKey(_.customer)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -1936,6 +1936,29 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("matryoshka recall is monotone in the dim budget and bounded by 1") {
+    val rows = SimilarityQueries.matryoshkaRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == SimilarityQueries.MatryoshkaBudgets.map(_.toLong))
+    val nq = Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 97 = 0")).count()
+    rows.foreach { case (_, n, ov, ppm) =>
+      assert(n == nq)
+      assert(ov >= 0 && ov <= nq * SimilarityQueries.MatryoshkaK)
+      assert(ppm >= 0 && ppm <= 1000000L)
+      assert(ppm == ov * 1000000L / (nq * SimilarityQueries.MatryoshkaK))
+    }
+    // more dimensions can only help on average: recall non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"recall must not drop: ${a._1}d=${a._4} > ${b._1}d=${b._4}")
+    }
+    // on the i.i.d.-random fixture embeddings truncation genuinely loses
+    // ranking signal (no Matryoshka structure to exploit), so no absolute
+    // floor — but the widest budget must beat noise (recall@10 of a
+    // random permutation over 500 candidates is ~2%)
+    assert(rows.last._4 > 50000L, s"32-dim recall ${rows.last._4} at noise level")
+  }
+
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
     val rows = ext.PipelineQueries.budgetAlloc(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -549,6 +549,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals match the mapGroupsWithState twin per batch") {
+    // the Spark 4 StatefulProcessor path runs only on the RocksDB store;
+    // scope the provider to this test and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[String]
+    val q = StreamOps.runningRiskTotalsTws(spark, parsed(input))
+      .writeStream.format("memory").queryName("running_tws")
+      .outputMode("update").start()
+    try {
+      input.addData(mkRisk("a@test.com", 1.0, "t"), mkRisk("a@test.com", 2.0, "t"))
+      q.processAllAvailable()
+      input.addData(mkRisk("a@test.com", 3.0, "t"), mkRisk("b@test.com", 10.0, "t"))
+      q.processAllAvailable()
+      val last = spark.table("running_tws").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      // identical totals to the mapGroupsWithState twin's spec fixture —
+      // state accumulated ACROSS batches, exact micro sum carried
+      assert(last("a@test.com") == (("a@test.com", 3L, 6.0, 6000000L)))
+      assert(last("b@test.com") == (("b@test.com", 1L, 10.0, 10000000L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("timeout sessionizer merges a late in-tolerance event into the PENDING burst") {
     // The contract ADVICE flagged: after an intra-batch gap, the older
     // burst must stay open to late events until the watermark passes its
