@@ -1338,7 +1338,120 @@ object TemporalQueries {
       .orderBy("event_type")
   }
 
+  /** q120 — window funnel (the ClickHouse `windowFunnel` /
+    * product-analytics staple): per user, the deepest prefix of the
+    * step chain signup → view → click → purchase completable with
+    * strictly increasing timestamps inside a [[FunnelWindowUs]] window
+    * anchored at the chain's FIRST step, maximized over every possible
+    * step-1 anchor; the report is the classic funnel table — users
+    * reaching ≥ each depth and the conversion rate vs depth 1 in exact
+    * ppm.
+    *
+    * Semantics pinned precisely (both engines run the identical
+    * definition): for an anchor t1, each later level takes the EARLIEST
+    * qualifying event (`min{t : step s, t > t_prev, t ≤ t1 + W}`) —
+    * greedy-earliest is optimal for a FIXED anchor, and the max over
+    * anchors restores global optimality (a later signup can open a
+    * deeper window than the first one). Ties across steps at one
+    * timestamp do not chain (strict `>`), matching the oracle.
+    *
+    * Scale shape: one shuffle keys users; per-user step arrays are
+    * sorted collect_lists (bounded by per-user activity — the q62
+    * contract), and the depth search is a pure HOF fold over them
+    * (anchors × levels, k = 4); the funnel rollup is a 4-row frame. */
+  val FunnelWindowUs: Long = 7L * 86400L * 1000000L
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+  def q120WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val stepCase = FunnelSteps.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }
+      .mkString("CASE event_type ", " ", " ELSE 0 END")
+    q120WindowFunnelOf(Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr(stepCase).as("step"),
+        unix_micros(col("ts")).as("us")))
+  }
+
+  /** The funnel over any `(user_id, step ∈ 1..4, us)` frame — the spec
+    * drives the anchor-maximization branch (a LATER step-1 event
+    * opening a deeper window than the first) through this entry. */
+  def q120WindowFunnelOf(activity: DataFrame): DataFrame = {
+    val W = FunnelWindowUs
+    val stepArrays = (1 to FunnelSteps.length).map(s =>
+      sort_array(expr(s"collect_list(CASE WHEN step = $s THEN us END)")).as(s"a$s"))
+    val perUser = activity
+      .filter(col("step") > 0)
+      .groupBy(col("user_id"))
+      .agg(stepArrays.head, stepArrays.tail: _*)
+    // Each level binds ONCE per anchor via the 1-element transform LET
+    // (the m11 discipline — inlining lvl2 into lvl3's guard and lvl3
+    // into lvl4's would re-run the level-2 scan three times per anchor;
+    // Catalyst's CollapseProject can't inline across a lambda boundary)
+    def nextLvl(arr: String, prev: String) =
+      s"CASE WHEN $prev IS NULL THEN CAST(NULL AS BIGINT) " +
+        s"ELSE array_min(filter($arr, x -> x > $prev AND x <= t1 + ${W}L)) END"
+    val depths = perUser.withColumn("ud", expr(
+      s"""array_max(transform(a1, t1 ->
+         |  element_at(transform(array(${nextLvl("a2", "t1")}), u2 ->
+         |    element_at(transform(array(${nextLvl("a3", "u2")}), u3 ->
+         |      element_at(transform(array(${nextLvl("a4", "u3")}), u4 ->
+         |        1 + (CASE WHEN u2 IS NOT NULL THEN 1 ELSE 0 END)
+         |          + (CASE WHEN u3 IS NOT NULL THEN 1 ELSE 0 END)
+         |          + (CASE WHEN u4 IS NOT NULL THEN 1 ELSE 0 END)), 1)), 1)), 1)))""".stripMargin))
+      .filter(col("ud").isNotNull)
+      .select(col("ud").cast("long").as("ud"))
+    depths
+      .select(explode(expr(
+        s"sequence(1, ${FunnelSteps.length})")).as("depth"), col("ud"))
+      .groupBy(col("depth").cast("long").as("depth"))
+      .agg(sum(when(col("ud") >= col("depth"), 1L).otherwise(0L)).as("n_users"))
+      .crossJoin(broadcast(depths.agg(count(lit(1)).as("n_entered"))))
+      .withColumn("conv_ppm", expr("n_users * 1000000L div n_entered"))
+      .select(col("depth"), col("n_users"), col("conv_ppm"))
+      .orderBy("depth")
+  }
+
+  /** q119 — bitemporal AS OF reconstruction (SQL:2011
+    * `FOR SYSTEM_TIME AS OF … FOR BUSINESS_TIME AS OF …`): every event
+    * carries VALID time (when it happened, `ts`) and TRANSACTION time
+    * (when the warehouse learned of it — synthesized as a deterministic
+    * per-event ingest delay, the q80 arrival convention). For each
+    * (transaction cutoff × valid cutoff) on a 50 %/100 %-of-range grid,
+    * rebuild each user's latest state: the max-(valid, event_id) event
+    * among those BOTH valid by V and known by T — "what did we believe
+    * at T about the state as of V". q111's PIT join is the
+    * single-axis special case; the two-axis form is what makes a
+    * restated metric reproducible after late data lands (the training-
+    * cutoff audit: at T100 the V100 state still misses events whose
+    * ingest lagged past the window).
+    *
+    * Shape: one scan broadcast-joined against the 4-row cutoff grid, a
+    * map-side-combinable packed-struct max per (cutoff, user) — never a
+    * window over the log — then a grid-sized rollup. */
+  def q119Bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("cast(round(value * 100.0D, 0) as bigint)").as("vc"))
+      .withColumn("tx_us", expr("us + (event_id * 2654435761L % 3600) * 1000000L"))
+    val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val grid = Seq(50L, 100L).flatMap(t => Seq(50L, 100L).map(v => (t, v)))
+      .toDF("tx_pct", "v_pct")
+      .crossJoin(broadcast(bounds))
+      .select(col("tx_pct"), col("v_pct"),
+        expr("lo + (hi - lo) * tx_pct div 100").as("t_cut"),
+        expr("lo + (hi - lo) * v_pct div 100").as("v_cut"))
+    e.join(broadcast(grid),
+        col("tx_us") <= col("t_cut") && col("us") <= col("v_cut"))
+      .groupBy(col("tx_pct"), col("v_pct"), col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("vc"))).as("last"))
+      .groupBy(col("tx_pct"), col("v_pct"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("last.vc")).as("state_cents"))
+      .orderBy("tx_pct", "v_pct")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_bitemporal" -> ((s, d) => q119Bitemporal(s, d)),
+    "q120_window_funnel" -> ((s, d) => q120WindowFunnel(s, d)),
     "q118_attribution" -> ((s, d) => q118Attribution(s, d)),
     "q117_psi" -> ((s, d) => q117Psi(s, d)),
     "q115_itemsets" -> ((s, d) => q115Itemsets(s, d)),
@@ -1406,6 +1519,60 @@ object TemporalQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    // Independent formulation: per-(cutoff, user) argmax via a
+    // row_number window (vs the engine's packed-struct max).
+    "q119_bitemporal" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) us,
+        |        CAST(round(value * 100.0, 0) AS BIGINT) vc,
+        |        epoch_us(ts) + (event_id * 2654435761 % 3600) * 1000000 tx_us
+        |      FROM events),
+        |b AS (SELECT min(us) lo, max(us) hi FROM e),
+        |g AS (SELECT t.t tx_pct, v.v v_pct,
+        |        lo + (hi - lo) * t.t // 100 t_cut,
+        |        lo + (hi - lo) * v.v // 100 v_cut
+        |      FROM (VALUES (50), (100)) t(t), (VALUES (50), (100)) v(v), b),
+        |r AS (SELECT g.tx_pct, g.v_pct, e.user_id, e.vc,
+        |        row_number() OVER (PARTITION BY g.tx_pct, g.v_pct, e.user_id
+        |          ORDER BY e.us DESC, e.event_id DESC) rk
+        |      FROM e JOIN g ON e.tx_us <= g.t_cut AND e.us <= g.v_cut)
+        |SELECT CAST(tx_pct AS BIGINT) tx_pct, CAST(v_pct AS BIGINT) v_pct,
+        |       CAST(count(*) AS BIGINT) n_users,
+        |       CAST(sum(vc) AS BIGINT) state_cents
+        |FROM r WHERE rk = 1 GROUP BY tx_pct, v_pct
+        |ORDER BY tx_pct, v_pct""".stripMargin,
+
+    "q120_window_funnel" -> {
+      val W = FunnelWindowUs
+      val stepCase = FunnelSteps.zipWithIndex
+        .map { case (s, i) => s"WHEN '$s' THEN ${i + 1}" }
+        .mkString("CASE event_type ", " ", " ELSE 0 END")
+      val lvl2 = s"list_aggregate(list_filter(a2, x -> x > t1 AND x <= t1 + $W), 'min')"
+      val lvl3 = s"list_aggregate(list_filter(a3, x -> x > $lvl2 AND x <= t1 + $W), 'min')"
+      val lvl4 = s"list_aggregate(list_filter(a4, x -> x > $lvl3 AND x <= t1 + $W), 'min')"
+      s"""WITH e AS (SELECT user_id, $stepCase AS step, epoch_us(ts) us
+         |           FROM events),
+         |pu AS (SELECT user_id,
+         |         list_sort(list_filter(list(CASE WHEN step = 1 THEN us END), x -> x IS NOT NULL)) a1,
+         |         list_sort(list_filter(list(CASE WHEN step = 2 THEN us END), x -> x IS NOT NULL)) a2,
+         |         list_sort(list_filter(list(CASE WHEN step = 3 THEN us END), x -> x IS NOT NULL)) a3,
+         |         list_sort(list_filter(list(CASE WHEN step = 4 THEN us END), x -> x IS NOT NULL)) a4
+         |       FROM e WHERE step > 0 GROUP BY user_id),
+         |d AS (SELECT list_aggregate(list_transform(a1, t1 -> 1
+         |        + (CASE WHEN $lvl2 IS NOT NULL THEN 1 ELSE 0 END)
+         |        + (CASE WHEN $lvl3 IS NOT NULL THEN 1 ELSE 0 END)
+         |        + (CASE WHEN $lvl4 IS NOT NULL THEN 1 ELSE 0 END)), 'max') ud
+         |      FROM pu),
+         |dd AS (SELECT CAST(ud AS BIGINT) ud FROM d WHERE ud IS NOT NULL),
+         |n AS (SELECT count(*) n_entered FROM dd),
+         |k(depth) AS (VALUES (1), (2), (3), (4))
+         |SELECT CAST(k.depth AS BIGINT) AS depth,
+         |       CAST(sum(CASE WHEN dd.ud >= k.depth THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_users,
+         |       CAST(CAST(sum(CASE WHEN dd.ud >= k.depth THEN 1 ELSE 0 END) AS HUGEINT)
+         |         * 1000000 // (SELECT n_entered FROM n) AS BIGINT) AS conv_ppm
+         |FROM k, dd GROUP BY k.depth ORDER BY depth""".stripMargin
+    },
+
     "q118_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |             epoch_us(ts) us FROM events),

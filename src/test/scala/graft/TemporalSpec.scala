@@ -634,6 +634,66 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(idle(2L)._5 == idle(1L)._1 - idle(2L)._3)
   }
 
+  test("window funnel maximizes over anchors and is monotone in depth") {
+    import spark.implicits._
+    val rows = graft.queries.TemporalQueries.q120WindowFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.head._2._2 == 1000000L, "depth-1 conversion is 100% by definition")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2._1 >= b._2._1, "reaching a deeper step can only lose users")
+    }
+    // anchor maximization: the FIRST signup's window (7 d) misses every
+    // later step; only the SECOND signup completes the chain. A greedy
+    // first-anchor implementation reports depth 1 — the max over anchors
+    // must report 4.
+    val d = 86400000000L
+    val act = Seq(
+      (1L, 1, 0L),            // signup (stale anchor)
+      (1L, 1, 9L * d),        // signup (live anchor)
+      (1L, 2, 9L * d + 1000L),
+      (1L, 3, 9L * d + 2000L),
+      (1L, 4, 9L * d + 3000L),
+      // user 2: all four steps but out of order -> depth stops at 2
+      (2L, 1, 0L), (2L, 3, 1000L), (2L, 4, 2000L), (2L, 2, 3000L)
+    ).toDF("user_id", "step", "us")
+    val built = graft.queries.TemporalQueries.q120WindowFunnelOf(act).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(built(1L) == 2L, "both users enter the funnel")
+    // user 2's earliest qualifying view is at 3000 (after the click), so
+    // the chain stops at depth 2
+    assert(built(2L) == 2L)
+    assert(built(3L) == 1L && built(4L) == 1L, "only the re-anchored user converts")
+    // strict ordering: equal timestamps must NOT chain
+    val tied = Seq((9L, 1, 0L), (9L, 2, 0L)).toDF("user_id", "step", "us")
+    val t2 = graft.queries.TemporalQueries.q120WindowFunnelOf(tied).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t2(1L) == 1L && t2(2L) == 0L)
+  }
+
+  test("bitemporal grid is monotone on both axes and T-lag hides late arrivals") {
+    val rows = graft.queries.TemporalQueries.q119Bitemporal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 4)
+    // widening either cutoff can only ADD users
+    assert(rows((50L, 50L))._1 <= rows((100L, 50L))._1)
+    assert(rows((50L, 50L))._1 <= rows((50L, 100L))._1)
+    assert(rows((100L, 50L))._1 <= rows((100L, 100L))._1)
+    // at (T100, V100) the state still misses events whose ingest delay
+    // pushed tx past the valid-time horizon — compare against the
+    // no-transaction-axis reconstruction
+    val full = Tables.load(spark, dir, "events").count()
+    assert(rows((100L, 100L))._1 > 0)
+    val lateTx = Tables.load(spark, dir, "events")
+      .selectExpr("unix_micros(ts) us", "event_id")
+      .selectExpr(s"us + (event_id * 2654435761 % 3600) * 1000000 tx_us", "us")
+      .crossJoin(Tables.load(spark, dir, "events")
+        .selectExpr("max(unix_micros(ts)) hi"))
+      .filter(org.apache.spark.sql.functions.expr("tx_us > hi")).count()
+    assert(lateTx > 0, "fixture must exercise the late-ingest branch")
+    assert(full > 0)
+  }
+
   test("attribution credit conserves exactly 1e6 per touched purchase under all three models") {
     val rows = graft.queries.TemporalQueries.q118Attribution(spark, dir).collect()
     assert(rows.nonEmpty)
