@@ -386,4 +386,74 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** [[sessionCloseEvents]] on transformWithState — the full Spark 4
+    * state surface the FMGWS twin can't express: PENDING bursts in a
+    * typed `ListState` (vs one serialized Seq blob), and the close
+    * driven by an explicit EVENT-TIME TIMER (`registerTimer` /
+    * `handleExpiredTimer`) instead of the single implicit
+    * per-key timeout. Burst semantics are identical by construction and
+    * pinned by `StreamOpsSpec`: emit only once the watermark passes the
+    * burst's gap horizon; late in-tolerance events merge into the
+    * pending burst; strict eviction when the last burst closes. */
+  class SessionCloseProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double, java.sql.Timestamp), SessionClosed] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues}
+    type Burst = (Long, Long, Long, Long)
+    @transient private var bursts: ListState[Burst] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bursts = getHandle.getListState[Burst]("bursts",
+        org.apache.spark.sql.Encoders.product[Burst], TTLConfig.NONE)
+    private def horizonMs(b: Burst): Long = (b._2 + SessionGapUs) / 1000L + 1L
+    private def release(customer: String, bs: Seq[Burst], wmMs: Long): Iterator[SessionClosed] = {
+      val (closed, open) = bs.partition(horizonMs(_) <= wmMs)
+      bursts.clear()
+      // one live timer per key: re-arm at the oldest open horizon
+      getHandle.listTimers().foreach {
+        t => getHandle.deleteTimer(t.asInstanceOf[Long])
+      }
+      if (open.nonEmpty) {
+        open.foreach(bursts.appendValue)
+        getHandle.registerTimer(math.max(open.map(horizonMs).min, wmMs + 1L))
+      }
+      closed.sortBy(_._1).iterator
+        .map(b => SessionClosed(customer, b._1, b._2, b._3, b._4))
+    }
+    override def handleInputRows(customer: String,
+        rows: Iterator[(String, Double, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionClosed] = {
+      def micros(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      var bs: Seq[Burst] = if (bursts.exists()) bursts.get().toSeq else Seq.empty
+      rows.map(e => (micros(e._3), math.round(e._2 * 1e6)))
+        .toSeq.sortBy(_._1)
+        .foreach { case (us, sm) =>
+          val (touch, rest) = bs.partition(
+            b => us >= b._1 - SessionGapUs && us <= b._2 + SessionGapUs)
+          bs = ((us +: touch.map(_._1)).min, (us +: touch.map(_._2)).max,
+            touch.map(_._3).sum + 1L, touch.map(_._4).sum + sm) +: rest
+        }
+      release(customer, bs, timerValues.getCurrentWatermarkInMs())
+    }
+    override def handleExpiredTimer(customer: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClosed] = {
+      val bs: Seq[Burst] = if (bursts.exists()) bursts.get().toSeq else Seq.empty
+      release(customer, bs, timerValues.getCurrentWatermarkInMs())
+    }
+  }
+
+  def sessionCloseEventsTws(spark: SparkSession, risk: DataFrame,
+      watermark: String = "30 minutes"): Dataset[SessionClosed] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    risk.withColumn("riskTs", to_timestamp(col("riskDate")))
+      .withWatermark("riskTs", watermark)
+      .select(col("customer"), col("score"), col("riskTs"))
+      .as[(String, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -581,6 +581,54 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("transformWithState sessionizer (ListState + event-time timers) matches the FMGWS twin") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[String]
+    val q = StreamOps.sessionCloseEventsTws(spark, parsed(input)).toDF()
+      .writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    try {
+      // the same scenario the FMGWS late-merge test pins: two bursts in
+      // one batch, a late in-tolerance event that must land in the FIRST
+      // pending burst, then a watermark push that closes both via timers
+      input.addData(
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        mkRisk("a@test.com", 1.0, "2020-09-14T07:01:00.000Z"),
+        mkRisk("a@test.com", 5.0, "2020-09-14T07:30:00.000Z"))
+      q.processAllAvailable()
+      assert(spark.table("sess_tws").count() == 0,
+        "no burst may emit before the watermark passes its horizon")
+      input.addData(mkRisk("a@test.com", 2.0, "2020-09-14T07:02:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("b@test.com", 1.0, "2020-09-14T10:00:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("b@test.com", 1.0, "2020-09-14T10:01:00.000Z"))
+      q.processAllAvailable()
+      val a = spark.table("sess_tws").as[graft.streaming.SessionClosed].collect()
+        .filter(_.customer == "a@test.com").sortBy(_.start_us)
+      assert(a.length == 2, s"two sessions expected: ${a.mkString(",")}")
+      assert(a(0).n_events == 3L && a(0).sum_score_micro == 4000000L)
+      assert(a(0).last_us - a(0).start_us == 120L * 1000000L)
+      assert(a(1).n_events == 1L && a(1).sum_score_micro == 5000000L)
+      // exactly once: more watermark advance must re-emit nothing
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T12:00:00.000Z"))
+      q.processAllAvailable()
+      input.addData(mkRisk("c@test.com", 1.0, "2020-09-14T12:01:00.000Z"))
+      q.processAllAvailable()
+      assert(spark.table("sess_tws").as[graft.streaming.SessionClosed].collect()
+        .count(_.customer == "a@test.com") == 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("timeout sessionizer merges a late in-tolerance event into the PENDING burst") {
     // The contract ADVICE flagged: after an intra-batch gap, the older
     // burst must stay open to late events until the watermark passes its
