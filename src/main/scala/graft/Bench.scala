@@ -74,6 +74,7 @@ object Bench {
     graft.ext.PipelineQueries.clearCaches()
     graft.ext.MultimodalQueries.clearCaches()
     graft.queries.AdvancedQueries.clearCaches()
+    graft.queries.TemporalQueries.clearCaches()
     graft.queries.ReferenceQueries.clearCaches()
     graft.ops.RankOps.clearCaches()
     spark.stop()

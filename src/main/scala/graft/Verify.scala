@@ -47,6 +47,7 @@ object Verify {
     graft.ext.PipelineQueries.clearCaches()
     graft.ext.MultimodalQueries.clearCaches()
     graft.queries.AdvancedQueries.clearCaches()
+    graft.queries.TemporalQueries.clearCaches()
     graft.queries.ReferenceQueries.clearCaches()
     graft.ops.RankOps.clearCaches()
     spark.stop()

@@ -1160,9 +1160,13 @@ object SimilarityQueries {
   val PowerDim = 64
   val PowerRounds = 3
   def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the quantized matrix ONCE — every round is then a pure
+    // streaming aggregate over the checkpointed blocks instead of a
+    // fresh scan + re-quantization per round
     val xm = emb(spark, dir).select(expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))")
       .as("xm"))
+      .localCheckpoint()
     var v: IndexedSeq[java.math.BigInteger] =
       IndexedSeq.fill(PowerDim)(java.math.BigInteger.valueOf(1000000L))
     for (_ <- 1 to PowerRounds) {
@@ -1178,6 +1182,9 @@ object SimilarityQueries {
       // DuckDB `//` convention, so the oracle's renormalize matches.
       v = raw.map(_.multiply(java.math.BigInteger.valueOf(1000000L)).divide(maxAbs))
     }
+    // the rounds are done and the 64-long result is on the driver — free
+    // the checkpoint blocks eagerly (the d8/RankOps discipline)
+    graft.CheckpointUtil.release(xm)
     import spark.implicits._
     v.zipWithIndex
       .map { case (b, k) => ((k + 1).toLong, b.longValueExact()) }
