@@ -1247,7 +1247,61 @@ object SimilarityQueries {
       .orderBy("dim_budget")
   }
 
+  /** s29 — binary (sign-bit) embedding compression audit: pack each
+    * 64-dim vector into ONE BIGINT of sign bits, rank neighbors by
+    * Hamming distance (`bit_count(xor)` — one codegen'd instruction per
+    * comparison vs 64 multiply-adds), and report recall@[[MatryoshkaK]]
+    * against the exact-cosine ranking plus the mean Hamming distance of
+    * the true top-k. The 64×-compression end of the quantization
+    * spectrum (s7 int8 → s8 PQ → s28 truncation → here 1 bit/dim), and
+    * the sign-random-projection theory says E[hamming] ∝ angle — so
+    * this is also the cheapest possible first-pass filter before exact
+    * re-scoring.
+    *
+    * Bit packing uses OR of shifted bits (never `+` — bit 63 is
+    * Long.MinValue and an additive pack would overflow ANSI arithmetic);
+    * ties rank by vec_id. Same brute-force audit shape as s28: query
+    * set broadcasts, candidates rank through bounded per-key heaps. */
+  def binaryHamming(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = emb(spark, dir).select(col("vec_id"), col("embedding"),
+      expr("aggregate(sequence(0, 63), 0L, (acc, k) -> " +
+        "acc | IF(embedding[k] > cast(0.0 as float), shiftleft(1L, k), 0L))").as("bits"))
+    val q = packed.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bits").as("qbits"))
+    // scored once, read by both rankings (and the final aggregate is the
+    // ONLY action over them — three separate count()/head() actions each
+    // re-ran the join + windows, 21 jobs -> 6)
+    val joined = packed.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("bit_count(bits ^ qbits)").cast("long").as("hamming"),
+        round(expr("cosine_sim(embedding, qv)"), 6).as("cos"))
+      .localCheckpoint()
+    def topk(order: Seq[org.apache.spark.sql.Column]) = joined
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(order: _*)))
+      .filter(col("rk") <= MatryoshkaK)
+      .select(col("qid"), col("vec_id"), col("hamming"))
+    val ham = topk(Seq(col("hamming").asc, col("vec_id").asc))
+    val exact = topk(Seq(col("cos").desc, col("vec_id").asc))
+    val row = exact
+      .join(ham.select(col("qid"), col("vec_id"), lit(1L).as("in_ham")),
+        Seq("qid", "vec_id"), "left")
+      .agg(countDistinct(col("qid")).as("nq"),
+        sum(coalesce(col("in_ham"), lit(0L))).as("ov"),
+        expr("sum(hamming * 1000000L) div count(1)").as("mh"))
+      .head()
+    graft.CheckpointUtil.release(joined)
+    val (nq, overlap, meanHamMicro) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    import spark.implicits._
+    Seq((nq, overlap,
+        overlap * 1000000L / (nq * MatryoshkaK),
+        meanHamMicro))
+      .toDF("n_queries", "n_overlap", "recall_ppm", "true_topk_mean_hamming_micro")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_binary_hamming" -> ((s, d) => binaryHamming(s, d)),
     "s28_matryoshka" -> ((s, d) => matryoshkaRecall(s, d)),
     "s27_power_iteration" -> ((s, d) => powerIteration(s, d)),
     "s26_hubness" -> ((s, d) => hubness(s, d)),
@@ -1359,6 +1413,43 @@ object SimilarityQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    // DuckDB's `^` is exponentiation — Hamming must use xor(); and its
+    // `<<` overflow-checks 1<<63, so bit 63 packs via the Long.MinValue
+    // literal instead of a shift.
+    "s29_binary_hamming" ->
+      s"""WITH $duckEmb,
+         |u AS (SELECT vec_id, CAST(i AS INT) dim, v[CAST(i AS INT)] val
+         |      FROM e, unnest(range(1, 65)) t(i)),
+         |pk AS (SELECT vec_id, bit_or(
+         |         CASE WHEN val > 0 THEN
+         |           CASE WHEN dim = 64 THEN (-9223372036854775807 - 1)
+         |                ELSE (1::BIGINT << (dim - 1)) END
+         |         ELSE 0 END) bits
+         |       FROM u GROUP BY vec_id),
+         |q AS (SELECT e.vec_id qid, e.v qv, e.nrm qnrm, pk.bits qbits
+         |      FROM e JOIN pk USING (vec_id) WHERE e.vec_id % 97 = 0),
+         |j AS (SELECT q.qid, e.vec_id,
+         |        CAST(bit_count(xor(pk.bits, q.qbits)) AS BIGINT) hamming,
+         |        round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm), 6) cos
+         |      FROM e JOIN pk USING (vec_id), q WHERE e.vec_id <> q.qid),
+         |th AS (SELECT qid, vec_id, hamming FROM (
+         |         SELECT qid, vec_id, hamming, row_number() OVER (
+         |           PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) rk FROM j)
+         |       WHERE rk <= $MatryoshkaK),
+         |tc AS (SELECT qid, vec_id, hamming FROM (
+         |         SELECT qid, vec_id, hamming, row_number() OVER (
+         |           PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rk FROM j)
+         |       WHERE rk <= $MatryoshkaK),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) n FROM th
+         |       SEMI JOIN tc ON th.qid = tc.qid AND th.vec_id = tc.vec_id),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) n FROM q),
+         |mh AS (SELECT CAST(sum(hamming * 1000000) // count(*) AS BIGINT) m FROM tc)
+         |SELECT nq.n AS n_queries, ov.n AS n_overlap,
+         |       CAST(CAST(ov.n AS HUGEINT) * 1000000
+         |         // (nq.n * $MatryoshkaK) AS BIGINT) AS recall_ppm,
+         |       mh.m AS true_topk_mean_hamming_micro
+         |FROM nq, ov, mh""".stripMargin,
+
     "s28_matryoshka" -> {
       val budgetsVals = (MatryoshkaBudgets :+ 64)
         .map(b => s"($b)").mkString(", ")

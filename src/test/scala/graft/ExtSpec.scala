@@ -1959,6 +1959,36 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(rows.last._4 > 50000L, s"32-dim recall ${rows.last._4} at noise level")
   }
 
+  test("binary hamming audit: bit packing replays, recall and mean distance bounded") {
+    val r = SimilarityQueries.binaryHamming(spark, dir).collect()
+    assert(r.length == 1)
+    val (nq, ov, ppm, mh) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+    val expectNq = Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 97 = 0")).count()
+    assert(nq == expectNq && nq > 0)
+    assert(ov >= 0 && ov <= nq * SimilarityQueries.MatryoshkaK)
+    assert(ppm == ov * 1000000L / (nq * SimilarityQueries.MatryoshkaK))
+    // sign-projection theory: true nearest neighbors sit well below the
+    // 32-bit random-pair expectation
+    assert(mh > 0L && mh < 32L * 1000000L, s"mean hamming $mh")
+    // the packed sign bits replay bit-for-bit against a driver-side pack
+    val got = spark.sql(
+      """SELECT vec_id, aggregate(sequence(0, 63), 0L, (acc, k) ->
+        |  acc | IF(embedding[k] > cast(0.0 as float), shiftleft(1L, k), 0L)) bits
+        |FROM parquet.`%s/embeddings.parquet` ORDER BY vec_id LIMIT 5""".stripMargin
+        .format(dir)).collect()
+    val raw = Tables.load(spark, dir, "embeddings").orderBy("vec_id").limit(5)
+      .collect()
+    got.zip(raw).foreach { case (g, r0) =>
+      val vs = r0.getAs[scala.collection.Seq[Float]]("embedding")
+      val expect = vs.zipWithIndex.foldLeft(0L) { case (acc, (x, k)) =>
+        if (x > 0.0f) acc | (1L << k) else acc
+      }
+      assert(g.getLong(1) == expect, s"vec ${g.getLong(0)} pack mismatch")
+    }
+  }
+
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
     val rows = ext.PipelineQueries.budgetAlloc(spark, dir).collect()
     assert(rows.nonEmpty)
