@@ -988,7 +988,57 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t30 — RAKE keyword extraction (Rose et al. 2010): candidate
+    * phrases are the maximal token runs between stopwords, and each
+    * word scores `deg(w)/freq(w)` — degree counts phrase co-members
+    * (Σ length of phrases containing w), so multi-word technical terms
+    * outrank bare frequency — the classic unsupervised corpus
+    * keyword/tagging pass (t5's TF-IDF weights terms per DOCUMENT;
+    * RAKE surfaces corpus-level keyphrases). Top-[[RakeTopK]] words by
+    * exact-ppm score, ties by word.
+    *
+    * Shape: the phrase split is a PER-ROW HOF fold (accumulate the
+    * current run, close it at each stopword), emitting (word,
+    * phrase_len) pairs straight out of the scan — no token-grain
+    * shuffle, no per-doc window, no (doc, seg) join-back; the only wide
+    * op is the vocabulary-sized word rollup (map-side combinable) and
+    * the top-k is TakeOrderedAndProject. The oracle derives the same
+    * relation through an independent posexplode + running-stop-count
+    * window formulation. The stopword list is plan metadata (t2's
+    * set). */
+  val RakeTopK = 20
+  val RakeStops: Seq[String] = Seq("the", "a", "of")
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val stopsLit = RakeStops.map(w => s"'$w'").mkString("(", ", ", ")")
+    val emptyRuns = "cast(array() as array<array<string>>)"
+    val emptyCur = "cast(array() as array<string>)"
+    docs(spark, dir)
+      // single-row-group fixture → one input split; spread the per-token
+      // fold across cores (a real multi-row-group corpus parallelizes at
+      // the scan and this becomes a no-op cost-wise — the d2 discipline)
+      .repartition(col("doc_id"))
+      .select(expr(
+        s"""aggregate(toks,
+           |  named_struct('runs', $emptyRuns, 'cur', $emptyCur),
+           |  (acc, w) -> IF(w IN $stopsLit,
+           |    named_struct(
+           |      'runs', IF(size(acc.cur) > 0, concat(acc.runs, array(acc.cur)), acc.runs),
+           |      'cur', $emptyCur),
+           |    named_struct('runs', acc.runs, 'cur', concat(acc.cur, array(w)))),
+           |  acc -> IF(size(acc.cur) > 0, concat(acc.runs, array(acc.cur)), acc.runs))
+           |""".stripMargin).as("runs"))
+      .select(explode(expr(
+        "flatten(transform(runs, r -> transform(r, w -> struct(w AS w, size(r) AS len))))"))
+        .as("p"))
+      .groupBy(col("p.w").as("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("p.len")).cast("long").as("deg"))
+      .withColumn("score_ppm", expr("deg * 1000000L div freq"))
+      .orderBy(col("score_ppm").desc, col("word").asc)
+      .limit(RakeTopK)
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_rake" -> ((s, d) => rakeKeywords(s, d)),
     "t29_winnowing" -> ((s, d) => winnowing(s, d)),
     "t28_blocklist_gate" -> ((s, d) => blocklistGate(s, d)),
     "t27_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
@@ -1028,6 +1078,29 @@ object TextQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "t30_rake" -> {
+      val stopsSql = RakeStops.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) pos, toks[CAST(i AS INT)] w
+         |      FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+         |s AS (SELECT doc_id, pos, w,
+         |        CASE WHEN w IN $stopsSql THEN 1 ELSE 0 END is_stop,
+         |        sum(CASE WHEN w IN $stopsSql THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) seg
+         |      FROM p),
+         |wd AS (SELECT doc_id, seg, w FROM s WHERE is_stop = 0),
+         |ph AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) phrase_len
+         |       FROM wd GROUP BY doc_id, seg)
+         |SELECT wd.w AS word, CAST(count(*) AS BIGINT) AS freq,
+         |       CAST(sum(ph.phrase_len) AS BIGINT) AS deg,
+         |       CAST(CAST(sum(ph.phrase_len) AS HUGEINT) * 1000000
+         |         // count(*) AS BIGINT) AS score_ppm
+         |FROM wd JOIN ph USING (doc_id, seg)
+         |GROUP BY wd.w
+         |ORDER BY score_ppm DESC, word ASC LIMIT $RakeTopK""".stripMargin
+    },
+
     // 1-based list positions: Duck's selected q = Spark's p + 1 — counts
     // and prints agree, the position sets are never emitted.
     "t29_winnowing" ->

@@ -1959,6 +1959,37 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(rows.last._4 > 50000L, s"32-dim recall ${rows.last._4} at noise level")
   }
 
+  test("rake keywords: degree dominates frequency and the run splitter replays") {
+    val rows = TextQueries.rakeKeywords(spark, dir).collect()
+    assert(rows.length == TextQueries.RakeTopK)
+    rows.foreach { r =>
+      val (word, freq, deg, ppm) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(!TextQueries.RakeStops.contains(word), "stopwords never score")
+      // every phrase containing w has length >= 1, so deg >= freq and
+      // the score is at least 1.0 (1e6 ppm)
+      assert(deg >= freq && ppm >= 1000000L)
+      assert(ppm == deg * 1000000L / freq)
+    }
+    // crafted replay: "x y the z of x" -> phrases [x y], [z], [x];
+    // deg(x)=2+1=3 freq=2 -> 1.5e6; deg(y)=2 freq=1 -> 2e6; deg(z)=1
+    import spark.implicits._
+    Seq((0L, "x y the z of x")).toDF("doc_id", "text")
+      .createOrReplaceTempView("rake_probe")
+    val got = spark.sql(
+      """SELECT aggregate(split(lower(text), ' '),
+        |  named_struct('runs', cast(array() as array<array<string>>),
+        |               'cur', cast(array() as array<string>)),
+        |  (acc, w) -> IF(w IN ('the', 'a', 'of'),
+        |    named_struct('runs', IF(size(acc.cur) > 0,
+        |        concat(acc.runs, array(acc.cur)), acc.runs),
+        |      'cur', cast(array() as array<string>)),
+        |    named_struct('runs', acc.runs, 'cur', concat(acc.cur, array(w)))),
+        |  acc -> IF(size(acc.cur) > 0, concat(acc.runs, array(acc.cur)), acc.runs))
+        |FROM rake_probe""".stripMargin).head().getSeq[scala.collection.Seq[String]](0)
+    assert(got.map(_.toSeq) == Seq(Seq("x", "y"), Seq("z"), Seq("x")))
+  }
+
   test("binary hamming audit: bit packing replays, recall and mean distance bounded") {
     val r = SimilarityQueries.binaryHamming(spark, dir).collect()
     assert(r.length == 1)
