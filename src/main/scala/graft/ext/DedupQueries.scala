@@ -1189,7 +1189,54 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** d26 — cross-modality dedup agreement: the Adjusted Rand Index
+    * between the token-level clustering (d8's shingle-LSH connected
+    * components) and the embedding-level clustering (d9's cosine
+    * components), over the shared id universe — the tuning readout for
+    * a two-signal dedup pipeline ("do surface text and semantics agree
+    * on what is a duplicate"; low ARI means the two passes prune
+    * DIFFERENT pairs and should both run, ARI ≈ 1 means one is
+    * redundant). Reports the co-membership pair masses of each side,
+    * the agreeing pair mass, and ARI in exact ppm (chance-corrected, so
+    * two all-singleton clusterings don't fake agreement).
+    *
+    * Pair counting is CONTINGENCY-based — Σ C(n_ij, 2) over the
+    * (label_a × label_b) cell counts, never an all-pairs join; every
+    * sum widens to decimal(38,0) before multiplying (pair counts are
+    * O(n²) numbers) and ARI's closed form is cleared of fractions:
+    * `num = 2·(S_ij·T − S_a·S_b)`, `den = (S_a+S_b)·T − 2·S_a·S_b`
+    * with T = C(n,2); both engines truncate the ppm toward zero. */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val a = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_root").as("la"))
+    val b = embeddingDedup(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("canon_id").as("lb"))
+    val j = a.join(b, Seq("doc_id")).localCheckpoint()
+    def c2(x: String) = s"sum(cast($x as decimal(38,0)) * ($x - 1) div 2)"
+    val sij = j.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij"))
+      .agg(expr(c2("nij")).as("sij"))
+    val sa = j.groupBy(col("la")).agg(count(lit(1)).as("na"))
+      .agg(expr(c2("na")).as("sa"))
+    val sb = j.groupBy(col("lb")).agg(count(lit(1)).as("nb"))
+      .agg(expr(c2("nb")).as("sb"))
+    val tot = j.agg(count(lit(1)).as("n"))
+      .select(col("n"), expr("cast(n as decimal(38,0)) * (n - 1) div 2").as("t"))
+    // j's checkpoint blocks stay pinned until the session's clearCaches
+    // teardown path unpersists by GC — they are (id, 2 labels) rows, a
+    // bounded metadata frame, and the returned plan still reads them.
+    tot.crossJoin(sij).crossJoin(sa).crossJoin(sb)
+      .select(col("n").as("n_items"),
+        col("sa").cast("long").as("pairs_token"),
+        col("sb").cast("long").as("pairs_embed"),
+        col("sij").cast("long").as("pairs_agree"),
+        expr("""CASE WHEN (sa + sb) * t - 2 * sa * sb = 0 THEN 1000000L
+               |ELSE cast(2 * (sij * t - sa * sb) * 1000000
+               |     div ((sa + sb) * t - 2 * sa * sb) as bigint) END
+               |""".stripMargin).as("ari_ppm"))
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_dedup_agreement" -> ((s, d) => dedupAgreement(s, d)),
     "d16_containment" -> ((s, d) => containmentPairs(s, d)),
     "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
@@ -1287,6 +1334,50 @@ object DedupQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    // Composes the d8 components (cc) and the d9 embedding components
+    // (ecc) from the shared CTE snippets, then pair-counts the
+    // contingency in HUGEINT.
+    "d26_dedup_agreement" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS (
+         |$duckBands),
+         |$duckComponentsSql,
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+         |      FROM embeddings),
+         |ep AS (SELECT a.vec_id lo, b.vec_id hi
+         |       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |       WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |               >= $EmbDupThreshold),
+         |eund AS (SELECT lo a, hi b FROM ep UNION ALL SELECT hi a, lo b FROM ep),
+         |ereach AS (
+         |  SELECT vec_id node, vec_id x FROM e
+         |  UNION
+         |  SELECT r.node, u.b FROM ereach r JOIN eund u ON u.a = r.x),
+         |ecc AS (SELECT node, min(x) canon_id FROM ereach GROUP BY node),
+         |j AS (SELECT cc.node id, cc.cluster_root la, ecc.canon_id lb
+         |      FROM cc JOIN ecc ON ecc.node = cc.node),
+         |cells AS (SELECT la, lb, CAST(count(*) AS HUGEINT) nij
+         |          FROM j GROUP BY la, lb),
+         |sij AS (SELECT sum(nij * (nij - 1) // 2) s FROM cells),
+         |sa AS (SELECT sum(na * (na - 1) // 2) s FROM (
+         |         SELECT CAST(count(*) AS HUGEINT) na FROM j GROUP BY la)),
+         |sb AS (SELECT sum(nb * (nb - 1) // 2) s FROM (
+         |         SELECT CAST(count(*) AS HUGEINT) nb FROM j GROUP BY lb)),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) n,
+         |         CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 t FROM j)
+         |SELECT tt.n AS n_items,
+         |       CAST(sa.s AS BIGINT) AS pairs_token,
+         |       CAST(sb.s AS BIGINT) AS pairs_embed,
+         |       CAST(sij.s AS BIGINT) AS pairs_agree,
+         |       CAST(CASE WHEN (sa.s + sb.s) * tt.t - 2 * sa.s * sb.s = 0
+         |            THEN 1000000
+         |            ELSE 2 * (sij.s * tt.t - sa.s * sb.s) * 1000000
+         |                 // ((sa.s + sb.s) * tt.t - 2 * sa.s * sb.s) END
+         |         AS BIGINT) AS ari_ppm
+         |FROM tt, sij, sa, sb""".stripMargin,
+
     "d16_containment" ->
       s"""WITH $duckShingled,
          |ex AS (SELECT doc_id, unnest(sh) g FROM shingled),

@@ -1959,6 +1959,27 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(rows.last._4 > 50000L, s"32-dim recall ${rows.last._4} at noise level")
   }
 
+  test("dedup agreement: pair masses nest and the ARI recomputes from its sums") {
+    val r = DedupQueries.dedupAgreement(spark, dir).head()
+    val (n, sa, sb, sij, ari) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == Tables.load(spark, dir, "documents")
+      .join(Tables.load(spark, dir, "embeddings")
+        .selectExpr("vec_id AS doc_id"), "doc_id").count())
+    // an agreeing pair is co-clustered on BOTH sides
+    assert(sij <= math.min(sa, sb))
+    assert(ari <= 1000000L)
+    // the fixture plants near-dups at the TOKEN level, so the two
+    // modalities genuinely disagree: token pairs exist, agreement is low
+    assert(sa > 0, "token clustering must find planted near-dups")
+    // exact recompute of the cleared-fraction closed form
+    val t = BigInt(n) * (n - 1) / 2
+    val num = 2 * (BigInt(sij) * t - BigInt(sa) * BigInt(sb))
+    val den = (BigInt(sa) + BigInt(sb)) * t - 2 * BigInt(sa) * BigInt(sb)
+    val expect = if (den == 0) BigInt(1000000) else num * 1000000 / den
+    assert(BigInt(ari) == expect, s"ari $ari vs $expect")
+  }
+
   test("rake keywords: degree dominates frequency and the run splitter replays") {
     val rows = TextQueries.rakeKeywords(spark, dir).collect()
     assert(rows.length == TextQueries.RakeTopK)
