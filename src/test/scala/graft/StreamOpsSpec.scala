@@ -549,6 +549,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink keeps latest-per-customer and replays idempotently") {
+    val table = java.nio.file.Files.createTempDirectory("fbu").toString + "/risk"
+    val ckpt = java.nio.file.Files.createTempDirectory("fbu_ck").toString
+    val in = java.nio.file.Files.createTempDirectory("fbu_in").toString
+    import spark.implicits._
+    def land(rows: (String, Double, String)*): Unit =
+      rows.toSeq.toDF("customer", "score", "riskDate")
+        .write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.runUpsertSink(
+        spark.readStream
+          .schema("customer STRING, score DOUBLE, riskDate STRING")
+          .parquet(in), table, ckpt)
+      q.awaitTermination()
+    }
+    land(("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+      ("b@test.com", 5.0, "2020-09-14T07:01:00.000Z"))
+    runOnce()
+    // a newer reading for a, an out-of-order OLDER one for b (must lose)
+    land(("a@test.com", 3.0, "2020-09-14T08:00:00.000Z"),
+      ("b@test.com", 9.0, "2020-09-14T06:00:00.000Z"))
+    runOnce()
+    val got = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(got.size == 2)
+    assert(got("a@test.com") == ((3.0, "2020-09-14T08:00:00.000Z")))
+    assert(got("b@test.com") == ((5.0, "2020-09-14T07:01:00.000Z")),
+      "an out-of-order older reading must not overwrite the newer state")
+    // replay guard: re-delivering an ALREADY-APPLIED batchId is a no-op
+    val replay = Seq(("a@test.com", 99.0, "2020-09-14T09:00:00.000Z"))
+      .toDF("customer", "score", "riskDate")
+    StreamOps.upsertBatch(replay, 0L, table) // batchId 0 already marked
+    val after = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after("a@test.com") == 3.0, "replayed batchId must be skipped")
+    // ...while a genuinely new batchId merges
+    StreamOps.upsertBatch(replay, 99L, table)
+    assert(spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap.apply("a@test.com") == 99.0)
+  }
+
   test("transformWithState running totals match the mapGroupsWithState twin per batch") {
     // the Spark 4 StatefulProcessor path runs only on the RocksDB store;
     // scope the provider to this test and restore after
