@@ -27,6 +27,38 @@ object GraftFunctions {
         name, builder, "built-in")
     }
 
+  // ---- typed Column API --------------------------------------------------
+  // DataFrame users shouldn't have to round-trip through SQL strings
+  // (`expr("cosine_sim(a, b)")`) to reach the native expressions; these
+  // wrappers build the Catalyst node directly, so they compose with any
+  // Column and stay inside whole-stage codegen. Spark 4 wraps classic
+  // expressions via ExpressionUtils (Column's expression constructor moved
+  // behind the Connect column-node abstraction).
+
+  import org.apache.spark.sql.Column
+  private def wrap(e: Expression): Column =
+    org.apache.spark.sql.GraftColumnShim.column(e)
+  private def unwrap(c: Column): Expression =
+    org.apache.spark.sql.GraftColumnShim.expression(c)
+
+  /** Cosine similarity of two float/double array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    wrap(CosineSimilarity(unwrap(a), unwrap(b)))
+
+  /** Dot product of two numeric array columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    wrap(DotProduct(unwrap(a), unwrap(b)))
+
+  /** Intersection size of two SORTED bigint array columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    wrap(SortedIntersectCount(unwrap(a), unwrap(b)))
+
+  /** Bounded-heap top-k (score, id) aggregate; `k` is a compile-time
+    * constant. */
+  def topkPairs(score: Column, id: Column, k: Int): Column =
+    wrap(TopKPairs(unwrap(score), unwrap(id), k)
+      .toAggregateExpression())
+
   /** `k` must fold to an integral constant (INT or BIGINT both accepted —
     * SQL integer literals can parse as either, and `cast(1 as bigint)` is
     * foldable without being a Literal); anything else gets a clear

@@ -95,6 +95,34 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("typed Column API builds the same plans as the SQL registration path") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(3).selectExpr(
+      "array(cast(id as double) + 1.0D, 2.0D, 0.5D) as a",
+      "array(2.0D, cast(id as double) + 1.0D, 1.0D) as b",
+      "array(id + 1L, 3L, 7L) as u", "array(1L, 3L, 7L) as v")
+    // scalar wrappers: identical values to the SQL route, same rows
+    val viaSql = df.selectExpr("cosine_sim(a, b) c", "dot_product(a, b) d",
+      "sorted_intersect_count(u, v) i").collect()
+    val viaCol = df.select(
+      GraftFunctions.cosineSim(col("a"), col("b")).as("c"),
+      GraftFunctions.dotProduct(col("a"), col("b")).as("d"),
+      GraftFunctions.sortedIntersectCount(col("u"), col("v")).as("i")).collect()
+    viaSql.zip(viaCol).foreach { case (s, c) =>
+      assert(s.getDouble(0) == c.getDouble(0))
+      assert(s.getDouble(1) == c.getDouble(1))
+      assert(s.getInt(2) == c.getInt(2))
+    }
+    // the aggregate wrapper: a typed bounded-heap top-k
+    import spark.implicits._
+    val top = Seq((1.0, 1L), (3.0, 2L), (2.0, 3L)).toDF("s", "id")
+      .select(GraftFunctions.topkPairs(col("s"), col("id"), 2).as("t"))
+      .selectExpr("transform(t, x -> x.id) ids").collect()(0)
+      .getSeq[Long](0)
+    assert(top == Seq(2L, 3L))
+  }
+
   test("topk_pairs rejects non-literal and non-integral k with a clear error") {
     GraftFunctions.register(spark)
     val df = Seq((1, 2)).toDF("x", "y")
