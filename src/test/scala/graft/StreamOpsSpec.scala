@@ -670,6 +670,60 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("transformWithState sessionizer state and timers survive a stop/restart") {
+    // the TWS twin of the FMGWS recovery proof: pending bursts
+    // (ListState) AND the registered event-time timer must both restore
+    // from the RocksDB checkpoint — the session opens before the stop
+    // and only the post-restart watermark closes it, exactly once.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = java.nio.file.Files.createTempDirectory("tws_in").toString
+    val out = java.nio.file.Files.createTempDirectory("tws_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ck").toString
+    import spark.implicits._
+    def land(rows: (String, Double, String)*): Unit =
+      rows.toSeq.toDF("customer", "score", "riskDate")
+        .write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.sessionCloseEventsTws(spark,
+          spark.readStream
+            .schema("customer STRING, score DOUBLE, riskDate STRING")
+            .parquet(in)).toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      land(("a@test.com", 1.0, "2020-09-14T07:00:00.000Z"),
+        ("a@test.com", 2.0, "2020-09-14T07:02:00.000Z"))
+      runOnce() // session open; timer registered; nothing closed
+      land(("b@test.com", 8.0, "2020-09-14T07:40:00.000Z"),
+        ("b@test.com", 1.0, "2020-09-14T09:00:00.000Z"),
+        ("b@test.com", 1.0, "2020-09-14T09:40:00.000Z"))
+      runOnce() // fresh query: recovered timer fires past A's horizon
+      val rows = spark.read.schema(
+          "customer STRING, start_us LONG, last_us LONG, n_events LONG, " +
+            "sum_score_micro LONG")
+        .parquet(out).collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      val a = rows.filter(_._1 == "a@test.com")
+      assert(a.length == 1,
+        s"A must close exactly once across the restart: ${rows.mkString(",")}")
+      assert(a.head._2 == 2L && a.head._3 == 3000000L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("timeout sessionizer merges a late in-tolerance event into the PENDING burst") {
     // The contract ADVICE flagged: after an intra-batch gap, the older
     // burst must stay open to late events until the watermark passes its
