@@ -1206,8 +1206,11 @@ object SimilarityQueries {
     * query × corpus frame (the s9 recall-audit discipline: the query
     * set broadcasts, candidates rank through the bounded
     * WindowGroupLimit heap, never a global sort). At deployment scale
-    * the scored pairs come from the s4/s5 ANN candidates instead of the
-    * full cross — the audit shape is unchanged. */
+    * two knobs change, neither the shape: the query set becomes a
+    * FIXED-SIZE stratified sample (p1's machinery — the %97 filter is
+    * deterministic for the fixture but grows with the corpus), and the
+    * scored pairs come from the s4/s5 ANN candidates instead of the
+    * full cross. */
   val MatryoshkaBudgets: Seq[Int] = Seq(8, 16, 32)
   val MatryoshkaK = 10
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -1260,8 +1263,10 @@ object SimilarityQueries {
     *
     * Bit packing uses OR of shifted bits (never `+` — bit 63 is
     * Long.MinValue and an additive pack would overflow ANSI arithmetic);
-    * ties rank by vec_id. Same brute-force audit shape as s28: query
-    * set broadcasts, candidates rank through bounded per-key heaps. */
+    * ties rank by vec_id. Same brute-force audit shape — and the same
+    * two scale knobs — as s28: fixed-size sampled queries + ANN
+    * candidates at deployment scale; broadcast queries + bounded
+    * per-key heaps either way. */
   def binaryHamming(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val packed = emb(spark, dir).select(col("vec_id"), col("embedding"),
