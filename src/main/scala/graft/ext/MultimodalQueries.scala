@@ -321,6 +321,7 @@ object MultimodalQueries {
     * [[clearCaches]]). */
   private val caches = new DirCaches
   private val chunkCache = caches.newCache()
+  private val rareChunkCache = caches.newCache()
   def clearCaches(): Unit = caches.clear()
 
   private def chunkFrame(spark: SparkSession, dir: String): DataFrame = {
@@ -525,12 +526,28 @@ object MultimodalQueries {
     * broadcast hint (they are corpus-scale). */
   val MinSharedChunks = 2L
   val MaxChunkDf = 50L
+  /** The df-capped candidate build behind m16's cached frame — the
+    * quadratic-fanout guard lives HERE, before any pairing; exposed
+    * un-checkpointed so PlanAuditSpec can pin the cap in the build
+    * plan (the checkpoint hides it from the query's own explain). */
+  private def rareChunksBuild(ch: DataFrame): DataFrame =
+    ch.join(
+      ch.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxChunkDf).select(col("fp")), "fp")
+
+  /** Audit hook: the m16 candidate frame's build plan (no checkpoint). */
+  def rareChunksForAudit(spark: SparkSession, dir: String): DataFrame =
+    rareChunksBuild(chunkFrame(spark, dir).select(col("doc_id"), col("fp")).distinct())
+
   def chunkPairs(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunkFrame(spark, dir).select(col("doc_id"), col("fp")).distinct()
     val counts = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-    val rare = ch.join(
-      ch.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxChunkDf).select(col("fp")), "fp")
+    // both self-join branches read this frame — materialize the
+    // distinct + df-cap ONCE instead of paying it per branch (a
+    // (doc_id, fp) pair list, ~16 bytes/chunk; cached per (session, dir)
+    // under the module's eviction/teardown discipline)
+    val rare = rareChunkCache.getOrElseUpdate((spark, dir),
+      rareChunksBuild(ch).localCheckpoint())
     rare.as("a")
       .join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -910,7 +910,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("chunk pairs: df-cap filters before the self-join, count frames never forced") {
+  test("chunk pairs: df-capped frame feeds the self-join, count frames never forced") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     try {
@@ -919,9 +919,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       // no forced hint anywhere: the per-doc count frames are
       // corpus-scale and join co-partitioned on the doc id
       assert(!p.contains("BroadcastHashJoin"), p)
-      // the quadratic-fanout guard (df <= MaxChunkDf) is IN the plan,
-      // below the self-join, not applied post-hoc
-      assert(p.contains(s"<= ${graft.ext.MultimodalQueries.MaxChunkDf}"), p)
+      // the quadratic-fanout guard (df <= MaxChunkDf) is applied while
+      // BUILDING the cached candidate frame — both self-join branches
+      // read the already-capped checkpoint (Scan ExistingRDD), so the
+      // cap structurally precedes the join; assert the join inputs are
+      // the checkpoint scans, not a recomputed uncapped chunk stream
+      assert(p.contains("Scan ExistingRDD"), p)
+      // and the cap really is inside the cached frame's build plan
+      val rarePlan = graft.ext.MultimodalQueries.rareChunksForAudit(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(rarePlan.contains(s"<= ${graft.ext.MultimodalQueries.MaxChunkDf}"), rarePlan)
     } finally spark.conf.set(key, prev)
   }
 }
