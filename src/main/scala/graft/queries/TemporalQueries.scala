@@ -1462,7 +1462,49 @@ object TemporalQueries {
       .orderBy("tx_pct", "v_pct")
   }
 
+  /** q121 — mutual-information feature relevance: I(event_type; F) for
+    * two candidate features (day-of-epoch-week and the value bucket) —
+    * the dependence readout that ranks which columns actually carry
+    * signal about a label before a model ever trains (KL t17 measures
+    * DISTRIBUTION drift, PSI q117 measures drift over time; MI measures
+    * association between two columns). Reported per feature as the
+    * summed per-cell nano terms `n_xy · ln(N·n_xy / (n_x·n_y))` divided
+    * by N — counts exact, each ln rounded once at nano (the t17/q117
+    * fixed-double-expression discipline), so the sum is
+    * merge-order-free on both engines. Non-negative up to per-cell
+    * rounding; higher = more informative feature.
+    *
+    * Shape: one scan, per feature a (|types|×|buckets|)-cell
+    * contingency aggregate plus two broadcast marginal frames —
+    * metadata-scale after the first reduction. Day-of-week is the pure
+    * integer `(epoch_days) % 7` (no calendar function — Spark and
+    * DuckDB disagree on dayofweek numbering). */
+  def q121MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type").as("y"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("f_dow"),
+        expr("cast(round(value * 100.0D, 0) as bigint) div 2000").as("f_vbucket"))
+    val n = e.count()
+    def mi(feature: String): DataFrame = {
+      val cells = e.groupBy(col("y"), col(feature).as("x"))
+        .agg(count(lit(1)).as("nxy"))
+      val my = e.groupBy(col("y")).agg(count(lit(1)).as("ny"))
+      val mx = e.groupBy(col(feature).as("x")).agg(count(lit(1)).as("nx"))
+      cells
+        .join(broadcast(my), Seq("y"))
+        .join(broadcast(mx), Seq("x"))
+        .withColumn("term_nano", expr(
+          s"cast(round(nxy * ln(cast(nxy as double) * ${n}L " +
+            "/ (cast(nx as double) * cast(ny as double))) * 1000000000.0D, 0) as bigint)"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("term_nano")).as("s"))
+        .select(lit(feature).as("feature"), col("n_cells"),
+          expr(s"s div ${n}L").as("mi_nano"))
+    }
+    mi("f_dow").unionAll(mi("f_vbucket")).orderBy("feature")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_mutual_info" -> ((s, d) => q121MutualInfo(s, d)),
     "q119_bitemporal" -> ((s, d) => q119Bitemporal(s, d)),
     "q120_window_funnel" -> ((s, d) => q120WindowFunnel(s, d)),
     "q118_attribution" -> ((s, d) => q118Attribution(s, d)),
@@ -1532,6 +1574,34 @@ object TemporalQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "q121_mutual_info" -> {
+      def branch(f: String) =
+        s"""SELECT '$f' feature, c.nxy, my.ny, mx.nx
+           |    FROM (SELECT y, $f x, CAST(count(*) AS BIGINT) nxy
+           |          FROM e GROUP BY 1, 2) c
+           |    JOIN (SELECT y, CAST(count(*) AS BIGINT) ny FROM e GROUP BY 1) my
+           |      ON my.y = c.y
+           |    JOIN (SELECT $f x, CAST(count(*) AS BIGINT) nx FROM e GROUP BY 1) mx
+           |      ON mx.x = c.x""".stripMargin
+      s"""WITH e AS (SELECT event_type y,
+         |        (epoch_us(ts) // 86400000000) % 7 f_dow,
+         |        CAST(round(value * 100.0, 0) AS BIGINT) // 2000 f_vbucket
+         |      FROM events),
+         |n AS (SELECT CAST(count(*) AS BIGINT) n FROM e),
+         |cells AS (
+         |  ${branch("f_dow")}
+         |  UNION ALL
+         |  ${branch("f_vbucket")}),
+         |t AS (SELECT feature,
+         |        CAST(round(nxy * ln(CAST(nxy AS DOUBLE) * n.n
+         |          / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+         |          * 1000000000.0, 0) AS BIGINT) term_nano
+         |      FROM cells, n)
+         |SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+         |       CAST(sum(term_nano) // (SELECT n FROM n) AS BIGINT) AS mi_nano
+         |FROM t GROUP BY feature ORDER BY feature""".stripMargin
+    },
+
     // Independent formulation: per-(cutoff, user) argmax via a
     // row_number window (vs the engine's packed-struct max).
     "q119_bitemporal" ->

@@ -634,6 +634,32 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(idle(2L)._5 == idle(1L)._1 - idle(2L)._3)
   }
 
+  test("mutual information is near-non-negative and replays from the contingency") {
+    val rows = graft.queries.TemporalQueries.q121MutualInfo(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("f_dow", "f_vbucket"))
+    rows.foreach { case (f, (cells, mi)) =>
+      assert(cells > 0)
+      // MI >= 0 exactly; per-cell nano rounding can dip the sum a hair
+      assert(mi >= -cells, s"$f mi $mi below rounding floor")
+      // and it is bounded by ln(min(|X|,|Y|)) nats = ln(5) for 5 types
+      assert(mi <= math.round(math.log(5.0) * 1e9), s"$f mi $mi above H(Y)")
+    }
+    // exact replay from a driver-side contingency for the dow feature
+    val e = Tables.load(spark, dir, "events")
+      .selectExpr("event_type y", "(unix_micros(ts) div 86400000000) % 7 x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = e.length.toLong
+    val nxy = e.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ny = e.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nx = e.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val s = nxy.map { case ((y, x), c) =>
+      BigDecimal(c * math.log(c.toDouble * n / (nx(x).toDouble * ny(y).toDouble)) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    assert(rows("f_dow")._2 == s / n, s"replay ${s / n} vs ${rows("f_dow")._2}")
+  }
+
   test("window funnel maximizes over anchors and is monotone in depth") {
     import spark.implicits._
     val rows = graft.queries.TemporalQueries.q120WindowFunnel(spark, dir).collect()
