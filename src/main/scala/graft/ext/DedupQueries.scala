@@ -783,10 +783,22 @@ object DedupQueries {
     labels
   }
 
+  /** The converged min-label frame, cached per (session, dir): FIVE
+    * consumers (d8 itself, d13 reps, d23 soft dedup, d25 provenance,
+    * d26 agreement) each re-ran the whole BSP loop (~0.65 s warm at
+    * sf0.1 apiece), and — since the loop's final frame is a
+    * localCheckpoint that nobody released — each call also leaked one
+    * labels copy. The cache both amortizes the loop and puts the frame
+    * under the module's eviction/teardown discipline. */
+  private val docLabelsCache = caches.newCache()
+  private def docLabels(spark: SparkSession, dir: String): DataFrame =
+    docLabelsCache.getOrElseUpdate((spark, dir),
+      minLabelComponents(undirectedEdges(spark, dir)))
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // Singletons (label = own id by construction) join back after
     // convergence.
-    val labels = minLabelComponents(undirectedEdges(spark, dir))
+    val labels = docLabels(spark, dir)
     Tables.load(spark, dir, "documents").select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_root"))
@@ -889,6 +901,10 @@ object DedupQueries {
     * materializes, and the BSP loop shuffles one (lo, hi) row per
     * candidate pair, never vectors. */
   val EmbDupThreshold = SimilarityQueries.NearDupThreshold
+  /** d9's converged label frame, cached per (session, dir) like
+    * [[docLabels]] (two consumers: the d9 query and d26's agreement —
+    * and the uncached version leaked its final checkpoint per call). */
+  private val embLabelsCache = caches.newCache()
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
@@ -896,17 +912,20 @@ object DedupQueries {
       // quadratic in-block cosine work (see levenshteinPairs)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"))
-    val pairs = e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6) >= EmbDupThreshold)
-      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
-    val und = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
-    val labels = minLabelComponents(und)
-    // The loop's per-round frames are all materialized off `und` by now.
-    graft.CheckpointUtil.release(und)
+    val labels = embLabelsCache.getOrElseUpdate((spark, dir), {
+      val pairs = e.as("a")
+        .join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .filter(round(expr("cosine_sim(a.embedding, b.embedding)"), 6) >= EmbDupThreshold)
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      val und = pairs
+        .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      val l = minLabelComponents(und)
+      // The loop's per-round frames are all materialized off `und` by now.
+      graft.CheckpointUtil.release(und)
+      l
+    })
     e.select(col("vec_id"))
       .join(broadcast(labels), col("vec_id") === col("doc_id"), "left")
       .select(col("vec_id"),
