@@ -791,6 +791,7 @@ object DedupQueries {
     * labels copy. The cache both amortizes the loop and puts the frame
     * under the module's eviction/teardown discipline. */
   private val docLabelsCache = caches.newCache()
+  private val agreementCache = caches.newCache()
   private def docLabels(spark: SparkSession, dir: String): DataFrame =
     docLabelsCache.getOrElseUpdate((spark, dir),
       minLabelComponents(undirectedEdges(spark, dir)))
@@ -1230,7 +1231,8 @@ object DedupQueries {
       .select(col("doc_id"), col("cluster_root").as("la"))
     val b = embeddingDedup(spark, dir)
       .select(col("vec_id").as("doc_id"), col("canon_id").as("lb"))
-    val j = a.join(b, Seq("doc_id")).localCheckpoint()
+    val j = agreementCache.getOrElseUpdate((spark, dir),
+      a.join(b, Seq("doc_id")).localCheckpoint())
     def c2(x: String) = s"sum(cast($x as decimal(38,0)) * ($x - 1) div 2)"
     val sij = j.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij"))
       .agg(expr(c2("nij")).as("sij"))
@@ -1240,9 +1242,9 @@ object DedupQueries {
       .agg(expr(c2("nb")).as("sb"))
     val tot = j.agg(count(lit(1)).as("n"))
       .select(col("n"), expr("cast(n as decimal(38,0)) * (n - 1) div 2").as("t"))
-    // j's checkpoint blocks stay pinned until the session's clearCaches
-    // teardown path unpersists by GC — they are (id, 2 labels) rows, a
-    // bounded metadata frame, and the returned plan still reads them.
+    // the joined label frame feeds four aggregates and is cached per
+    // (session, dir) under the module's eviction/teardown discipline
+    // (bounded: one (id, 2 labels) row per shared id).
     tot.crossJoin(sij).crossJoin(sa).crossJoin(sb)
       .select(col("n").as("n_items"),
         col("sa").cast("long").as("pairs_token"),

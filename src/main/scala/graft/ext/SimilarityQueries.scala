@@ -46,6 +46,7 @@ object SimilarityQueries {
   private val bandsCache = caches.newCache()
   private val cellsCache = caches.newCache()
   private val pqCache = caches.newCache()
+  private val matryoshkaTopCache = caches.newCache()
   private val kmeansCache = caches.newCache()
 
   private def evictOtherDirs(spark: SparkSession, dir: String): Unit =
@@ -1215,6 +1216,7 @@ object SimilarityQueries {
   val MatryoshkaK = 10
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    caches.evictOtherDirs(spark, dir)
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -1224,12 +1226,18 @@ object SimilarityQueries {
         explode(expr(budgets)).as("budget"))
       .withColumn("cos", round(expr(
         "cosine_sim(slice(embedding, 1, budget), slice(qv, 1, budget))"), 6))
-    val top = scored
+    // the final plan reads this frame TWICE (the budget-64 baseline and
+    // the truncated-budget overlap probe) — without the checkpoint the
+    // 4×corpus×queries scoring cross and its windows plan in duplicate;
+    // the materialized frame is queries × budgets × k rows, cached under
+    // the module's eviction/teardown discipline (the s29 lesson)
+    val top = matryoshkaTopCache.getOrElseUpdate((spark, dir), scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid"), col("budget"))
           .orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rk") <= MatryoshkaK)
       .select(col("qid"), col("vec_id"), col("budget"))
+      .localCheckpoint())
     val full = top.filter(col("budget") === 64)
       .select(col("qid"), col("vec_id"))
     // denominator = ALL queries, not just those with overlap — a budget
@@ -1297,10 +1305,15 @@ object SimilarityQueries {
         expr("sum(hamming * 1000000L) div count(1)").as("mh"))
       .head()
     graft.CheckpointUtil.release(joined)
-    val (nq, overlap, meanHamMicro) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // empty query sample (no vec_id % 97 hit, or a 1-vector corpus):
+    // degrade to the zero row instead of a null-unbox/div-by-zero crash
+    val nq = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val (overlap, meanHamMicro) =
+      if (nq == 0L) (0L, 0L)
+      else (row.getLong(1), if (row.isNullAt(2)) 0L else row.getLong(2))
     import spark.implicits._
     Seq((nq, overlap,
-        overlap * 1000000L / (nq * MatryoshkaK),
+        if (nq == 0L) 0L else overlap * 1000000L / (nq * MatryoshkaK),
         meanHamMicro))
       .toDF("n_queries", "n_overlap", "recall_ppm", "true_topk_mean_hamming_micro")
   }

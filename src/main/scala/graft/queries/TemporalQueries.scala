@@ -1209,6 +1209,7 @@ object TemporalQueries {
     * back as |types|-row frames. */
   private val caches = new graft.ext.DirCaches
   private val basketCache = caches.newCache()
+  private val miCache = caches.newCache()
 
   /** Release every cached checkpoint frame (Bench/Verify teardown hook —
     * the shared ext/DirCaches discipline). */
@@ -1480,16 +1481,28 @@ object TemporalQueries {
     * integer `(epoch_days) % 7` (no calendar function — Spark and
     * DuckDB disagree on dayofweek numbering). */
   def q121MutualInfo(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "events")
-      .select(col("event_type").as("y"),
-        expr("(unix_micros(ts) div 86400000000) % 7").as("f_dow"),
-        expr("cast(round(value * 100.0D, 0) as bigint) div 2000").as("f_vbucket"))
-    val n = e.count()
+    // one scan total: the projection checkpoints once per (session, dir)
+    // (the q115 multi-consumer discipline), each feature reduces it to a
+    // contingency-cells frame ONCE, and the marginals + N come from
+    // re-aggregating the metadata-scale cells — never from re-scanning
+    caches.evictOtherDirs(spark, dir)
+    // ONE corpus pass: the full (label × dow × vbucket) contingency is
+    // ~|y|·7·|vbuckets| rows; everything downstream — per-feature cells,
+    // marginals, N — marginalizes this metadata-scale frame
+    val grid = miCache.getOrElseUpdate((spark, dir),
+      Tables.load(spark, dir, "events")
+        .select(col("event_type").as("y"),
+          expr("(unix_micros(ts) div 86400000000) % 7").as("f_dow"),
+          expr("cast(round(value * 100.0D, 0) as bigint) div 2000").as("f_vbucket"))
+        .groupBy(col("y"), col("f_dow"), col("f_vbucket"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+    val n = grid.agg(sum(col("c"))).head().getLong(0)
     def mi(feature: String): DataFrame = {
-      val cells = e.groupBy(col("y"), col(feature).as("x"))
-        .agg(count(lit(1)).as("nxy"))
-      val my = e.groupBy(col("y")).agg(count(lit(1)).as("ny"))
-      val mx = e.groupBy(col(feature).as("x")).agg(count(lit(1)).as("nx"))
+      val cells = grid.groupBy(col("y"), col(feature).as("x"))
+        .agg(sum(col("c")).as("nxy"))
+      val my = grid.groupBy(col("y")).agg(sum(col("c")).as("ny"))
+      val mx = grid.groupBy(col(feature).as("x")).agg(sum(col("c")).as("nx"))
       cells
         .join(broadcast(my), Seq("y"))
         .join(broadcast(mx), Seq("x"))

@@ -474,23 +474,48 @@ object StreamOps {
       .start()
 
   /** One foreachBatch merge (factored out so the spec can drive the
-    * replay guard directly). */
+    * replay and crash-recovery guards directly).
+    *
+    * Publish protocol — every window is either atomic or lands in a
+    * state the next run repairs, and the merge itself is IDEMPOTENT
+    * (re-merging an already-applied batch reproduces the same table),
+    * so "unknown" always degrades to "re-apply", never to data loss:
+    *
+    *  1. write the merged table to a fresh tmp dir;
+    *  2. move the live table ASIDE (rename, atomic) — never delete it
+    *     before the new one is in place;
+    *  3. rename tmp → live (atomic; checked — a false return aborts the
+    *     batch with the old table still recoverable);
+    *  4. drop the aside copy;
+    *  5. update the marker via write-tmp + delete + rename — a crash
+    *     mid-update leaves the marker ABSENT (→ re-merge, idempotent),
+    *     never half-written (the create-then-write of the naive version
+    *     could truncate the marker and wedge every restart on
+    *     `"".toLong`).
+    *
+    * The read path repairs step-3 crashes: live missing + aside present
+    * → recover from the aside copy. */
   def upsertBatch(batch: DataFrame, batchId: Long, table: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(hconf)
-    val marker = new org.apache.hadoop.fs.Path(table + "_last_batch")
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(table)
+    val aside = new Path(table + "_prev")
+    val marker = new Path(table + "_last_batch")
     val applied =
       if (fs.exists(marker)) {
         val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        val raw = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
+        // unreadable marker = unknown = re-apply (idempotent), never wedge
+        try raw.toLong catch { case _: NumberFormatException => -1L }
       } else -1L
     if (batchId <= applied) return // replayed batch: already merged
+    // crash repair: a previous run died between moving the live table
+    // aside and publishing its replacement
+    if (!fs.exists(dst) && fs.exists(aside)) fs.rename(aside, dst)
     val cur =
-      if (fs.exists(new org.apache.hadoop.fs.Path(table)))
-        spark.read.parquet(table)
+      if (fs.exists(dst)) spark.read.parquet(table)
       else batch.limit(0)
     val merged = cur.unionByName(batch)
       .withColumn("ts", to_timestamp(col("riskDate")))
@@ -498,13 +523,23 @@ object StreamOps {
       .agg(max(struct(col("ts"), col("score"), col("riskDate"))).as("m"))
       .select(col("customer"), col("m.score").as("score"),
         col("m.riskDate").as("riskDate"))
-    val tmp = table + s"_tmp_$batchId"
-    merged.write.mode("overwrite").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(table)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    val out = fs.create(marker, true)
+    val tmp = new Path(table + s"_tmp_$batchId")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(aside, true)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"upsert sink: cannot move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      // publish failed: put the old table back and fail the batch loudly
+      if (fs.exists(aside)) fs.rename(aside, dst)
+      throw new java.io.IOException(s"upsert sink: cannot publish $tmp to $dst")
+    }
+    fs.delete(aside, true)
+    val markerTmp = new Path(table + s"_last_batch_tmp")
+    val out = fs.create(markerTmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(markerTmp, marker))
+      throw new java.io.IOException(s"upsert sink: cannot update $marker")
   }
 
   def sessionCloseEventsTws(spark: SparkSession, risk: DataFrame,

@@ -588,6 +588,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     StreamOps.upsertBatch(replay, 99L, table)
     assert(spark.read.parquet(table).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap.apply("a@test.com") == 99.0)
+    // crash repair: simulate dying between "move live aside" and
+    // "publish replacement" — live dir gone, aside copy present. The
+    // next merge must RECOVER the aside state, not restart from empty.
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + "_prev")))
+    StreamOps.upsertBatch(
+      Seq(("c@test.com", 7.0, "2020-09-14T10:00:00.000Z"))
+        .toDF("customer", "score", "riskDate"), 100L, table)
+    val recovered = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(recovered.size == 3, s"aside state must survive: $recovered")
+    assert(recovered("b@test.com") == 5.0 && recovered("c@test.com") == 7.0)
+    // corrupt marker degrades to re-apply (idempotent), never a wedge
+    val mk = new org.apache.hadoop.fs.Path(table + "_last_batch")
+    val out = fs.create(mk, true); out.close() // zero-byte marker
+    StreamOps.upsertBatch(
+      Seq(("c@test.com", 8.0, "2020-09-14T11:00:00.000Z"))
+        .toDF("customer", "score", "riskDate"), 101L, table)
+    assert(spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap.apply("c@test.com") == 8.0)
   }
 
   test("transformWithState running totals match the mapGroupsWithState twin per batch") {
