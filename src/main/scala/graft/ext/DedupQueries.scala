@@ -908,6 +908,9 @@ object DedupQueries {
   private val embLabelsCache = caches.newCache()
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // this path loads embeddings directly (no base()/lshPairsRaw, which
+    // evict transitively) — apply the one-hot-dir discipline explicitly
+    evictOtherDirs(spark, dir)
     val e = Tables.load(spark, dir, "embeddings")
       // single row-group fixture → one input split; fan out before the
       // quadratic in-block cosine work (see levenshteinPairs)

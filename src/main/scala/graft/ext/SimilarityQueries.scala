@@ -1241,8 +1241,11 @@ object SimilarityQueries {
     val full = top.filter(col("budget") === 64)
       .select(col("qid"), col("vec_id"))
     // denominator = ALL queries, not just those with overlap — a budget
-    // whose top-k misses entirely for some query must still divide by it
-    val nq = q.count()
+    // whose top-k misses entirely for some query must still divide by
+    // it. Derived from the cached top frame (every query with any
+    // candidate ranks a full-budget top-k), so the warm path pays no
+    // extra embeddings scan; kept lazy via the 1-row cross join.
+    val nqF = full.agg(countDistinct(col("qid")).as("n_queries"))
     val overlap = top.filter(col("budget") =!= 64)
       .join(full, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("budget"))
@@ -1250,11 +1253,15 @@ object SimilarityQueries {
     import spark.implicits._
     MatryoshkaBudgets.toDF("budget")
       .join(overlap, Seq("budget"), "left")
+      .crossJoin(broadcast(nqF))
       .select(col("budget").cast("long").as("dim_budget"),
-        lit(nq).as("n_queries"),
+        col("n_queries"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      // greatest(·, 1): an empty query sample divides 0 by 1 and reports
+      // zero recall instead of throwing ANSI DIVIDE_BY_ZERO (the s29
+      // guard, expression-side)
       .withColumn("recall_ppm", expr(
-        s"n_overlap * 1000000L div (n_queries * $MatryoshkaK)"))
+        s"n_overlap * 1000000L div greatest(n_queries * $MatryoshkaK, 1L)"))
       .orderBy("dim_budget")
   }
 

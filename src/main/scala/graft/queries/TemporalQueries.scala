@@ -1497,7 +1497,15 @@ object TemporalQueries {
         .groupBy(col("y"), col("f_dow"), col("f_vbucket"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint())
-    val n = grid.agg(sum(col("c"))).head().getLong(0)
+    // empty corpus: sum over the empty grid is null — return the empty
+    // ledger instead of a null unbox (and a downstream `div 0`)
+    val nRow = grid.agg(sum(col("c"))).head()
+    if (nRow.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)]
+        .toDF("feature", "n_cells", "mi_nano")
+    }
+    val n = nRow.getLong(0)
     def mi(feature: String): DataFrame = {
       val cells = grid.groupBy(col("y"), col(feature).as("x"))
         .agg(sum(col("c")).as("nxy"))

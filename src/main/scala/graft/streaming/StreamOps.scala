@@ -512,8 +512,12 @@ object StreamOps {
       } else -1L
     if (batchId <= applied) return // replayed batch: already merged
     // crash repair: a previous run died between moving the live table
-    // aside and publishing its replacement
-    if (!fs.exists(dst) && fs.exists(aside)) fs.rename(aside, dst)
+    // aside and publishing its replacement. The rename MUST be checked —
+    // an unchecked false here would fall through to an empty `cur` and
+    // the aside delete below would destroy the only surviving copy.
+    if (!fs.exists(dst) && fs.exists(aside) && !fs.rename(aside, dst))
+      throw new java.io.IOException(
+        s"upsert sink: cannot recover $aside to $dst — refusing to merge from empty")
     val cur =
       if (fs.exists(dst)) spark.read.parquet(table)
       else batch.limit(0)
