@@ -903,6 +903,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bitemporal grid broadcasts; per-user state is a map-side-combined struct max") {
+    val p = plan("q119_bitemporal")
+    // the 4-row cutoff grid rides a broadcast join; the corpus never
+    // sort-merges against it, and the argmax is partial-aggregated
+    // (never a window over the log)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_max"), p)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window$")) == 0, p)
+  }
+
+  test("mutual information marginalizes the cached contingency, never re-scans events") {
+    val p = plan("q121_mutual_info")
+    // all aggregates read the checkpointed 3-way grid
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("hubness rides the bounded per-key kNN heap, no global sort before the histogram") {
     val p = plan("s26_hubness")
     // Spark 4 rewrites rank-filter windows into WindowGroupLimit
