@@ -1228,7 +1228,18 @@ object DedupQueries {
     * sum widens to decimal(38,0) before multiplying (pair counts are
     * O(n²) numbers) and ARI's closed form is cleared of fractions:
     * `num = 2·(S_ij·T − S_a·S_b)`, `den = (S_a+S_b)·T − 2·S_a·S_b`
-    * with T = C(n,2); both engines truncate the ppm toward zero. */
+    * with T = C(n,2); both engines truncate the ppm toward zero.
+    *
+    * NUMERIC-RANGE BOUND: the cleared form multiplies two O(n²) pair
+    * masses (then ×1e6), so intermediates reach ~S·T·1e6 ≈ n⁴·1e6/4.
+    * decimal(38,0) (and the oracle's HUGEINT) holds this up to
+    * n ≈ 5×10⁷ ids in the WORST case of one giant cluster on each side
+    * (S,T ≈ 1.25e15 → product ≈ 1.6e36); realistic dedup clusterings
+    * (bounded cluster sizes, S ≪ T) extend far beyond. Past that bound
+    * Spark yields null/overflow rather than a silently wrong ppm — at
+    * genuine 100 TB corpus scale, run ARI on a fixed-size id sample
+    * (the s28/p1 stratified-sample knob), which preserves the estimate
+    * and the exact-arithmetic contract. */
   def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
     val a = dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_root").as("la"))

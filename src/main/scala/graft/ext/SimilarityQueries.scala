@@ -1240,12 +1240,13 @@ object SimilarityQueries {
       .localCheckpoint())
     val full = top.filter(col("budget") === 64)
       .select(col("qid"), col("vec_id"))
-    // denominator = ALL queries, not just those with overlap — a budget
-    // whose top-k misses entirely for some query must still divide by
-    // it. Derived from the cached top frame (every query with any
-    // candidate ranks a full-budget top-k), so the warm path pays no
-    // extra embeddings scan; kept lazy via the 1-row cross join.
-    val nqF = full.agg(countDistinct(col("qid")).as("n_queries"))
+    // denominator = ALL sampled queries, counted from the QUERY frame
+    // itself — not from the top-k frame, which only sees queries with
+    // ≥1 candidate and would diverge from the oracle's `count(*) FROM q`
+    // on a degenerate corpus (e.g. a 1-vector fixture where the sole
+    // query has no neighbors). One cheap filtered scan, lazy via the
+    // 1-row cross join.
+    val nqF = q.agg(count(lit(1)).as("n_queries"))
     val overlap = top.filter(col("budget") =!= 64)
       .join(full, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("budget"))

@@ -67,12 +67,32 @@ object SkewOps {
         require(integral.contains(f.dataType),
           s"bloomSemiJoin requires integral join keys; '$n' is ${f.dataType.simpleString}")
       }
-    val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    // Primitive-typed UDF: null keys yield null → filtered out, matching
-    // inner-join semantics (null never matches). Long-keyed joins only.
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    val pre = fact.filter(mightContain(col(factKey).cast("long")))
+    // Build with the NATIVE BloomFilterAggregate (one distributed
+    // aggregate over the small side; partial filters OR-merge, only the
+    // final sketch reaches the driver) and probe with the native
+    // BloomFilterMightContain expression — the same pair AQE's runtime
+    // row-level filter injects. Unlike the former Scala-UDF probe, the
+    // native predicate has `doGenCode`, so the filter fuses into the
+    // fact scan's whole-stage-codegen span instead of breaking it with
+    // a per-row boxed function call.
+    import org.apache.spark.sql.GraftColumnShim.{column => wrap, expression => unwrap}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedKeys, fpp)
+    val bfRow = dim.select(wrap(new BloomFilterAggregate(
+        unwrap(col(dimKey).cast("long")),
+        Literal(expectedKeys), Literal(numBits)).toAggregateExpression())
+      .as("bf")).head()
+    // empty build side serializes to null → the probe yields null for
+    // every row → all filtered: the exact inner-join result (empty)
+    val bloomLit = Literal(
+      if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0), BinaryType)
+    // Null fact keys probe to null → filtered out, matching inner-join
+    // semantics (null never matches). Long-keyed joins only.
+    val pre = fact.filter(wrap(BloomFilterMightContain(
+      bloomLit, unwrap(col(factKey).cast("long")))))
     pre.join(dim, pre(factKey) === dim(dimKey))
   }
 }

@@ -794,7 +794,11 @@ object TemporalQueries {
     val e = Tables.load(spark, dir, "events").select(
       col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .withColumn("arrival_us",
-        expr("us + (event_id * 2654435761L % 1000) * 1000000L"))
+        // modulo-first: (a % m)·b % m ≡ a·b % m, but the product stays
+        // ≤ 1000·2654435761 ≈ 2.7e12 — no int64 wrap once event_id
+        // passes ~3.47e9 at corpus scale (Spark would wrap silently,
+        // the DuckDB oracle would raise on BIGINT overflow)
+        expr("us + ((event_id % 1000) * 2654435761L % 1000) * 1000000L"))
     val par = spark.sparkContext.defaultParallelism
     val wm = graft.ops.RankOps.withGlobalPrefixMax(
       e, par, "pm", col("us"), col("arrival_us"), col("event_id"))
@@ -1445,7 +1449,9 @@ object TemporalQueries {
     val e = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         expr("cast(round(value * 100.0D, 0) as bigint)").as("vc"))
-      .withColumn("tx_us", expr("us + (event_id * 2654435761L % 3600) * 1000000L"))
+      // modulo-first keeps the product ≤ 3600·2654435761 ≈ 9.6e12 — no
+      // int64 overflow at 100 TB event_id magnitudes (q80 convention)
+      .withColumn("tx_us", expr("us + ((event_id % 3600) * 2654435761L % 3600) * 1000000L"))
     val bounds = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
     val grid = Seq(50L, 100L).flatMap(t => Seq(50L, 100L).map(v => (t, v)))
       .toDF("tx_pct", "v_pct")
@@ -1628,7 +1634,7 @@ object TemporalQueries {
     "q119_bitemporal" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) us,
         |        CAST(round(value * 100.0, 0) AS BIGINT) vc,
-        |        epoch_us(ts) + (event_id * 2654435761 % 3600) * 1000000 tx_us
+        |        epoch_us(ts) + ((event_id % 3600) * 2654435761 % 3600) * 1000000 tx_us
         |      FROM events),
         |b AS (SELECT min(us) lo, max(us) hi FROM e),
         |g AS (SELECT t.t tx_pct, v.v v_pct,
@@ -1960,7 +1966,7 @@ object TemporalQueries {
     "q80_lateness_audit" ->
       """WITH e AS (
         |  SELECT event_id, event_type, epoch_us(ts) us,
-        |         epoch_us(ts) + (event_id * 2654435761 % 1000) * 1000000 arrival_us
+        |         epoch_us(ts) + ((event_id % 1000) * 2654435761 % 1000) * 1000000 arrival_us
         |  FROM events),
         |w AS (
         |  SELECT *, max(us) OVER (ORDER BY arrival_us, event_id

@@ -223,7 +223,17 @@ object StreamOps {
     * (there is no watermark), so — unlike the other StreamOps operators
     * — this one has NO batch twin; its contract is pinned by the
     * MemoryStream spec (session closes exactly once, after the
-    * watermark crosses `last + gap`; late-merge; state removed). */
+    * watermark crosses `last + gap`; late-merge; state removed).
+    *
+    * STATE-SCHEMA COMPATIBILITY: the state type changed from a single
+    * `(Long, Long, Long, Long)` tuple to `Seq[(Long, Long, Long, Long)]`
+    * when pending-burst holding landed (round 7). flatMapGroupsWithState
+    * checkpoints encode the state schema; a checkpoint written by the
+    * old single-tuple version CANNOT be resumed by this code — an
+    * in-place upgrade of a running query would fail or misdecode state.
+    * Upgrading deployments must start from a NEW `checkpointLocation`
+    * (replaying from earliest offsets, the K2/S3 discipline); the
+    * MemoryStream spec pins the current contract only. */
   val SessionGapUs: Long = 300L * 1000000L  // 5 minutes, the q21 gap
   def sessionCloseEvents(spark: SparkSession, risk: DataFrame,
       watermark: String = "30 minutes"): Dataset[SessionClosed] = {
@@ -409,10 +419,12 @@ object StreamOps {
     private def release(customer: String, bs: Seq[Burst], wmMs: Long): Iterator[SessionClosed] = {
       val (closed, open) = bs.partition(horizonMs(_) <= wmMs)
       bursts.clear()
-      // one live timer per key: re-arm at the oldest open horizon
-      getHandle.listTimers().foreach {
-        t => getHandle.deleteTimer(t.asInstanceOf[Long])
-      }
+      // one live timer per key: re-arm at the oldest open horizon.
+      // Materialize BEFORE deleting — mutating timer state while the
+      // store iterator is live depends on unspecified provider snapshot
+      // behavior (fine on RocksDB today, not contractual).
+      getHandle.listTimers().toList
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (open.nonEmpty) {
         open.foreach(bursts.appendValue)
         getHandle.registerTimer(math.max(open.map(horizonMs).min, wmMs + 1L))

@@ -236,20 +236,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
-  test("bloom join filters the fact side BEFORE the join") {
+  test("bloom join filters the fact side BEFORE the join, with native codegen probe") {
     val p = plan("q57_bloom_join")
     // The bloom probe must be a Filter in the fact branch BELOW the join
     // (formatted-plan node ids are post-order: every input has a lower id
     // than its consumer) — pruning after the join would move every row
     // through the shuffle anyway.
-    val udfFilterIds = p.split("\n\n").toSeq.collect {
-      case b if b.contains(") Filter") && b.contains("UDF") =>
+    val bloomFilterIds = p.split("\n\n").toSeq.collect {
+      case b if b.contains(") Filter") && b.contains("might_contain") =>
         "\\((\\d+)\\)".r.findFirstMatchIn(b).get.group(1).toInt
     }
     val joinIds = "\\((\\d+)\\) \\w*Join".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
-    assert(udfFilterIds.nonEmpty, s"no UDF bloom filter block in plan:\n$p")
-    assert(joinIds.nonEmpty && udfFilterIds.min < joinIds.min,
-      s"bloom filter node ${udfFilterIds.min} must precede join ${joinIds.min}:\n$p")
+    assert(bloomFilterIds.nonEmpty, s"no might_contain bloom filter block in plan:\n$p")
+    assert(joinIds.nonEmpty && bloomFilterIds.min < joinIds.min,
+      s"bloom filter node ${bloomFilterIds.min} must precede join ${joinIds.min}:\n$p")
+    // The probe is the NATIVE BloomFilterMightContain expression — no
+    // Scala UDF breaking whole-stage codegen on the fact scan.
+    assert(!p.contains("UDF"), s"bloom probe must not be a Scala UDF:\n$p")
+    assert(!p.contains("BatchEvalPython"), p)
   }
 
   test("sharded distinct never plans a global or per-key distinct buffer") {

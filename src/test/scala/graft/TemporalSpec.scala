@@ -712,7 +712,7 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(rows((100L, 100L))._1 > 0)
     val lateTx = Tables.load(spark, dir, "events")
       .selectExpr("unix_micros(ts) us", "event_id")
-      .selectExpr(s"us + (event_id * 2654435761 % 3600) * 1000000 tx_us", "us")
+      .selectExpr(s"us + ((event_id % 3600) * 2654435761 % 3600) * 1000000 tx_us", "us")
       .crossJoin(Tables.load(spark, dir, "events")
         .selectExpr("max(unix_micros(ts)) hi"))
       .filter(org.apache.spark.sql.functions.expr("tx_us > hi")).count()
