@@ -46,6 +46,8 @@ object SimilarityQueries {
   private val bandsCache = caches.newCache()
   private val cellsCache = caches.newCache()
   private val pqCache = caches.newCache()
+  private val codewordsCache = caches.newCache()
+  private val ivfpqCache = caches.newCache()
   private val matryoshkaTopCache = caches.newCache()
   private val kmeansCache = caches.newCache()
 
@@ -499,10 +501,15 @@ object SimilarityQueries {
           s"s -> struct(s as sub, slice(v, s * $PqSubDim + 1, $PqSubDim) as sv)))").as("u"))
       .select(col("vec_id"), col("u.sub").as("sub"), col("u.sv").as("sv"))
 
-  /** The PQ codebook: vectors 1..[[PqCodewords]]'s own subvectors. */
+  /** The PQ codebook: vectors 1..[[PqCodewords]]'s own subvectors —
+    * [[PqSubspaces]]·[[PqCodewords]] = 32 rows, checkpointed once per
+    * (session, dir) so probe-time consumers (the per-query ADC table)
+    * don't re-scan the embeddings table to rebuild a 32-row frame. */
   private def codewords(spark: SparkSession, dir: String): DataFrame =
-    subvectors(emb(spark, dir).filter(col("vec_id").between(1, PqCodewords)))
-      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cw"))
+    codewordsCache.getOrElseUpdate((spark, dir),
+      subvectors(emb(spark, dir).filter(col("vec_id").between(1, PqCodewords)))
+        .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cw"))
+        .localCheckpoint())
 
   /** Micro-unit squared L2 between subvector `sv` and codeword `cw`. */
   private val d2mExpr =
@@ -527,6 +534,24 @@ object SimilarityQueries {
         .localCheckpoint()
     })
   }
+
+  /** The packed IVF-PQ posting index `(vec_id, cell, sub, cid)` — the
+    * cell-bucketed code table a deployed IVF-PQ actually persists (each
+    * vector stored inside its coarse cell as 8 small codes). Pre-joining
+    * [[cellIndex]] × [[pqAssign]] ONCE per (session, dir) moves the only
+    * corpus-grain shuffle of the s11 probe to index-build time: the warm
+    * probe is then a broadcast cell filter + a broadcast 32-row ADC join
+    * over this checkpointed frame — no per-query shuffle at all, which is
+    * exactly the deployment contract (build once, probe thousands of
+    * times). This was also the s11 bench story in round 7: the per-probe
+    * cellIndex⋈pqAssign join re-ran on every invocation (~16 sequential
+    * small jobs warm); hoisting it here removes the per-probe shuffle. */
+  private def ivfpqIndex(spark: SparkSession, dir: String): DataFrame =
+    ivfpqCache.getOrElseUpdate((spark, dir),
+      cellIndex(spark, dir).select(col("vec_id"), col("cell"))
+        .join(pqAssign(spark, dir), "vec_id")
+        .select(col("vec_id"), col("cell"), col("sub"), col("cid"))
+        .localCheckpoint())
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
     pqAssign(spark, dir)
@@ -563,10 +588,8 @@ object SimilarityQueries {
       .join(broadcast(codewords(spark, dir)), "sub")
       .withColumn("qd2m", expr(d2mExpr))
       .select(col("sub"), col("cid"), col("qd2m"))
-    val shortlist = cellIndex(spark, dir)
+    val shortlist = ivfpqIndex(spark, dir)
       .join(broadcast(qprobe), col("cell") === col("pcell"))
-      .select(col("vec_id"))
-      .join(pqAssign(spark, dir), "vec_id")
       .join(broadcast(qd), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
       .agg(sum(col("qd2m")).as("approx_d2_micro"))

@@ -256,6 +256,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("BatchEvalPython"), p)
   }
 
+  test("s11 probe joins only against broadcasts over the packed checkpointed index") {
+    // The r7→r8 fix: the per-probe plan must read the PRE-JOINED
+    // (vec_id, cell, sub, cid) posting index (a checkpointed ExistingRDD
+    // scan) and never re-run the corpus-grain cellIndex ⋈ pqAssign join
+    // at probe time — every join in the probe is a broadcast (probe
+    // cells, 32-row ADC table, 10-row re-rank), so the only exchange
+    // carrying corpus-derived rows is the post-ADC partial-aggregate one.
+    val p = plan("s11_ivfpq")
+    assert(p.contains("Scan ExistingRDD"), p)       // checkpointed index
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
   test("sharded distinct never plans a global or per-key distinct buffer") {
     val p = plan("q58_sharded_distinct")
     // Two partial/final aggregate pairs (shard level + key level); no
