@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` table: language-ID heuristic,
@@ -604,6 +604,95 @@ object TextQueries {
       .orderBy(col("n_occurrences").desc, col("pair").asc)
       .limit(BpeTopK)
 
+  /** t31 — iterative BPE tokenizer training: the K-round merge loop that
+    * t12 mines only the first level of — the operator an LLM pipeline
+    * actually runs to TRAIN a tokenizer (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units"). Round r counts
+    * adjacent symbol pairs over the CURRENT segmentation (weighted by
+    * word frequency, every adjacent position counted), merges the argmax
+    * pair leftmost-greedy non-overlapping in every word, and records the
+    * merge; ties break (count desc, lhs asc, rhs asc) so the merge table
+    * is deterministic on any partitioning and any engine.
+    *
+    * Scale shape (the d19/s27/KMeansOps driver-coordinated-loop
+    * discipline): the corpus collapses ONCE into the distinct
+    * (word, freq) vocabulary — the classic BPE-training reduction; all K
+    * rounds then run over that vocabulary-scale frame, never re-reading
+    * the corpus. Per round exactly ONE row (the winning pair) crosses to
+    * the driver via a TakeOrdered(limit=1) over the map-side-combinable
+    * pair count, and the re-segmentation is a per-row HOF fold (a
+    * leftmost-greedy streaming merge — no shuffle), checkpointed so the
+    * next round's lineage stays flat; superseded round checkpoints are
+    * released eagerly. The oracle unrolls the same K rounds as chained
+    * CTEs (positional gaps-and-islands form of the same greedy merge —
+    * odd-rank candidates within each run of consecutive candidate
+    * positions are exactly the non-overlapping leftmost merges). */
+  val BpeRounds = 5
+  /** One BPE round's winning pair over a segmentation frame
+    * `(freq, syms)` — exposed for the plan audit: partial/final hash
+    * aggregate over the pair keys, then a 1-row bounded TakeOrdered;
+    * nothing corpus- or vocabulary-sized ever heads to the driver. */
+  private[graft] def bpeRoundWinner(seg: DataFrame): DataFrame =
+    seg.select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] as lhs, syms[i + 1] as rhs))")).as("p"))
+      .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .groupBy(col("lhs"), col("rhs"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1)
+
+  /** The vocabulary frame `(freq, syms)`: distinct words with corpus
+    * frequency, segmented to single characters. Exposed for the audit. */
+  private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    var seg = bpeVocab(spark, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to BpeRounds) {
+      val win = bpeRoundWinner(seg).head()
+      val (l, r, n) = (win.getString(0), win.getString(1), win.getLong(2))
+      merges += ((round.toLong, l, r, l + r, n))
+      // leftmost-greedy non-overlapping merge as a per-row streaming
+      // fold: carry (emitted prefix, pending symbol); a (pending=l,
+      // cur=r) hit emits the merged symbol and clears the pending slot,
+      // so the merged token never re-merges with a following r within
+      // the same round — the single-pass BPE contract ("aaa" with (a,a)
+      // → ["aa","a"]). Winner strings bind as lit() Columns, never
+      // interpolated into SQL text (quote/escape-safe).
+      val lC = lit(l); val rC = lit(r)
+      val merged = aggregate(
+        col("syms"),
+        struct(array().cast("array<string>").as("out"),
+          lit(null).cast("string").as("pending")),
+        (st: Column, s: Column) => {
+          val out = st.getField("out"); val pend = st.getField("pending")
+          when(pend.isNull, struct(out.as("out"), s.as("pending")))
+            .when(pend === lC && s === rC,
+              struct(array_append(out, concat(lC, rC)).as("out"),
+                lit(null).cast("string").as("pending")))
+            .otherwise(
+              struct(array_append(out, pend).as("out"), s.as("pending")))
+        },
+        (st: Column) => when(st.getField("pending").isNull, st.getField("out"))
+          .otherwise(array_append(st.getField("out"), st.getField("pending"))))
+      val prev = seg
+      seg = seg.withColumn("syms", merged).localCheckpoint()
+      graft.CheckpointUtil.release(prev)
+    }
+    graft.CheckpointUtil.release(seg)
+    import spark.implicits._
+    merges.result()
+      .toDF("merge_round", "lhs", "rhs", "merged", "n_occurrences")
+      .orderBy("merge_round")
+  }
+
   /** t13 — positional shingle stream via the native table-generating
     * function [[graft.functions.ShingleExplode]] (the UDTF category,
     * SURVEY §2.8): one text row in, `(pos, shingle)` rows out, streamed
@@ -1052,6 +1141,7 @@ object TextQueries {
     "t18_novelty" -> ((s, d) => novelty(s, d)),
     "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),
     "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "t31_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "t11_repetition" -> ((s, d) => repetition(s, d)),
     "t10_lm_score" -> ((s, d) => lmScore(s, d)),
     "t1_langid" -> ((s, d) => langId(s, d)),
@@ -1348,6 +1438,51 @@ object TextQueries {
         |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
         |       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
         |FROM s ORDER BY doc_id, pos""".stripMargin,
+
+    // K BPE rounds unrolled as chained CTEs (the d19/s27 discipline).
+    // Per round: a{r} adds each position's next symbol, w{r} is the
+    // 1-row argmax pair, g{r} selects the leftmost non-overlapping merge
+    // starts (odd rank within each run of consecutive candidate
+    // positions — gaps-and-islands), s{r} rebuilds the segmentation
+    // (merge starts concatenate with their next symbol; the consumed
+    // next row is dropped; positions renumber).
+    "t31_bpe_train" -> {
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""a$r AS (SELECT w, freq, pos, sym,
+           |  lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt FROM s${r - 1}),
+           |w$r AS (SELECT lhs, rhs, n FROM (
+           |    SELECT sym lhs, nxt rhs, sum(freq) n FROM a$r
+           |    WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+           |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+           |c$r AS (SELECT a.w, a.freq, a.pos, a.sym, a.nxt,
+           |    (a.sym = q.lhs AND a.nxt = q.rhs) cand
+           |  FROM a$r a, w$r q),
+           |g$r AS (SELECT w, pos FROM (
+           |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) rn
+           |    FROM (SELECT w, pos,
+           |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) grp
+           |          FROM c$r WHERE cand)) WHERE rn % 2 = 1),
+           |s$r AS (SELECT c.w, c.freq,
+           |    row_number() OVER (PARTITION BY c.w ORDER BY c.pos) pos,
+           |    CASE WHEN st.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END sym
+           |  FROM c$r c
+           |  LEFT JOIN g$r st ON st.w = c.w AND st.pos = c.pos
+           |  LEFT JOIN g$r cons ON cons.w = c.w AND cons.pos = c.pos - 1
+           |  WHERE cons.pos IS NULL)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) merge_round, lhs, rhs, lhs || rhs merged, " +
+          s"CAST(n AS BIGINT) n_occurrences FROM w$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |s0 AS (SELECT w, freq, pos, w[CAST(pos AS INT)] sym FROM (
+         |    SELECT w, freq, unnest(range(1, length(w) + 1)) pos FROM wd)),
+         |$rounds
+         |$sel
+         |ORDER BY merge_round""".stripMargin
+    },
 
     "t12_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) w FROM documents),
