@@ -633,7 +633,12 @@ object TextQueries {
     * aggregate over the pair keys, then a 1-row bounded TakeOrdered;
     * nothing corpus- or vocabulary-sized ever heads to the driver. */
   private[graft] def bpeRoundWinner(seg: DataFrame): DataFrame =
-    seg.select(col("freq"), explode(expr(
+    // fully-merged words (size 1) must drop out BEFORE the explode:
+    // sequence(0, size-2) DESCENDS for size=1 (sequence(0,-1) = [0,-1]),
+    // which would fabricate (sym, null)/(null, null) pair rows the
+    // oracle's `WHERE nxt IS NOT NULL` never counts.
+    seg.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
         "transform(sequence(0, size(syms) - 2), " +
           "i -> struct(syms[i] as lhs, syms[i + 1] as rhs))")).as("p"))
       .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
@@ -652,39 +657,55 @@ object TextQueries {
       .select(col("freq"),
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
 
+  /** The leftmost-greedy non-overlapping merge of one winning pair, as a
+    * per-row streaming fold: carry (emitted prefix, pending symbol); a
+    * (pending=l, cur=r) hit emits the merged symbol and clears the
+    * pending slot, so the merged token never re-merges with a following
+    * r within the same round — the single-pass BPE contract ("aaa" with
+    * (a,a) → ["aa","a"]; "aaaa" → ["aa","aa"]). Winner strings bind as
+    * lit() Columns, never interpolated into SQL text (quote/escape-safe).
+    * Exposed for the replay spec, which pins the self-overlap contract
+    * directly against literal symbol arrays. */
+  private[graft] def bpeMergedCol(l: String, r: String): Column = {
+    val lC = lit(l); val rC = lit(r)
+    aggregate(
+      col("syms"),
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("pending")),
+      (st: Column, s: Column) => {
+        val out = st.getField("out"); val pend = st.getField("pending")
+        when(pend.isNull, struct(out.as("out"), s.as("pending")))
+          .when(pend === lC && s === rC,
+            struct(array_append(out, concat(lC, rC)).as("out"),
+              lit(null).cast("string").as("pending")))
+          .otherwise(
+            struct(array_append(out, pend).as("out"), s.as("pending")))
+      },
+      (st: Column) => when(st.getField("pending").isNull, st.getField("out"))
+        .otherwise(array_append(st.getField("out"), st.getField("pending"))))
+  }
+
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     var seg = bpeVocab(spark, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (round <- 1 to BpeRounds) {
-      val win = bpeRoundWinner(seg).head()
-      val (l, r, n) = (win.getString(0), win.getString(1), win.getLong(2))
-      merges += ((round.toLong, l, r, l + r, n))
-      // leftmost-greedy non-overlapping merge as a per-row streaming
-      // fold: carry (emitted prefix, pending symbol); a (pending=l,
-      // cur=r) hit emits the merged symbol and clears the pending slot,
-      // so the merged token never re-merges with a following r within
-      // the same round — the single-pass BPE contract ("aaa" with (a,a)
-      // → ["aa","a"]). Winner strings bind as lit() Columns, never
-      // interpolated into SQL text (quote/escape-safe).
-      val lC = lit(l); val rC = lit(r)
-      val merged = aggregate(
-        col("syms"),
-        struct(array().cast("array<string>").as("out"),
-          lit(null).cast("string").as("pending")),
-        (st: Column, s: Column) => {
-          val out = st.getField("out"); val pend = st.getField("pending")
-          when(pend.isNull, struct(out.as("out"), s.as("pending")))
-            .when(pend === lC && s === rC,
-              struct(array_append(out, concat(lC, rC)).as("out"),
-                lit(null).cast("string").as("pending")))
-            .otherwise(
-              struct(array_append(out, pend).as("out"), s.as("pending")))
-        },
-        (st: Column) => when(st.getField("pending").isNull, st.getField("out"))
-          .otherwise(array_append(st.getField("out"), st.getField("pending"))))
-      val prev = seg
-      seg = seg.withColumn("syms", merged).localCheckpoint()
-      graft.CheckpointUtil.release(prev)
+    var round = 1
+    var exhausted = false
+    while (round <= BpeRounds && !exhausted) {
+      // take(1), not head(): a degenerate corpus can run out of adjacent
+      // pairs before BpeRounds completes (every word merged to a single
+      // symbol) — then the merge table simply truncates, exactly like
+      // the oracle's chained CTEs (an empty w_r empties all later
+      // rounds), instead of crashing.
+      bpeRoundWinner(seg).take(1) match {
+        case Array(win) =>
+          val (l, r, n) = (win.getString(0), win.getString(1), win.getLong(2))
+          merges += ((round.toLong, l, r, l + r, n))
+          val prev = seg
+          seg = seg.withColumn("syms", bpeMergedCol(l, r)).localCheckpoint()
+          graft.CheckpointUtil.release(prev)
+        case _ => exhausted = true
+      }
+      round += 1
     }
     graft.CheckpointUtil.release(seg)
     import spark.implicits._

@@ -1,0 +1,135 @@
+package graft
+
+import graft.ext.TextQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t31 sequential-replay and edge-case contract for iterative BPE
+  * training: the distributed K-round loop must reproduce, merge for
+  * merge, a driver-side sequential implementation of Sennrich et al.'s
+  * algorithm over the same (word, freq) vocabulary — pair counts
+  * weighted by word frequency with EVERY adjacent position counted,
+  * argmax tie-broken (count desc, lhs asc, rhs asc), and the winning
+  * pair merged leftmost-greedy non-overlapping in every word. */
+class BpeTrainSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  /** Reference implementation: plain sequential Scala BPE. */
+  private def seqBpe(vocab: Map[String, Long], rounds: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var segs: Seq[(Vector[String], Long)] =
+      vocab.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), n) = counts.toSeq
+          .minBy { case ((l, rr), n) => (-n, l, rr) }
+        out += ((r.toLong, l, rr, l + rr, n))
+        segs = segs.map { case (syms, f) => (mergeLeftmost(syms, l, rr), f) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def mergeLeftmost(syms: Vector[String], l: String, r: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def writeDocs(prefix: String, texts: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def vocabOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+
+  test("distributed BPE replays the sequential merge table exactly") {
+    // self-overlapping runs ("aaa", "aaaa"), a pair that reappears after
+    // an earlier merge, and mixed multi-word docs — frequencies chosen
+    // so every round has a strict winner EXCEPT round 1's planted tie
+    // (see the tie-break test for the isolated contract).
+    val texts = Seq(
+      "aaa banana bandana aaaa",
+      "banana banana cabana",
+      "the theme then an and hand",
+      "aaa na na na")
+    val dir = writeDocs("bpereplay", texts)
+    val expected = seqBpe(vocabOf(texts), TextQueries.BpeRounds)
+    val got = TextQueries.bpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      s"merge tables diverge:\n engine: $got\n sequential: $expected")
+    assert(got.size == TextQueries.BpeRounds)
+  }
+
+  test("argmax ties break (count desc, lhs asc, rhs asc) deterministically") {
+    // "xy" and "ab" both occur exactly 3 times and share round-1's top
+    // count; (a,b) < (x,y) lexicographically, so (a,b) must win.
+    val texts = Seq("xy xy xy ab ab ab")
+    val dir = writeDocs("bpetie", texts)
+    val rows = TextQueries.bpeTrain(spark, dir).collect()
+    assert(rows.head.getString(1) == "a" && rows.head.getString(2) == "b",
+      s"tie must break to the lexicographically least pair: ${rows.head}")
+    // the full table still replays sequentially under the tie
+    val expected = seqBpe(vocabOf(texts), TextQueries.BpeRounds)
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("merge fold is leftmost-greedy non-overlapping on self-overlapping runs") {
+    // the single-pass BPE contract, pinned directly on the fold column:
+    // a merged token never re-merges with a following r in the SAME round.
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),            // aaa  + (a,a) -> [aa, a]
+      (2L, Seq("a", "a", "a", "a")),       // aaaa + (a,a) -> [aa, aa]
+      (3L, Seq("a", "a", "a", "a", "a")),  // aaaaa        -> [aa, aa, a]
+      (4L, Seq("b", "a", "a", "b")),       //             -> [b, aa, b]
+      (5L, Seq("a")),                       // no pair      -> [a]
+      (6L, Seq.empty[String]))              // empty        -> []
+      .toDF("id", "syms")
+    val got = df.select(col("id"), TextQueries.bpeMergedCol("a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("aa", "a"))
+    assert(got(2L) == List("aa", "aa"))
+    assert(got(3L) == List("aa", "aa", "a"))
+    assert(got(4L) == List("b", "aa", "b"))
+    assert(got(5L) == List("a"))
+    assert(got(6L) == Nil)
+  }
+
+  test("degenerate corpus truncates the merge table instead of crashing") {
+    // two distinct 2-char words: rounds 1-2 merge each to a single
+    // symbol, round 3 finds no adjacent pair anywhere — the loop must
+    // stop (as the oracle's empty chained CTE does), not throw.
+    val texts = Seq("ab cd")
+    val dir = writeDocs("bpedegen", texts)
+    val rows = TextQueries.bpeTrain(spark, dir).collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows.map(_.getString(3)).toSet == Set("ab", "cd"))
+    // and it matches the sequential replay's truncation
+    val expected = seqBpe(vocabOf(texts), TextQueries.BpeRounds)
+    assert(rows.length == expected.length)
+  }
+}

@@ -193,6 +193,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bpe training round: bounded TakeOrdered(1) over map-side pair partials") {
+    // the per-round driver crossing must stay ONE row: a partial/final
+    // hash aggregate over the pair keys feeding a bounded
+    // TakeOrderedAndProject — never a global sort, never a CollectLimit
+    // that funnels the vocabulary through one task, and nothing
+    // corpus-sized in the plan at all (the vocab collapse IS the only
+    // aggregate below the pair count).
+    val seg = graft.ext.TextQueries.bpeVocab(spark, dir)
+    val p = graft.ext.TextQueries.bpeRoundWinner(seg)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CollectLimit"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("peak concurrency joins its 5-row peak frame by broadcast") {
     val p = plan("q52_peak_concurrency")
     assert(p.contains("BroadcastHashJoin"), p)
