@@ -1182,20 +1182,31 @@ object DedupQueries {
     * the strategy; at corpus scale the count table is bucketed or
     * bloom-pruned). Span merging is m9's gaps-and-islands on the
     * (doc, pos)-balanced window. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    // the cached positional shingle stream (t13's artifact): the
-    // multiplicity aggregate and the join probe both scan it, so the
-    // generator runs once per (session, dir), not twice per query.
+  /** Shared d15/d27 building block: per-document maximal runs of
+    * consecutive duplicated shingle positions, `(doc_id, run_len,
+    * run_start)`. The positional shingle stream is t13's cached artifact
+    * (the generator runs once per (session, dir)); the multiplicity
+    * table is one combinable count per distinct shingle fingerprint, and
+    * the semi-join back onto the positions carries NO fan-out (one row
+    * per duplicated position regardless of a shingle's df — the reason
+    * this, unlike the m16 pair join, needs no df cap for safety; the
+    * count table is the only df-shaped frame and it's already
+    * aggregated). Run merging is m9's gaps-and-islands on the
+    * (doc, pos)-balanced window. */
+  private def dupRuns(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.ext.TextQueries.posShingles(spark, dir)
     val dupShingles = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
-    val dup = sh.join(dupShingles, Seq("shingle"))
+    sh.join(dupShingles, Seq("shingle"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
-    val runs = dup
       .withColumn("isl", col("pos") - row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)))
       .groupBy(col("doc_id"), col("isl"))
       .agg(count(lit(1)).as("run_len"), min(col("pos")).as("run_start"))
+  }
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val runs = dupRuns(spark, dir)
     val perDoc = runs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("run_len")).as("n_dup"),
@@ -1211,6 +1222,37 @@ object DedupQueries {
         col("longest_start"))
       .orderBy("doc_id")
   }
+
+  /** d27 — exact-substring CUT-RANGE extraction: the per-document
+    * `[cut_start, cut_end)` token ranges a corpus-cleaning pass actually
+    * consumes (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" — the suffix-array ExactSubstr dedup re-expressed at
+    * the repo's shingle grain). d15 reports per-doc span STATISTICS;
+    * this emits the spans themselves: every maximal run of consecutive
+    * corpus-duplicated 3-gram positions whose token extent reaches
+    * [[MinCutSpanToks]] becomes one cut range (a run of k shingles
+    * starting at token p covers tokens [p, p+k+2)).
+    *
+    * Cut POLICY is cut-every-occurrence (boilerplate removal): all
+    * copies of a duplicated span are emitted, including the "first" —
+    * the policy a template/header scrubber wants. Keep-one-copy dedup
+    * composes this frame with d25's provenance pick (drop ranges of the
+    * kept doc per span cluster) without re-scanning the corpus.
+    *
+    * Plan: rides the SAME cached shingle stream + gaps-and-islands
+    * window as d15 (one shingle-fingerprint-bucketed count + a fan-out-
+    * free semi-join + one (doc, pos) window) — the floor filter and
+    * range arithmetic are free projections on the run frame; nothing
+    * new shuffles. At 100 TB the shingle grain bounds memory per task
+    * to the document's positions, never the corpus. */
+  val MinCutSpanToks = 5
+  def cutRanges(spark: SparkSession, dir: String): DataFrame =
+    dupRuns(spark, dir)
+      .select(col("doc_id"), col("run_start").as("cut_start"),
+        (col("run_start") + col("run_len") + lit(2L)).as("cut_end"))
+      .withColumn("cut_len_toks", col("cut_end") - col("cut_start"))
+      .filter(col("cut_len_toks") >= MinCutSpanToks)
+      .orderBy("doc_id", "cut_start")
 
   /** d26 — cross-modality dedup agreement: the Adjusted Rand Index
     * between the token-level clustering (d8's shingle-LSH connected
@@ -1274,6 +1316,7 @@ object DedupQueries {
     "d26_dedup_agreement" -> ((s, d) => dedupAgreement(s, d)),
     "d16_containment" -> ((s, d) => containmentPairs(s, d)),
     "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
+    "d27_cut_ranges" -> ((s, d) => cutRanges(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
     "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
@@ -1459,6 +1502,26 @@ object DedupQueries {
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |     LEFT JOIN top ON d.doc_id = top.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "d27_cut_ranges" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+         |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i
+         |      FROM t WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] shingle
+         |       FROM s),
+         |c AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+         |dup AS (SELECT sh.doc_id, sh.pos FROM sh JOIN c USING (shingle)),
+         |q AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl
+         |      FROM dup),
+         |runs AS (SELECT doc_id, CAST(min(pos) AS BIGINT) cut_start,
+         |           CAST(min(pos) + count(*) + 2 AS BIGINT) cut_end
+         |         FROM q GROUP BY doc_id, isl)
+         |SELECT doc_id, cut_start, cut_end,
+         |       cut_end - cut_start AS cut_len_toks
+         |FROM runs WHERE cut_end - cut_start >= $MinCutSpanToks
+         |ORDER BY doc_id, cut_start""".stripMargin,
 
     "d14_triangles" ->
       s"""WITH $duckShingled,

@@ -98,6 +98,64 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cut ranges replay a brute-force substring sweep and reproduce d15's spans") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent sequential oracle: 3-gram multiplicities -> duplicated
+    // positions -> maximal runs -> floor-qualified [start, end) ranges
+    val toks = docs.view.mapValues(_.toLowerCase.split(" ", -1)).toMap
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, tk) <- toks; i <- 0 to tk.length - 3)
+      counts(tk.slice(i, i + 3).mkString(" ")) += 1
+    val expected = (for {
+      (id, tk) <- toks.toSeq
+      dupPos = (0 to tk.length - 3).filter(i => counts(tk.slice(i, i + 3).mkString(" ")) > 1)
+      run <- {
+        var runs = List.empty[(Int, Int)]; var i = 0
+        val ps = dupPos.toArray
+        while (i < ps.length) {
+          val s = i
+          while (i + 1 < ps.length && ps(i + 1) == ps(i) + 1) i += 1
+          runs = (ps(s), ps(i) + 3) :: runs // token extent [start, last+3)
+          i += 1
+        }
+        runs
+      }
+      if run._2 - run._1 >= ext.DedupQueries.MinCutSpanToks
+    } yield (id, run._1.toLong, run._2.toLong)).toSet
+    val got = ext.DedupQueries.cutRanges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // self-consistency with d15's per-doc statistics: the longest d27
+    // range IS d15's longest span whenever it clears the floor, and docs
+    // below the floor emit no cut range at all.
+    val d15 = ext.DedupQueries.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> longest_span_toks
+    val byDoc = got.groupBy(_._1)
+    d15.foreach { case (id, longest) =>
+      if (longest >= ext.DedupQueries.MinCutSpanToks)
+        assert(byDoc(id).map(r => r._3 - r._2).max == longest,
+          s"doc $id: longest cut range must equal d15's longest span")
+      else
+        assert(!byDoc.contains(id), s"doc $id below the floor must emit no range")
+    }
+    // ranges joined back to documents stay in bounds; shingle runs are
+    // disjoint so starts are strictly increasing (token extents may
+    // still kiss/overlap by up to 2 tokens across a 1-2 position gap —
+    // a shingle covers 3 tokens — which a consumer unions before
+    // cutting)
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.toSeq.sortBy(_._2)
+      assert(sorted.last._3 <= toks(id).length)
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, e1), (_, s2, e2)) =>
+          assert(s1 < s2 && e1 < e2, s"doc $id runs must be disjoint in shingle space")
+        case _ =>
+      }
+    }
+  }
+
   test("bpe pair mining reproduces a driver-side character-pair count") {
     val texts = Tables.load(spark, dir, "documents").select("text")
       .collect().map(_.getString(0))

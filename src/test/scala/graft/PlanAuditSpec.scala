@@ -228,6 +228,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Generate"), p)
   }
 
+  test("d27 rides the cached shingle stream and one doc-partitioned window") {
+    // cut-range extraction must add NOTHING to d15's plan shape: the
+    // cached positional shingle index (no Generate), the fan-out-free
+    // dup-position semi-join, and exactly one gaps-and-islands window
+    // partitioned by doc — never a corpus-global sort or second window.
+    graft.ext.TextQueries.posShingles(spark, dir) // warm the index
+    val p = plan("d27_cut_ranges")
+    assert(!p.contains("Generate"), p)
+    // formatted explain prints each node twice (tree + detail): one
+    // Window node = exactly 2 textual hits
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("m9 computes totals and runs in one tree (single scan, no self-join)") {
     val p = plan("m9_quiet_runs")
     assert(!p.contains("Join"), p)
