@@ -68,6 +68,79 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest over 3 restarted micro-batches lands frame-equal to the batch pipeline") {
+    // The two-tier equivalence contract: the continuous ingest tier,
+    // run as THREE separate queries resuming from one checkpoint (two
+    // mid-stream stop/restarts), must land exactly the frame the batch
+    // formulation produces over the same input rows — gate on raw text,
+    // keep the FIRST arrival per text fingerprint (min-by ts, the batch
+    // twin of dropDuplicatesWithinWatermark under in-order landing),
+    // scrub last.
+    import graft.pipelines.StreamingCorpusPipeline
+    val in = java.nio.file.Files.createTempDirectory("corpus_in").toString
+    val out = java.nio.file.Files.createTempDirectory("corpus_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("corpus_ckpt").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def land(rows: (Long, String, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    def runOnce(): Long = {
+      val q = StreamingCorpusPipeline.ingest(
+          spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .parquet(in), "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    val good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // query 1: two keepers + one gated doc
+    land((1L, s"$good one a@b.com", ts("2024-01-01 10:00:00")),
+      (2L, "!!!???!!!", ts("2024-01-01 10:00:30")),
+      (3L, s"$good three", ts("2024-01-01 10:01:00")))
+    val n1 = runOnce()
+    // query 2 (restart): same-id redelivery of doc 1 at a later ts + a new doc
+    land((1L, s"$good one a@b.com", ts("2024-01-01 10:02:00")),
+      (4L, s"$good four", ts("2024-01-01 10:03:00")))
+    val n2 = runOnce()
+    // query 3 (restart): doc 3's text under a NEW id (must collapse against
+    // state recovered across TWO restarts) + a keeper + a gated doc
+    land((5L, s"$good three", ts("2024-01-01 10:04:00")),
+      (6L, s"$good six", ts("2024-01-01 10:05:00")),
+      (7L, "?? !! ..", ts("2024-01-01 10:05:30")))
+    val n3 = runOnce()
+    assert(n1 > 0 && n2 > n1 && n3 > n2,
+      s"every restarted run must land new rows: $n1, $n2, $n3")
+    assert(new java.io.File(s"$ckpt/commits").list().count(!_.endsWith(".tmp")) >= 3,
+      "the checkpoint must record at least 3 committed micro-batches")
+    // batch formulation over ALL landed input rows, same stage order
+    val all = spark.read.parquet(in)
+    val gated = graft.ext.TextQueries.qualityOf(
+        all.withColumn("toks", org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(col("text")), " ")))
+      .filter(col("quality_score") >= StreamingCorpusPipeline.QualityThreshold)
+      .withColumn("fp", org.apache.spark.sql.functions.md5(col("text")))
+    val first = gated.groupBy(col("fp"))
+      .agg(org.apache.spark.sql.functions.min_by(
+        org.apache.spark.sql.functions.struct(col("doc_id"), col("ts"),
+          col("text"), col("quality_score")), col("ts")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.ts").as("ts"),
+        col("r.text").as("text"), col("r.quality_score").as("quality_score"),
+        col("fp"))
+    val batchRef = graft.ext.TextQueries.scrubbed(first)
+      .select("doc_id", "ts", "text", "quality_score", "fp")
+    def frame(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3), r.getString(4))).toSet
+    val streamed = frame(spark.read.parquet(out)
+      .select("doc_id", "ts", "text", "quality_score", "fp"))
+    assert(streamed == frame(batchRef),
+      s"streamed and batch frames diverge:\n stream: $streamed")
+    assert(streamed.map(_._1) == Set(1L, 3L, 4L, 6L))
+  }
+
   test("watermarked dedup collapses at-least-once redeliveries") {
     val input = MemoryStream[String]
     val q = StreamOps.dedupRiskEvents(parsed(input))
