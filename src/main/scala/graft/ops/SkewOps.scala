@@ -53,6 +53,48 @@ object SkewOps {
     * bytes). At 100 TB: a 10M-key dimension at 1% FPP is a ~11 MB
     * broadcast that can drop 90%+ of a selective fact scan before any
     * network cost. */
+  /** Build the serialized bloom sketch over `dim(dimKey)` with the
+    * NATIVE BloomFilterAggregate (one distributed aggregate over the
+    * small side; partial filters OR-merge, only the final sketch reaches
+    * the driver). Null when the build side is empty.
+    *
+    * BloomFilterAggregate silently clamps (numItems, numBits) to
+    * spark.sql.optimizer.runtime.bloomFilter.{maxNumItems (4M),
+    * maxNumBits (~8 MB)} — sized for the optimizer's auto-injected
+    * filters, not an explicit operator: a 10M-key dim at 1% FPP needs
+    * ~96M bits and would silently degrade to a many-% FPP sketch (join
+    * results stay exact, filter selectivity collapses). So raise the
+    * caps for the duration of the build when the requested sketch
+    * exceeds them, then restore — the clamp is read lazily from the
+    * session's SQLConf during this aggregate's evaluation. Exposed
+    * private[graft] so the spec can assert the requested size is
+    * honored past the default caps. */
+  private[graft] def buildBloom(dim: DataFrame, dimKey: String,
+      expectedKeys: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnShim.{column => wrap, expression => unwrap}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedKeys, fpp)
+    val raises = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedKeys,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val spark = dim.sparkSession
+    val saved = raises.map { case (k, need) =>
+      val cur = spark.conf.get(k).toLong
+      if (need > cur) spark.conf.set(k, need)
+      (k, cur, need > cur)
+    }
+    val bfRow =
+      try dim.select(wrap(new BloomFilterAggregate(
+          unwrap(col(dimKey).cast("long")),
+          Literal(expectedKeys), Literal(numBits)).toAggregateExpression())
+        .as("bf")).head()
+      finally saved.foreach { case (k, cur, raised) =>
+        if (raised) spark.conf.set(k, cur) }
+    if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0)
+  }
+
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedKeys: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
@@ -67,28 +109,17 @@ object SkewOps {
         require(integral.contains(f.dataType),
           s"bloomSemiJoin requires integral join keys; '$n' is ${f.dataType.simpleString}")
       }
-    // Build with the NATIVE BloomFilterAggregate (one distributed
-    // aggregate over the small side; partial filters OR-merge, only the
-    // final sketch reaches the driver) and probe with the native
-    // BloomFilterMightContain expression — the same pair AQE's runtime
-    // row-level filter injects. Unlike the former Scala-UDF probe, the
-    // native predicate has `doGenCode`, so the filter fuses into the
-    // fact scan's whole-stage-codegen span instead of breaking it with
-    // a per-row boxed function call.
+    // Probe with the native BloomFilterMightContain expression — the
+    // same pair AQE's runtime row-level filter injects. Unlike the
+    // former Scala-UDF probe, the native predicate has `doGenCode`, so
+    // the filter fuses into the fact scan's whole-stage-codegen span
+    // instead of breaking it with a per-row boxed function call.
     import org.apache.spark.sql.GraftColumnShim.{column => wrap, expression => unwrap}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedKeys, fpp)
-    val bfRow = dim.select(wrap(new BloomFilterAggregate(
-        unwrap(col(dimKey).cast("long")),
-        Literal(expectedKeys), Literal(numBits)).toAggregateExpression())
-      .as("bf")).head()
     // empty build side serializes to null → the probe yields null for
     // every row → all filtered: the exact inner-join result (empty)
-    val bloomLit = Literal(
-      if (bfRow.isNullAt(0)) null else bfRow.getAs[Array[Byte]](0), BinaryType)
+    val bloomLit = Literal(buildBloom(dim, dimKey, expectedKeys, fpp), BinaryType)
     // Null fact keys probe to null → filtered out, matching inner-join
     // semantics (null never matches). Long-keyed joins only.
     val pre = fact.filter(wrap(BloomFilterMightContain(

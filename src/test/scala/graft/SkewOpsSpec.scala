@@ -56,6 +56,28 @@ class SkewOpsSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("bloom build honors the requested size past the optimizer's conf caps") {
+    import spark.implicits._
+    // a 10M-key / 1% FPP request needs ~96M bits — 11x the default
+    // maxNumBits cap (67,108,864). Without the temporary cap raise the
+    // sketch silently clamps to ~8 MB and the requested FPP is not
+    // honored; the serialized length proves which happened.
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val wantBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(10000000L, 0.01)
+    val before = (
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems"),
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits"))
+    val sketch = SkewOps.buildBloom(dim, "k", 10000000L, 0.01)
+    assert(sketch.length.toLong * 8 >= wantBits,
+      s"sketch is ${sketch.length} bytes — the conf cap clamped it")
+    // and the session confs are restored after the build
+    val after = (
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems"),
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits"))
+    assert(after == before, s"caps must be restored: $before -> $after")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     val conf = spark.conf
