@@ -1183,22 +1183,36 @@ object SimilarityQueries {
     * the 64-column aggregate. */
   val PowerDim = 64
   val PowerRounds = 3
-  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the quantized matrix ONCE — every round is then a pure
-    // streaming aggregate over the checkpointed blocks instead of a
-    // fresh scan + re-quantization per round
-    val xm = emb(spark, dir).select(expr(
+  /** The once-per-query quantized matrix — materialized so every round
+    * is a pure streaming aggregate over the checkpointed blocks instead
+    * of a fresh scan + re-quantization per round. Exposed for the plan
+    * audit. */
+  private[graft] def powerQuantized(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))")
       .as("xm"))
       .localCheckpoint()
+
+  /** One power-iteration round's 1-row re-projection frame over the
+    * checkpointed matrix `xm` and the current direction `v` — exposed so
+    * the audit can pin that a round scans ONLY the ExistingRDD blocks
+    * (no parquet re-scan, no re-quantization) through a partial/final
+    * aggregate. */
+  private[graft] def powerRoundFrame(xm: DataFrame,
+      v: IndexedSeq[java.math.BigInteger]): DataFrame = {
+    val vLit = v.map(b => s"${b}L").mkString("array(", ", ", ")")
+    val dotted = xm.withColumn("d", expr(
+      s"aggregate(zip_with(xm, $vLit, (a, b) -> a * b), 0L, (acc, y) -> acc + y) div 1000000"))
+    dotted.select((0 until PowerDim).map(k =>
+      sum(expr(s"cast(d as decimal(38,0)) * xm[$k]")).as(s"s$k")): _*)
+  }
+
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val xm = powerQuantized(spark, dir)
     var v: IndexedSeq[java.math.BigInteger] =
       IndexedSeq.fill(PowerDim)(java.math.BigInteger.valueOf(1000000L))
     for (_ <- 1 to PowerRounds) {
-      val vLit = v.map(b => s"${b}L").mkString("array(", ", ", ")")
-      val dotted = xm.withColumn("d", expr(
-        s"aggregate(zip_with(xm, $vLit, (a, b) -> a * b), 0L, (acc, y) -> acc + y) div 1000000"))
-      val row = dotted.select((0 until PowerDim).map(k =>
-        sum(expr(s"cast(d as decimal(38,0)) * xm[$k]")).as(s"s$k")): _*).head()
+      val row = powerRoundFrame(xm, v).head()
       val raw = (0 until PowerDim).map(k =>
         row.getDecimal(k).toBigInteger)
       val maxAbs = raw.map(_.abs).max.max(java.math.BigInteger.ONE)

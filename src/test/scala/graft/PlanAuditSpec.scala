@@ -228,6 +228,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Generate"), p)
   }
 
+  test("t25 ranks per language through RankOps — no window, one range exchange") {
+    // the CCNet tercile must NEVER plan a `PARTITION BY lang` window
+    // (few languages = few reducers at 100 TB): per-language rank comes
+    // from RankOps' materialized range partition (Scan ExistingRDD) plus
+    // broadcast counts, and the ONLY range exchange is the harness sort
+    // on doc_id.
+    val p = plan("t25_ccnet_buckets")
+    assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("s27 power-iteration round scans ONLY the checkpointed quantized matrix") {
+    // the driver loop's per-round frame: a partial/final aggregate over
+    // the once-checkpointed ExistingRDD blocks — a parquet scan here
+    // would mean the round re-reads + re-quantizes the embeddings (3x
+    // the corpus I/O), and any join would mean the direction vector
+    // stopped being a literal.
+    val xm = graft.ext.SimilarityQueries.powerQuantized(spark, dir)
+    try {
+      val v = IndexedSeq.fill(graft.ext.SimilarityQueries.PowerDim)(
+        java.math.BigInteger.valueOf(1000000L))
+      val p = graft.ext.SimilarityQueries.powerRoundFrame(xm, v)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("Scan ExistingRDD"), p)
+      assert(!p.contains("Scan parquet"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+        s"64-column global aggregate needs only the single-partition gather:\n$p")
+    } finally graft.CheckpointUtil.release(xm)
+  }
+
   test("d27 rides the cached shingle stream and one doc-partitioned window") {
     // cut-range extraction must add NOTHING to d15's plan shape: the
     // cached positional shingle index (no Generate), the fan-out-free
