@@ -44,6 +44,7 @@ object SimilarityQueries {
     * once, probe per query) — s4/s5/s9 probe them repeatedly. */
   private val caches = new DirCaches
   private val bandsCache = caches.newCache()
+  private val scaledBandsCache = caches.newCache()
   private val cellsCache = caches.newCache()
   private val pqCache = caches.newCache()
   private val codewordsCache = caches.newCache()
@@ -1163,6 +1164,93 @@ object SimilarityQueries {
       .orderBy("in_deg")
   }
 
+  /** Adaptive-resolution band table for CORPUS-GRAIN candidate
+    * generation (all-pairs-within-bucket, not single-query probing):
+    * `(vec_id, embedding, bid, bkey)`, checkpointed once per
+    * (session, dir).
+    *
+    * The s4 index keeps 4 bands × 4 bits because a top-k PROBE joins
+    * one query's buckets — bucket size only costs the re-rank. A
+    * corpus-grain self-join costs Σ n_k² per band, so FIXED key
+    * resolution is quadratic in the corpus (the round-9 10× blow-up
+    * measured it: 16.2 → 1450 MB shuffle). Here bits-per-band grows
+    * with the corpus — the smallest b with 2^b ≥ ceil(n /
+    * [[AnnHubTargetOcc]]), clamped to [4, [[LshPlanes]]] — which holds
+    * expected bucket occupancy ≈ the target and keeps the candidate
+    * join linear in n. Both engines derive b with the same INTEGER
+    * formula (highest-set-bit of m−1; no float log2 knife edges).
+    * Fewer, wider bands trade recall for occupancy — the documented
+    * LSH knob; past n ≈ 2^[[LshPlanes]]·occ the plane family itself
+    * must grow. */
+  val AnnHubTargetOcc = 8
+  private[graft] def scaledBandBits(n: Long): Int = {
+    val m = (n.max(1L) + AnnHubTargetOcc - 1) / AnnHubTargetOcc
+    val need = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    need.max(4).min(LshPlanes)
+  }
+  private[graft] def scaledBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    scaledBandsCache.getOrElseUpdate((spark, dir), {
+      val b = scaledBandBits(emb(spark, dir).count())
+      val nBands = LshPlanes / b
+      val base = (0 until LshPlanes).foldLeft(emb(spark, dir)) { (d, p) =>
+        val coeffs = planeSigns(p)
+          .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
+        d.withColumn(s"s$p", expr(
+          s"dot_product(embedding, array($coeffs)) > 0D"))
+      }
+      val code = (0 until LshPlanes)
+        .map(p => s"(CASE WHEN s$p THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      val bandCols = (0 until nBands).map { i =>
+        expr(s"struct(cast($i as int) as bid, " +
+          s"cast(shiftright(_code, ${i * b}) & ${(1 << b) - 1} as int) as bkey)")
+      }
+      base.withColumn("_code", expr(s"cast($code as int)"))
+        .select(col("vec_id"), col("embedding"),
+          explode(array(bandCols: _*)).as("u"))
+        .select(col("vec_id"), col("embedding"),
+          col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+        .localCheckpoint()
+    })
+  }
+
+  /** s30 — ANN-candidate hubness: s26's in-degree health readout
+    * computed over the LSH-bucket kNN graph instead of s10's
+    * label-blocked exact join — the deployment-scale formulation the
+    * round-9 empirical scale trend named (the exact join is quadratic
+    * per block: 10× vectors = 100× scored pairs; the adaptive
+    * [[scaledBandIndex]] holds bucket occupancy ≈ constant, so
+    * candidate generation scales ~linearly with the corpus).
+    * Per vector: the [[KnnK]] nearest among its band-mates by exact
+    * cosine (ties to the lower neighbor id), deduped across bands;
+    * in-degree histogram includes the 0-degree antihubs. A vector
+    * sharing no band with anyone contributes an empty list — exactly
+    * the retrieval behavior being audited. Rides the checkpointed
+    * index (build once, probe per query) through the bounded
+    * WindowGroupLimit heap — never a global or per-label sort. */
+  def annHubness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = scaledBandIndex(spark, dir)
+    val scored = bands.as("a").join(bands.as("b"),
+        col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      .distinct()
+    val indeg = scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
+      .filter(col("rk") <= KnnK)
+      .groupBy(col("nbr_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    emb(spark, dir).select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      .groupBy(col("in_deg"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("in_deg")
+  }
+
   /** s27 — dominant principal direction via power iteration: three
     * matrix-free rounds of `v ← normalize(Σ_x (x·v)·x)` over the
     * micro-quantized embedding matrix, starting from the all-ones
@@ -1368,6 +1456,7 @@ object SimilarityQueries {
     "s28_matryoshka" -> ((s, d) => matryoshkaRecall(s, d)),
     "s27_power_iteration" -> ((s, d) => powerIteration(s, d)),
     "s26_hubness" -> ((s, d) => hubness(s, d)),
+    "s30_ann_hubness" -> ((s, d) => annHubness(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -1561,6 +1650,52 @@ object SimilarityQueries {
          |      FROM e LEFT JOIN ind ON ind.nbr_id = e.vec_id)
          |SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM d GROUP BY in_deg ORDER BY in_deg""".stripMargin,
+
+    // s26's histogram over the adaptive-resolution band-bucket candidate
+    // graph: the bit pipeline reproduces the engine's hyperplane signs
+    // exactly (same planeDot literals as s4/duckLsh), the bits-per-band
+    // choice replays the engine's integer highest-set-bit formula
+    // (length(bin(m-1)) = 64 - numberOfLeadingZeros(m-1)), pairs dedupe
+    // across bands, and the same k/tie-break/coalesce chain follows.
+    "s30_ann_hubness" -> {
+      val ss = (0 until LshPlanes)
+        .map(p => s"((${planeDot(p, i => s"v[$i]", "1.0")}) > 0) s$p")
+        .mkString(",\n       ")
+      val code = (0 until LshPlanes)
+        .map(p => s"(CASE WHEN s$p THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH $duckEmb,
+         |bits AS (SELECT vec_id, v, nrm,
+         |       $ss
+         |  FROM e),
+         |codes AS (SELECT vec_id, $code code FROM bits),
+         |params AS (SELECT GREATEST(4, LEAST($LshPlanes,
+         |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)) b
+         |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
+         |                        // $AnnHubTargetOcc m
+         |                 FROM embeddings)),
+         |bands AS (SELECT vec_id, i.bid,
+         |            (code >> (i.bid * pr.b)) & ((1 << pr.b) - 1) bkey
+         |          FROM codes, params pr,
+         |               (VALUES (0), (1), (2), (3)) AS i(bid)
+         |          WHERE i.bid < $LshPlanes // pr.b),
+         |p AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
+         |      FROM bands a JOIN bands b
+         |        ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+         |c AS (SELECT p.vec_id, p.nbr_id,
+         |        round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) cosine
+         |      FROM p JOIN e x ON x.vec_id = p.vec_id
+         |             JOIN e y ON y.vec_id = p.nbr_id),
+         |r AS (SELECT nbr_id,
+         |        CAST(row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cosine DESC, nbr_id ASC) AS BIGINT) rk
+         |      FROM c),
+         |ind AS (SELECT nbr_id, CAST(count(*) AS BIGINT) n
+         |        FROM r WHERE rk <= $KnnK GROUP BY 1),
+         |d AS (SELECT e.vec_id, coalesce(ind.n, 0) in_deg
+         |      FROM e LEFT JOIN ind ON ind.nbr_id = e.vec_id)
+         |SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM d GROUP BY in_deg ORDER BY in_deg""".stripMargin
+    },
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //
     // renormalization mirror the engine's decimal(38,0) + truncating

@@ -6,11 +6,15 @@ import org.apache.spark.sql.SparkSession
 
 private[pipelines] object PipelineSession {
   def build(appName: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
       .appName(appName)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .getOrCreate()
+      .config("spark.sql.shuffle.partitions", cpus)
+    // spark-submit injects spark.master; a bare `sbt runMain` does not —
+    // default to local so the quick-start commands run on a stock
+    // checkout without overriding a real cluster deployment.
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -69,5 +73,65 @@ object JoinToKafka {
     }
     KafkaIO.writeKafka(StediOps.toKafkaOutput(joined), broker,
       "customer-risk", checkpoint).awaitTermination()
+  }
+}
+
+/** Quick-start smoke — all three reference-twin pipelines end-to-end with
+  * NO Kafka broker: MemoryStream feeds stand in for the two topics
+  * (binary `value` column, exactly the Kafka wire shape), console sinks
+  * stand in for console/Kafka. Feeds the documented FIXTURES.md payloads
+  * through each chain and exits; `sbt "runMain graft.pipelines.LocalDemo"`. */
+object LocalDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = PipelineSession.build("graft-local-demo")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def envelope(name: String, email: String, birthDay: String): String = {
+      val el = b64(s"""{"customerName":"$name","email":"$email",""" +
+        s""""phone":"8015551212","birthDay":"$birthDay"}""")
+      s"""{"key":"Q3VzdG9tZXI=","existType":"NONE","ch":false,"incr":false,""" +
+        s""""zSetEntries":[{"element":"$el","score":0.0}]}"""
+    }
+    def risk(email: String, score: Double): String =
+      s"""{"customer":"$email","score":$score,"riskDate":"2020-09-14T07:54:06.417Z"}"""
+
+    val customerFeed = Seq(
+      envelope("Sam Test", "sam.test@test.com", "2001-01-03"),
+      envelope("Lily Vale", "lily.vale@test.com", "1995-05-05"))
+    val riskFeed = Seq(
+      risk("sam.test@test.com", 7.0),
+      risk("lily.vale@test.com", -2.5))
+    // Kafka delivers `value` as binary; the chains start at the P1 cast.
+    def asWire(s: MemoryStream[String]) =
+      StediOps.castValueAsString(
+        s.toDF().select(col("value").cast("binary").as("value")))
+
+    println("=== pipeline 1: redis-server -> decoded customers -> console ===")
+    val redis1 = MemoryStream[String]
+    redis1.addData(customerFeed: _*)
+    val q1 = KafkaIO.writeConsole(StediOps.customerChain(asWire(redis1)))
+    q1.processAllAvailable(); q1.stop()
+
+    println("=== pipeline 2: stedi-events -> parsed risk events -> console ===")
+    val events2 = MemoryStream[String]
+    events2.addData(riskFeed: _*)
+    val q2 = KafkaIO.writeConsole(StediOps.parseRiskEvent(asWire(events2)))
+    q2.processAllAvailable(); q2.stop()
+
+    println("=== pipeline 3: stream-stream join -> customer-risk JSON -> console ===")
+    val redis3 = MemoryStream[String]; val events3 = MemoryStream[String]
+    redis3.addData(customerFeed: _*); events3.addData(riskFeed: _*)
+    val joined = StediOps.joinRiskWithCustomer(
+      StediOps.parseRiskEvent(asWire(events3)),
+      StediOps.customerChain(asWire(redis3)))
+    val q3 = KafkaIO.writeConsole(StediOps.toKafkaOutput(joined))
+    q3.processAllAvailable(); q3.stop()
+
+    spark.stop()
   }
 }

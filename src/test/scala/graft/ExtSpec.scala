@@ -98,6 +98,26 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("adaptive band resolution holds bucket occupancy against corpus growth") {
+    import ext.SimilarityQueries.{scaledBandBits, AnnHubTargetOcc}
+    // integer highest-set-bit formula: smallest b with 2^b >= ceil(n/occ),
+    // clamped to [4, 16]
+    assert(scaledBandBits(1L) == 4)
+    assert(scaledBandBits(64L) == 4)            // m=8  -> 3 bits -> clamp 4
+    assert(scaledBandBits(2000L) == 8)          // m=250 -> 256 buckets
+    assert(scaledBandBits(2048L) == 8)          // m=256 -> exactly 2^8
+    assert(scaledBandBits(2056L) == 9)          // m=257 -> needs 9
+    assert(scaledBandBits(20000L) == 12)        // m=2500 -> 4096 buckets
+    assert(scaledBandBits(Long.MaxValue / 2) == 16) // plane-family ceiling
+    // invariant over a sweep: occupancy target respected until the clamp
+    (1L to 20L).map(_ * 997L).foreach { n =>
+      val b = scaledBandBits(n)
+      if (b < 16 && b > 4)
+        assert((1L << b) >= (n + AnnHubTargetOcc - 1) / AnnHubTargetOcc &&
+          (1L << (b - 1)) < (n + AnnHubTargetOcc - 1) / AnnHubTargetOcc, s"n=$n b=$b")
+    }
+  }
+
   test("cut ranges replay a brute-force substring sweep and reproduce d15's spans") {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -262,6 +262,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     } finally graft.CheckpointUtil.release(xm)
   }
 
+  test("s30 probes the checkpointed adaptive band index through a bounded heap") {
+    // candidate generation must read the materialized scaled-band blocks
+    // (no per-query re-hash of the 16 planes) and take top-k per vector
+    // via WindowGroupLimit — never a global or per-key full sort.
+    graft.ext.SimilarityQueries.scaledBandIndex(spark, dir) // warm
+    val p = plan("s30_ann_hubness")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
+  }
+
   test("d27 rides the cached shingle stream and one doc-partitioned window") {
     // cut-range extraction must add NOTHING to d15's plan shape: the
     // cached positional shingle index (no Generate), the fan-out-free
