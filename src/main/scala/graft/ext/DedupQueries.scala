@@ -1254,6 +1254,41 @@ object DedupQueries {
       .filter(col("cut_len_toks") >= MinCutSpanToks)
       .orderBy("doc_id", "cut_start")
 
+  /** d28 — keep-one-copy cut plan: the Lee et al. ExactSubstr POLICY over
+    * d27's ranges. d27 cuts every occurrence (boilerplate scrub); this
+    * keeps exactly ONE occurrence of each distinct duplicated span
+    * corpus-wide — the lowest (doc_id, cut_start) — and emits the rest
+    * as the actual cut list, each row carrying the span fingerprint and
+    * the kept copy's location for provenance. Span identity is the md5
+    * of the covered token slice, so only identical MAXIMAL spans group
+    * (a span flanked by different duplicated context merges into a
+    * different maximal run — the shingle-grain contract, documented).
+    *
+    * Plan: d27's run frame joins documents once to slice the covered
+    * tokens (equi-join on doc_id, the standard corpus shape), one
+    * combinable min-struct aggregate per fingerprint, and a shuffled
+    * equi-join back on the fingerprint — no window, no all-pairs;
+    * everything is span-grain, bounded by d27's output size. */
+  def cutDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ranged = cutRanges(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .withColumn("span_fp", md5(concat_ws(" ",
+        expr("slice(split(lower(text), ' '), cast(cut_start + 1 as int), " +
+          "cast(cut_len_toks as int))"))))
+      .select(col("doc_id"), col("cut_start"), col("cut_end"), col("span_fp"))
+    val kept = ranged.groupBy(col("span_fp"))
+      .agg(min(struct(col("doc_id"), col("cut_start"))).as("k"))
+      .select(col("span_fp"), col("k.doc_id").as("kept_doc_id"),
+        col("k.cut_start").as("kept_start"))
+    ranged.join(kept, Seq("span_fp"))
+      .filter(col("doc_id") =!= col("kept_doc_id") ||
+        col("cut_start") =!= col("kept_start"))
+      .select(col("doc_id"), col("cut_start"), col("cut_end"),
+        col("span_fp"), col("kept_doc_id"), col("kept_start"))
+      .orderBy("doc_id", "cut_start")
+  }
+
   /** d26 — cross-modality dedup agreement: the Adjusted Rand Index
     * between the token-level clustering (d8's shingle-LSH connected
     * components) and the embedding-level clustering (d9's cosine
@@ -1317,6 +1352,7 @@ object DedupQueries {
     "d16_containment" -> ((s, d) => containmentPairs(s, d)),
     "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "d27_cut_ranges" -> ((s, d) => cutRanges(s, d)),
+    "d28_cut_dedup" -> ((s, d) => cutDedup(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
     "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
@@ -1522,6 +1558,38 @@ object DedupQueries {
          |       cut_end - cut_start AS cut_len_toks
          |FROM runs WHERE cut_end - cut_start >= $MinCutSpanToks
          |ORDER BY doc_id, cut_start""".stripMargin,
+
+    "d28_cut_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+         |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i
+         |      FROM t WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] shingle
+         |       FROM s),
+         |c AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+         |dup AS (SELECT sh.doc_id, sh.pos FROM sh JOIN c USING (shingle)),
+         |q AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl
+         |      FROM dup),
+         |runs AS (SELECT doc_id, CAST(min(pos) AS BIGINT) cut_start,
+         |           CAST(min(pos) + count(*) + 2 AS BIGINT) cut_end
+         |         FROM q GROUP BY doc_id, isl),
+         |rng AS (SELECT doc_id, cut_start, cut_end FROM runs
+         |        WHERE cut_end - cut_start >= $MinCutSpanToks),
+         |fp AS (SELECT r.doc_id, r.cut_start, r.cut_end,
+         |         md5(array_to_string(
+         |           t.tk[CAST(r.cut_start + 1 AS INT) : CAST(r.cut_end AS INT)],
+         |           ' ')) span_fp
+         |       FROM rng r JOIN t ON t.doc_id = r.doc_id),
+         |kept AS (SELECT span_fp, doc_id kept_doc_id, cut_start kept_start
+         |         FROM (SELECT *, row_number() OVER (PARTITION BY span_fp
+         |                 ORDER BY doc_id, cut_start) rn FROM fp)
+         |         WHERE rn = 1)
+         |SELECT f.doc_id, f.cut_start, f.cut_end, f.span_fp,
+         |       k.kept_doc_id, k.kept_start
+         |FROM fp f JOIN kept k USING (span_fp)
+         |WHERE f.doc_id <> k.kept_doc_id OR f.cut_start <> k.kept_start
+         |ORDER BY f.doc_id, f.cut_start""".stripMargin,
 
     "d14_triangles" ->
       s"""WITH $duckShingled,

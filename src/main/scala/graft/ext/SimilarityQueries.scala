@@ -216,14 +216,21 @@ object SimilarityQueries {
   /** The ±1 sign table for a hyperplane family: md5("<seed><p>|<d>").
     * One generator for every family (s4's cosine planes, s13's augmented
     * MIPS planes) so the scheme can't drift between them. */
-  private def hashSigns(seed: String, dims: Int): Array[Array[Int]] = {
+  private def hashSignsN(seed: String, planes: Int, dims: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshPlanes, dims) { (p, d) =>
+    Array.tabulate(planes, dims) { (p, d) =>
       val h = md.digest(s"$seed$p|$d".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1 else -1
     }
   }
+  private def hashSigns(seed: String, dims: Int): Array[Array[Int]] =
+    hashSignsN(seed, LshPlanes, dims)
   private lazy val planeSigns: Array[Array[Int]] = hashSigns("", LshDims)
+  /** The extended family for the multi-table scaled index: table t owns
+    * planes [t·16, (t+1)·16) of the SAME "" seed, so table 0's planes
+    * are exactly s4's. */
+  private lazy val tablePlaneSigns: Array[Array[Int]] =
+    hashSignsN("", AnnHubTables * LshPlanes, LshDims)
 
   /** The 4×4 banding of 16 sign-bit columns `s0..s15` into
     * `struct(bid, bkey)` literals — shared by every LSH family. */
@@ -1164,25 +1171,36 @@ object SimilarityQueries {
       .orderBy("in_deg")
   }
 
-  /** Adaptive-resolution band table for CORPUS-GRAIN candidate
-    * generation (all-pairs-within-bucket, not single-query probing):
-    * `(vec_id, embedding, bid, bkey)`, checkpointed once per
+  /** Adaptive-resolution MULTI-TABLE band index for CORPUS-GRAIN
+    * candidate generation (all-pairs-within-bucket, not single-query
+    * probing): `(vec_id, embedding, bid, bkey)`, checkpointed once per
     * (session, dir).
     *
-    * The s4 index keeps 4 bands × 4 bits because a top-k PROBE joins
-    * one query's buckets — bucket size only costs the re-rank. A
-    * corpus-grain self-join costs Σ n_k² per band, so FIXED key
-    * resolution is quadratic in the corpus (the round-9 10× blow-up
-    * measured it: 16.2 → 1450 MB shuffle). Here bits-per-band grows
-    * with the corpus — the smallest b with 2^b ≥ ceil(n /
-    * [[AnnHubTargetOcc]]), clamped to [4, [[LshPlanes]]] — which holds
-    * expected bucket occupancy ≈ the target and keeps the candidate
-    * join linear in n. Both engines derive b with the same INTEGER
-    * formula (highest-set-bit of m−1; no float log2 knife edges).
-    * Fewer, wider bands trade recall for occupancy — the documented
-    * LSH knob; past n ≈ 2^[[LshPlanes]]·occ the plane family itself
-    * must grow. */
+    * Two dials, decoupled — the classic (L, b) LSH design:
+    *
+    *  - **b, bits per table key** — OCCUPANCY. The s4 index keeps 4
+    *    bands × 4 bits because a top-k PROBE joins one query's buckets;
+    *    a corpus-grain self-join costs Σ n_k² per table, so FIXED key
+    *    resolution is quadratic in the corpus (the round-9 10× blow-up
+    *    measured it: 16.2 → 1450 MB shuffle). Here b is the smallest
+    *    with 2^b ≥ ceil(n / [[AnnHubTargetOcc]]), clamped to
+    *    [4, [[LshPlanes]]] — expected bucket occupancy stays ≈ the
+    *    target and the candidate join stays linear in n. Both engines
+    *    derive b with the same INTEGER formula (highest-set-bit of
+    *    m−1; no float log2 knife edges).
+    *  - **L = [[AnnHubTables]] hash tables** — RECALL. A single b-bit
+    *    table's collision probability for a true neighbor at angle θ
+    *    is (1−θ/π)^b, which collapses as b grows; L independent tables
+    *    recover it to 1−(1−p^b)^L — the repetition dial a deployment
+    *    raises until s31's measured recall clears its target. Table t
+    *    uses planes [t·16, (t+1)·16) of the extended family and keys on
+    *    the low b bits.
+    *
+    * Candidates per vector ≈ L · occupancy — corpus-size-independent.
+    * Past n ≈ 2^[[LshPlanes]] · occ the per-table key width is clamped
+    * and the plane family itself must widen (documented limit). */
   val AnnHubTargetOcc = 8
+  val AnnHubTables = 8
   private[graft] def scaledBandBits(n: Long): Int = {
     val m = (n.max(1L) + AnnHubTargetOcc - 1) / AnnHubTargetOcc
     val need = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
@@ -1192,21 +1210,23 @@ object SimilarityQueries {
     evictOtherDirs(spark, dir)
     scaledBandsCache.getOrElseUpdate((spark, dir), {
       val b = scaledBandBits(emb(spark, dir).count())
-      val nBands = LshPlanes / b
-      val base = (0 until LshPlanes).foldLeft(emb(spark, dir)) { (d, p) =>
-        val coeffs = planeSigns(p)
+      // only the b planes each table actually keys on are evaluated —
+      // 8·b dot products per vector, not the full 8·16 family
+      val used = (0 until AnnHubTables).flatMap(t =>
+        (0 until b).map(r => t * LshPlanes + r))
+      val base = used.foldLeft(emb(spark, dir)) { (d, p) =>
+        val coeffs = tablePlaneSigns(p)
           .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
         d.withColumn(s"s$p", expr(
           s"dot_product(embedding, array($coeffs)) > 0D"))
       }
-      val code = (0 until LshPlanes)
-        .map(p => s"(CASE WHEN s$p THEN ${1 << p} ELSE 0 END)").mkString(" + ")
-      val bandCols = (0 until nBands).map { i =>
-        expr(s"struct(cast($i as int) as bid, " +
-          s"cast(shiftright(_code, ${i * b}) & ${(1 << b) - 1} as int) as bkey)")
+      val bandCols = (0 until AnnHubTables).map { t =>
+        val code = (0 until b)
+          .map(r => s"(CASE WHEN s${t * LshPlanes + r} THEN ${1 << r} ELSE 0 END)")
+          .mkString(" + ")
+        expr(s"struct(cast($t as int) as bid, cast(($code) as int) as bkey)")
       }
-      base.withColumn("_code", expr(s"cast($code as int)"))
-        .select(col("vec_id"), col("embedding"),
+      base.select(col("vec_id"), col("embedding"),
           explode(array(bandCols: _*)).as("u"))
         .select(col("vec_id"), col("embedding"),
           col("u.bid").as("bid"), col("u.bkey").as("bkey"))
@@ -1228,16 +1248,37 @@ object SimilarityQueries {
     * the retrieval behavior being audited. Rides the checkpointed
     * index (build once, probe per query) through the bounded
     * WindowGroupLimit heap — never a global or per-label sort. */
-  def annHubness(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bands = scaledBandIndex(spark, dir)
-    val scored = bands.as("a").join(bands.as("b"),
+  /** Distinct candidate pairs from the scaled band index, NARROW-first:
+    * the bucket self-join carries only (vec_id, bid, bkey) — shipping
+    * the embedding through the index join would shuffle L copies of
+    * every vector (measured 28× shuffle growth on the 10× blow-up);
+    * pairs dedupe across tables BEFORE any scoring, then the two
+    * id-equi-joins attach vectors (each embedding crosses the wire at
+    * most twice, and the cosine runs once per distinct pair, not once
+    * per colliding table). `leftFilter` restricts the query side (s31's
+    * sample) without changing the shape. */
+  private def scaledCandScores(spark: SparkSession, dir: String,
+      leftFilter: Column): DataFrame = {
+    val nb = scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
+    val pairs = nb.as("a").join(nb.as("b"),
         col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      .filter(leftFilter)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
       .distinct()
-    val indeg = scored.withColumn("rk", row_number().over(
+    val ev = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    pairs
+      .join(ev.select(col("vec_id"), col("embedding").as("xv")), Seq("vec_id"))
+      .join(ev.select(col("vec_id").as("nbr_id"), col("embedding").as("yv")),
+        Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(expr("cosine_sim(xv, yv)"), 6).as("cosine"))
+  }
+
+  def annHubness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indeg = scaledCandScores(spark, dir, lit(true))
+      .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
       .filter(col("rk") <= KnnK)
@@ -1249,6 +1290,46 @@ object SimilarityQueries {
       .groupBy(col("in_deg"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("in_deg")
+  }
+
+  /** s31 — adaptive-band candidate recall: recall@[[KnnK]] of the s30
+    * candidate graph against the EXACT unblocked kNN graph on the
+    * deterministic query sample `vec_id % RecallSampleMod == 0` — the
+    * other half of the occupancy/recall tradeoff [[scaledBandIndex]]
+    * tunes (fewer, wider bands hold occupancy but cost recall; this is
+    * the dial readout). One summary row, exact integers to the final
+    * ppm.
+    *
+    * The exact side broadcasts the SAMPLE against the corpus (the
+    * s9/s28 recall-audit discipline: the sample is fixed-size at
+    * deployment, so the scan is one corpus pass, never all-pairs); the
+    * candidate side restricts the same band self-join s30 runs to
+    * sampled left sides. */
+  val RecallSampleMod = 20
+  def scaledAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val sample = emb(spark, dir)
+      .filter(col("vec_id") % RecallSampleMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb(spark, dir).join(broadcast(sample),
+        col("qid") =!= col("vec_id"))
+      .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+        round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"))
+    val ann = scaledCandScores(spark, dir,
+        col("a.vec_id") % RecallSampleMod === 0)
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"))
+    val hits = exact.join(ann, Seq("vec_id", "nbr_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(countDistinct(col("vec_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits)
+      .select(col("n_queries"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
   }
 
   /** s27 — dominant principal direction via power iteration: three
@@ -1457,6 +1538,7 @@ object SimilarityQueries {
     "s27_power_iteration" -> ((s, d) => powerIteration(s, d)),
     "s26_hubness" -> ((s, d) => hubness(s, d)),
     "s30_ann_hubness" -> ((s, d) => annHubness(s, d)),
+    "s31_scaled_ann_recall" -> ((s, d) => scaledAnnRecall(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -1508,6 +1590,44 @@ object SimilarityQueries {
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
       |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
       |       FROM embeddings)""".stripMargin
+
+  /** DuckDB twin of [[scaledBandIndex]] — per-table 16-bit codes from
+    * the extended plane family, with the data-dependent key width (the
+    * engine's integer highest-set-bit formula) applied as a mask on each
+    * table's low bits. The static text carries all 8·16 plane exprs;
+    * masking reproduces the engine's only-evaluate-b-planes shortcut
+    * exactly. Expects the `e` CTE in scope; yields `bands (vec_id, bid,
+    * bkey)`. Shared by the s30/s31 oracles. */
+  private lazy val duckScaledBands: String = {
+    def tblDot(p: Int): String = (0 until LshDims)
+      .map(d => s"v[${d + 1}] * ${if (tablePlaneSigns(p)(d) > 0) "1.0" else "-1.0"}")
+      .mkString(" + ")
+    val ss = (0 until AnnHubTables * LshPlanes)
+      .map(p => s"((${tblDot(p)}) > 0) s$p")
+      .mkString(",\n       ")
+    val codes = (0 until AnnHubTables).map { t =>
+      val c = (0 until LshPlanes)
+        .map(r => s"(CASE WHEN s${t * LshPlanes + r} THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      s"($c) code$t"
+    }.mkString(",\n       ")
+    val tables = (0 until AnnHubTables).map(t =>
+      s"SELECT vec_id, $t bid, (code$t & ((1 << pr.b) - 1)) bkey " +
+        s"FROM codes, params pr").mkString("\nUNION ALL\n")
+    s"""bits AS (SELECT vec_id, v, nrm,
+       |       $ss
+       |  FROM e),
+       |codes AS (SELECT vec_id,
+       |       $codes
+       |  FROM bits),
+       |params AS (SELECT GREATEST(4, LEAST($LshPlanes,
+       |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)) b
+       |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
+       |                        // $AnnHubTargetOcc m
+       |                 FROM embeddings)),
+       |bands AS (
+       |$tables)""".stripMargin
+  }
 
   private lazy val duckLsh: String = {
     val ss = (0 until LshPlanes)
@@ -1657,27 +1777,9 @@ object SimilarityQueries {
     // choice replays the engine's integer highest-set-bit formula
     // (length(bin(m-1)) = 64 - numberOfLeadingZeros(m-1)), pairs dedupe
     // across bands, and the same k/tie-break/coalesce chain follows.
-    "s30_ann_hubness" -> {
-      val ss = (0 until LshPlanes)
-        .map(p => s"((${planeDot(p, i => s"v[$i]", "1.0")}) > 0) s$p")
-        .mkString(",\n       ")
-      val code = (0 until LshPlanes)
-        .map(p => s"(CASE WHEN s$p THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+    "s30_ann_hubness" ->
       s"""WITH $duckEmb,
-         |bits AS (SELECT vec_id, v, nrm,
-         |       $ss
-         |  FROM e),
-         |codes AS (SELECT vec_id, $code code FROM bits),
-         |params AS (SELECT GREATEST(4, LEAST($LshPlanes,
-         |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)) b
-         |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
-         |                        // $AnnHubTargetOcc m
-         |                 FROM embeddings)),
-         |bands AS (SELECT vec_id, i.bid,
-         |            (code >> (i.bid * pr.b)) & ((1 << pr.b) - 1) bkey
-         |          FROM codes, params pr,
-         |               (VALUES (0), (1), (2), (3)) AS i(bid)
-         |          WHERE i.bid < $LshPlanes // pr.b),
+         |$duckScaledBands,
          |p AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
          |      FROM bands a JOIN bands b
          |        ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
@@ -1694,8 +1796,42 @@ object SimilarityQueries {
          |d AS (SELECT e.vec_id, coalesce(ind.n, 0) in_deg
          |      FROM e LEFT JOIN ind ON ind.nbr_id = e.vec_id)
          |SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs
-         |FROM d GROUP BY in_deg ORDER BY in_deg""".stripMargin
-    },
+         |FROM d GROUP BY in_deg ORDER BY in_deg""".stripMargin,
+
+    // the same scaled-band CTEs; exact side is the unblocked top-k over
+    // the broadcast sample, hit counting is an inner join on the two
+    // (query, neighbor) sets, all integers to the final ppm.
+    "s31_scaled_ann_recall" ->
+      s"""WITH $duckEmb,
+         |$duckScaledBands,
+         |qs AS (SELECT * FROM e WHERE vec_id % $RecallSampleMod = 0),
+         |ex AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT q.vec_id, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |cand AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
+         |         FROM bands a JOIN bands b
+         |           ON a.bid = b.bid AND a.bkey = b.bkey
+         |          AND a.vec_id <> b.vec_id
+         |         WHERE a.vec_id % $RecallSampleMod = 0),
+         |ann AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT c.vec_id, c.nbr_id,
+         |          row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+         |            c.nbr_id ASC) rk
+         |        FROM cand c JOIN e x ON x.vec_id = c.vec_id
+         |                    JOIN e y ON y.vec_id = c.nbr_id)
+         |       WHERE rk <= $KnnK),
+         |h AS (SELECT CAST(count(*) AS BIGINT) n_hits
+         |      FROM ex JOIN ann USING (vec_id, nbr_id)),
+         |tot AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) n_queries,
+         |               CAST(count(*) AS BIGINT) n_exact FROM ex)
+         |SELECT tot.n_queries, tot.n_exact, h.n_hits,
+         |       CAST(h.n_hits * 1000000 // tot.n_exact AS BIGINT) AS recall_ppm
+         |FROM tot, h""".stripMargin,
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //
     // renormalization mirror the engine's decimal(38,0) + truncating

@@ -98,6 +98,41 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cut dedup keeps exactly one copy per span and cuts token-identical text") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)).toMap
+    val ranges = ext.DedupQueries.cutRanges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cuts = ext.DedupQueries.cutDedup(spark, dir).collect()
+    assert(cuts.nonEmpty, "fixtures plant duplicated spans")
+    // every cut row is a d27 range
+    cuts.foreach { r =>
+      assert(ranges.contains((r.getLong(0), r.getLong(1), r.getLong(2))), r)
+    }
+    def slice(doc: Long, s: Long, e: Long): Seq[String] =
+      docs(doc).slice(s.toInt, e.toInt).toSeq
+    cuts.groupBy(_.getString(3)).foreach { case (fp, rs) =>
+      // one consistent kept reference per fingerprint...
+      val kept = (rs.head.getLong(4), rs.head.getLong(5))
+      assert(rs.forall(r => (r.getLong(4), r.getLong(5)) == kept))
+      // ...which is itself a d27 range, is NOT in the cut list, and
+      // precedes every cut occurrence in (doc_id, cut_start) order
+      val len = rs.head.getLong(2) - rs.head.getLong(1)
+      assert(ranges.contains((kept._1, kept._2, kept._2 + len)), s"$fp kept=$kept")
+      assert(rs.forall(r => (r.getLong(0), r.getLong(1)) != kept))
+      rs.foreach { r =>
+        assert(kept._1 < r.getLong(0) ||
+          (kept._1 == r.getLong(0) && kept._2 < r.getLong(1)), s"$fp: $kept !< $r")
+        // the cut text is token-identical to the kept copy's
+        assert(slice(r.getLong(0), r.getLong(1), r.getLong(2)) ==
+          slice(kept._1, kept._2, kept._2 + len), s"$fp text mismatch")
+      }
+    }
+    // ranges not cut are exactly the kept representatives + singletons
+    val cutSet = cuts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cutSet.subsetOf(ranges) && cutSet.size < ranges.size)
+  }
+
   test("adaptive band resolution holds bucket occupancy against corpus growth") {
     import ext.SimilarityQueries.{scaledBandBits, AnnHubTargetOcc}
     // integer highest-set-bit formula: smallest b with 2^b >= ceil(n/occ),
