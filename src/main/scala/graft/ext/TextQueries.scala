@@ -626,7 +626,17 @@ object TextQueries {
     * released eagerly. The oracle unrolls the same K rounds as chained
     * CTEs (positional gaps-and-islands form of the same greedy merge —
     * odd-rank candidates within each run of consecutive candidate
-    * positions are exactly the non-overlapping leftmost merges). */
+    * positions are exactly the non-overlapping leftmost merges).
+    *
+    * PRODUCTION-K LIMIT: at a real tokenizer's K ≈ 30-50k merges the
+    * per-round driver round-trip (one TakeOrdered(1) job per merge)
+    * dominates wall clock. The production form batches: maintain the
+    * pair-count frame incrementally (a merge only perturbs counts of
+    * pairs overlapping the merged symbol — the classic priority-queue
+    * BPE trainer, distributed as a delta-aggregate) and/or takes the
+    * top-B non-interacting pairs per round (disjoint symbol sets merge
+    * safely in one pass). The 5-round loop here pins the exact
+    * per-round semantics those optimizations must preserve. */
   val BpeRounds = 5
   /** One BPE round's winning pair over a segmentation frame
     * `(freq, syms)` — exposed for the plan audit: partial/final hash
