@@ -145,8 +145,13 @@ object TextQueries {
     * it, d15's multiplicity table and join probe both scan it; cached so
     * neither query runs the generator twice. */
   private val posShingleCache = caches.newCache()
+  private val bpeSegCache = caches.newCache()
+  /** Driver-side merge tables keyed alongside [[bpeSegCache]] — tiny
+    * (K rows), so no checkpoint discipline; cleared with the caches. */
+  private val bpeMergesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, String, String, String, Long)]]
 
-  def clearCaches(): Unit = caches.clear()
+  def clearCaches(): Unit = { caches.clear(); bpeMergesCache.clear() }
 
   /** Cached positional shingles (see [[posShingleCache]]). */
   def posShingles(spark: SparkSession, dir: String): DataFrame = {
@@ -657,14 +662,16 @@ object TextQueries {
       .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
       .limit(1)
 
-  /** The vocabulary frame `(freq, syms)`: distinct words with corpus
-    * frequency, segmented to single characters. Exposed for the audit. */
+  /** The vocabulary frame `(w, freq, syms)`: distinct words with corpus
+    * frequency, segmented to single characters. The word column rides
+    * along untouched so [[bpeApply]] can join the trained segmentation
+    * back onto document tokens. Exposed for the audit. */
   private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").as("syms"))
 
   /** The leftmost-greedy non-overlapping merge of one winning pair, as a
@@ -695,33 +702,74 @@ object TextQueries {
         .otherwise(array_append(st.getField("out"), st.getField("pending"))))
   }
 
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    var seg = bpeVocab(spark, dir).localCheckpoint()
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    var round = 1
-    var exhausted = false
-    while (round <= BpeRounds && !exhausted) {
-      // take(1), not head(): a degenerate corpus can run out of adjacent
-      // pairs before BpeRounds completes (every word merged to a single
-      // symbol) — then the merge table simply truncates, exactly like
-      // the oracle's chained CTEs (an empty w_r empties all later
-      // rounds), instead of crashing.
-      bpeRoundWinner(seg).take(1) match {
-        case Array(win) =>
-          val (l, r, n) = (win.getString(0), win.getString(1), win.getLong(2))
-          merges += ((round.toLong, l, r, l + r, n))
-          val prev = seg
-          seg = seg.withColumn("syms", bpeMergedCol(l, r)).localCheckpoint()
-          graft.CheckpointUtil.release(prev)
-        case _ => exhausted = true
+  /** Run the K-round training loop once per (session, dir): the FINAL
+    * vocabulary segmentation `(w, freq, syms)` lands in the checkpoint
+    * cache (t31 reads the merge table, t32 applies the segmentation —
+    * neither re-trains), the merge table in [[bpeMergesCache]]. */
+  private def bpeTrained(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    bpeSegCache.getOrElseUpdate((spark, dir), {
+      var seg = bpeVocab(spark, dir).localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      var round = 1
+      var exhausted = false
+      while (round <= BpeRounds && !exhausted) {
+        // take(1), not head(): a degenerate corpus can run out of
+        // adjacent pairs before BpeRounds completes (every word merged
+        // to a single symbol) — then the merge table simply truncates,
+        // exactly like the oracle's chained CTEs (an empty w_r leaves
+        // all later segmentations unchanged), instead of crashing.
+        bpeRoundWinner(seg).take(1) match {
+          case Array(win) =>
+            val (l, r, n) = (win.getString(0), win.getString(1), win.getLong(2))
+            merges += ((round.toLong, l, r, l + r, n))
+            val prev = seg
+            seg = seg.withColumn("syms", bpeMergedCol(l, r)).localCheckpoint()
+            graft.CheckpointUtil.release(prev)
+          case _ => exhausted = true
+        }
+        round += 1
       }
-      round += 1
-    }
-    graft.CheckpointUtil.release(seg)
+      bpeMergesCache((spark, dir)) = merges.result()
+      seg
+    })
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    bpeTrained(spark, dir)
     import spark.implicits._
-    merges.result()
+    bpeMergesCache((spark, dir))
       .toDF("merge_round", "lhs", "rhs", "merged", "n_occurrences")
       .orderBy("merge_round")
+  }
+
+  /** t32 — trained-tokenizer application: per-document token counts
+    * under the t31 merge table — the inference half of BPE, and the
+    * budget readout a packing/pricing pass actually needs (whitespace
+    * tokens over-count by the subword expansion factor). Each document
+    * token joins the trained segmentation; words outside the vocabulary
+    * (length < 2 — the training filter) contribute their character
+    * count. expansion_ppm = subword/whitespace ratio in exact ppm.
+    *
+    * Scale shape: the corpus-grain token stream joins the
+    * VOCABULARY-grain segmentation (broadcast at fixture scale, a
+    * standard shuffled equi-join on the word when the vocabulary
+    * outgrows the threshold) and reduces map-side per doc — training
+    * cost is paid once in the shared [[bpeTrained]] cache, never per
+    * query. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val sub = bpeTrained(spark, dir)
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .join(sub, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(coalesce(col("n_sub"), length(col("w")).cast("long")))
+          .as("n_bpe_tokens"))
+      .withColumn("expansion_ppm",
+        expr("n_bpe_tokens * 1000000L div n_ws_tokens"))
+      .orderBy("doc_id")
   }
 
   /** t13 — positional shingle stream via the native table-generating
@@ -1173,6 +1221,7 @@ object TextQueries {
     "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),
     "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "t31_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "t32_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "t11_repetition" -> ((s, d) => repetition(s, d)),
     "t10_lm_score" -> ((s, d) => lmScore(s, d)),
     "t1_langid" -> ((s, d) => langId(s, d)),
@@ -1198,6 +1247,53 @@ object TextQueries {
   // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
+  /** Shared t31/t32 CTE chain: vocabulary (wd), character segmentation
+    * (s0), then K rounds — a{r} adds each position's next symbol, w{r}
+    * is the 1-row argmax pair, c{r} marks candidates via LEFT JOIN ON
+    * TRUE (an EMPTY w{r} — degenerate corpus out of pairs — leaves cand
+    * false everywhere, so s{r} = s{r-1}, exactly the engine's
+    * loop-break-and-keep-last semantics), g{r} selects the leftmost
+    * non-overlapping merge starts (odd rank within each run of
+    * consecutive candidate positions — gaps-and-islands), s{r} rebuilds
+    * the segmentation.
+    *
+    * Every CTE is AS MATERIALIZED: DuckDB 1.0 otherwise INLINES each
+    * single-reference CTE, and since s{r} expands to ~4 copies of
+    * c{r} (via the two g{r} joins), the chain re-evaluates ~4^K times —
+    * t32's s{K} read took >15 min CPU at sf0.01 plain vs 0.5 s
+    * materialized (measured). */
+  private lazy val duckBpeRounds: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT w, freq, pos, sym,
+         |  lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt FROM s${r - 1}),
+         |w$r AS MATERIALIZED (SELECT lhs, rhs, n FROM (
+         |    SELECT sym lhs, nxt rhs, sum(freq) n FROM a$r
+         |    WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+         |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+         |c$r AS MATERIALIZED (SELECT a.w, a.freq, a.pos, a.sym, a.nxt,
+         |    coalesce(a.sym = q.lhs AND a.nxt = q.rhs, FALSE) cand
+         |  FROM a$r a LEFT JOIN w$r q ON TRUE),
+         |g$r AS MATERIALIZED (SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) rn
+         |    FROM (SELECT w, pos,
+         |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) grp
+         |          FROM c$r WHERE cand)) WHERE rn % 2 = 1),
+         |s$r AS MATERIALIZED (SELECT c.w, c.freq,
+         |    row_number() OVER (PARTITION BY c.w ORDER BY c.pos) pos,
+         |    CASE WHEN st.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END sym
+         |  FROM c$r c
+         |  LEFT JOIN g$r st ON st.w = c.w AND st.pos = c.pos
+         |  LEFT JOIN g$r cons ON cons.w = c.w AND cons.pos = c.pos - 1
+         |  WHERE cons.pos IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""wd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT w, freq, pos, w[CAST(pos AS INT)] sym FROM (
+       |    SELECT w, freq, unnest(range(1, length(w) + 1)) pos FROM wd)),
+       |$rounds""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = Map(
     "t30_rake" -> {
       val stopsSql = RakeStops.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -1470,50 +1566,37 @@ object TextQueries {
         |       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
         |FROM s ORDER BY doc_id, pos""".stripMargin,
 
-    // K BPE rounds unrolled as chained CTEs (the d19/s27 discipline).
-    // Per round: a{r} adds each position's next symbol, w{r} is the
-    // 1-row argmax pair, g{r} selects the leftmost non-overlapping merge
-    // starts (odd rank within each run of consecutive candidate
-    // positions — gaps-and-islands), s{r} rebuilds the segmentation
-    // (merge starts concatenate with their next symbol; the consumed
-    // next row is dropped; positions renumber).
+    // K BPE rounds unrolled as chained CTEs (the d19/s27 discipline) via
+    // the shared [[duckBpeRounds]] builder; the merge table is the union
+    // of the per-round 1-row argmax frames.
     "t31_bpe_train" -> {
-      val rounds = (1 to BpeRounds).map { r =>
-        s"""a$r AS (SELECT w, freq, pos, sym,
-           |  lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt FROM s${r - 1}),
-           |w$r AS (SELECT lhs, rhs, n FROM (
-           |    SELECT sym lhs, nxt rhs, sum(freq) n FROM a$r
-           |    WHERE nxt IS NOT NULL GROUP BY sym, nxt)
-           |  ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
-           |c$r AS (SELECT a.w, a.freq, a.pos, a.sym, a.nxt,
-           |    (a.sym = q.lhs AND a.nxt = q.rhs) cand
-           |  FROM a$r a, w$r q),
-           |g$r AS (SELECT w, pos FROM (
-           |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) rn
-           |    FROM (SELECT w, pos,
-           |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) grp
-           |          FROM c$r WHERE cand)) WHERE rn % 2 = 1),
-           |s$r AS (SELECT c.w, c.freq,
-           |    row_number() OVER (PARTITION BY c.w ORDER BY c.pos) pos,
-           |    CASE WHEN st.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END sym
-           |  FROM c$r c
-           |  LEFT JOIN g$r st ON st.w = c.w AND st.pos = c.pos
-           |  LEFT JOIN g$r cons ON cons.w = c.w AND cons.pos = c.pos - 1
-           |  WHERE cons.pos IS NULL)""".stripMargin
-      }.mkString(",\n")
       val sel = (1 to BpeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) merge_round, lhs, rhs, lhs || rhs merged, " +
           s"CAST(n AS BIGINT) n_occurrences FROM w$r")
         .mkString("\nUNION ALL ")
-      s"""WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) freq FROM (
-         |    SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
-         |  WHERE length(w) >= 2 GROUP BY w),
-         |s0 AS (SELECT w, freq, pos, w[CAST(pos AS INT)] sym FROM (
-         |    SELECT w, freq, unnest(range(1, length(w) + 1)) pos FROM wd)),
-         |$rounds
+      s"""WITH $duckBpeRounds
          |$sel
          |ORDER BY merge_round""".stripMargin
     },
+
+    // the trained segmentation s{K} applied back to the document token
+    // stream; out-of-vocabulary words (length < 2) fall back to their
+    // character count, exactly like the engine's left-join coalesce.
+    "t32_bpe_apply" ->
+      s"""WITH $duckBpeRounds,
+         |sub AS (SELECT w, CAST(count(*) AS BIGINT) n_sub
+         |        FROM s$BpeRounds GROUP BY w),
+         |dt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) w
+         |       FROM documents)
+         |SELECT dt.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+         |       CAST(sum(coalesce(sub.n_sub, length(dt.w))) AS BIGINT)
+         |         AS n_bpe_tokens,
+         |       CAST(sum(coalesce(sub.n_sub, length(dt.w))) * 1000000
+         |            // count(*) AS BIGINT) AS expansion_ppm
+         |FROM dt LEFT JOIN sub ON dt.w = sub.w
+         |GROUP BY dt.doc_id
+         |ORDER BY dt.doc_id""".stripMargin,
 
     "t12_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) w FROM documents),

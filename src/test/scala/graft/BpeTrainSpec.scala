@@ -119,6 +119,35 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
     assert(got(6L) == Nil)
   }
 
+  test("t32 apply replays a sequential tokenize-and-count per document") {
+    // same corpus as the replay test; expected counts computed by
+    // applying the sequential merge table word by word — in-vocabulary
+    // words (length >= 2) count trained subwords, OOV words (length < 2,
+    // the training filter) fall back to their character count.
+    val texts = Seq(
+      "aaa banana bandana aaaa",
+      "banana banana cabana",
+      "the theme then an and hand",
+      "aaa na na na a i")
+    val dir = writeDocs("bpeapply", texts)
+    val vocab = vocabOf(texts)
+    val merges = seqBpe(vocab, TextQueries.BpeRounds)
+    def segLen(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      for ((_, l, r, _, _) <- merges) syms = mergeLeftmost(syms, l, r)
+      syms.length.toLong
+    }
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.toLowerCase.split(" ", -1).toSeq
+      val nWs = ws.length.toLong
+      val nBpe = ws.map(w => if (w.length >= 2) segLen(w) else w.length.toLong).sum
+      (i.toLong, nWs, nBpe, nBpe * 1000000L / nWs)
+    }
+    val got = TextQueries.bpeApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\n engine: $got\n sequential: $expected")
+  }
+
   test("degenerate corpus truncates the merge table instead of crashing") {
     // two distinct 2-char words: rounds 1-2 merge each to a single
     // symbol, round 3 finds no adjacent pair anywhere — the loop must

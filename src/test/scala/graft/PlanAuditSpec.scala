@@ -210,6 +210,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("bpe apply probes the cached trained segmentation by broadcast: no retrain") {
+    // t32's plan must read the once-per-(session, dir) checkpointed
+    // segmentation (Scan ExistingRDD), broadcast the vocabulary-grain
+    // subword counts onto the corpus token stream, and contain NO
+    // training machinery — no TakeOrdered (the per-round argmax) and no
+    // shuffled join. A regression here re-trains per query or shuffles
+    // the corpus on the word key.
+    SparkEntry.queries("t31_bpe_train")(spark, dir).collect() // warm the cache
+    val p = plan("t32_bpe_apply")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    // exactly one parquet scan: the documents token stream (formatted
+    // explain lists each scan's Location once in the detail section)
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1, p)
+  }
+
   test("peak concurrency joins its 5-row peak frame by broadcast") {
     val p = plan("q52_peak_concurrency")
     assert(p.contains("BroadcastHashJoin"), p)
