@@ -1064,22 +1064,35 @@ object TextQueries {
     * Rides the d2-d4 checkpointed shingle index on its 64-bit
     * fingerprints (the p8/d4 collision argument: P ≈ n²/2^65, so
     * fingerprint-set Jaccard equals string-set Jaccard and the oracle
-    * states the string side). Shape: one (source, fp) distinct
-    * reduction, one inverted-index self-join on the fingerprint (the
-    * LSH-bucket shape — pairs are generated per posting, never |S|²
-    * vocab scans), broadcast size frames. */
+    * states the string side). Shape: ONE fingerprint-keyed exchange —
+    * the raw (source, fp) stream groups by fp with a map-side partial
+    * `collect_set` (bounded by |sources|, so no skew risk), singleton
+    * fingerprints (the overwhelming majority in a diverse corpus — they
+    * can never pair) die before pair generation, and the sorted source
+    * set explodes its C(k,2) ordered pairs map-side into a tiny
+    * (src_a, src_b) partial aggregate. The r9 10× scale readout caught
+    * the previous self-join shape shuffling the full vocabulary twice
+    * and probing every singleton (59 MB shuffle, 22× CPU at 10×); this
+    * form ships each posting once and Spark's ReuseExchange shares the
+    * fp exchange between the pair branch and the size frame. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
-    val vocab = DedupQueries.shingled(spark, dir)
+    val posting = DedupQueries.shingled(spark, dir)
       .join(src, "doc_id")
       .select(col("source"), explode(col("shh")).as("fp"))
-      .distinct()
-    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    vocab.as("a")
-      .join(vocab.as("b"),
-        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val sizes = posting
+      .select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    posting
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1), b ->
+          |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")

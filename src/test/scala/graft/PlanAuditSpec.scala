@@ -976,19 +976,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
-  test("source overlap generates pairs per posting; only size frames broadcast") {
+  test("source overlap groups postings once; pairs explode map-side, sizes broadcast") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
+    val prevAqe = spark.conf.get(aqe)
     try {
       spark.conf.set(key, "-1") // auto-broadcast off: only FORCED hints survive
+      // exchange reuse surfaces in the static plan with AQE off; with AQE
+      // on the same dedup happens at runtime via the stage cache
+      spark.conf.set(aqe, "false")
       val p = plan("t27_source_overlap")
-      // exactly the two |sources|-row size frames carry forced hints; the
-      // fingerprint self-join (corpus-scale postings) must shuffle
+      // exactly the two |sources|-row size frames carry forced hints
       // (each physical node appears twice in formatted output: once in
       // the tree, once in the detail section — count detail headers)
       assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size == 2, p)
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
-    } finally spark.conf.set(key, prev)
+      // the vocabulary is NEVER self-joined: the only shuffled join is
+      // the doc-grain source attach; the posting aggregate is the
+      // bounded collect_set (ObjectHashAggregate, partial + final) and
+      // its fp exchange is REUSED between the pair branch and the size
+      // frame rather than rebuilt
+      assert("\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+      assert(p.contains("ReusedExchange"), p)
+      // pair generation is a Generate (explode) over the posting, not a join
+      assert(p.contains("Generate"), p)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqe, prevAqe)
+    }
   }
 
   test("winnowing is a pure per-row projection: no join, no window, no hash exchange") {
