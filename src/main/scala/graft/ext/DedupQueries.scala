@@ -1239,19 +1239,48 @@ object DedupQueries {
     * composes this frame with d25's provenance pick (drop ranges of the
     * kept doc per span cluster) without re-scanning the corpus.
     *
-    * Plan: rides the SAME cached shingle stream + gaps-and-islands
-    * window as d15 (one shingle-fingerprint-bucketed count + a fan-out-
-    * free semi-join + one (doc, pos) window) — the floor filter and
-    * range arithmetic are free projections on the run frame; nothing
-    * new shuffles. At 100 TB the shingle grain bounds memory per task
-    * to the document's positions, never the corpus. */
+    * Plan: the build rides the SAME cached shingle stream + gaps-and-
+    * islands window as d15 (one shingle-fingerprint-bucketed count + a
+    * fan-out-free semi-join + one (doc, pos) window), lands in the
+    * checkpointed range index ([[cutRangesBase]]), and the warm query
+    * is a projection + sort over the materialized span-grain rows. At
+    * 100 TB the shingle grain bounds memory per task to the document's
+    * positions, never the corpus. */
   val MinCutSpanToks = 5
+  /** Floor-qualified, fingerprint-annotated cut-range frame, checkpointed
+    * once per (session, dir): span-grain (tiny next to the corpus) and
+    * consumed by three queries — d27 projects it, d28 references it on
+    * BOTH sides of its kept-copy join, d29 rides d28 — so without the
+    * checkpoint the gaps-and-islands window subtree AND the span-slicing
+    * document join would re-run per reference (the d29 audit caught d28
+    * planning the window twice). The md5 span fingerprint is computed
+    * here (one corpus equi-join, span-grain md5 work) so d28's kept-copy
+    * aggregate and its probe side read the same materialized rows.
+    * Standard [[DirCaches]] build-once-probe-often index discipline. */
+  private val cutRangeCache = caches.newCache()
+  private def cutRangesBase(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    cutRangeCache.getOrElseUpdate((spark, dir), {
+      val rng = dupRuns(spark, dir)
+        .select(col("doc_id"), col("run_start").as("cut_start"),
+          (col("run_start") + col("run_len") + lit(2L)).as("cut_end"))
+        .withColumn("cut_len_toks", col("cut_end") - col("cut_start"))
+        .filter(col("cut_len_toks") >= MinCutSpanToks)
+      rng.join(Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("span_fp", md5(concat_ws(" ",
+          expr("slice(split(lower(text), ' '), cast(cut_start + 1 as int), " +
+            "cast(cut_len_toks as int))"))))
+        .select(col("doc_id"), col("cut_start"), col("cut_end"),
+          col("cut_len_toks"), col("span_fp"))
+        .localCheckpoint()
+    })
+  }
+
   def cutRanges(spark: SparkSession, dir: String): DataFrame =
-    dupRuns(spark, dir)
-      .select(col("doc_id"), col("run_start").as("cut_start"),
-        (col("run_start") + col("run_len") + lit(2L)).as("cut_end"))
-      .withColumn("cut_len_toks", col("cut_end") - col("cut_start"))
-      .filter(col("cut_len_toks") >= MinCutSpanToks)
+    cutRangesBase(spark, dir)
+      .select(col("doc_id"), col("cut_start"), col("cut_end"),
+        col("cut_len_toks"))
       .orderBy("doc_id", "cut_start")
 
   /** d28 — keep-one-copy cut plan: the Lee et al. ExactSubstr POLICY over
@@ -1264,18 +1293,13 @@ object DedupQueries {
     * (a span flanked by different duplicated context merges into a
     * different maximal run — the shingle-grain contract, documented).
     *
-    * Plan: d27's run frame joins documents once to slice the covered
-    * tokens (equi-join on doc_id, the standard corpus shape), one
-    * combinable min-struct aggregate per fingerprint, and a shuffled
-    * equi-join back on the fingerprint — no window, no all-pairs;
-    * everything is span-grain, bounded by d27's output size. */
+    * Plan: both sides read the checkpointed fingerprint-annotated range
+    * frame ([[cutRangesBase]] — the document slice join and md5 ran once
+    * at build); one combinable min-struct aggregate per fingerprint,
+    * then a shuffled equi-join back on the fingerprint — no window, no
+    * all-pairs; everything is span-grain, bounded by d27's output size. */
   def cutDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ranged = cutRanges(spark, dir)
-      .join(Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
-        Seq("doc_id"))
-      .withColumn("span_fp", md5(concat_ws(" ",
-        expr("slice(split(lower(text), ' '), cast(cut_start + 1 as int), " +
-          "cast(cut_len_toks as int))"))))
+    val ranged = cutRangesBase(spark, dir)
       .select(col("doc_id"), col("cut_start"), col("cut_end"), col("span_fp"))
     val kept = ranged.groupBy(col("span_fp"))
       .agg(min(struct(col("doc_id"), col("cut_start"))).as("k"))
@@ -1287,6 +1311,46 @@ object DedupQueries {
       .select(col("doc_id"), col("cut_start"), col("cut_end"),
         col("span_fp"), col("kept_doc_id"), col("kept_start"))
       .orderBy("doc_id", "cut_start")
+  }
+
+  /** d29 — cut APPLICATION: the cleaned corpus after executing d28's
+    * keep-one-copy plan — what the next pipeline stage actually trains
+    * on. Detect (d15/d27) → plan (d28) → APPLY (this). Every document
+    * is re-emitted with the tokens inside its d28 cut ranges removed:
+    * `(doc_id, n_toks, n_cut, clean_text)`; docs with no cuts pass
+    * through verbatim and a doc whose every token is cut emits ''.
+    * Adjacent maximal runs separated by one non-duplicated shingle
+    * position OVERLAP in token space (run [p, p+k+2) vs [p+k+1, ...)),
+    * so removal is membership-based — a token dies if ANY range covers
+    * it — never range-subtraction arithmetic.
+    *
+    * Plan: d28's span-grain output collapses to one bounded
+    * `collect_list` row per affected doc (spans per doc, not corpus
+    * grain), left-joins documents on doc_id (the standard corpus
+    * equi-join), and the removal itself is a per-row `filter` HOF with
+    * the positional lambda testing `exists` over the doc's own ranges —
+    * O(tokens × ranges_in_doc) per row, NO join, NO window, nothing new
+    * shuffles beyond d28's frames. The token/kept arrays are bound once
+    * via the nested 1-element-transform LET (the q120/m11 discipline)
+    * and the result struct is emitted through `inline` — a Generate
+    * evaluates the chain exactly ONCE per row, where a 3-field
+    * projection under CollapseProject would re-inline it per column. */
+  def cutApply(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = cutDedup(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("cut_start"), col("cut_end"))).as("cuts"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        """inline(transform(array(split(text, ' ')), tk ->
+          |  transform(array(filter(tk, (t, i) -> cuts IS NULL OR
+          |      NOT exists(cuts, c -> i >= c.cut_start AND i < c.cut_end))),
+          |    kt -> struct(
+          |      CAST(size(tk) AS BIGINT) AS n_toks,
+          |      CAST(size(tk) - size(kt) AS BIGINT) AS n_cut,
+          |      concat_ws(' ', kt) AS clean_text))[0]))""".stripMargin)
+      .orderBy("doc_id")
   }
 
   /** d26 — cross-modality dedup agreement: the Adjusted Rand Index
@@ -1353,6 +1417,7 @@ object DedupQueries {
     "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
     "d27_cut_ranges" -> ((s, d) => cutRanges(s, d)),
     "d28_cut_dedup" -> ((s, d) => cutDedup(s, d)),
+    "d29_cut_apply" -> ((s, d) => cutApply(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
     "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
@@ -1590,6 +1655,56 @@ object DedupQueries {
          |FROM fp f JOIN kept k USING (span_fp)
          |WHERE f.doc_id <> k.kept_doc_id OR f.cut_start <> k.kept_start
          |ORDER BY f.doc_id, f.cut_start""".stripMargin,
+
+    // d29 rebuilds the d28 cut list with the same CTE chain, then removes
+    // tokens by POSITION MEMBERSHIP (NOT EXISTS over the doc's ranges —
+    // overlapping adjacent runs compose correctly) and re-joins the
+    // survivors in position order. string_agg over zero rows is NULL,
+    // so the fully-cut doc coalesces to '' (the concat_ws contract).
+    "d29_cut_apply" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+         |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i
+         |      FROM t WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] shingle
+         |       FROM s),
+         |c AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+         |dup AS (SELECT sh.doc_id, sh.pos FROM sh JOIN c USING (shingle)),
+         |q AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl
+         |      FROM dup),
+         |runs AS (SELECT doc_id, CAST(min(pos) AS BIGINT) cut_start,
+         |           CAST(min(pos) + count(*) + 2 AS BIGINT) cut_end
+         |         FROM q GROUP BY doc_id, isl),
+         |rng AS (SELECT doc_id, cut_start, cut_end FROM runs
+         |        WHERE cut_end - cut_start >= $MinCutSpanToks),
+         |fp AS (SELECT r.doc_id, r.cut_start, r.cut_end,
+         |         md5(array_to_string(
+         |           t.tk[CAST(r.cut_start + 1 AS INT) : CAST(r.cut_end AS INT)],
+         |           ' ')) span_fp
+         |       FROM rng r JOIN t ON t.doc_id = r.doc_id),
+         |kept AS (SELECT span_fp, doc_id kept_doc_id, cut_start kept_start
+         |         FROM (SELECT *, row_number() OVER (PARTITION BY span_fp
+         |                 ORDER BY doc_id, cut_start) rn FROM fp)
+         |         WHERE rn = 1),
+         |cuts AS (SELECT f.doc_id, f.cut_start, f.cut_end
+         |         FROM fp f JOIN kept k USING (span_fp)
+         |         WHERE f.doc_id <> k.kept_doc_id OR f.cut_start <> k.kept_start),
+         |orig AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+         |pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) i
+         |        FROM orig),
+         |srv AS (SELECT p.doc_id, p.tk[p.i] tok, p.i FROM pos p
+         |        WHERE NOT EXISTS (SELECT 1 FROM cuts c
+         |          WHERE c.doc_id = p.doc_id
+         |            AND p.i - 1 >= c.cut_start AND p.i - 1 < c.cut_end)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_kept,
+         |          string_agg(tok, ' ' ORDER BY i) clean_text
+         |        FROM srv GROUP BY 1)
+         |SELECT o.doc_id, CAST(len(o.tk) AS BIGINT) AS n_toks,
+         |       CAST(len(o.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_cut,
+         |       coalesce(a.clean_text, '') AS clean_text
+         |FROM orig o LEFT JOIN agg a USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin,
 
     "d14_triangles" ->
       s"""WITH $duckShingled,

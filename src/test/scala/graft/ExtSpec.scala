@@ -133,6 +133,34 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(cutSet.subsetOf(ranges) && cutSet.size < ranges.size)
   }
 
+  test("cut apply removes exactly the planned tokens by position membership") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // sequential replay of the APPLY semantics over the (independently
+    // spec'd + oracle-hashed) d28 plan: a token survives iff NO range of
+    // its doc covers its position — overlapping adjacent runs compose
+    // by membership, never by range arithmetic
+    val plan = ext.DedupQueries.cutDedup(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    val got = ext.DedupQueries.cutApply(spark, dir).collect()
+    assert(got.length == docs.size, "every document must be re-emitted")
+    assert(got.exists(_.getLong(2) > 0L), "fixtures plant cuttable spans")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val tk = docs(id).split(" ", -1)
+      val rs = plan.getOrElse(id, Seq.empty)
+      val keptToks = tk.zipWithIndex.collect {
+        case (t, i) if !rs.exists(c => i >= c._1 && i < c._2) => t
+      }
+      assert(r.getLong(1) == tk.length.toLong, s"doc $id n_toks")
+      assert(r.getLong(2) == (tk.length - keptToks.length).toLong, s"doc $id n_cut")
+      assert(r.getString(3) == keptToks.mkString(" "), s"doc $id clean_text")
+      // pass-through contract: an unplanned doc is byte-identical
+      if (rs.isEmpty) assert(r.getString(3) == docs(id), s"doc $id must pass through")
+    }
+  }
+
   test("adaptive band resolution holds bucket occupancy against corpus growth") {
     import ext.SimilarityQueries.{scaledBandBits, AnnHubTargetOcc}
     // integer highest-set-bit formula: smallest b with 2^b >= ceil(n/occ),
