@@ -76,6 +76,39 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p25 — balanced fixed-count shard assignment: the layout a
+    * data-parallel trainer with a FIXED worker count actually needs.
+    * p2 packs by a running token budget (shard count falls out of the
+    * data); this balances token mass across exactly [[BalanceShards]]
+    * shards: docs take their global rank under (n_toks DESC, doc_id)
+    * and the rank maps serpentine (boustrophedon) onto shards — pass 0
+    * deals shards 0..S-1, pass 1 deals S-1..0, so each down-up cycle
+    * gives every shard one large-half and one small-half doc of the
+    * cycle and the totals stay within one document of each other
+    * (greedy-LPT quality without LPT's sequential heap). Deterministic:
+    * no RNG, stable under retries, reproducible across re-runs.
+    *
+    * Scale shape: the rank is [[graft.ops.RankOps.withGlobalRank]]
+    * (range partition + per-partition offsets — never a single-task
+    * `row_number() OVER (ORDER BY ...)` window) and the serpentine map
+    * is exact integer projection arithmetic. One extra pass would write
+    * each shard partition-local; nothing here is corpus-global. */
+  val BalanceShards = 16
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+    graft.ops.RankOps
+      .withGlobalRank(t, par, "g_rank", col("n_toks").desc, col("doc_id"))
+      .withColumn("shard", expr(
+        s"CAST(CASE WHEN (g_rank div $BalanceShards) % 2 = 0 " +
+          s"THEN g_rank % $BalanceShards " +
+          s"ELSE $BalanceShards - 1 - (g_rank % $BalanceShards) END AS BIGINT)"))
+      .select(col("doc_id"), col("n_toks"), col("g_rank"), col("shard"))
+      .orderBy("doc_id")
+  }
+
   /** p3 — fixed-window chunking with overlap (window [[ChunkSize]], stride
     * [[ChunkStride]]): explode each doc into token-window chunks, the unit
     * a context-bounded trainer or embedder actually consumes. Chunk count
@@ -751,7 +784,8 @@ object PipelineQueries {
     "p4_split" -> ((s, d) => trainValTestSplit(s, d)),
     "p5_mixture" -> ((s, d) => mixtureSample(s, d)),
     "p14_temperature" -> ((s, d) => temperatureMix(s, d)),
-    "p15_exact_split" -> ((s, d) => exactSplit(s, d))
+    "p15_exact_split" -> ((s, d) => exactSplit(s, d)),
+    "p25_shard_balance" -> ((s, d) => shardBalance(s, d))
   )
 
   /** p15 — exact-quota stratified split: within each stratum (lang),
@@ -843,6 +877,21 @@ object PipelineQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    "p25_shard_balance" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) n_toks
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_toks,
+         |    CAST(row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1
+         |      AS BIGINT) g_rank
+         |  FROM t)
+         |SELECT doc_id, n_toks, g_rank,
+         |  CAST(CASE WHEN (g_rank // $BalanceShards) % 2 = 0
+         |    THEN g_rank % $BalanceShards
+         |    ELSE $BalanceShards - 1 - (g_rank % $BalanceShards)
+         |    END AS BIGINT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "p24_budget_alloc" ->
       s"""WITH sup AS (
          |  SELECT source,

@@ -2182,6 +2182,38 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("shard balance replays the serpentine deal and balances token mass") {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).length.toLong))
+    val S = ext.PipelineQueries.BalanceShards
+    // sequential replay: sort (n_toks desc, doc_id), deal serpentine
+    val expected = docs.sortBy { case (id, n) => (-n, id) }.zipWithIndex.map {
+      case ((id, n), r) =>
+        val pos = r % S
+        id -> (n, r.toLong, if ((r / S) % 2 == 0) pos.toLong else (S - 1 - pos).toLong)
+    }.toMap
+    val got = ext.PipelineQueries.shardBalance(spark, dir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (n, rank, shard) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == rank && r.getLong(3) == shard,
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) want ($n,$rank,$shard)")
+    }
+    // balance contracts: doc counts within 1 across shards, and token
+    // totals within one max-document of each other (the serpentine
+    // guarantee the op exists for — naive modulo dealing does NOT give
+    // this when sizes are skewed)
+    val byShard = got.groupBy(_.getLong(3))
+    assert(byShard.keySet == (0L until S.toLong).toSet)
+    val counts = byShard.values.map(_.length)
+    assert(counts.max - counts.min <= 1)
+    val totals = byShard.values.map(_.map(_.getLong(1)).sum)
+    val maxDoc = docs.map(_._2).max
+    assert(totals.max - totals.min <= maxDoc,
+      s"spread ${totals.max - totals.min} exceeds max doc $maxDoc")
+  }
+
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
     val rows = ext.PipelineQueries.budgetAlloc(spark, dir).collect()
     assert(rows.nonEmpty)

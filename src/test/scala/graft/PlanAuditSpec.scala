@@ -804,6 +804,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("shard balance ranks via the range-partition primitive, never a global window") {
+    val p = plan("p25_shard_balance")
+    // the serpentine deal is projection arithmetic over the RankOps
+    // global rank (range partition + per-partition offsets); a
+    // single-task row_number() OVER (ORDER BY ...) would show an
+    // empty-key Window
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("length buckets is one projection + one tiny hash aggregate") {
     val p = plan("p20_length_buckets")
     assert(!p.contains("Join") && !p.contains("Window"), p)
