@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,43 +67,64 @@ object DedupQueries {
     * `array_min` exactly. */
   private val SliceMax = "4294967296L"
 
+  /** Per-row shingle + salted-minhash projection over ANY frame carrying
+    * (doc_id, text, …): pure row-local expressions — no corpus state, no
+    * shuffle — so the SAME kernel feeds the batch index build ([[base]])
+    * and the streaming near-dup operator
+    * ([[graft.streaming.StreamOps.streamingNearDupPairs]]), which is what
+    * makes their pair sets provably comparable. Emits the input columns
+    * minus text/helpers, plus `shh` and the hs0..hs3 minhash structs.
+    * Rows with <3 tokens carry no shingle and drop (the d2 contract). */
+  private[graft] def withSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+    val withMins = (0 until Salts).foldLeft(sh) { (d, j) =>
+      // transform() is the aggregate's input argument, so the digest
+      // array materializes once and all 4 slice minima fold over it in
+      // a single traversal.
+      val accInit = (0 until SlicesPerSalt)
+        .map(k => s"'m$k', $SliceMax").mkString(", ")
+      val accStep = (0 until SlicesPerSalt)
+        .map(k => s"'m$k', least(acc.m$k, ${hexSliceSpark("m", 8 * k + 1, 8)})")
+        .mkString(", ")
+      d.withColumn(s"hs$j", expr(
+        s"aggregate(transform(sh, s -> md5(concat('$j|', s))), " +
+          s"named_struct($accInit), (acc, m) -> named_struct($accStep))"))
+    }
+    val keep = docs.columns.filterNot(_ == "text").map(col)
+    withMins
+      // 64-bit shingle fingerprints, SORTED once per document: exact-
+      // Jaccard verification merge-counts these instead of intersecting
+      // the string arrays (long comparisons + zero allocation vs a hash
+      // set per candidate pair). Distinct strings collide in 64 bits
+      // with P ≈ n²/2^65 (~1e-8 for this corpus), so |sh ∩| == |shh ∩|
+      // and the oracle's string-side Jaccard matches.
+      .withColumn("shh", expr("array_sort(transform(sh, s -> xxhash64(s)))"))
+      .select(keep ++ (col("shh") +:
+        (0 until Salts).map(j => col(s"hs$j"))): _*)
+  }
+
+  /** The 16 flat minhash columns h0..h15 out of the hs0..hs3 structs. */
+  private[graft] def flatHashCols: Seq[Column] =
+    (0 until NumHashes).map { i =>
+      val (j, k) = (i / SlicesPerSalt, i % SlicesPerSalt)
+      col(s"hs$j").getField(s"m$k").as(s"h$i")
+    }
+
   private def base(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     evictOtherDirs(spark, dir)
     baseCache.getOrElseUpdate((spark, dir), {
-      val sh = Tables.load(spark, dir, "documents")
+      withSignatures(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
         // documents.parquet is a single file → a single input split; the
         // md5-heavy shingle/minhash work downstream would otherwise run
         // on one core. Spread rows across the full parallelism first.
-        .repartition(col("doc_id"))
-        .withColumn("toks", split(lower(col("text")), " "))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("sh", expr(
-          "array_distinct(transform(sequence(0, size(toks)-3), " +
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-      val withMins = (0 until Salts).foldLeft(sh) { (d, j) =>
-        // transform() is the aggregate's input argument, so the digest
-        // array materializes once and all 4 slice minima fold over it in
-        // a single traversal.
-        val accInit = (0 until SlicesPerSalt)
-          .map(k => s"'m$k', $SliceMax").mkString(", ")
-        val accStep = (0 until SlicesPerSalt)
-          .map(k => s"'m$k', least(acc.m$k, ${hexSliceSpark("m", 8 * k + 1, 8)})")
-          .mkString(", ")
-        d.withColumn(s"hs$j", expr(
-          s"aggregate(transform(sh, s -> md5(concat('$j|', s))), " +
-            s"named_struct($accInit), (acc, m) -> named_struct($accStep))"))
-      }
-      withMins
-        // 64-bit shingle fingerprints, SORTED once per document: exact-
-        // Jaccard verification merge-counts these instead of intersecting
-        // the string arrays (long comparisons + zero allocation vs a hash
-        // set per candidate pair). Distinct strings collide in 64 bits
-        // with P ≈ n²/2^65 (~1e-8 for this corpus), so |sh ∩| == |shh ∩|
-        // and the oracle's string-side Jaccard matches.
-        .withColumn("shh", expr("array_sort(transform(sh, s -> xxhash64(s)))"))
-        .select(col("doc_id") +: col("shh") +:
-          (0 until Salts).map(j => col(s"hs$j")): _*)
+        .repartition(col("doc_id")))
         // localCheckpoint, not persist: both cache the rows, but persist
         // leaves the full shingle/minhash expression forest in the lineage
         // of every consumer, and d3/d4/d8's self-joins then re-analyze and
@@ -323,17 +344,35 @@ object DedupQueries {
     lshPairCache.getOrElseUpdate((spark, dir),
       lshPairsBuild(spark, dir).localCheckpoint())
 
-  /** Banded `(doc_id, bid, bkey)` view of the minhash signatures — the
-    * LSH bucket table d3's self-join and d11's new-vs-old probe share. */
-  private def bandsOf(h: DataFrame): DataFrame = {
+  /** `explode` of the [[NumBands]] (bid, bkey) band structs over flat
+    * h0..h15 columns — the LSH banding kernel, shared by [[bandsOf]] and
+    * the streaming band view. */
+  private[graft] def bandExplodeExpr: String = {
     val bandStructs = (0 until NumBands).map { b =>
       val ks = (0 until NumHashes / NumBands).map(r => s"h${b * (NumHashes / NumBands) + r}")
       s"struct(cast($b as int) as bid, md5(concat_ws('|', ${ks.mkString(",")})) as bkey)"
     }.mkString(",")
-    h.select(col("doc_id"),
-        expr(s"explode(array($bandStructs))").as("u"))
-      .select(col("doc_id"), col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+    s"explode(array($bandStructs))"
   }
+
+  /** Banded `(doc_id, bid, bkey)` view of the minhash signatures — the
+    * LSH bucket table d3's self-join and d11's new-vs-old probe share. */
+  private def bandsOf(h: DataFrame): DataFrame =
+    h.select(col("doc_id"), expr(bandExplodeExpr).as("u"))
+      .select(col("doc_id"), col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+
+  /** Streaming-compatible banded-signature view of ANY (doc_id, text)
+    * frame: `(doc_id, shh, bid, bkey)` — one row per (doc, band), built
+    * from pure per-row projections ([[withSignatures]] + [[bandExplodeExpr]]),
+    * so it composes with `readStream` sources. The streaming near-dup
+    * operator keys its state on (bid, bkey); `shh` rides along for the
+    * in-state exact-Jaccard verification. */
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame =
+    withSignatures(docs)
+      .select(col("doc_id") +: col("shh") +: flatHashCols: _*)
+      .select(col("doc_id"), col("shh"), expr(bandExplodeExpr).as("u"))
+      .select(col("doc_id"), col("shh"),
+        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
 
   private def lshPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir)

@@ -24,11 +24,16 @@ import org.apache.spark.sql.functions._
   *  3. PII scrub      — [[TextQueries.scrubbed]] (per-row projection,
   *                      batch stage 8) before landing.
   *
-  * Near-dedup (LSH) and packing stay batch-side in this design: they need
-  * corpus-global state (document frequencies, cluster roots), which a
-  * continuous query cannot bound. The landed micro-batches feed the batch
-  * [[TrainingDataPipeline]] as its raw input — the standard two-tier
-  * (streaming ingest + batch consolidation) corpus architecture.
+  * Packing and cluster consolidation stay batch-side in this design: they
+  * need corpus-global state (document frequencies, cluster roots), which a
+  * continuous query cannot bound. Near-dedup DOES have a bounded streaming
+  * form — [[graft.streaming.StreamOps.streamingNearDupPairs]] keys LSH
+  * bucket state and verifies arrivals against capped/TTL-able residents
+  * (stream = batch-d3 equality proven by `StreamBatchEqualitySpec`) — and
+  * composes after stage 2 when in-flight near-dup flagging is wanted. The
+  * landed micro-batches feed the batch [[TrainingDataPipeline]] as its raw
+  * input — the standard two-tier (streaming ingest + batch consolidation)
+  * corpus architecture.
   */
 object StreamingCorpusPipeline {
 

@@ -43,6 +43,16 @@ case class TypedEvent(user_id: Long, us: Long, event_id: Long, event_type: Strin
 case class PatternMatch(user_id: Long, a_event_id: Long, b_event_id: Long,
     a_us: Long, b_us: Long, gap_us: Long)
 
+/** One (doc, band) row of the streaming LSH band view — the input the
+  * near-dup operator's keyed state consumes (shh = the doc's sorted
+  * 64-bit shingle fingerprints, for in-state exact verification). */
+case class BandRow(doc_id: Long, shh: Array[Long], bid: Int, bkey: String)
+
+/** A verified near-duplicate pair emitted by
+  * [[StreamOps.streamingNearDupPairs]] — same schema and thresholds as
+  * the batch d3 pair set. */
+case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
 /** Stateful streaming operators the reference lacks (SURVEY §2.8): event-time
   * windows, watermarked dedup, and arbitrary keyed state. These are the
   * bounded-state building blocks for running the stedi pipelines at scale —
@@ -323,6 +333,76 @@ object StreamOps {
             if (e.event_type == "view") last = (e.us, e.event_id)
           }
           state.update(last)
+          out.iterator
+      }
+  }
+
+  /** Streaming MinHash-LSH near-duplicate detection — the operator
+    * [[graft.pipelines.StreamingCorpusPipeline]]'s design note deferred
+    * to batch, expressed with BOUNDED keyed state: each arriving document
+    * is checked against the corpus seen so far, in-flight.
+    *
+    * Shape: the batch d2/d3 signature+banding kernel runs as pure per-row
+    * projections over the stream (`DedupQueries.bandedSignatures` — the
+    * literally-shared code path is what makes stream/batch equality a
+    * theorem, proven on fixtures by `StreamBatchEqualitySpec`), then
+    * state keys on the LSH bucket (bid, bkey). A bucket's state is its
+    * resident list [(doc_id, shh)]; a new arrival exact-Jaccard-verifies
+    * against the residents (the batch `jaccardVerify` arithmetic: sorted
+    * 64-bit fingerprint merge-count, exact double ratio vs
+    * [[graft.ext.DedupQueries.JaccardThreshold]], HALF_UP 6-decimal
+    * output) and enrolls. Re-deliveries of an enrolled doc_id are
+    * ignored (at-least-once sources), and within a micro-batch rows fold
+    * in doc_id order so the output is a pure function of the batch's row
+    * SET.
+    *
+    * State bounding — the honest production contract: a bucket enrolls at
+    * most `maxBucket` residents; hotter buckets verify new arrivals
+    * against the enrolled residents but stop growing (the m16/df-cap
+    * analog: a bucket hot enough to hit the cap is boilerplate that d27's
+    * cut pass owns, not pairwise dedup). Pair with an upstream watermark
+    * dedup for replay safety; for recent-history-window semantics swap
+    * NoTimeout for EventTimeTimeout and clear state when the watermark
+    * passes the bucket's last arrival.
+    *
+    * The same pair can collide in several bands: emissions are distinct
+    * per (pair, bucket) — batch d3 dedupes candidates corpus-globally,
+    * which a continuous query cannot; consumers take the pair STREAM
+    * through `dropDuplicates("doc_a", "doc_b")` (bounded by the true
+    * pair set) exactly like the equality spec does. */
+  def streamingNearDupPairs(spark: SparkSession, docs: DataFrame,
+      maxBucket: Int = 1024): Dataset[NearDupPair] = {
+    import spark.implicits._
+    def intersect(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      c
+    }
+    graft.ext.DedupQueries.bandedSignatures(docs).as[BandRow]
+      .groupByKey(r => (r.bid, r.bkey))
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[BandRow],
+            state: GroupState[List[(Long, Array[Long])]]) =>
+          var residents = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.Buffer.empty[NearDupPair]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!residents.exists(_._1 == r.doc_id)) {
+              residents.foreach { case (id, shh2) =>
+                val inter = intersect(r.shh, shh2).toDouble
+                val jac = inter / (r.shh.length + shh2.length - inter)
+                if (jac >= graft.ext.DedupQueries.JaccardThreshold)
+                  out += NearDupPair(math.min(id, r.doc_id), math.max(id, r.doc_id),
+                    BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+              if (residents.size < maxBucket) residents = (r.doc_id, r.shh) :: residents
+            }
+          }
+          state.update(residents)
           out.iterator
       }
   }

@@ -180,4 +180,35 @@ class StreamBatchEqualitySpec extends AnyFunSuite with SparkSuite {
     val stream = spark.table("eq_gopher").orderBy("doc_id")
     assertFramesEqual(stream, ext.TextQueries.gopherGate(spark, dir))
   }
+
+  test("streaming near-dup pairs equal the batch d3 pair set across micro-batches") {
+    // The signature/banding kernel is the LITERAL batch code path
+    // (DedupQueries.bandedSignatures), so with no cap or TTL binding, the
+    // streaming pair set must equal d3's — including pairs whose two docs
+    // arrive in DIFFERENT micro-batches (found via bucket state). The
+    // stream emits per colliding bucket; dropDuplicates collapses
+    // cross-band repeats exactly as the operator's contract prescribes.
+    val docRows = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingNearDupPairs(spark,
+        input.toDF().toDF("doc_id", "text")).toDF()
+      .writeStream.format("memory").queryName("eq_neardup")
+      .outputMode("update").start()
+    try {
+      // three micro-batches, split by doc_id so near-dup partners (ids
+      // planted far apart by the fixture generator) straddle batches
+      docRows.sortBy(_._1).grouped((docRows.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stream = spark.table("eq_neardup").dropDuplicates("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = ext.DedupQueries.lshPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixtures plant near-duplicates")
+    assert(stream == batch,
+      s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+  }
 }

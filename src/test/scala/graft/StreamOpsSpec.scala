@@ -331,6 +331,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.contains(("a@test.com", 6.0)) && rows.contains(("b@test.com", 1.0)))
   }
 
+  test("streaming near-dup state survives a stop/restart: cross-restart pair still found") {
+    // The bucket-state analog of the dedup recovery test: doc 2 (a
+    // near-dup of doc 1) arrives only AFTER the query is killed and
+    // restarted from its checkpoint, so the pair can only be found if
+    // doc 1's (doc_id, shh) bucket residency was recovered from the
+    // StateStore. FMGWS emits in update mode, which no file sink
+    // accepts — foreachBatch appends each micro-batch's emissions.
+    val in = java.nio.file.Files.createTempDirectory("nd_in").toString
+    val out = java.nio.file.Files.createTempDirectory("nd_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nd_state").toString
+    def land(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.streamingNearDupPairs(spark,
+          spark.readStream.schema("doc_id LONG, text STRING").parquet(in))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.NearDupPair], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    land((1L, base), (100L, (1 to 40).map(i => s"other$i").mkString(" ")))
+    runOnce()
+    land((2L, base + " extra")) // near-dup of doc 1, lands after the restart
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(p => (p._1, p._2)).distinct.toSeq == Seq((1L, 2L)), rows.mkString(","))
+    assert(rows.forall(_._3 >= graft.ext.DedupQueries.JaccardThreshold))
+  }
+
   /** Shared stop/restart harness for the watermarked aggregations: land
     * files, run the op file-source → file-sink with AvailableNow against a
     * persistent checkpoint, repeat. Each runOnce is a fresh query resuming
