@@ -1332,6 +1332,72 @@ object SimilarityQueries {
         expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
   }
 
+  /** s32 — multi-probe recall lift: the production dial that buys ANN
+    * recall WITHOUT growing the table count (Lv et al., "Multi-Probe
+    * LSH", VLDB'07 — memory is L× the corpus, so raising L is the
+    * expensive dial; probing more buckets per table is nearly free).
+    * Each sampled query probes, per table, its own b-bit key plus the b
+    * one-bit-flip neighbor keys — the buckets a true neighbor most
+    * likely fell into when exactly one hyperplane disagreed. Emits one
+    * row per probe mode (`t0_single` = exact bucket only ≡ s31's
+    * candidate rule; `t1_multi1` = +1-bit flips) with the same exact-kNN
+    * denominator, so the recall lift is read directly off the result.
+    *
+    * Scale shape: rides the checkpointed [[scaledBandIndex]]; the probe
+    * table (|sample|·L·(b+1) rows, corpus-size-independent) BROADCASTS
+    * against the index so the corpus-grain side never shuffles; distinct
+    * (query, candidate) pairs score exactly once (min probe-rank kept to
+    * classify the mode), then two bounded WindowGroupLimit top-k passes
+    * share the scored frame. */
+  def multiprobeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val e = emb(spark, dir)
+    val sample = e.filter(col("vec_id") % RecallSampleMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = e.join(broadcast(sample), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nbr_id"),
+        round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("qid"), col("nbr_id"))
+    val idx = scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val b = scaledBandBits(e.count())
+    val probes = idx.filter(col("vec_id") % RecallSampleMod === 0)
+      .selectExpr("vec_id AS qid", "bid",
+        s"posexplode(concat(array(bkey), transform(sequence(0, ${b - 1}), " +
+          "r -> cast(bkey ^ shiftleft(1, r) as int)))) AS (pidx, pkey)")
+    val cand = idx.as("i").join(broadcast(probes.as("p")),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+          col("i.vec_id") =!= col("p.qid"))
+      .groupBy(col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
+      .agg(min(col("p.pidx")).as("mp"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("yv")),
+        "nbr_id")
+      .select(col("qid"), col("nbr_id"), col("mp"),
+        round(expr("cosine_sim(qv, yv)"), 6).as("cosine"))
+    val tops = scored.filter(col("mp") === 0)
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(lit("t0_single").as("probe_mode"), col("qid"), col("nbr_id"))
+      .unionAll(scored
+        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+        .select(lit("t1_multi1").as("probe_mode"), col("qid"), col("nbr_id")))
+    val hits = exact.join(tops, Seq("qid", "nbr_id"))
+      .groupBy(col("probe_mode")).agg(count(lit(1)).as("h"))
+    val modes = spark.sql(
+      "SELECT 't0_single' AS probe_mode UNION ALL SELECT 't1_multi1'")
+    modes.join(hits, Seq("probe_mode"), "left")
+      .crossJoin(exact.agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_exact")))
+      .select(col("probe_mode"), col("n_queries"), col("n_exact"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        expr("coalesce(h, 0L) * 1000000L div n_exact").as("recall_ppm"))
+      .orderBy("probe_mode")
+  }
+
   /** s27 — dominant principal direction via power iteration: three
     * matrix-free rounds of `v ← normalize(Σ_x (x·v)·x)` over the
     * micro-quantized embedding matrix, starting from the all-ones
@@ -1539,6 +1605,7 @@ object SimilarityQueries {
     "s26_hubness" -> ((s, d) => hubness(s, d)),
     "s30_ann_hubness" -> ((s, d) => annHubness(s, d)),
     "s31_scaled_ann_recall" -> ((s, d) => scaledAnnRecall(s, d)),
+    "s32_multiprobe_recall" -> ((s, d) => multiprobeRecall(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -1832,6 +1899,60 @@ object SimilarityQueries {
          |SELECT tot.n_queries, tot.n_exact, h.n_hits,
          |       CAST(h.n_hits * 1000000 // tot.n_exact AS BIGINT) AS recall_ppm
          |FROM tot, h""".stripMargin,
+
+    // s32: the s31 CTEs plus 1-bit-flip probe keys; min probe rank per
+    // candidate pair classifies the mode, two top-k passes share the
+    // scored pairs, and the exact-kNN denominator is common to both rows.
+    "s32_multiprobe_recall" ->
+      s"""WITH $duckEmb,
+         |$duckScaledBands,
+         |qs AS (SELECT * FROM e WHERE vec_id % $RecallSampleMod = 0),
+         |ex AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT q.vec_id, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr WHERE vec_id % $RecallSampleMod = 0),
+         |probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey, 0 pidx
+         |  FROM bands WHERE vec_id % $RecallSampleMod = 0
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips),
+         |cand AS (SELECT p.qid, i.vec_id nbr_id, min(p.pidx) mp
+         |         FROM probes p JOIN bands i
+         |           ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
+         |          AND i.vec_id <> p.qid
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT c.qid, c.nbr_id, c.mp,
+         |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) cosine
+         |       FROM cand c JOIN e x ON x.vec_id = c.qid
+         |                   JOIN e y ON y.vec_id = c.nbr_id),
+         |tops AS (
+         |  SELECT 't0_single' probe_mode, qid, nbr_id FROM (
+         |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |    FROM sc WHERE mp = 0) WHERE rk <= $KnnK
+         |  UNION ALL
+         |  SELECT 't1_multi1', qid, nbr_id FROM (
+         |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |    FROM sc) WHERE rk <= $KnnK),
+         |h AS (SELECT probe_mode, CAST(count(*) AS BIGINT) n_hits
+         |      FROM tops t JOIN ex ON ex.vec_id = t.qid AND ex.nbr_id = t.nbr_id
+         |      GROUP BY 1),
+         |tot AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) n_queries,
+         |               CAST(count(*) AS BIGINT) n_exact FROM ex),
+         |modes AS (SELECT 't0_single' probe_mode UNION ALL SELECT 't1_multi1')
+         |SELECT m.probe_mode, tot.n_queries, tot.n_exact,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) * 1000000 // tot.n_exact AS BIGINT)
+         |         AS recall_ppm
+         |FROM modes m LEFT JOIN h USING (probe_mode), tot
+         |ORDER BY m.probe_mode""".stripMargin,
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //
     // renormalization mirror the engine's decimal(38,0) + truncating

@@ -2214,6 +2214,24 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       s"spread ${totals.max - totals.min} exceeds max doc $maxDoc")
   }
 
+  test("multiprobe recall: single mode reproduces s31, 1-bit flips only add candidates") {
+    val rows = ext.SimilarityQueries.multiprobeRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (nq, ne, hSingle, ppmSingle) = rows("t0_single")
+    val (nq2, ne2, hMulti, ppmMulti) = rows("t1_multi1")
+    // same exact-kNN denominator on both rows
+    assert(nq == nq2 && ne == ne2 && ne == nq * ext.SimilarityQueries.KnnK)
+    // exact-bucket mode IS s31's candidate rule — recall must agree
+    val s31 = ext.SimilarityQueries.scaledAnnRecall(spark, dir).collect().head
+    assert(hSingle == s31.getLong(2) && ppmSingle == s31.getLong(3),
+      s"single-probe must reproduce s31: $hSingle/$ppmSingle vs ${s31.getLong(2)}/${s31.getLong(3)}")
+    // multiprobe candidates are a superset: recall can only go up, and on
+    // this fixture the lift must be real (the whole point of the dial)
+    assert(hMulti >= hSingle && ppmMulti >= ppmSingle)
+    assert(hMulti > hSingle, "fixture neighbors must be recoverable via 1-bit flips")
+  }
+
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
     val rows = ext.PipelineQueries.budgetAlloc(spark, dir).collect()
     assert(rows.nonEmpty)

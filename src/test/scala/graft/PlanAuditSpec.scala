@@ -291,6 +291,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
   }
 
+  test("s32 broadcasts the probe table against the checkpointed index") {
+    // the probe table is |sample|·L·(b+1) rows (corpus-size-independent)
+    // and must BROADCAST into the candidate join so the corpus-grain
+    // index side never shuffles for it; pairs then rank through the
+    // bounded WindowGroupLimit heap. The probe-key fan-out is the one
+    // Generate-over-index Posexplode.
+    graft.ext.SimilarityQueries.scaledBandIndex(spark, dir) // warm
+    val p = plan("s32_multiprobe_recall")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Posexplode") || p.contains("Generate"), p)
+  }
+
   test("d27 probes the checkpointed range index: no window, no join, no generate") {
     // the fingerprint-annotated range frame is a build-once (session,
     // dir) checkpoint (gaps-and-islands window, dup-position semi-join
