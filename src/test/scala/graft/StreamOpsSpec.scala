@@ -331,6 +331,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.contains(("a@test.com", 6.0)) && rows.contains(("b@test.com", 1.0)))
   }
 
+  test("streaming near-dup bucket cap: arrivals past the cap verify but never enroll") {
+    // maxBucket=1 with three mutual near-dups: doc 1 enrolls; docs 2 and
+    // 3 each pair against the single resident but are NOT enrolled, so
+    // (2,3) is never emitted — the exact degradation contract the cap
+    // documents (a capped bucket keeps flagging against its residents,
+    // it stops growing). Short docs (<3 tokens) carry no shingle and
+    // must pass through the band view without crashing the fold.
+    val base = (1 to 30).map(i => s"cap$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingNearDupPairs(spark,
+        input.toDF().toDF("doc_id", "text"), maxBucket = 1).toDF()
+      .writeStream.format("memory").queryName("nd_cap")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((1L, base), (4L, "too short")))
+      q.processAllAvailable()
+      input.addData(Seq((2L, base + " x"), (3L, base + " y")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("nd_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L)), pairs)
+  }
+
   test("streaming near-dup state survives a stop/restart: cross-restart pair still found") {
     // The bucket-state analog of the dedup recovery test: doc 2 (a
     // near-dup of doc 1) arrives only AFTER the query is killed and
