@@ -977,6 +977,49 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** d30 — ANN-backed embedding dedup: d9's transitive keep-one-per-
+    * component dedup with candidate pairs from the adaptive multi-table
+    * LSH index instead of label blocks — the unblocked 100 TB path d9's
+    * Scaladoc names, now first-class (the same s26 → s30 move: label
+    * blocks are quadratic per block, the scaled index holds bucket
+    * occupancy ≈ constant so candidate mass stays linear in the corpus).
+    * Candidates that clear [[EmbDupThreshold]] by exact cosine become
+    * edges; components come from the shared min-label BSP loop. Edges
+    * here need no label agreement, so cross-label near-dups d9 cannot
+    * see ARE found — and a true near-dup pair missed by all L tables is
+    * the recall tradeoff s31/s32 measure (at near-dup-grade cosine
+    * ≥ 0.9 the per-table collision probability is high and L=8 tables
+    * make a corpus-wide miss rare).
+    *
+    * Scale shape: rides [[SimilarityQueries.scaledCandScores]] — the
+    * checkpointed band index self-join ships only narrow (vec_id, bid,
+    * bkey) rows, pairs dedupe across tables before the embedding attach,
+    * cosine runs once per distinct pair; the BSP loop then shuffles one
+    * (lo, hi) row per edge, never vectors. */
+  private val annLabelsCache = caches.newCache()
+  def annDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    evictOtherDirs(spark, dir)
+    val labels = annLabelsCache.getOrElseUpdate((spark, dir), {
+      // scaledCandScores emits BOTH directions of every colliding pair
+      // (a ≠ b join), which is exactly the undirected edge list the BSP
+      // loop wants — no union-swap needed.
+      val und = SimilarityQueries.scaledCandScores(spark, dir, lit(true))
+        .filter(col("cosine") >= EmbDupThreshold)
+        .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+        .localCheckpoint()
+      val l = minLabelComponents(und)
+      graft.CheckpointUtil.release(und)
+      l
+    })
+    Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+      .join(broadcast(labels), col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("canon_id"))
+      .withColumn("is_kept", col("canon_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   /** d11 — incremental dedup: screen a NEWLY ARRIVED batch against the
     * existing corpus index — the production ingest path (the d3/d8 batch
     * jobs rebuild the whole pair graph; a pipeline admitting documents
@@ -1467,6 +1510,7 @@ object DedupQueries {
     "d24_bbit_minhash" -> ((s, d) => bbitMinhashAudit(s, d)),
     "d25_dup_provenance" -> ((s, d) => dupProvenance(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
+    "d30_ann_dedup" -> ((s, d) => annDedup(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
@@ -2199,6 +2243,30 @@ object DedupQueries {
          |undirected AS (
          |  SELECT lo a, hi b FROM p
          |  UNION ALL SELECT hi a, lo b FROM p),
+         |reach AS (
+         |  SELECT vec_id node, vec_id x FROM e
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x)
+         |SELECT node AS vec_id, min(x) AS canon_id,
+         |       (min(x) = node) AS is_kept
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // d30 swaps d9's label-block candidate CTE for the scaled-band
+    // bucket join (the same CTEs s30/s31/s32 replicate), then runs the
+    // identical threshold + recursive reachability closure.
+    "d30_ann_dedup" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.duckEmb},
+         |${SimilarityQueries.duckScaledBands},
+         |p AS (SELECT DISTINCT a.vec_id lo, b.vec_id hi
+         |      FROM bands a JOIN bands b
+         |        ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |pe AS (SELECT lo, hi FROM p
+         |       JOIN e x ON x.vec_id = p.lo JOIN e y ON y.vec_id = p.hi
+         |       WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+         |               >= $EmbDupThreshold),
+         |undirected AS (
+         |  SELECT lo a, hi b FROM pe
+         |  UNION ALL SELECT hi a, lo b FROM pe),
          |reach AS (
          |  SELECT vec_id node, vec_id x FROM e
          |  UNION

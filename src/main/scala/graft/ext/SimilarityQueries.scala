@@ -1257,7 +1257,7 @@ object SimilarityQueries {
     * most twice, and the cosine runs once per distinct pair, not once
     * per colliding table). `leftFilter` restricts the query side (s31's
     * sample) without changing the shape. */
-  private def scaledCandScores(spark: SparkSession, dir: String,
+  private[ext] def scaledCandScores(spark: SparkSession, dir: String,
       leftFilter: Column): DataFrame = {
     val nb = scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
     val pairs = nb.as("a").join(nb.as("b"),
@@ -1653,7 +1653,7 @@ object SimilarityQueries {
         round(col("ivf_hits").cast("double") / col("n_exact"), 6).as("ivf_recall"))
   }
 
-  private val duckEmb =
+  private[ext] val duckEmb =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
       |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
       |       FROM embeddings)""".stripMargin
@@ -1665,7 +1665,7 @@ object SimilarityQueries {
     * masking reproduces the engine's only-evaluate-b-planes shortcut
     * exactly. Expects the `e` CTE in scope; yields `bands (vec_id, bid,
     * bkey)`. Shared by the s30/s31 oracles. */
-  private lazy val duckScaledBands: String = {
+  private[ext] lazy val duckScaledBands: String = {
     def tblDot(p: Int): String = (0 until LshDims)
       .map(d => s"v[${d + 1}] * ${if (tablePlaneSigns(p)(d) > 0) "1.0" else "-1.0"}")
       .mkString(" + ")

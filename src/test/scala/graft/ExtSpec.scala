@@ -2214,6 +2214,45 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       s"spread ${totals.max - totals.min} exceeds max doc $maxDoc")
   }
 
+  test("ann dedup replays a union-find over thresholded LSH-candidate edges") {
+    import org.apache.spark.sql.functions.{col => c}
+    // sequential oracle: collect the scaled-band index, generate bucket
+    // candidates, keep exact-cosine >= threshold edges, union-find the
+    // components with min-id canons — must equal d30 exactly
+    val bands = ext.SimilarityQueries.scaledBandIndex(spark, dir)
+      .select(c("vec_id"), c("bid"), c("bkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(c("vec_id"), c("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val half_up = (x: Double) => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cand = bands.groupBy(r => (r._2, r._3)).values.flatMap { bucket =>
+      val ids = bucket.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val edges = cand.filter { case (a, b) =>
+      half_up(cos(vecs(a), vecs(b))) >= BigDecimal(ext.DedupQueries.EmbDupThreshold) }
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = ext.DedupQueries.annDedup(spark, dir).collect()
+    assert(got.length == vecs.size)
+    got.foreach { r =>
+      val (id, canon, kept) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(canon == find(id), s"vec $id: canon $canon != ${find(id)}")
+      assert(kept == (canon == id))
+    }
+    assert(edges.nonEmpty, "fixtures plant embedding near-dups the index must catch")
+  }
+
   test("multiprobe recall: single mode reproduces s31, 1-bit flips only add candidates") {
     val rows = ext.SimilarityQueries.multiprobeRecall(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -305,6 +305,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("Posexplode") || p.contains("Generate"), p)
   }
 
+  test("d30 warm probe is a broadcast of the converged component labels") {
+    // the edge build + BSP loop run once into the (session, dir) label
+    // cache; the warm query is id-column scan + broadcast label join —
+    // no cosine, no band self-join, no loop machinery in the plan.
+    graft.ext.DedupQueries.annDedup(spark, dir).count() // converge + cache
+    val p = plan("d30_ann_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("cosine_sim") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("d27 probes the checkpointed range index: no window, no join, no generate") {
     // the fingerprint-annotated range frame is a build-once (session,
     // dir) checkpoint (gaps-and-islands window, dup-position semi-join
