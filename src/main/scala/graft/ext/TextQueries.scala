@@ -146,12 +146,17 @@ object TextQueries {
     * neither query runs the generator twice. */
   private val posShingleCache = caches.newCache()
   private val bpeSegCache = caches.newCache()
+  private val bpeBatchSegCache = caches.newCache()
   /** Driver-side merge tables keyed alongside [[bpeSegCache]] — tiny
     * (K rows), so no checkpoint discipline; cleared with the caches. */
   private val bpeMergesCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Long, String, String, String, Long)]]
+  private val bpeBatchMergesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Long, String, String, String, Long)]]
 
-  def clearCaches(): Unit = { caches.clear(); bpeMergesCache.clear() }
+  def clearCaches(): Unit = {
+    caches.clear(); bpeMergesCache.clear(); bpeBatchMergesCache.clear()
+  }
 
   /** Cached positional shingles (see [[posShingleCache]]). */
   def posShingles(spark: SparkSession, dir: String): DataFrame = {
@@ -648,6 +653,13 @@ object TextQueries {
     * aggregate over the pair keys, then a 1-row bounded TakeOrdered;
     * nothing corpus- or vocabulary-sized ever heads to the driver. */
   private[graft] def bpeRoundWinner(seg: DataFrame): DataFrame =
+    bpeRoundTop(seg, 1)
+
+  /** Top-`c` pairs of one BPE round — the bounded driver crossing shared
+    * by the one-merge-per-round loop (c = 1) and the batched trainer
+    * (c = [[BpeCandWindow]]); plans as partial/final hash aggregates into
+    * a TakeOrdered(c). */
+  private[graft] def bpeRoundTop(seg: DataFrame, c: Int): DataFrame =
     // fully-merged words (size 1) must drop out BEFORE the explode:
     // sequence(0, size-2) DESCENDS for size=1 (sequence(0,-1) = [0,-1]),
     // which would fabricate (sym, null)/(null, null) pair rows the
@@ -660,7 +672,7 @@ object TextQueries {
       .groupBy(col("lhs"), col("rhs"))
       .agg(sum(col("freq")).as("n"))
       .orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)
-      .limit(1)
+      .limit(c)
 
   /** The vocabulary frame `(w, freq, syms)`: distinct words with corpus
     * frequency, segmented to single characters. The word column rides
@@ -683,18 +695,31 @@ object TextQueries {
     * lit() Columns, never interpolated into SQL text (quote/escape-safe).
     * Exposed for the replay spec, which pins the self-overlap contract
     * directly against literal symbol arrays. */
-  private[graft] def bpeMergedCol(l: String, r: String): Column = {
-    val lC = lit(l); val rC = lit(r)
+  private[graft] def bpeMergedCol(l: String, r: String): Column =
+    bpeMergedSetCol(Seq((l, r)))
+
+  /** The same single-pass fold over a SET of merge rules — sound only
+    * when no two rules share a symbol (the batched trainer's selection
+    * invariant): then at most one rule can match any (pending, cur)
+    * position, occurrences of different rules never overlap, and the
+    * per-rule leftmost-greedy parity is exactly the single-rule
+    * contract. Rules chain as `when` clauses; a merged token goes
+    * straight to `out` and never re-pends, so it cannot feed another
+    * rule within the same round. */
+  private[graft] def bpeMergedSetCol(pairs: Seq[(String, String)]): Column = {
+    require(pairs.nonEmpty)
     aggregate(
       col("syms"),
       struct(array().cast("array<string>").as("out"),
         lit(null).cast("string").as("pending")),
       (st: Column, s: Column) => {
         val out = st.getField("out"); val pend = st.getField("pending")
-        when(pend.isNull, struct(out.as("out"), s.as("pending")))
-          .when(pend === lC && s === rC,
-            struct(array_append(out, concat(lC, rC)).as("out"),
+        val base = when(pend.isNull, struct(out.as("out"), s.as("pending")))
+        pairs.foldLeft(base) { case (acc, (l, r)) =>
+          acc.when(pend === lit(l) && s === lit(r),
+            struct(array_append(out, concat(lit(l), lit(r))).as("out"),
               lit(null).cast("string").as("pending")))
+        }
           .otherwise(
             struct(array_append(out, pend).as("out"), s.as("pending")))
       },
@@ -741,6 +766,82 @@ object TextQueries {
     bpeMergesCache((spark, dir))
       .toDF("merge_round", "lhs", "rhs", "merged", "n_occurrences")
       .orderBy("merge_round")
+  }
+
+  /** t33 — BATCHED BPE training, the production-K form t31's Scaladoc
+    * names: at a real tokenizer's K ≈ 30-50k merges, one driver
+    * round-trip per merge dominates wall clock, so each round ships the
+    * top-[[BpeCandWindow]] pairs once (a bounded TakeOrdered — the SAME
+    * single crossing as t31, just wider) and the driver greedily selects
+    * up to [[BpeBatch]] NON-INTERACTING pairs from that ranked window:
+    * walking in (count desc, lhs, rhs) order, a pair is taken iff
+    * neither of its symbols was taken this round. Disjoint symbol sets
+    * make simultaneous application exact — two selected rules can never
+    * match overlapping positions (an overlap forces a shared symbol),
+    * so one [[bpeMergedSetCol]] fold applies the whole batch and the
+    * driver crossings shrink by ~B× at identical per-merge semantics.
+    * The cost is fidelity to strict BPE: a lower-ranked pair whose
+    * count would change under a higher-ranked merge in the SAME batch
+    * is taken at its pre-batch count — the standard batched-trainer
+    * tradeoff, bounded by the non-interaction rule (a pair sharing a
+    * symbol with a selected merge — the only way its count can change —
+    * is never co-selected).
+    *
+    * Output carries (merge_round, batch_rank): the merge table a
+    * tokenizer consumes is the flattened (round, rank) order. */
+  val BpeBatch = 3
+  val BpeCandWindow = 12
+  private[graft] def bpeBatchedLoop(spark: SparkSession, dir: String,
+      b: Int, rounds: Int)
+      : (Seq[(Long, Long, String, String, String, Long)], DataFrame) = {
+    var seg = bpeVocab(spark, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val window = bpeRoundTop(seg, BpeCandWindow).take(BpeCandWindow)
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = Seq.newBuilder[(String, String, Long)]
+      var taken = 0
+      window.foreach { row =>
+        val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
+        if (taken < b && !used(l) && !used(r)) {
+          picked += ((l, r, n)); used += l; used += r; taken += 1
+        }
+      }
+      val batch = picked.result()
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.zipWithIndex.foreach { case ((l, r, n), i) =>
+          merges += ((round.toLong, (i + 1).toLong, l, r, l + r, n))
+        }
+        val prev = seg
+        seg = seg.withColumn("syms",
+          bpeMergedSetCol(batch.map { case (l, r, _) => (l, r) }))
+          .localCheckpoint()
+        graft.CheckpointUtil.release(prev)
+      }
+      round += 1
+    }
+    (merges.result(), seg)
+  }
+
+  private def bpeBatchTrained(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    bpeBatchSegCache.getOrElseUpdate((spark, dir), {
+      val (merges, seg) = bpeBatchedLoop(spark, dir, BpeBatch, BpeRounds)
+      bpeBatchMergesCache((spark, dir)) = merges
+      seg
+    })
+  }
+
+  def bpeTrainBatched(spark: SparkSession, dir: String): DataFrame = {
+    bpeBatchTrained(spark, dir)
+    import spark.implicits._
+    bpeBatchMergesCache((spark, dir))
+      .toDF("merge_round", "batch_rank", "lhs", "rhs", "merged",
+        "n_occurrences")
+      .orderBy("merge_round", "batch_rank")
   }
 
   /** t32 — trained-tokenizer application: per-document token counts
@@ -1234,6 +1335,7 @@ object TextQueries {
     "t13_shingle_udtf" -> ((s, d) => shingleStream(s, d)),
     "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "t31_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "t33_bpe_train_batched" -> ((s, d) => bpeTrainBatched(s, d)),
     "t32_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "t11_repetition" -> ((s, d) => repetition(s, d)),
     "t10_lm_score" -> ((s, d) => lmScore(s, d)),
@@ -1304,6 +1406,68 @@ object TextQueries {
        |  WHERE length(w) >= 2 GROUP BY w),
        |s0 AS MATERIALIZED (SELECT w, freq, pos, w[CAST(pos AS INT)] sym FROM (
        |    SELECT w, freq, unnest(range(1, length(w) + 1)) pos FROM wd)),
+       |$rounds""".stripMargin
+  }
+
+  /** The batched variant of [[duckBpeRounds]]: per round, the top-1 CTE
+    * becomes a bounded ranked window (rk) + a RECURSIVE greedy walk
+    * (pick) that carries the used-symbol list and takes a pair iff
+    * neither symbol was taken — the literal SQL form of the engine's
+    * driver-side selection. Candidate marking joins the up-to-B rule
+    * set; the parity-islands merge is UNCHANGED because selected rules
+    * share no symbol, so adjacent candidate positions can only belong
+    * to the same self-pair run (a cross-rule adjacency would force a
+    * shared symbol). */
+  private lazy val duckBpeBatchedRounds: String = {
+    val sel = "len(p.sl) < " + BpeBatch +
+      " AND NOT list_contains(p.used, r.lhs)" +
+      " AND NOT list_contains(p.used, r.rhs)"
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""ba$r AS MATERIALIZED (SELECT w, freq, pos, sym,
+         |  lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt FROM bs${r - 1}),
+         |rk$r AS MATERIALIZED (SELECT lhs, rhs, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, lhs ASC, rhs ASC)
+         |      AS BIGINT) k
+         |  FROM (SELECT sym lhs, nxt rhs, sum(freq) n FROM ba$r
+         |        WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |        ORDER BY n DESC, lhs ASC, rhs ASC LIMIT $BpeCandWindow)),
+         |pick$r AS (
+         |  SELECT CAST(0 AS BIGINT) k, CAST([] AS VARCHAR[]) used,
+         |         CAST([] AS VARCHAR[]) sl, CAST([] AS VARCHAR[]) sr,
+         |         CAST([] AS BIGINT[]) sn
+         |  UNION ALL
+         |  SELECT r.k,
+         |    CASE WHEN $sel THEN list_append(list_append(p.used, r.lhs), r.rhs)
+         |         ELSE p.used END,
+         |    CASE WHEN $sel THEN list_append(p.sl, r.lhs) ELSE p.sl END,
+         |    CASE WHEN $sel THEN list_append(p.sr, r.rhs) ELSE p.sr END,
+         |    CASE WHEN $sel THEN list_append(p.sn, CAST(r.n AS BIGINT))
+         |         ELSE p.sn END
+         |  FROM pick$r p JOIN rk$r r ON r.k = p.k + 1),
+         |bw$r AS MATERIALIZED (SELECT unnest(sl) lhs, unnest(sr) rhs,
+         |    unnest(sn) n
+         |  FROM pick$r WHERE k = (SELECT max(k) FROM pick$r)),
+         |bc$r AS MATERIALIZED (SELECT a.w, a.freq, a.pos, a.sym, a.nxt,
+         |    (q.lhs IS NOT NULL) cand
+         |  FROM ba$r a LEFT JOIN bw$r q ON a.sym = q.lhs AND a.nxt = q.rhs),
+         |bg$r AS MATERIALIZED (SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) rn
+         |    FROM (SELECT w, pos,
+         |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) grp
+         |          FROM bc$r WHERE cand)) WHERE rn % 2 = 1),
+         |bs$r AS MATERIALIZED (SELECT c.w, c.freq,
+         |    row_number() OVER (PARTITION BY c.w ORDER BY c.pos) pos,
+         |    CASE WHEN st.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END sym
+         |  FROM bc$r c
+         |  LEFT JOIN bg$r st ON st.w = c.w AND st.pos = c.pos
+         |  LEFT JOIN bg$r cons ON cons.w = c.w AND cons.pos = c.pos - 1
+         |  WHERE cons.pos IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""bwd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |bs0 AS MATERIALIZED (SELECT w, freq, pos, w[CAST(pos AS INT)] sym FROM (
+       |    SELECT w, freq, unnest(range(1, length(w) + 1)) pos FROM bwd)),
        |$rounds""".stripMargin
   }
 
@@ -1590,6 +1754,18 @@ object TextQueries {
       s"""WITH $duckBpeRounds
          |$sel
          |ORDER BY merge_round""".stripMargin
+    },
+
+    "t33_bpe_train_batched" -> {
+      val sel = (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) merge_round, " +
+          "CAST(row_number() OVER (ORDER BY n DESC, lhs ASC, rhs ASC) " +
+          "AS BIGINT) batch_rank, lhs, rhs, lhs || rhs merged, " +
+          s"CAST(n AS BIGINT) n_occurrences FROM bw$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE $duckBpeBatchedRounds,
+         |m AS ($sel)
+         |SELECT * FROM m ORDER BY merge_round, batch_rank""".stripMargin
     },
 
     // the trained segmentation s{K} applied back to the document token

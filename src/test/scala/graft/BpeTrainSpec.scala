@@ -148,6 +148,104 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
     assert(got == expected, s"\n engine: $got\n sequential: $expected")
   }
 
+  /** Sequential reference for the BATCHED trainer: per round, rank pairs
+    * (count desc, lhs, rhs), walk the top-`window` candidates, greedily
+    * take up to `b` pairs sharing no symbol with an earlier take, then
+    * apply all taken rules in one leftmost-greedy pass. */
+  private def seqBpeBatched(vocab: Map[String, Long], b: Int, rounds: Int,
+      window: Int): Seq[(Long, Long, String, String, String, Long)] = {
+    var segs: Seq[(Vector[String], Long)] =
+      vocab.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Long, Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val ranked = counts.toSeq
+        .sortBy { case ((l, rr), n) => (-n, l, rr) }.take(window)
+      val used = scala.collection.mutable.Set.empty[String]
+      val batch = Seq.newBuilder[((String, String), Long)]
+      var taken = 0
+      ranked.foreach { case ((l, rr), n) =>
+        if (taken < b && !used(l) && !used(rr)) {
+          batch += (((l, rr), n)); used += l; used += rr; taken += 1
+        }
+      }
+      val picked = batch.result()
+      if (picked.isEmpty) done = true
+      else {
+        picked.zipWithIndex.foreach { case (((l, rr), n), i) =>
+          out += ((r.toLong, (i + 1).toLong, l, rr, l + rr, n))
+        }
+        // disjoint symbols: rule application order cannot matter — apply
+        // the batch as one pass per rule (equivalent to the engine's
+        // single multi-rule fold)
+        segs = segs.map { case (syms, f) =>
+          (picked.foldLeft(syms) { case (s, ((l, rr), _)) =>
+            mergeLeftmost(s, l, rr) }, f)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("batched BPE replays the sequential greedy-batch reference exactly") {
+    val texts = Seq(
+      "aaa banana bandana aaaa",
+      "banana banana cabana",
+      "the theme then an and hand",
+      "aaa na na na")
+    val dir = writeDocs("bpebatch", texts)
+    val expected = seqBpeBatched(vocabOf(texts), TextQueries.BpeBatch,
+      TextQueries.BpeRounds, TextQueries.BpeCandWindow)
+    val got = TextQueries.bpeTrainBatched(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(got == expected,
+      s"batched merge tables diverge:\n engine: $got\n sequential: $expected")
+    // the batch really batches on this corpus (rounds carry >1 merge)
+    assert(got.groupBy(_._1).values.exists(_.size > 1))
+  }
+
+  test("batched BPE with B=1 degenerates to t31's merge table exactly") {
+    val texts = Seq(
+      "aaa banana bandana aaaa",
+      "banana banana cabana",
+      "the theme then an and hand",
+      "aaa na na na")
+    val dir = writeDocs("bpeb1", texts)
+    val single = TextQueries.bpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val (batched, seg) =
+      TextQueries.bpeBatchedLoop(spark, dir, 1, TextQueries.BpeRounds)
+    graft.CheckpointUtil.release(seg)
+    assert(batched.map(m => (m._1, m._3, m._4, m._5, m._6)) == single,
+      "B=1 batched training must reproduce one-merge-per-round BPE")
+    assert(batched.forall(_._2 == 1L))
+  }
+
+  test("batch selection skips pairs that share a symbol with an earlier take") {
+    // round 1 ranked pairs: (a,b) n=6 > (b,c) n=5 > (d,e) n=4. (b,c)
+    // shares b with the taken (a,b) and must be skipped; (d,e) is the
+    // legal second take. One 'abc' word keeps (b,c) distinct-counted.
+    val texts = Seq(
+      Seq.fill(5)("abc").mkString(" "),
+      "ab",
+      Seq.fill(4)("de").mkString(" "))
+    val dir = writeDocs("bpeskip", texts)
+    val (merges, seg) =
+      TextQueries.bpeBatchedLoop(spark, dir, 2, 1)
+    graft.CheckpointUtil.release(seg)
+    val round1 = merges.filter(_._1 == 1L).map(m => (m._3, m._4))
+    assert(round1 == Seq(("a", "b"), ("d", "e")),
+      s"greedy selection must skip the conflicting (b,c): $merges")
+  }
+
   test("degenerate corpus truncates the merge table instead of crashing") {
     // two distinct 2-char words: rounds 1-2 merge each to a single
     // symbol, round 3 finds no adjacent pair anywhere — the loop must

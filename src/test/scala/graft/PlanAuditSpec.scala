@@ -210,6 +210,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("batched bpe round: the wider crossing is still one bounded TakeOrdered") {
+    // t33's driver crossing per round is the top-BpeCandWindow ranked
+    // pairs — the SAME TakeOrderedAndProject shape as t31's 1-row
+    // crossing, just wider, and still nothing corpus-sized: no global
+    // sort, no CollectLimit, no join, no window.
+    val seg = graft.ext.TextQueries.bpeVocab(spark, dir)
+    val p = graft.ext.TextQueries
+      .bpeRoundTop(seg, graft.ext.TextQueries.BpeCandWindow)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CollectLimit"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("bpe apply probes the cached trained segmentation by broadcast: no retrain") {
     // t32's plan must read the once-per-(session, dir) checkpointed
     // segmentation (Scan ExistingRDD), broadcast the vocabulary-grain
