@@ -640,13 +640,15 @@ object TextQueries {
     *
     * PRODUCTION-K LIMIT: at a real tokenizer's K ≈ 30-50k merges the
     * per-round driver round-trip (one TakeOrdered(1) job per merge)
-    * dominates wall clock. The production form batches: maintain the
-    * pair-count frame incrementally (a merge only perturbs counts of
-    * pairs overlapping the merged symbol — the classic priority-queue
-    * BPE trainer, distributed as a delta-aggregate) and/or takes the
-    * top-B non-interacting pairs per round (disjoint symbol sets merge
-    * safely in one pass). The 5-round loop here pins the exact
-    * per-round semantics those optimizations must preserve. */
+    * dominates wall clock. The batched form is implemented as
+    * [[bpeTrainBatched]] (t33): top-B non-interacting pairs per round —
+    * disjoint symbol sets merge safely in one pass, ~B× fewer driver
+    * crossings. The remaining headroom is maintaining the pair-count
+    * frame incrementally (a merge only perturbs counts of pairs
+    * overlapping the merged symbol — the classic priority-queue BPE
+    * trainer, distributed as a delta-aggregate). This 5-round loop pins
+    * the exact per-round semantics those optimizations must preserve
+    * (t33's B=1 degeneration spec ties the two together). */
   val BpeRounds = 5
   /** One BPE round's winning pair over a segmentation frame
     * `(freq, syms)` — exposed for the plan audit: partial/final hash
