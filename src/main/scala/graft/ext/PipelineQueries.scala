@@ -109,6 +109,32 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p26 — sequence packing by the TRAINED tokenizer's budget: p2 packs
+    * by whitespace token counts, but a trainer's context window is
+    * measured in SUBWORD tokens — packing by whitespace under-fills or
+    * overflows each sequence by the per-document expansion factor
+    * (exactly the discrepancy t32 reports as expansion_ppm). This is
+    * p2's running-prefix packing with t32's trained-BPE counts as the
+    * mass: same [[PackBudget]], same deterministic doc_id order, shard
+    * = exclusive-prefix div budget.
+    *
+    * Scale shape: the BPE counts ride the cached trained segmentation
+    * (training cost paid once in the t31/t32 cache, never here); the
+    * prefix sum is [[graft.ops.RankOps.withGlobalPrefixSum]] — range
+    * partition + per-partition offsets, never a single-task running
+    * window. */
+  def bpePacking(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val counts = graft.ext.TextQueries.bpeApply(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    graft.ops.RankOps
+      .withGlobalPrefixSum(counts, par, "tok_before",
+        col("n_bpe_tokens"), col("doc_id"))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        (col("tok_before") / PackBudget).cast("long").as("shard"))
+      .orderBy("doc_id")
+  }
+
   /** p3 — fixed-window chunking with overlap (window [[ChunkSize]], stride
     * [[ChunkStride]]): explode each doc into token-window chunks, the unit
     * a context-bounded trainer or embedder actually consumes. Chunk count
@@ -785,7 +811,8 @@ object PipelineQueries {
     "p5_mixture" -> ((s, d) => mixtureSample(s, d)),
     "p14_temperature" -> ((s, d) => temperatureMix(s, d)),
     "p15_exact_split" -> ((s, d) => exactSplit(s, d)),
-    "p25_shard_balance" -> ((s, d) => shardBalance(s, d))
+    "p25_shard_balance" -> ((s, d) => shardBalance(s, d)),
+    "p26_bpe_packing" -> ((s, d) => bpePacking(s, d))
   )
 
   /** p15 — exact-quota stratified split: within each stratum (lang),
@@ -877,6 +904,28 @@ object PipelineQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    // p26 re-derives the trained-BPE per-doc counts with t32's CTE chain
+    // (shared duckBpeRounds builder), then applies p2's exclusive-prefix
+    // packing arithmetic over them.
+    "p26_bpe_packing" ->
+      s"""WITH ${graft.ext.TextQueries.duckBpeRounds},
+         |sub AS (SELECT w, CAST(count(*) AS BIGINT) n_sub
+         |        FROM s${graft.ext.TextQueries.BpeRounds} GROUP BY w),
+         |dt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) w
+         |       FROM documents),
+         |nb AS (SELECT dt.doc_id,
+         |         CAST(sum(coalesce(sub.n_sub, length(dt.w))) AS BIGINT)
+         |           n_bpe_tokens
+         |       FROM dt LEFT JOIN sub ON dt.w = sub.w GROUP BY dt.doc_id),
+         |r AS (SELECT doc_id, n_bpe_tokens,
+         |        coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          tok_before
+         |      FROM nb)
+         |SELECT doc_id, n_bpe_tokens,
+         |       CAST(tok_before // $PackBudget AS BIGINT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "p25_shard_balance" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) n_toks

@@ -1379,7 +1379,7 @@ object TextQueries {
     * c{r} (via the two g{r} joins), the chain re-evaluates ~4^K times —
     * t32's s{K} read took >15 min CPU at sf0.01 plain vs 0.5 s
     * materialized (measured). */
-  private lazy val duckBpeRounds: String = {
+  private[ext] lazy val duckBpeRounds: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""a$r AS MATERIALIZED (SELECT w, freq, pos, sym,
          |  lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt FROM s${r - 1}),

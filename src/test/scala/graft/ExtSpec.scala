@@ -2182,6 +2182,26 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bpe packing prefix-sums the oracle-verified t32 counts under the p2 budget") {
+    val counts = ext.TextQueries.bpeApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1)
+    var before = 0L
+    val expected = counts.map { case (id, n) =>
+      val shard = before / ext.PipelineQueries.PackBudget
+      before += n
+      (id, n, shard)
+    }.toSeq
+    val got = ext.PipelineQueries.bpePacking(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the packing must actually differ from whitespace packing somewhere
+    // on this fixture (subword expansion > 1), or the op is pointless
+    val ws = ext.PipelineQueries.tokenPacking(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists { case (id, _, shard) => ws(id) != shard },
+      "BPE packing must diverge from whitespace packing under expansion")
+  }
+
   test("shard balance replays the serpentine deal and balances token mass") {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
       .collect()

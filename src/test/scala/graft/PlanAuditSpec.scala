@@ -856,6 +856,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("bpe packing rides the cached segmentation and the range-partition prefix sum") {
+    // the trained segmentation must come from the t31/t32 checkpoint
+    // (never a retrain — no TakeOrdered in this plan) and the running
+    // prefix is RankOps (Scan ExistingRDD), never a single-task window.
+    SparkEntry.queries("t32_bpe_apply")(spark, dir).collect() // warm cache
+    val p = plan("p26_bpe_packing")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("length buckets is one projection + one tiny hash aggregate") {
     val p = plan("p20_length_buckets")
     assert(!p.contains("Join") && !p.contains("Window"), p)
