@@ -1206,32 +1206,51 @@ object SimilarityQueries {
     val need = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     need.max(4).min(LshPlanes)
   }
+  /** Band rows for EVERY vector at an explicit per-table key width `b`
+    * — the kernel under [[scaledBandIndex]] (b from the full corpus) and
+    * [[standingBandIndex]] (b frozen from the indexed half). */
+  private def bandIndexAtWidth(spark: SparkSession, dir: String, b: Int): DataFrame = {
+    // only the b planes each table actually keys on are evaluated —
+    // 8·b dot products per vector, not the full 8·16 family
+    val used = (0 until AnnHubTables).flatMap(t =>
+      (0 until b).map(r => t * LshPlanes + r))
+    val base = used.foldLeft(emb(spark, dir)) { (d, p) =>
+      val coeffs = tablePlaneSigns(p)
+        .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
+      d.withColumn(s"s$p", expr(
+        s"dot_product(embedding, array($coeffs)) > 0D"))
+    }
+    val bandCols = (0 until AnnHubTables).map { t =>
+      val code = (0 until b)
+        .map(r => s"(CASE WHEN s${t * LshPlanes + r} THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      expr(s"struct(cast($t as int) as bid, cast(($code) as int) as bkey)")
+    }
+    base.select(col("vec_id"), col("embedding"),
+        explode(array(bandCols: _*)).as("u"))
+      .select(col("vec_id"), col("embedding"),
+        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+      .localCheckpoint()
+  }
+
   private[graft] def scaledBandIndex(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
-    scaledBandsCache.getOrElseUpdate((spark, dir), {
-      val b = scaledBandBits(emb(spark, dir).count())
-      // only the b planes each table actually keys on are evaluated —
-      // 8·b dot products per vector, not the full 8·16 family
-      val used = (0 until AnnHubTables).flatMap(t =>
-        (0 until b).map(r => t * LshPlanes + r))
-      val base = used.foldLeft(emb(spark, dir)) { (d, p) =>
-        val coeffs = tablePlaneSigns(p)
-          .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
-        d.withColumn(s"s$p", expr(
-          s"dot_product(embedding, array($coeffs)) > 0D"))
-      }
-      val bandCols = (0 until AnnHubTables).map { t =>
-        val code = (0 until b)
-          .map(r => s"(CASE WHEN s${t * LshPlanes + r} THEN ${1 << r} ELSE 0 END)")
-          .mkString(" + ")
-        expr(s"struct(cast($t as int) as bid, cast(($code) as int) as bkey)")
-      }
-      base.select(col("vec_id"), col("embedding"),
-          explode(array(bandCols: _*)).as("u"))
-        .select(col("vec_id"), col("embedding"),
-          col("u.bid").as("bid"), col("u.bkey").as("bkey"))
-        .localCheckpoint()
-    })
+    scaledBandsCache.getOrElseUpdate((spark, dir),
+      bandIndexAtWidth(spark, dir, scaledBandBits(emb(spark, dir).count())))
+  }
+
+  /** The STANDING index for incremental admission (s33): key width
+    * frozen from the indexed half (even vec_ids) — the parameter a
+    * deployed index fixes at build time — with band rows computed for
+    * every vector so the new batch keys itself with the index's own
+    * planes and width (a pure projection; admission needs no
+    * corpus-wide state). */
+  private val standingBandsCache = caches.newCache()
+  private[graft] def standingBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    standingBandsCache.getOrElseUpdate((spark, dir),
+      bandIndexAtWidth(spark, dir, scaledBandBits(
+        emb(spark, dir).filter(col("vec_id") % 2 === 0).count())))
   }
 
   /** s30 — ANN-candidate hubness: s26's in-degree health readout
@@ -1396,6 +1415,49 @@ object SimilarityQueries {
         coalesce(col("h"), lit(0L)).as("n_hits"),
         expr("coalesce(h, 0L) * 1000000L div n_exact").as("recall_ppm"))
       .orderBy("probe_mode")
+  }
+
+  /** s33 — incremental ANN admission: screen a NEWLY ARRIVED embedding
+    * batch against the STANDING index — d11's production ingest path for
+    * vectors (the batch jobs rebuild candidate graphs; a pipeline
+    * admitting embeddings continuously probes each new vector against
+    * the standing LSH tables and reads its neighbors on admission). Odd
+    * vec_ids stand in for the new batch, even ids for the indexed
+    * corpus; emits each new vector's top-[[KnnK]] indexed neighbors by
+    * exact cosine over the bucket candidates.
+    *
+    * The key production property: the new batch keys itself with the
+    * index's OWN fixed parameters (the literal plane family and the key
+    * width frozen at build time from the INDEXED corpus — [[standingBandIndex]])
+    * — a pure per-row projection, so admission needs no corpus-wide
+    * state and the probe shuffle is bounded by the batch, never the
+    * corpus. Documented rebuild trigger: when the corpus outgrows the
+    * frozen width's occupancy target (n_indexed ≈ 2^b · occ), the index
+    * re-keys at b+1 — the doubling-epoch rebuild every LSH deployment
+    * amortizes. */
+  def incrementalAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = standingBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val idx = bands.filter(col("vec_id") % 2 === 0)
+    val probe = bands.filter(col("vec_id") % 2 === 1)
+    val cand = probe.as("p").join(idx.as("i"),
+        col("p.bid") === col("i.bid") && col("p.bkey") === col("i.bkey"))
+      .select(col("p.vec_id").as("vec_id"), col("i.vec_id").as("nbr_id"))
+      .distinct()
+    val ev = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    cand
+      .join(ev.select(col("vec_id"), col("embedding").as("xv")), Seq("vec_id"))
+      .join(ev.select(col("vec_id").as("nbr_id"), col("embedding").as("yv")),
+        Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(expr("cosine_sim(xv, yv)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"), col("rk"), col("cosine"))
+      .orderBy("vec_id", "rk")
   }
 
   /** s27 — dominant principal direction via power iteration: three
@@ -1606,6 +1668,7 @@ object SimilarityQueries {
     "s30_ann_hubness" -> ((s, d) => annHubness(s, d)),
     "s31_scaled_ann_recall" -> ((s, d) => scaledAnnRecall(s, d)),
     "s32_multiprobe_recall" -> ((s, d) => multiprobeRecall(s, d)),
+    "s33_incremental_ann" -> ((s, d) => incrementalAnn(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -1665,7 +1728,11 @@ object SimilarityQueries {
     * masking reproduces the engine's only-evaluate-b-planes shortcut
     * exactly. Expects the `e` CTE in scope; yields `bands (vec_id, bid,
     * bkey)`. Shared by the s30/s31 oracles. */
-  private[ext] lazy val duckScaledBands: String = {
+  /** [[duckScaledBands]] with the key width derived from the row subset
+    * matching `countWhere` — `TRUE` = the full-corpus adaptive width
+    * (s30/s31/s32/d30); `vec_id % 2 = 0` = the standing index's frozen
+    * width (s33). Band rows are always emitted for EVERY vector. */
+  private def duckScaledBandsFrom(countWhere: String): String = {
     def tblDot(p: Int): String = (0 until LshDims)
       .map(d => s"v[${d + 1}] * ${if (tablePlaneSigns(p)(d) > 0) "1.0" else "-1.0"}")
       .mkString(" + ")
@@ -1691,10 +1758,12 @@ object SimilarityQueries {
        |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)) b
        |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
        |                        // $AnnHubTargetOcc m
-       |                 FROM embeddings)),
+       |                 FROM embeddings WHERE $countWhere)),
        |bands AS (
        |$tables)""".stripMargin
   }
+
+  private[ext] lazy val duckScaledBands: String = duckScaledBandsFrom("TRUE")
 
   private lazy val duckLsh: String = {
     val ss = (0 until LshPlanes)
@@ -1953,6 +2022,28 @@ object SimilarityQueries {
          |         AS recall_ppm
          |FROM modes m LEFT JOIN h USING (probe_mode), tot
          |ORDER BY m.probe_mode""".stripMargin,
+
+    // s33: the scaled-band CTEs with the key width frozen from the
+    // indexed (even) half; probe side = odd ids, index side = even ids,
+    // exact-cosine top-k per new vector over the bucket candidates.
+    "s33_incremental_ann" ->
+      s"""WITH $duckEmb,
+         |${duckScaledBandsFrom("vec_id % 2 = 0")},
+         |cand AS (SELECT DISTINCT p.vec_id, i.vec_id nbr_id
+         |         FROM bands p JOIN bands i
+         |           ON p.bid = i.bid AND p.bkey = i.bkey
+         |          AND p.vec_id % 2 = 1 AND i.vec_id % 2 = 0),
+         |sc AS (SELECT c.vec_id, c.nbr_id,
+         |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) cosine
+         |       FROM cand c JOIN e x ON x.vec_id = c.vec_id
+         |                   JOIN e y ON y.vec_id = c.nbr_id)
+         |SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+         |  SELECT vec_id, nbr_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |  FROM sc)
+         |WHERE rk <= $KnnK
+         |ORDER BY vec_id, rk""".stripMargin,
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //
     // renormalization mirror the engine's decimal(38,0) + truncating

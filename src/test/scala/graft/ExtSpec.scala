@@ -2273,6 +2273,51 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(edges.nonEmpty, "fixtures plant embedding near-dups the index must catch")
   }
 
+  test("incremental ann replays a sequential probe of the standing index") {
+    import org.apache.spark.sql.functions.{col => c}
+    val bands = ext.SimilarityQueries.standingBandIndex(spark, dir)
+      .select(c("vec_id"), c("bid"), c("bkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(c("vec_id"), c("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // sequential probe: per bucket, odd ids see even ids; dedupe pairs;
+    // exact cosine; top-KnnK per probe by (rounded cosine desc, nbr asc)
+    val cand = bands.groupBy(r => (r._2, r._3)).values.flatMap { bucket =>
+      val odd = bucket.map(_._1).filter(_ % 2 == 1).distinct.toSeq
+      val even = bucket.map(_._1).filter(_ % 2 == 0).distinct.toSeq
+      for (p <- odd; i <- even) yield (p, i)
+    }.toSet
+    val expected = cand.groupBy(_._1).flatMap { case (p, ps) =>
+      ps.toSeq.map { case (_, i) => (i, r6(cos(vecs(p), vecs(i)))) }
+        .sortBy { case (i, cs) => (-cs, i) }
+        .take(ext.SimilarityQueries.KnnK).zipWithIndex
+        .map { case ((i, cs), k) => (p, i) -> ((k + 1).toLong, cs) }
+    }
+    val got = ext.SimilarityQueries.incrementalAnn(spark, dir).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (rk, cs) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == rk && r6(r.getDouble(3)) == cs,
+        s"probe ${r.getLong(0)} nbr ${r.getLong(1)}")
+    }
+    // the standing width is FROZEN from the indexed half: on this
+    // fixture it is narrower than the full-corpus adaptive width, so the
+    // standing keys fit a strictly smaller key space
+    val standingMax = bands.map(_._3).max
+    val fullMax = ext.SimilarityQueries.scaledBandIndex(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(c("bkey"))).head().getInt(0)
+    assert(standingMax < fullMax,
+      s"frozen width must differ from the full-corpus width here: $standingMax vs $fullMax")
+  }
+
   test("multiprobe recall: single mode reproduces s31, 1-bit flips only add candidates") {
     val rows = ext.SimilarityQueries.multiprobeRecall(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -321,6 +321,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("Posexplode") || p.contains("Generate"), p)
   }
 
+  test("s33 probes the checkpointed standing index; top-k through the bounded heap") {
+    // admission must read the materialized standing band rows (no
+    // per-batch re-hash of the plane family) and rank per new vector via
+    // WindowGroupLimit — the batch-bounded ingest shape.
+    graft.ext.SimilarityQueries.standingBandIndex(spark, dir) // warm
+    val p = plan("s33_incremental_ann")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
+  }
+
   test("d30 warm probe is a broadcast of the converged component labels") {
     // the edge build + BSP loop run once into the (session, dir) label
     // cache; the warm query is id-column scan + broadcast label join —
