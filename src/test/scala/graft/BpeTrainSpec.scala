@@ -51,6 +51,21 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
     out.result()
   }
 
+  /** Single-pass leftmost-greedy merge of a whole RULE SET — the batched
+    * trainer's application contract (a merged output never feeds another
+    * rule within the pass). */
+  private def mergeMultiLeftmost(syms: Vector[String],
+      rules: Set[(String, String)]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && rules((syms(i), syms(i + 1)))) {
+        out += (syms(i) + syms(i + 1)); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
   private def writeDocs(prefix: String, texts: Seq[String]): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
@@ -180,13 +195,14 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
         picked.zipWithIndex.foreach { case (((l, rr), n), i) =>
           out += ((r.toLong, (i + 1).toLong, l, rr, l + rr, n))
         }
-        // disjoint symbols: rule application order cannot matter — apply
-        // the batch as one pass per rule (equivalent to the engine's
-        // single multi-rule fold)
-        segs = segs.map { case (syms, f) =>
-          (picked.foldLeft(syms) { case (s, ((l, rr), _)) =>
-            mergeLeftmost(s, l, rr) }, f)
-        }
+        // ONE pass with the whole rule set — NOT one pass per rule: a
+        // rule's merged output string can equal another co-selected
+        // rule's symbol (e.g. (a,bc) emitting "abc" alongside (abc,d) —
+        // symbol-disjoint on the OLD segmentation, so co-selectable),
+        // and the single-pass contract says that fresh "abc" never feeds
+        // (abc,d) within the round, while per-rule passes WOULD chain.
+        val rules = picked.map(_._1).toSet
+        segs = segs.map { case (syms, f) => (mergeMultiLeftmost(syms, rules), f) }
         r += 1
       }
     }
@@ -227,6 +243,31 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
     assert(batched.map(m => (m._1, m._3, m._4, m._5, m._6)) == single,
       "B=1 batched training must reproduce one-merge-per-round BPE")
     assert(batched.forall(_._2 == 1L))
+  }
+
+  test("multi-rule fold never chains a fresh merge into another rule") {
+    // (a,bc) and (abc,d) are symbol-disjoint on the OLD segmentation, so
+    // the batch can co-select them — but (a,bc)'s output "abc" must NOT
+    // feed (abc,d) within the same pass. A pre-existing "abc" symbol
+    // (doc 2) DOES feed it: that occurrence was counted this round.
+    val df = Seq(
+      (1L, Seq("a", "bc", "d")),   // -> [abc, d], never [abcd]
+      (2L, Seq("abc", "d")),       // -> [abcd]  (old symbol, legal match)
+      (3L, Seq("a", "bc", "a", "bc")), // both disjoint occurrences merge
+      (4L, Seq("d", "a", "bc")))   // -> [d, abc]
+      .toDF("id", "syms")
+    val rules = Seq(("a", "bc"), ("abc", "d"))
+    val got = df.select(col("id"),
+        TextQueries.bpeMergedSetCol(rules).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("abc", "d"), got(1L))
+    assert(got(2L) == List("abcd"), got(2L))
+    assert(got(3L) == List("abc", "abc"), got(3L))
+    assert(got(4L) == List("d", "abc"), got(4L))
+    // and the sequential reference agrees rule-for-rule
+    val rs = rules.toSet
+    assert(mergeMultiLeftmost(Vector("a", "bc", "d"), rs) == Vector("abc", "d"))
+    assert(mergeMultiLeftmost(Vector("abc", "d"), rs) == Vector("abcd"))
   }
 
   test("batch selection skips pairs that share a symbol with an earlier take") {
