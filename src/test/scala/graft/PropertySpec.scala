@@ -192,6 +192,66 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
     assert(got == want, s"nPart=$nPart")
   }
 
+  test("multi-rule bpe fold equals the sequential single-pass merge on random inputs") {
+    // Random symbol arrays over a tiny alphabet + random symbol-disjoint
+    // rule sets (the batched trainer's selection invariant): the Spark
+    // fold column and a driver-side single-pass merge must agree on
+    // every sample — including self-pairs ((x,x) runs) and rules whose
+    // concatenated output collides with another rule's symbol.
+    def mergeMulti(syms: List[String], rules: Set[(String, String)]): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      val a = syms.toArray
+      while (i < a.length) {
+        if (i + 1 < a.length && rules((a(i), a(i + 1)))) {
+          out += (a(i) + a(i + 1)); i += 2
+        } else { out += a(i); i += 1 }
+      }
+      out.result()
+    }
+    val alphabet = List("a", "b", "c", "ab", "bc", "abc")
+    val genCase = for {
+      syms <- Gen.listOfN(12, Gen.oneOf(alphabet))
+      // draw candidate rules, then enforce symbol-disjointness greedily
+      raw <- Gen.listOfN(5, for {
+        l <- Gen.oneOf(alphabet); r <- Gen.oneOf(alphabet)
+      } yield (l, r))
+    } yield {
+      val used = scala.collection.mutable.Set.empty[String]
+      val rules = raw.filter { case (l, r) =>
+        if (used(l) || used(r)) false else { used += l; used += r; true }
+      }
+      (syms, if (rules.isEmpty) List(("a", "b")) else rules)
+    }
+    val cases = sample(Gen.listOfN(40, genCase))
+    val df = cases.zipWithIndex
+      .map { case ((syms, _), i) => (i.toLong, syms) }.toDF("id", "syms")
+    cases.zipWithIndex.foreach { case ((syms, rules), i) =>
+      val got = df.filter(col("id") === i.toLong)
+        .select(graft.ext.TextQueries.bpeMergedSetCol(rules).as("m"))
+        .collect().head.getSeq[String](0).toList
+      assert(got == mergeMulti(syms, rules.toSet),
+        s"case $i: syms=$syms rules=$rules got=$got")
+    }
+  }
+
+  test("serpentine shard deal: doc counts within one across shards on any multiset") {
+    // p25's dealing arithmetic (rank -> serpentine shard) must hand each
+    // shard floor/ceil(n/S) items for ANY n — pure integer property of
+    // the expression p25 plans, evaluated through the same SQL.
+    val S = graft.ext.PipelineQueries.BalanceShards
+    Seq(1, 7, 15, 16, 17, 31, 33, 160, 161).foreach { n =>
+      val shards = (0 until n).map(_.toLong).toDF("g_rank")
+        .withColumn("shard", expr(
+          s"CAST(CASE WHEN (g_rank div $S) % 2 = 0 THEN g_rank % $S " +
+            s"ELSE $S - 1 - (g_rank % $S) END AS BIGINT)"))
+        .collect().map(_.getLong(1))
+      val counts = shards.groupBy(identity).map(_._2.length)
+      assert(counts.max - counts.min <= 1, s"n=$n")
+      assert(shards.forall(s => s >= 0 && s < S), s"n=$n range")
+    }
+  }
+
   test("z-interleave is a bijection on the 8-bit x 8-bit grid") {
     // Distinct (x, y) pairs must map to distinct z (the curve visits every
     // cell exactly once); evaluated through the same SQL expression p6
