@@ -22,6 +22,8 @@ private[graft] final class DirCaches {
 
   private val registered =
     scala.collection.mutable.ArrayBuffer.empty[TrieMap[(SparkSession, String), DataFrame]]
+  private val sideRegistered =
+    scala.collection.mutable.ArrayBuffer.empty[TrieMap[(SparkSession, String), _]]
 
   /** Register a new index cache. Call once per index at module init. */
   def newCache(): TrieMap[(SparkSession, String), DataFrame] = synchronized {
@@ -30,15 +32,32 @@ private[graft] final class DirCaches {
     m
   }
 
-  def evictOtherDirs(spark: SparkSession, dir: String): Unit =
+  /** Register a SIDE-VALUE cache (driver-memory scalars derived alongside
+    * an index frame — a key width, a merge table). Same one-hot-dir
+    * eviction discipline as the DataFrame caches, but entries hold no
+    * checkpoint blocks, so eviction is a plain remove. */
+  def newSideCache[V](): TrieMap[(SparkSession, String), V] = synchronized {
+    val m = TrieMap.empty[(SparkSession, String), V]
+    sideRegistered += m
+    m
+  }
+
+  def evictOtherDirs(spark: SparkSession, dir: String): Unit = {
     caches.foreach { c =>
       c.keys.filter(k => k._1 == spark && k._2 != dir)
         .foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release))
     }
+    sideCaches.foreach { c =>
+      c.keys.filter(k => k._1 == spark && k._2 != dir).foreach(c.remove)
+    }
+  }
 
-  def clear(): Unit =
+  def clear(): Unit = {
     caches.foreach(c =>
       c.keys.foreach(k => c.remove(k).foreach(graft.CheckpointUtil.release)))
+    sideCaches.foreach(c => c.keys.foreach(c.remove))
+  }
 
   private def caches = synchronized(registered.toList)
+  private def sideCaches = synchronized(sideRegistered.toList)
 }

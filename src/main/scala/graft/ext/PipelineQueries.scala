@@ -63,7 +63,7 @@ object PipelineQueries {
   def tokenPacking(spark: SparkSession, dir: String): DataFrame =
     packedPrefix(spark, dir)
       .select(col("doc_id"), col("n_toks"),
-        (col("tok_before") / PackBudget).cast("long").as("shard"))
+        expr(s"tok_before div $PackBudget").as("shard"))
       .orderBy("doc_id")
 
   /** Packing over an arbitrary (doc_id, text) frame (see [[chunkOf]]). */
@@ -72,7 +72,7 @@ object PipelineQueries {
     val t = docs.withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long"))
     graft.ops.RankOps.withGlobalPrefixSum(t, par, "tok_before", col("n_toks"), col("doc_id"))
       .select(col("doc_id"), col("n_toks"),
-        (col("tok_before") / PackBudget).cast("long").as("shard"))
+        expr(s"tok_before div $PackBudget").as("shard"))
       .orderBy("doc_id")
   }
 
@@ -131,7 +131,7 @@ object PipelineQueries {
       .withGlobalPrefixSum(counts, par, "tok_before",
         col("n_bpe_tokens"), col("doc_id"))
       .select(col("doc_id"), col("n_bpe_tokens"),
-        (col("tok_before") / PackBudget).cast("long").as("shard"))
+        expr(s"tok_before div $PackBudget").as("shard"))
       .orderBy("doc_id")
   }
 
@@ -434,7 +434,7 @@ object PipelineQueries {
     * construction). */
   def packBoundaries(spark: SparkSession, dir: String): DataFrame = {
     packedPrefix(spark, dir)
-      .withColumn("shard", (col("tok_before") / PackBudget).cast("long"))
+      .withColumn("shard", expr(s"tok_before div $PackBudget"))
       .withColumn("off", col("tok_before") - col("shard") * PackBudget)
       .groupBy(col("shard"))
       .agg(

@@ -1233,10 +1233,29 @@ object SimilarityQueries {
       .localCheckpoint()
   }
 
+  /** The adaptive key width b, derived ONCE per (session, dir) from the
+    * corpus count and cached beside the band index — s30/s31/s32/d30/d31
+    * all need it, and re-counting per query is a free-but-pointless
+    * columnless scan job. */
+  private val scaledBandBitsCache = caches.newSideCache[Int]()
+  private val standingBandBitsCache = caches.newSideCache[Int]()
+  private[graft] def scaledBandWidth(spark: SparkSession, dir: String): Int = {
+    evictOtherDirs(spark, dir)
+    scaledBandBitsCache.getOrElseUpdate((spark, dir),
+      scaledBandBits(emb(spark, dir).count()))
+  }
+  /** The STANDING index's frozen width: derived from the indexed (even)
+    * half only — the build-time parameter s33/s34/s36 freeze. */
+  private[graft] def standingBandWidth(spark: SparkSession, dir: String): Int = {
+    evictOtherDirs(spark, dir)
+    standingBandBitsCache.getOrElseUpdate((spark, dir),
+      scaledBandBits(emb(spark, dir).filter(col("vec_id") % 2 === 0).count()))
+  }
+
   private[graft] def scaledBandIndex(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
     scaledBandsCache.getOrElseUpdate((spark, dir),
-      bandIndexAtWidth(spark, dir, scaledBandBits(emb(spark, dir).count())))
+      bandIndexAtWidth(spark, dir, scaledBandWidth(spark, dir)))
   }
 
   /** The STANDING index for incremental admission (s33): key width
@@ -1249,8 +1268,7 @@ object SimilarityQueries {
   private[graft] def standingBandIndex(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
     standingBandsCache.getOrElseUpdate((spark, dir),
-      bandIndexAtWidth(spark, dir, scaledBandBits(
-        emb(spark, dir).filter(col("vec_id") % 2 === 0).count())))
+      bandIndexAtWidth(spark, dir, standingBandWidth(spark, dir)))
   }
 
   /** s30 — ANN-candidate hubness: s26's in-degree health readout
@@ -1313,7 +1331,7 @@ object SimilarityQueries {
 
   /** s31 — adaptive-band candidate recall: recall@[[KnnK]] of the s30
     * candidate graph against the EXACT unblocked kNN graph on the
-    * deterministic query sample `vec_id % RecallSampleMod == 0` — the
+    * deterministic FIXED-COUNT query sample [[recallSampled]] — the
     * other half of the occupancy/recall tradeoff [[scaledBandIndex]]
     * tunes (fewer, wider bands hold occupancy but cost recall; this is
     * the dial readout). One summary row, exact integers to the final
@@ -1325,12 +1343,28 @@ object SimilarityQueries {
     * candidate side restricts the same band self-join s30 runs to
     * sampled left sides. */
   val RecallSampleMod = 20
+  /** Sample membership: every [[RecallSampleMod]]-th vec_id, CAPPED at
+    * [[RecallSampleN]] queries (`vec_id < Mod·N`) — so the exact
+    * brute-force denominator is one corpus pass over a CONSTANT number
+    * of broadcast queries at any corpus size. The round-9 mod-only form
+    * grew the sample (and the audit's wall clock) linearly with the
+    * corpus: at the 10× blow-up the two recall audits were the most
+    * expensive queries in the suite, all denominator. Deterministic and
+    * oracle-trivial; under ScaleBlowup the lowest ids are the original
+    * fixture docs, so the sampled queries are identical at every
+    * blow-up factor. */
+  val RecallSampleN = 32
+  val RecallSampleCap: Long = RecallSampleMod.toLong * RecallSampleN
+  private[ext] def recallSampled(c: Column): Column =
+    c % RecallSampleMod === 0 && c < RecallSampleCap
+  private[ext] val duckRecallSampled =
+    s"vec_id % $RecallSampleMod = 0 AND vec_id < $RecallSampleCap"
   def scaledAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val topW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     val sample = emb(spark, dir)
-      .filter(col("vec_id") % RecallSampleMod === 0)
+      .filter(recallSampled(col("vec_id")))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val exact = emb(spark, dir).join(broadcast(sample),
         col("qid") =!= col("vec_id"))
@@ -1339,7 +1373,7 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("nbr_id"))
     val ann = scaledCandScores(spark, dir,
-        col("a.vec_id") % RecallSampleMod === 0)
+        recallSampled(col("a.vec_id")))
       .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("nbr_id"))
     val hits = exact.join(ann, Seq("vec_id", "nbr_id"))
@@ -1373,7 +1407,7 @@ object SimilarityQueries {
     val topW = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     val e = emb(spark, dir)
-    val sample = e.filter(col("vec_id") % RecallSampleMod === 0)
+    val sample = e.filter(recallSampled(col("vec_id")))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val exact = e.join(broadcast(sample), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nbr_id"),
@@ -1382,8 +1416,8 @@ object SimilarityQueries {
       .select(col("qid"), col("nbr_id"))
     val idx = scaledBandIndex(spark, dir)
       .select(col("vec_id"), col("bid"), col("bkey"))
-    val b = scaledBandBits(e.count())
-    val probes = idx.filter(col("vec_id") % RecallSampleMod === 0)
+    val b = scaledBandWidth(spark, dir)
+    val probes = idx.filter(recallSampled(col("vec_id")))
       .selectExpr("vec_id AS qid", "bid",
         s"posexplode(concat(array(bkey), transform(sequence(0, ${b - 1}), " +
           "r -> cast(bkey ^ shiftleft(1, r) as int)))) AS (pidx, pkey)")
@@ -1940,7 +1974,7 @@ object SimilarityQueries {
     "s31_scaled_ann_recall" ->
       s"""WITH $duckEmb,
          |$duckScaledBands,
-         |qs AS (SELECT * FROM e WHERE vec_id % $RecallSampleMod = 0),
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
          |ex AS (SELECT vec_id, nbr_id FROM (
          |        SELECT q.vec_id, x.vec_id nbr_id,
          |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1952,7 +1986,8 @@ object SimilarityQueries {
          |         FROM bands a JOIN bands b
          |           ON a.bid = b.bid AND a.bkey = b.bkey
          |          AND a.vec_id <> b.vec_id
-         |         WHERE a.vec_id % $RecallSampleMod = 0),
+         |         WHERE a.vec_id % $RecallSampleMod = 0
+         |           AND a.vec_id < $RecallSampleCap),
          |ann AS (SELECT vec_id, nbr_id FROM (
          |        SELECT c.vec_id, c.nbr_id,
          |          row_number() OVER (PARTITION BY c.vec_id ORDER BY
@@ -1975,7 +2010,7 @@ object SimilarityQueries {
     "s32_multiprobe_recall" ->
       s"""WITH $duckEmb,
          |$duckScaledBands,
-         |qs AS (SELECT * FROM e WHERE vec_id % $RecallSampleMod = 0),
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
          |ex AS (SELECT vec_id, nbr_id FROM (
          |        SELECT q.vec_id, x.vec_id nbr_id,
          |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1985,10 +2020,10 @@ object SimilarityQueries {
          |       WHERE rk <= $KnnK),
          |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
          |            unnest(range(0, pr.b)) r
-         |          FROM bands, params pr WHERE vec_id % $RecallSampleMod = 0),
+         |          FROM bands, params pr WHERE $duckRecallSampled),
          |probes AS (
          |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey, 0 pidx
-         |  FROM bands WHERE vec_id % $RecallSampleMod = 0
+         |  FROM bands WHERE $duckRecallSampled
          |  UNION ALL
          |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips),
          |cand AS (SELECT p.qid, i.vec_id nbr_id, min(p.pidx) mp

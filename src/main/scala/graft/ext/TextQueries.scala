@@ -148,15 +148,15 @@ object TextQueries {
   private val bpeSegCache = caches.newCache()
   private val bpeBatchSegCache = caches.newCache()
   /** Driver-side merge tables keyed alongside [[bpeSegCache]] — tiny
-    * (K rows), so no checkpoint discipline; cleared with the caches. */
-  private val bpeMergesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Long, String, String, String, Long)]]
-  private val bpeBatchMergesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Long, Long, String, String, String, Long)]]
+    * (K rows), so no checkpoint discipline; registered as SIDE caches so
+    * the one-hot-dir eviction removes them with their seg frames (a
+    * session walking many dirs must not accumulate merge tables). */
+  private val bpeMergesCache =
+    caches.newSideCache[Seq[(Long, String, String, String, Long)]]()
+  private val bpeBatchMergesCache =
+    caches.newSideCache[Seq[(Long, Long, String, String, String, Long)]]()
 
-  def clearCaches(): Unit = {
-    caches.clear(); bpeMergesCache.clear(); bpeBatchMergesCache.clear()
-  }
+  def clearCaches(): Unit = caches.clear()
 
   /** Cached positional shingles (see [[posShingleCache]]). */
   def posShingles(spark: SparkSession, dir: String): DataFrame = {

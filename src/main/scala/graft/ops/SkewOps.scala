@@ -69,8 +69,17 @@ object SkewOps {
     * session's SQLConf during this aggregate's evaluation. Exposed
     * private[graft] so the spec can assert the requested size is
     * honored past the default caps. */
+  /** Serializes the raise-build-restore of the session-global bloom caps:
+    * two interleaved [[buildBloom]] calls on one session could otherwise
+    * save each other's RAISED value as "current" and restore it as if it
+    * were the default, leaving the caps permanently inflated. (A
+    * concurrent UNRELATED query can still observe the raised caps for
+    * the duration of the build — the caps only bound sketch sizes, so
+    * the worst case is an AQE-injected runtime filter building slightly
+    * larger than default while a buildBloom is in flight.) */
+  private val bloomCapLock = new Object
   private[graft] def buildBloom(dim: DataFrame, dimKey: String,
-      expectedKeys: Long, fpp: Double): Array[Byte] = {
+      expectedKeys: Long, fpp: Double): Array[Byte] = bloomCapLock.synchronized {
     import org.apache.spark.sql.GraftColumnShim.{column => wrap, expression => unwrap}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
