@@ -1020,6 +1020,104 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** d31 — MULTI-PROBE ANN dedup: d30 with s32's measured recall dial
+    * wired into the operator that ships keep/drop decisions (the round-9
+    * gap — the dial was measured, the consumers still probed single
+    * buckets). Edges come from [[SimilarityQueries.mpCandPairs]]: every
+    * vector probes, per table, its own bucket plus the b one-bit-flip
+    * buckets, so a true near-dup pair missed by all L exact buckets is
+    * still found when exactly one hyperplane disagreed in some table.
+    * Measured on the sf0.01 fixture: d32's readout shows single-bucket
+    * candidates miss BOTH label-blocked exact dup pairs (0/2 found)
+    * while multi-probe finds 2/2, and d31 merges 8 more docs than d30
+    * overall (495 → 487 kept) — threshold-grade pairs at 0.45 cosine
+    * have per-table collision probability ≈ 0.648^b, low enough at the
+    * adaptive width that the flip buckets carry real recall.
+    *
+    * Scale shape: the probe side is corpus-grain here, so the bucket
+    * join is a SHUFFLED equi-join (never a broadcast — this is all-pairs
+    * candidate generation); candidate mass ≈ n·L·(b+1)·occ stays linear
+    * in the corpus because the adaptive width holds occupancy constant,
+    * and the (b+1)× factor is the price of the measured recall lift.
+    * Pairs dedupe across tables and probes before the embedding attach;
+    * the BSP component loop is byte-identical to d9/d30's. */
+  private val annMpLabelsCache = caches.newCache()
+  def annDedupMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    evictOtherDirs(spark, dir)
+    val labels = annMpLabelsCache.getOrElseUpdate((spark, dir), {
+      // mpCandPairs emits both directions (1-bit flips are symmetric in
+      // the key space), exactly the undirected edge list the BSP wants.
+      val und = SimilarityQueries.mpCandScores(spark, dir, lit(true))
+        .filter(col("cosine") >= EmbDupThreshold)
+        .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
+        .localCheckpoint()
+      val l = minLabelComponents(und)
+      graft.CheckpointUtil.release(und)
+      l
+    })
+    Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+      .join(broadcast(labels), col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("canon_id"))
+      .withColumn("is_kept", col("canon_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** d32 — missed-duplicate readout for the ANN dedup path: how many of
+    * the EXACT label-blocked duplicate pairs (d9's edge rule — the
+    * scale-sane ground truth: block size is bounded, so truth mass is
+    * linear in the corpus, unlike an all-pairs scan) are found by the
+    * single-bucket candidates (t0_single ≡ d30's edge rule) vs the
+    * multi-probe candidates (t1_multi1 ≡ d31's). One row per probe mode
+    * with the shared exact denominator — the before/after that
+    * justifies shipping d31 as the dedup default.
+    *
+    * sf0.01 fixture: 2 true label-blocked pairs at [[EmbDupThreshold]];
+    * t0 finds 0, t1 finds both — the s32 recall lift translated into
+    * dedup terms (the denominator is small because the synthetic
+    * corpus's near-dup mass is mostly CROSS-label, which d31 also
+    * finds but the truth set cannot contain; this readout measures
+    * misses against the exact set we can afford at scale, not
+    * extras). */
+  private val mpTruthCache = caches.newCache()
+  def mpDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    evictOtherDirs(spark, dir)
+    // checkpointed under the module caches: the truth frame is read three
+    // times in this one query (two membership joins + the denominator) —
+    // the d28 multi-reference-subframe lesson
+    val truth = mpTruthCache.getOrElseUpdate((spark, dir), {
+      val lbl = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+        // single row-group fixture → fan out before the per-block quadratic
+        .repartition(col("vec_id"))
+      val truthPairs = lbl.as("a").join(lbl.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+      SimilarityQueries.attachCosine(spark, dir, truthPairs)
+        .filter(col("cosine") >= EmbDupThreshold)
+        .select(col("vec_id").as("lo"), col("nbr_id").as("hi"))
+        .localCheckpoint()
+    })
+    def found(cands: DataFrame, mode: String): DataFrame =
+      truth.join(cands.filter(col("vec_id") < col("nbr_id"))
+          .select(col("vec_id").as("lo"), col("nbr_id").as("hi")),
+        Seq("lo", "hi"))
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit(mode).as("probe_mode"), col("n_found"))
+    val f = found(SimilarityQueries.scaledCandPairs(spark, dir, lit(true)),
+        "t0_single")
+      .unionAll(found(SimilarityQueries.mpCandPairs(spark, dir, lit(true)),
+        "t1_multi1"))
+    f.crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .select(col("probe_mode"), col("n_true_pairs"), col("n_found"),
+        (col("n_true_pairs") - col("n_found")).as("n_missed"),
+        expr("n_found * 1000000L div greatest(n_true_pairs, 1L)")
+          .as("found_ppm"))
+      .orderBy("probe_mode")
+  }
+
   /** d11 — incremental dedup: screen a NEWLY ARRIVED batch against the
     * existing corpus index — the production ingest path (the d3/d8 batch
     * jobs rebuild the whole pair graph; a pipeline admitting documents
@@ -1511,6 +1609,8 @@ object DedupQueries {
     "d25_dup_provenance" -> ((s, d) => dupProvenance(s, d)),
     "d9_embedding_dedup" -> ((s, d) => embeddingDedup(s, d)),
     "d30_ann_dedup" -> ((s, d) => annDedup(s, d)),
+    "d31_ann_dedup_mp" -> ((s, d) => annDedupMultiprobe(s, d)),
+    "d32_mp_dedup_recall" -> ((s, d) => mpDedupRecall(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
@@ -2274,6 +2374,78 @@ object DedupQueries {
          |SELECT node AS vec_id, min(x) AS canon_id,
          |       (min(x) = node) AS is_kept
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // d31: d30's closure over the MULTI-PROBE candidate pairs — the s32
+    // flip CTEs expand every vector's keys, lo/hi-normalized DISTINCT
+    // pairs feed the identical threshold + recursive reachability.
+    "d31_ann_dedup_mp" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.duckEmb},
+         |${SimilarityQueries.duckScaledBands},
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr),
+         |probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |p AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
+         |        greatest(pq.qid, i.vec_id) hi
+         |      FROM probes pq JOIN bands i
+         |        ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
+         |       AND i.vec_id <> pq.qid),
+         |pe AS (SELECT lo, hi FROM p
+         |       JOIN e x ON x.vec_id = p.lo JOIN e y ON y.vec_id = p.hi
+         |       WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+         |               >= $EmbDupThreshold),
+         |undirected AS (
+         |  SELECT lo a, hi b FROM pe
+         |  UNION ALL SELECT hi a, lo b FROM pe),
+         |reach AS (
+         |  SELECT vec_id node, vec_id x FROM e
+         |  UNION
+         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x)
+         |SELECT node AS vec_id, min(x) AS canon_id,
+         |       (min(x) = node) AS is_kept
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // d32: exact label-blocked dup pairs as the denominator, membership
+    // joins against the single-bucket (d30) and multi-probe (d31)
+    // candidate pair sets as the two numerators.
+    "d32_mp_dedup_recall" ->
+      s"""WITH ${SimilarityQueries.duckEmb},
+         |${SimilarityQueries.duckScaledBands},
+         |truth AS (SELECT a.vec_id lo, b.vec_id hi
+         |          FROM e a JOIN e b
+         |            ON a.label = b.label AND a.vec_id < b.vec_id
+         |          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |                  >= $EmbDupThreshold),
+         |p0 AS (SELECT DISTINCT a.vec_id lo, b.vec_id hi
+         |       FROM bands a JOIN bands b
+         |         ON a.bid = b.bid AND a.bkey = b.bkey
+         |        AND a.vec_id < b.vec_id),
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr),
+         |probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |p1 AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
+         |        greatest(pq.qid, i.vec_id) hi
+         |       FROM probes pq JOIN bands i
+         |         ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
+         |        AND i.vec_id <> pq.qid),
+         |f AS (SELECT 't0_single' probe_mode, CAST(count(*) AS BIGINT) n_found
+         |      FROM truth JOIN p0 USING (lo, hi)
+         |      UNION ALL
+         |      SELECT 't1_multi1', CAST(count(*) AS BIGINT)
+         |      FROM truth JOIN p1 USING (lo, hi)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_true_pairs FROM truth)
+         |SELECT f.probe_mode, tot.n_true_pairs, f.n_found,
+         |       tot.n_true_pairs - f.n_found AS n_missed,
+         |       CAST(f.n_found * 1000000 // greatest(tot.n_true_pairs, 1)
+         |            AS BIGINT) AS found_ppm
+         |FROM f, tot ORDER BY f.probe_mode""".stripMargin,
 
     "d6_levenshtein" ->
       s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,

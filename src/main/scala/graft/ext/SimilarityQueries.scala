@@ -1294,15 +1294,27 @@ object SimilarityQueries {
     * most twice, and the cosine runs once per distinct pair, not once
     * per colliding table). `leftFilter` restricts the query side (s31's
     * sample) without changing the shape. */
-  private[ext] def scaledCandScores(spark: SparkSession, dir: String,
+  private[ext] def scaledCandPairs(spark: SparkSession, dir: String,
       leftFilter: Column): DataFrame = {
     val nb = scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
-    val pairs = nb.as("a").join(nb.as("b"),
+    nb.as("a").join(nb.as("b"),
         col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .filter(leftFilter)
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
       .distinct()
+  }
+
+  private[ext] def scaledCandScores(spark: SparkSession, dir: String,
+      leftFilter: Column): DataFrame =
+    attachCosine(spark, dir, scaledCandPairs(spark, dir, leftFilter))
+
+  /** Exact-cosine attach for a narrow distinct candidate-pair frame —
+    * the shared tail of every scaled-index consumer: two id-equi-joins
+    * ship each embedding at most twice and the cosine runs once per
+    * distinct pair, never once per colliding table/probe. */
+  private[ext] def attachCosine(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val ev = emb(spark, dir).select(col("vec_id"), col("embedding"))
     pairs
       .join(ev.select(col("vec_id"), col("embedding").as("xv")), Seq("vec_id"))
@@ -1311,6 +1323,47 @@ object SimilarityQueries {
       .select(col("vec_id"), col("nbr_id"),
         round(expr("cosine_sim(xv, yv)"), 6).as("cosine"))
   }
+
+  /** Multi-probe probe rows over a narrow band-index frame: each selected
+    * index row expands to its own b-bit key (probe rank `pidx` 0) plus
+    * the b one-bit-flip neighbor keys (rank 1) — Lv et al.'s probing
+    * sequence at depth 1, the measured s32 dial. Yields
+    * `(qid, bid, pidx, pkey)`. */
+  private[ext] def probeRows(idx: DataFrame, b: Int, sel: Column): DataFrame =
+    idx.filter(sel)
+      .selectExpr("vec_id AS qid", "bid",
+        s"posexplode(concat(array(bkey), transform(sequence(0, ${b - 1}), " +
+          "r -> cast(bkey ^ shiftleft(1, r) as int)))) AS (pidx, pkey)")
+
+  /** CORPUS-GRAIN multi-probe candidate pairs + exact cosine — the
+    * production form of [[scaledCandScores]] with s32's measured recall
+    * dial wired in (1-bit flips lifted candidate recall@3 from ~29% to
+    * ~89% on the fixture for ~(b+1)× candidate mass): every vector
+    * probes, per table, its own bucket and the b one-bit-flip buckets.
+    * The probe side here is corpus-sized (this is all-pairs candidate
+    * generation, not a bounded query batch), so the bucket join is a
+    * SHUFFLED equi-join on (bid, key) — output mass ≈ n·L·(b+1)·occ,
+    * still linear in the corpus because the adaptive width holds occ
+    * constant. Pairs dedupe across tables AND probes before the
+    * embedding attach. One-bit flips are symmetric in the key space
+    * (a.key ^ bit = b.key ⟺ b.key ^ bit = a.key), so both directions of
+    * every pair emerge — exactly the undirected edge list the BSP
+    * component loop consumes. */
+  private[ext] def mpCandPairs(spark: SparkSession, dir: String,
+      leftFilter: Column): DataFrame = {
+    val nb = scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
+    val probes = probeRows(nb, scaledBandWidth(spark, dir), lit(true))
+    nb.as("i").join(probes.as("p"),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+          col("i.vec_id") =!= col("p.qid"))
+      .filter(leftFilter)
+      .select(col("p.qid").as("vec_id"), col("i.vec_id").as("nbr_id"))
+      .distinct()
+  }
+
+  private[ext] def mpCandScores(spark: SparkSession, dir: String,
+      leftFilter: Column): DataFrame =
+    attachCosine(spark, dir, mpCandPairs(spark, dir, leftFilter))
 
   def annHubness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1417,10 +1470,7 @@ object SimilarityQueries {
     val idx = scaledBandIndex(spark, dir)
       .select(col("vec_id"), col("bid"), col("bkey"))
     val b = scaledBandWidth(spark, dir)
-    val probes = idx.filter(recallSampled(col("vec_id")))
-      .selectExpr("vec_id AS qid", "bid",
-        s"posexplode(concat(array(bkey), transform(sequence(0, ${b - 1}), " +
-          "r -> cast(bkey ^ shiftleft(1, r) as int)))) AS (pidx, pkey)")
+    val probes = probeRows(idx, b, recallSampled(col("vec_id")))
     val cand = idx.as("i").join(broadcast(probes.as("p")),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
           col("i.vec_id") =!= col("p.qid"))
@@ -1492,6 +1542,104 @@ object SimilarityQueries {
       .filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("nbr_id"), col("rk"), col("cosine"))
       .orderBy("vec_id", "rk")
+  }
+
+  /** s34 — MULTI-PROBE incremental admission: s33 with s32's measured
+    * recall dial wired into the operator that ships decisions (the
+    * round-9 gap: the dial was measured but the production consumers
+    * still probed single buckets). Each new (odd) vector probes, per
+    * standing table, its own frozen-width key plus the b one-bit-flip
+    * neighbor keys; candidates dedupe across tables and probes before
+    * the exact-cosine attach; output shape is exactly s33's
+    * (vec_id, nbr_id, rk, cosine).
+    *
+    * Recall delta pinned on the sf0.01 fixture (s35's readout):
+    * admission neighbor recall@3 vs the exact indexed-half kNN rises
+    * 480000 ppm (t0_single) → 973333 ppm (t1_multi1) for (b+1)× probe
+    * rows and zero extra index memory.
+    *
+    * Scale shape: the probe table is the NEW BATCH × L × (b+1) — a
+    * trickle relative to the corpus, so it BROADCASTS against the
+    * checkpointed standing index (plan-audited) and the corpus-grain
+    * side never shuffles; admission still needs no corpus-wide state. */
+  def incrementalAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = standingBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val idx = bands.filter(col("vec_id") % 2 === 0)
+    val probes = probeRows(bands, standingBandWidth(spark, dir),
+      col("vec_id") % 2 === 1)
+    val cand = idx.as("i").join(broadcast(probes.as("p")),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey"))
+      .select(col("p.qid").as("vec_id"), col("i.vec_id").as("nbr_id"))
+      .distinct()
+    attachCosine(spark, dir, cand)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"), col("rk"), col("cosine"))
+      .orderBy("vec_id", "rk")
+  }
+
+  /** s35 — admission-recall readout, the s32 discipline applied to the
+    * INCREMENTAL path: recall@[[KnnK]] of s33's single-bucket admission
+    * neighbors vs s34's multi-probe neighbors, both against the exact
+    * kNN of each sampled new vector over the INDEXED (even) half — the
+    * before/after that justifies shipping s34 as the admission default.
+    * One row per probe mode, shared exact denominator, integers to the
+    * final ppm.
+    *
+    * Sample: the odd twin of [[recallSampled]] (`vec_id % Mod = 1`,
+    * capped) — fixed-count, so the exact side is one indexed-half pass
+    * against a constant broadcast sample at any corpus size. */
+  def incrementalAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    def sampledOdd(c: Column): Column =
+      c % RecallSampleMod === 1 && c < RecallSampleCap
+    val e = emb(spark, dir)
+    val sample = e.filter(sampledOdd(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = e.filter(col("vec_id") % 2 === 0)
+      .join(broadcast(sample), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nbr_id"),
+        round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("qid"), col("nbr_id"))
+    val bands = standingBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val idx = bands.filter(col("vec_id") % 2 === 0)
+    val probes = probeRows(bands, standingBandWidth(spark, dir),
+      sampledOdd(col("vec_id")))
+    val cand = idx.as("i").join(broadcast(probes.as("p")),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey"))
+      .groupBy(col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
+      .agg(min(col("p.pidx")).as("mp"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("yv")),
+        "nbr_id")
+      .select(col("qid"), col("nbr_id"), col("mp"),
+        round(expr("cosine_sim(qv, yv)"), 6).as("cosine"))
+    val tops = scored.filter(col("mp") === 0)
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(lit("t0_single").as("probe_mode"), col("qid"), col("nbr_id"))
+      .unionAll(scored
+        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+        .select(lit("t1_multi1").as("probe_mode"), col("qid"), col("nbr_id")))
+    val hits = exact.join(tops, Seq("qid", "nbr_id"))
+      .groupBy(col("probe_mode")).agg(count(lit(1)).as("h"))
+    val modes = spark.sql(
+      "SELECT 't0_single' AS probe_mode UNION ALL SELECT 't1_multi1'")
+    modes.join(hits, Seq("probe_mode"), "left")
+      .crossJoin(exact.agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_exact")))
+      .select(col("probe_mode"), col("n_queries"), col("n_exact"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        expr("coalesce(h, 0L) * 1000000L div n_exact").as("recall_ppm"))
+      .orderBy("probe_mode")
   }
 
   /** s27 — dominant principal direction via power iteration: three
@@ -1703,6 +1851,8 @@ object SimilarityQueries {
     "s31_scaled_ann_recall" -> ((s, d) => scaledAnnRecall(s, d)),
     "s32_multiprobe_recall" -> ((s, d) => multiprobeRecall(s, d)),
     "s33_incremental_ann" -> ((s, d) => incrementalAnn(s, d)),
+    "s34_incremental_ann_mp" -> ((s, d) => incrementalAnnMultiprobe(s, d)),
+    "s35_admission_recall" -> ((s, d) => incrementalAnnRecall(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -2079,6 +2229,94 @@ object SimilarityQueries {
          |  FROM sc)
          |WHERE rk <= $KnnK
          |ORDER BY vec_id, rk""".stripMargin,
+
+    // s34: s33's frozen-width CTEs plus the s32 1-bit-flip probe keys on
+    // the NEW (odd) side only; candidates dedupe across tables and
+    // probes, then the identical exact-cosine top-k.
+    "s34_incremental_ann_mp" ->
+      s"""WITH $duckEmb,
+         |${duckScaledBandsFrom("vec_id % 2 = 0")},
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr WHERE vec_id % 2 = 1),
+         |probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey
+         |  FROM bands WHERE vec_id % 2 = 1
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |cand AS (SELECT DISTINCT p.qid vec_id, i.vec_id nbr_id
+         |         FROM probes p JOIN bands i
+         |           ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
+         |          AND i.vec_id % 2 = 0),
+         |sc AS (SELECT c.vec_id, c.nbr_id,
+         |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) cosine
+         |       FROM cand c JOIN e x ON x.vec_id = c.vec_id
+         |                   JOIN e y ON y.vec_id = c.nbr_id)
+         |SELECT vec_id, nbr_id, CAST(rk AS BIGINT) AS rk, cosine FROM (
+         |  SELECT vec_id, nbr_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |  FROM sc)
+         |WHERE rk <= $KnnK
+         |ORDER BY vec_id, rk""".stripMargin,
+
+    // s35: the s32 readout shape over the ADMISSION path — odd capped
+    // sample, frozen-width standing bands, even-half exact denominator.
+    "s35_admission_recall" ->
+      s"""WITH $duckEmb,
+         |${duckScaledBandsFrom("vec_id % 2 = 0")},
+         |qs AS (SELECT * FROM e
+         |       WHERE vec_id % $RecallSampleMod = 1
+         |         AND vec_id < $RecallSampleCap),
+         |ex AS (SELECT qid, nbr_id FROM (
+         |        SELECT q.vec_id qid, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON x.vec_id % 2 = 0 AND q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr
+         |          WHERE vec_id % $RecallSampleMod = 1
+         |            AND vec_id < $RecallSampleCap),
+         |probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey, 0 pidx
+         |  FROM bands WHERE vec_id % $RecallSampleMod = 1
+         |    AND vec_id < $RecallSampleCap
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips),
+         |cand AS (SELECT p.qid, i.vec_id nbr_id, min(p.pidx) mp
+         |         FROM probes p JOIN bands i
+         |           ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
+         |          AND i.vec_id % 2 = 0
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT c.qid, c.nbr_id, c.mp,
+         |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) cosine
+         |       FROM cand c JOIN e x ON x.vec_id = c.qid
+         |                   JOIN e y ON y.vec_id = c.nbr_id),
+         |tops AS (
+         |  SELECT 't0_single' probe_mode, qid, nbr_id FROM (
+         |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |    FROM sc WHERE mp = 0) WHERE rk <= $KnnK
+         |  UNION ALL
+         |  SELECT 't1_multi1', qid, nbr_id FROM (
+         |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |    FROM sc) WHERE rk <= $KnnK),
+         |h AS (SELECT probe_mode, CAST(count(*) AS BIGINT) n_hits
+         |      FROM tops t JOIN ex ON ex.qid = t.qid AND ex.nbr_id = t.nbr_id
+         |      GROUP BY 1),
+         |tot AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) n_queries,
+         |               CAST(count(*) AS BIGINT) n_exact FROM ex),
+         |modes AS (SELECT 't0_single' probe_mode UNION ALL SELECT 't1_multi1')
+         |SELECT m.probe_mode, tot.n_queries, tot.n_exact,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) * 1000000 // tot.n_exact AS BIGINT)
+         |         AS recall_ppm
+         |FROM modes m LEFT JOIN h USING (probe_mode), tot
+         |ORDER BY m.probe_mode""".stripMargin,
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //
     // renormalization mirror the engine's decimal(38,0) + truncating

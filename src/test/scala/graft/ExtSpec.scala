@@ -2336,6 +2336,63 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(hMulti > hSingle, "fixture neighbors must be recoverable via 1-bit flips")
   }
 
+  test("multiprobe dedup refines single-bucket dedup: components only merge, never split") {
+    // d31's candidate pairs are a strict superset of d30's (probe rank 0
+    // IS the exact bucket), so its edge set is a superset and its
+    // components are UNIONS of d30's: any two vectors d30 put in one
+    // component must share a d31 component, and the kept count can only
+    // drop.
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c30 = canon(ext.DedupQueries.annDedup(spark, dir).collect())
+    val c31 = canon(ext.DedupQueries.annDedupMultiprobe(spark, dir).collect())
+    assert(c30.keySet == c31.keySet)
+    c30.groupBy(_._2).values.foreach { grp =>
+      val mp = grp.keys.map(c31).toSet
+      assert(mp.size == 1, s"d30 component ${grp.keys.toSeq.sorted} split under d31: $mp")
+    }
+    assert(c31.values.toSet.size <= c30.values.toSet.size)
+  }
+
+  test("multiprobe admission dominates single-bucket admission per query") {
+    // s34's candidate set per new vector is a superset of s33's, so at
+    // every rank the s34 neighbor's cosine is >= the s33 neighbor's at
+    // the same rank (both rank by cosine desc over their candidate sets).
+    val s33 = ext.SimilarityQueries.incrementalAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val s34 = ext.SimilarityQueries.incrementalAnnMultiprobe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(s33.nonEmpty)
+    // every (vec, rank) s33 emits must exist in s34 (more candidates can
+    // only lengthen a truncated list, never shorten it)...
+    s33.foreach { case (k, cs33) =>
+      assert(s34.contains(k), s"s34 lost ranked neighbor $k")
+      assert(s34(k) >= cs33, s"rank ${k._2} of vec ${k._1} got worse: ${s34(k)} < $cs33")
+    }
+    assert(s34.size >= s33.size)
+  }
+
+  test("admission recall: modes share the denominator, multiprobe only adds hits") {
+    val rows = ext.SimilarityQueries.incrementalAnnRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (nq, ne, h0, ppm0) = rows("t0_single")
+    val (nq2, ne2, h1, ppm1) = rows("t1_multi1")
+    assert(nq == nq2 && ne == ne2 && ne <= nq * ext.SimilarityQueries.KnnK)
+    assert(h1 >= h0 && ppm1 >= ppm0)
+    assert(h1 <= ne && h0 <= ne)
+  }
+
+  test("mp dedup recall readout: multiprobe never misses more than single-bucket") {
+    val rows = ext.DedupQueries.mpDedupRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (t0, t1) = (rows("t0_single"), rows("t1_multi1"))
+    assert(t0._1 == t1._1, "shared exact denominator")
+    assert(t1._2 >= t0._2 && t1._3 <= t0._3 && t1._4 >= t0._4)
+    assert(t0._2 + t0._3 == t0._1 && t1._2 + t1._3 == t1._1)
+  }
+
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
     val rows = ext.PipelineQueries.budgetAlloc(spark, dir).collect()
     assert(rows.nonEmpty)

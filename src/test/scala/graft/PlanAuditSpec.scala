@@ -343,6 +343,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("cosine_sim") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("s34 broadcasts the admission probe table against the standing index") {
+    // the multi-probe admission batch is a trickle relative to the
+    // corpus: its (b+1)-key fan-out (the one Generate) must BROADCAST
+    // into the bucket join so the indexed side never shuffles; plane
+    // hashing stays amortized into the checkpointed standing index and
+    // the top-k rides the bounded WindowGroupLimit heap.
+    graft.ext.SimilarityQueries.standingBandIndex(spark, dir) // warm
+    val p = plan("s34_incremental_ann_mp")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Posexplode") || p.contains("Generate"), p)
+    assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
+  }
+
+  test("s35 admission-recall probe table broadcasts; exact side broadcasts the sample") {
+    graft.ext.SimilarityQueries.standingBandIndex(spark, dir) // warm
+    val p = plan("s35_admission_recall")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
+  }
+
+  test("d31 warm probe is a broadcast of the converged multi-probe component labels") {
+    // same warm contract as d30: the multi-probe edge build + BSP loop
+    // run once into the (session, dir) label cache; the registered query
+    // is id-scan + broadcast label join.
+    graft.ext.DedupQueries.annDedupMultiprobe(spark, dir).count() // converge
+    val p = plan("d31_ann_dedup_mp")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("cosine_sim") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("d32 membership joins ride the checkpointed index and truth frames") {
+    // truth is a (session, dir) checkpoint (it is read three times in
+    // the one query); both candidate membership sides read the
+    // materialized band rows — no plane re-hash in the readout.
+    graft.ext.DedupQueries.mpDedupRecall(spark, dir).count() // build truth
+    val p = plan("d32_mp_dedup_recall")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
+  }
+
   test("d27 probes the checkpointed range index: no window, no join, no generate") {
     // the fingerprint-annotated range frame is a build-once (session,
     // dir) checkpoint (gaps-and-islands window, dup-position semi-join
