@@ -1209,7 +1209,7 @@ object SimilarityQueries {
   /** Band rows for EVERY vector at an explicit per-table key width `b`
     * — the kernel under [[scaledBandIndex]] (b from the full corpus) and
     * [[standingBandIndex]] (b frozen from the indexed half). */
-  private def bandIndexAtWidth(spark: SparkSession, dir: String, b: Int): DataFrame = {
+  private[graft] def bandIndexAtWidth(spark: SparkSession, dir: String, b: Int): DataFrame = {
     // only the b planes each table actually keys on are evaluated —
     // 8·b dot products per vector, not the full 8·16 family
     val used = (0 until AnnHubTables).flatMap(t =>
@@ -1412,19 +1412,36 @@ object SimilarityQueries {
     c % RecallSampleMod === 0 && c < RecallSampleCap
   private[ext] val duckRecallSampled =
     s"vec_id % $RecallSampleMod = 0 AND vec_id < $RecallSampleCap"
+  /** Exact top-[[KnnK]] of every capped-sample query over the full
+    * corpus — the shared recall denominator (s31, s36). One corpus pass
+    * against the broadcast fixed sample; checkpointed under the module
+    * caches because the consumers each read it several times (hits join
+    * + denominator aggregate — the d28 multi-reference lesson). */
+  private val exactKnnCache = caches.newCache()
+  private def exactSampleKnn(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    exactKnnCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.expressions.Window
+      val topW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nbr_id").asc)
+      val sample = emb(spark, dir)
+        .filter(recallSampled(col("vec_id")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      emb(spark, dir).join(broadcast(sample),
+          col("qid") =!= col("vec_id"))
+        .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
+          round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
+        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+        .select(col("vec_id"), col("nbr_id"))
+        .localCheckpoint()
+    })
+  }
+
   def scaledAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val topW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    val sample = emb(spark, dir)
-      .filter(recallSampled(col("vec_id")))
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val exact = emb(spark, dir).join(broadcast(sample),
-        col("qid") =!= col("vec_id"))
-      .select(col("qid").as("vec_id"), col("vec_id").as("nbr_id"),
-        round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
-      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-      .select(col("vec_id"), col("nbr_id"))
+    val exact = exactSampleKnn(spark, dir)
     val ann = scaledCandScores(spark, dir,
         recallSampled(col("a.vec_id")))
       .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
@@ -1642,6 +1659,84 @@ object SimilarityQueries {
       .orderBy("probe_mode")
   }
 
+  /** s36 — DOUBLING-EPOCH index rebuild: the trigger s33's Scaladoc
+    * documented, now an operator. A standing index freezes its key
+    * width b0 at build time from the then-indexed corpus; once the full
+    * corpus outgrows the frozen width's occupancy target
+    * (n > 2^b0 · [[AnnHubTargetOcc]], detected here as the adaptive
+    * width formula yielding bFull > b0 — both widths are cached
+    * scalars, no extra scan), the index re-keys at b0+1 (clamped to
+    * [[LshPlanes]]) — the halving-occupancy rebuild every LSH
+    * deployment amortizes over each corpus doubling.
+    *
+    * The rebuild preserves the PLANE FAMILY: only the key mask widens,
+    * so every width-b0 bucket splits into exactly two width-(b0+1)
+    * buckets (new key's low b0 bits ARE the old key — the split
+    * property, spec-pinned in ExtSpec) and the new candidate sets are
+    * subsets of the old buckets' — re-keying can halve occupancy but
+    * never surface a pair the old index had not already colocated.
+    *
+    * One row per epoch over the FULL corpus: the frozen width b0
+    * (e0_frozen) vs the re-keyed b0+1 (e1_rebuilt) — bucket count,
+    * max/mean occupancy (the rebuild's point: mean halves), the
+    * capped-sample candidate recall@[[KnnK]] (its price: candidates
+    * shrink, recall dips — the dial multi-probe then recovers, s32),
+    * and the breach flag (1 on e0 = rebuild triggered; 0 on e1 = the
+    * new width meets the target). Integers to the final ppm.
+    *
+    * Measured on the sf0.01 fixture (b0=5 frozen from the 250-vector
+    * half, full corpus 500 breaches): rebuild at b=6 doubles buckets
+    * 256 → 512, mean occupancy exactly halves 15.63 → 7.81, max 30 → 23,
+    * sampled candidate recall dips 400000 → 293333 ppm — the dip
+    * multi-probe recovers (s32: +1-bit flips tripled recall at the same
+    * width), breach flag 1 → 0. */
+  private val rebuiltBandsCache = caches.newCache()
+  private[graft] def rebuiltBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    rebuiltBandsCache.getOrElseUpdate((spark, dir),
+      bandIndexAtWidth(spark, dir,
+        math.min(LshPlanes, standingBandWidth(spark, dir) + 1)))
+  }
+
+  def epochRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b0 = standingBandWidth(spark, dir)
+    val b1 = math.min(LshPlanes, b0 + 1)
+    val bFull = scaledBandWidth(spark, dir)
+    val exact = exactSampleKnn(spark, dir)
+    def epochRow(bands: DataFrame, epoch: String, b: Int): DataFrame = {
+      val nb = bands.select(col("vec_id"), col("bid"), col("bkey"))
+      val occ = nb.groupBy(col("bid"), col("bkey"))
+        .agg(count(lit(1)).as("occ"))
+      val stats = occ.agg(count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occ"), sum(col("occ")).as("n_rows"))
+      val cand = nb.as("a").join(nb.as("b"),
+          col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .filter(recallSampled(col("a.vec_id")))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+        .distinct()
+      val topW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nbr_id").asc)
+      val ann = attachCosine(spark, dir, cand)
+        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+        .select(col("vec_id"), col("nbr_id"))
+      val hits = exact.join(ann, Seq("vec_id", "nbr_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      stats.crossJoin(hits)
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(epoch).as("epoch"), lit(b.toLong).as("b"),
+          col("n_buckets"), col("max_occ"),
+          expr("n_rows * 1000000L div n_buckets").as("mean_occ_micro"),
+          col("n_exact"), col("n_hits"),
+          expr("n_hits * 1000000L div n_exact").as("recall_ppm"),
+          lit(if (bFull > b) 1 else 0).as("breached"))
+    }
+    epochRow(standingBandIndex(spark, dir), "e0_frozen", b0)
+      .unionAll(epochRow(rebuiltBandIndex(spark, dir), "e1_rebuilt", b1))
+      .orderBy("epoch")
+  }
+
   /** s27 — dominant principal direction via power iteration: three
     * matrix-free rounds of `v ← normalize(Σ_x (x·v)·x)` over the
     * micro-quantized embedding matrix, starting from the all-ones
@@ -1853,6 +1948,7 @@ object SimilarityQueries {
     "s33_incremental_ann" -> ((s, d) => incrementalAnn(s, d)),
     "s34_incremental_ann_mp" -> ((s, d) => incrementalAnnMultiprobe(s, d)),
     "s35_admission_recall" -> ((s, d) => incrementalAnnRecall(s, d)),
+    "s36_epoch_rebuild" -> ((s, d) => epochRebuild(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -1916,7 +2012,33 @@ object SimilarityQueries {
     * matching `countWhere` — `TRUE` = the full-corpus adaptive width
     * (s30/s31/s32/d30); `vec_id % 2 = 0` = the standing index's frozen
     * width (s33). Band rows are always emitted for EVERY vector. */
-  private def duckScaledBandsFrom(countWhere: String): String = {
+  /** Just the adaptive-width `params` CTE (named): the engine's integer
+    * highest-set-bit formula over the `countWhere` row subset, plus an
+    * optional `delta` (the doubling-epoch re-key at b+1), re-clamped to
+    * [[LshPlanes]] exactly like the engine. */
+  private def duckWidthParams(countWhere: String, name: String,
+      delta: Int): String =
+    s"""$name AS (SELECT LEAST($LshPlanes, GREATEST(4, LEAST($LshPlanes,
+       |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END))
+       |             + $delta) b
+       |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
+       |                        // $AnnHubTargetOcc m
+       |                 FROM embeddings WHERE $countWhere))""".stripMargin
+
+  /** Band rows from an existing `codes<codesSfx>` CTE masked by an
+    * existing width CTE — the width-only half of the band pipeline, so
+    * a multi-epoch statement (s36) shares one plane/codes evaluation. */
+  private def duckBandsFromCodes(codesSfx: String, paramsName: String,
+      bandsName: String): String = {
+    val tables = (0 until AnnHubTables).map(t =>
+      s"SELECT vec_id, $t bid, (code$t & ((1 << pr.b) - 1)) bkey " +
+        s"FROM codes$codesSfx, $paramsName pr").mkString("\nUNION ALL\n")
+    s"""$bandsName AS (
+       |$tables)""".stripMargin
+  }
+
+  private def duckScaledBandsNamed(countWhere: String, delta: Int,
+      sfx: String): String = {
     def tblDot(p: Int): String = (0 until LshDims)
       .map(d => s"v[${d + 1}] * ${if (tablePlaneSigns(p)(d) > 0) "1.0" else "-1.0"}")
       .mkString(" + ")
@@ -1929,23 +2051,18 @@ object SimilarityQueries {
         .mkString(" + ")
       s"($c) code$t"
     }.mkString(",\n       ")
-    val tables = (0 until AnnHubTables).map(t =>
-      s"SELECT vec_id, $t bid, (code$t & ((1 << pr.b) - 1)) bkey " +
-        s"FROM codes, params pr").mkString("\nUNION ALL\n")
-    s"""bits AS (SELECT vec_id, v, nrm,
+    s"""bits$sfx AS (SELECT vec_id, v, nrm,
        |       $ss
        |  FROM e),
-       |codes AS (SELECT vec_id,
+       |codes$sfx AS (SELECT vec_id,
        |       $codes
-       |  FROM bits),
-       |params AS (SELECT GREATEST(4, LEAST($LshPlanes,
-       |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)) b
-       |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
-       |                        // $AnnHubTargetOcc m
-       |                 FROM embeddings WHERE $countWhere)),
-       |bands AS (
-       |$tables)""".stripMargin
+       |  FROM bits$sfx),
+       |${duckWidthParams(countWhere, s"params$sfx", delta)},
+       |${duckBandsFromCodes(sfx, s"params$sfx", s"bands$sfx")}""".stripMargin
   }
+
+  private def duckScaledBandsFrom(countWhere: String): String =
+    duckScaledBandsNamed(countWhere, 0, "")
 
   private[ext] lazy val duckScaledBands: String = duckScaledBandsFrom("TRUE")
 
@@ -2317,6 +2434,67 @@ object SimilarityQueries {
          |         AS recall_ppm
          |FROM modes m LEFT JOIN h USING (probe_mode), tot
          |ORDER BY m.probe_mode""".stripMargin,
+
+    // s36: one plane/codes evaluation shared by both epochs — bands0
+    // masks at the frozen (even-half) width, bands1 at that width + 1;
+    // per-epoch occupancy stats + sampled candidate recall against the
+    // shared exact denominator; paramsF (full corpus) drives the breach
+    // flag exactly like the engine's cached width compare.
+    "s36_epoch_rebuild" -> {
+      def epochSql(sfx: String) =
+        s"""occ$sfx AS (SELECT bid, bkey, count(*) occ
+           |           FROM bands$sfx GROUP BY 1, 2),
+           |st$sfx AS (SELECT CAST(count(*) AS BIGINT) n_buckets,
+           |               CAST(max(occ) AS BIGINT) max_occ,
+           |               CAST(sum(occ) AS BIGINT) n_rows FROM occ$sfx),
+           |cand$sfx AS (SELECT DISTINCT a.vec_id, b.vec_id nbr_id
+           |          FROM bands$sfx a JOIN bands$sfx b
+           |            ON a.bid = b.bid AND a.bkey = b.bkey
+           |           AND a.vec_id <> b.vec_id
+           |          WHERE a.vec_id % $RecallSampleMod = 0
+           |            AND a.vec_id < $RecallSampleCap),
+           |ann$sfx AS (SELECT vec_id, nbr_id FROM (
+           |         SELECT c.vec_id, c.nbr_id,
+           |           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+           |             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+           |             c.nbr_id ASC) rk
+           |         FROM cand$sfx c JOIN e x ON x.vec_id = c.vec_id
+           |                      JOIN e y ON y.vec_id = c.nbr_id)
+           |        WHERE rk <= $KnnK),
+           |h$sfx AS (SELECT CAST(count(*) AS BIGINT) n_hits
+           |       FROM ex JOIN ann$sfx USING (vec_id, nbr_id))""".stripMargin
+      def epochSelect(sfx: String, epoch: String, params: String) =
+        s"""SELECT '$epoch' AS epoch, CAST(p.b AS BIGINT) AS b,
+           |       st$sfx.n_buckets, st$sfx.max_occ,
+           |       CAST(st$sfx.n_rows * 1000000 // st$sfx.n_buckets AS BIGINT)
+           |         AS mean_occ_micro,
+           |       tot.n_exact, h$sfx.n_hits,
+           |       CAST(h$sfx.n_hits * 1000000 // tot.n_exact AS BIGINT)
+           |         AS recall_ppm,
+           |       CAST(CASE WHEN pf.b > p.b THEN 1 ELSE 0 END AS INTEGER)
+           |         AS breached
+           |FROM $params p, paramsF pf, st$sfx, h$sfx, tot""".stripMargin
+      s"""WITH $duckEmb,
+         |${duckScaledBandsNamed("vec_id % 2 = 0", 0, "0")},
+         |${duckWidthParams("vec_id % 2 = 0", "params1", 1)},
+         |${duckBandsFromCodes("0", "params1", "bands1")},
+         |${duckWidthParams("TRUE", "paramsF", 0)},
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
+         |ex AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT q.vec_id, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM ex),
+         |${epochSql("0")},
+         |${epochSql("1")}
+         |${epochSelect("0", "e0_frozen", "params0")}
+         |UNION ALL
+         |${epochSelect("1", "e1_rebuilt", "params1")}
+         |ORDER BY epoch""".stripMargin
+    },
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //
     // renormalization mirror the engine's decimal(38,0) + truncating

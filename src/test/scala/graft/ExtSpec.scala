@@ -2393,6 +2393,43 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(t0._2 + t0._3 == t0._1 && t1._2 + t1._3 == t1._1)
   }
 
+  test("epoch rebuild split property: each bucket splits in exactly <=2, keys share low bits") {
+    // The rebuild keeps the plane family and widens only the key mask,
+    // so for every (vec, table): newKey & ((1<<b0)-1) == oldKey — each
+    // old bucket splits into at most two new buckets and new candidate
+    // sets are subsets of old ones.
+    import org.apache.spark.sql.functions.col
+    val b0 = ext.SimilarityQueries.standingBandWidth(spark, dir)
+    val mask = (1 << b0) - 1
+    val old0 = ext.SimilarityQueries.standingBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey").as("k0"))
+    val neu = ext.SimilarityQueries.rebuiltBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey").as("k1"))
+    val joined = old0.join(neu, Seq("vec_id", "bid")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert((r.getAs[Int]("k1") & mask) == r.getAs[Int]("k0"),
+        s"vec ${r.getLong(0)} table ${r.getAs[Int]("bid")}")
+    }
+    // at most 2 distinct new keys per old bucket
+    val fanout = joined.groupBy(r => (r.getAs[Int]("bid"), r.getAs[Int]("k0")))
+      .view.mapValues(_.map(_.getAs[Int]("k1")).distinct.size)
+    assert(fanout.values.forall(_ <= 2))
+    // and the readout's invariants: occupancy halves-ish, recall can
+    // only drop (candidate subsets), breach flag set exactly on e0 when
+    // the full-corpus width outgrew the frozen width
+    val rows = ext.SimilarityQueries.epochRebuild(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (e0, e1) = (rows("e0_frozen"), rows("e1_rebuilt"))
+    assert(e1.getLong(1) == e0.getLong(1) + 1 ||
+      e1.getLong(1) == ext.SimilarityQueries.LshPlanes.toLong)
+    assert(e1.getLong(2) >= e0.getLong(2), "bucket count must not drop")
+    assert(e1.getLong(4) <= e0.getLong(4), "mean occupancy must not rise")
+    assert(e1.getLong(6) <= e0.getLong(6), "recall hits are candidate-subset-bounded")
+    val bFull = ext.SimilarityQueries.scaledBandWidth(spark, dir)
+    assert(e0.getInt(8) == (if (bFull > e0.getLong(1)) 1 else 0))
+  }
+
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
     val rows = ext.PipelineQueries.budgetAlloc(spark, dir).collect()
     assert(rows.nonEmpty)
