@@ -1416,8 +1416,8 @@ object DedupQueries {
     * Cut POLICY is cut-every-occurrence (boilerplate removal): all
     * copies of a duplicated span are emitted, including the "first" —
     * the policy a template/header scrubber wants. Keep-one-copy dedup
-    * composes this frame with d25's provenance pick (drop ranges of the
-    * kept doc per span cluster) without re-scanning the corpus.
+    * composes this frame with d25's provenance pick without re-scanning
+    * the corpus — built and oracle-checked as [[provenanceCut]] (d33).
     *
     * Plan: the build rides the SAME cached shingle stream + gaps-and-
     * islands window as d15 (one shingle-fingerprint-bucketed count + a
@@ -1490,6 +1490,41 @@ object DedupQueries {
         col("cut_start") =!= col("kept_start"))
       .select(col("doc_id"), col("cut_start"), col("cut_end"),
         col("span_fp"), col("kept_doc_id"), col("kept_start"))
+      .orderBy("doc_id", "cut_start")
+  }
+
+  /** d33 — PROVENANCE-PREFERRED keep-one-copy cut plan: the d28 ∘ d25
+    * composition d28's Scaladoc asserted, now a checked operator. d28
+    * keeps the lowest (doc_id, cut_start) copy of each duplicated span;
+    * a curation pass that trusts some sources over others wants the
+    * KEPT copy chosen by PROVENANCE — here the canonically-lowest
+    * source name wins each span cluster (d25's source dimension as the
+    * keep key), ties broken by (doc_id, cut_start) so the plan stays
+    * deterministic. Emits d28's cut-list shape plus the kept copy's
+    * source.
+    *
+    * Composes WITHOUT re-scanning the corpus, as claimed: both sides
+    * read the same checkpointed fingerprint-annotated range index d27
+    * built ([[cutRangesBase]] — no re-shingle, no re-detection); the
+    * only new work is a span-grain join against the (doc_id, source)
+    * dimension projection and the same combinable min-struct aggregate
+    * with source prepended to the keep key. */
+  def provenanceCut(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val ranged = cutRangesBase(spark, dir)
+      .select(col("doc_id"), col("cut_start"), col("cut_end"), col("span_fp"))
+      .join(src, Seq("doc_id"))
+    val kept = ranged.groupBy(col("span_fp"))
+      .agg(min(struct(col("source"), col("doc_id"), col("cut_start"))).as("k"))
+      .select(col("span_fp"), col("k.source").as("kept_source"),
+        col("k.doc_id").as("kept_doc_id"), col("k.cut_start").as("kept_start"))
+    ranged.join(kept, Seq("span_fp"))
+      .filter(col("doc_id") =!= col("kept_doc_id") ||
+        col("cut_start") =!= col("kept_start"))
+      .select(col("doc_id"), col("cut_start"), col("cut_end"),
+        col("span_fp"), col("kept_source"), col("kept_doc_id"),
+        col("kept_start"))
       .orderBy("doc_id", "cut_start")
   }
 
@@ -1598,6 +1633,7 @@ object DedupQueries {
     "d27_cut_ranges" -> ((s, d) => cutRanges(s, d)),
     "d28_cut_dedup" -> ((s, d) => cutDedup(s, d)),
     "d29_cut_apply" -> ((s, d) => cutApply(s, d)),
+    "d33_provenance_cut" -> ((s, d) => provenanceCut(s, d)),
     "d14_triangles" -> ((s, d) => triangleCensus(s, d)),
     "d13_cluster_reps" -> ((s, d) => clusterReps(s, d)),
     "d12_pagerank" -> ((s, d) => pagerank(s, d)),
@@ -1835,6 +1871,43 @@ object DedupQueries {
          |         WHERE rn = 1)
          |SELECT f.doc_id, f.cut_start, f.cut_end, f.span_fp,
          |       k.kept_doc_id, k.kept_start
+         |FROM fp f JOIN kept k USING (span_fp)
+         |WHERE f.doc_id <> k.kept_doc_id OR f.cut_start <> k.kept_start
+         |ORDER BY f.doc_id, f.cut_start""".stripMargin,
+
+    // d33: d28's chain with the keep key prepended by the kept copy's
+    // SOURCE (the d25 provenance dimension) — lowest source wins each
+    // span cluster, ties to (doc_id, cut_start).
+    "d33_provenance_cut" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+         |s AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i
+         |      FROM t WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+         |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] shingle
+         |       FROM s),
+         |c AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+         |dup AS (SELECT sh.doc_id, sh.pos FROM sh JOIN c USING (shingle)),
+         |q AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl
+         |      FROM dup),
+         |runs AS (SELECT doc_id, CAST(min(pos) AS BIGINT) cut_start,
+         |           CAST(min(pos) + count(*) + 2 AS BIGINT) cut_end
+         |         FROM q GROUP BY doc_id, isl),
+         |rng AS (SELECT doc_id, cut_start, cut_end FROM runs
+         |        WHERE cut_end - cut_start >= $MinCutSpanToks),
+         |fp AS (SELECT r.doc_id, r.cut_start, r.cut_end, d.source,
+         |         md5(array_to_string(
+         |           t.tk[CAST(r.cut_start + 1 AS INT) : CAST(r.cut_end AS INT)],
+         |           ' ')) span_fp
+         |       FROM rng r JOIN t ON t.doc_id = r.doc_id
+         |                  JOIN documents d ON d.doc_id = r.doc_id),
+         |kept AS (SELECT span_fp, source kept_source, doc_id kept_doc_id,
+         |                cut_start kept_start
+         |         FROM (SELECT *, row_number() OVER (PARTITION BY span_fp
+         |                 ORDER BY source, doc_id, cut_start) rn FROM fp)
+         |         WHERE rn = 1)
+         |SELECT f.doc_id, f.cut_start, f.cut_end, f.span_fp,
+         |       k.kept_source, k.kept_doc_id, k.kept_start
          |FROM fp f JOIN kept k USING (span_fp)
          |WHERE f.doc_id <> k.kept_doc_id OR f.cut_start <> k.kept_start
          |ORDER BY f.doc_id, f.cut_start""".stripMargin,

@@ -2393,6 +2393,36 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(t0._2 + t0._3 == t0._1 && t1._2 + t1._3 == t1._1)
   }
 
+  test("provenance cut re-picks the keeper per span cluster without changing the clusters") {
+    // d33 differs from d28 only in WHICH copy each span cluster keeps:
+    // the occurrence sets (cuts + kept) per fingerprint must be
+    // identical, the cut counts equal, and d33's keeper must carry the
+    // cluster's minimum source (ties to lowest doc_id, cut_start).
+    def occSets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getString(3)).view.mapValues { rs =>
+        val cuts = rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val keptIdx = rs.head.length - 2 // (kept_doc_id, kept_start) tail
+        val kept = (rs.head.getLong(keptIdx), rs.head.getLong(keptIdx + 1))
+        (cuts, kept)
+      }.toMap
+    val d28 = occSets(ext.DedupQueries.cutDedup(spark, dir).collect())
+    val d33rows = ext.DedupQueries.provenanceCut(spark, dir).collect()
+    val d33 = occSets(d33rows)
+    assert(d28.keySet == d33.keySet && d28.nonEmpty)
+    val srcOf = Tables.load(spark, dir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    d28.foreach { case (fp, (cuts28, kept28)) =>
+      val (cuts33, kept33) = d33(fp)
+      assert(cuts28 + kept28 == cuts33 + kept33, s"cluster $fp changed membership")
+      val clusterSrcs = (cuts33 + kept33).map(o => srcOf(o._1))
+      assert(srcOf(kept33._1) == clusterSrcs.min,
+        s"cluster $fp keeper source ${srcOf(kept33._1)} != min $clusterSrcs")
+    }
+    // kept_source column agrees with the keeper's actual source
+    d33rows.foreach(r =>
+      assert(r.getString(4) == srcOf(r.getLong(5))))
+  }
+
   test("epoch rebuild split property: each bucket splits in exactly <=2, keys share low bits") {
     // The rebuild keeps the plane family and widens only the key mask,
     // so for every (vec, table): newKey & ((1<<b0)-1) == oldKey — each

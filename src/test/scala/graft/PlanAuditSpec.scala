@@ -388,6 +388,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
   }
 
+  test("d33 composes off the checkpointed range index: no re-shingle, pruned dim scan") {
+    // the d28∘d25 composition must NOT re-run detection: both sides read
+    // the materialized span-grain rows; the only corpus touch is the
+    // (doc_id, source) dimension projection — assert the documents scan
+    // is pruned to those two columns and no Generate (shingling) or
+    // gaps-and-islands Window appears.
+    graft.ext.DedupQueries.cutRanges(spark, dir).count() // build the index
+    val p = plan("d33_provenance_cut")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!"\\bWindow\\b".r.findAllIn(p).hasNext, p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("source") && !read.contains("text"), read)
+  }
+
   test("d27 probes the checkpointed range index: no window, no join, no generate") {
     // the fingerprint-annotated range frame is a build-once (session,
     // dir) checkpoint (gaps-and-islands window, dup-position semi-join
