@@ -793,15 +793,19 @@ object TextQueries {
     * tokenizer consumes is the flattened (round, rank) order. */
   val BpeBatch = 3
   val BpeCandWindow = 12
+  /** The driver loop at an explicit batch size `b` and candidate-window
+    * bound `cand` (production rule of thumb: cand ≈ 4·b, so conflict
+    * skips rarely starve a round — the BpeDialSpec B-sweep drives this
+    * knob). Total driver crossings for a K-merge tokenizer ≈ K/b. */
   private[graft] def bpeBatchedLoop(spark: SparkSession, dir: String,
-      b: Int, rounds: Int)
+      b: Int, rounds: Int, cand: Int = BpeCandWindow)
       : (Seq[(Long, Long, String, String, String, Long)], DataFrame) = {
     var seg = bpeVocab(spark, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Long, Long, String, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
-      val window = bpeRoundTop(seg, BpeCandWindow).take(BpeCandWindow)
+      val window = bpeRoundTop(seg, cand).take(cand)
       val used = scala.collection.mutable.Set.empty[String]
       val picked = Seq.newBuilder[(String, String, Long)]
       var taken = 0

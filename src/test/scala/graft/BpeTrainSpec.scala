@@ -287,6 +287,55 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
       s"greedy selection must skip the conflicting (b,c): $merges")
   }
 
+  test("batch dial B in {1,3,8,16}: exact greedy-batch replay, bounded strict-BPE divergence") {
+    // The production-K scaling question: a K-merge tokenizer needs
+    // ~K/B driver crossings, so B wants to grow into the hundreds —
+    // at what fidelity cost? Per B: (1) the engine must STILL replay
+    // the sequential greedy-batch reference merge-for-merge (the
+    // correctness contract is exact at every B; only the POLICY drifts
+    // from strict BPE), and (2) the drift vs strict one-merge-per-round
+    // BPE is measured as the symmetric difference of the first-K merge
+    // rule sets. Candidate window rides 4·B (conflict skips must not
+    // starve a round).
+    val words = Seq("banana", "bandana", "cabana", "analog", "annal",
+      "theme", "then", "hand", "sand", "band", "nation", "station",
+      "ration", "motion", "potion", "lotion", "loan", "moan", "groan",
+      "training", "raining", "gaining")
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 40).map(_ =>
+      Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" "))
+    val dir = writeDocs("bpedial", texts)
+    val vocab = vocabOf(texts)
+    val K = 16
+    val strict = seqBpe(vocab, K).map(m => (m._2, m._3))
+    assert(strict.size == K, "fixture must support K=16 strict merges")
+    val divergences = Seq(1, 3, 8, 16).map { b =>
+      val rounds = math.ceil(K.toDouble / b).toInt
+      val cand = math.max(TextQueries.BpeCandWindow, 4 * b)
+      val (merges, seg) = TextQueries.bpeBatchedLoop(spark, dir, b, rounds, cand)
+      graft.CheckpointUtil.release(seg)
+      val expected = seqBpeBatched(vocab, b, rounds, cand)
+      assert(merges == expected,
+        s"B=$b diverges from the greedy-batch reference:\n $merges\n $expected")
+      val got = merges.map(m => (m._3, m._4))
+      val k = math.min(got.size, strict.size)
+      val diff = (got.take(k).toSet -- strict.take(k).toSet).size
+      if (b == 1) assert(diff == 0, "B=1 must equal strict BPE")
+      info(s"B=$b rounds=$rounds crossings=$rounds merges=${got.size} divergence=$diff/$k")
+      (b, diff, k)
+    }
+    // The measured frontier on this fixed-seed fixture, pinned as a
+    // regression guard (BASELINE.md carries the analysis): strict-BPE
+    // chains (an→ana→anan) cannot form inside one batch, so divergence
+    // grows with B — B=3 stays at 25%, B=8 is past the safe frontier on
+    // a chain-heavy vocabulary. The dial guidance: B buys K/B fewer
+    // crossings at a policy drift that is small while B stays below the
+    // vocabulary's typical merge-chain spacing.
+    assert(divergences.map { case (b, d, k) => b -> (d, k) }.toMap ==
+      Map(1 -> (0, 16), 3 -> (4, 16), 8 -> (6, 10), 16 -> (3, 5)),
+      s"measured divergence frontier moved: $divergences")
+  }
+
   test("degenerate corpus truncates the merge table instead of crashing") {
     // two distinct 2-char words: rounds 1-2 merge each to a single
     // symbol, round 3 finds no adjacent pair anywhere — the loop must
