@@ -11,12 +11,19 @@ import org.apache.spark.sql.functions._
   * grows with enrolled docs, so a flat per-batch wall across batches is
   * the bounded-state contract showing up as a measurement.
   *
-  * Usage: runMain graft.StreamBench [batchSize]  (env SPARK_GRAFT_SF_DIR)
+  * Usage: runMain graft.StreamBench [batchSize] [evict]
+  * (env SPARK_GRAFT_SF_DIR). With `evict`, the same feed runs through
+  * `streamingNearDupPairsEvicting` with one synthetic event-time minute
+  * per batch and a 3-minute watermark — per-batch state-store rows are
+  * printed so the bounded-state contract (rows PLATEAU as old buckets
+  * evict, instead of growing with every enrolled doc) is a measurement,
+  * not prose.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val batchSize = args.headOption.map(_.toInt).getOrElse(500)
+    val evict = args.lift(1).contains("evict")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,20 +36,39 @@ object StreamBench {
 
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val q = graft.streaming.StreamOps.streamingNearDupPairs(spark,
-        input.toDF().toDF("doc_id", "text")).toDF()
-      .writeStream.format("memory").queryName("nd_bench")
-      .outputMode("update").start()
+    val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators)
+        .filter(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val (q, feed) =
+      if (evict) {
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, java.sql.Timestamp)]
+        val query = graft.streaming.StreamOps.streamingNearDupPairsEvicting(
+            spark, input.toDF().toDF("doc_id", "text", "ts"),
+            watermark = "3 minutes").toDF()
+          .writeStream.format("memory").queryName("nd_bench")
+          .outputMode("update").start()
+        (query, (chunk: Seq[(Long, String)], i: Int) =>
+          input.addData(chunk.map { case (id, t) =>
+            (id, t, new java.sql.Timestamp(baseMs + i * 60000L)) }))
+      } else {
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val query = graft.streaming.StreamOps.streamingNearDupPairs(spark,
+            input.toDF().toDF("doc_id", "text")).toDF()
+          .writeStream.format("memory").queryName("nd_bench")
+          .outputMode("update").start()
+        (query, (chunk: Seq[(Long, String)], _: Int) => input.addData(chunk))
+      }
     try {
       val t0 = System.nanoTime()
       docs.grouped(batchSize).zipWithIndex.foreach { case (chunk, i) =>
         val b0 = System.nanoTime()
-        input.addData(chunk)
+        feed(chunk, i)
         q.processAllAvailable()
         println(f"[stream] batch $i%2d: ${chunk.size} docs in " +
-          f"${(System.nanoTime() - b0) / 1e9}%.2f s")
+          f"${(System.nanoTime() - b0) / 1e9}%.2f s, state rows ${stateRows(q)}")
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val pairs = spark.table("nd_bench")

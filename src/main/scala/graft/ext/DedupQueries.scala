@@ -367,12 +367,14 @@ object DedupQueries {
     * so it composes with `readStream` sources. The streaming near-dup
     * operator keys its state on (bid, bkey); `shh` rides along for the
     * in-state exact-Jaccard verification. */
-  private[graft] def bandedSignatures(docs: DataFrame): DataFrame =
+  private[graft] def bandedSignatures(docs: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id", "shh") ++ extra).map(col)
     withSignatures(docs)
-      .select(col("doc_id") +: col("shh") +: flatHashCols: _*)
-      .select(col("doc_id"), col("shh"), expr(bandExplodeExpr).as("u"))
-      .select(col("doc_id"), col("shh"),
-        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+      .select(keep ++ flatHashCols: _*)
+      .select(keep :+ expr(bandExplodeExpr).as("u"): _*)
+      .select(keep :+ col("u.bid").as("bid") :+ col("u.bkey").as("bkey"): _*)
+  }
 
   private def lshPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingled(spark, dir)

@@ -47,6 +47,8 @@ case class PatternMatch(user_id: Long, a_event_id: Long, b_event_id: Long,
   * near-dup operator's keyed state consumes (shh = the doc's sorted
   * 64-bit shingle fingerprints, for in-state exact verification). */
 case class BandRow(doc_id: Long, shh: Array[Long], bid: Int, bkey: String)
+case class BandRowTs(doc_id: Long, shh: Array[Long], ts: java.sql.Timestamp,
+  bid: Int, bkey: String)
 
 /** A verified near-duplicate pair emitted by
   * [[StreamOps.streamingNearDupPairs]] — same schema and thresholds as
@@ -360,10 +362,16 @@ object StreamOps {
     * most `maxBucket` residents; hotter buckets verify new arrivals
     * against the enrolled residents but stop growing (the m16/df-cap
     * analog: a bucket hot enough to hit the cap is boilerplate that d27's
-    * cut pass owns, not pairwise dedup). Pair with an upstream watermark
-    * dedup for replay safety; for recent-history-window semantics swap
-    * NoTimeout for EventTimeTimeout and clear state when the watermark
-    * passes the bucket's last arrival.
+    * cut pass owns, not pairwise dedup). ONCE THE CAP BINDS, output
+    * becomes arrival-order dependent: a verified-but-not-enrolled doc is
+    * not remembered, so an at-least-once redelivery of it re-emits its
+    * pairs (absorbed by the consumers' documented
+    * `dropDuplicates(doc_a, doc_b)`), and WHICH residents hold the cap
+    * slots depends on arrival order — the capped bucket trades
+    * stream=batch equality for bounded memory, by contract (the
+    * equality spec covers the uncapped path). Pair with an upstream
+    * watermark dedup for replay safety; for recent-history-window
+    * semantics use [[streamingNearDupPairsEvicting]].
     *
     * The same pair can collide in several bands: emissions are distinct
     * per (pair, bucket) — batch d3 dedupes candidates corpus-globally,
@@ -404,6 +412,78 @@ object StreamOps {
           }
           state.update(residents)
           out.iterator
+      }
+  }
+
+  /** [[streamingNearDupPairs]] with EVENT-TIME EVICTION — the
+    * recent-history-window production form the unbounded variant's
+    * Scaladoc names: a bucket's residents are dropped once the watermark
+    * passes the bucket's LAST ARRIVAL, so a document only pairs against
+    * the near-past (dedup-against-recent-history — the semantics of a
+    * continuously-curated feed where month-old copies are someone
+    * else's batch job) and total state is bounded by the event-time
+    * window's arrival mass instead of the corpus.
+    *
+    * `docs` must carry an event-time column `ts`; the watermark is set
+    * here (delay = `watermark`) BEFORE the per-row band projections.
+    * Mechanics: FlatMapGroupsWithState with EventTimeTimeout — each
+    * batch re-arms the bucket's timeout at its max arrival event time
+    * (clamped above the current watermark, the API contract); when the
+    * watermark passes with no new arrival, the callback fires with
+    * hasTimedOut and the state is removed. Within-batch semantics
+    * (doc_id-ordered fold, exact-Jaccard verify, maxBucket cap,
+    * enrolled-redelivery skip) are byte-identical to the unbounded
+    * operator — the eviction spec proves a pre-eviction near-dup IS
+    * found and the same pair arriving after eviction is NOT. */
+  def streamingNearDupPairsEvicting(spark: SparkSession, docs: DataFrame,
+      watermark: String = "10 minutes", maxBucket: Int = 1024)
+      : Dataset[NearDupPair] = {
+    import spark.implicits._
+    graft.ext.DedupQueries
+      .bandedSignatures(docs.withWatermark("ts", watermark), Seq("ts"))
+      .as[BandRowTs]
+      .groupByKey(r => (r.bid, r.bkey))
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), rows: Iterator[BandRowTs],
+            state: GroupState[List[(Long, Array[Long])]]) =>
+          // helpers INSIDE the closure (serialization discipline)
+          def intersect(a: Array[Long], b: Array[Long]): Int = {
+            var i = 0; var j = 0; var c = 0
+            while (i < a.length && j < b.length) {
+              if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+              else if (a(i) < b(j)) i += 1 else j += 1
+            }
+            c
+          }
+          if (!rows.hasNext) {
+            // watermark passed the bucket's last arrival: evict
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            var residents = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.Buffer.empty[NearDupPair]
+            val batch = rows.toSeq
+            batch.sortBy(_.doc_id).foreach { r =>
+              if (!residents.exists(_._1 == r.doc_id)) {
+                residents.foreach { case (id, shh2) =>
+                  val inter = intersect(r.shh, shh2).toDouble
+                  val jac = inter / (r.shh.length + shh2.length - inter)
+                  if (jac >= graft.ext.DedupQueries.JaccardThreshold)
+                    out += NearDupPair(math.min(id, r.doc_id), math.max(id, r.doc_id),
+                      BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                }
+                if (residents.size < maxBucket) residents = (r.doc_id, r.shh) :: residents
+              }
+            }
+            state.update(residents)
+            val lastArrivalMs = batch.map(_.ts.getTime).max
+            // the timeout timestamp must exceed the current watermark
+            state.setTimeoutTimestamp(
+              math.max(lastArrivalMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
       }
   }
 

@@ -391,6 +391,57 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._3 >= graft.ext.DedupQueries.JaccardThreshold))
   }
 
+  test("evicting near-dup: pre-eviction pair found across restart, post-eviction pair not") {
+    // The recent-history-window contract end-to-end, across restarts:
+    // (1) a near-dup arriving while the bucket is live pairs against
+    // recovered state; (2) once the watermark passes the bucket's last
+    // arrival (advanced by unrelated traffic) the EventTimeTimeout
+    // fires, the residents are dropped, and the SAME near-dup text
+    // arriving later finds nothing — dedup-against-recent-history, not
+    // against-the-corpus.
+    val in = java.nio.file.Files.createTempDirectory("nde_in").toString
+    val out = java.nio.file.Files.createTempDirectory("nde_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nde_state").toString
+    val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    def land(rows: (Long, String, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.streamingNearDupPairsEvicting(spark,
+          spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .parquet(in), watermark = "10 minutes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.NearDupPair], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def noise(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    land((1L, base, ts(0)))
+    runOnce()
+    // restart: near-dup inside the window — found via RECOVERED state
+    land((2L, base + " extra", ts(5)))
+    runOnce()
+    // unrelated traffic drags the watermark past the bucket's last
+    // arrival (5 min): run 3 advances it, run 4's batch fires the timeout
+    land((100L, noise("adv"), ts(120)))
+    runOnce()
+    land((101L, noise("more"), ts(121)))
+    runOnce()
+    // same near-dup text AFTER eviction: enrolls fresh, pairs with nothing
+    land((3L, base + " late", ts(125)))
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.distinct.toSeq == Seq((1L, 2L)),
+      s"expected only the pre-eviction pair: ${rows.mkString(",")}")
+  }
+
   /** Shared stop/restart harness for the watermarked aggregations: land
     * files, run the op file-source → file-sink with AvailableNow against a
     * persistent checkpoint, repeat. Each runOnce is a fresh query resuming
