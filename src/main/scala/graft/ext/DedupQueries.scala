@@ -119,8 +119,14 @@ object DedupQueries {
     graft.functions.GraftFunctions.register(spark)
     evictOtherDirs(spark, dir)
     baseCache.getOrElseUpdate((spark, dir), {
+      // `source` rides the index build (the documents scan already pays
+      // for it): provenance consumers (t27, d25-adjacent) read it off
+      // the checkpoint instead of a doc-grain join back to documents —
+      // at the 100x blow-up that join crossed the broadcast tier and
+      // shuffled the fat shh-array side (662 MB measured) for a column
+      // the build had in hand.
       withSignatures(Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("source"))
         // documents.parquet is a single file → a single input split; the
         // md5-heavy shingle/minhash work downstream would otherwise run
         // on one core. Spread rows across the full parallelism first.
@@ -142,6 +148,11 @@ object DedupQueries {
     * shingle index instead of re-shingling the corpus. */
   private[ext] def shingled(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir).select(col("doc_id"), col("shh"))
+
+  /** Shingle fingerprints with the provenance column, straight off the
+    * checkpointed index — NO doc-grain join back to documents. */
+  private[ext] def shingledWithSource(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(col("doc_id"), col("source"), col("shh"))
 
   private[ext] val duckShingled =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),

@@ -1182,14 +1182,32 @@ object TextQueries {
     * and probing every singleton (59 MB shuffle, 22× CPU at 10×); this
     * form ships each posting once and Spark's ReuseExchange shares the
     * fp exchange between the pair branch and the size frame. */
+  /** The fp → sorted-source-set posting index, checkpointed once per
+    * (session, dir): t27 reads it on THREE branches (pair explosion +
+    * two size frames), and without materialization each branch re-runs
+    * the explode + distinct + set aggregate — the 100x blow-up measured
+    * the posting exchange paid ~2x (440 MB shuffled for ~210 MB of
+    * distinct postings; static ReusedExchange does not match across the
+    * branches). Same d28 multi-reference-subframe lesson, and the frame
+    * IS an index artifact (vocabulary-grain, tiny next to the corpus). */
+  private val sourcePostingCache = caches.newCache()
+  private def sourcePosting(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    sourcePostingCache.getOrElseUpdate((spark, dir),
+      DedupQueries.shingledWithSource(spark, dir)
+        .select(col("source"), explode(col("shh")).as("fp"))
+        // explicit fixed-width distinct BEFORE the set aggregate:
+        // collapsing incidences in a codegen HashAggregate instead of
+        // the object-buffer partial cut measured build CPU 3x at the
+        // 100x blow-up (731 -> 241 s)
+        .distinct()
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .localCheckpoint())
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"))
-    val posting = DedupQueries.shingled(spark, dir)
-      .join(src, "doc_id")
-      .select(col("source"), explode(col("shh")).as("fp"))
-      .groupBy(col("fp"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val posting = sourcePosting(spark, dir)
     val sizes = posting
       .select(explode(col("srcs")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
