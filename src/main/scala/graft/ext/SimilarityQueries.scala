@@ -232,6 +232,22 @@ object SimilarityQueries {
   private lazy val tablePlaneSigns: Array[Array[Int]] =
     hashSignsN("", AnnHubTables * LshPlanes, LshDims)
 
+  /** Widened per-table key maximum — the plane-family continuation past
+    * the [[LshPlanes]] clamp (the documented limit the 100x blow-up
+    * reached exactly: n = 2^16·occ). Key bits r ≥ 16 draw from a
+    * SEPARATE "ext"-seeded family so every key's low 16 bits are
+    * byte-identical to the unwidened index — the s36 split property
+    * extends across the clamp boundary and a standing index can re-key
+    * from b=16 to b=17 without re-bucketing history (s37 checks the
+    * contract differentially). */
+  val LshPlanesExt = 24
+  private lazy val extPlaneSigns: Array[Array[Int]] =
+    hashSignsN("ext", AnnHubTables * (LshPlanesExt - LshPlanes), LshDims)
+  /** Sign row for key bit `r` of table `t` across the widened family. */
+  private def tablePlaneSign(t: Int, r: Int): Array[Int] =
+    if (r < LshPlanes) tablePlaneSigns(t * LshPlanes + r)
+    else extPlaneSigns(t * (LshPlanesExt - LshPlanes) + (r - LshPlanes))
+
   /** The 4×4 banding of 16 sign-bit columns `s0..s15` into
     * `struct(bid, bkey)` literals — shared by every LSH family. */
   private def bandStructCols: Seq[Column] = (0 until 4).map { b =>
@@ -1210,19 +1226,21 @@ object SimilarityQueries {
     * — the kernel under [[scaledBandIndex]] (b from the full corpus) and
     * [[standingBandIndex]] (b frozen from the indexed half). */
   private[graft] def bandIndexAtWidth(spark: SparkSession, dir: String, b: Int): DataFrame = {
+    require(b <= LshPlanesExt, s"key width $b exceeds the widened family")
     // only the b planes each table actually keys on are evaluated —
-    // 8·b dot products per vector, not the full 8·16 family
-    val used = (0 until AnnHubTables).flatMap(t =>
-      (0 until b).map(r => t * LshPlanes + r))
-    val base = used.foldLeft(emb(spark, dir)) { (d, p) =>
-      val coeffs = tablePlaneSigns(p)
+    // 8·b dot products per vector, not the full widened family; bits
+    // r >= LshPlanes come from the "ext" plane family (see
+    // [[LshPlanesExt]]) so low bits match the unwidened index exactly
+    val used = (0 until AnnHubTables).flatMap(t => (0 until b).map(r => (t, r)))
+    val base = used.foldLeft(emb(spark, dir)) { case (d, (t, r)) =>
+      val coeffs = tablePlaneSign(t, r)
         .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
-      d.withColumn(s"s$p", expr(
+      d.withColumn(s"s${t}_$r", expr(
         s"dot_product(embedding, array($coeffs)) > 0D"))
     }
     val bandCols = (0 until AnnHubTables).map { t =>
       val code = (0 until b)
-        .map(r => s"(CASE WHEN s${t * LshPlanes + r} THEN ${1 << r} ELSE 0 END)")
+        .map(r => s"(CASE WHEN s${t}_$r THEN ${1 << r} ELSE 0 END)")
         .mkString(" + ")
       expr(s"struct(cast($t as int) as bid, cast(($code) as int) as bkey)")
     }
@@ -1666,8 +1684,9 @@ object SimilarityQueries {
     * (n > 2^b0 · [[AnnHubTargetOcc]], detected here as the adaptive
     * width formula yielding bFull > b0 — both widths are cached
     * scalars, no extra scan), the index re-keys at b0+1 (clamped to
-    * [[LshPlanes]]) — the halving-occupancy rebuild every LSH
-    * deployment amortizes over each corpus doubling.
+    * [[LshPlanesExt]] — the rebuild CROSSES the 16-bit clamp via the
+    * widened plane family, s37's contract) — the halving-occupancy
+    * rebuild every LSH deployment amortizes over each corpus doubling.
     *
     * The rebuild preserves the PLANE FAMILY: only the key mask widens,
     * so every width-b0 bucket splits into exactly two width-(b0+1)
@@ -1695,13 +1714,13 @@ object SimilarityQueries {
     evictOtherDirs(spark, dir)
     rebuiltBandsCache.getOrElseUpdate((spark, dir),
       bandIndexAtWidth(spark, dir,
-        math.min(LshPlanes, standingBandWidth(spark, dir) + 1)))
+        math.min(LshPlanesExt, standingBandWidth(spark, dir) + 1)))
   }
 
   def epochRebuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b0 = standingBandWidth(spark, dir)
-    val b1 = math.min(LshPlanes, b0 + 1)
+    val b1 = math.min(LshPlanesExt, b0 + 1)
     val bFull = scaledBandWidth(spark, dir)
     val exact = exactSampleKnn(spark, dir)
     def epochRow(bands: DataFrame, epoch: String, b: Int): DataFrame = {
@@ -1735,6 +1754,69 @@ object SimilarityQueries {
     epochRow(standingBandIndex(spark, dir), "e0_frozen", b0)
       .unionAll(epochRow(rebuiltBandIndex(spark, dir), "e1_rebuilt", b1))
       .orderBy("epoch")
+  }
+
+  /** s37 — PLANE-FAMILY WIDENING across the 16-bit clamp: the
+    * continuation the adaptive index documents for n > 2^[[LshPlanes]]·occ
+    * (the 100x blow-up reached that point exactly), now an operator with
+    * a differentially-checked contract. Key bit 16 of each table comes
+    * from the "ext"-seeded family ([[LshPlanesExt]]); the fixture cannot
+    * reach width 17 by data, so the widths are FORCED (16 → 17) and the
+    * contract is what matters at any scale:
+    *
+    *  - **low-bit compatibility** — every widened key's low 16 bits
+    *    equal the unwidened key (n_lowbit_mismatch = 0): a standing
+    *    index re-keys 16 → 17 by splitting buckets, exactly the s36
+    *    split property carried across the clamp boundary, so history
+    *    never re-buckets;
+    *  - **candidate containment** — width-17 bucket pairs are a subset
+    *    of width-16 pairs (n_containment_violations = 0): widening can
+    *    only shed candidates, never surface new ones;
+    *  - occupancy stats per width (buckets grow, max occupancy falls).
+    *
+    * The engine computes both frames independently through the widened
+    * [[bandIndexAtWidth]] kernel; the oracle recomputes the 16 standard
+    * bits per table plus the ext bit and composes the widened key — any
+    * drift in the widened kernel (wrong plane, wrong bit packing, low
+    * bits disturbed) breaks the hash compare. */
+  private val widenLoCache = caches.newCache()
+  private val widenHiCache = caches.newCache()
+  def familyWidening(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    val lo = widenLoCache.getOrElseUpdate((spark, dir),
+      bandIndexAtWidth(spark, dir, LshPlanes))
+    val hi = widenHiCache.getOrElseUpdate((spark, dir),
+      bandIndexAtWidth(spark, dir, LshPlanes + 1))
+    val nlo = lo.select(col("vec_id"), col("bid"), col("bkey"))
+    val nhi = hi.select(col("vec_id"), col("bid"), col("bkey").as("bkey_hi"))
+    val rowsMism = nlo.join(nhi, Seq("vec_id", "bid"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("bkey_hi").bitwiseAND(lit((1 << LshPlanes) - 1))
+          =!= col("bkey"), 1L).otherwise(0L)).as("n_lowbit_mismatch"))
+    def bucketStats(nb: DataFrame, key: String, sfx: String): DataFrame =
+      nb.groupBy(col("bid"), col(key)).agg(count(lit(1)).as("occ"))
+        .agg(count(lit(1)).as(s"n_buckets_$sfx"),
+          max(col("occ")).as(s"max_occ_$sfx"))
+    def pairsOf(nb: DataFrame, key: String): DataFrame =
+      nb.as("a").join(nb.as("b"),
+          col("a.bid") === col("b.bid") &&
+            col(s"a.$key") === col(s"b.$key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+        .distinct()
+    val viol = pairsOf(nhi, "bkey_hi")
+      .join(pairsOf(nlo, "bkey"), Seq("x", "y"), "left_anti")
+      .agg(count(lit(1)).as("n_containment_violations"))
+    rowsMism
+      .crossJoin(bucketStats(nlo, "bkey", "lo"))
+      .crossJoin(bucketStats(nhi, "bkey_hi", "hi"))
+      .crossJoin(viol)
+      .select(lit(LshPlanes.toLong).as("b_lo"),
+        lit((LshPlanes + 1).toLong).as("b_hi"),
+        col("n_rows"), col("n_buckets_lo"), col("max_occ_lo"),
+        col("n_buckets_hi"), col("max_occ_hi"),
+        col("n_lowbit_mismatch"), col("n_containment_violations"))
+      .orderBy("b_lo")
   }
 
   /** s27 — dominant principal direction via power iteration: three
@@ -1949,6 +2031,7 @@ object SimilarityQueries {
     "s34_incremental_ann_mp" -> ((s, d) => incrementalAnnMultiprobe(s, d)),
     "s35_admission_recall" -> ((s, d) => incrementalAnnRecall(s, d)),
     "s36_epoch_rebuild" -> ((s, d) => epochRebuild(s, d)),
+    "s37_family_widening" -> ((s, d) => familyWidening(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -2018,7 +2101,7 @@ object SimilarityQueries {
     * [[LshPlanes]] exactly like the engine. */
   private def duckWidthParams(countWhere: String, name: String,
       delta: Int): String =
-    s"""$name AS (SELECT LEAST($LshPlanes, GREATEST(4, LEAST($LshPlanes,
+    s"""$name AS (SELECT LEAST($LshPlanesExt, GREATEST(4, LEAST($LshPlanes,
        |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END))
        |             + $delta) b
        |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
@@ -2494,6 +2577,63 @@ object SimilarityQueries {
          |UNION ALL
          |${epochSelect("1", "e1_rebuilt", "params1")}
          |ORDER BY epoch""".stripMargin
+    },
+
+    // s37: the 16 standard bits per table plus the per-table "ext" bit;
+    // the widened key is composed as code + ext·2^16, so the oracle
+    // independently re-derives what the engine's widened kernel computes
+    // bit-by-bit; containment via ANTI JOIN of the two pair sets.
+    "s37_family_widening" -> {
+      def dot(t: Int, r: Int): String = (0 until LshDims)
+        .map(d =>
+          s"v[${d + 1}] * ${if (tablePlaneSign(t, r)(d) > 0) "1.0" else "-1.0"}")
+        .mkString(" + ")
+      val ss = ((for (t <- 0 until AnnHubTables; r <- 0 until LshPlanes)
+        yield s"((${dot(t, r)}) > 0) s${t}_$r") ++
+        (0 until AnnHubTables).map(t =>
+          s"((${dot(t, LshPlanes)}) > 0) x$t"))
+        .mkString(",\n       ")
+      val codes = (0 until AnnHubTables).map { t =>
+        val c = (0 until LshPlanes)
+          .map(r => s"(CASE WHEN s${t}_$r THEN ${1 << r} ELSE 0 END)")
+          .mkString(" + ")
+        s"($c) code$t, x$t"
+      }.mkString(",\n       ")
+      def tables(key: Int => String) = (0 until AnnHubTables).map(t =>
+        s"SELECT vec_id, $t bid, ${key(t)} bkey FROM codes").mkString("\nUNION ALL\n")
+      s"""WITH $duckEmb,
+         |bits AS (SELECT vec_id, v,
+         |       $ss
+         |  FROM e),
+         |codes AS (SELECT vec_id,
+         |       $codes
+         |  FROM bits),
+         |lo AS (
+         |${tables(t => s"code$t")}),
+         |hi AS (
+         |${tables(t => s"code$t + (CASE WHEN x$t THEN ${1 << LshPlanes} ELSE 0 END)")}),
+         |rm AS (SELECT CAST(count(*) AS BIGINT) n_rows,
+         |         CAST(coalesce(sum(CASE WHEN (hi.bkey & ${(1 << LshPlanes) - 1})
+         |             <> lo.bkey THEN 1 ELSE 0 END), 0) AS BIGINT) n_lowbit_mismatch
+         |       FROM lo JOIN hi USING (vec_id, bid)),
+         |oc0 AS (SELECT bid, bkey, count(*) occ FROM lo GROUP BY 1, 2),
+         |st0 AS (SELECT CAST(count(*) AS BIGINT) n_buckets_lo,
+         |               CAST(max(occ) AS BIGINT) max_occ_lo FROM oc0),
+         |oc1 AS (SELECT bid, bkey, count(*) occ FROM hi GROUP BY 1, 2),
+         |st1 AS (SELECT CAST(count(*) AS BIGINT) n_buckets_hi,
+         |               CAST(max(occ) AS BIGINT) max_occ_hi FROM oc1),
+         |p0 AS (SELECT DISTINCT a.vec_id x, b.vec_id y FROM lo a JOIN lo b
+         |       ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |p1 AS (SELECT DISTINCT a.vec_id x, b.vec_id y FROM hi a JOIN hi b
+         |       ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |vl AS (SELECT CAST(count(*) AS BIGINT) n_containment_violations
+         |       FROM p1 ANTI JOIN p0 ON p1.x = p0.x AND p1.y = p0.y)
+         |SELECT CAST($LshPlanes AS BIGINT) AS b_lo,
+         |       CAST(${LshPlanes + 1} AS BIGINT) AS b_hi,
+         |       rm.n_rows, st0.n_buckets_lo, st0.max_occ_lo,
+         |       st1.n_buckets_hi, st1.max_occ_hi,
+         |       rm.n_lowbit_mismatch, vl.n_containment_violations
+         |FROM rm, st0, st1, vl""".stripMargin
     },
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //

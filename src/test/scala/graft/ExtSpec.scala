@@ -2452,12 +2452,35 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getString(0) -> r).toMap
     val (e0, e1) = (rows("e0_frozen"), rows("e1_rebuilt"))
     assert(e1.getLong(1) == e0.getLong(1) + 1 ||
-      e1.getLong(1) == ext.SimilarityQueries.LshPlanes.toLong)
+      e1.getLong(1) == ext.SimilarityQueries.LshPlanesExt.toLong)
     assert(e1.getLong(2) >= e0.getLong(2), "bucket count must not drop")
     assert(e1.getLong(4) <= e0.getLong(4), "mean occupancy must not rise")
     assert(e1.getLong(6) <= e0.getLong(6), "recall hits are candidate-subset-bounded")
     val bFull = ext.SimilarityQueries.scaledBandWidth(spark, dir)
     assert(e0.getInt(8) == (if (bFull > e0.getLong(1)) 1 else 0))
+  }
+
+  test("family widening: ext bit is real, low bits untouched, candidates only shed") {
+    import org.apache.spark.sql.functions.col
+    val b16 = ext.SimilarityQueries.LshPlanes
+    val lo = ext.SimilarityQueries.bandIndexAtWidth(spark, dir, b16)
+      .select(col("vec_id"), col("bid"), col("bkey").as("k0")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val hi = ext.SimilarityQueries.bandIndexAtWidth(spark, dir, b16 + 1)
+      .select(col("vec_id"), col("bid"), col("bkey").as("k1")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(lo.keySet == hi.keySet && lo.nonEmpty)
+    val mask = (1 << b16) - 1
+    lo.foreach { case (k, k0) =>
+      assert((hi(k) & mask) == k0, s"low bits disturbed at $k") }
+    // the ext family's bit 16 must genuinely vary (both 0 and 1 occur) —
+    // a constant bit would mean the widening is a no-op
+    val bit16 = hi.values.map(_ >>> b16).toSet
+    assert(bit16 == Set(0, 1), s"ext bit degenerate: $bit16")
+    // and the registered readout reports zero contract violations
+    val row = ext.SimilarityQueries.familyWidening(spark, dir).collect().head
+    assert(row.getLong(7) == 0L && row.getLong(8) == 0L, row.toString)
+    assert(row.getLong(5) >= row.getLong(3), "buckets must not shrink")
   }
 
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
