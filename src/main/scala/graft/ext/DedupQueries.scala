@@ -1103,9 +1103,18 @@ object DedupQueries {
     val truth = mpTruthCache.getOrElseUpdate((spark, dir), {
       val lbl = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"))
-        // single row-group fixture → fan out before the per-block quadratic
+        // single row-group fixture → fan out before the per-block work
         .repartition(col("vec_id"))
-      val truthPairs = lbl.as("a").join(lbl.as("b"),
+      // Truth LEFT endpoints pinned to a fixed id window (the recall-
+      // sample cap): a deterministic sub-census that is the FULL truth
+      // at fixture scale (every sf0.01 id < 640) and keeps the audit
+      // LINEAR under blow-up — the fixture holds label cardinality
+      // fixed, so unwindowed label blocks grow with the corpus and the
+      // exact side would go quadratic (30x measured 202 s before the
+      // window; a deployment's label cardinality scales instead).
+      val truthPairs = lbl.as("a")
+        .filter(col("a.vec_id") < SimilarityQueries.RecallSampleCap)
+        .join(lbl.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
       SimilarityQueries.attachCosine(spark, dir, truthPairs)
@@ -2503,7 +2512,8 @@ object DedupQueries {
          |truth AS (SELECT a.vec_id lo, b.vec_id hi
          |          FROM e a JOIN e b
          |            ON a.label = b.label AND a.vec_id < b.vec_id
-         |          WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |          WHERE a.vec_id < ${SimilarityQueries.RecallSampleCap}
+         |            AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
          |                  >= $EmbDupThreshold),
          |p0 AS (SELECT DISTINCT a.vec_id lo, b.vec_id hi
          |       FROM bands a JOIN bands b
