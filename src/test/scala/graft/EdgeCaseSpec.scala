@@ -33,6 +33,53 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 
+  test("tiny/degenerate corpora: epoch rebuild, widening, mp admission, provenance cut") {
+    // the sf oracles never exercise a 4-vector corpus (widths clamp to
+    // the floor) or an all-even id universe (empty admission batch) —
+    // a 100 TB run's first bring-up does.
+    def writeEmb(prefix: String, ids: Seq[Long]): String = {
+      val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+      ids.map { i =>
+        val v = Array.tabulate(64)(d =>
+          (math.sin(i * 13.0 + d) + (if (i % 2 == 0) 0.5f else -0.25f)).toFloat)
+        (i, v, (i % 3).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val tiny = writeEmb("edge_tiny", Seq(0L, 1L, 2L, 3L))
+    // widths clamp to the floor (4): rebuild still emits both epochs,
+    // e1 at width 5, breach 0 on both (full width == frozen width == 4)
+    val reb = ext.SimilarityQueries.epochRebuild(spark, tiny).collect()
+    assert(reb.map(_.getString(0)).toSeq == Seq("e0_frozen", "e1_rebuilt"))
+    assert(reb.map(_.getLong(1)).toSeq == Seq(4L, 5L), reb.mkString(","))
+    assert(reb.forall(_.getInt(8) == 0))
+    // widening on 4 vectors: no mismatches, no containment violations
+    val wid = ext.SimilarityQueries.familyWidening(spark, tiny).collect().head
+    assert(wid.getLong(7) == 0L && wid.getLong(8) == 0L, wid.toString)
+    // multi-probe admission on the tiny corpus emits only odd probes
+    val adm = ext.SimilarityQueries.incrementalAnnMultiprobe(spark, tiny).collect()
+    assert(adm.forall(_.getLong(0) % 2 == 1))
+    // an all-even universe = EMPTY admission batch: zero rows, no error
+    val even = writeEmb("edge_even", Seq(0L, 2L, 4L, 6L))
+    assert(ext.SimilarityQueries.incrementalAnnMultiprobe(spark, even).count() == 0)
+    assert(ext.SimilarityQueries.incrementalAnn(spark, even).count() == 0)
+    // d31 on the tiny corpus: output is a total keep/drop verdict per id
+    val d31 = ext.DedupQueries.annDedupMultiprobe(spark, tiny).collect()
+    assert(d31.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d31.forall(r => r.getLong(1) <= r.getLong(0)))
+  }
+
+  test("provenance cut on a duplication-free corpus is empty, not a plan error") {
+    val dir = java.nio.file.Files.createTempDirectory("edge_nodup").toString
+    Seq((1L, "alpha beta gamma delta epsilon", "web"),
+        (2L, "zeta eta theta iota kappa", "books"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.ext.DedupQueries.provenanceCut(spark, dir).count() == 0)
+    assert(graft.ext.DedupQueries.cutDedup(spark, dir).count() == 0)
+  }
+
   test("chunking an empty corpus yields zero chunks, not a plan error") {
     assert(graft.ext.PipelineQueries.chunkOf(emptyDocs).count() == 0)
   }
