@@ -1225,14 +1225,22 @@ object SimilarityQueries {
   /** Band rows for EVERY vector at an explicit per-table key width `b`
     * — the kernel under [[scaledBandIndex]] (b from the full corpus) and
     * [[standingBandIndex]] (b frozen from the indexed half). */
-  private[graft] def bandIndexAtWidth(spark: SparkSession, dir: String, b: Int): DataFrame = {
+  /** Band rows `(vec_id, embedding, bid, bkey)` over ANY
+    * (vec_id, embedding) frame at key width `b` — pure per-row
+    * projections (the literal plane family compiled into the plan), so
+    * this composes with `readStream` sources exactly like the dedup
+    * side's `bandedSignatures`: the streaming ANN admission operator
+    * keys its state on these rows, and stream = batch is a theorem
+    * because the kernel is literally shared. */
+  private[graft] def bandRowsOf(vecs: DataFrame, b: Int): DataFrame = {
     require(b <= LshPlanesExt, s"key width $b exceeds the widened family")
+    GraftFunctions.register(vecs.sparkSession)
     // only the b planes each table actually keys on are evaluated —
     // 8·b dot products per vector, not the full widened family; bits
     // r >= LshPlanes come from the "ext" plane family (see
     // [[LshPlanesExt]]) so low bits match the unwidened index exactly
     val used = (0 until AnnHubTables).flatMap(t => (0 until b).map(r => (t, r)))
-    val base = used.foldLeft(emb(spark, dir)) { case (d, (t, r)) =>
+    val base = used.foldLeft(vecs) { case (d, (t, r)) =>
       val coeffs = tablePlaneSign(t, r)
         .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
       d.withColumn(s"s${t}_$r", expr(
@@ -1248,8 +1256,10 @@ object SimilarityQueries {
         explode(array(bandCols: _*)).as("u"))
       .select(col("vec_id"), col("embedding"),
         col("u.bid").as("bid"), col("u.bkey").as("bkey"))
-      .localCheckpoint()
   }
+
+  private[graft] def bandIndexAtWidth(spark: SparkSession, dir: String, b: Int): DataFrame =
+    bandRowsOf(emb(spark, dir), b).localCheckpoint()
 
   /** The adaptive key width b, derived ONCE per (session, dir) from the
     * corpus count and cached beside the band index — s30/s31/s32/d30/d31
@@ -1323,7 +1333,7 @@ object SimilarityQueries {
       .distinct()
   }
 
-  private[ext] def scaledCandScores(spark: SparkSession, dir: String,
+  private[graft] def scaledCandScores(spark: SparkSession, dir: String,
       leftFilter: Column): DataFrame =
     attachCosine(spark, dir, scaledCandPairs(spark, dir, leftFilter))
 

@@ -49,6 +49,8 @@ case class PatternMatch(user_id: Long, a_event_id: Long, b_event_id: Long,
 case class BandRow(doc_id: Long, shh: Array[Long], bid: Int, bkey: String)
 case class BandRowTs(doc_id: Long, shh: Array[Long], ts: java.sql.Timestamp,
   bid: Int, bkey: String)
+case class EmbBandRow(vec_id: Long, embedding: Array[Float], bid: Int, bkey: Int)
+case class AnnPair(vec_a: Long, vec_b: Long, cosine: Double)
 
 /** A verified near-duplicate pair emitted by
   * [[StreamOps.streamingNearDupPairs]] — same schema and thresholds as
@@ -484,6 +486,78 @@ object StreamOps {
               math.max(lastArrivalMs, state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
+      }
+  }
+
+  /** Streaming ANN near-duplicate detection over an EMBEDDING stream —
+    * the vector twin of [[streamingNearDupPairs]], and the in-flight
+    * form of the batch d30 edge rule: each arriving embedding keys
+    * itself into the L standing LSH tables at a FROZEN width `b` (the
+    * build-time parameter a deployed index fixes — the s33 admission
+    * contract), exact-cosine-verifies against the bucket's residents,
+    * and enrolls. Emits every pair clearing `threshold`.
+    *
+    * The banding kernel is literally the batch
+    * [[graft.ext.SimilarityQueries.bandRowsOf]] (pure per-row
+    * projections: 8·b literal-plane dot products), so stream = batch is
+    * a theorem, proven on fixtures by `StreamBatchEqualitySpec` against
+    * the single-bucket corpus-grain edge set at the same width. Cosine
+    * rounds HALF_UP to 6 decimals — the batch `round(cosine_sim, 6)`
+    * arithmetic.
+    *
+    * State: residents `(vec_id, embedding)` per bucket, capped at
+    * `maxBucket` with the near-dup operator's documented degradation
+    * contract (capped buckets keep flagging against residents, stop
+    * growing, and output becomes arrival-order dependent); re-delivered
+    * enrolled ids are ignored; within a micro-batch rows fold in vec_id
+    * order so output is a pure function of the batch's row set. A pair
+    * colliding in several tables emits once per bucket — consumers
+    * dedupe with `dropDuplicates("vec_a", "vec_b")` like the MinHash
+    * twin. For recent-history-window semantics, the
+    * [[streamingNearDupPairsEvicting]] EventTimeTimeout swap applies
+    * unchanged. */
+  def streamingAnnPairs(spark: SparkSession, vecs: DataFrame, b: Int,
+      threshold: Double = graft.ext.SimilarityQueries.NearDupThreshold,
+      maxBucket: Int = 1024): Dataset[AnnPair] = {
+    import spark.implicits._
+    graft.ext.SimilarityQueries.bandRowsOf(vecs, b).as[EmbBandRow]
+      .groupByKey(r => (r.bid, r.bkey))
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Int), rows: Iterator[EmbBandRow],
+            state: GroupState[List[(Long, Array[Float])]]) =>
+          // helper INSIDE the closure (serialization discipline): the
+          // fused dot + both-norms single pass is the literal
+          // CosineSimilarity.nullSafeEval arithmetic (same accumulation
+          // order, same final expression), so stream cosines are
+          // bit-equal to the batch expression's
+          def cosine(a: Array[Float], c: Array[Float]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              val x = a(i).toDouble; val y = c(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+          var residents = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.Buffer.empty[AnnPair]
+          rows.toSeq.sortBy(_.vec_id).foreach { r =>
+            if (!residents.exists(_._1 == r.vec_id)) {
+              residents.foreach { case (id, v2) =>
+                val cr = BigDecimal(cosine(r.embedding, v2))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cr >= threshold)
+                  out += AnnPair(math.min(id, r.vec_id),
+                    math.max(id, r.vec_id), cr)
+              }
+              if (residents.size < maxBucket)
+                residents = (r.vec_id, r.embedding) :: residents
+            }
+          }
+          state.update(residents)
+          out.iterator
       }
   }
 

@@ -211,4 +211,37 @@ class StreamBatchEqualitySpec extends AnyFunSuite with SparkSuite {
     assert(stream == batch,
       s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
   }
+
+  test("streaming ANN pairs equal the batch single-bucket edge set at the same width") {
+    // The banding kernel is the LITERAL batch code path
+    // (SimilarityQueries.bandRowsOf at the corpus's adaptive width) and
+    // the state-side cosine replicates CosineSimilarity's fused
+    // accumulation, so with no cap binding the streaming pair set must
+    // equal the batch corpus-grain edge set — including pairs whose two
+    // vectors arrive in different micro-batches (found via bucket state).
+    val b = ext.SimilarityQueries.scaledBandWidth(spark, dir)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.streamingAnnPairs(spark,
+        input.toDF().toDF("vec_id", "embedding"), b).toDF()
+      .writeStream.format("memory").queryName("eq_annpairs")
+      .outputMode("update").start()
+    try {
+      vecs.sortBy(_._1).grouped((vecs.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stream = spark.table("eq_annpairs").dropDuplicates("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = ext.SimilarityQueries.scaledCandScores(spark, dir, lit(true))
+      .filter(col("cosine") >= ext.SimilarityQueries.NearDupThreshold)
+      .filter(col("vec_id") < col("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixtures plant embedding near-duplicates")
+    assert(stream == batch,
+      s"missing=${(batch -- stream).take(5)} extra=${(stream -- batch).take(5)}")
+  }
 }

@@ -391,6 +391,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._3 >= graft.ext.DedupQueries.JaccardThreshold))
   }
 
+  test("streaming ANN pair state survives a stop/restart: cross-restart pair still found") {
+    // the embedding twin of the near-dup recovery case: vector 2 (a
+    // planted cosine-neighbor of vector 1) arrives only AFTER the query
+    // restarts from its checkpoint, so the pair can only be found if
+    // vector 1's (vec_id, embedding) bucket residency was recovered.
+    val in = java.nio.file.Files.createTempDirectory("ann_in").toString
+    val out = java.nio.file.Files.createTempDirectory("ann_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_state").toString
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
+    def land(rows: (Long, Array[Float])*): Unit =
+      rows.toSeq.toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.streamingAnnPairs(spark,
+          spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .parquet(in), b = 6)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land((1L, vec(3, 0f)), (100L, vec(77, 0f))) // 100: unrelated direction
+    runOnce()
+    land((2L, vec(3, 0.01f))) // near-identical to vec 1, lands post-restart
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(p => (p._1, p._2)).distinct.toSeq == Seq((1L, 2L)), rows.mkString(","))
+    assert(rows.forall(_._3 >= graft.ext.SimilarityQueries.NearDupThreshold))
+  }
+
   test("evicting near-dup: pre-eviction pair found across restart, post-eviction pair not") {
     // The recent-history-window contract end-to-end, across restarts:
     // (1) a near-dup arriving while the bucket is live pairs against
