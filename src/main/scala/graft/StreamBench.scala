@@ -40,8 +40,26 @@ object StreamBench {
     def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       Option(q.lastProgress).map(_.stateOperators)
         .filter(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
-    val (q, feed) =
-      if (evict) {
+    // (query, per-batch feed by index, total items, pair-id columns)
+    val (q, feed, nItems, pairCols) =
+      if (args.lift(1).contains("ann")) {
+        // embedding stream through streamingAnnPairs at the corpus's
+        // adaptive width — per-batch wall + state rows for the vector
+        // state class
+        val vecs = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toSeq
+        val b = graft.ext.SimilarityQueries.scaledBandWidth(spark, dir)
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val query = graft.streaming.StreamOps.streamingAnnPairs(spark,
+            input.toDF().toDF("vec_id", "embedding"), b).toDF()
+          .writeStream.format("memory").queryName("nd_bench")
+          .outputMode("update").start()
+        val chunks = vecs.grouped(batchSize).toArray
+        (query, (i: Int) => input.addData(chunks(i)),
+          vecs.size, Seq("vec_a", "vec_b"))
+      } else if (evict) {
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String, java.sql.Timestamp)]
         val query = graft.streaming.StreamOps.streamingNearDupPairsEvicting(
@@ -49,9 +67,10 @@ object StreamBench {
             watermark = "3 minutes").toDF()
           .writeStream.format("memory").queryName("nd_bench")
           .outputMode("update").start()
-        (query, (chunk: Seq[(Long, String)], i: Int) =>
-          input.addData(chunk.map { case (id, t) =>
-            (id, t, new java.sql.Timestamp(baseMs + i * 60000L)) }))
+        val chunks = docs.grouped(batchSize).toArray
+        (query, (i: Int) => input.addData(chunks(i).map { case (id, t) =>
+            (id, t, new java.sql.Timestamp(baseMs + i * 60000L)) }),
+          docs.size, Seq("doc_a", "doc_b"))
       } else {
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
@@ -59,22 +78,25 @@ object StreamBench {
             input.toDF().toDF("doc_id", "text")).toDF()
           .writeStream.format("memory").queryName("nd_bench")
           .outputMode("update").start()
-        (query, (chunk: Seq[(Long, String)], _: Int) => input.addData(chunk))
+        val chunks = docs.grouped(batchSize).toArray
+        (query, (i: Int) => input.addData(chunks(i)),
+          docs.size, Seq("doc_a", "doc_b"))
       }
     try {
       val t0 = System.nanoTime()
-      docs.grouped(batchSize).zipWithIndex.foreach { case (chunk, i) =>
+      val nBatches = (nItems + batchSize - 1) / batchSize
+      (0 until nBatches).foreach { i =>
         val b0 = System.nanoTime()
-        feed(chunk, i)
+        feed(i)
         q.processAllAvailable()
-        println(f"[stream] batch $i%2d: ${chunk.size} docs in " +
+        println(f"[stream] batch $i%2d: in " +
           f"${(System.nanoTime() - b0) / 1e9}%.2f s, state rows ${stateRows(q)}")
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val pairs = spark.table("nd_bench")
-        .dropDuplicates("doc_a", "doc_b").count()
-      println(f"[stream] TOTAL ${docs.size} docs in $wall%.2f s = " +
-        f"${docs.size / wall}%.0f docs/s, $pairs verified near-dup pairs")
+        .dropDuplicates(pairCols.head, pairCols.tail: _*).count()
+      println(f"[stream] TOTAL $nItems items in $wall%.2f s = " +
+        f"${nItems / wall}%.0f items/s, $pairs verified near-dup pairs")
     } finally q.stop()
     spark.stop()
   }
