@@ -1200,10 +1200,15 @@ object SimilarityQueries {
     *    resolution is quadratic in the corpus (the round-9 10× blow-up
     *    measured it: 16.2 → 1450 MB shuffle). Here b is the smallest
     *    with 2^b ≥ ceil(n / [[AnnHubTargetOcc]]), clamped to
-    *    [4, [[LshPlanes]]] — expected bucket occupancy stays ≈ the
-    *    target and the candidate join stays linear in n. Both engines
-    *    derive b with the same INTEGER formula (highest-set-bit of
-    *    m−1; no float log2 knife edges).
+    *    [4, [[LshPlanesExt]]] — expected bucket occupancy stays ≈ the
+    *    target and the candidate join stays linear in n. Bits r ≥
+    *    [[LshPlanes]] come from the ext plane family ([[LshPlanesExt]]),
+    *    so crossing the 16-bit boundary preserves every key's low 16
+    *    bits (s37's checked contract) — the adaptive index keeps
+    *    growing past n = 2^16·occ instead of silently freezing at the
+    *    clamp (the cliff the 100× blow-up reached exactly). Both
+    *    engines derive b with the same INTEGER formula (highest-set-bit
+    *    of m−1; no float log2 knife edges).
     *  - **L = [[AnnHubTables]] hash tables** — RECALL. A single b-bit
     *    table's collision probability for a true neighbor at angle θ
     *    is (1−θ/π)^b, which collapses as b grows; L independent tables
@@ -1213,14 +1218,17 @@ object SimilarityQueries {
     *    the low b bits.
     *
     * Candidates per vector ≈ L · occupancy — corpus-size-independent.
-    * Past n ≈ 2^[[LshPlanes]] · occ the per-table key width is clamped
-    * and the plane family itself must widen (documented limit). */
+    * Past n ≈ 2^[[LshPlanesExt]] · occ (≈ 134M vectors per occ-8 unit —
+    * two further doublings beyond the widened family would demand a
+    * larger [[LshPlanesExt]], a constant, not a redesign) the width is
+    * clamped again; that residual limit is documented, not load-bearing
+    * at the commissioned scale. */
   val AnnHubTargetOcc = 8
   val AnnHubTables = 8
   private[graft] def scaledBandBits(n: Long): Int = {
     val m = (n.max(1L) + AnnHubTargetOcc - 1) / AnnHubTargetOcc
     val need = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
-    need.max(4).min(LshPlanes)
+    need.max(4).min(LshPlanesExt)
   }
   /** Band rows for EVERY vector at an explicit per-table key width `b`
     * — the kernel under [[scaledBandIndex]] (b from the full corpus) and
@@ -1603,10 +1611,20 @@ object SimilarityQueries {
     * 480000 ppm (t0_single) → 973333 ppm (t1_multi1) for (b+1)× probe
     * rows and zero extra index memory.
     *
-    * Scale shape: the probe table is the NEW BATCH × L × (b+1) — a
-    * trickle relative to the corpus, so it BROADCASTS against the
-    * checkpointed standing index (plan-audited) and the corpus-grain
-    * side never shuffles; admission still needs no corpus-wide state. */
+    * Scale shape: the probe table is the NEW BATCH × L × (b+1) — it
+    * scales with the batch, NOT the corpus, and this operator's
+    * odd-ids-as-new-batch convention makes that batch HALF the corpus,
+    * so no broadcast is forced here: the bucket join is a plain
+    * equi-join on (bid, pkey) and AQE picks the strategy from the
+    * probe side's RUNTIME size — broadcast for the deployed trickle
+    * batch (the plan audit executes and reads the final adaptive
+    * plan), shuffled hash join when a bulk admission genuinely exceeds
+    * the broadcast tier (a corpus-fraction probe table force-broadcast
+    * would ship tens of millions of rows to every executor at the
+    * measured 100× blow-ups — the d31 rationale: corpus-grain probes
+    * never broadcast). Admission still needs no corpus-wide state.
+    * Contrast [[incrementalAnnRecall]], whose probe side is a FIXED
+    * capped sample and may broadcast unconditionally. */
   def incrementalAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bands = standingBandIndex(spark, dir)
@@ -1614,7 +1632,7 @@ object SimilarityQueries {
     val idx = bands.filter(col("vec_id") % 2 === 0)
     val probes = probeRows(bands, standingBandWidth(spark, dir),
       col("vec_id") % 2 === 1)
-    val cand = idx.as("i").join(broadcast(probes.as("p")),
+    val cand = idx.as("i").join(probes.as("p"),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey"))
       .select(col("p.qid").as("vec_id"), col("i.vec_id").as("nbr_id"))
       .distinct()
@@ -2094,24 +2112,27 @@ object SimilarityQueries {
       |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
       |       FROM embeddings)""".stripMargin
 
-  /** DuckDB twin of [[scaledBandIndex]] — per-table 16-bit codes from
-    * the extended plane family, with the data-dependent key width (the
-    * engine's integer highest-set-bit formula) applied as a mask on each
-    * table's low bits. The static text carries all 8·16 plane exprs;
-    * masking reproduces the engine's only-evaluate-b-planes shortcut
-    * exactly. Expects the `e` CTE in scope; yields `bands (vec_id, bid,
-    * bkey)`. Shared by the s30/s31 oracles. */
+  /** DuckDB twin of [[scaledBandIndex]] — per-table [[LshPlanesExt]]-bit
+    * codes from the full widened plane family, with the data-dependent
+    * key width (the engine's integer highest-set-bit formula) applied as
+    * a mask on each table's low bits. The static text carries all
+    * 8·[[LshPlanesExt]] plane exprs; masking reproduces the engine's
+    * only-evaluate-b-planes shortcut exactly. Expects the `e` CTE in
+    * scope; yields `bands (vec_id, bid, bkey)`. Shared by the s30/s31
+    * oracles. */
   /** [[duckScaledBands]] with the key width derived from the row subset
     * matching `countWhere` — `TRUE` = the full-corpus adaptive width
     * (s30/s31/s32/d30); `vec_id % 2 = 0` = the standing index's frozen
     * width (s33). Band rows are always emitted for EVERY vector. */
   /** Just the adaptive-width `params` CTE (named): the engine's integer
     * highest-set-bit formula over the `countWhere` row subset, plus an
-    * optional `delta` (the doubling-epoch re-key at b+1), re-clamped to
-    * [[LshPlanes]] exactly like the engine. */
+    * optional `delta` (the doubling-epoch re-key at b+1). Both the base
+    * width and the delta'd width clamp at [[LshPlanesExt]] exactly like
+    * the engine ([[scaledBandBits]] and the s36 rebuild both stop at
+    * the widened-family limit, never at [[LshPlanes]]). */
   private def duckWidthParams(countWhere: String, name: String,
       delta: Int): String =
-    s"""$name AS (SELECT LEAST($LshPlanesExt, GREATEST(4, LEAST($LshPlanes,
+    s"""$name AS (SELECT LEAST($LshPlanesExt, GREATEST(4, LEAST($LshPlanesExt,
        |             CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END))
        |             + $delta) b
        |           FROM (SELECT (count(*) + ${AnnHubTargetOcc - 1})
@@ -2132,15 +2153,29 @@ object SimilarityQueries {
 
   private def duckScaledBandsNamed(countWhere: String, delta: Int,
       sfx: String): String = {
-    def tblDot(p: Int): String = (0 until LshDims)
-      .map(d => s"v[${d + 1}] * ${if (tablePlaneSigns(p)(d) > 0) "1.0" else "-1.0"}")
-      .mkString(" + ")
-    val ss = (0 until AnnHubTables * LshPlanes)
-      .map(p => s"((${tblDot(p)}) > 0) s$p")
+    // codes carry the FULL widened family (all LshPlanesExt bits per
+    // table, ext bits r >= LshPlanes from the "ext" seed exactly like
+    // the engine's tablePlaneSign) so the width mask below is valid at
+    // ANY b <= LshPlanesExt — including the s36 rebuild's b0+1 when b0
+    // has already reached 16 (the clamp crossing the widened family
+    // exists for). Masking reproduces the engine's
+    // only-evaluate-b-planes shortcut exactly.
+    //
+    // list_dot_product with a literal ±1 array instead of a 64-term sum
+    // expression: ~15x faster to plan+eval in DuckDB (the 8·24-expr
+    // block was the sweep's dominant oracle cost) and sign-identical —
+    // both are sequential double sums, and the closest measured |dot|
+    // to the sign boundary on the sf0.1 fixture is 3e-4, nine orders
+    // above ulp-scale reordering noise.
+    def tblDot(t: Int, r: Int): String =
+      s"list_dot_product(v, [${tablePlaneSign(t, r)
+        .map(s => if (s > 0) "1.0" else "-1.0").mkString(",")}])"
+    val ss = (for (t <- 0 until AnnHubTables; r <- 0 until LshPlanesExt)
+      yield s"((${tblDot(t, r)}) > 0) s${t}_$r")
       .mkString(",\n       ")
     val codes = (0 until AnnHubTables).map { t =>
-      val c = (0 until LshPlanes)
-        .map(r => s"(CASE WHEN s${t * LshPlanes + r} THEN ${1 << r} ELSE 0 END)")
+      val c = (0 until LshPlanesExt)
+        .map(r => s"(CASE WHEN s${t}_$r THEN ${1 << r} ELSE 0 END)")
         .mkString(" + ")
       s"($c) code$t"
     }.mkString(",\n       ")
@@ -2594,10 +2629,11 @@ object SimilarityQueries {
     // independently re-derives what the engine's widened kernel computes
     // bit-by-bit; containment via ANTI JOIN of the two pair sets.
     "s37_family_widening" -> {
-      def dot(t: Int, r: Int): String = (0 until LshDims)
-        .map(d =>
-          s"v[${d + 1}] * ${if (tablePlaneSign(t, r)(d) > 0) "1.0" else "-1.0"}")
-        .mkString(" + ")
+      // same list_dot_product literal-array form as duckScaledBandsNamed
+      // (sign-identical, ~15x cheaper than the 64-term sum exprs)
+      def dot(t: Int, r: Int): String =
+        s"list_dot_product(v, [${tablePlaneSign(t, r)
+          .map(s => if (s > 0) "1.0" else "-1.0").mkString(",")}])"
       val ss = ((for (t <- 0 until AnnHubTables; r <- 0 until LshPlanes)
         yield s"((${dot(t, r)}) > 0) s${t}_$r") ++
         (0 until AnnHubTables).map(t =>

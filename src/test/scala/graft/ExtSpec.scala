@@ -162,20 +162,26 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("adaptive band resolution holds bucket occupancy against corpus growth") {
-    import ext.SimilarityQueries.{scaledBandBits, AnnHubTargetOcc}
+    import ext.SimilarityQueries.{scaledBandBits, AnnHubTargetOcc,
+      LshPlanes, LshPlanesExt}
     // integer highest-set-bit formula: smallest b with 2^b >= ceil(n/occ),
-    // clamped to [4, 16]
+    // clamped to [4, LshPlanesExt] — the width keeps growing PAST the
+    // 16-plane base family through the ext planes (the r10 verdict's
+    // silent-clamp cliff, now wired)
     assert(scaledBandBits(1L) == 4)
     assert(scaledBandBits(64L) == 4)            // m=8  -> 3 bits -> clamp 4
     assert(scaledBandBits(2000L) == 8)          // m=250 -> 256 buckets
     assert(scaledBandBits(2048L) == 8)          // m=256 -> exactly 2^8
     assert(scaledBandBits(2056L) == 9)          // m=257 -> needs 9
     assert(scaledBandBits(20000L) == 12)        // m=2500 -> 4096 buckets
-    assert(scaledBandBits(Long.MaxValue / 2) == 16) // plane-family ceiling
+    // the old cliff: n just past 2^16·occ now yields width 17, not 16
+    assert(scaledBandBits((1L << LshPlanes) * AnnHubTargetOcc) == LshPlanes)
+    assert(scaledBandBits((1L << LshPlanes) * AnnHubTargetOcc + 1) == LshPlanes + 1)
+    assert(scaledBandBits(Long.MaxValue / 2) == LshPlanesExt) // widened ceiling
     // invariant over a sweep: occupancy target respected until the clamp
     (1L to 20L).map(_ * 997L).foreach { n =>
       val b = scaledBandBits(n)
-      if (b < 16 && b > 4)
+      if (b < LshPlanesExt && b > 4)
         assert((1L << b) >= (n + AnnHubTargetOcc - 1) / AnnHubTargetOcc &&
           (1L << (b - 1)) < (n + AnnHubTargetOcc - 1) / AnnHubTargetOcc, s"n=$n b=$b")
     }

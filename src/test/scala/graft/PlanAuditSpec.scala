@@ -343,19 +343,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("cosine_sim") && !p.contains("SortMergeJoin"), p)
   }
 
-  test("s34 broadcasts the admission probe table against the standing index") {
-    // the multi-probe admission batch is a trickle relative to the
-    // corpus: its (b+1)-key fan-out (the one Generate) must BROADCAST
-    // into the bucket join so the indexed side never shuffles; plane
-    // hashing stays amortized into the checkpointed standing index and
-    // the top-k rides the bounded WindowGroupLimit heap.
+  test("s34 probe join strategy is AQE's runtime pick, never a forced broadcast") {
+    // the multi-probe admission probe table scales with the BATCH — a
+    // force-broadcast would ship a corpus-fraction bulk admission to
+    // every executor, so the operator leaves the (bid, pkey) equi-join
+    // unhinted and AQE picks from the probe side's runtime size. The
+    // static plan must therefore carry NO broadcast exchange on the
+    // bucket join; after execution the final adaptive plan shows AQE
+    // converted the fixture's small probe side to a broadcast join.
+    // Plane hashing stays amortized into the checkpointed standing
+    // index and the top-k rides the bounded WindowGroupLimit heap.
     graft.ext.SimilarityQueries.standingBandIndex(spark, dir) // warm
-    val p = plan("s34_incremental_ann_mp")
+    val df = SparkEntry.queries("s34_incremental_ann_mp")(spark, dir)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("Scan ExistingRDD"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("Posexplode") || p.contains("Generate"), p)
     assert(!p.contains("dot_product"), s"plane hashing must be amortized into the index:\n$p")
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the fixture-sized probe side at runtime:\n$fin")
   }
 
   test("s35 admission-recall probe table broadcasts; exact side broadcasts the sample") {
