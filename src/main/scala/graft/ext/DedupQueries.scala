@@ -195,7 +195,7 @@ object DedupQueries {
         col(s"hs$j").getField(s"m$k").as(s"h$i")
       }: _*)
 
-  private val duckMinhashed: String = {
+  private[ext] val duckMinhashed: String = {
     val xss = (0 until Salts)
       .map(j => s"list_transform(sh, s -> md5('$j|' || s)) xs$j")
       .mkString(",\n         ")
@@ -691,7 +691,7 @@ object DedupQueries {
        |shh AS (SELECT doc_id, CAST($hashExpr AS BIGINT) h FROM sums)""".stripMargin
   }
 
-  private val duckBands: String = {
+  private[ext] val duckBands: String = {
     val rows = NumHashes / NumBands
     (0 until NumBands).map { b =>
       val ks = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
@@ -703,7 +703,7 @@ object DedupQueries {
     * (requires `shingled`/`minhashed`/`bands` in scope, needs WITH
     * RECURSIVE) — shared verbatim by the d8/d21/d23 oracles; ends at
     * `cc(node, cluster_root)`. */
-  private lazy val duckComponentsSql: String =
+  private[ext] lazy val duckComponentsSql: String =
     s"""cand AS (
        |  SELECT a.doc_id doc_a, b.doc_id doc_b
        |  FROM bands a JOIN bands b
@@ -1572,11 +1572,23 @@ object DedupQueries {
     * and the result struct is emitted through `inline` — a Generate
     * evaluates the chain exactly ONCE per row, where a 3-field
     * projection under CollapseProject would re-inline it per column. */
-  def cutApply(spark: SparkSession, dir: String): DataFrame = {
-    val cuts = cutDedup(spark, dir)
+  def cutApply(spark: SparkSession, dir: String): DataFrame =
+    cutAppliedOf(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      cutDedup(spark, dir))
+      .orderBy("doc_id")
+
+  /** The d29 removal kernel over ANY (doc_id, text) frame and ANY cut
+    * list carrying (doc_id, cut_start, cut_end) — the composed pipeline
+    * applies the PROVENANCE-preferred plan ([[provenanceCut]], d33)
+    * through this same membership-based token filter, so d29 and the
+    * pipeline stage cannot drift. Emits (doc_id, n_toks, n_cut,
+    * clean_text); extra cut-list columns are ignored. */
+  def cutAppliedOf(docs: DataFrame, cutList: DataFrame): DataFrame = {
+    val cuts = cutList
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("cut_start"), col("cut_end"))).as("cuts"))
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("text"))
       .join(cuts, Seq("doc_id"), "left")
       .selectExpr("doc_id",
@@ -1587,7 +1599,6 @@ object DedupQueries {
           |      CAST(size(tk) AS BIGINT) AS n_toks,
           |      CAST(size(tk) - size(kt) AS BIGINT) AS n_cut,
           |      concat_ws(' ', kt) AS clean_text))[0]))""".stripMargin)
-      .orderBy("doc_id")
   }
 
   /** d26 — cross-modality dedup agreement: the Adjusted Rand Index

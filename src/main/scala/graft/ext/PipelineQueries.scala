@@ -123,16 +123,26 @@ object PipelineQueries {
     * prefix sum is [[graft.ops.RankOps.withGlobalPrefixSum]] — range
     * partition + per-partition offsets, never a single-task running
     * window. */
-  def bpePacking(spark: SparkSession, dir: String): DataFrame = {
+  def bpePacking(spark: SparkSession, dir: String): DataFrame =
+    bpePackingOf(spark, dir,
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+
+  /** p26's tokenizer-budget packing over ANY (doc_id, text) frame — the
+    * composed pipeline packs its cut+scrubbed SURVIVOR text through this
+    * ([[graft.ext.TextQueries.bpeApplyOf]] counts + the RankOps prefix
+    * sum), so shard fill is measured in the trained tokenizer's units on
+    * the text that actually lands. */
+  def bpePackingOf(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    val counts = graft.ext.TextQueries.bpeApply(spark, dir)
+    val counts = graft.ext.TextQueries.bpeApplyOf(spark, dir, docs)
       .select(col("doc_id"), col("n_bpe_tokens"))
     graft.ops.RankOps
       .withGlobalPrefixSum(counts, par, "tok_before",
         col("n_bpe_tokens"), col("doc_id"))
       .select(col("doc_id"), col("n_bpe_tokens"),
         expr(s"tok_before div $PackBudget").as("shard"))
-      .orderBy("doc_id")
   }
 
   /** p3 — fixed-window chunking with overlap (window [[ChunkSize]], stride
@@ -812,7 +822,9 @@ object PipelineQueries {
     "p14_temperature" -> ((s, d) => temperatureMix(s, d)),
     "p15_exact_split" -> ((s, d) => exactSplit(s, d)),
     "p25_shard_balance" -> ((s, d) => shardBalance(s, d)),
-    "p26_bpe_packing" -> ((s, d) => bpePacking(s, d))
+    "p26_bpe_packing" -> ((s, d) => bpePacking(s, d)),
+    "p27_survivor_funnel" ->
+      ((s, d) => graft.pipelines.TrainingDataPipeline.survivorFunnel(s, d))
   )
 
   /** p15 — exact-quota stratified split: within each stratum (lang),
@@ -904,6 +916,135 @@ object PipelineQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    // p27 recomputes EVERY doc-grain gate of the composed training-data
+    // pipeline independently: t2's quality formula, t11's repetition
+    // ratio, d1's exact keep, the full minhash-LSH component chain (d8's
+    // CTEs verbatim), the multi-probe ANN component chain (d31's CTEs,
+    // suffixed E so the two recursive closures coexist in one statement
+    // — DuckDB allows multiple recursive CTEs per WITH RECURSIVE), p5's
+    // mixture hash, p4's split bucket and p8's decontamination probe —
+    // then folds them into the same cumulative conditional counts the
+    // engine takes in one aggregate pass over gateFlags.
+    "p27_survivor_funnel" -> {
+      import graft.pipelines.TrainingDataPipeline.{QualityThreshold, RepetitionMax}
+      val annChain =
+        s"""flipsE AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+           |             unnest(range(0, pr.b)) r
+           |           FROM bandsE, paramsE pr),
+           |probesE AS (
+           |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bandsE
+           |  UNION ALL
+           |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flipsE),
+           |pE AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
+           |         greatest(pq.qid, i.vec_id) hi
+           |       FROM probesE pq JOIN bandsE i
+           |         ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
+           |        AND i.vec_id <> pq.qid),
+           |peE AS (SELECT lo, hi FROM pE
+           |        JOIN e x ON x.vec_id = pE.lo JOIN e y ON y.vec_id = pE.hi
+           |        WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+           |                >= ${DedupQueries.EmbDupThreshold}),
+           |undE AS (SELECT lo a, hi b FROM peE
+           |         UNION ALL SELECT hi a, lo b FROM peE),
+           |reachE AS (
+           |  SELECT vec_id node, vec_id x FROM e
+           |  UNION
+           |  SELECT r.node, u.b FROM reachE r JOIN undE u ON u.a = r.x),
+           |ccE AS (SELECT node, min(x) canon FROM reachE GROUP BY node)""".stripMargin
+      val gates =
+        s"""tq AS (SELECT doc_id, text, string_split(lower(text), ' ') toks
+           |       FROM documents),
+           |qc AS (SELECT doc_id, len(toks) n_toks,
+           |         len(list_filter(toks, w -> w IN ('the','a','of'))) n_stop,
+           |         len(regexp_extract_all(text, '[^a-z0-9 ]')) n_punct,
+           |         length(text) n_chars
+           |       FROM tq),
+           |qf AS (SELECT doc_id,
+           |         (round((least(n_toks, 100) / 100.0)
+           |                * (1.0 - n_stop * 1.0 / n_toks)
+           |                * (1.0 - n_punct * 1.0 / n_chars), 6)
+           |            >= $QualityThreshold) fq
+           |       FROM qc),
+           |rtk AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+           |rs AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-2)) i
+           |       FROM rtk WHERE len(tk) >= 3),
+           |rtri AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] tri
+           |         FROM rs),
+           |rmult AS (SELECT doc_id, tri, count(*) m FROM rtri GROUP BY 1, 2),
+           |ragg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) n_tri,
+           |           CAST(count(*) AS BIGINT) n_tri_distinct
+           |         FROM rmult GROUP BY doc_id),
+           |rf AS (SELECT doc_id,
+           |         (round(1.0 - n_tri_distinct * 1.0 / n_tri, 6)
+           |            <= $RepetitionMax) fr
+           |       FROM ragg),
+           |exk AS (SELECT min(doc_id) keep_id FROM documents GROUP BY text),
+           |mixf AS (SELECT doc_id,
+           |           (('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           |              % $MixtureBuckets
+           |            < 200 + (CAST(substr(source, 4) AS BIGINT) % 4) * 200) fm
+           |         FROM documents),
+           |sb AS (SELECT doc_id,
+           |         ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           |           % $SplitBuckets bucket
+           |       FROM documents),
+           |csh AS (SELECT doc_id,
+           |          list_distinct(list_transform(generate_series(1, len(tk)-2),
+           |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sh
+           |        FROM rtk WHERE len(tk) >= $ContamNgram),
+           |ctests AS (SELECT DISTINCT unnest(csh.sh) g
+           |           FROM csh JOIN sb USING (doc_id)
+           |           WHERE bucket = ${SplitBuckets - 1}),
+           |ctr AS (SELECT doc_id, unnest(csh.sh) g
+           |        FROM csh JOIN sb USING (doc_id)
+           |        WHERE bucket < ${SplitBuckets - 2}),
+           |contam AS (SELECT DISTINCT ctr.doc_id FROM ctr JOIN ctests USING (g))""".stripMargin
+      val stages = Seq(
+        "s0_documents_in" -> "TRUE",
+        "s1_quality" -> "f_quality",
+        "s2_repetition" -> "f_quality AND f_rep",
+        "s3_exact_dedup" -> "f_quality AND f_rep AND f_exact",
+        "s4_lsh_roots" -> "f_quality AND f_rep AND f_exact AND f_lsh",
+        "s5_ann_mp_roots" ->
+          "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann",
+        "s6_mixture" ->
+          "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann AND f_mix",
+        "s7_decontaminated" ->
+          "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann AND f_mix AND f_clean")
+        .map { case (name, cond) =>
+          s"SELECT '$name' stage, CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) n FROM flags"
+        }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE ${DedupQueries.duckShingled},
+         |${DedupQueries.duckMinhashed},
+         |bands AS (
+         |${DedupQueries.duckBands}),
+         |${DedupQueries.duckComponentsSql},
+         |${SimilarityQueries.duckEmb},
+         |${SimilarityQueries.duckScaledBandsNamed("TRUE", 0, "E")},
+         |$annChain,
+         |$gates,
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    coalesce(qf.fq, FALSE) f_quality,
+         |    coalesce(rf.fr, TRUE) f_rep,
+         |    (exk.keep_id IS NOT NULL) f_exact,
+         |    (cc.cluster_root = d.doc_id) f_lsh,
+         |    coalesce(ccE.canon = d.doc_id, TRUE) f_ann,
+         |    coalesce(mixf.fm, FALSE) f_mix,
+         |    (ct.doc_id IS NULL) f_clean
+         |  FROM documents d
+         |  LEFT JOIN qf USING (doc_id)
+         |  LEFT JOIN rf USING (doc_id)
+         |  LEFT JOIN exk ON exk.keep_id = d.doc_id
+         |  JOIN cc ON cc.node = d.doc_id
+         |  LEFT JOIN ccE ON ccE.node = d.doc_id
+         |  LEFT JOIN mixf USING (doc_id)
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id)
+         |SELECT stage, n FROM (
+         |$stages)
+         |ORDER BY stage""".stripMargin
+    },
+
     // p26 re-derives the trained-BPE per-doc counts with t32's CTE chain
     // (shared duckBpeRounds builder), then applies p2's exclusive-prefix
     // packing arithmetic over them.

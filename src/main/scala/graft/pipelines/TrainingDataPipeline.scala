@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   *                     [[RepetitionMax]] (boilerplate-loop gate t2's
   *                     score is blind to)
   *  3. exact dedup   — keep the minimum doc_id per identical text
-  *  4. near dedup    — keep only cluster roots from the LSH connected
-  *                     components ([[DedupQueries.dedupClusters]])
+  *  4. near dedup    — BOTH near-dup signals, each keeping only its
+  *                     cluster roots: the shingle-LSH connected
+  *                     components ([[DedupQueries.dedupClusters]]) AND
+  *                     the multi-probe ANN embedding components
+  *                     ([[DedupQueries.annDedupMultiprobe]], d31 — the
+  *                     admission-default probe dial; d26's ARI readout
+  *                     shows the two signals prune DIFFERENT pairs, so
+  *                     both run; a doc with no embedding row passes the
+  *                     embedding gate vacuously)
   *  5. mixture       — per-source weighted keep
   *                     ([[PipelineQueries.mixtureKeepIds]])
   *  6. split         — deterministic train/val/test hash assignment
@@ -26,79 +33,164 @@ import org.apache.spark.sql.functions._
   *  7. decontaminate — drop TRAIN docs sharing trigrams with the test
   *                     split ([[PipelineQueries.decontaminate]]); val and
   *                     test rows pass through untouched
-  *  8. PII scrub     — [[TextQueries.scrubbed]] BEFORE chunking (a chunk
+  *  8. cut apply     — remove the non-kept copies of every duplicated
+  *                     span per the PROVENANCE-preferred cut plan
+  *                     ([[DedupQueries.provenanceCut]], d33) through the
+  *                     d29 membership kernel
+  *                     ([[DedupQueries.cutAppliedOf]]) — document-grain
+  *                     dedup (stages 3-4) drops whole near-copies;
+  *                     this drops the COPIED SPANS inside otherwise
+  *                     distinct survivors (Lee et al. ExactSubstr),
+  *                     BEFORE the PII scrub so the scrubbed text is
+  *                     final
+  *  9. PII scrub     — [[TextQueries.scrubbed]] BEFORE chunking (a chunk
   *                     boundary could split a match)
-  *  9. chunk         — fixed token windows with stride overlap
+  * 10. chunk         — fixed token windows with stride overlap
   *                     ([[PipelineQueries]] parameters)
-  * 10. pack          — running-token-budget shard assignment
-  * 11. land          — parquet partitioned by (lang, split)
+  * 11. pack          — TOKENIZER-budget shard assignment
+  *                     ([[PipelineQueries.bpePackingOf]], p26): the
+  *                     shard budget counts the trained tokenizer's
+  *                     subword units over the cut+scrubbed text that
+  *                     actually lands — whitespace packing under/over
+  *                     fills every sequence by the per-doc expansion
+  *                     factor t32 measures
+  * 12. land          — parquet partitioned by (lang, split)
   *                     (partition-pruned reads for per-language training
   *                     mixes; eval splits never touch training scans)
   *
-  * Scale posture: stages 1-2 and 4-6 are narrow filters/projections or
-  * hash predicates; stage 3's loop state is only edge-connected docs;
-  * stages 7-8 are one explode and one window; the write is the only
-  * global ordering point. Survivor counts per stage come back as ONE
-  * summary frame, not driver loops.
+  * Scale posture: stages 1-2 and 5-7 are narrow filters/projections or
+  * hash predicates; stage 4's loop state is only edge-connected docs
+  * (both BSP component loops ship (lo, hi) rows); stage 8 rides the
+  * span-grain checkpointed cut-range index (never a corpus re-scan);
+  * stages 9-10 are one regex projection and one explode; stage 11 is
+  * the RankOps distributed prefix sum; the write is the only global
+  * ordering point. Survivor counts per stage come back as ONE summary
+  * frame, not driver loops — registered as the p27 funnel oracle entry.
   */
 object TrainingDataPipeline {
 
   val QualityThreshold = 0.1
   val RepetitionMax = 0.2
 
-  /** Survivor doc_ids after quality + repetition gates, exact dedup,
-    * near-dup root filter, mixture sampling and train-split
-    * decontamination, with lang and split assignment carried for
-    * partitioning. */
-  def survivors(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextQueries.quality(spark, dir)
-      .filter(col("quality_score") >= QualityThreshold)
-      .select(col("doc_id"))
-    // gate on the OFFENDERS via anti-join: a doc too short to have
-    // trigrams is absent from the repetition frame and must pass, not
-    // be dropped by an inner join
-    val highRep = TextQueries.repetition(spark, dir)
-      .filter(col("dup_ratio") > RepetitionMax)
-      .select(col("doc_id"))
+  /** Per-document gate flags for every doc-grain stage, ONE row per
+    * document — the shared frame under [[survivors]] (conjunction
+    * filter) and [[survivorFunnel]] (cumulative conditional counts),
+    * so the two can never disagree on a gate's semantics.
+    *
+    * Flag conventions: a doc absent from the repetition frame (< 3
+    * tokens — no trigrams) PASSES `f_rep`; a doc with no embedding row
+    * PASSES `f_ann` (no embedding evidence to dedup on); `f_clean` is
+    * false only for TRAIN docs flagged contaminated (val/test rows are
+    * never in the decontamination frame). */
+  private[graft] def gateFlags(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextQueries.quality(spark, dir)
+      .select(col("doc_id"),
+        (col("quality_score") >= QualityThreshold).as("fq"))
+    val rep = TextQueries.repetition(spark, dir)
+      .select(col("doc_id"), (col("dup_ratio") <= RepetitionMax).as("fr"))
     val exactKeep = DedupQueries.dedupExact(spark, dir)
-      .select(col("keep_id").as("doc_id"))
-    val roots = DedupQueries.dedupClusters(spark, dir)
+      .select(col("keep_id").as("doc_id"), lit(true).as("fe"))
+    val lshRoots = DedupQueries.dedupClusters(spark, dir)
       .filter(col("doc_id") === col("cluster_root"))
-      .select(col("doc_id"))
+      .select(col("doc_id"), lit(true).as("fl"))
+    val annKeep = DedupQueries.annDedupMultiprobe(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("is_kept").as("fa"))
     val mix = PipelineQueries.mixtureKeepIds(spark, dir)
+      .select(col("doc_id"), lit(true).as("fm"))
     val splits = PipelineQueries.trainValTestSplit(spark, dir)
       .select(col("doc_id"), col("split"))
-    // anti-join semantics via the audit frame: a train doc sharing any
-    // test trigram is contaminated; val/test docs are never in the frame
     val contaminated = PipelineQueries.decontaminate(spark, dir)
       .filter(col("is_contaminated"))
-      .select(col("doc_id"))
+      .select(col("doc_id"), lit(true).as("fc"))
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
-      .join(quality, "doc_id")
-      .join(highRep, Seq("doc_id"), "left_anti")
-      .join(exactKeep, "doc_id")
-      .join(roots, "doc_id")
-      .join(mix, "doc_id")
-      .join(splits, "doc_id")
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(q, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(lshRoots, Seq("doc_id"), "left")
+      .join(annKeep, Seq("doc_id"), "left")
+      .join(mix, Seq("doc_id"), "left")
+      .join(splits, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("split"),
+        coalesce(col("fq"), lit(false)).as("f_quality"),
+        coalesce(col("fr"), lit(true)).as("f_rep"),
+        coalesce(col("fe"), lit(false)).as("f_exact"),
+        coalesce(col("fl"), lit(false)).as("f_lsh"),
+        coalesce(col("fa"), lit(true)).as("f_ann"),
+        coalesce(col("fm"), lit(false)).as("f_mix"),
+        (!coalesce(col("fc"), lit(false))).as("f_clean"))
   }
 
-  /** Packed chunk shards for the surviving documents: PII-scrubbed text,
-    * chunked and packed. */
+  /** Survivor doc_ids after every doc-grain gate, with lang and split
+    * carried for partitioning. */
+  def survivors(spark: SparkSession, dir: String): DataFrame =
+    gateFlags(spark, dir)
+      .filter(col("f_quality") && col("f_rep") && col("f_exact") &&
+        col("f_lsh") && col("f_ann") && col("f_mix") && col("f_clean"))
+      .select(col("doc_id"), col("lang"), col("split"))
+
+  /** p27 — the per-stage survivor funnel over the composed chain:
+    * cumulative survivor count after each doc-grain gate, in stage
+    * order, from ONE pass over [[gateFlags]] (eight conditional sums in
+    * a single aggregate — never eight jobs). The oracle recomputes every
+    * gate independently in DuckDB (quality/repetition formulas, exact
+    * min-per-text, the full minhash-LSH component chain, the multi-probe
+    * ANN component chain, mixture/split hashes, the decontamination
+    * probe) and must land on identical counts — the whole pipeline's
+    * doc-grain semantics pinned by one hash compare. */
+  def survivorFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val f = gateFlags(spark, dir)
+    def cum(flags: Seq[String]): org.apache.spark.sql.Column =
+      sum(when(flags.map(col).reduce(_ && _), 1L).otherwise(0L))
+    val agg = f.agg(
+      count(lit(1)).as("n0"),
+      cum(Seq("f_quality")).as("n1"),
+      cum(Seq("f_quality", "f_rep")).as("n2"),
+      cum(Seq("f_quality", "f_rep", "f_exact")).as("n3"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh")).as("n4"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann")).as("n5"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann", "f_mix"))
+        .as("n6"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann", "f_mix",
+        "f_clean")).as("n7"))
+    agg.selectExpr(
+      """stack(8,
+        |  's0_documents_in', n0,
+        |  's1_quality', n1,
+        |  's2_repetition', n2,
+        |  's3_exact_dedup', n3,
+        |  's4_lsh_roots', n4,
+        |  's5_ann_mp_roots', n5,
+        |  's6_mixture', n6,
+        |  's7_decontaminated', n7) AS (stage, n)""".stripMargin)
+      .orderBy("stage")
+  }
+
+  /** Packed chunk shards for the surviving documents: span-cut
+    * (provenance-preferred), PII-scrubbed text, chunked and packed by
+    * the trained tokenizer's budget. */
   def shards(spark: SparkSession, dir: String): DataFrame =
     shardsOf(spark, dir, survivors(spark, dir))
 
   private def shardsOf(spark: SparkSession, dir: String, keep: DataFrame): DataFrame = {
-    val clean = TextQueries.scrubbed(
-      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+    // stage 8: execute the provenance-preferred cut plan (d33) through
+    // the d29 membership kernel — the raw text never reaches the scrub
+    val cutPlan = DedupQueries.provenanceCut(spark, dir)
+      .select(col("doc_id"), col("cut_start"), col("cut_end"))
+    val cut = DedupQueries.cutAppliedOf(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      cutPlan)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val clean = TextQueries.scrubbed(cut)
     val chunks = PipelineQueries.chunkOf(clean).join(keep, "doc_id")
-    // pack the SURVIVORS, not the raw corpus: the shard budget must count
-    // tokens that actually land — packing over all documents under-fills
-    // every shard by whatever the gates dropped and leaves holes in the
-    // shard numbering where an entire budget window was filtered out.
+    // pack the SURVIVORS' final text, not the raw corpus: the shard
+    // budget must count tokenizer units that actually land — packing
+    // over all documents under-fills every shard by whatever the gates
+    // dropped, and packing pre-cut text charges shards for spans the
+    // cut stage removed.
     val packed = PipelineQueries
-      .tokenPackingOf(clean.join(keep.select(col("doc_id")), "doc_id"))
+      .bpePackingOf(spark, dir, clean.join(keep.select(col("doc_id")), "doc_id"))
       .select(col("doc_id"), col("shard"))
     chunks.join(packed, "doc_id")
       .select(col("doc_id"), col("lang"), col("split"), col("shard"),
@@ -109,8 +201,8 @@ object TrainingDataPipeline {
     * (lang, split), and return the per-stage survivor summary. */
   def run(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     // one survivors computation for the write AND the summary counts —
-    // the near-dup label-propagation loop inside it executes eagerly, so
-    // a second call would re-run the whole BSP iteration for nothing.
+    // the near-dup label-propagation loops inside it execute eagerly, so
+    // a second call would re-run both BSP iterations for nothing.
     val kept = survivors(spark, dir).localCheckpoint()
     shardsOf(spark, dir, kept)
       .write.mode("overwrite").partitionBy("lang", "split").parquet(outDir)

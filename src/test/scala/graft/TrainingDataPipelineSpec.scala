@@ -60,5 +60,68 @@ class TrainingDataPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(landed.select("doc_id").distinct()
       .join(offenders, Seq("doc_id"), "left_anti").count() ==
       landed.select("doc_id").distinct().count())
+    // ANN multi-probe gate: no landed doc is a non-canonical member of
+    // an embedding near-dup component (d31's keep rule).
+    val annDropped = graft.ext.DedupQueries.annDedupMultiprobe(spark, dir)
+      .filter(!col("is_kept")).select(col("vec_id").as("doc_id"))
+    assert(landed.select("doc_id").distinct()
+      .join(annDropped, Seq("doc_id"), "left_anti").count() ==
+      landed.select("doc_id").distinct().count())
+
+    // Cut application: the landed chunk set equals chunking the
+    // provenance-cut + scrubbed text of the survivors — the raw text
+    // never reached the chunker.
+    val docsXT = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val cutPlan = graft.ext.DedupQueries.provenanceCut(spark, dir)
+      .select(col("doc_id"), col("cut_start"), col("cut_end"))
+    val expectedClean = graft.ext.TextQueries.scrubbed(
+      graft.ext.DedupQueries.cutAppliedOf(docsXT, cutPlan)
+        .select(col("doc_id"), col("clean_text").as("text")))
+    val expectedChunks = graft.ext.PipelineQueries.chunkOf(expectedClean)
+      .join(landed.select("doc_id").distinct(), "doc_id")
+      .select("doc_id", "chunk_idx", "chunk_text")
+    val landedChunks = landed.select("doc_id", "chunk_idx", "chunk_text")
+    assert(landedChunks.exceptAll(expectedChunks).count() == 0 &&
+      expectedChunks.exceptAll(landedChunks).count() == 0)
+    // ...and the cut machinery provably ran: the corpus HAS cut-affected
+    // docs (on this fixture the span-dup copies are also whole-doc
+    // near-dups, so the earlier gates drop them before the cut stage —
+    // the chunk-set equality above still pins that the landed text went
+    // through the cut kernel, which is the invariant that matters).
+    val cutDocs = graft.ext.DedupQueries.cutAppliedOf(docsXT, cutPlan)
+      .filter(col("n_cut") > 0)
+    assert(cutDocs.count() > 0,
+      "fixture must exercise the cut kernel on at least one document")
+
+    // Tokenizer-budget packing: independently replay the exclusive-prefix
+    // shard rule over the survivors' BPE counts (trained-tokenizer units
+    // over the final cut+scrubbed text, walked in doc_id order) and
+    // compare to the landed shard of every doc.
+    val bpeCounts = graft.ext.TextQueries.bpeApplyOf(spark, dir,
+        expectedClean.join(landed.select("doc_id").distinct(), "doc_id"))
+      .select("doc_id", "n_bpe_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var before = 0L
+    val expectedShard = bpeCounts.map { case (id, n) =>
+      val s = before / graft.ext.PipelineQueries.PackBudget
+      before += n
+      id -> s
+    }.toMap
+    val landedShard = landed.select("doc_id", "shard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(landedShard.keySet == expectedShard.keySet)
+    landedShard.foreach { case (id, s) =>
+      assert(s == expectedShard(id), s"doc $id shard $s != ${expectedShard(id)}")
+    }
+
+    // Funnel ↔ run() agreement: the registered p27 query's final stage
+    // equals documents_kept and the cumulative counts never increase.
+    val funnel = TrainingDataPipeline.survivorFunnel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("s0_documents_in") == summary("documents_in"))
+    assert(funnel("s7_decontaminated") == summary("documents_kept"))
+    val ordered = funnel.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b <= a },
+      s"funnel must be monotone non-increasing: $ordered")
   }
 }
