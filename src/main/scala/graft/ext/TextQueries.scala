@@ -850,6 +850,119 @@ object TextQueries {
       .orderBy("merge_round", "batch_rank")
   }
 
+  /** t34 — batched BPE with INTRA-ROUND REFILL: the r10 B-sweep found a
+    * single crossing's batch is SUPPLY-capped, not B-capped (B=16 took 5
+    * merges — the ranked window holds only so many pairwise
+    * symbol-DISJOINT pairs). The refill recovers the skipped supply
+    * without another crossing: after the greedy pass closes, walk the
+    * window again and take any remaining pair whose COUNT IS PROVABLY
+    * UNCHANGED by every already-taken merge, repeating until B or no
+    * pass takes anything.
+    *
+    * The screen (the exactness core): applying merge (a,b) destroys
+    * only adjacencies of the form (·,a) and (b,·) and creates only
+    * adjacencies touching the new "ab" symbol — so a skipped pair
+    * (l,r) keeps its exact pre-round count iff `r` is no taken LHS,
+    * `l` is no taken RHS, and neither equals a taken merge's output
+    * string. Position-wise the same argument shows every surviving
+    * pair's occurrences are untouched by the taken merges, so the
+    * WHOLE round (all passes' rules together) still applies in ONE
+    * [[bpeMergedSetCol]] fold: rules from different passes may share a
+    * LHS or RHS (unlike within a pass), but the screen forbids exactly
+    * the `rule1.rhs = rule2.lhs` chains that could overlap, and the
+    * fold's leftmost-greedy (pending, current) dispatch is
+    * deterministic when no two rules match the same position. The
+    * oracle re-derives the multi-pass selection as one recursive walk
+    * (step = (pass, window rank)) and applies the union rule set with
+    * the same single parity-islands pass as t33.
+    *
+    * Dial: merges per crossing rises strictly (pass 1 IS t33's
+    * selection), so a K-merge tokenizer needs ≤ K/supply crossings
+    * instead of K/disjoint-supply — measured on the fixture in
+    * BpeTrainSpec and at 30× in BASELINE.md. */
+  val BpeRefillB = 16
+  val BpeRefillWindow = 64
+  private[graft] def bpeRefillLoop(spark: SparkSession, dir: String,
+      b: Int, rounds: Int, cand: Int)
+      : (Seq[(Long, Long, Long, String, String, String, Long)], DataFrame) = {
+    var seg = bpeVocab(spark, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, Long, Long, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val window = bpeRoundTop(seg, cand).take(cand)
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // closed-pass screens: taken LHS set (kills pairs whose rhs is in
+      // it), taken RHS set (kills pairs whose lhs is in it), and the
+      // taken merges' output strings (kill either side)
+      val clA = scala.collection.mutable.Set.empty[String]
+      val clB = scala.collection.mutable.Set.empty[String]
+      val clM = scala.collection.mutable.Set.empty[String]
+      val takenIdx = scala.collection.mutable.Set.empty[Int]
+      val taken = Seq.newBuilder[(Long, String, String, Long)] // (pass, l, r, n)
+      var total = 0
+      var pass = 1
+      var progress = true
+      while (total < b && progress) {
+        val used = scala.collection.mutable.Set.empty[String]
+        val passRows = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+        window.zipWithIndex.foreach { case ((l, r, n), k) =>
+          if (total + passRows.size < b && !takenIdx(k) &&
+              !used(l) && !used(r) &&
+              !clB(l) && !clM(l) && !clA(r) && !clM(r)) {
+            passRows += ((l, r, n)); used += l; used += r; takenIdx += k
+          }
+        }
+        if (passRows.isEmpty) progress = false
+        else {
+          passRows.foreach { case (l, r, n) =>
+            taken += ((pass.toLong, l, r, n))
+          }
+          total += passRows.size
+          passRows.foreach { case (l, r, _) =>
+            clA += l; clB += r; clM += (l + r)
+          }
+          pass += 1
+        }
+      }
+      val batch = taken.result()
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.zipWithIndex.foreach { case ((p, l, r, n), i) =>
+          merges += ((round.toLong, p, (i + 1).toLong, l, r, l + r, n))
+        }
+        val prev = seg
+        // ONE fold with the union rule set — exact under the screen
+        seg = seg.withColumn("syms",
+          bpeMergedSetCol(batch.map { case (_, l, r, _) => (l, r) }))
+          .localCheckpoint()
+        graft.CheckpointUtil.release(prev)
+      }
+      round += 1
+    }
+    (merges.result(), seg)
+  }
+
+  private val bpeRefillSegCache = caches.newCache()
+  private val bpeRefillMergesCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String),
+      Seq[(Long, Long, Long, String, String, String, Long)]]
+
+  def bpeTrainRefill(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    bpeRefillSegCache.getOrElseUpdate((spark, dir), {
+      val (merges, seg) =
+        bpeRefillLoop(spark, dir, BpeRefillB, BpeRounds, BpeRefillWindow)
+      bpeRefillMergesCache((spark, dir)) = merges
+      seg
+    })
+    import spark.implicits._
+    bpeRefillMergesCache((spark, dir))
+      .toDF("merge_round", "refill_pass", "batch_rank", "lhs", "rhs",
+        "merged", "n_occurrences")
+      .orderBy("merge_round", "batch_rank")
+  }
+
   /** t32 — trained-tokenizer application: per-document token counts
     * under the t31 merge table — the inference half of BPE, and the
     * budget readout a packing/pricing pass actually needs (whitespace
@@ -864,19 +977,29 @@ object TextQueries {
     * outgrows the threshold) and reduces map-side per doc — training
     * cost is paid once in the shared [[bpeTrained]] cache, never per
     * query. */
-  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+  def bpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeApplyOf(spark, dir,
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .withColumn("expansion_ppm",
+        expr("n_bpe_tokens * 1000000L div n_ws_tokens"))
+      .orderBy("doc_id")
+
+  /** The t32 inference kernel over ANY (doc_id, text) frame: per-doc
+    * whitespace and trained-subword token counts under the `dir`-trained
+    * merge table — the composed pipeline prices its CUT+SCRUBBED survivor
+    * text through this (tokenizer trained once on the raw corpus, applied
+    * to whatever text the pipeline is about to pack — the deployment
+    * shape). Same vocabulary-grain join + map-side reduce as t32. */
+  def bpeApplyOf(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     val sub = bpeTrained(spark, dir)
       .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .join(sub, Seq("w"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ws_tokens"),
         sum(coalesce(col("n_sub"), length(col("w")).cast("long")))
           .as("n_bpe_tokens"))
-      .withColumn("expansion_ppm",
-        expr("n_bpe_tokens * 1000000L div n_ws_tokens"))
-      .orderBy("doc_id")
   }
 
   /** t13 — positional shingle stream via the native table-generating
@@ -1360,6 +1483,7 @@ object TextQueries {
     "t12_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "t31_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "t33_bpe_train_batched" -> ((s, d) => bpeTrainBatched(s, d)),
+    "t34_bpe_refill" -> ((s, d) => bpeTrainRefill(s, d)),
     "t32_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "t11_repetition" -> ((s, d) => repetition(s, d)),
     "t10_lm_score" -> ((s, d) => lmScore(s, d)),
@@ -1495,7 +1619,130 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** The refill variant of [[duckBpeBatchedRounds]]: the pick recursion
+    * walks STEPS t = (pass − 1)·|window| + k instead of window ranks,
+    * carrying (i) the taken window indices, (ii) the CLOSED passes'
+    * lhs/rhs/merged-output screens (cla/clb/clm — the count-invariance
+    * condition), and (iii) the current pass's used-symbol and
+    * pending-roll lists (cu/pl/pr/pm). At each pass boundary the pass
+    * lists roll into the closed screens; recursion stops (`done`) when
+    * a pass takes nothing or B is reached. The application is the SAME
+    * single parity-islands pass as t33 over the round's UNION rule set:
+    * the screen forbids exactly the rule1.rhs = rule2.lhs chains that
+    * could make two different rules' candidate sites adjacent, so
+    * adjacent candidate positions still only occur in self-pair runs
+    * and the parity rule stays exact. */
+  private lazy val duckBpeRefillRounds: String = {
+    val B = BpeRefillB
+    val W = BpeRefillWindow
+    val sel = s"len(p.sl) < $B" +
+      " AND NOT list_contains(p.tk, r.k)" +
+      " AND NOT list_contains(p.cu, r.lhs)" +
+      " AND NOT list_contains(p.cu, r.rhs)" +
+      " AND NOT list_contains(p.clb, r.lhs)" +
+      " AND NOT list_contains(p.clm, r.lhs)" +
+      " AND NOT list_contains(p.cla, r.rhs)" +
+      " AND NOT list_contains(p.clm, r.rhs)"
+    // post-take values of the current-pass and take-order lists — each
+    // repeated wherever the flat recursive SELECT needs them
+    val PL1 = s"(CASE WHEN $sel THEN list_append(p.pl, r.lhs) ELSE p.pl END)"
+    val PR1 = s"(CASE WHEN $sel THEN list_append(p.pr, r.rhs) ELSE p.pr END)"
+    val PM1 = s"(CASE WHEN $sel THEN list_append(p.pm, r.lhs || r.rhs) ELSE p.pm END)"
+    val SL1 = s"(CASE WHEN $sel THEN list_append(p.sl, r.lhs) ELSE p.sl END)"
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""ra$r AS MATERIALIZED (SELECT w, freq, pos, sym,
+         |  lead(sym) OVER (PARTITION BY w ORDER BY pos) nxt FROM rfs${r - 1}),
+         |rrk$r AS MATERIALIZED (SELECT lhs, rhs, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, lhs ASC, rhs ASC)
+         |      AS BIGINT) k
+         |  FROM (SELECT sym lhs, nxt rhs, sum(freq) n FROM ra$r
+         |        WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |        ORDER BY n DESC, lhs ASC, rhs ASC LIMIT $W)),
+         |rnk$r AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) nk FROM rrk$r),
+         |rpick$r AS (
+         |  SELECT CAST(0 AS BIGINT) t, FALSE done,
+         |         CAST([] AS BIGINT[]) tk,
+         |         CAST([] AS VARCHAR[]) cla, CAST([] AS VARCHAR[]) clb,
+         |         CAST([] AS VARCHAR[]) clm, CAST([] AS VARCHAR[]) cu,
+         |         CAST([] AS VARCHAR[]) pl, CAST([] AS VARCHAR[]) pr,
+         |         CAST([] AS VARCHAR[]) pm,
+         |         CAST([] AS VARCHAR[]) sl, CAST([] AS VARCHAR[]) sr,
+         |         CAST([] AS BIGINT[]) sn, CAST([] AS BIGINT[]) sp,
+         |         CAST(1 AS BIGINT) pass
+         |  UNION ALL
+         |  SELECT p.t + 1,
+         |    ((p.t + 1) % q.nk) = 0 AND
+         |      (len($PL1) = 0 OR len($SL1) >= $B),
+         |    CASE WHEN $sel THEN list_append(p.tk, r.k) ELSE p.tk END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0
+         |         THEN list_concat(p.cla, $PL1) ELSE p.cla END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0
+         |         THEN list_concat(p.clb, $PR1) ELSE p.clb END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0
+         |         THEN list_concat(p.clm, $PM1) ELSE p.clm END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN $sel THEN list_append(list_append(p.cu, r.lhs), r.rhs)
+         |         ELSE p.cu END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE $PL1 END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE $PR1 END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE $PM1 END,
+         |    $SL1,
+         |    CASE WHEN $sel THEN list_append(p.sr, r.rhs) ELSE p.sr END,
+         |    CASE WHEN $sel THEN list_append(p.sn, CAST(r.n AS BIGINT))
+         |         ELSE p.sn END,
+         |    CASE WHEN $sel THEN list_append(p.sp, p.pass) ELSE p.sp END,
+         |    CASE WHEN ((p.t + 1) % q.nk) = 0 THEN p.pass + 1 ELSE p.pass END
+         |  FROM rpick$r p, rnk$r q, rrk$r r
+         |  WHERE NOT p.done AND q.nk > 0 AND r.k = (p.t % q.nk) + 1),
+         |rbw$r AS MATERIALIZED (
+         |  SELECT unnest(sl) lhs, unnest(sr) rhs FROM rpick$r
+         |  WHERE t = (SELECT max(t) FROM rpick$r)),
+         |rbm$r AS MATERIALIZED (
+         |  SELECT unnest(sp) refill_pass,
+         |         unnest(range(1, len(sl) + 1)) batch_rank,
+         |         unnest(sl) lhs, unnest(sr) rhs, unnest(sn) n
+         |  FROM rpick$r WHERE t = (SELECT max(t) FROM rpick$r)),
+         |rc$r AS MATERIALIZED (SELECT a.w, a.freq, a.pos, a.sym, a.nxt,
+         |    (q.lhs IS NOT NULL) cand
+         |  FROM ra$r a LEFT JOIN rbw$r q ON a.sym = q.lhs AND a.nxt = q.rhs),
+         |rg$r AS MATERIALIZED (SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) rn
+         |    FROM (SELECT w, pos,
+         |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) grp
+         |          FROM rc$r WHERE cand)) WHERE rn % 2 = 1),
+         |rfs$r AS MATERIALIZED (SELECT c.w, c.freq,
+         |    row_number() OVER (PARTITION BY c.w ORDER BY c.pos) pos,
+         |    CASE WHEN st.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END sym
+         |  FROM rc$r c
+         |  LEFT JOIN rg$r st ON st.w = c.w AND st.pos = c.pos
+         |  LEFT JOIN rg$r cons ON cons.w = c.w AND cons.pos = c.pos - 1
+         |  WHERE cons.pos IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""rwd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |rfs0 AS MATERIALIZED (SELECT w, freq, pos, w[CAST(pos AS INT)] sym FROM (
+       |    SELECT w, freq, unnest(range(1, length(w) + 1)) pos FROM rwd)),
+       |$rounds""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = Map(
+    "t34_bpe_refill" -> {
+      val sel = (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) merge_round, " +
+          "CAST(refill_pass AS BIGINT) refill_pass, " +
+          "CAST(batch_rank AS BIGINT) batch_rank, lhs, rhs, " +
+          "lhs || rhs merged, CAST(n AS BIGINT) n_occurrences FROM rbm$r"
+            .replace("$r", r.toString))
+        .mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE $duckBpeRefillRounds,
+         |m AS ($sel)
+         |SELECT * FROM m ORDER BY merge_round, batch_rank""".stripMargin
+    },
+
     "t30_rake" -> {
       val stopsSql = RakeStops.map(w => s"'$w'").mkString("(", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks

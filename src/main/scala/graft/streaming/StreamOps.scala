@@ -50,6 +50,8 @@ case class BandRow(doc_id: Long, shh: Array[Long], bid: Int, bkey: String)
 case class BandRowTs(doc_id: Long, shh: Array[Long], ts: java.sql.Timestamp,
   bid: Int, bkey: String)
 case class EmbBandRow(vec_id: Long, embedding: Array[Float], bid: Int, bkey: Int)
+case class EmbBandRowTs(vec_id: Long, embedding: Array[Float],
+  ts: java.sql.Timestamp, bid: Int, bkey: Int)
 case class AnnPair(vec_a: Long, vec_b: Long, cosine: Double)
 
 /** A verified near-duplicate pair emitted by
@@ -513,9 +515,8 @@ object StreamOps {
     * order so output is a pure function of the batch's row set. A pair
     * colliding in several tables emits once per bucket — consumers
     * dedupe with `dropDuplicates("vec_a", "vec_b")` like the MinHash
-    * twin. For recent-history-window semantics, the
-    * [[streamingNearDupPairsEvicting]] EventTimeTimeout swap applies
-    * unchanged. */
+    * twin. For recent-history-window semantics use
+    * [[streamingAnnPairsEvicting]] — the built EventTimeTimeout twin. */
   def streamingAnnPairs(spark: SparkSession, vecs: DataFrame, b: Int,
       threshold: Double = graft.ext.SimilarityQueries.NearDupThreshold,
       maxBucket: Int = 1024): Dataset[AnnPair] = {
@@ -558,6 +559,80 @@ object StreamOps {
           }
           state.update(residents)
           out.iterator
+      }
+  }
+
+  /** [[streamingAnnPairs]] with EVENT-TIME EVICTION — the embedding twin
+    * of [[streamingNearDupPairsEvicting]], closing the r10 verdict's gap
+    * ("the EventTimeTimeout swap applies unchanged" was prose; this is
+    * the operator). A bucket's (vec_id, embedding) residents are dropped
+    * once the watermark passes the bucket's LAST ARRIVAL, so an
+    * embedding only near-dup-checks against the recent-history window
+    * and total state is bounded by the window's arrival mass × L tables
+    * instead of the corpus — the contract that makes a standing
+    * admission filter deployable on an unbounded feed.
+    *
+    * `vecs` must carry an event-time column `ts`; the watermark is set
+    * BEFORE the per-row band projections (the kernel is still the batch
+    * [[graft.ext.SimilarityQueries.bandRowsOf]], with `ts` carried
+    * through). Within-batch semantics (vec_id-ordered fold, bit-equal
+    * exact-cosine verify, maxBucket cap, enrolled-redelivery skip) are
+    * byte-identical to the unbounded operator; the eviction mechanics
+    * (re-arm at max arrival clamped above the watermark, remove on
+    * hasTimedOut) are byte-identical to the MinHash evicting twin. */
+  def streamingAnnPairsEvicting(spark: SparkSession, vecs: DataFrame, b: Int,
+      threshold: Double = graft.ext.SimilarityQueries.NearDupThreshold,
+      watermark: String = "10 minutes", maxBucket: Int = 1024)
+      : Dataset[AnnPair] = {
+    import spark.implicits._
+    graft.ext.SimilarityQueries
+      .bandRowsOf(vecs.withWatermark("ts", watermark), b, Seq("ts"))
+      .as[EmbBandRowTs]
+      .groupByKey(r => (r.bid, r.bkey))
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Int), rows: Iterator[EmbBandRowTs],
+            state: GroupState[List[(Long, Array[Float])]]) =>
+          // helper INSIDE the closure (serialization discipline): the
+          // literal CosineSimilarity.nullSafeEval arithmetic
+          def cosine(a: Array[Float], c: Array[Float]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              val x = a(i).toDouble; val y = c(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+          if (!rows.hasNext) {
+            // watermark passed the bucket's last arrival: evict
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            var residents = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.Buffer.empty[AnnPair]
+            val batch = rows.toSeq
+            batch.sortBy(_.vec_id).foreach { r =>
+              if (!residents.exists(_._1 == r.vec_id)) {
+                residents.foreach { case (id, v2) =>
+                  val cr = BigDecimal(cosine(r.embedding, v2))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (cr >= threshold)
+                    out += AnnPair(math.min(id, r.vec_id),
+                      math.max(id, r.vec_id), cr)
+                }
+                if (residents.size < maxBucket)
+                  residents = (r.vec_id, r.embedding) :: residents
+              }
+            }
+            state.update(residents)
+            val lastArrivalMs = batch.map(_.ts.getTime).max
+            // the timeout timestamp must exceed the current watermark
+            state.setTimeoutTimestamp(
+              math.max(lastArrivalMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
       }
   }
 

@@ -336,6 +336,136 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
       s"measured divergence frontier moved: $divergences")
   }
 
+  /** Sequential reference for the refill loop: multi-pass selection over
+    * one ranked window per round (pass 1 = the greedy-batch rule; later
+    * passes re-walk skipped pairs under the count-invariance screen),
+    * then ONE union-rule application per round. */
+  private def seqBpeRefill(vocab: Map[String, Long], b: Int, rounds: Int,
+      window: Int): Seq[(Long, Long, Long, String, String, String, Long)] = {
+    var segs: Seq[(Vector[String], Long)] =
+      vocab.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Long, Long, Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val ranked = counts.toSeq
+        .sortBy { case ((l, rr), n) => (-n, l, rr) }.take(window)
+      val clA = scala.collection.mutable.Set.empty[String]
+      val clB = scala.collection.mutable.Set.empty[String]
+      val clM = scala.collection.mutable.Set.empty[String]
+      val takenIdx = scala.collection.mutable.Set.empty[Int]
+      val taken = Seq.newBuilder[(Long, String, String, Long)]
+      var total = 0; var pass = 1; var progress = true
+      while (total < b && progress) {
+        val used = scala.collection.mutable.Set.empty[String]
+        val passRows = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+        ranked.zipWithIndex.foreach { case (((l, rr), n), k) =>
+          if (total + passRows.size < b && !takenIdx(k) &&
+              !used(l) && !used(rr) &&
+              !clB(l) && !clM(l) && !clA(rr) && !clM(rr)) {
+            passRows += ((l, rr, n)); used += l; used += rr; takenIdx += k
+          }
+        }
+        if (passRows.isEmpty) progress = false
+        else {
+          passRows.foreach { case (l, rr, n) => taken += ((pass.toLong, l, rr, n)) }
+          total += passRows.size
+          passRows.foreach { case (l, rr, _) => clA += l; clB += rr; clM += (l + rr) }
+          pass += 1
+        }
+      }
+      val batch = taken.result()
+      if (batch.isEmpty) done = true
+      else {
+        batch.zipWithIndex.foreach { case ((p, l, rr, n), i) =>
+          out += ((r.toLong, p, (i + 1).toLong, l, rr, l + rr, n))
+        }
+        val rules = batch.map { case (_, l, rr, _) => (l, rr) }.toSet
+        segs = segs.map { case (syms, f) => (mergeMultiLeftmost(syms, rules), f) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("refill: exact reference replay, invariance screen holds, fold order irrelevant, dominates non-refill") {
+    val words = Seq("banana", "bandana", "cabana", "analog", "annal",
+      "theme", "then", "hand", "sand", "band", "nation", "station",
+      "ration", "motion", "potion", "lotion", "loan", "moan", "groan",
+      "training", "raining", "gaining")
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 40).map(_ =>
+      Seq.fill(8)(words(rnd.nextInt(words.length))).mkString(" "))
+    val dir = writeDocs("bperefill", texts)
+    val vocab = vocabOf(texts)
+    val (b, rounds, window) = (16, 3, 64)
+    val (merges, seg) = TextQueries.bpeRefillLoop(spark, dir, b, rounds, window)
+    graft.CheckpointUtil.release(seg)
+    // 1) engine == sequential reference, tuple for tuple
+    val expected = seqBpeRefill(vocab, b, rounds, window)
+    assert(merges == expected,
+      s"refill loop diverges from the reference:\n $merges\n $expected")
+    // 2) per round: within-pass symbol-disjoint; cross-pass screen holds
+    merges.groupBy(_._1).foreach { case (_, roundMerges) =>
+      roundMerges.groupBy(_._2).foreach { case (_, passMerges) =>
+        val syms = passMerges.flatMap(m => Seq(m._4, m._5))
+        assert(syms.distinct.size == syms.size,
+          s"within-pass symbol clash: $passMerges")
+      }
+      roundMerges.foreach { m =>
+        val earlier = roundMerges.filter(_._2 < m._2)
+        earlier.foreach { e =>
+          assert(m._5 != e._4, s"screen violated: rhs ${m._5} = earlier lhs")
+          assert(m._4 != e._5, s"screen violated: lhs ${m._4} = earlier rhs")
+          assert(m._4 != e._6 && m._5 != e._6,
+            s"screen violated: symbol equals earlier merged output ${e._6}")
+        }
+      }
+    }
+    // 3) the count-invariance claim, checked EMPIRICALLY: each pass-k
+    // pair's recorded count equals the count re-measured on the
+    // segmentation after sequentially applying passes 1..k-1 — and the
+    // round's single union fold equals the sequential per-pass folds.
+    var segs: Seq[(Vector[String], Long)] =
+      vocab.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    merges.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, roundMerges) =>
+      var passSegs = segs
+      roundMerges.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, passMerges) =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((syms, f) <- passSegs; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        passMerges.foreach { m =>
+          assert(counts((m._4, m._5)) == m._7,
+            s"count not invariant for ${(m._4, m._5)}: " +
+              s"recorded ${m._7}, actual ${counts((m._4, m._5))}")
+        }
+        val rules = passMerges.map(m => (m._4, m._5)).toSet
+        passSegs = passSegs.map { case (s, f) => (mergeMultiLeftmost(s, rules), f) }
+      }
+      val union = roundMerges.map(m => (m._4, m._5)).toSet
+      val oneFold = segs.map { case (s, f) => (mergeMultiLeftmost(s, union), f) }
+      assert(oneFold == passSegs,
+        "single union fold must equal sequential per-pass folds")
+      segs = oneFold
+    }
+    // 4) strictly more merges per crossing than the non-refill form
+    val (plain, seg2) = TextQueries.bpeBatchedLoop(spark, dir, b, rounds, window)
+    graft.CheckpointUtil.release(seg2)
+    val refillPerRound = merges.groupBy(_._1).view.mapValues(_.size).toMap
+    val plainPerRound = plain.groupBy(_._1).view.mapValues(_.size).toMap
+    plainPerRound.foreach { case (r, n) =>
+      assert(refillPerRound.getOrElse(r, 0) >= n,
+        s"round $r: refill ${refillPerRound.get(r)} < non-refill $n")
+    }
+    assert(merges.size > plain.size,
+      s"refill must add merges on this fixture: ${merges.size} vs ${plain.size}")
+  }
+
   test("degenerate corpus truncates the merge table instead of crashing") {
     // two distinct 2-char words: rounds 1-2 merge each to a single
     // symbol, round 3 finds no adjacent pair anywhere — the loop must

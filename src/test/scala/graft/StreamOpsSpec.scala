@@ -427,6 +427,59 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._3 >= graft.ext.SimilarityQueries.NearDupThreshold))
   }
 
+  test("evicting ANN: pre-eviction pair found across restart, post-eviction pair not") {
+    // the embedding twin of the near-dup eviction case, same
+    // choreography: (1) a cosine-neighbor arriving while the bucket is
+    // live pairs against RECOVERED state (restart between arrivals);
+    // (2) unrelated traffic drags the watermark past the bucket's last
+    // arrival, a further run fires the EventTimeTimeout and drops the
+    // residents; (3) an identical-direction vector arriving after
+    // eviction finds nothing — admission-against-recent-history.
+    val in = java.nio.file.Files.createTempDirectory("anne_in").toString
+    val out = java.nio.file.Files.createTempDirectory("anne_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("anne_state").toString
+    val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
+    def land(rows: (Long, Array[Float], java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("vec_id", "embedding", "ts").write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = StreamOps.streamingAnnPairsEvicting(spark,
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+            .parquet(in), b = 6, watermark = "10 minutes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land((1L, vec(3, 0f), ts(0)))
+    runOnce()
+    // restart: neighbor inside the window — found via RECOVERED state
+    land((2L, vec(3, 0.01f), ts(5)))
+    runOnce()
+    // unrelated directions drag the watermark past the bucket's last
+    // arrival; the following run's batch fires the timeout callback
+    land((100L, vec(77, 0f), ts(120)))
+    runOnce()
+    land((101L, vec(55, 0f), ts(121)))
+    runOnce()
+    // same direction AFTER eviction: enrolls fresh, pairs with nothing
+    land((3L, vec(3, 0.02f), ts(125)))
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(p => (p._1, p._2)).distinct.toSeq == Seq((1L, 2L)),
+      s"expected only the pre-eviction pair: ${rows.mkString(",")}")
+    assert(rows.forall(_._3 >= graft.ext.SimilarityQueries.NearDupThreshold))
+  }
+
   test("evicting near-dup: pre-eviction pair found across restart, post-eviction pair not") {
     // The recent-history-window contract end-to-end, across restarts:
     // (1) a near-dup arriving while the bucket is live pairs against
