@@ -21,12 +21,24 @@ import org.apache.spark.sql.functions._
   * signs and cosine (all copies would be exact ANN-duplicates sharing
   * every LSH bucket, a degenerate 10x); rotation preserves norms and
   * within-copy neighborhoods while giving each copy its own direction
-  * set. */
+  * set. The 64-dim rotation family repeats every 64 copies, so for
+  * c >= 64 a per-copy deterministic SIGN PATTERN (the same ± mask
+  * applied to every vector of copy c) multiplies the family — sign
+  * flips preserve norms AND within-copy dot products exactly while
+  * giving each copy fresh hyperplane signs; copies 0..63 are
+  * byte-identical to the pre-round-11 fixtures, so recorded 10x/30x
+  * measurements stay comparable.
+  *
+  * Optional 4th arg: comma-separated table subset (e.g. `embeddings`)
+  * so a 300x width-growth fixture doesn't pay for 180M lineitem rows
+  * it never reads. */
 object ScaleBlowup {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf_blowup"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
     val stride = 10000000L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -66,16 +78,25 @@ object ScaleBlowup {
           .drop("_c")
       },
       "embeddings" -> {
+        // rotate per copy; for c >= 64 (where the rotation family would
+        // repeat) additionally flip signs by the murmur parity of
+        // (copy-epoch, dim) — identical pattern for all vectors of a
+        // copy, so within-copy cosines are exact and cross-copy bucket
+        // structure is fresh for every c
         Tables.load(spark, src, "embeddings").withColumn("_c", copyIdx)
           .withColumn("vec_id", shifted("vec_id"))
           .withColumn("embedding", expr(
             "transform(sequence(1, size(embedding)), " +
-              "i -> element_at(embedding, ((i - 1 + _c * 7) % size(embedding)) + 1))"))
+              "i -> element_at(embedding, ((i - 1 + _c * 7) % size(embedding)) + 1) " +
+              "* (CASE WHEN _c >= 64 AND pmod(hash(_c div 64, i), 2) = 1 " +
+              "THEN -1.0F ELSE 1.0F END))"))
           .drop("_c")
       })
     outTables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[blowup] $name -> $out/$name.parquet")
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[blowup] $name -> $out/$name.parquet")
+      }
     }
     spark.stop()
   }

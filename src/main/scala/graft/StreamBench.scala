@@ -44,6 +44,79 @@ object StreamBench {
     def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
       Option(q.lastProgress).map(_.stateOperators)
         .filter(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+    if (args.lift(1).contains("ann-epoch")) {
+      // MID-STREAM DOUBLING-EPOCH crossing: phase 1 admits the first half
+      // of the corpus at the frozen width b0 (checkpointed file-source
+      // query), then the bucket state is drained off the checkpoint,
+      // re-keyed to b0+1 (the split-property migration), and phase 2
+      // resumes at the new width with the migrated residents as initial
+      // state. The readout: state rows at the migration point, per-phase
+      // wall + pair counts, and the no-missed-pairs check — phase 2's
+      // distinct pair set must equal the batch width-(b0+1) collision
+      // edge set touching the second half.
+      import graft.ext.SimilarityQueries
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      val half = vecs.size / 2
+      val b0 = SimilarityQueries.scaledBandBits(half)
+      val in1 = java.nio.file.Files.createTempDirectory("ep_in1").toString
+      val in2 = java.nio.file.Files.createTempDirectory("ep_in2").toString
+      val out1 = java.nio.file.Files.createTempDirectory("ep_out1").toString
+      val out2 = java.nio.file.Files.createTempDirectory("ep_out2").toString
+      val ck1 = java.nio.file.Files.createTempDirectory("ep_ck1").toString
+      val ck2 = java.nio.file.Files.createTempDirectory("ep_ck2").toString
+      def run(in: String, out: String, ck: String,
+          mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.streaming.AnnPair]): Double = {
+        val t0 = System.nanoTime()
+        val q = mk(spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(in))
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+            df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ck)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      vecs.take(half).toDF("vec_id", "embedding").write.mode("append").parquet(in1)
+      val w1 = run(in1, out1, ck1,
+        s => graft.streaming.StreamOps.streamingAnnPairs(spark, s, b0))
+      val snap = graft.streaming.StreamOps.annStateSnapshot(spark, ck1)
+        .localCheckpoint()
+      val mig = SimilarityQueries.migrateAnnResidents(snap, b0).localCheckpoint()
+      println(f"[stream] epoch: b0=$b0, phase1 $half vecs in $w1%.2f s, " +
+        s"state rows at migration ${snap.count()} -> ${mig.count()}")
+      vecs.drop(half).toDF("vec_id", "embedding").write.mode("append").parquet(in2)
+      val w2 = run(in2, out2, ck2,
+        s => graft.streaming.StreamOps.streamingAnnPairsFrom(spark, s, b0 + 1, mig))
+      val p1 = spark.read.parquet(out1).dropDuplicates("vec_a", "vec_b").count()
+      val got2 = spark.read.parquet(out2).dropDuplicates("vec_a", "vec_b")
+        .select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.functions.GraftFunctions.register(spark)
+      val allBands = SimilarityQueries.bandRowsOf(
+        vecs.toDF("vec_id", "embedding"), b0 + 1)
+      val newMin = vecs(half)._1
+      val expected = allBands.as("x").join(allBands.as("y"),
+          col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .filter(col("y.vec_id") >= newMin)
+        .select(col("x.vec_id").as("xa"), col("y.vec_id").as("yb"),
+          round(expr("cosine_sim(x.embedding, y.embedding)"), 6).as("c"))
+        .filter(col("c") >= SimilarityQueries.NearDupThreshold)
+        .select("xa", "yb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[stream] epoch: phase2 ${vecs.size - half} vecs in $w2%.2f s " +
+        s"at b=${b0 + 1}; pairs phase1=$p1 phase2=${got2.size}, " +
+        s"batch-reference=${expected.size}, " +
+        s"missed=${(expected -- got2).size}, extra=${(got2 -- expected).size}")
+      spark.stop()
+      return
+    }
     // (query, per-batch feed by index, total items, pair-id columns)
     val (q, feed, nItems, pairCols) =
       if (args.lift(1).contains("ann-evict")) {

@@ -517,6 +517,47 @@ object StreamOps {
     * dedupe with `dropDuplicates("vec_a", "vec_b")` like the MinHash
     * twin. For recent-history-window semantics use
     * [[streamingAnnPairsEvicting]] — the built EventTimeTimeout twin. */
+  /** The per-bucket admission fold shared by [[streamingAnnPairs]] and
+    * [[streamingAnnPairsFrom]] — the returned closure captures only the
+    * two primitive dials (serialization discipline). */
+  private def annPairsFold(threshold: Double, maxBucket: Int)
+      : ((Int, Int), Iterator[EmbBandRow],
+         GroupState[List[(Long, Array[Float])]]) => Iterator[AnnPair] = {
+    (_: (Int, Int), rows: Iterator[EmbBandRow],
+        state: GroupState[List[(Long, Array[Float])]]) =>
+      // helper INSIDE the closure (serialization discipline): the
+      // fused dot + both-norms single pass is the literal
+      // CosineSimilarity.nullSafeEval arithmetic (same accumulation
+      // order, same final expression), so stream cosines are
+      // bit-equal to the batch expression's
+      def cosine(a: Array[Float], c: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = c(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      var residents = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.Buffer.empty[AnnPair]
+      rows.toSeq.sortBy(_.vec_id).foreach { r =>
+        if (!residents.exists(_._1 == r.vec_id)) {
+          residents.foreach { case (id, v2) =>
+            val cr = BigDecimal(cosine(r.embedding, v2))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cr >= threshold)
+              out += AnnPair(math.min(id, r.vec_id),
+                math.max(id, r.vec_id), cr)
+          }
+          if (residents.size < maxBucket)
+            residents = (r.vec_id, r.embedding) :: residents
+        }
+      }
+      state.update(residents)
+      out.iterator
+  }
+
   def streamingAnnPairs(spark: SparkSession, vecs: DataFrame, b: Int,
       threshold: Double = graft.ext.SimilarityQueries.NearDupThreshold,
       maxBucket: Int = 1024): Dataset[AnnPair] = {
@@ -525,42 +566,57 @@ object StreamOps {
       .groupByKey(r => (r.bid, r.bkey))
       .flatMapGroupsWithState(
         OutputMode.Update(),
-        GroupStateTimeout.NoTimeout()) {
-        (_: (Int, Int), rows: Iterator[EmbBandRow],
-            state: GroupState[List[(Long, Array[Float])]]) =>
-          // helper INSIDE the closure (serialization discipline): the
-          // fused dot + both-norms single pass is the literal
-          // CosineSimilarity.nullSafeEval arithmetic (same accumulation
-          // order, same final expression), so stream cosines are
-          // bit-equal to the batch expression's
-          def cosine(a: Array[Float], c: Array[Float]): Double = {
-            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-            while (i < a.length) {
-              val x = a(i).toDouble; val y = c(i).toDouble
-              dot += x * y; na += x * x; nb += y * y
-              i += 1
-            }
-            dot / (math.sqrt(na) * math.sqrt(nb))
-          }
-          var residents = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.Buffer.empty[AnnPair]
-          rows.toSeq.sortBy(_.vec_id).foreach { r =>
-            if (!residents.exists(_._1 == r.vec_id)) {
-              residents.foreach { case (id, v2) =>
-                val cr = BigDecimal(cosine(r.embedding, v2))
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-                if (cr >= threshold)
-                  out += AnnPair(math.min(id, r.vec_id),
-                    math.max(id, r.vec_id), cr)
-              }
-              if (residents.size < maxBucket)
-                residents = (r.vec_id, r.embedding) :: residents
-            }
-          }
-          state.update(residents)
-          out.iterator
-      }
+        GroupStateTimeout.NoTimeout())(annPairsFold(threshold, maxBucket))
   }
+
+  /** [[streamingAnnPairs]] RESUMED FROM AN EXPLICIT STATE SNAPSHOT — the
+    * second half of the mid-stream epoch migration (r10 verdict #4):
+    * when the s36 doubling-epoch breach fires, a deployed admission
+    * query drains, its bucket state is re-keyed from width b−1 to b by
+    * [[graft.ext.SimilarityQueries.migrateAnnResidents]] (each bucket's
+    * residents split deterministically into ≤2 child buckets, low bits
+    * preserved, NO re-scoring — the s36/s37 split property as a state
+    * transform), and this operator resumes at the new width with the
+    * migrated residents as its `initialState`. A pre-migration resident
+    * still pairs with any post-migration arrival that lands in its
+    * child bucket — the no-missed-pairs contract the spec pins.
+    *
+    * `initialResidents` is resident-grain (bid, bkey, vec_id,
+    * embedding) AT WIDTH `b` (i.e. already migrated); residents sort by
+    * vec_id into the bucket list, which only fixes an order the fold's
+    * set semantics never observe. */
+  def streamingAnnPairsFrom(spark: SparkSession, vecs: DataFrame, b: Int,
+      initialResidents: DataFrame,
+      threshold: Double = graft.ext.SimilarityQueries.NearDupThreshold,
+      maxBucket: Int = 1024): Dataset[AnnPair] = {
+    import spark.implicits._
+    val init = initialResidents
+      .select(col("bid"), col("bkey"), col("vec_id"), col("embedding"))
+      .as[(Int, Int, Long, Array[Float])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups((k: (Int, Int), it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        (k, it.map(r => (r._3, r._4)).toList.sortBy(_._1)))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    graft.ext.SimilarityQueries.bandRowsOf(vecs, b).as[EmbBandRow]
+      .groupByKey(r => (r.bid, r.bkey))
+      .flatMapGroupsWithState(
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout(),
+        init)(annPairsFold(threshold, maxBucket))
+  }
+
+  /** The streaming ANN operator's bucket-state SNAPSHOT, read straight
+    * off a STOPPED query's checkpoint through Spark's state data source
+    * and exploded to resident grain (bid, bkey, vec_id, embedding) —
+    * the drain half of the epoch-migration protocol, and the input
+    * [[graft.ext.SimilarityQueries.migrateAnnResidents]] re-keys. */
+  def annStateSnapshot(spark: SparkSession, checkpoint: String): DataFrame =
+    spark.read.format("statestore").load(checkpoint)
+      .select(col("key._1").as("bid"), col("key._2").as("bkey"),
+        explode(col("value.groupState.value")).as("res"))
+      .select(col("bid"), col("bkey"),
+        col("res._1").as("vec_id"), col("res._2").as("embedding"))
 
   /** [[streamingAnnPairs]] with EVENT-TIME EVICTION — the embedding twin
     * of [[streamingNearDupPairsEvicting]], closing the r10 verdict's gap

@@ -452,6 +452,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 1, p)
   }
 
+  test("p27 funnel is ONE aggregate pass over the flag frame (stack, not 8 count jobs)") {
+    // the cumulative stage counts must come from a single global
+    // aggregate of the per-doc flag conjunctions, unpivoted by stack
+    // (one Generate) — eight separate count() jobs would show eight
+    // aggregate trees; the near-dup label sides ride their converged
+    // (session, dir) caches as broadcast joins, never a re-run BSP loop.
+    graft.ext.DedupQueries.dedupClusters(spark, dir).count()          // converge
+    graft.ext.DedupQueries.annDedupMultiprobe(spark, dir).count()     // converge
+    val p = plan("p27_survivor_funnel")
+    // exactly one stack unpivot, fed by ONE single-partition exchange —
+    // the global partial/final aggregate pair carrying all 8 conditional
+    // sums in one 8-column row (upstream gates keep their own Generates:
+    // the trigram/shingle explodes)
+    assert("stack\\(8".r.findAllIn(p).size == 1, p)
+    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mixture audit aggregates map-side before its single shuffle") {
     val p = plan("p5_mixture")
     // Partial + final HashAggregate around one hash shuffle; the keep

@@ -427,6 +427,109 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._3 >= graft.ext.SimilarityQueries.NearDupThreshold))
   }
 
+  test("epoch migration: drained ANN state re-keys to b+1 exactly; pre-migration residents pair post-migration") {
+    // The mid-stream doubling-epoch protocol end-to-end: (1) an
+    // admission query runs at width b and drains; (2) its bucket state
+    // is read off the checkpoint (state data source) and re-keyed to
+    // b+1 by computing ONLY the new plane bit — the split property as a
+    // state transform: the migrated state must equal a FRESH width-(b+1)
+    // banding of the same vectors, bit for bit, with low bits untouched;
+    // (3) a new query resumes at b+1 with the migrated residents as
+    // initialState, and a post-migration arrival still pairs with its
+    // pre-migration neighbor — no missed pairs across the epoch.
+    import graft.ext.SimilarityQueries
+    val in1 = java.nio.file.Files.createTempDirectory("mig_in1").toString
+    val in2 = java.nio.file.Files.createTempDirectory("mig_in2").toString
+    val out = java.nio.file.Files.createTempDirectory("mig_out").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("mig_ck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("mig_ck2").toString
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
+    val a = Seq((1L, vec(3, 0f)), (50L, vec(41, 0f)), (100L, vec(77, 0f)))
+    val bNew = Seq((2L, vec(3, 0.01f)))
+    val b0 = 6
+    // phase 1: enroll A at width b0, drain
+    a.toDF("vec_id", "embedding").write.mode("append").parquet(in1)
+    val q1 = StreamOps.streamingAnnPairs(spark,
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(in1), b = b0)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ck1)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    // drain: one resident row per (vector, table)
+    val snap = StreamOps.annStateSnapshot(spark, ck1)
+    assert(snap.count() == a.size * SimilarityQueries.AnnHubTables, snap.count())
+    // migrate: must equal a fresh width-(b0+1) banding, low bits intact
+    val mig = SimilarityQueries.migrateAnnResidents(snap, b0)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "bid", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val fresh = SimilarityQueries.bandRowsOf(
+      a.toDF("vec_id", "embedding"), b0 + 1)
+    assert(keySet(mig) == keySet(fresh),
+      "migrated state must equal a fresh width-(b+1) rebuild")
+    val lowMask = (1 << b0) - 1
+    val oldKeys = snap.collect()
+      .map(r => (r.getLong(2), r.getInt(0)) -> r.getInt(1)).toMap
+    mig.collect().foreach { r =>
+      assert((r.getInt(1) & lowMask) == oldKeys((r.getLong(2), r.getInt(0))),
+        "low bits disturbed by migration")
+    }
+    // phase 2: resume at b0+1 from the migrated state; the new arrival
+    // pairs with its pre-migration neighbor
+    bNew.toDF("vec_id", "embedding").write.mode("append").parquet(in2)
+    val q2 = StreamOps.streamingAnnPairsFrom(spark,
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(in2), b = b0 + 1, initialResidents = mig)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+        df.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ck2)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val pairs = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the no-missed-pairs contract, against the BATCH reference: the
+    // emitted set must equal the width-(b0+1) bucket-collision edge set
+    // between the new arrival and the pre-migration residents (exact
+    // cosine at the threshold, either side)
+    import org.apache.spark.sql.functions.{col, expr, round => sqlRound}
+    graft.functions.GraftFunctions.register(spark)
+    val allBands = SimilarityQueries.bandRowsOf(
+      (a ++ bNew).toDF("vec_id", "embedding"), b0 + 1)
+      .select(col("vec_id"), col("embedding"), col("bid"), col("bkey"))
+    val newIds = bNew.map(_._1).toSet
+    val expectedPairs = allBands.as("x").join(allBands.as("y"),
+        col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(col("y.vec_id").isin(newIds.toSeq: _*) ||
+        col("x.vec_id").isin(newIds.toSeq: _*))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        sqlRound(expr("cosine_sim(x.embedding, y.embedding)"), 6).as("c"))
+      .filter(col("c") >= SimilarityQueries.NearDupThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expectedPairs.contains((1L, 2L)),
+      "fixture must plant a cross-epoch pair")
+    assert(pairs.map(p => (p._1, p._2)).toSet == expectedPairs,
+      s"cross-epoch pairs must equal the batch width-(b+1) edge set: " +
+        s"${pairs.mkString(",")} vs $expectedPairs")
+    assert(pairs.forall(_._3 >= SimilarityQueries.NearDupThreshold))
+    // the resumed checkpoint's state is the full width-(b0+1) banding of
+    // A ∪ B — initial state landed AND the new arrival enrolled at the
+    // new width
+    val snap2 = StreamOps.annStateSnapshot(spark, ck2)
+    val freshAll = SimilarityQueries.bandRowsOf(
+      (a ++ bNew).toDF("vec_id", "embedding"), b0 + 1)
+    assert(keySet(snap2) == keySet(freshAll),
+      "resumed state must equal the fresh width-(b+1) banding of A ∪ B")
+  }
+
   test("evicting ANN: pre-eviction pair found across restart, post-eviction pair not") {
     // the embedding twin of the near-dup eviction case, same
     // choreography: (1) a cosine-neighbor arriving while the bucket is
