@@ -1881,6 +1881,107 @@ object SimilarityQueries {
     * bits per table plus the ext bit and composes the widened key — any
     * drift in the widened kernel (wrong plane, wrong bit packing, low
     * bits disturbed) breaks the hash compare. */
+  /** s38 — QUERY-DIRECTED multi-probe: Lv et al.'s actual probing
+    * sequence, completing the dial family (s32's shells probe by flip
+    * COUNT; this probes by MARGIN — the summed distance of the flipped
+    * hyperplanes to the query, the model probability a true neighbor
+    * fell just across them). Per (sampled query, table): the b
+    * singleton flips score |d_r| and the C(b,2) pair flips score
+    * |d_r|+|d_s|; the b CHEAPEST perturbation sets (ties by bit
+    * pattern) probe alongside the exact bucket — SAME probe count as
+    * shell-1 (1+b per table), but the budget buys the most probable
+    * buckets instead of uniform 1-bit flips, reaching into shell 2
+    * where two near-boundary planes are together more likely than one
+    * far plane.
+    *
+    * One row per mode with the shared exact-kNN denominator AND the
+    * distinct-candidate mass, so recall-per-candidate is read directly:
+    * `t1_shell1` (uniform 1-bit flips) vs `q1_margin` (margin top-b).
+    *
+    * Measured on the sf0.01 fixture (b=7, 8 probes per (q, table)
+    * either way): shell-1 893333 ppm at 7492 candidates, margin
+    * 880000 ppm at 7425 — a WASH at this scale: with b only 7, the
+    * uniform shell already covers most of the probable mass and the
+    * margin order's shell-2 picks displace productive far-plane
+    * singles. The dial's value grows with b (at the width-17 design
+    * point a uniform shell is 18 probes of mostly-improbable buckets
+    * while the margin order spends the same 18 on the true probability
+    * ranking — Lv et al. measure the gap at b ≥ 16); the honest
+    * fixture readout is pinned here so the regression guard is the
+    * MEASUREMENT, not a hoped-for number.
+    *
+    * Scale shape: margins are b dot products per (SAMPLE query, table)
+    * — bounded by the fixed sample, never the corpus (the corpus-grain
+    * index side stays key-arithmetic only, the s32 audit contract);
+    * both probe tables broadcast; candidates dedupe before the one
+    * exact-cosine attach; ranking the perturbation sets is a bounded
+    * window over sample·L·(b+C(b,2)) rows. */
+  def queryDirectedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val e = emb(spark, dir)
+    val exact = exactSampleKnn(spark, dir)
+      .select(col("vec_id").as("qid"), col("nbr_id"))
+    val idx = scaledBandIndex(spark, dir)
+    val nb = idx.select(col("vec_id"), col("bid"), col("bkey"))
+    val b = scaledBandWidth(spark, dir)
+    // per-table margin array |embedding · plane_r| for r < b — the
+    // literal widened plane family, query-side rows only
+    val marr = (0 until AnnHubTables).map { t =>
+      val entries = (0 until b).map { r =>
+        val coeffs = tablePlaneSign(t, r)
+          .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
+        s"abs(dot_product(embedding, array($coeffs)))"
+      }.mkString(", ")
+      s"WHEN bid = $t THEN array($entries)"
+    }.mkString("CASE ", " ", " END")
+    val singles = s"transform(sequence(1, $b), r -> named_struct(" +
+      "'score', element_at(m, r), 'bits', shiftleft(1, r - 1)))"
+    val pairs = s"flatten(transform(sequence(1, ${b - 1}), r -> " +
+      s"transform(sequence(r + 1, $b), s -> named_struct(" +
+      "'score', element_at(m, r) + element_at(m, s), " +
+      "'bits', shiftleft(1, r - 1) + shiftleft(1, s - 1)))))"
+    val perturbed = idx.filter(recallSampled(col("vec_id")))
+      .withColumn("m", expr(marr))
+      .selectExpr("vec_id AS qid", "bid", "bkey",
+        s"inline(concat($singles, $pairs))")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"), col("bid"))
+          .orderBy(col("score").asc, col("bits").asc)))
+      .filter(col("rk") <= b)
+      .selectExpr("qid", "bid", "cast(bkey ^ bits as int) AS pkey")
+    val marginProbes = nb.filter(recallSampled(col("vec_id")))
+      .selectExpr("vec_id AS qid", "bid", "bkey AS pkey")
+      .unionAll(perturbed)
+    val shellProbes = probeRows(nb, b, recallSampled(col("vec_id")))
+      .select(col("qid"), col("bid"), col("pkey"))
+    def modeRow(probes: DataFrame, mode: String): DataFrame = {
+      val cand = nb.as("i").join(broadcast(probes.as("p")),
+          col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+            col("i.vec_id") =!= col("p.qid"))
+        .select(col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
+        .distinct()
+      val scored = attachCosine(spark, dir,
+          cand.select(col("qid").as("vec_id"), col("nbr_id")))
+        .select(col("vec_id").as("qid"), col("nbr_id"), col("cosine"))
+      val tops = scored
+        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+        .select(col("qid"), col("nbr_id"))
+      val hits = exact.join(tops, Seq("qid", "nbr_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(hits)
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(mode).as("probe_mode"), col("n_exact"), col("n_cand"),
+          col("n_hits"),
+          expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
+    }
+    modeRow(shellProbes, "t1_shell1")
+      .unionAll(modeRow(marginProbes, "q1_margin"))
+      .orderBy("probe_mode")
+  }
+
   def familyWidening(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
     // build-use-release (the powerIteration pattern): no other consumer
@@ -2140,6 +2241,7 @@ object SimilarityQueries {
     "s35_admission_recall" -> ((s, d) => incrementalAnnRecall(s, d)),
     "s36_epoch_rebuild" -> ((s, d) => epochRebuild(s, d)),
     "s37_family_widening" -> ((s, d) => familyWidening(s, d)),
+    "s38_query_directed" -> ((s, d) => queryDirectedRecall(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -2726,6 +2828,95 @@ object SimilarityQueries {
          |UNION ALL
          |${epochSelect("1", "e1_rebuilt", "params1")}
          |ORDER BY epoch""".stripMargin
+    },
+
+    // s38: margins as a full-width per-table DOUBLE[] (the list_dot_product
+    // literal planes — bit-equal to the engine's dot_product), singleton +
+    // pair perturbation sets ranked per (query, table) by (score, bits),
+    // top pr.b probe beside the exact bucket; both modes share the exact
+    // denominator and report distinct-candidate mass.
+    "s38_query_directed" -> {
+      def mlist(t: Int): String = (0 until LshPlanesExt).map { r =>
+        s"abs(list_dot_product(v, [${tablePlaneSign(t, r)
+          .map(s => if (s > 0) "1.0" else "-1.0").mkString(",")}]))"
+      }.mkString("[", ",\n       ", "]")
+      val mcase = (0 until AnnHubTables)
+        .map(t => s"WHEN bid = $t THEN ${mlist(t)}")
+        .mkString("CASE ", "\n       ", " END")
+      s"""WITH $duckEmb,
+         |$duckScaledBands,
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
+         |ex AS (SELECT vec_id qid, nbr_id FROM (
+         |        SELECT q.vec_id, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |mg AS (SELECT b.vec_id qid, b.bid, b.bkey,
+         |         $mcase m
+         |       FROM bands b JOIN e ON e.vec_id = b.vec_id
+         |       WHERE b.vec_id % $RecallSampleMod = 0
+         |         AND b.vec_id < $RecallSampleCap),
+         |sg AS (SELECT qid, bid, bkey, m, unnest(range(1, pr.b + 1)) r
+         |       FROM mg, params pr),
+         |pr2 AS (SELECT qid, bid, bkey, m, r, unnest(range(r + 1, pr.b + 1)) s
+         |        FROM sg, params pr),
+         |perturb AS (
+         |  SELECT qid, bid, bkey, m[CAST(r AS INT)] score,
+         |         (1 << (r - 1)) bits FROM sg
+         |  UNION ALL
+         |  SELECT qid, bid, bkey, m[CAST(r AS INT)] + m[CAST(s AS INT)],
+         |         (1 << (r - 1)) + (1 << (s - 1)) FROM pr2),
+         |ranked AS (SELECT qid, bid, CAST(xor(bkey, bits) AS BIGINT) pkey
+         |           FROM (SELECT *, row_number() OVER (PARTITION BY qid, bid
+         |                   ORDER BY score ASC, bits ASC) rk FROM perturb),
+         |                params pr
+         |           WHERE rk <= pr.b),
+         |probesM AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey
+         |  FROM bands WHERE $duckRecallSampled
+         |  UNION ALL SELECT qid, bid, pkey FROM ranked),
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr WHERE $duckRecallSampled),
+         |probesS AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey
+         |  FROM bands WHERE $duckRecallSampled
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |candM AS (SELECT DISTINCT p.qid, i.vec_id nbr_id
+         |          FROM probesM p JOIN bands i
+         |            ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
+         |           AND i.vec_id <> p.qid),
+         |candS AS (SELECT DISTINCT p.qid, i.vec_id nbr_id
+         |          FROM probesS p JOIN bands i
+         |            ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
+         |           AND i.vec_id <> p.qid),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM ex),
+         |modes AS (
+         |  SELECT 't1_shell1' probe_mode, qid, nbr_id FROM candS
+         |  UNION ALL SELECT 'q1_margin', qid, nbr_id FROM candM),
+         |sc AS (SELECT mo.probe_mode, mo.qid, mo.nbr_id,
+         |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) cosine
+         |       FROM modes mo JOIN e x ON x.vec_id = mo.qid
+         |                     JOIN e y ON y.vec_id = mo.nbr_id),
+         |tops AS (SELECT probe_mode, qid, nbr_id FROM (
+         |          SELECT probe_mode, qid, nbr_id,
+         |            row_number() OVER (PARTITION BY probe_mode, qid
+         |              ORDER BY cosine DESC, nbr_id ASC) rk
+         |          FROM sc) WHERE rk <= $KnnK),
+         |h AS (SELECT probe_mode, CAST(count(*) AS BIGINT) n_hits
+         |      FROM tops t JOIN ex ON ex.qid = t.qid AND ex.nbr_id = t.nbr_id
+         |      GROUP BY 1),
+         |nc AS (SELECT probe_mode, CAST(count(*) AS BIGINT) n_cand
+         |       FROM modes GROUP BY 1)
+         |SELECT nc.probe_mode, tot.n_exact, nc.n_cand,
+         |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) * 1000000 // tot.n_exact AS BIGINT)
+         |         AS recall_ppm
+         |FROM nc LEFT JOIN h USING (probe_mode), tot
+         |ORDER BY nc.probe_mode""".stripMargin
     },
 
     // s37: the 16 standard bits per table plus the per-table "ext" bit;
