@@ -1898,17 +1898,18 @@ object SimilarityQueries {
     * distinct-candidate mass, so recall-per-candidate is read directly:
     * `t1_shell1` (uniform 1-bit flips) vs `q1_margin` (margin top-b).
     *
-    * Measured on the sf0.01 fixture (b=7, 8 probes per (q, table)
-    * either way): shell-1 893333 ppm at 7492 candidates, margin
-    * 880000 ppm at 7425 — a WASH at this scale: with b only 7, the
-    * uniform shell already covers most of the probable mass and the
-    * margin order's shell-2 picks displace productive far-plane
-    * singles. The dial's value grows with b (at the width-17 design
-    * point a uniform shell is 18 probes of mostly-improbable buckets
-    * while the margin order spends the same 18 on the true probability
-    * ranking — Lv et al. measure the gap at b ≥ 16); the honest
-    * fixture readout is pinned here so the regression guard is the
-    * MEASUREMENT, not a hoped-for number.
+    * Measured, honestly: sf0.01 (b=7, 8 probes/(q,table)) — shell-1
+    * 893333 ppm @ 7492 candidates vs margin 880000 @ 7425; the 300×
+    * blow-up (b=17, 18 probes) — shell-1 166666 @ 39472 vs margin
+    * 156250 @ 42196. A WASH at both widths ON THIS CORPUS: the
+    * synthetic embeddings (rotations + sign masks of a sinusoid
+    * family) give near-uniform hyperplane margins, so the margin rank
+    * carries no signal the uniform shell lacks — exactly the readout a
+    * deployment runs on ITS corpus before paying for the ordering
+    * logic (Lv et al.'s gains come from concentrated natural-embedding
+    * margin distributions). The operator's contract is the faithful
+    * equal-budget comparison, and the pinned numbers are the
+    * regression guard.
     *
     * Scale shape: margins are b dot products per (SAMPLE query, table)
     * — bounded by the fixed sample, never the corpus (the corpus-grain
