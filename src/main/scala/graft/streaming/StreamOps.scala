@@ -584,7 +584,17 @@ object StreamOps {
     * `initialResidents` is resident-grain (bid, bkey, vec_id,
     * embedding) AT WIDTH `b` (i.e. already migrated); residents sort by
     * vec_id into the bucket list, which only fixes an order the fold's
-    * set semantics never observe. */
+    * set semantics never observe.
+    *
+    * NoTimeout class only, deliberately: resuming the EVICTING twin
+    * from initialState would leak — Spark arms an EventTimeTimeout
+    * only inside the fold, so a migrated bucket that never sees
+    * traffic again would hold its residents forever (no arrival, no
+    * re-arm, no timeout). A deployment migrating the evicting operator
+    * instead FILTERS the snapshot by the eviction window at migration
+    * time (the watermark is known when the query drains) — equivalent
+    * to the timeouts that would have fired — and resumes the bounded
+    * remainder through this operator's evicting twin fresh. */
   def streamingAnnPairsFrom(spark: SparkSession, vecs: DataFrame, b: Int,
       initialResidents: DataFrame,
       threshold: Double = graft.ext.SimilarityQueries.NearDupThreshold,
