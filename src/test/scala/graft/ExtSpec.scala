@@ -2466,6 +2466,36 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(e0.getInt(8) == (if (bFull > e0.getLong(1)) 1 else 0))
   }
 
+  test("epoch migration equals a fresh rebuild at EVERY width, including across the 16-bit boundary") {
+    // the split-property state transform, swept: for random vectors and
+    // every width b0 in [4, LshPlanesExt), re-keying width-b0 band rows
+    // through migrateAnnResidents must equal bandRowsOf at b0+1 bit for
+    // bit, with low bits untouched — the one property that lets live
+    // streaming state cross ANY doubling epoch, 16 -> 17 included
+    // (where the new bit comes from the ext-seeded family).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("vec_id"), col("bid"), col("bkey")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    Seq(4, 9, 15, 16, 23).foreach { b0 =>
+      val lo = keys(ext.SimilarityQueries.bandRowsOf(df, b0))
+      val mig = keys(ext.SimilarityQueries.migrateAnnResidents(
+        ext.SimilarityQueries.bandRowsOf(df, b0), b0))
+      val fresh = keys(ext.SimilarityQueries.bandRowsOf(df, b0 + 1))
+      assert(mig == fresh, s"b0=$b0: migrated != fresh rebuild")
+      val mask = (1 << b0) - 1
+      mig.foreach { case (k, v) =>
+        assert((v & mask) == lo(k), s"b0=$b0: low bits disturbed at $k") }
+      // the new bit must genuinely vary on random data
+      assert(mig.values.map(_ >>> b0).toSet == Set(0, 1), s"b0=$b0 degenerate")
+    }
+  }
+
   test("family widening: ext bit is real, low bits untouched, candidates only shed") {
     import org.apache.spark.sql.functions.col
     val b16 = ext.SimilarityQueries.LshPlanes
