@@ -824,7 +824,9 @@ object PipelineQueries {
     "p25_shard_balance" -> ((s, d) => shardBalance(s, d)),
     "p26_bpe_packing" -> ((s, d) => bpePacking(s, d)),
     "p27_survivor_funnel" ->
-      ((s, d) => graft.pipelines.TrainingDataPipeline.survivorFunnel(s, d))
+      ((s, d) => graft.pipelines.TrainingDataPipeline.survivorFunnel(s, d)),
+    "p28_token_funnel" ->
+      ((s, d) => graft.pipelines.TrainingDataPipeline.tokenFunnel(s, d))
   )
 
   /** p15 — exact-quota stratified split: within each stratum (lang),
@@ -913,19 +915,31 @@ object PipelineQueries {
        |GROUP BY split, shard""".stripMargin
 
   // lazy: oracle SQL bodies cross-reference sibling modules (t27→Dedup,
-  // s24→Text…); eager Maps would make object-init order a correctness
-  // hazard (NPE on whichever module clinit runs first).
-  lazy val oracles: Map[String, String] = Map(
-    // p27 recomputes EVERY doc-grain gate of the composed training-data
-    // pipeline independently: t2's quality formula, t11's repetition
-    // ratio, d1's exact keep, the full minhash-LSH component chain (d8's
-    // CTEs verbatim), the multi-probe ANN component chain (d31's CTEs,
-    // suffixed E so the two recursive closures coexist in one statement
-    // — DuckDB allows multiple recursive CTEs per WITH RECURSIVE), p5's
-    // mixture hash, p4's split bucket and p8's decontamination probe —
-    // then folds them into the same cumulative conditional counts the
-    // engine takes in one aggregate pass over gateFlags.
-    "p27_survivor_funnel" -> {
+  /** The composed pipeline's cumulative stage conditions — shared by the
+    * p27 (doc-count) and p28 (token-mass) funnel oracles AND mirrored by
+    * the engine's gateFlags conjunctions. */
+  private val duckStageConds: Seq[(String, String)] = Seq(
+    "s0_documents_in" -> "TRUE",
+    "s1_quality" -> "f_quality",
+    "s2_repetition" -> "f_quality AND f_rep",
+    "s3_exact_dedup" -> "f_quality AND f_rep AND f_exact",
+    "s4_lsh_roots" -> "f_quality AND f_rep AND f_exact AND f_lsh",
+    "s5_ann_mp_roots" ->
+      "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann",
+    "s6_mixture" ->
+      "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann AND f_mix",
+    "s7_decontaminated" ->
+      "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann AND f_mix AND f_clean")
+
+  /** The full gate-flag WITH prefix (recomputes EVERY doc-grain gate of
+    * the composed pipeline independently: t2's quality formula, t11's
+    * repetition ratio, d1's exact keep, the complete minhash-LSH
+    * component chain, the multi-probe ANN component chain — suffixed E
+    * so the two recursive closures coexist; DuckDB allows multiple
+    * recursive CTEs per WITH RECURSIVE — p5's mixture hash, p4's split
+    * bucket and p8's decontamination probe), ending at
+    * `flags(doc_id, f_quality … f_clean)`. Shared by p27 and p28. */
+  private lazy val duckGateFlagsWith: String = {
       import graft.pipelines.TrainingDataPipeline.{QualityThreshold, RepetitionMax}
       val annChain =
         s"""flipsE AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
@@ -999,21 +1013,6 @@ object PipelineQueries {
            |        FROM csh JOIN sb USING (doc_id)
            |        WHERE bucket < ${SplitBuckets - 2}),
            |contam AS (SELECT DISTINCT ctr.doc_id FROM ctr JOIN ctests USING (g))""".stripMargin
-      val stages = Seq(
-        "s0_documents_in" -> "TRUE",
-        "s1_quality" -> "f_quality",
-        "s2_repetition" -> "f_quality AND f_rep",
-        "s3_exact_dedup" -> "f_quality AND f_rep AND f_exact",
-        "s4_lsh_roots" -> "f_quality AND f_rep AND f_exact AND f_lsh",
-        "s5_ann_mp_roots" ->
-          "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann",
-        "s6_mixture" ->
-          "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann AND f_mix",
-        "s7_decontaminated" ->
-          "f_quality AND f_rep AND f_exact AND f_lsh AND f_ann AND f_mix AND f_clean")
-        .map { case (name, cond) =>
-          s"SELECT '$name' stage, CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) n FROM flags"
-        }.mkString("\nUNION ALL\n")
       s"""WITH RECURSIVE ${DedupQueries.duckShingled},
          |${DedupQueries.duckMinhashed},
          |bands AS (
@@ -1039,8 +1038,36 @@ object PipelineQueries {
          |  JOIN cc ON cc.node = d.doc_id
          |  LEFT JOIN ccE ON ccE.node = d.doc_id
          |  LEFT JOIN mixf USING (doc_id)
-         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id)
+         |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id)""".stripMargin
+  }
+
+  // s24→Text…); eager Maps would make object-init order a correctness
+  // hazard (NPE on whichever module clinit runs first).
+  lazy val oracles: Map[String, String] = Map(
+    "p27_survivor_funnel" -> {
+      val stages = duckStageConds.map { case (name, cond) =>
+        s"SELECT '$name' stage, CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) n FROM flags"
+      }.mkString("\nUNION ALL\n")
+      s"""$duckGateFlagsWith
          |SELECT stage, n FROM (
+         |$stages)
+         |ORDER BY stage""".stripMargin
+    },
+
+    // p28: the same gate flags weighted by each doc's whitespace-token
+    // mass — the "how many training tokens survive each stage" readout
+    // a data budget is written in (doc and token funnels diverge when a
+    // gate correlates with length).
+    "p28_token_funnel" -> {
+      val stages = duckStageConds.map { case (name, cond) =>
+        s"SELECT '$name' stage, CAST(coalesce(sum(CASE WHEN $cond THEN tw.nt ELSE 0 END), 0) AS BIGINT) n_tokens " +
+          "FROM flags JOIN tw USING (doc_id)"
+      }.mkString("\nUNION ALL\n")
+      s"""$duckGateFlagsWith,
+         |tw AS (SELECT doc_id,
+         |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) nt
+         |       FROM documents)
+         |SELECT stage, n_tokens FROM (
          |$stages)
          |ORDER BY stage""".stripMargin
     },

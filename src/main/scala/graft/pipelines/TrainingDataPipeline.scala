@@ -167,6 +167,47 @@ object TrainingDataPipeline {
       .orderBy("stage")
   }
 
+  /** p28 — the funnel in TOKEN MASS: the same cumulative gates weighted
+    * by each document's whitespace-token count — the units a training
+    * budget is written in. Doc and token funnels diverge exactly where
+    * a gate correlates with length (the quality gate's length term
+    * drops short docs, so the token funnel falls SLOWER through s1;
+    * near-dup clusters skew long on boilerplate-heavy corpora, so it
+    * falls FASTER through s4/s5) — the divergence is the readout. Same
+    * one-aggregate-pass shape as [[survivorFunnel]]; subword pricing of
+    * the final surviving text stays t32's job (the expansion factor is
+    * corpus-wide, not per-gate). */
+  def tokenFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("nt"))
+    val f = gateFlags(spark, dir).join(toks, "doc_id")
+    def cum(flags: Seq[String]): org.apache.spark.sql.Column =
+      sum(when(flags.map(col).reduce(_ && _), col("nt")).otherwise(0L))
+    val agg = f.agg(
+      sum(col("nt")).as("n0"),
+      cum(Seq("f_quality")).as("n1"),
+      cum(Seq("f_quality", "f_rep")).as("n2"),
+      cum(Seq("f_quality", "f_rep", "f_exact")).as("n3"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh")).as("n4"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann")).as("n5"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann", "f_mix"))
+        .as("n6"),
+      cum(Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann", "f_mix",
+        "f_clean")).as("n7"))
+    agg.selectExpr(
+      """stack(8,
+        |  's0_documents_in', n0,
+        |  's1_quality', n1,
+        |  's2_repetition', n2,
+        |  's3_exact_dedup', n3,
+        |  's4_lsh_roots', n4,
+        |  's5_ann_mp_roots', n5,
+        |  's6_mixture', n6,
+        |  's7_decontaminated', n7) AS (stage, n_tokens)""".stripMargin)
+      .orderBy("stage")
+  }
+
   /** Packed chunk shards for the surviving documents: span-cut
     * (provenance-preferred), PII-scrubbed text, chunked and packed by
     * the trained tokenizer's budget. */
