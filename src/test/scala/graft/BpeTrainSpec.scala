@@ -464,6 +464,24 @@ class BpeTrainSpec extends AnyFunSuite with SparkSuite {
     }
     assert(merges.size > plain.size,
       s"refill must add merges on this fixture: ${merges.size} vs ${plain.size}")
+    // 5) the crossings-vs-divergence frontier, measured and PINNED (the
+    // B-sweep discipline): on this fixed-seed fixture refill trades 2
+    // extra rule drifts at matched first-16 (11/16 vs 9/16 — taking
+    // shell-2-deep supply means more pre-batch counts diverge from the
+    // strict sequence) for 2.5× the merges per crossing (42/3 vs 17/3)
+    // — drift grows far slower than yield, which is the dial's case.
+    val strictK = seqBpe(vocab, 16).map(m => (m._2, m._3))
+    def div(rules: Seq[(String, String)]): Int = {
+      val k = math.min(rules.size, strictK.size)
+      (rules.take(k).toSet -- strictK.take(k).toSet).size
+    }
+    val dR = div(merges.map(m => (m._4, m._5)))
+    val dP = div(plain.map(m => (m._3, m._4)))
+    info(s"strict-BPE divergence at K=16: refill $dR, non-refill $dP; " +
+      s"merges/crossing: refill ${merges.size}/${merges.map(_._1).distinct.size} " +
+      s"vs non-refill ${plain.size}/${plain.map(_._1).distinct.size}")
+    assert((dR, dP, merges.size, plain.size) == ((11, 9, 42, 17)),
+      s"measured refill frontier moved: ($dR, $dP, ${merges.size}, ${plain.size})")
   }
 
   test("degenerate corpus truncates the merge table instead of crashing") {
