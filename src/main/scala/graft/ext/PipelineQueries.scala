@@ -826,7 +826,9 @@ object PipelineQueries {
     "p27_survivor_funnel" ->
       ((s, d) => graft.pipelines.TrainingDataPipeline.survivorFunnel(s, d)),
     "p28_token_funnel" ->
-      ((s, d) => graft.pipelines.TrainingDataPipeline.tokenFunnel(s, d))
+      ((s, d) => graft.pipelines.TrainingDataPipeline.tokenFunnel(s, d)),
+    "p29_composed_manifest" ->
+      ((s, d) => graft.pipelines.TrainingDataPipeline.composedManifest(s, d))
   )
 
   /** p15 — exact-quota stratified split: within each stratum (lang),
@@ -1052,6 +1054,107 @@ object PipelineQueries {
          |SELECT stage, n FROM (
          |$stages)
          |ORDER BY stage""".stripMargin
+    },
+
+    // p29: the WHOLE composed pipeline in one statement — the gate-flag
+    // prefix picks survivors, the d33 chain (x-prefixed CTEs) plans the
+    // provenance-preferred cuts, the d29 membership pattern applies them
+    // and the PII regexes scrub, p3's pattern chunks the clean text,
+    // duckBpeRounds prices it in trained-subword units and the p2
+    // exclusive-prefix rule shards the survivors — then one (lang,
+    // split, shard) rollup. A drift anywhere in the 11-stage composition
+    // breaks this single hash compare.
+    "p29_composed_manifest" -> {
+      val bpeK = graft.ext.TextQueries.BpeRounds
+      s"""$duckGateFlagsWith,
+         |${graft.ext.TextQueries.duckBpeRounds},
+         |srvids AS (SELECT doc_id FROM flags
+         |           WHERE f_quality AND f_rep AND f_exact AND f_lsh
+         |             AND f_ann AND f_mix AND f_clean),
+         |xt AS (SELECT doc_id, string_split(lower(text), ' ') tk FROM documents),
+         |xs AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) i
+         |       FROM xt WHERE len(tk) >= 3),
+         |xsh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+         |          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] shingle
+         |        FROM xs),
+         |xc AS (SELECT shingle FROM xsh GROUP BY shingle HAVING count(*) > 1),
+         |xdup AS (SELECT xsh.doc_id, xsh.pos FROM xsh JOIN xc USING (shingle)),
+         |xq AS (SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl
+         |       FROM xdup),
+         |xruns AS (SELECT doc_id, CAST(min(pos) AS BIGINT) cut_start,
+         |            CAST(min(pos) + count(*) + 2 AS BIGINT) cut_end
+         |          FROM xq GROUP BY doc_id, isl),
+         |xrng AS (SELECT doc_id, cut_start, cut_end FROM xruns
+         |         WHERE cut_end - cut_start >= ${DedupQueries.MinCutSpanToks}),
+         |xfp AS (SELECT r.doc_id, r.cut_start, r.cut_end, d.source,
+         |          md5(array_to_string(
+         |            t.tk[CAST(r.cut_start + 1 AS INT) : CAST(r.cut_end AS INT)],
+         |            ' ')) span_fp
+         |        FROM xrng r JOIN xt t ON t.doc_id = r.doc_id
+         |                    JOIN documents d ON d.doc_id = r.doc_id),
+         |xkept AS (SELECT span_fp, doc_id kept_doc_id, cut_start kept_start
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY span_fp
+         |                  ORDER BY source, doc_id, cut_start) rn FROM xfp)
+         |          WHERE rn = 1),
+         |xcuts AS (SELECT f.doc_id, f.cut_start, f.cut_end
+         |          FROM xfp f JOIN xkept k USING (span_fp)
+         |          WHERE f.doc_id <> k.kept_doc_id OR f.cut_start <> k.kept_start),
+         |yorig AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+         |ypos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) i
+         |         FROM yorig),
+         |ysrv AS (SELECT p.doc_id, p.tk[p.i] tok, p.i FROM ypos p
+         |         WHERE NOT EXISTS (SELECT 1 FROM xcuts c
+         |           WHERE c.doc_id = p.doc_id
+         |             AND p.i - 1 >= c.cut_start AND p.i - 1 < c.cut_end)),
+         |ycut AS (SELECT o.doc_id,
+         |           coalesce(a.ct, '') raw_clean
+         |         FROM yorig o LEFT JOIN (
+         |           SELECT doc_id, string_agg(tok, ' ' ORDER BY i) ct
+         |           FROM ysrv GROUP BY doc_id) a USING (doc_id)),
+         |yclean AS (SELECT doc_id,
+         |             regexp_replace(regexp_replace(raw_clean,
+         |               '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |               '\\+1-555-[0-9]+', '<PHONE>', 'g') clean
+         |           FROM ycut),
+         |ysub AS (SELECT w, CAST(count(*) AS BIGINT) n_sub
+         |         FROM s$bpeK GROUP BY w),
+         |ybw AS (SELECT y.doc_id, unnest(string_split(lower(y.clean), ' ')) w
+         |        FROM yclean y JOIN srvids USING (doc_id)),
+         |ybn AS (SELECT ybw.doc_id,
+         |          CAST(sum(coalesce(ysub.n_sub, length(ybw.w))) AS BIGINT) nb
+         |        FROM ybw LEFT JOIN ysub ON ybw.w = ysub.w
+         |        GROUP BY ybw.doc_id),
+         |ypack AS (SELECT doc_id,
+         |            CAST(coalesce(sum(nb) OVER (ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              // $PackBudget AS BIGINT) shard
+         |          FROM ybn),
+         |ych AS (SELECT y.doc_id, string_split(lower(y.clean), ' ') toks
+         |        FROM yclean y JOIN srvids USING (doc_id)),
+         |ychunks AS (SELECT doc_id,
+         |              CAST(least($ChunkSize, len(toks) - st) AS BIGINT) chunk_len
+         |            FROM (SELECT doc_id, toks,
+         |                    unnest(range(0, len(toks), $ChunkStride)) st
+         |                  FROM ych)),
+         |ysps AS (SELECT doc_id,
+         |           CASE WHEN b < ${SplitBuckets - 2} THEN 'train'
+         |                WHEN b = ${SplitBuckets - 2} THEN 'val'
+         |                ELSE 'test' END split
+         |         FROM (SELECT doc_id,
+         |                 ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         |                   % $SplitBuckets b
+         |               FROM documents))
+         |SELECT d.lang, ysps.split, ypack.shard,
+         |       CAST(count(DISTINCT ychunks.doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(ychunks.chunk_len) AS BIGINT) AS n_tokens
+         |FROM ychunks
+         |JOIN documents d USING (doc_id)
+         |JOIN ysps USING (doc_id)
+         |JOIN ypack USING (doc_id)
+         |GROUP BY d.lang, ysps.split, ypack.shard
+         |ORDER BY d.lang, ysps.split, ypack.shard""".stripMargin
     },
 
     // p28: the same gate flags weighted by each doc's whitespace-token

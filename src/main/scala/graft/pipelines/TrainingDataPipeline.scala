@@ -238,6 +238,23 @@ object TrainingDataPipeline {
         col("chunk_idx"), col("chunk_len"), col("chunk_text"))
   }
 
+  /** p29 — the composed pipeline's SHARD MANIFEST: per (lang, split,
+    * shard) doc/chunk/token counts of exactly what [[run]] lands — the
+    * reproducibility artifact of the WHOLE chain, and the operator that
+    * pins it end to end: its DuckDB oracle independently recomputes
+    * every gate, the provenance-preferred cut plan AND its application,
+    * the PII scrub, the chunker, the trained-BPE counts and the
+    * survivor prefix packing in one statement, so a drift anywhere in
+    * the 11-stage composition breaks one hash compare. One lazy plan —
+    * the [[shards]] frame grouped once. */
+  def composedManifest(spark: SparkSession, dir: String): DataFrame =
+    shards(spark, dir)
+      .groupBy(col("lang"), col("split"), col("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_tokens"))
+      .orderBy("lang", "split", "shard")
+
   /** Run the pipeline, land shards at `outDir` partitioned by
     * (lang, split), and return the per-stage survivor summary. */
   def run(spark: SparkSession, dir: String, outDir: String): DataFrame = {
