@@ -1297,6 +1297,29 @@ object SimilarityQueries {
         .cast("int"))
   }
 
+  /** [[migrateAnnResidents]] for the EVICTING streaming twin: the
+    * window-filter migration the r11 verdict asked to turn from prose
+    * into an operator. Input is the evicting query's drained snapshot
+    * at resident grain WITH the bucket's armed timeout
+    * (`timeout_ts`, epoch ms — see
+    * [[graft.streaming.StreamOps.annStateSnapshotEvicting]]); buckets
+    * whose timeout is ≤ the watermark observed at drain time would
+    * have evicted had the stream kept running (the fold re-arms at
+    * `max(lastArrival, watermark+1)`, so `timeout_ts ≤ watermarkMs`
+    * means the watermark has already passed the bucket's last
+    * arrival), so they are DROPPED — equivalent to the timeouts that
+    * would have fired — and only the in-window remainder is re-keyed
+    * to width b0+1 by the same new-bit-only split transform.
+    * `timeout_ts` is carried through: the resume path re-arms each
+    * migrated bucket at exactly this timestamp via the touch batch
+    * ([[graft.streaming.StreamOps.annTouchRows]]), so the composed
+    * stream's eviction schedule is the one the unbroken stream would
+    * have had. */
+  def migrateAnnResidentsEvicting(residents: DataFrame, b0: Int,
+      watermarkMs: Long): DataFrame =
+    migrateAnnResidents(
+      residents.filter(col("timeout_ts") > lit(watermarkMs)), b0)
+
   /** The adaptive key width b, derived ONCE per (session, dir) from the
     * corpus count and cached beside the band index — s30/s31/s32/d30/d31
     * all need it, and re-counting per query is a free-but-pointless
@@ -2021,10 +2044,14 @@ object SimilarityQueries {
         col("n_lowbit_mismatch"), col("n_containment_violations"))
       .orderBy("b_lo")
     // the 1-row readout is on the driver — free both band checkpoints
-    // eagerly and hand back a rebuilt frame (the powerIteration idiom)
-    val row = out.collect()
-    graft.CheckpointUtil.release(lo)
-    graft.CheckpointUtil.release(hi)
+    // eagerly (even on a failed collect) and hand back a rebuilt frame
+    // (the powerIteration idiom)
+    val row =
+      try out.collect()
+      finally {
+        graft.CheckpointUtil.release(lo)
+        graft.CheckpointUtil.release(hi)
+      }
     spark.createDataFrame(
       spark.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }

@@ -945,8 +945,7 @@ object TextQueries {
 
   private val bpeRefillSegCache = caches.newCache()
   private val bpeRefillMergesCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String),
-      Seq[(Long, Long, Long, String, String, String, Long)]]
+    caches.newSideCache[Seq[(Long, Long, Long, String, String, String, Long)]]()
 
   def bpeTrainRefill(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)

@@ -583,6 +583,130 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._3 >= graft.ext.SimilarityQueries.NearDupThreshold))
   }
 
+  test("evicting epoch migration: in-window residents pair at b+1, stale buckets dropped, untouched buckets still evict") {
+    // The COMPOSITION of eviction and epoch migration (r11 verdict #1):
+    // (1) an evicting admission query runs at width b0 and drains with a
+    // known watermark; (2) the snapshot is read WITH each bucket's armed
+    // timeout, window-filtered at the drain watermark (stale buckets
+    // dropped — the timeouts that would have fired), and re-keyed to
+    // b0+1; (3) the evicting twin resumes from the filtered initialState
+    // with the touch batch as its first micro-batch. Pinned here:
+    //   (a) an in-window pre-migration resident pairs with its
+    //       post-migration neighbor at the new width;
+    //   (b) an out-of-window resident is NOT resurrected — its
+    //       post-migration neighbor finds nothing;
+    //   (c) the leak the prose path had is actually closed: a migrated
+    //       bucket the new epoch never touches EVICTS once the
+    //       watermark passes its re-armed timeout, so the final state
+    //       is exactly the live window's banding — no immortal buckets.
+    import graft.ext.SimilarityQueries
+    val in1 = java.nio.file.Files.createTempDirectory("eme_in1").toString
+    val in2 = java.nio.file.Files.createTempDirectory("eme_in2").toString
+    val out = java.nio.file.Files.createTempDirectory("eme_out").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("eme_ck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("eme_ck2").toString
+    val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
+    val b0 = 6
+    // phase 1 at b0: A (in-window), S (stale at MIGRATION time — its
+    // buckets' timeout ts(28) is past the checkpoint's own watermark
+    // ts(25), so Spark has NOT physically evicted it, but the
+    // deployment declares the migration cut at ts(28), where it would
+    // have fired — the exact case the window filter exists for), W
+    // (in-window but never touched by phase-2 traffic — the leak probe)
+    val a = (1L, vec(3, 0f));  val s = (50L, vec(23, 0f)); val w = (100L, vec(77, 0f))
+    Seq((s._1, s._2, ts(28)), (a._1, a._2, ts(30)), (w._1, w._2, ts(35)))
+      .toDF("vec_id", "embedding", "ts").write.mode("append").parquet(in1)
+    val q1 = StreamOps.streamingAnnPairsEvicting(spark,
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+          .parquet(in1), b = b0, watermark = "10 minutes")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ck1)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    // the declared migration cut: later than the checkpoint's internal
+    // watermark (ts(25) = max event ts(35) − 10 min), at S's timeout
+    val drainWmMs = ts(28).getTime
+    val snap = StreamOps.annStateSnapshotEvicting(spark, ck1)
+    assert(snap.count() == 3 * SimilarityQueries.AnnHubTables, snap.count())
+    assert(snap.filter($"vec_id" === s._1).count() ==
+      SimilarityQueries.AnnHubTables.toLong,
+      "fixture: S must still be physically resident at drain — the filter, not Spark, drops it")
+    // window-filter + re-key: S's buckets (timeout ts(28) ≤ cut) drop;
+    // the survivors must equal a fresh width-(b0+1) banding of {A, W}
+    val mig = SimilarityQueries.migrateAnnResidentsEvicting(snap, b0, drainWmMs)
+      .localCheckpoint()
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "bid", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val freshSurvivors = SimilarityQueries.bandRowsOf(
+      Seq(a, w).toDF("vec_id", "embedding"), b0 + 1)
+    assert(keySet(mig) == keySet(freshSurvivors),
+      "window-filtered migration must equal a fresh width-(b+1) banding of the in-window residents")
+    val touches = StreamOps.annTouchRows(mig)
+    assert(touches.count() ==
+      mig.select("bid", "bkey").distinct().count(), "one touch per bucket")
+    // phase 2 at b0+1, fresh checkpoint, resumed from the migrated state
+    def land2(rows: (Long, Array[Float], java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("vec_id", "embedding", "ts")
+        .withColumn("touch_bid", org.apache.spark.sql.functions.lit(-1))
+        .withColumn("touch_bkey", org.apache.spark.sql.functions.lit(-1))
+        .write.mode("append").parquet(in2)
+    def runOnce2(): Unit = {
+      val q = StreamOps.streamingAnnPairsEvictingFrom(spark,
+          spark.readStream.schema(
+            "vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP, touch_bid INT, touch_bkey INT")
+            .parquet(in2), b = b0 + 1, initialResidents = mig,
+          watermark = "10 minutes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck2)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // first micro-batch: the touch re-registration rows
+    touches.write.mode("append").parquet(in2)
+    runOnce2()
+    // (a) A's neighbor pairs against migrated state at b0+1;
+    // (b) S's neighbor finds nothing — S was dropped at migration
+    land2((2L, vec(3, 0.01f), ts(36)), (51L, vec(23, 0.01f), ts(36)))
+    runOnce2()
+    // unrelated traffic advances the watermark past every re-armed
+    // timeout (ts(35) for W, ts(36) for the A/S' buckets); the next
+    // run's batch fires the timeouts
+    land2((101L, vec(12, 0f), ts(60)))
+    runOnce2()
+    // out-of-plane direction (the sine family spans a 2-D plane, so
+    // in-family "unrelated" seeds can still share buckets or clear the
+    // 0.45 threshold): alternating ±1 is orthogonal to the whole family
+    val altVec: Array[Float] = Array.tabulate(64)(d => if (d % 2 == 0) 1f else -1f)
+    land2((102L, altVec, ts(61)))
+    runOnce2()
+    val pairs = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).distinct.toSeq == Seq((1L, 2L)),
+      s"expected exactly the in-window cross-epoch pair: ${pairs.mkString(",")}")
+    assert(pairs.forall(_._3 >= SimilarityQueries.NearDupThreshold))
+    // (c) the final state is exactly the live window's width-(b0+1)
+    // banding: W's buckets — touched only by the re-registration batch —
+    // evicted on their re-armed timeouts instead of leaking, and the
+    // A/S'-epoch buckets evicted once the watermark passed ts(36)
+    val snap2 = StreamOps.annStateSnapshotEvicting(spark, ck2)
+    val freshLive = SimilarityQueries.bandRowsOf(
+      Seq((101L, vec(12, 0f)), (102L, altVec)).toDF("vec_id", "embedding"),
+      b0 + 1)
+    assert(keySet(snap2) == keySet(freshLive),
+      s"post-resume state must equal the live window's banding — no immortal migrated buckets")
+  }
+
   test("evicting near-dup: pre-eviction pair found across restart, post-eviction pair not") {
     // The recent-history-window contract end-to-end, across restarts:
     // (1) a near-dup arriving while the bucket is live pairs against

@@ -61,7 +61,9 @@ def main():
             rec(name, False, False, False, "no result parquet"); continue
         got = con.sql(f"SELECT * FROM '{resdir}/*.parquet'").df()
         if name not in oracle:
-            print(f"SKIP {name}: no oracle ({len(got)} rows)"); continue
+            print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            report[name] = {"skipped": True, "rows": len(got), "err": "no oracle"}
+            continue
         try:
             want = con.sql(oracle[name]).df()
         except Exception as e:
