@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * grows with enrolled docs, so a flat per-batch wall across batches is
   * the bounded-state contract showing up as a measurement.
   *
-  * Usage: runMain graft.StreamBench [batchSize] [evict|ann|ann-evict]
+  * Usage: runMain graft.StreamBench [batchSize]
+  * [evict|ann|ann-evict|ann-epoch|ann-epoch-evict]
   * (env SPARK_GRAFT_SF_DIR). With `evict`, the same feed runs through
   * `streamingNearDupPairsEvicting` with one synthetic event-time minute
   * per batch and a 3-minute watermark — per-batch state-store rows are
@@ -21,7 +22,14 @@ import org.apache.spark.sql.functions._
   * `streamingAnnPairs`; `ann-evict` through `streamingAnnPairsEvicting`
   * under the same minute-per-batch event-time scheme — the ann/ann-evict
   * state-row columns side by side are the embedding class's
-  * bounded-state measurement.
+  * bounded-state measurement. `ann-epoch` runs the mid-stream
+  * doubling-epoch crossing (unbounded resume, exact no-missed-pairs
+  * check against the batch edge set, buckets uncapped so a nonzero
+  * `missed` can only mean a migration defect); `ann-epoch-evict` runs
+  * the COMPOSED crossing — evicting drain, window-filtered migration,
+  * touch-batch resume — whose readout is the state plateau surviving
+  * the epoch. Both file-feed in ~batchSize-row chunks; nothing
+  * corpus-sized crosses the driver.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -53,12 +61,18 @@ object StreamBench {
       // state. The readout: state rows at the migration point, per-phase
       // wall + pair counts, and the no-missed-pairs check — phase 2's
       // distinct pair set must equal the batch width-(b0+1) collision
-      // edge set touching the second half.
+      // edge set touching the second half. The corpus never crosses the
+      // driver (r11 ADVICE): halves split by a 1-row boundary read and
+      // land as ~batchSize-row files consumed one per micro-batch;
+      // maxBucket is UNCAPPED here so a nonzero `missed` can only mean a
+      // migration defect, never cap-order noise.
       import graft.ext.SimilarityQueries
-      val vecs = Tables.load(spark, dir, "embeddings")
+      val embAll = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
-      val half = vecs.size / 2
+      val n = embAll.count()
+      val half = (n / 2).toInt
+      val newMin = embAll.orderBy("vec_id").offset(half).limit(1)
+        .select("vec_id").collect()(0).getLong(0)
       val b0 = SimilarityQueries.scaledBandBits(half)
       val in1 = java.nio.file.Files.createTempDirectory("ep_in1").toString
       val in2 = java.nio.file.Files.createTempDirectory("ep_in2").toString
@@ -66,11 +80,18 @@ object StreamBench {
       val out2 = java.nio.file.Files.createTempDirectory("ep_out2").toString
       val ck1 = java.nio.file.Files.createTempDirectory("ep_ck1").toString
       val ck2 = java.nio.file.Files.createTempDirectory("ep_ck2").toString
+      def landChunks(df: org.apache.spark.sql.DataFrame, rows: Long,
+          in: String): Int = {
+        val files = math.max(1, ((rows + batchSize - 1) / batchSize).toInt)
+        df.repartition(files).write.mode("append").parquet(in)
+        files
+      }
       def run(in: String, out: String, ck: String,
           mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.streaming.AnnPair]): Double = {
         val t0 = System.nanoTime()
         val q = mk(spark.readStream
-            .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(in))
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1).parquet(in))
           .writeStream
           .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
             df.write.mode("append").parquet(out)
@@ -82,25 +103,25 @@ object StreamBench {
         q.awaitTermination()
         (System.nanoTime() - t0) / 1e9
       }
-      vecs.take(half).toDF("vec_id", "embedding").write.mode("append").parquet(in1)
+      landChunks(embAll.filter(col("vec_id") < newMin), half, in1)
       val w1 = run(in1, out1, ck1,
-        s => graft.streaming.StreamOps.streamingAnnPairs(spark, s, b0))
+        s => graft.streaming.StreamOps.streamingAnnPairs(spark, s, b0,
+          maxBucket = Int.MaxValue))
       val snap = graft.streaming.StreamOps.annStateSnapshot(spark, ck1)
         .localCheckpoint()
       val mig = SimilarityQueries.migrateAnnResidents(snap, b0).localCheckpoint()
       println(f"[stream] epoch: b0=$b0, phase1 $half vecs in $w1%.2f s, " +
-        s"state rows at migration ${snap.count()} -> ${mig.count()}")
-      vecs.drop(half).toDF("vec_id", "embedding").write.mode("append").parquet(in2)
+        s"state rows at migration ${snap.count()} -> ${mig.count()} (uncapped buckets)")
+      landChunks(embAll.filter(col("vec_id") >= newMin), n - half, in2)
       val w2 = run(in2, out2, ck2,
-        s => graft.streaming.StreamOps.streamingAnnPairsFrom(spark, s, b0 + 1, mig))
+        s => graft.streaming.StreamOps.streamingAnnPairsFrom(spark, s, b0 + 1, mig,
+          maxBucket = Int.MaxValue))
       val p1 = spark.read.parquet(out1).dropDuplicates("vec_a", "vec_b").count()
       val got2 = spark.read.parquet(out2).dropDuplicates("vec_a", "vec_b")
         .select(col("vec_a"), col("vec_b")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       graft.functions.GraftFunctions.register(spark)
-      val allBands = SimilarityQueries.bandRowsOf(
-        vecs.toDF("vec_id", "embedding"), b0 + 1)
-      val newMin = vecs(half)._1
+      val allBands = SimilarityQueries.bandRowsOf(embAll, b0 + 1)
       val expected = allBands.as("x").join(allBands.as("y"),
           col("x.bid") === col("y.bid") && col("x.bkey") === col("y.bkey") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -110,10 +131,119 @@ object StreamBench {
         .filter(col("c") >= SimilarityQueries.NearDupThreshold)
         .select("xa", "yb").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"[stream] epoch: phase2 ${vecs.size - half} vecs in $w2%.2f s " +
+      println(f"[stream] epoch: phase2 ${n - half} vecs in $w2%.2f s " +
         s"at b=${b0 + 1}; pairs phase1=$p1 phase2=${got2.size}, " +
         s"batch-reference=${expected.size}, " +
         s"missed=${(expected -- got2).size}, extra=${(got2 -- expected).size}")
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("ann-epoch-evict")) {
+      // The COMPOSED crossing — eviction × epoch migration (r11 verdict
+      // #1): phase 1 runs the EVICTING operator at b0 with one synthetic
+      // event-time minute per ~batchSize file; the drained snapshot is
+      // window-filtered at the declared migration cut, re-keyed to b0+1,
+      // and phase 2 resumes the evicting twin from the migrated
+      // initialState with the touch batch as its first micro-batch. The
+      // readout: snapshot → window-cut → migrated row counts, touch
+      // buckets, per-phase wall, and the final checkpoint's state rows —
+      // which must reflect the LIVE WINDOW, not the enrolled corpus
+      // (the bounded-state contract surviving the epoch crossing).
+      import graft.ext.SimilarityQueries
+      import graft.streaming.StreamOps
+      val embAll = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = embAll.count()
+      val half = (n / 2).toInt
+      val bounds = embAll.agg(min("vec_id"), max("vec_id")).collect()(0)
+      val (idLo, idHi) = (bounds.getLong(0), bounds.getLong(1))
+      val newMin = embAll.orderBy("vec_id").offset(half).limit(1)
+        .select("vec_id").collect()(0).getLong(0)
+      val b0 = SimilarityQueries.scaledBandBits(half)
+      val wmDelay = "3 minutes"
+      val in1 = java.nio.file.Files.createTempDirectory("epe_in1").toString
+      val in2 = java.nio.file.Files.createTempDirectory("epe_in2").toString
+      val out2 = java.nio.file.Files.createTempDirectory("epe_out2").toString
+      val ck1 = java.nio.file.Files.createTempDirectory("epe_ck1").toString
+      val ck2 = java.nio.file.Files.createTempDirectory("epe_ck2").toString
+      // one synthetic minute per ~batchSize of vec_id span, monotone in
+      // vec_id; files are range-partitioned so event time advances with
+      // the feed like the MemoryStream modes' minute-per-batch scheme
+      def withMinutes(df: org.apache.spark.sql.DataFrame, minuteLo: Long,
+          spanLo: Long, spanHi: Long, nMinutes: Long)
+          : org.apache.spark.sql.DataFrame =
+        df.withColumn("ts", expr(
+          s"timestamp_millis($baseMs + ($minuteLo + " +
+          s"floor((vec_id - $spanLo) / ${math.max(1L, spanHi - spanLo + 1)}" +
+          s".0D * $nMinutes)) * 60000)"))
+      def landChunks(df: org.apache.spark.sql.DataFrame, rows: Long,
+          in: String): Unit = {
+        val files = math.max(1, ((rows + batchSize - 1) / batchSize).toInt)
+        df.repartitionByRange(files, col("vec_id")).write.mode("append").parquet(in)
+      }
+      val phase1Minutes = math.max(1L, half.toLong / batchSize)
+      landChunks(withMinutes(embAll.filter(col("vec_id") < newMin), 0,
+        idLo, newMin - 1, phase1Minutes), half, in1)
+      val t1 = System.nanoTime()
+      val q1 = StreamOps.streamingAnnPairsEvicting(spark,
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(in1),
+          b = b0, watermark = wmDelay, maxBucket = Int.MaxValue)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck1)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+      val w1 = (System.nanoTime() - t1) / 1e9
+      // declared migration cut = the drained query's own watermark
+      val drainWmMs = Option(q1.lastProgress).flatMap(p =>
+        Option(p.eventTime.get("watermark"))).map(w =>
+          java.time.Instant.parse(w).toEpochMilli).getOrElse(0L)
+      val snap = StreamOps.annStateSnapshotEvicting(spark, ck1).localCheckpoint()
+      val nSnap = snap.count()
+      val mig = SimilarityQueries.migrateAnnResidentsEvicting(snap, b0, drainWmMs)
+        .localCheckpoint()
+      val nMig = mig.count()
+      val touches = StreamOps.annTouchRows(mig).localCheckpoint()
+      val nTouch = touches.count()
+      println(f"[stream] epoch-evict: b0=$b0, phase1 $half vecs in $w1%.2f s; " +
+        s"snapshot $nSnap rows -> window cut at wm=$drainWmMs -> $nMig migrated " +
+        s"($nTouch touch buckets)")
+      // phase 2: touch batch FIRST (its own file => first micro-batch),
+      // then the second half, minutes continuing past phase 1's
+      touches.coalesce(1).write.mode("append").parquet(in2)
+      landChunks(
+        withMinutes(embAll.filter(col("vec_id") >= newMin), phase1Minutes,
+          newMin, idHi, math.max(1L, (n - half) / batchSize))
+          .withColumn("touch_bid", lit(-1)).withColumn("touch_bkey", lit(-1)),
+        n - half, in2)
+      val t2 = System.nanoTime()
+      val q2 = StreamOps.streamingAnnPairsEvictingFrom(spark,
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP, " +
+              "touch_bid INT, touch_bkey INT")
+            .option("maxFilesPerTrigger", 1).parquet(in2),
+          b = b0 + 1, initialResidents = mig,
+          watermark = wmDelay, maxBucket = Int.MaxValue)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out2)
+        }
+        .option("checkpointLocation", ck2)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      val w2 = (System.nanoTime() - t2) / 1e9
+      val p2 = spark.read.parquet(out2).dropDuplicates("vec_a", "vec_b").count()
+      val finalState = StreamOps.annStateSnapshotEvicting(spark, ck2).count()
+      println(f"[stream] epoch-evict: phase2 ${n - half} vecs in $w2%.2f s " +
+        s"at b=${b0 + 1}; pairs=$p2; final state $finalState resident rows " +
+        s"(live window) vs ${n * SimilarityQueries.AnnHubTables} unbounded " +
+        s"($n vecs x ${SimilarityQueries.AnnHubTables} tables) — " +
+        s"the plateau survives the epoch crossing")
       spark.stop()
       return
     }
