@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Harness-side PLANTED-CLUSTER embedding fixture (not part of the
+  * driver contract, like [[ScaleBlowup]]): writes an `embeddings.parquet`
+  * whose vectors are a deterministic mixture-of-Gaussians — K cluster
+  * centers with per-vector Gaussian noise — so the ANN dial family
+  * (s31/s32/s35/s38) can be measured on a corpus with real neighborhood
+  * structure.
+  *
+  * Why this exists (r11 verdict #2): the synthetic sinusoid embeddings
+  * span a 2-D plane with near-uniform hyperplane margins, which makes
+  * margin-ordered probing (s38) a wash BY CONSTRUCTION and depresses
+  * every recall@k readout — the fixture family cannot distinguish
+  * probe-ordering strategies at all. Planted clusters give queries true
+  * top-k neighbors (their cluster siblings) and give planes real margin
+  * structure (a vector near its center shares the center's confident
+  * signs and disagrees only on small-margin planes), so the dials carry
+  * deployable numbers.
+  *
+  * Fully deterministic (same reason ScaleBlowup is): centers are
+  * hash-uniforms on [-1,1]^dim keyed by (cluster, dim); noise is
+  * Box-Muller over two xxhash64-derived uniforms keyed by (vec_id, dim).
+  * Clusters assign by xxhash64(vec_id) so the s31 sample window
+  * (vec_id % 20 = 0, < 640) spreads across clusters instead of aliasing
+  * one. Schema matches the driver fixture exactly
+  * (vec_id LONG, embedding ARRAY<FLOAT>, label INT = cluster id).
+  *
+  * Usage: runMain graft.ClusteredFixture <outDir> [n] [k] [sigma]
+  * then SPARK_GRAFT_SF_DIR=<outDir> runMain graft.BenchDebug s31_... .
+  * sigma scales per-dim noise; with centers uniform on [-1,1]
+  * (E||c||^2 = dim/3), expected within-cluster cosine is roughly
+  * (dim/3) / (dim/3 + dim*sigma^2) — sigma 0.33 plants ~0.75.
+  */
+object ClusteredFixture {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.length > 0) args(0) else "/tmp/clustered"
+    val n = if (args.length > 1) args(1).toLong else 20000L
+    val k = if (args.length > 2) args(2).toInt else 64
+    val sigma = if (args.length > 3) args(3).toDouble else 0.33
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // hash → uniform in (0,1]: xxhash64 spans the full signed-64 range;
+    // shift to [0, 2^64) semantics via the unsigned reinterpretation
+    // (x/2^64 + 0.5 for negative), then clamp off exact 0 for the log
+    def u(seed: String): String =
+      s"(pmod(cast(xxhash64($seed) as double) / 18446744073709551616.0D + 1.0D, 1.0D) + 5e-20D)"
+    val centerU = u("'ctr', _cl, d")
+    val u1 = u("'bm1', vec_id, d")
+    val u2 = u("'bm2', vec_id, d")
+    spark.range(n).toDF("vec_id")
+      .withColumn("_cl", pmod(xxhash64(lit("asg"), col("vec_id")), lit(k)).cast("int"))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dim - 1}), d ->
+           |  cast(($centerU * 2.0D - 1.0D)
+           |   + $sigma * sqrt(-2.0D * ln($u1)) * cos(6.283185307179586D * $u2)
+           |  as float))""".stripMargin))
+      .withColumn("label", col("_cl"))
+      .select("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[clustered] n=$n k=$k sigma=$sigma dim=$dim -> $out/embeddings.parquet")
+    spark.stop()
+  }
+}
