@@ -35,20 +35,11 @@ import org.apache.spark.sql.functions._
   * (dim/3) / (dim/3 + dim*sigma^2) — sigma 0.33 plants ~0.75.
   */
 object ClusteredFixture {
-  def main(args: Array[String]): Unit = {
-    val out = if (args.length > 0) args(0) else "/tmp/clustered"
-    val n = if (args.length > 1) args(1).toLong else 20000L
-    val k = if (args.length > 2) args(2).toInt else 64
-    val sigma = if (args.length > 3) args(3).toDouble else 0.33
-    val dim = 64
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  val Dim = 64
 
+  /** Write the planted corpus under `out/embeddings.parquet`. */
+  def generate(spark: SparkSession, out: String, n: Long, k: Int,
+      sigma: Double): Unit = {
     // hash → uniform in (0,1]: xxhash64 spans the full signed-64 range;
     // shift to [0, 2^64) semantics via the unsigned reinterpretation
     // (x/2^64 + 0.5 for negative), then clamp off exact 0 for the log
@@ -60,7 +51,7 @@ object ClusteredFixture {
     spark.range(n).toDF("vec_id")
       .withColumn("_cl", pmod(xxhash64(lit("asg"), col("vec_id")), lit(k)).cast("int"))
       .withColumn("embedding", expr(
-        s"""transform(sequence(0, ${dim - 1}), d ->
+        s"""transform(sequence(0, ${Dim - 1}), d ->
            |  cast(($centerU * 2.0D - 1.0D)
            |   + $sigma * sqrt(-2.0D * ln($u1)) * cos(6.283185307179586D * $u2)
            |  as float))""".stripMargin))
@@ -68,7 +59,22 @@ object ClusteredFixture {
       .select("vec_id", "embedding", "label")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"[clustered] n=$n k=$k sigma=$sigma dim=$dim -> $out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.length > 0) args(0) else "/tmp/clustered"
+    val n = if (args.length > 1) args(1).toLong else 20000L
+    val k = if (args.length > 2) args(2).toInt else 64
+    val sigma = if (args.length > 3) args(3).toDouble else 0.33
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, out, n, k, sigma)
+    println(s"[clustered] n=$n k=$k sigma=$sigma dim=$Dim -> $out/embeddings.parquet")
     spark.stop()
   }
 }
