@@ -1896,7 +1896,12 @@ object SimilarityQueries {
     *    never re-buckets;
     *  - **candidate containment** — width-17 bucket pairs are a subset
     *    of width-16 pairs (n_containment_violations = 0): widening can
-    *    only shed candidates, never surface new ones;
+    *    only shed candidates, never surface new ones. Checked on the
+    *    fixed s31 sample's ANCHORS (since round 12): the corpus-grain
+    *    pair self-joins were the r11 suite's priciest entry, all
+    *    diagnostic denominator, and any kernel drift that surfaces a
+    *    new width-17 pair surfaces it for sampled anchors too — the
+    *    same sampling argument as every recall audit;
     *  - occupancy stats per width (buckets grow, max occupancy falls).
     *
     * The engine computes both frames independently through the widened
@@ -2023,12 +2028,23 @@ object SimilarityQueries {
       nb.groupBy(col("bid"), col(key)).agg(count(lit(1)).as("occ"))
         .agg(count(lit(1)).as(s"n_buckets_$sfx"),
           max(col("occ")).as(s"max_occ_$sfx"))
+    // containment is checked on the FIXED SAMPLE's anchors (the s31
+    // recall window): the corpus-grain pair self-joins were the r11
+    // suite's most expensive entry, all diagnostic denominator — a
+    // sampled differential keeps the guarantee (any kernel drift that
+    // surfaces a new width-17 pair surfaces it for sampled anchors too,
+    // the same argument as every recall audit) at probe-table cost. The
+    // anchor side is query-bounded (≤ RecallSampleN·L rows), so it
+    // broadcasts; the corpus frame never self-joins.
     def pairsOf(nb: DataFrame, key: String): DataFrame =
-      nb.as("a").join(nb.as("b"),
-          col("a.bid") === col("b.bid") &&
-            col(s"a.$key") === col(s"b.$key") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      nb.as("b").join(
+          broadcast(nb.filter(recallSampled(col("vec_id")))
+            .select(col("vec_id").as("x"), col("bid").as("abid"),
+              col(key).as("akey"))),
+          col("abid") === col("b.bid") &&
+            col("akey") === col(s"b.$key") &&
+            col("x") =!= col("b.vec_id"))
+        .select(col("x"), col("b.vec_id").as("y"))
         .distinct()
     val viol = pairsOf(nhi, "bkey_hi")
       .join(pairsOf(nlo, "bkey"), Seq("x", "y"), "left_anti")
@@ -2992,9 +3008,11 @@ object SimilarityQueries {
          |st1 AS (SELECT CAST(count(*) AS BIGINT) n_buckets_hi,
          |               CAST(max(occ) AS BIGINT) max_occ_hi FROM oc1),
          |p0 AS (SELECT DISTINCT a.vec_id x, b.vec_id y FROM lo a JOIN lo b
-         |       ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |       ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+         |       WHERE a.vec_id % $RecallSampleMod = 0 AND a.vec_id < $RecallSampleCap),
          |p1 AS (SELECT DISTINCT a.vec_id x, b.vec_id y FROM hi a JOIN hi b
-         |       ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |       ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id <> b.vec_id
+         |       WHERE a.vec_id % $RecallSampleMod = 0 AND a.vec_id < $RecallSampleCap),
          |vl AS (SELECT CAST(count(*) AS BIGINT) n_containment_violations
          |       FROM p1 ANTI JOIN p0 ON p1.x = p0.x AND p1.y = p0.y)
          |SELECT CAST($LshPlanes AS BIGINT) AS b_lo,
