@@ -1320,6 +1320,53 @@ object SimilarityQueries {
     migrateAnnResidents(
       residents.filter(col("timeout_ts") > lit(watermarkMs)), b0)
 
+  /** r_ann_epoch_replay — the mid-stream doubling-epoch protocol's EDGE
+    * SET as a batch replay with a DuckDB twin: the pair set the
+    * two-phase streaming run must emit (StreamBench `ann-epoch` measures
+    * the running operator against exactly this set; missed=0/extra=0 at
+    * every recorded scale). Phase-1 enrollees are the standing (even)
+    * half at its frozen width b0 ([[standingBandWidth]] — the same
+    * convention s33/s36 freeze); phase 2 admits the odd half after the
+    * b0 → b0+1 migration. Emitted across the crossing:
+    *
+    *  - `epoch1`: width-b0 co-bucket pairs within the even half
+    *    (both enrolled pre-migration, verified cosine ≥ threshold);
+    *  - `epoch2`: width-(b0+1) co-bucket pairs whose LATER arrival is
+    *    odd — a post-migration arrival pairing against any resident,
+    *    including pre-migration ones via their migrated child buckets
+    *    (the no-missed-pairs contract). Both-even pairs never re-emit
+    *    in phase 2 (they were state, not input), which the `later is
+    *    odd` condition encodes: evens all precede odds in arrival
+    *    order, so a pair with any odd member has an odd later arrival.
+    *
+    * The oracle evaluates the widened plane family ONCE (shared codes
+    * CTE, the s36 discipline) and masks at both widths. Scale shape:
+    * two bucket-grain self-joins at adaptive width — candidate mass
+    * held linear by occupancy, the audited d3/s30 shape. */
+  def annEpochReplay(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    val b0 = standingBandWidth(spark, dir)
+    val all = emb(spark, dir)
+    def pairsAt(bands: DataFrame, cond: Column): DataFrame =
+      bands.as("a").join(bands.as("b"),
+          col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(cond)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+        .filter(col("cosine") >= NearDupThreshold)
+        .distinct()
+    val p1 = pairsAt(bandRowsOf(all.filter(col("vec_id") % 2 === 0), b0),
+        lit(true))
+      .withColumn("phase", lit("epoch1"))
+    val p2 = pairsAt(bandRowsOf(all, b0 + 1),
+        col("a.vec_id") % 2 === 1 || col("b.vec_id") % 2 === 1)
+      .withColumn("phase", lit("epoch2"))
+    p1.unionByName(p2)
+      .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("phase", "vec_a", "vec_b")
+  }
+
   /** The adaptive key width b, derived ONCE per (session, dir) from the
     * corpus count and cached beside the band index — s30/s31/s32/d30/d31
     * all need it, and re-counting per query is a free-but-pointless
@@ -2286,6 +2333,7 @@ object SimilarityQueries {
     "s36_epoch_rebuild" -> ((s, d) => epochRebuild(s, d)),
     "s37_family_widening" -> ((s, d) => familyWidening(s, d)),
     "s38_query_directed" -> ((s, d) => queryDirectedRecall(s, d)),
+    "r_ann_epoch_replay" -> ((s, d) => annEpochReplay(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -3021,6 +3069,35 @@ object SimilarityQueries {
          |       st1.n_buckets_hi, st1.max_occ_hi,
          |       rm.n_lowbit_mismatch, vl.n_containment_violations
          |FROM rm, st0, st1, vl""".stripMargin
+    },
+
+    // r_ann_epoch_replay: the two-phase epoch-crossing edge set — one
+    // shared widened-codes evaluation masked at b0 (standing/even width)
+    // and b0+1 (the migrated width), pair sets split by the
+    // later-arrival-parity rule.
+    "r_ann_epoch_replay" -> {
+      def pairCte(name: String, bands: String, where: String) =
+        s"""$name AS (SELECT DISTINCT a.vec_id va, b.vec_id vb,
+           |    round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) c
+           |  FROM $bands a JOIN $bands b
+           |    ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id
+           |  WHERE $where
+           |    AND round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+           |        >= $NearDupThreshold)""".stripMargin
+      s"""WITH $duckEmb,
+         |${duckScaledBandsNamed("vec_id % 2 = 0", 0, "ep0")},
+         |${duckWidthParams("vec_id % 2 = 0", "paramsep1", 1)},
+         |${duckBandsFromCodes("ep0", "paramsep1", "bandsep1")},
+         |${pairCte("p1", "bandsep0",
+            "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+         |${pairCte("p2", "bandsep1",
+            "(a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)")}
+         |SELECT 'epoch1' AS phase, va AS vec_a, vb AS vec_b, c AS cosine FROM p1
+         |UNION ALL
+         |SELECT 'epoch2', va, vb, c FROM p2
+         |ORDER BY phase, vec_a, vec_b""".stripMargin
     },
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //
