@@ -64,6 +64,48 @@ object Resp {
         throw new java.io.IOException(s"RESP: unexpected reply tag $other")
     }
   }
+
+  /** Full recursive reply value — arrays nest (SCAN replies are
+    * `[cursor, [key, ...]]`), which the flat [[readReply]] can't carry.
+    * Used by the snapshot SOURCE; the sink's hot path keeps the flat
+    * reader. */
+  sealed trait Value
+  final case class Str(s: String) extends Value
+  final case class Num(n: Long) extends Value
+  case object Null extends Value
+  final case class Arr(items: Vector[Value]) extends Value
+
+  def readValue(in: java.io.DataInputStream): Value = {
+    def line(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != '\r') {
+        if (c < 0) throw new java.io.EOFException("RESP stream closed")
+        sb.append(c.toChar); c = in.read()
+      }
+      require(in.read() == '\n', "RESP: CR without LF")
+      sb.toString
+    }
+    in.read() match {
+      case '+' => Str(line())
+      case ':' => Num(line().toLong)
+      case '-' => throw new java.io.IOException(s"redis error: ${line()}")
+      case '$' =>
+        val n = line().toInt
+        if (n < 0) Null
+        else {
+          val buf = new Array[Byte](n)
+          in.readFully(buf)
+          require(in.read() == '\r' && in.read() == '\n', "RESP: bulk without CRLF")
+          Str(new String(buf, "UTF-8"))
+        }
+      case '*' =>
+        val n = line().toInt
+        if (n < 0) Null else Arr(Vector.fill(n)(readValue(in)))
+      case other =>
+        throw new java.io.IOException(s"RESP: unexpected reply tag $other")
+    }
+  }
 }
 
 /** Redis SINK for the reference deployment's write-back half
@@ -141,6 +183,84 @@ object RedisSink {
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
+}
+
+/** Redis SOURCE: a batch SNAPSHOT of string keys matching a pattern —
+  * the read half the sink implies (bootstrap a dimension the STEDI-side
+  * app maintains in Redis, e.g. the customer table the reference's
+  * Kafka keyspace events mirror). Two-phase, shaped for the cluster:
+  *
+  *  1. the DRIVER walks the SCAN cursor collecting matching KEYS only
+  *     (keys are dimension-scale — bytes per key — and SCAN is the
+  *     public non-blocking iteration; values never cross the driver);
+  *  2. keys distribute across `parallelism` partitions and each
+  *     partition GETs its keys over one pipelined socket — the same
+  *     executor-parallel shape as the sink.
+  *
+  * At real scale the driver key list is bounded by the dimension's key
+  * count (a Redis instance is memory-bound, so this is millions, not
+  * billions); a cluster deployment shards phase 1 by slot range the
+  * same way, one SCAN per node. */
+object RedisSource {
+
+  /** Driver-side SCAN walk: all keys matching `pattern`. */
+  def scanKeys(host: String, port: Int, pattern: String,
+      countHint: Int = 1000): Seq[String] = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val keys = Vector.newBuilder[String]
+      var cursor = "0"
+      var first = true
+      while (first || cursor != "0") {
+        first = false
+        out.write(Resp.encode(Seq("SCAN", cursor, "MATCH", pattern,
+          "COUNT", countHint.toString)))
+        out.flush()
+        Resp.readValue(in) match {
+          case Resp.Arr(Vector(Resp.Str(next), Resp.Arr(items))) =>
+            cursor = next
+            items.foreach { case Resp.Str(k) => keys += k; case _ => () }
+          case other =>
+            throw new java.io.IOException(s"SCAN: unexpected reply $other")
+        }
+      }
+      keys.result()
+    } finally sock.close()
+  }
+
+  /** Per-partition pipelined GET. Missing keys (deleted between scan
+    * and read — snapshot semantics are best-effort like any SCAN-based
+    * reader) yield no row rather than a null value. */
+  def readPartition(keys: Iterator[String], host: String, port: Int,
+      pipelineDepth: Int = 128): Iterator[(String, String)] = {
+    val ks = keys.toVector
+    if (ks.isEmpty) return Iterator.empty
+    val sock = new java.net.Socket(host, port)
+    try {
+      sock.setTcpNoDelay(true)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+      ks.grouped(pipelineDepth).flatMap { batch =>
+        batch.foreach(k => out.write(Resp.encode(Seq("GET", k))))
+        out.flush()
+        batch.flatMap(k => Resp.readReply(in).map(v => (k, v)))
+      }.toVector.iterator
+    } finally sock.close()
+  }
+
+  /** The snapshot as a DataFrame `(key STRING, value STRING)`. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, host: String,
+      port: Int, pattern: String = "*", parallelism: Int = 8): DataFrame = {
+    import spark.implicits._
+    val keys = scanKeys(host, port, pattern)
+    spark.createDataset(keys).repartition(parallelism)
+      .mapPartitions(it => readPartition(it, host, port))
+      .toDF("key", "value")
+  }
 }
 
 /** Guarded Redis round-trip smoke, the [[KafkaSmoke]] discipline for the

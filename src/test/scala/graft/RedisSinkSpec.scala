@@ -47,13 +47,23 @@ class RedisSinkSpec extends AnyFunSuite with SparkSuite {
           in.readFully(buf); in.read(); in.read()
           new String(buf, "UTF-8")
         }
+        def bulk(v: String) = s"$$${v.getBytes("UTF-8").length}\r\n$v\r\n"
         val reply = args.head.toUpperCase match {
           case _ if failNext => failNext = false; "-ERR injected failure\r\n"
           case "SET" => store.put(args(1), args(2)); "+OK\r\n"
           case "PING" => "+PONG\r\n"
-          case "GET" => Option(store.get(args(1)))
-            .map(v => s"$$${v.getBytes("UTF-8").length}\r\n$v\r\n")
-            .getOrElse("$-1\r\n")
+          case "GET" => Option(store.get(args(1))).map(bulk).getOrElse("$-1\r\n")
+          case "SCAN" =>
+            // full result at cursor 0 (a legal single-pass server): the
+            // nested [cursor, [keys...]] array shape the source parses
+            val pat = args.sliding(2, 1).collectFirst {
+              case Seq(m, p) if m.equalsIgnoreCase("MATCH") => p
+            }.getOrElse("*")
+            val rx = java.util.regex.Pattern.quote(pat)
+              .replace("*", """\E.*\Q""").replace("?", """\E.\Q""")
+            import scala.jdk.CollectionConverters._
+            val ks = store.keySet.asScala.filter(_.matches(rx)).toSeq.sorted
+            s"*2\r\n${bulk("0")}*${ks.size}\r\n${ks.map(bulk).mkString}"
           case other => s"-ERR unknown command '$other'\r\n"
         }
         out.write(reply.getBytes("UTF-8")); out.flush()
@@ -115,6 +125,27 @@ class RedisSinkSpec extends AnyFunSuite with SparkSuite {
     RedisSink.upsertBatch(df, "customer",
       Seq("customer", "score", "birthYear"), "localhost", redis.port, "c:")
     assert(redis.store.size == 2)
+  }
+
+  test("RESP value parser handles nested arrays (the SCAN reply shape)") {
+    val raw = "*2\r\n$1\r\n0\r\n*3\r\n$2\r\nk1\r\n$2\r\nk2\r\n$-1\r\n"
+    val v = Resp.readValue(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(raw.getBytes("UTF-8"))))
+    assert(v == Resp.Arr(Vector(Resp.Str("0"),
+      Resp.Arr(Vector(Resp.Str("k1"), Resp.Str("k2"), Resp.Null)))))
+  }
+
+  test("snapshot source: SCAN-matched keys read executor-parallel, values intact") {
+    import graft.io.RedisSource
+    val redis = new MockRedis
+    (0 until 300).foreach(i => redis.store.put(s"snap:k$i", s"v$i"))
+    (0 until 50).foreach(i => redis.store.put(s"other:k$i", "x"))
+    val df = RedisSource.readSnapshot(spark, "localhost", redis.port,
+      pattern = "snap:*", parallelism = 4)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows.size == 300, s"expected 300 matched keys, got ${rows.size}")
+    assert(rows("snap:k0") == "v0" && rows("snap:k299") == "v299")
+    assert(!rows.keySet.exists(_.startsWith("other:")))
   }
 
   test("streaming foreachBatch sink: two micro-batches land, later batch overwrites") {
