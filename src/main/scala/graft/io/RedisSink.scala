@@ -175,14 +175,39 @@ object RedisSink {
   def upsertForeachBatch(stream: DataFrame, keyCol: String,
       valueCols: Seq[String], checkpoint: String,
       host: String = "localhost", port: Int = 6379,
-      keyPrefix: String = "graft:")
+      keyPrefix: String = "graft:", outputMode: String = "update")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         upsertBatch(batch.toDF(), keyCol, valueCols, host, port, keyPrefix): Unit
       }
       .option("checkpointLocation", checkpoint)
-      .outputMode("update")
+      .outputMode(outputMode)
+
+  /** PRE-RENDERED variant for streams already shaped `(key, value)` —
+    * e.g. [[graft.ops.StediOps.toKafkaOutput]]'s Kafka sink projection,
+    * whose byte-faithful payload (score/birthYear as JSON strings) must
+    * not be re-rendered. SET `<prefix><key> <value>` per row. Default
+    * output mode is Append — the only mode a stream-stream join
+    * supports; the struct-rendering sink defaults to Update for the
+    * aggregate write-back case. */
+  def upsertKvForeachBatch(stream: DataFrame, checkpoint: String,
+      host: String = "localhost", port: Int = 6379,
+      keyPrefix: String = "graft:", outputMode: String = "append")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import batch.sparkSession.implicits._
+        batch.toDF()
+          .select(col("key").cast("string").as("k"),
+            col("value").cast("string").as("v"))
+          .as[(String, String)]
+          .mapPartitions(it =>
+            Iterator.single(writePartition(it, host, port, keyPrefix)))
+          .reduce(_ + _): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(outputMode)
 }
 
 /** Redis SOURCE: a batch SNAPSHOT of string keys matching a pattern —

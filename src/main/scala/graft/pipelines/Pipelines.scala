@@ -76,6 +76,48 @@ object JoinToKafka {
   }
 }
 
+/** Pipeline 4 — the BASELINE approach line ("Kafka source + Redis sink")
+  * as a runnable pipeline: the same stream-stream join as [[JoinToKafka]],
+  * but the enriched customer-risk JSON upserts into Redis keyed by
+  * customer email (`SET customer-risk:<email> <json>`), via the
+  * zero-dependency RESP writer. In the reference deployment the STEDI
+  * webapp owns the Redis writes; this closes the loop from the Spark
+  * side so a consumer reads the freshest score with one GET instead of
+  * tailing the `customer-risk` topic. Payload is byte-identical to the
+  * Kafka sink's ([[graft.ops.StediOps.toKafkaOutput]] — score/birthYear
+  * as JSON strings, the reference quirk). Idempotent SET + checkpoint =
+  * exactly-once from the reader's view across replays.
+  *
+  * args: [broker] [checkpoint] [joinDelay] ; Redis target from
+  * SPARK_GRAFT_REDIS (default localhost:6379). */
+object JoinToRedis {
+  def main(args: Array[String]): Unit = {
+    val spark = PipelineSession.build("graft-kafka-join-redis")
+    val broker = PipelineSession.broker(args)
+    val checkpoint = args.lift(1).getOrElse("/tmp/spark-checkpoints/redisjoin")
+    val (rHost, rPort) = sys.env.getOrElse("SPARK_GRAFT_REDIS", "localhost:6379")
+      .split(":", 2) match {
+        case Array(h, p) if p.nonEmpty && p.forall(_.isDigit) => (h, p.toInt)
+        case Array(h) => (h, 6379)
+        case other => (other.head, 6379)
+      }
+    val customers = StediOps.customerChain(StediOps.castValueAsString(
+      KafkaIO.readTopic(spark, broker, "redis-server")))
+    val risk = StediOps.parseRiskEvent(StediOps.castValueAsString(
+      KafkaIO.readTopic(spark, broker, "stedi-events")))
+    val joined = args.lift(2) match {
+      case Some(delay) =>
+        StediOps.joinRiskWithCustomerWatermarked(risk, customers, delay)
+      case None =>
+        StediOps.joinRiskWithCustomer(risk, customers)
+    }
+    graft.io.RedisSink.upsertKvForeachBatch(
+        StediOps.toKafkaOutput(joined), checkpoint, rHost, rPort,
+        keyPrefix = "customer-risk:")
+      .start().awaitTermination()
+  }
+}
+
 /** Quick-start smoke — all three reference-twin pipelines end-to-end with
   * NO Kafka broker: MemoryStream feeds stand in for the two topics
   * (binary `value` column, exactly the Kafka wire shape), console sinks

@@ -148,6 +148,53 @@ class RedisSinkSpec extends AnyFunSuite with SparkSuite {
     assert(!rows.keySet.exists(_.startsWith("other:")))
   }
 
+  test("pipeline 4 end-to-end: stedi wire feeds -> join -> Redis, payload byte-faithful") {
+    // The BASELINE approach line ("Kafka source + Redis sink") as a
+    // tested path: Kafka-wire-shaped MemoryStream feeds through the
+    // reference parse chains and stream-stream join, toKafkaOutput's
+    // quirk-preserving projection, and the raw-KV Redis upsert — then
+    // assert the landed JSON carries score/birthYear as STRINGS (the
+    // reference's sparkpykafkajoin.py:274-284 shape) under the
+    // customer-risk key.
+    import graft.ops.StediOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val redis = new MockRedis
+    val ck = java.nio.file.Files.createTempDirectory("redis_join_ck").toString
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val el = b64("""{"customerName":"Sam Test","email":"sam.test@test.com",""" +
+      """"phone":"8015551212","birthDay":"2001-01-03"}""")
+    val envelope =
+      s"""{"key":"Q3VzdG9tZXI=","existType":"NONE","ch":false,"incr":false,""" +
+        s""""zSetEntries":[{"element":"$el","score":0.0}]}"""
+    val riskJson =
+      """{"customer":"sam.test@test.com","score":7.0,""" +
+        """"riskDate":"2020-09-14T07:54:06.417Z"}"""
+    val redisFeed = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val eventFeed = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    import org.apache.spark.sql.functions.col
+    def asWire(s: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]) =
+      StediOps.castValueAsString(
+        s.toDF().select(col("value").cast("binary").as("value")))
+    val joined = StediOps.joinRiskWithCustomer(
+      StediOps.parseRiskEvent(asWire(eventFeed)),
+      StediOps.customerChain(asWire(redisFeed)))
+    val q = graft.io.RedisSink.upsertKvForeachBatch(
+        StediOps.toKafkaOutput(joined), ck,
+        port = redis.port, keyPrefix = "customer-risk:").start()
+    try {
+      redisFeed.addData(envelope)
+      eventFeed.addData(riskJson)
+      q.processAllAvailable()
+      val v = redis.store.get("customer-risk:sam.test@test.com")
+      assert(v != null, s"joined row must land in redis: ${redis.store}")
+      assert(v.contains(""""score":"7.0"""") && v.contains(""""birthYear":"2001""""),
+        s"payload must keep the reference's string-typed score/birthYear: $v")
+    } finally q.stop()
+  }
+
   test("streaming foreachBatch sink: two micro-batches land, later batch overwrites") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val redis = new MockRedis
