@@ -36,6 +36,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("epoch-crossing replay self-joins are hash equi-joins on the bucket key") {
+    // the two band self-joins must key on (bid, bkey) — an optimizer
+    // regression to a nested-loop/cartesian (e.g. the cosine condition
+    // swallowing the equi-keys) would be quadratic in the corpus
+    val p = plan("r_ann_epoch_replay")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q2_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
