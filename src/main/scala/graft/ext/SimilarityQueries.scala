@@ -1320,6 +1320,86 @@ object SimilarityQueries {
     migrateAnnResidents(
       residents.filter(col("timeout_ts") > lit(watermarkMs)), b0)
 
+  /** The evicting ANN stream's pair-emission rule as a BATCH computation
+    * over band rows carrying arrival minutes — the core under
+    * [[annEvictReplay]], factored so the spec can pin the rule against
+    * the RUNNING operator on engineered fixtures.
+    *
+    * Semantics replayed (one micro-batch per minute, every minute
+    * globally populated, buckets uncapped): a pair (a, b) with
+    * arrival minutes t_a ≤ t_b emits iff they share a bucket in which
+    * `a` is still resident when `b` arrives. Residency is a gap-chain:
+    * the bucket's EventTimeTimeout re-arms at each arrival, the
+    * watermark during batch m is (m−1) − W, and Spark fires the timeout
+    * strictly-greater (`timeout < watermark`), with an arrival DURING
+    * the would-evict batch processed before timeout handling (input
+    * rescues the bucket). Net: the bucket survives between consecutive
+    * distinct arrival minutes u → u' iff u' − u ≤ W + 1 = `gapLimit`,
+    * so `a` is resident at t_b iff every consecutive gap in the
+    * bucket's distinct arrival-minute sequence within (t_a, t_b] is
+    * ≤ gapLimit. Same-minute pairs always emit (same micro-batch,
+    * vec_id-ordered fold). The spec pins the ±1 boundary empirically:
+    * a planted gap of exactly gapLimit pairs, gapLimit + 1 does not.
+    *
+    * Input grain: (vec_id, embedding, bid, bkey, minute); emits
+    * (vec_a, vec_b, cosine) distinct, threshold-verified. */
+  private[graft] def evictingPairsReplayOn(bands: DataFrame,
+      gapLimit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(bands.sparkSession)
+    // per-bucket consecutive distinct-arrival-minute gaps; keep only
+    // the chain-breaking rows (gap mass is tiny — violations only)
+    val breaks = bands.select(col("bid"), col("bkey"), col("minute"))
+      .distinct()
+      .withColumn("gap", col("minute") - lag(col("minute"), 1).over(
+        Window.partitionBy(col("bid"), col("bkey")).orderBy(col("minute"))))
+      .filter(col("gap") > gapLimit)
+      .select(col("bid"), col("bkey"), col("minute").as("break_minute"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bid").as("bid"), col("a.bkey").as("bkey"),
+        least(col("a.minute"), col("b.minute")).as("t_lo"),
+        greatest(col("a.minute"), col("b.minute")).as("t_hi"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+    cand.join(breaks,
+        cand("bid") === breaks("bid") && cand("bkey") === breaks("bkey") &&
+          col("break_minute") > col("t_lo") &&
+          col("break_minute") <= col("t_hi"), "left")
+      .groupBy(col("vec_a"), col("vec_b"), cand("bid"), cand("bkey"),
+        col("cosine"))
+      .agg(max(when(col("break_minute").isNotNull, 1).otherwise(0))
+        .as("broken"))
+      .filter(col("broken") === 0)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .distinct()
+  }
+
+  /** r_ann_evict_replay's fixed minute convention: one synthetic minute
+    * per [[EvictReplayPerMin]] vec_ids, watermark [[EvictReplayWm]]
+    * minutes — at sf0.01 (500 vectors, 25 minutes) buckets at the
+    * adaptive width see natural chain breaks, so the rule's both
+    * branches carry rows. */
+  val EvictReplayPerMin = 20
+  val EvictReplayWm = 2
+
+  /** r_ann_evict_replay — the EVICTING streaming ANN operator's emitted
+    * pair set as a batch replay with a DuckDB twin (the bounded-state
+    * sibling of [[annEpochReplay]]): minute-fed corpus, gap-chain
+    * residency at gapLimit = W + 1 (see [[evictingPairsReplayOn]] for
+    * the exact stream-semantics derivation; the boundary is pinned
+    * against the running operator by spec). */
+  def annEvictReplay(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    val b = scaledBandWidth(spark, dir)
+    val bands = bandRowsOf(emb(spark, dir), b)
+      .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
+    evictingPairsReplayOn(bands, EvictReplayWm + 1)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** r_ann_epoch_replay — the mid-stream doubling-epoch protocol's EDGE
     * SET as a batch replay with a DuckDB twin: the pair set the
     * two-phase streaming run must emit (StreamBench `ann-epoch` measures
@@ -2334,6 +2414,7 @@ object SimilarityQueries {
     "s37_family_widening" -> ((s, d) => familyWidening(s, d)),
     "s38_query_directed" -> ((s, d) => queryDirectedRecall(s, d)),
     "r_ann_epoch_replay" -> ((s, d) => annEpochReplay(s, d)),
+    "r_ann_evict_replay" -> ((s, d) => annEvictReplay(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -3098,6 +3179,45 @@ object SimilarityQueries {
          |UNION ALL
          |SELECT 'epoch2', va, vb, c FROM p2
          |ORDER BY phase, vec_a, vec_b""".stripMargin
+    },
+
+    // r_ann_evict_replay: the gap-chain residency rule over the
+    // minute-fed corpus — bands at the adaptive width, per-bucket
+    // distinct-arrival-minute gaps via lag(), chain-break rows joined
+    // into the candidate range, EXISTS-unbroken-bucket via the
+    // per-(pair, bucket) aggregate.
+    "r_ann_evict_replay" -> {
+      val g = EvictReplayWm + 1
+      s"""WITH $duckEmb,
+         |$duckScaledBands,
+         |bm AS (SELECT vec_id, bid, bkey, vec_id // $EvictReplayPerMin am
+         |       FROM bands),
+         |mins AS (SELECT DISTINCT bid, bkey, am FROM bm),
+         |brk AS (SELECT bid, bkey, break_minute FROM (
+         |    SELECT bid, bkey, am break_minute,
+         |           am - lag(am) OVER (PARTITION BY bid, bkey
+         |             ORDER BY am) gap
+         |    FROM mins) WHERE gap > $g),
+         |cand AS (SELECT a.vec_id va, b.vec_id vb, a.bid bid, a.bkey bkey,
+         |           least(a.am, b.am) t_lo,
+         |           greatest(a.am, b.am) t_hi,
+         |           round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) c
+         |         FROM bm a JOIN bm b
+         |           ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |         JOIN e ea ON ea.vec_id = a.vec_id
+         |         JOIN e eb ON eb.vec_id = b.vec_id
+         |         WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+         |               >= $NearDupThreshold),
+         |ok AS (SELECT va, vb, c
+         |       FROM cand LEFT JOIN brk
+         |         ON cand.bid = brk.bid AND cand.bkey = brk.bkey
+         |        AND brk.break_minute > cand.t_lo
+         |        AND brk.break_minute <= cand.t_hi
+         |       GROUP BY va, vb, cand.bid, cand.bkey, c
+         |       HAVING max(CASE WHEN brk.break_minute IS NOT NULL
+         |                  THEN 1 ELSE 0 END) = 0)
+         |SELECT DISTINCT va AS vec_a, vb AS vec_b, c AS cosine FROM ok
+         |ORDER BY vec_a, vec_b""".stripMargin
     },
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //

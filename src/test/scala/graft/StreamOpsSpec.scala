@@ -707,6 +707,119 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       s"post-resume state must equal the live window's banding — no immortal migrated buckets")
   }
 
+  test("evicting ANN stream equals the gap-chain batch replay rule (boundary pinned)") {
+    // Pins r_ann_evict_replay's residency rule against the RUNNING
+    // operator. Planted chains at watermark W=2 minutes:
+    //   A: gap W+1=3 — alive under either timeout-boundary semantics
+    //      (arrival in the first possible eviction batch rescues);
+    //   B: gap W+2=4 — THE discriminator: strict `timeout < watermark`
+    //     means the eviction batch is m = u+W+2, which is exactly when
+    //     B2 arrives (input processes before timeouts → rescued → pair);
+    //     a non-strict boundary would have evicted at m = u+W+1;
+    //   D: gap W+3=5 — evicted under either semantics, no pair.
+    // The assertion is FULL SET EQUALITY stream vs replay (fillers and
+    // any bucket interference affect both models identically), plus the
+    // planted outcomes that prove the fixture exercises eviction.
+    import graft.ext.SimilarityQueries
+    val in = java.nio.file.Files.createTempDirectory("evr_in").toString
+    val out = java.nio.file.Files.createTempDirectory("evr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evr_ck").toString
+    val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    def vec(seed: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
+    val alt1: Array[Float] = Array.tabulate(64)(d => if (d % 2 == 0) 1f else -1f)
+    val alt2: Array[Float] = Array.tabulate(64)(d => if (d % 4 < 2) 1f else -1f)
+    // (vec_id, embedding, minute)
+    val feed: Seq[(Long, Array[Float], Long)] = Seq(
+      (1L, vec(3, 0f), 0L), (50L, vec(77, 0f), 0L), (60L, vec(23, 0f), 0L),
+      (100L, alt1, 1L), (101L, alt2, 2L),
+      (2L, vec(3, 0.01f), 3L),   // A: gap 3 = W+1
+      (51L, vec(77, 0.01f), 4L), // B: gap 4 = W+2 (the discriminator)
+      (61L, vec(23, 0.01f), 5L)) // D: gap 5 = W+3
+    val b = 6
+    def runMinute(m: Long): Unit = {
+      feed.filter(_._3 == m).map(r => (r._1, r._2, ts(r._3)))
+        .toDF("vec_id", "embedding", "ts").write.mode("append").parquet(in)
+      val q = StreamOps.streamingAnnPairsEvicting(spark,
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+            .parquet(in), b = b, watermark = "2 minutes",
+          maxBucket = Int.MaxValue)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (0L to 5L).foreach(runMinute)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = SimilarityQueries.bandRowsOf(
+        feed.map(r => (r._1, r._2)).toDF("vec_id", "embedding"), b)
+      .join(feed.map(r => (r._1, r._3)).toDF("vec_id", "minute"), "vec_id")
+    val replayed = SimilarityQueries
+      .evictingPairsReplayOn(bands, SimilarityQueries.EvictReplayWm + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == replayed,
+      s"stream must equal the replay rule: stream=$streamed replay=$replayed")
+    assert(streamed.contains((1L, 2L)), "gap W+1 chain must survive")
+    assert(!streamed.contains((60L, 61L)), "gap W+3 chain must evict")
+  }
+
+  test("evicting ANN stream equals the replay rule on a minute-fed corpus") {
+    // The same pin on NATURAL structure: the sf0.001 embedding corpus
+    // spread over 10 synthetic minutes (vec_id div 5), so bucket chains
+    // break where the data says, not where the fixture plants them.
+    import graft.ext.SimilarityQueries
+    val in = java.nio.file.Files.createTempDirectory("evc_in").toString
+    val out = java.nio.file.Files.createTempDirectory("evc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evc_ck").toString
+    val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toSeq
+    val perMin = 5
+    val b = 6
+    def minuteOf(v: Long): Long = v / perMin
+    def runMinute(m: Long): Unit = {
+      corpus.filter(r => minuteOf(r._1) == m)
+        .map(r => (r._1, r._2, new java.sql.Timestamp(baseMs + m * 60000L)))
+        .toDF("vec_id", "embedding", "ts").write.mode("append").parquet(in)
+      val q = StreamOps.streamingAnnPairsEvicting(spark,
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+            .parquet(in), b = b, watermark = "2 minutes",
+          maxBucket = Int.MaxValue)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val maxMin = corpus.map(r => minuteOf(r._1)).max
+    (0L to maxMin).foreach(runMinute)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = SimilarityQueries.bandRowsOf(
+        corpus.toDF("vec_id", "embedding"), b)
+      .withColumn("minute", org.apache.spark.sql.functions.expr(s"vec_id div $perMin"))
+    val replayed = SimilarityQueries
+      .evictingPairsReplayOn(bands, SimilarityQueries.EvictReplayWm + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == replayed,
+      s"stream must equal the replay rule on the corpus: " +
+        s"stream-only=${streamed -- replayed} replay-only=${replayed -- streamed}")
+  }
+
   test("evicting near-dup: pre-eviction pair found across restart, post-eviction pair not") {
     // The recent-history-window contract end-to-end, across restarts:
     // (1) a near-dup arriving while the bucket is live pairs against
