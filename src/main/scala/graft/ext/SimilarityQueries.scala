@@ -239,14 +239,45 @@ object SimilarityQueries {
     * byte-identical to the unwidened index — the s36 split property
     * extends across the clamp boundary and a standing index can re-key
     * from b=16 to b=17 without re-bucketing history (s37 checks the
-    * contract differentially). */
+    * contract differentially).
+    *
+    * This is the production clamp on the ADAPTIVE width
+    * ([[scaledBandBits]]), not a kernel limit: the ext family is
+    * generated on demand at RANK-MAJOR index `(r−16)·T + t`, so raising
+    * this constant only APPENDS plane rows — every already-assigned
+    * (table, rank) keeps its plane bit for bit, and standing state
+    * never re-buckets on a family growth. (The r11 build indexed
+    * table-major, `t·(Ext−16) + (r−16)`, which bakes the constant into
+    * every index: growing 24 → 32 would have silently remapped bits
+    * 16–23 of tables ≥ 1 to DIFFERENT planes — a full re-bucket of
+    * live state disguised as a constant bump. The width sweep in
+    * ExtSpec now pins the rank-major rule and runs the migration /
+    * prefix-stability contracts out to bit 30.) The kernels accept any
+    * width up to [[LshKeyBitsMax]]; the true redesign point is bit 31
+    * (the Int key's sign bit — bkey would need LONG, at ~2^31·occ ≈
+    * 17 B vectors per occ-8 unit). */
   val LshPlanesExt = 24
-  private lazy val extPlaneSigns: Array[Array[Int]] =
-    hashSignsN("ext", AnnHubTables * (LshPlanesExt - LshPlanes), LshDims)
+  /** Hard kernel ceiling on per-table key width: bkey is a positive
+    * Int, so bits 0..30 are addressable; bit 31 is the sign bit. */
+  val LshKeyBitsMax = 31
+  private val extRowCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  /** Ext-family sign row at rank-major index `i = (r−16)·T + t`,
+    * generated on demand (same digest rule as [[hashSignsN]] with seed
+    * "ext") — the family has no materialized size, so no constant can
+    * remap it. */
+  private def extPlaneRow(i: Int): Array[Int] =
+    extRowCache.computeIfAbsent(i, idx => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(LshDims) { d =>
+        val h = md.digest(s"ext$idx|$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    })
   /** Sign row for key bit `r` of table `t` across the widened family. */
-  private def tablePlaneSign(t: Int, r: Int): Array[Int] =
+  private[graft] def tablePlaneSign(t: Int, r: Int): Array[Int] =
     if (r < LshPlanes) tablePlaneSigns(t * LshPlanes + r)
-    else extPlaneSigns(t * (LshPlanesExt - LshPlanes) + (r - LshPlanes))
+    else extPlaneRow((r - LshPlanes) * AnnHubTables + t)
 
   /** The 4×4 banding of 16 sign-bit columns `s0..s15` into
     * `struct(bid, bkey)` literals — shared by every LSH family. */
@@ -1218,11 +1249,15 @@ object SimilarityQueries {
     *    the low b bits.
     *
     * Candidates per vector ≈ L · occupancy — corpus-size-independent.
-    * Past n ≈ 2^[[LshPlanesExt]] · occ (≈ 134M vectors per occ-8 unit —
-    * two further doublings beyond the widened family would demand a
-    * larger [[LshPlanesExt]], a constant, not a redesign) the width is
-    * clamped again; that residual limit is documented, not load-bearing
-    * at the commissioned scale. */
+    * Past n ≈ 2^[[LshPlanesExt]] · occ (≈ 134M vectors per occ-8 unit)
+    * the width is clamped again — and since round 12 "a larger
+    * [[LshPlanesExt]] is a constant, not a redesign" is a TESTED claim:
+    * ext rows are generated on demand at rank-major index, so raising
+    * the constant appends planes without remapping assigned bits, and
+    * the ExtSpec width sweep runs the migration + prefix-stability
+    * contracts out to bit 30. The genuine redesign point is
+    * [[LshKeyBitsMax]] = 31 (Int-key sign bit → bkey LONG, at
+    * ~2^31·occ ≈ 17 B vectors per occ-8 unit). */
   val AnnHubTargetOcc = 8
   val AnnHubTables = 8
   private[graft] def scaledBandBits(n: Long): Int = {
@@ -1242,7 +1277,7 @@ object SimilarityQueries {
     * because the kernel is literally shared. */
   private[graft] def bandRowsOf(vecs: DataFrame, b: Int,
       extra: Seq[String] = Nil): DataFrame = {
-    require(b <= LshPlanesExt, s"key width $b exceeds the widened family")
+    require(b <= LshKeyBitsMax, s"key width $b exceeds the Int-key ceiling")
     GraftFunctions.register(vecs.sparkSession)
     // only the b planes each table actually keys on are evaluated —
     // 8·b dot products per vector, not the full widened family; bits
@@ -1284,8 +1319,8 @@ object SimilarityQueries {
     * mid-stream (drain → migrate → resume via
     * [[graft.streaming.StreamOps.streamingAnnPairsFrom]]). */
   def migrateAnnResidents(residents: DataFrame, b0: Int): DataFrame = {
-    require(b0 + 1 <= LshPlanesExt,
-      s"cannot widen past the plane family: b0=$b0, max=$LshPlanesExt")
+    require(b0 + 1 <= LshKeyBitsMax,
+      s"cannot widen past the Int-key ceiling: b0=$b0, max=$LshKeyBitsMax")
     GraftFunctions.register(residents.sparkSession)
     val signCase = (0 until AnnHubTables).map { t =>
       val coeffs = tablePlaneSign(t, b0)

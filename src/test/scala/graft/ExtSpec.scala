@@ -2466,13 +2466,16 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(e0.getInt(8) == (if (bFull > e0.getLong(1)) 1 else 0))
   }
 
-  test("epoch migration equals a fresh rebuild at EVERY width, including across the 16-bit boundary") {
+  test("epoch migration equals a fresh rebuild at EVERY width, including across the 16-bit boundary AND past the production clamp") {
     // the split-property state transform, swept: for random vectors and
-    // every width b0 in [4, LshPlanesExt), re-keying width-b0 band rows
-    // through migrateAnnResidents must equal bandRowsOf at b0+1 bit for
-    // bit, with low bits untouched — the one property that lets live
-    // streaming state cross ANY doubling epoch, 16 -> 17 included
-    // (where the new bit comes from the ext-seeded family).
+    // widths b0 spanning [4, LshKeyBitsMax), re-keying width-b0 band
+    // rows through migrateAnnResidents must equal bandRowsOf at b0+1
+    // bit for bit, with low bits untouched — the one property that lets
+    // live streaming state cross ANY doubling epoch, 16 -> 17 included
+    // (where the new bit comes from the ext-seeded family) AND widths
+    // past LshPlanesExt=24 (proving that raising the production clamp
+    // is genuinely just a constant bump: the on-demand rank-major ext
+    // family keeps the same contracts out to the Int-key ceiling).
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -2482,7 +2485,7 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     def keys(d: org.apache.spark.sql.DataFrame) =
       d.select(col("vec_id"), col("bid"), col("bkey")).collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
-    Seq(4, 9, 15, 16, 23).foreach { b0 =>
+    Seq(4, 9, 15, 16, 23, 24, 27, 30).foreach { b0 =>
       val lo = keys(ext.SimilarityQueries.bandRowsOf(df, b0))
       val mig = keys(ext.SimilarityQueries.migrateAnnResidents(
         ext.SimilarityQueries.bandRowsOf(df, b0), b0))
@@ -2517,6 +2520,64 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     val row = ext.SimilarityQueries.familyWidening(spark, dir).collect().head
     assert(row.getLong(7) == 0L && row.getLong(8) == 0L, row.toString)
     assert(row.getLong(5) >= row.getLong(3), "buckets must not shrink")
+  }
+
+  test("ext plane family is rank-major and width-prefix-stable out to the Int-key ceiling") {
+    // Two halves of "a larger LshPlanesExt is just a constant":
+    // (1) generator contract — tablePlaneSign(t, r) for r >= 16 is the
+    //     md5(ext{(r-16)*T + t}|{d}) sign row, recomputed here
+    //     independently, so the index CANNOT depend on the family size
+    //     (the r11 table-major indexing did: growing 24 -> 32 would have
+    //     remapped bits 16..23 of tables >= 1 to different planes — a
+    //     full re-bucket of standing state disguised as a constant bump);
+    // (2) key contract — for widths b < b' spanning BOTH boundaries
+    //     (the 16-bit family split and the 24-bit production clamp),
+    //     every width-b' key's low b bits equal the width-b key, and the
+    //     width-b' candidate pair set is contained in the width-b one.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val T = ext.SimilarityQueries.AnnHubTables
+    val dims = 64
+    for (t <- Seq(0, 1, T - 1); r <- Seq(16, 23, 24, 30)) {
+      val idx = (r - 16) * T + t
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = Array.tabulate(dims) { d =>
+        val h = md.digest(s"ext$idx|$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+      assert(ext.SimilarityQueries.tablePlaneSign(t, r).toSeq == expect.toSeq,
+        s"rank-major generator contract broken at (t=$t, r=$r)")
+    }
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 48L).map(i =>
+        (i, Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    def keys(b: Int) =
+      ext.SimilarityQueries.bandRowsOf(df, b)
+        .select(col("vec_id"), col("bid"), col("bkey")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    def pairs(k: Map[(Long, Int), Int]) =
+      k.groupBy { case ((_, bid), bkey) => (bid, bkey) }.values
+        .flatMap { bucket =>
+          val ids = bucket.keys.map(_._1).toSeq.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.size)
+            yield (ids(i), ids(j))
+        }.toSet
+    val byWidth = Seq(12, 20, 24, 28, 31).map(b => b -> keys(b)).toMap
+    for (Seq(b, b2) <- Seq(12, 20, 24, 28, 31).combinations(2)) {
+      val (lo, hi) = (byWidth(b), byWidth(b2))
+      val mask = (1 << b) - 1
+      assert(lo.keySet == hi.keySet && lo.nonEmpty)
+      lo.foreach { case (k, k0) =>
+        assert((hi(k) & mask) == k0, s"b=$b vs b'=$b2: low bits drift at $k") }
+      assert(pairs(hi).subsetOf(pairs(lo)),
+        s"b'=$b2 surfaced a pair absent at b=$b — widening must only shed")
+    }
+    // each post-clamp bit must genuinely vary on random data
+    for (b <- Seq(28, 31); r = b - 1) {
+      val bits = byWidth(b).values.map(k => (k >>> r) & 1).toSet
+      assert(bits == Set(0, 1), s"ext bit $r degenerate: $bits")
+    }
   }
 
   test("budget allocation: lambda* is feasible and maximal, allocations clamp at supply") {
