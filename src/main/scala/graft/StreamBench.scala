@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * the COMPOSED crossing — evicting drain, window-filtered migration,
   * touch-batch resume — whose readout is the state plateau surviving
   * the epoch. Both file-feed in ~batchSize-row chunks; nothing
-  * corpus-sized crosses the driver.
+  * corpus-sized crosses the driver. `two-tier` runs the full corpus
+  * architecture: streaming ingest tier lands the documents fixture,
+  * the batch TrainingDataPipeline consolidates over the landed table,
+  * and the survivor set is diffed against the pure-batch run (0/0 is
+  * the StreamOpsSpec contract as a scale measurement).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -244,6 +248,76 @@ object StreamBench {
         s"(live window) vs ${n * SimilarityQueries.AnnHubTables} unbounded " +
         s"($n vecs x ${SimilarityQueries.AnnHubTables} tables) — " +
         s"the plateau survives the epoch crossing")
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("two-tier")) {
+      // TWO-TIER corpus architecture end-to-end (r11 verdict #8's
+      // measured row): the documents fixture streams through the ingest
+      // tier (quality gate, watermarked fingerprint dedup, scrub) in
+      // ~batchSize-row micro-batches, lands as a documents table, and
+      // the FULL batch TrainingDataPipeline consolidates over the
+      // landed corpus. The readout: ingest wall + docs/s, landed count,
+      // consolidation wall per tier, and the survivor-set diff vs the
+      // pure-batch run over the original corpus (must be 0/0 — the
+      // StreamOpsSpec contract as a scale measurement). Nothing
+      // corpus-sized crosses the driver: the feed is range-partitioned
+      // files, the compare is two except() counts.
+      import graft.pipelines.{StreamingCorpusPipeline, TrainingDataPipeline}
+      val docsAll = Tables.load(spark, dir, "documents")
+      val n = docsAll.count()
+      val in = java.nio.file.Files.createTempDirectory("tt_in").toString
+      val out = java.nio.file.Files.createTempDirectory("tt_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("tt_ck").toString
+      val landedDir = java.nio.file.Files.createTempDirectory("tt_dir").toString
+      val files = math.max(1, ((n + batchSize - 1) / batchSize).toInt)
+      // ts monotone in doc_id so first-arrival-per-fingerprint = the
+      // batch d1 min-id pick; range files keep arrival id-ordered
+      docsAll.select(col("doc_id"), col("text"))
+        .withColumn("ts", expr(s"timestamp_millis($baseMs + doc_id * 1000)"))
+        .repartitionByRange(files, col("doc_id"))
+        .write.mode("append").parquet(in)
+      val t1 = System.nanoTime()
+      val q1 = StreamingCorpusPipeline.ingest(
+          spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1).parquet(in), "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+      val w1 = (System.nanoTime() - t1) / 1e9
+      val landed = spark.read.parquet(out)
+      val nLanded = landed.count()
+      println(f"[stream] two-tier: ingest $n docs -> $nLanded landed in " +
+        f"$w1%.2f s = ${n / w1}%.0f docs/s ($files micro-batches)")
+      landed.select(col("doc_id"), col("text"))
+        .join(docsAll.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(math.max(1, files / 8))
+        .write.parquet(s"$landedDir/documents.parquet")
+      val embSrc = new java.io.File(s"$dir/embeddings.parquet")
+      val embDst = new java.io.File(s"$landedDir/embeddings.parquet")
+      if (embSrc.isDirectory) {
+        embDst.mkdirs()
+        embSrc.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(embDst, f.getName).toPath))
+      } else java.nio.file.Files.copy(embSrc.toPath, embDst.toPath)
+      def consolidate(d: String): (org.apache.spark.sql.DataFrame, Double, Long) = {
+        val t0 = System.nanoTime()
+        val s = TrainingDataPipeline.survivors(spark, d).localCheckpoint()
+        val c = s.count()
+        (s, (System.nanoTime() - t0) / 1e9, c)
+      }
+      val (sPure, wPure, nPure) = consolidate(dir)
+      val (sTier, wTier, nTier) = consolidate(landedDir)
+      val onlyTier = sTier.select("doc_id").except(sPure.select("doc_id")).count()
+      val onlyPure = sPure.select("doc_id").except(sTier.select("doc_id")).count()
+      println(f"[stream] two-tier: consolidation pure $wPure%.2f s " +
+        f"($nPure survivors) vs landed $wTier%.2f s ($nTier survivors); " +
+        s"diff only-tiered=$onlyTier only-pure=$onlyPure")
       spark.stop()
       return
     }

@@ -141,6 +141,102 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.map(_._1) == Set(1L, 3L, 4L, 6L))
   }
 
+  test("two-tier end-to-end: batch consolidation over the streaming-landed corpus equals the pure-batch pipeline") {
+    // The full two-tier architecture on the real fixture: land sf0.001
+    // through the streaming ingest tier in two micro-batched runs (with
+    // planted at-least-once redeliveries and a cross-id re-fetch the
+    // transport layer would produce), rebuild a documents table from the
+    // landed rows, run the ENTIRE batch TrainingDataPipeline over it,
+    // and assert the survivor set equals the pure-batch run over the
+    // original corpus. Why equality holds — each bullet is a contract a
+    // regression would break:
+    //  - ingest gates are the batch front stages on RAW text in batch
+    //    order (quality, d1 fingerprint dedup, scrub LAST);
+    //  - arrival is doc_id-ordered across batches, so first-arrival-per-
+    //    fingerprint = min-doc_id-per-text, batch d1's canonical pick
+    //    (the cross-id re-fetch arrives in run 2 and must lose to run
+    //    1's state across the checkpoint);
+    //  - the fixture carries no PII patterns, so scrub is the identity
+    //    here (asserted below — gating/fingerprinting on raw text is
+    //    what keeps the tiers aligned when it is NOT);
+    //  - downstream corpus-global gates commute with the front-gate cut
+    //    on this corpus: ANN dedup is embeddings-only (table shared
+    //    verbatim), LSH roots are min-id per cluster, and the mixture/
+    //    split/decontamination hashes are per-doc.
+    import graft.pipelines.{StreamingCorpusPipeline, TrainingDataPipeline}
+    import org.apache.spark.sql.functions.{expr, length, lit}
+    val src = "/root/testdata/sf0.001"
+    val in = java.nio.file.Files.createTempDirectory("tier2_in").toString
+    val landedOut = java.nio.file.Files.createTempDirectory("tier2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tier2_ckpt").toString
+    val landedDir = java.nio.file.Files.createTempDirectory("tier2_dir").toString
+    val docs = Tables.load(spark, src, "documents")
+    val withTs = docs.select(col("doc_id"), col("text"))
+      .withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"))
+    def runOnce(): Unit = {
+      val q = StreamingCorpusPipeline.ingest(
+          spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .parquet(in), "1 hour")
+        .writeStream.format("parquet")
+        .option("path", landedOut).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: first half of the corpus in doc_id order
+    withTs.filter(col("doc_id") < 250).write.mode("append").parquet(in)
+    runOnce()
+    // run 2: second half + the transport artifacts — a redelivery of doc
+    // 42 (same id, same text, later ts), a re-fetch of doc 42's text
+    // under a NEW id (must lose to run 1's fingerprint state recovered
+    // from the checkpoint), and a junk doc the quality gate must drop
+    val text42 = docs.filter(col("doc_id") === 42).select("text")
+      .collect().head.getString(0)
+    val extras = Seq(
+      (42L, text42, java.sql.Timestamp.valueOf("2024-01-01 00:20:00")),
+      (1000L, text42, java.sql.Timestamp.valueOf("2024-01-01 00:20:01")),
+      (1001L, "!! ?? !! ??", java.sql.Timestamp.valueOf("2024-01-01 00:20:02")))
+    withTs.filter(col("doc_id") >= 250)
+      .union(extras.toDF("doc_id", "text", "ts")).write.mode("append").parquet(in)
+    runOnce()
+    // rebuild a documents table from the landed rows (lang/source join
+    // back by id — ids are preserved through the ingest tier)
+    val landed = spark.read.parquet(landedOut)
+    val landedIds = landed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!landedIds.contains(1000L), "cross-id re-fetch must lose to checkpointed state")
+    assert(!landedIds.contains(1001L), "junk doc must be quality-gated")
+    assert(landed.filter(col("doc_id") === 42).count() == 1, "redelivery must collapse")
+    landed.select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("text").as("raw"),
+        col("lang"), col("source")), Seq("doc_id"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars", "raw")
+      .createOrReplaceTempView("landed_check")
+    assert(spark.table("landed_check").filter(col("text") =!= col("raw")).count() == 0,
+      "scrub must be the identity on this PII-free corpus")
+    spark.table("landed_check").drop("raw")
+      .coalesce(1).write.parquet(s"$landedDir/documents.parquet")
+    // the embeddings table is shared verbatim between the tiers
+    val embSrc = new java.io.File(s"$src/embeddings.parquet")
+    val embDst = new java.io.File(s"$landedDir/embeddings.parquet")
+    if (embSrc.isDirectory) {
+      embDst.mkdirs()
+      embSrc.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(embDst, f.getName).toPath))
+    } else java.nio.file.Files.copy(embSrc.toPath, embDst.toPath)
+    def survivorSet(d: String) = TrainingDataPipeline.survivors(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val pure = survivorSet(src)
+    val tiered = survivorSet(landedDir)
+    assert(tiered == pure,
+      s"two-tier survivors diverge from pure batch: only-tiered=${
+        (tiered -- pure).map(_._1).toSeq.sorted}, only-pure=${
+        (pure -- tiered).map(_._1).toSeq.sorted}")
+    assert(pure.nonEmpty)
+  }
+
   test("watermarked dedup collapses at-least-once redeliveries") {
     val input = MemoryStream[String]
     val q = StreamOps.dedupRiskEvents(parsed(input))
