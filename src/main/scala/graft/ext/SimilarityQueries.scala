@@ -2434,7 +2434,72 @@ object SimilarityQueries {
       .toDF("n_queries", "n_overlap", "recall_ppm", "true_topk_mean_hamming_micro")
   }
 
+  /** s39 — ONE NN-DESCENT refinement round over the s30 LSH kNN graph
+    * (Dong, Charikar & Li, "Efficient k-nearest neighbor graph
+    * construction for generic similarity measures", WWW'11): a kNN
+    * graph improves itself by scoring each vertex's
+    * neighbors-of-neighbors — no index, no extra probes, just the
+    * graph's own local closure. G0 = the adaptive-band candidate graph
+    * (s30's top-[[KnnK]] per vector, ties (cosine@6dp desc, id asc));
+    * the pivot neighborhood B(v) is G0's out-edges unioned with
+    * in-edges CAPPED at [[KnnK]] per vertex (the paper's reverse
+    * sample ρ·K — without the cap a hub's in-degree makes its pivot
+    * join quadratic in its popularity); candidates are all (u, w)
+    * co-members of any B(v), u ≠ w, unioned with G0's own edges so
+    * re-selection runs over a SUPERSET of the old candidate set —
+    * with the same total order shared by selection and truth, recall
+    * is monotone (G1 ≥ G0, the ExtSpec invariant). One row per stage
+    * against the s31 fixed-sample exact denominator: the measured
+    * claim is the recall LIFT one descent round buys at candidate
+    * mass Σ_v |B(v)|² ≤ 4·K²·n — LINEAR in the corpus for constant K,
+    * the property that makes NN-descent the standard index-free
+    * kNN-graph builder at corpus scale.
+    *
+    * Scale shape: every join is a hash equi-join on vec ids over
+    * NARROW id-pair frames (embeddings attach only at the two scoring
+    * points through [[attachCosine]]'s twice-per-pair discipline); the
+    * n·K-row G0 is localCheckpointed once and read three times; the
+    * exact denominator rides the fixed 32-query broadcast sample,
+    * never all-pairs. */
+  def nnDescent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val g0 = scaledCandScores(spark, dir, lit(true))
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+      .localCheckpoint()
+    val revCapped = g0
+      .select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("cosine"))
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"))
+    val b = g0.select(col("vec_id"), col("nbr_id")).union(revCapped).distinct()
+    val cand = b.as("x").join(b.as("y"),
+        col("x.vec_id") === col("y.vec_id") &&
+          col("x.nbr_id") =!= col("y.nbr_id"))
+      .select(col("x.nbr_id").as("vec_id"), col("y.nbr_id").as("nbr_id"))
+      .union(g0.select(col("vec_id"), col("nbr_id")))
+      .distinct()
+    val g1 = attachCosine(spark, dir, cand)
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"))
+    val exact = exactSampleKnn(spark, dir)
+    def stage(name: String, g: DataFrame): DataFrame =
+      g.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(exact.join(g, Seq("vec_id", "nbr_id"))
+          .agg(count(lit(1)).as("n_hits")))
+        .select(lit(name).as("stage"), col("n_edges"), col("n_exact"),
+          col("n_hits"),
+          expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
+    stage("g0_lsh", g0.select(col("vec_id"), col("nbr_id")))
+      .unionAll(stage("g1_descent", g1))
+      .orderBy("stage")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s39_nn_descent" -> ((s, d) => nnDescent(s, d)),
     "s29_binary_hamming" -> ((s, d) => binaryHamming(s, d)),
     "s28_matryoshka" -> ((s, d) => matryoshkaRecall(s, d)),
     "s27_power_iteration" -> ((s, d) => powerIteration(s, d)),
@@ -2788,6 +2853,69 @@ object SimilarityQueries {
          |SELECT tot.n_queries, tot.n_exact, h.n_hits,
          |       CAST(h.n_hits * 1000000 // tot.n_exact AS BIGINT) AS recall_ppm
          |FROM tot, h""".stripMargin,
+
+    // s39: the full NN-descent round recomputed independently — the
+    // corpus-wide band-candidate top-K graph, the capped reverse edges,
+    // the pivot-neighborhood self-join, the superset re-selection, and
+    // both recall readouts against the s31 exact sample. UNION (not
+    // UNION ALL) is the dedup in the b/cand CTEs.
+    "s39_nn_descent" ->
+      s"""WITH $duckEmb,
+         |$duckScaledBands,
+         |cp AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
+         |       FROM bands a JOIN bands b
+         |         ON a.bid = b.bid AND a.bkey = b.bkey
+         |        AND a.vec_id <> b.vec_id),
+         |g0 AS (SELECT vec_id, nbr_id, c FROM (
+         |        SELECT p.vec_id, p.nbr_id,
+         |          round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) c,
+         |          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+         |            p.nbr_id ASC) rk
+         |        FROM cp p JOIN e x ON x.vec_id = p.vec_id
+         |                  JOIN e y ON y.vec_id = p.nbr_id)
+         |       WHERE rk <= $KnnK),
+         |rc AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT g.nbr_id vec_id, g.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY g.nbr_id ORDER BY
+         |            g.c DESC, g.vec_id ASC) rk FROM g0 g)
+         |       WHERE rk <= $KnnK),
+         |b AS (SELECT vec_id, nbr_id FROM g0
+         |      UNION SELECT vec_id, nbr_id FROM rc),
+         |cand AS (SELECT x.nbr_id vec_id, y.nbr_id nbr_id
+         |         FROM b x JOIN b y
+         |           ON x.vec_id = y.vec_id AND x.nbr_id <> y.nbr_id
+         |         UNION SELECT vec_id, nbr_id FROM g0),
+         |g1 AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT c.vec_id, c.nbr_id,
+         |          row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+         |            c.nbr_id ASC) rk
+         |        FROM cand c JOIN e x ON x.vec_id = c.vec_id
+         |                    JOIN e y ON y.vec_id = c.nbr_id)
+         |       WHERE rk <= $KnnK),
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
+         |ex AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT q.vec_id, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |st AS (SELECT 'g0_lsh' stage,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM g0) n_edges,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |            FROM ex JOIN g0 USING (vec_id, nbr_id)) n_hits
+         |       UNION ALL
+         |       SELECT 'g1_descent',
+         |         (SELECT CAST(count(*) AS BIGINT) FROM g1),
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |            FROM ex JOIN g1 USING (vec_id, nbr_id))),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM ex)
+         |SELECT st.stage, st.n_edges, tot.n_exact, st.n_hits,
+         |       CAST(st.n_hits * 1000000 // tot.n_exact AS BIGINT)
+         |         AS recall_ppm
+         |FROM st, tot ORDER BY st.stage""".stripMargin,
 
     // s32: the s31 CTEs plus 1-bit-flip probe keys; min probe rank per
     // candidate pair classifies the mode, two top-k passes share the

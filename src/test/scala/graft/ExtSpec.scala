@@ -2522,6 +2522,28 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(row.getLong(5) >= row.getLong(3), "buckets must not shrink")
   }
 
+  test("nn-descent round is recall-monotone and its readout is internally consistent") {
+    // One NN-descent refinement (s39) re-selects top-K over a SUPERSET
+    // of G0's candidate set under the same (cosine@6dp desc, id asc)
+    // total order that defines the exact truth — so recall can never
+    // drop, and on this fixture the neighbors-of-neighbors closure must
+    // find at least what the band collisions found. Edge counts are
+    // bounded by n·K and G1 covers at least every G0 vertex.
+    val rows = ext.SimilarityQueries.nnDescent(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("g0_lsh", "g1_descent"))
+    val Array(g0, g1) = rows
+    assert(g1.getLong(4) >= g0.getLong(4),
+      s"descent must be recall-monotone: ${g0.getLong(4)} -> ${g1.getLong(4)}")
+    assert(g1.getLong(1) >= g0.getLong(1), "re-selection covers at least G0's vertices")
+    val n = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(g0.getLong(1) <= n * ext.SimilarityQueries.KnnK)
+    assert(g1.getLong(1) <= n * ext.SimilarityQueries.KnnK)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2))
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+
   test("ext plane family is rank-major and width-prefix-stable out to the Int-key ceiling") {
     // Two halves of "a larger LshPlanesExt is just a constant":
     // (1) generator contract — tablePlaneSign(t, r) for r >= 16 is the
