@@ -2461,7 +2461,11 @@ object SimilarityQueries {
     * n·K-row G0 is localCheckpointed once and read three times; the
     * exact denominator rides the fixed 32-query broadcast sample,
     * never all-pairs. */
-  def nnDescent(spark: SparkSession, dir: String): DataFrame = {
+  /** The (G0, G1) graph pair under s39 — factored so the PlanAuditSpec
+    * can audit the join shapes without the readout's 1-row crossJoins
+    * (which legitimately plan as nested-loop over singleton frames). */
+  private[graft] def nnDescentGraphs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val topW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
@@ -2484,6 +2488,11 @@ object SimilarityQueries {
     val g1 = attachCosine(spark, dir, cand)
       .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("nbr_id"))
+    (g0.select(col("vec_id"), col("nbr_id")), g1)
+  }
+
+  def nnDescent(spark: SparkSession, dir: String): DataFrame = {
+    val (g0, g1) = nnDescentGraphs(spark, dir)
     val exact = exactSampleKnn(spark, dir)
     def stage(name: String, g: DataFrame): DataFrame =
       g.agg(count(lit(1)).as("n_edges"))
@@ -2493,7 +2502,7 @@ object SimilarityQueries {
         .select(lit(name).as("stage"), col("n_edges"), col("n_exact"),
           col("n_hits"),
           expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
-    stage("g0_lsh", g0.select(col("vec_id"), col("nbr_id")))
+    stage("g0_lsh", g0)
       .unionAll(stage("g1_descent", g1))
       .orderBy("stage")
   }

@@ -1269,4 +1269,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       assert(rarePlan.contains(s"<= ${graft.ext.MultimodalQueries.MaxChunkDf}"), rarePlan)
     } finally spark.conf.set(key, prev)
   }
+
+  test("nn-descent: every join is a hash equi-join, top-K stays in the bounded group-limit heap") {
+    // the pivot self-join and both scoring joins must be equi-joins on
+    // vec ids (the linear-mass argument needs hash partitioning, never
+    // a product), G0 feeds the round through its checkpoint (built
+    // once, read three times), and each rank<=K filter plans as
+    // WindowGroupLimit — per-key bounded heaps, no global sort.
+    // Audited on the graph pair, not the registered readout — the
+    // readout's 1-row stat crossJoins legitimately plan as nested-loop
+    // over singleton frames.
+    val p = graft.ext.SimilarityQueries.nnDescentGraphs(spark, dir)._2
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
 }
