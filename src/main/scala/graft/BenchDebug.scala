@@ -56,7 +56,19 @@ object BenchDebug {
         f"cpu=${stats.cpuNanos / 1e9}%.1fs")
     }
 
-    val Q = SparkEntry.queries
+    // Non-registry diagnostic ops (no oracle BY DESIGN — the
+    // convergence-dependent-rounds convention) are timeable here too;
+    // their full row set is printed so the readout is the measurement.
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("x_nn_descent_converged" -> ((s, d) =>
+        graft.ext.SimilarityQueries.nnDescentConverged(s, d)))
+    val Q = SparkEntry.queries ++ extras.map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => {
+        val df = f(s, d)
+        df.show(50, false)
+        df
+      })
+    }
     val names = if (args.nonEmpty) args.toSeq else {
       time("d3 cold (builds cache)")(Q("d3_lsh_pairs")(spark, dir).count())
       Seq("d2_minhash_signature", "d3_lsh_pairs", "d4_ngram_jaccard",

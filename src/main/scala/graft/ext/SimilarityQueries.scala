@@ -2464,31 +2464,100 @@ object SimilarityQueries {
   /** The (G0, G1) graph pair under s39 — factored so the PlanAuditSpec
     * can audit the join shapes without the readout's 1-row crossJoins
     * (which legitimately plan as nested-loop over singleton frames). */
-  private[graft] def nnDescentGraphs(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private def descentTopW = {
     import org.apache.spark.sql.expressions.Window
-    val topW = Window.partitionBy(col("vec_id"))
+    Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    val g0 = scaledCandScores(spark, dir, lit(true))
-      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-      .select(col("vec_id"), col("nbr_id"), col("cosine"))
-      .localCheckpoint()
-    val revCapped = g0
+  }
+
+  /** One NN-descent round as a pure graph transform: input and output
+    * are (vec_id, nbr_id, cosine) top-[[KnnK]] frames. Factored so the
+    * convergence loop ([[nnDescentConverged]]) iterates the SAME kernel
+    * the s39 oracle query checks once. */
+  private def descentRound(spark: SparkSession, dir: String,
+      g: DataFrame): DataFrame = {
+    val revCapped = g
       .select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"),
         col("cosine"))
-      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .withColumn("rk", row_number().over(descentTopW))
+      .filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("nbr_id"))
-    val b = g0.select(col("vec_id"), col("nbr_id")).union(revCapped).distinct()
+    val b = g.select(col("vec_id"), col("nbr_id")).union(revCapped).distinct()
     val cand = b.as("x").join(b.as("y"),
         col("x.vec_id") === col("y.vec_id") &&
           col("x.nbr_id") =!= col("y.nbr_id"))
       .select(col("x.nbr_id").as("vec_id"), col("y.nbr_id").as("nbr_id"))
-      .union(g0.select(col("vec_id"), col("nbr_id")))
+      .union(g.select(col("vec_id"), col("nbr_id")))
       .distinct()
-    val g1 = attachCosine(spark, dir, cand)
-      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-      .select(col("vec_id"), col("nbr_id"))
-    (g0.select(col("vec_id"), col("nbr_id")), g1)
+    attachCosine(spark, dir, cand)
+      .withColumn("rk", row_number().over(descentTopW))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+  }
+
+  /** The s39 base graph: the s30 adaptive-band candidate top-K, with
+    * cosine carried for the reverse-cap ranking. */
+  private def descentBase(spark: SparkSession, dir: String): DataFrame =
+    scaledCandScores(spark, dir, lit(true))
+      .withColumn("rk", row_number().over(descentTopW))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+
+  private[graft] def nnDescentGraphs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val g0 = descentBase(spark, dir).localCheckpoint()
+    (g0.select(col("vec_id"), col("nbr_id")),
+      descentRound(spark, dir, g0).select(col("vec_id"), col("nbr_id")))
+  }
+
+  /** NN-DESCENT TO ITS FIXED POINT — the production form of s39 (Dong
+    * et al. §3 terminate when updates fall below δ·K·n; δ = 0 here, the
+    * exact fixed point): iterate [[descentRound]] until a round changes
+    * no edge, emitting one row per round with the edge delta and the
+    * fixed-sample recall. Termination is guaranteed, not hoped: each
+    * vertex's top-K list only ever improves under the shared total
+    * order (re-selection is over a superset that includes the current
+    * list), the order is total and the corpus finite, so list states
+    * form a finite lattice with no cycles — every round either strictly
+    * improves some list or changes nothing and the loop stops.
+    *
+    * BSP discipline: graph state stays an n·K-row localCheckpointed
+    * frame (the previous round's checkpoint released as soon as its
+    * successor materializes); per round exactly TWO scalars cross the
+    * driver (the except() delta and the recall hit count). Not
+    * registered as an oracle query by the convergence-dependent-rounds
+    * convention (the same call the r12 evict-replay note documents):
+    * the round COUNT is a fixed point of float-free integer selection
+    * and would be stable, but a DuckDB twin would need the loop
+    * unrolled to an unknown depth — s39 pins one round exactly, the
+    * ExtSpec pins the loop's contracts (monotone recall, vanishing
+    * delta, fixed point reached). */
+  def nnDescentConverged(spark: SparkSession, dir: String,
+      maxRounds: Int = 8): DataFrame = {
+    val exact = exactSampleKnn(spark, dir)
+    var g = descentBase(spark, dir).localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var round = 0
+    var changed = -1L
+    while (round <= maxRounds && changed != 0L) {
+      val ids = g.select(col("vec_id"), col("nbr_id"))
+      val hits = exact.join(ids, Seq("vec_id", "nbr_id")).count()
+      val next = if (round == maxRounds) null
+        else descentRound(spark, dir, g).localCheckpoint()
+      changed = if (next == null) 0L
+        else next.select(col("vec_id"), col("nbr_id")).except(ids).count()
+      rows += ((round, g.count(), hits, math.max(changed, 0L)))
+      if (next != null) { graft.CheckpointUtil.release(g); g = next }
+      round += 1
+    }
+    graft.CheckpointUtil.release(g)
+    import spark.implicits._
+    val ex = exact.count()
+    rows.toSeq.map { case (r, e, h, c) =>
+      (r.toLong, e, ex, h, h * 1000000L / ex, c) }
+      .toDF("round", "n_edges", "n_exact", "n_hits", "recall_ppm",
+        "n_new_edges")
+      .orderBy("round")
   }
 
   def nnDescent(spark: SparkSession, dir: String): DataFrame = {

@@ -2544,6 +2544,31 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("nn-descent converges to a fixed point with monotone recall and vanishing delta") {
+    // The production loop (nnDescentConverged) iterates the s39 round
+    // kernel until no edge changes. Contracts: the final round's delta
+    // is exactly 0 (a true fixed point, not a round cap), recall vs the
+    // exact sample never drops between rounds (re-selection over a
+    // superset under the shared total order), round 0 equals the s39
+    // g0 readout (same kernel — cross-pin), and round 1 equals s39's
+    // g1 row.
+    val rows = ext.SimilarityQueries.nnDescentConverged(spark, dir, maxRounds = 8)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    assert(rows.last.getLong(5) == 0L,
+      s"loop must end at a fixed point, not the round cap: ${rows.toSeq}")
+    val recalls = rows.map(_.getLong(4)).toSeq
+    assert(recalls == recalls.sorted,
+      s"recall must be monotone across rounds: $recalls")
+    val s39 = ext.SimilarityQueries.nnDescent(spark, dir).collect()
+    assert(rows.head.getLong(4) == s39(0).getLong(4), "round 0 != s39 g0")
+    assert(rows.head.getLong(1) == s39(0).getLong(1))
+    if (rows.length > 1) {
+      assert(rows(1).getLong(4) == s39(1).getLong(4), "round 1 != s39 g1")
+      assert(rows(1).getLong(1) == s39(1).getLong(1))
+    }
+  }
+
   test("ext plane family is rank-major and width-prefix-stable out to the Int-key ceiling") {
     // Two halves of "a larger LshPlanesExt is just a constant":
     // (1) generator contract — tablePlaneSign(t, r) for r >= 16 is the
