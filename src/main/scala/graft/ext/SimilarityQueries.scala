@@ -2727,6 +2727,47 @@ object SimilarityQueries {
 
   private[ext] lazy val duckScaledBands: String = duckScaledBandsFrom("TRUE")
 
+  /** The s39 NN-descent graph as a DuckDB CTE chain (requires `e` from
+    * [[duckEmb]] and `bands` from [[duckScaledBands]] in scope): the
+    * corpus-wide band-candidate top-K graph `g0<sfx>`, capped reverse
+    * edges, the pivot-neighborhood self-join, and the superset
+    * re-selection `g1<sfx>`. Shared by the s39 oracle (sfx = "") and
+    * d34's dedup-recall oracle (sfx = "d"). UNION (not UNION ALL) is
+    * the dedup in the b/cand CTEs. */
+  private[ext] def duckDescentCtes(sfx: String): String =
+    s"""cp$sfx AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
+       |       FROM bands a JOIN bands b
+       |         ON a.bid = b.bid AND a.bkey = b.bkey
+       |        AND a.vec_id <> b.vec_id),
+       |g0$sfx AS (SELECT vec_id, nbr_id, c FROM (
+       |        SELECT p.vec_id, p.nbr_id,
+       |          round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) c,
+       |          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+       |            p.nbr_id ASC) rk
+       |        FROM cp$sfx p JOIN e x ON x.vec_id = p.vec_id
+       |                  JOIN e y ON y.vec_id = p.nbr_id)
+       |       WHERE rk <= $KnnK),
+       |rc$sfx AS (SELECT vec_id, nbr_id FROM (
+       |        SELECT g.nbr_id vec_id, g.vec_id nbr_id,
+       |          row_number() OVER (PARTITION BY g.nbr_id ORDER BY
+       |            g.c DESC, g.vec_id ASC) rk FROM g0$sfx g)
+       |       WHERE rk <= $KnnK),
+       |b$sfx AS (SELECT vec_id, nbr_id FROM g0$sfx
+       |      UNION SELECT vec_id, nbr_id FROM rc$sfx),
+       |cand$sfx AS (SELECT x.nbr_id vec_id, y.nbr_id nbr_id
+       |         FROM b$sfx x JOIN b$sfx y
+       |           ON x.vec_id = y.vec_id AND x.nbr_id <> y.nbr_id
+       |         UNION SELECT vec_id, nbr_id FROM g0$sfx),
+       |g1$sfx AS (SELECT vec_id, nbr_id FROM (
+       |        SELECT c.vec_id, c.nbr_id,
+       |          row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+       |            c.nbr_id ASC) rk
+       |        FROM cand$sfx c JOIN e x ON x.vec_id = c.vec_id
+       |                    JOIN e y ON y.vec_id = c.nbr_id)
+       |       WHERE rk <= $KnnK)""".stripMargin
+
   private lazy val duckLsh: String = {
     val ss = (0 until LshPlanes)
       .map(p => s"((${planeDot(p, i => s"v[$i]", "1.0")}) > 0) s$p")
@@ -2935,43 +2976,13 @@ object SimilarityQueries {
     // s39: the full NN-descent round recomputed independently — the
     // corpus-wide band-candidate top-K graph, the capped reverse edges,
     // the pivot-neighborhood self-join, the superset re-selection, and
-    // both recall readouts against the s31 exact sample. UNION (not
-    // UNION ALL) is the dedup in the b/cand CTEs.
+    // both recall readouts against the s31 exact sample. The graph CTE
+    // chain is shared with d34's dedup-recall oracle via
+    // [[duckDescentCtes]].
     "s39_nn_descent" ->
       s"""WITH $duckEmb,
          |$duckScaledBands,
-         |cp AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
-         |       FROM bands a JOIN bands b
-         |         ON a.bid = b.bid AND a.bkey = b.bkey
-         |        AND a.vec_id <> b.vec_id),
-         |g0 AS (SELECT vec_id, nbr_id, c FROM (
-         |        SELECT p.vec_id, p.nbr_id,
-         |          round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) c,
-         |          row_number() OVER (PARTITION BY p.vec_id ORDER BY
-         |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
-         |            p.nbr_id ASC) rk
-         |        FROM cp p JOIN e x ON x.vec_id = p.vec_id
-         |                  JOIN e y ON y.vec_id = p.nbr_id)
-         |       WHERE rk <= $KnnK),
-         |rc AS (SELECT vec_id, nbr_id FROM (
-         |        SELECT g.nbr_id vec_id, g.vec_id nbr_id,
-         |          row_number() OVER (PARTITION BY g.nbr_id ORDER BY
-         |            g.c DESC, g.vec_id ASC) rk FROM g0 g)
-         |       WHERE rk <= $KnnK),
-         |b AS (SELECT vec_id, nbr_id FROM g0
-         |      UNION SELECT vec_id, nbr_id FROM rc),
-         |cand AS (SELECT x.nbr_id vec_id, y.nbr_id nbr_id
-         |         FROM b x JOIN b y
-         |           ON x.vec_id = y.vec_id AND x.nbr_id <> y.nbr_id
-         |         UNION SELECT vec_id, nbr_id FROM g0),
-         |g1 AS (SELECT vec_id, nbr_id FROM (
-         |        SELECT c.vec_id, c.nbr_id,
-         |          row_number() OVER (PARTITION BY c.vec_id ORDER BY
-         |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
-         |            c.nbr_id ASC) rk
-         |        FROM cand c JOIN e x ON x.vec_id = c.vec_id
-         |                    JOIN e y ON y.vec_id = c.nbr_id)
-         |       WHERE rk <= $KnnK),
+         |${duckDescentCtes("")},
          |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
          |ex AS (SELECT vec_id, nbr_id FROM (
          |        SELECT q.vec_id, x.vec_id nbr_id,

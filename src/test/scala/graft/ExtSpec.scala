@@ -2544,6 +2544,21 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("d34 cross-pins d32: the shared candidate-source rows are identical") {
+    // d34's t0/t1 rows recompute d32's exact frontier (same truth, same
+    // candidate kernels) — any drift between the two registrations is a
+    // bug in one of them; t2's candidate set is a superset of t0's, so
+    // its found count can never be lower
+    val d32 = ext.DedupQueries.mpDedupRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d34 = ext.DedupQueries.descentDedupRecall(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d34("t0_single") == d32("t0_single"))
+    assert(d34("t1_multi1") == d32("t1_multi1"))
+    assert(d34("t2_descent")._2 >= d34("t0_single")._2,
+      "descent union can only add candidates over the direct buckets")
+  }
+
   test("nn-descent converges to a fixed point with monotone recall and vanishing delta") {
     // The production loop (nnDescentConverged) iterates the s39 round
     // kernel until no edge changes. Contracts: the final round's delta
