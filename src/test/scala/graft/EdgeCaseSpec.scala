@@ -11,6 +11,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
 
   private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
 
+  test("nn-descent on a corpus with no shared bands degrades to empty graphs, not a crash") {
+    // Two antipodal vectors flip every hyperplane sign, so their keys
+    // complement in every band of every table — G0 is empty, the pivot
+    // join runs over nothing, and both readout rows must still emit
+    // with zero edges/hits (the isolated-vector behavior a sparse shard
+    // of a real corpus hits).
+    val dir = java.nio.file.Files.createTempDirectory("nnd_empty").toString
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    Seq((0L, v, 0), (20L, v.map(-_), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = ext.SimilarityQueries.nnDescent(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("g0_lsh", "g1_descent"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L,
+        r.toString)
+      assert(r.getLong(2) > 0L, "exact denominator must still exist")
+    }
+  }
+
   test("query registry: no silent key collisions across modules, oracles subset") {
     // SparkEntry.queries unions per-module maps — a duplicated key would
     // silently drop one module's operator from the driver's correctness
