@@ -271,16 +271,31 @@ object StreamBench {
       val ck = java.nio.file.Files.createTempDirectory("tt_ck").toString
       val landedDir = java.nio.file.Files.createTempDirectory("tt_dir").toString
       val files = math.max(1, ((n + batchSize - 1) / batchSize).toInt)
-      // ts monotone in doc_id so first-arrival-per-fingerprint = the
-      // batch d1 min-id pick; range files keep arrival id-ordered
+      // ts monotone with arrival: ONE SYNTHETIC MINUTE PER RANGE FILE
+      // (the minute-per-batch scheme every other mode uses), assigned
+      // via spark_partition_id() AFTER the range partitioning so the
+      // event-time span is exactly `files` minutes BY CONSTRUCTION —
+      // and a watermark covering that whole span, so the fingerprint
+      // dedup state is never evicted mid-feed (global dedup, the batch
+      // d1 twin). Two r12 bugs live in this comment's history: ts
+      // derived from raw doc_id (1 s/doc, then minute-per-id-bucket)
+      // assumed DENSE ids, but ScaleBlowup remaps keys sparsely (30x
+      // ids reach 2.9e8), stretching the synthetic span to ~100 days —
+      // any out-of-order file pickup advanced the watermark far past
+      // in-flight rows and the dedup operator dropped them as late
+      // (landed 48,926 then 27,801 of 150,000). A bench feed must keep
+      // its event-time span inside the declared lateness bound unless
+      // lateness itself is the thing being measured.
       docsAll.select(col("doc_id"), col("text"))
-        .withColumn("ts", expr(s"timestamp_millis($baseMs + doc_id * 1000)"))
         .repartitionByRange(files, col("doc_id"))
+        .withColumn("ts", expr(
+          s"timestamp_millis($baseMs + cast(spark_partition_id() as bigint) * 60000)"))
         .write.mode("append").parquet(in)
+      val wm = s"${math.max(60, files * 2)} minutes"
       val t1 = System.nanoTime()
       val q1 = StreamingCorpusPipeline.ingest(
           spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
-            .option("maxFilesPerTrigger", 1).parquet(in), "1 hour")
+            .option("maxFilesPerTrigger", 1).parquet(in), wm)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
         .outputMode("append")
