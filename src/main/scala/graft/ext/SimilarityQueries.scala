@@ -2576,7 +2576,65 @@ object SimilarityQueries {
       .orderBy("stage")
   }
 
+  /** The s40 cap settings: the streaming operators' default-scale cap,
+    * a generous tier, and the uncapped baseline. */
+  val BucketCapSweep = Seq(8, 32)
+
+  /** s40 — OCCUPANCY-CAPPED candidate generation: the batch form of the
+    * streaming ANN operators' `maxBucket` dial, measured. The 100k
+    * planted-cluster corpus showed the cost term the mean-occupancy
+    * dial cannot touch: cluster members agree on most hyperplanes, pile
+    * into the same buckets, and the candidate self-join's Σ n_k² grows
+    * with cluster size² (5× corpus → ~16× wall for s39's base graph).
+    * The standard LSH answer is a per-bucket cap — keep a bounded
+    * resident set per (table, key), trade recall for a HARD bound
+    * Σ min(n_k, cap)² ≤ cap · Σ n_k = cap · n·L on join mass. Kept
+    * residents are the cap LOWEST vec_ids per bucket (deterministic,
+    * shared with the oracle; in the streaming twin the analogous rule
+    * is first-arrival admission). One row per cap ∈ {8, 32, ∞}: index
+    * rows, corpus-wide distinct undirected candidate-pair mass (the
+    * quantity skew blows up), and recall@[[KnnK]] on the fixed exact
+    * sample — the skew-vs-recall frontier a deployment reads before
+    * turning the cap on its own corpus. */
+  def bucketCapSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val exact = exactSampleKnn(spark, dir)
+    val topW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val rows = (BucketCapSweep.map(c => (f"cap_$c%02d", c)) :+
+        ("uncapped", Int.MaxValue)).map { case (label, cap) =>
+      val idx = if (cap == Int.MaxValue) nb
+        else nb.withColumn("occ_rk", row_number().over(
+            Window.partitionBy(col("bid"), col("bkey"))
+              .orderBy(col("vec_id"))))
+          .filter(col("occ_rk") <= cap).drop("occ_rk")
+      val undirected = idx.as("a").join(idx.as("b"),
+          col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+        .distinct()
+      val ann = attachCosine(spark, dir,
+          undirected.union(undirected.select(col("nbr_id").as("vec_id"),
+            col("vec_id").as("nbr_id")))
+          .filter(recallSampled(col("vec_id"))))
+        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+        .select(col("vec_id"), col("nbr_id"))
+      idx.agg(count(lit(1)).as("n_index_rows"))
+        .crossJoin(undirected.agg(count(lit(1)).as("n_cand_pairs")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(exact.join(ann, Seq("vec_id", "nbr_id"))
+          .agg(count(lit(1)).as("n_hits")))
+        .select(lit(label).as("cap"), col("n_index_rows"),
+          col("n_cand_pairs"), col("n_exact"), col("n_hits"),
+          expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("cap")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s40_bucket_cap" -> ((s, d) => bucketCapSweep(s, d)),
     "s39_nn_descent" -> ((s, d) => nnDescent(s, d)),
     "s29_binary_hamming" -> ((s, d) => binaryHamming(s, d)),
     "s28_matryoshka" -> ((s, d) => matryoshkaRecall(s, d)),
@@ -2972,6 +3030,72 @@ object SimilarityQueries {
          |SELECT tot.n_queries, tot.n_exact, h.n_hits,
          |       CAST(h.n_hits * 1000000 // tot.n_exact AS BIGINT) AS recall_ppm
          |FROM tot, h""".stripMargin,
+
+    // s40: per cap, the bucket-capped index (row_number per (bid,bkey)
+    // ordered by vec_id — the deterministic keep rule shared with the
+    // engine), corpus-wide distinct undirected pair mass, and the s31
+    // sampled recall, one UNION ALL row per cap setting.
+    "s40_bucket_cap" -> {
+      val settings = BucketCapSweep.map(c => (f"cap_$c%02d", Some(c))) :+
+        ("uncapped", None)
+      val blocks = settings.map { case (label, capOpt) =>
+        val sfx = label.replace("cap_", "c")
+        val idx = capOpt match {
+          case Some(c) =>
+            s"""i$sfx AS (SELECT vec_id, bid, bkey FROM (
+               |  SELECT vec_id, bid, bkey,
+               |    row_number() OVER (PARTITION BY bid, bkey
+               |      ORDER BY vec_id) occ_rk FROM bands)
+               |  WHERE occ_rk <= $c)""".stripMargin
+          case None =>
+            s"i$sfx AS (SELECT vec_id, bid, bkey FROM bands)"
+        }
+        val body =
+          s"""u$sfx AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
+             |  FROM i$sfx a JOIN i$sfx b
+             |    ON a.bid = b.bid AND a.bkey = b.bkey
+             |   AND a.vec_id < b.vec_id),
+             |a$sfx AS (SELECT vec_id, nbr_id FROM (
+             |  SELECT c.vec_id, c.nbr_id,
+             |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |      round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+             |      c.nbr_id ASC) rk
+             |  FROM (SELECT vec_id, nbr_id FROM u$sfx
+             |        UNION ALL
+             |        SELECT nbr_id, vec_id FROM u$sfx) c
+             |  JOIN e x ON x.vec_id = c.vec_id
+             |  JOIN e y ON y.vec_id = c.nbr_id
+             |  WHERE c.vec_id % $RecallSampleMod = 0
+             |    AND c.vec_id < $RecallSampleCap)
+             |  WHERE rk <= $KnnK)""".stripMargin
+        val row =
+          s"""SELECT '$label' cap,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM i$sfx) n_index_rows,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM u$sfx) n_cand_pairs,
+             |  tot.n_exact,
+             |  (SELECT CAST(count(*) AS BIGINT)
+             |     FROM ex JOIN a$sfx USING (vec_id, nbr_id)) n_hits
+             |FROM tot""".stripMargin
+        (s"$idx,\n$body", row)
+      }
+      s"""WITH $duckEmb,
+         |$duckScaledBands,
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
+         |ex AS (SELECT vec_id, nbr_id FROM (
+         |        SELECT q.vec_id, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM ex),
+         |${blocks.map(_._1).mkString(",\n")}
+         |SELECT f.cap, f.n_index_rows, f.n_cand_pairs, f.n_exact, f.n_hits,
+         |       CAST(f.n_hits * 1000000 // f.n_exact AS BIGINT) AS recall_ppm
+         |FROM (
+         |${blocks.map(_._2).mkString("\nUNION ALL\n")}) f
+         |ORDER BY f.cap""".stripMargin
+    },
 
     // s39: the full NN-descent round recomputed independently — the
     // corpus-wide band-candidate top-K graph, the capped reverse edges,
