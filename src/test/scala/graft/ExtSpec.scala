@@ -2544,6 +2544,26 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("s40 bucket-cap frontier is monotone and its uncapped row is s31's candidate rule") {
+    // raising the cap can only add index rows, candidate pairs, and
+    // recall (capped index ⊂ uncapped index, keep rule is a prefix per
+    // bucket); the uncapped candidate mass equals the scaledCandPairs
+    // undirected count — the cross-pin that ties the sweep to the s30/
+    // s31 family
+    val rows = ext.SimilarityQueries.bucketCapSweep(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("cap_08", "cap_32", "uncapped"))
+    Seq(1, 2, 3, 4).foreach { i =>
+      val vals = rows.map(_.getLong(i)).toSeq
+      assert(vals == vals.sorted, s"column $i must be monotone in cap: $vals")
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val undirected = ext.SimilarityQueries
+      .scaledCandScores(spark, dir, lit(true))
+      .filter(col("vec_id") < col("nbr_id")).count()
+    assert(rows.last.getLong(2) == undirected,
+      "uncapped pair mass must equal the s30/s31 candidate rule")
+  }
+
   test("d34 cross-pins d32: the shared candidate-source rows are identical") {
     // d34's t0/t1 rows recompute d32's exact frontier (same truth, same
     // candidate kernels) — any drift between the two registrations is a
