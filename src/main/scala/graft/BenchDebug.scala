@@ -60,8 +60,14 @@ object BenchDebug {
     // convergence-dependent-rounds convention) are timeable here too;
     // their full row set is printed so the readout is the measurement.
     val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("x_nn_descent_converged" -> ((s, d) =>
-        graft.ext.SimilarityQueries.nnDescentConverged(s, d)))
+      Map(
+        "x_nn_descent_converged" -> ((s, d) =>
+          graft.ext.SimilarityQueries.nnDescentConverged(s, d)),
+        "x_descent_capped" -> ((s, d) =>
+          graft.ext.SimilarityQueries.descentOverCappedBase(s, d)),
+        "x_descent_capped_converged" -> ((s, d) =>
+          graft.ext.SimilarityQueries.nnDescentConverged(s, d,
+            baseCap = Some(graft.ext.SimilarityQueries.BucketCapSweep.head))))
     val Q = SparkEntry.queries ++ extras.map { case (k, f) =>
       k -> ((s: SparkSession, d: String) => {
         val df = f(s, d)

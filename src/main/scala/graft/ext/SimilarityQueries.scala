@@ -2533,9 +2533,10 @@ object SimilarityQueries {
     * ExtSpec pins the loop's contracts (monotone recall, vanishing
     * delta, fixed point reached). */
   def nnDescentConverged(spark: SparkSession, dir: String,
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8, baseCap: Option[Int] = None): DataFrame = {
     val exact = exactSampleKnn(spark, dir)
-    var g = descentBase(spark, dir).localCheckpoint()
+    var g = baseCap.map(descentBaseCapped(spark, dir, _))
+      .getOrElse(descentBase(spark, dir)).localCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
     var round = 0
     var changed = -1L
@@ -2544,11 +2545,16 @@ object SimilarityQueries {
       val hits = exact.join(ids, Seq("vec_id", "nbr_id")).count()
       val next = if (round == maxRounds) null
         else descentRound(spark, dir, g).localCheckpoint()
-      changed = if (next == null) 0L
+      // n_new_edges = -1 marks "round cap reached, delta not measured" —
+      // distinct from a true fixed point's 0 (the capped-base loop at
+      // 100k clustered hit the cap still converging; a 0 there would
+      // have read as convergence)
+      changed = if (next == null) -1L
         else next.select(col("vec_id"), col("nbr_id")).except(ids).count()
-      rows += ((round, g.count(), hits, math.max(changed, 0L)))
+      rows += ((round, g.count(), hits, changed))
       if (next != null) { graft.CheckpointUtil.release(g); g = next }
       round += 1
+      if (changed < 0L) changed = 0L
     }
     graft.CheckpointUtil.release(g)
     import spark.implicits._
@@ -2631,6 +2637,55 @@ object SimilarityQueries {
           expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
     }
     rows.reduce(_.unionAll(_)).orderBy("cap")
+  }
+
+  /** CAP + DESCEND — the composed dial s40's Scaladoc prescribes,
+    * measurable via `BenchDebug x_descent_capped`: build the base graph
+    * over the cap-[[BucketCapSweep]].head index (hard mass bound) and
+    * run one NN-descent round over it — the 2-hop closure reaches
+    * in-cluster neighbors the cap evicted from shared buckets, at n·K
+    * extra pairs instead of uncapped collision mass. Diagnostic
+    * composition of two oracle-checked kernels (s40's capped index,
+    * s39's round); rows mirror the s39 readout. */
+  /** Top-K base graph over the cap-`cap` s40 index — the hard-mass-
+    * bound starting point for capped descent. */
+  private def descentBaseCapped(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val idx = nb.withColumn("occ_rk", row_number().over(
+        Window.partitionBy(col("bid"), col("bkey")).orderBy(col("vec_id"))))
+      .filter(col("occ_rk") <= cap).drop("occ_rk")
+    val und = idx.as("a").join(idx.as("b"),
+        col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+      .distinct()
+    attachCosine(spark, dir,
+        und.union(und.select(col("nbr_id").as("vec_id"),
+          col("vec_id").as("nbr_id"))))
+      .withColumn("rk", row_number().over(descentTopW))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_id"), col("nbr_id"), col("cosine"))
+  }
+
+  private[graft] def descentOverCappedBase(spark: SparkSession,
+      dir: String): DataFrame = {
+    val cap = BucketCapSweep.head
+    val g0 = descentBaseCapped(spark, dir, cap).localCheckpoint()
+    val g1 = descentRound(spark, dir, g0)
+    val exact = exactSampleKnn(spark, dir)
+    def stage(name: String, g: DataFrame): DataFrame =
+      g.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(exact.join(g.select(col("vec_id"), col("nbr_id")),
+          Seq("vec_id", "nbr_id")).agg(count(lit(1)).as("n_hits")))
+        .select(lit(name).as("stage"), col("n_edges"), col("n_exact"),
+          col("n_hits"),
+          expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
+    stage(f"g0_cap$cap%02d", g0).unionAll(stage(f"g1_cap$cap%02d_descent", g1))
+      .orderBy("stage")
   }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
