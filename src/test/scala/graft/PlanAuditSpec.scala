@@ -1287,4 +1287,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("Scan ExistingRDD"), p)
   }
+
+  test("s40 bucket cap: the occ_rk filter plans as a bounded per-bucket group limit") {
+    // the cap is the whole point — it must execute as WindowGroupLimit
+    // (per-(bid,bkey) bounded heap) feeding a hash equi-self-join, never
+    // a global sort or a product; audited on the readout frame (its
+    // 1-row stat crossJoins are singleton nested-loops, so only the
+    // product/global-sort absence is asserted there)
+    val p = plan("s40_bucket_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
 }
