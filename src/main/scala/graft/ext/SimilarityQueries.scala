@@ -2616,11 +2616,15 @@ object SimilarityQueries {
             Window.partitionBy(col("bid"), col("bkey"))
               .orderBy(col("vec_id"))))
           .filter(col("occ_rk") <= cap).drop("occ_rk")
+      // checkpointed: the pair frame feeds BOTH the mass count and the
+      // recall branch of one readout action — without it each cap's
+      // bucket self-join executes twice (the t27 multi-branch lesson)
       val undirected = idx.as("a").join(idx.as("b"),
           col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
         .distinct()
+        .localCheckpoint()
       val ann = attachCosine(spark, dir,
           undirected.union(undirected.select(col("nbr_id").as("vec_id"),
             col("vec_id").as("nbr_id")))
