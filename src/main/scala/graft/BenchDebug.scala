@@ -70,7 +70,10 @@ object BenchDebug {
             baseCap = Some(graft.ext.SimilarityQueries.BucketCapSweep.head))))
     val Q = SparkEntry.queries ++ extras.map { case (k, f) =>
       k -> ((s: SparkSession, d: String) => {
-        val df = f(s, d)
+        // checkpoint before show: otherwise show + the harness's count
+        // execute the full plan twice inside the timed closure and the
+        // wall/CPU attribution double-counts the measured work
+        val df = f(s, d).localCheckpoint()
         df.show(50, false)
         df
       })

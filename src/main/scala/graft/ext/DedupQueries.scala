@@ -2514,8 +2514,9 @@ object DedupQueries {
     "d30_ann_dedup" ->
       s"""WITH RECURSIVE ${SimilarityQueries.duckEmb},
          |${SimilarityQueries.duckScaledBands},
+         |${SimilarityQueries.duckCappedIdx},
          |p AS (SELECT DISTINCT a.vec_id lo, b.vec_id hi
-         |      FROM bands a JOIN bands b
+         |      FROM cidx a JOIN cidx b
          |        ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
          |pe AS (SELECT lo, hi FROM p
          |       JOIN e x ON x.vec_id = p.lo JOIN e y ON y.vec_id = p.hi
@@ -2538,6 +2539,7 @@ object DedupQueries {
     "d31_ann_dedup_mp" ->
       s"""WITH RECURSIVE ${SimilarityQueries.duckEmb},
          |${SimilarityQueries.duckScaledBands},
+         |${SimilarityQueries.duckCappedIdx},
          |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
          |            unnest(range(0, pr.b)) r
          |          FROM bands, params pr),
@@ -2547,7 +2549,7 @@ object DedupQueries {
          |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
          |p AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
          |        greatest(pq.qid, i.vec_id) hi
-         |      FROM probes pq JOIN bands i
+         |      FROM probes pq JOIN cidx i
          |        ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
          |       AND i.vec_id <> pq.qid),
          |pe AS (SELECT lo, hi FROM p
@@ -2571,6 +2573,7 @@ object DedupQueries {
     "d32_mp_dedup_recall" ->
       s"""WITH ${SimilarityQueries.duckEmb},
          |${SimilarityQueries.duckScaledBands},
+         |${SimilarityQueries.duckCappedIdx},
          |truth AS (SELECT a.vec_id lo, b.vec_id hi
          |          FROM e a JOIN e b
          |            ON a.label = b.label AND a.vec_id < b.vec_id
@@ -2578,7 +2581,7 @@ object DedupQueries {
          |            AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
          |                  >= $EmbDupThreshold),
          |p0 AS (SELECT DISTINCT a.vec_id lo, b.vec_id hi
-         |       FROM bands a JOIN bands b
+         |       FROM cidx a JOIN cidx b
          |         ON a.bid = b.bid AND a.bkey = b.bkey
          |        AND a.vec_id < b.vec_id),
          |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
@@ -2590,7 +2593,7 @@ object DedupQueries {
          |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
          |p1 AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
          |        greatest(pq.qid, i.vec_id) hi
-         |       FROM probes pq JOIN bands i
+         |       FROM probes pq JOIN cidx i
          |         ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
          |        AND i.vec_id <> pq.qid),
          |f AS (SELECT 't0_single' probe_mode, CAST(count(*) AS BIGINT) n_found
@@ -2611,6 +2614,7 @@ object DedupQueries {
     "d34_descent_dedup_recall" ->
       s"""WITH ${SimilarityQueries.duckEmb},
          |${SimilarityQueries.duckScaledBands},
+         |${SimilarityQueries.duckCappedIdx},
          |truth AS (SELECT a.vec_id lo, b.vec_id hi
          |          FROM e a JOIN e b
          |            ON a.label = b.label AND a.vec_id < b.vec_id
@@ -2618,7 +2622,7 @@ object DedupQueries {
          |            AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
          |                  >= $EmbDupThreshold),
          |p0 AS (SELECT DISTINCT a.vec_id lo, b.vec_id hi
-         |       FROM bands a JOIN bands b
+         |       FROM cidx a JOIN cidx b
          |         ON a.bid = b.bid AND a.bkey = b.bkey
          |        AND a.vec_id < b.vec_id),
          |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
@@ -2630,7 +2634,7 @@ object DedupQueries {
          |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
          |p1 AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
          |        greatest(pq.qid, i.vec_id) hi
-         |       FROM probes pq JOIN bands i
+         |       FROM probes pq JOIN cidx i
          |         ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
          |        AND i.vec_id <> pq.qid),
          |${SimilarityQueries.duckDescentCtes("d")},

@@ -1507,6 +1507,51 @@ object SimilarityQueries {
       bandIndexAtWidth(spark, dir, scaledBandWidth(spark, dir)))
   }
 
+  /** DEFAULT per-bucket occupancy cap for corpus-grain candidate
+    * generation — the s40/s41 knee, wired in as the production
+    * guardrail (r12 verdict #2). The adaptive width holds MEAN bucket
+    * occupancy ≈ [[AnnHubTargetOcc]], but planted/natural clusters pile
+    * into shared buckets and the candidate self-join pays Σ n_k² —
+    * quadratic in cluster size, the term the clustered-100k corpus
+    * measured at 16× wall for 5× data. The cap bounds it hard:
+    * Σ min(n_k, cap)² ≤ cap·n·L. At 32 (vs 8) the s41 grid names the
+    * knee on clustered-100k: cap_32 keeps 4× less join mass than
+    * uncapped (5.0M vs 20.0M pairs) and multi-probe buys recall PAST
+    * the uncapped single-bucket rule (979,166 ppm at depth 2 vs
+    * 302,083 uncapped direct); cap_08 needs depth 2 just to match
+    * cap_32's depth 1 at 2.4× the probe mass. On uniform-occupancy
+    * corpora the cap binds rarely (sf0.01: capped ≡ uncapped exactly)
+    * — free insurance. Consumers pass `capped = false` to opt out. */
+  val DefaultBucketCap = 32
+
+  /** The CAPPED production index: [[scaledBandIndex]] narrowed to
+    * (vec_id, bid, bkey) with at most [[DefaultBucketCap]] residents
+    * per (bid, bkey) — the cap lowest vec_ids, the deterministic
+    * oracle-shared keep rule (streaming's analogue is first-arrival
+    * admission under `maxBucket`). Checkpointed once per (session,
+    * dir): this IS the index artifact the capped consumers probe. */
+  /** The cap keep-rule over any narrow (vec_id, bid, bkey) frame: the
+    * `cap` lowest vec_ids per bucket, planned as a bounded per-bucket
+    * WindowGroupLimit heap (the PlanAuditSpec contract) — shared by the
+    * production index, the s40/s41 sweeps, and the capped descent base. */
+  private[graft] def cappedIndexOf(nb: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (cap == Int.MaxValue) nb
+    else nb.withColumn("occ_rk", row_number().over(
+        Window.partitionBy(col("bid"), col("bkey")).orderBy(col("vec_id"))))
+      .filter(col("occ_rk") <= cap).drop("occ_rk")
+  }
+
+  private val cappedIdxCache = caches.newCache()
+  private[ext] def cappedBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    cappedIdxCache.getOrElseUpdate((spark, dir),
+      cappedIndexOf(
+        scaledBandIndex(spark, dir)
+          .select(col("vec_id"), col("bid"), col("bkey")),
+        DefaultBucketCap).localCheckpoint())
+  }
+
   /** The STANDING index for incremental admission (s33): key width
     * frozen from the indexed half (even vec_ids) — the parameter a
     * deployed index fixes at build time — with band rows computed for
@@ -1544,8 +1589,12 @@ object SimilarityQueries {
     * per colliding table). `leftFilter` restricts the query side (s31's
     * sample) without changing the shape. */
   private[ext] def scaledCandPairs(spark: SparkSession, dir: String,
-      leftFilter: Column): DataFrame = {
-    val nb = scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
+      leftFilter: Column, capped: Boolean = true): DataFrame = {
+    // capped by default (r12 verdict #2): the self-join's Σ n_k² skew
+    // term is hard-bounded at cap·n·L; `capped = false` is the explicit
+    // uncapped opt-out (the measurement queries that sweep the dial)
+    val nb = if (capped) cappedBandIndex(spark, dir)
+      else scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
     nb.as("a").join(nb.as("b"),
         col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1555,8 +1604,8 @@ object SimilarityQueries {
   }
 
   private[graft] def scaledCandScores(spark: SparkSession, dir: String,
-      leftFilter: Column): DataFrame =
-    attachCosine(spark, dir, scaledCandPairs(spark, dir, leftFilter))
+      leftFilter: Column, capped: Boolean = true): DataFrame =
+    attachCosine(spark, dir, scaledCandPairs(spark, dir, leftFilter, capped))
 
   /** Exact-cosine attach for a narrow distinct candidate-pair frame —
     * the shared tail of every scaled-index consumer: two id-equi-joins
@@ -1614,20 +1663,30 @@ object SimilarityQueries {
     * every pair emerge — exactly the undirected edge list the BSP
     * component loop consumes. */
   private[ext] def mpCandPairs(spark: SparkSession, dir: String,
-      leftFilter: Column): DataFrame = {
+      leftFilter: Column, capped: Boolean = true): DataFrame = {
     val nb = scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
+    // index side capped (the Σ n_k² guardrail); PROBE side stays the
+    // full corpus — every vector is a query and always knows its own
+    // keys, and probe mass is linear (n·L·(b+1)), no skew term
+    val idx = if (capped) cappedBandIndex(spark, dir) else nb
     val probes = probeRows(nb, scaledBandWidth(spark, dir), lit(true))
-    nb.as("i").join(probes.as("p"),
+    val directed = idx.as("i").join(probes.as("p"),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
           col("i.vec_id") =!= col("p.qid"))
       .filter(leftFilter)
       .select(col("p.qid").as("vec_id"), col("i.vec_id").as("nbr_id"))
+    // under the cap the flip-symmetry argument no longer yields both
+    // directions (an evicted vector is found only by probing, never BY
+    // a probe), so the undirected contract the BSP/dedup consumers rely
+    // on is restored explicitly
+    directed.union(directed.select(col("nbr_id").as("vec_id"),
+        col("vec_id").as("nbr_id")))
       .distinct()
   }
 
   private[ext] def mpCandScores(spark: SparkSession, dir: String,
-      leftFilter: Column): DataFrame =
-    attachCosine(spark, dir, mpCandPairs(spark, dir, leftFilter))
+      leftFilter: Column, capped: Boolean = true): DataFrame =
+    attachCosine(spark, dir, mpCandPairs(spark, dir, leftFilter, capped))
 
   def annHubness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2503,9 +2562,20 @@ object SimilarityQueries {
       .filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("nbr_id"), col("cosine"))
 
+  /** The s39 base graph, checkpointed under the module caches (s39 and
+    * d34 both consume it; routing through [[DirCaches]] means the
+    * blocks are released on dir eviction / teardown instead of leaking
+    * for the life of the sweep — the r12 ADVICE fix). */
+  private val descentBaseCache = caches.newCache()
+  private def descentBaseCached(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    descentBaseCache.getOrElseUpdate((spark, dir),
+      descentBase(spark, dir).localCheckpoint())
+  }
+
   private[graft] def nnDescentGraphs(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val g0 = descentBase(spark, dir).localCheckpoint()
+    val g0 = descentBaseCached(spark, dir)
     (g0.select(col("vec_id"), col("nbr_id")),
       descentRound(spark, dir, g0).select(col("vec_id"), col("nbr_id")))
   }
@@ -2559,26 +2629,34 @@ object SimilarityQueries {
     graft.CheckpointUtil.release(g)
     import spark.implicits._
     val ex = exact.count()
+    // empty recall sample → ppm denominator degrades to the d32
+    // greatest(n, 1) discipline instead of ArithmeticException (the
+    // registered queries' SQL `div` already degrades gracefully)
+    val exDen = math.max(ex, 1L)
     rows.toSeq.map { case (r, e, h, c) =>
-      (r.toLong, e, ex, h, h * 1000000L / ex, c) }
+      (r.toLong, e, ex, h, h * 1000000L / exDen, c) }
       .toDF("round", "n_edges", "n_exact", "n_hits", "recall_ppm",
         "n_new_edges")
       .orderBy("round")
   }
 
   def nnDescent(spark: SparkSession, dir: String): DataFrame = {
-    val (g0, g1) = nnDescentGraphs(spark, dir)
+    import spark.implicits._
+    val (g0, g1lazy) = nnDescentGraphs(spark, dir)
+    // g0 rides the module cache; g1 is checkpointed per call (its two
+    // readout branches would otherwise each re-run the descent round)
+    // and released once the 2-row readout is on the driver
+    val g1 = g1lazy.localCheckpoint()
     val exact = exactSampleKnn(spark, dir)
-    def stage(name: String, g: DataFrame): DataFrame =
-      g.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(exact.join(g, Seq("vec_id", "nbr_id"))
-          .agg(count(lit(1)).as("n_hits")))
-        .select(lit(name).as("stage"), col("n_edges"), col("n_exact"),
-          col("n_hits"),
-          expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
-    stage("g0_lsh", g0)
-      .unionAll(stage("g1_descent", g1))
+    val ex = exact.count()
+    def stage(name: String, g: DataFrame) = {
+      val e = g.count()
+      val h = exact.join(g, Seq("vec_id", "nbr_id")).count()
+      (name, e, ex, h, h * 1000000L / math.max(ex, 1L))
+    }
+    val rows = Seq(stage("g0_lsh", g0), stage("g1_descent", g1))
+    graft.CheckpointUtil.release(g1)
+    rows.toDF("stage", "n_edges", "n_exact", "n_hits", "recall_ppm")
       .orderBy("stage")
   }
 
@@ -2611,11 +2689,7 @@ object SimilarityQueries {
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     val rows = (BucketCapSweep.map(c => (f"cap_$c%02d", c)) :+
         ("uncapped", Int.MaxValue)).map { case (label, cap) =>
-      val idx = if (cap == Int.MaxValue) nb
-        else nb.withColumn("occ_rk", row_number().over(
-            Window.partitionBy(col("bid"), col("bkey"))
-              .orderBy(col("vec_id"))))
-          .filter(col("occ_rk") <= cap).drop("occ_rk")
+      val idx = cappedIndexOf(nb, cap)
       // checkpointed: the pair frame feeds BOTH the mass count and the
       // recall branch of one readout action — without it each cap's
       // bucket self-join executes twice (the t27 multi-branch lesson)
@@ -2631,7 +2705,11 @@ object SimilarityQueries {
           .filter(recallSampled(col("vec_id"))))
         .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
         .select(col("vec_id"), col("nbr_id"))
-      idx.agg(count(lit(1)).as("n_index_rows"))
+      // the readout is ONE row per cap — collect it eagerly so the
+      // per-cap checkpoint can be released before the next cap builds
+      // (r12 ADVICE: unreleased sweep checkpoints accumulate storage
+      // pressure across the driver's 298-query run)
+      val r = idx.agg(count(lit(1)).as("n_index_rows"))
         .crossJoin(undirected.agg(count(lit(1)).as("n_cand_pairs")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .crossJoin(exact.join(ann, Seq("vec_id", "nbr_id"))
@@ -2639,8 +2717,82 @@ object SimilarityQueries {
         .select(lit(label).as("cap"), col("n_index_rows"),
           col("n_cand_pairs"), col("n_exact"), col("n_hits"),
           expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
+        .collect()(0)
+      graft.CheckpointUtil.release(undirected)
+      // recall_ppm is null only on an EMPTY corpus (vec_id 0 is always
+      // sampled otherwise); degrade to 0 instead of an NPE there
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) 0L else r.getLong(5))
     }
-    rows.reduce(_.unionAll(_)).orderBy("cap")
+    import spark.implicits._
+    rows.toDF("cap", "n_index_rows", "n_cand_pairs", "n_exact", "n_hits",
+        "recall_ppm")
+      .orderBy("cap")
+  }
+
+  /** s41 — the CAP × PROBE-DEPTH operating grid: the composition s40's
+    * own Scaladoc prescribes ("a cap for the worst-case mass bound plus
+    * multi-probe to buy recall back"), measured as one table. Per cell
+    * (cap ∈ [[BucketCapSweep]] × Hamming probe depth ∈ {0, 1, 2}): the
+    * sampled queries probe the CAPPED index through [[probeRows]]'s
+    * XOR shells — the query's own keys come from its full band rows
+    * (an arriving query always knows its own keys; the cap governs only
+    * which residents the INDEX retained) — and the readout is candidate
+    * mass + recall@[[KnnK]] against the fixed exact sample. This is the
+    * operating-point table a deployment reads to pick (cap, depth): the
+    * cap's hard Σ min(n_k,cap)² join-mass bound is bought back recall-
+    * wise by probing neighboring buckets, whose cost is probe-side
+    * (linear in queries), not index-side (the skew term). The knee on
+    * each corpus: the smallest cell whose recall clears target.
+    *
+    * Scale shape: probe table is |sample|·L·(1+b+C(b,2)) rows —
+    * corpus-size-independent — BROADCAST against the capped index
+    * (which only ever shrinks under the cap); per-cap scored frames
+    * are checkpointed once, read by all three depth cuts, and released
+    * after the 1-row-per-cell readout lands on the driver. */
+  def capProbeGrid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val nb = scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val b = scaledBandWidth(spark, dir)
+    val exact = exactSampleKnn(spark, dir).withColumnRenamed("vec_id", "qid")
+    val ex = exact.count()
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val probes = probeRows(nb, b, recallSampled(col("vec_id")), depth = 2)
+    val rows = BucketCapSweep.flatMap { cap =>
+      val idx = cappedIndexOf(nb, cap)
+      val scored = idx.as("i").join(broadcast(probes.as("p")),
+          col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+            col("i.vec_id") =!= col("p.qid"))
+        .groupBy(col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
+        .agg(min(col("p.pidx")).as("mp"))
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid")
+        .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("yv")),
+          "nbr_id")
+        .select(col("qid"), col("nbr_id"), col("mp"),
+          round(expr("cosine_sim(qv, yv)"), 6).as("cosine"))
+        .localCheckpoint()
+      val cells = (0 to 2).map { d =>
+        val shell = scored.filter(col("mp") <= d)
+        val nCand = shell.count()
+        val hits = shell
+          .withColumn("rk", row_number().over(topW))
+          .filter(col("rk") <= KnnK)
+          .select(col("qid"), col("nbr_id"))
+          .join(exact, Seq("qid", "nbr_id")).count()
+        (f"cap_$cap%02d", s"d$d", nCand, ex, hits,
+          hits * 1000000L / math.max(ex, 1L))
+      }
+      graft.CheckpointUtil.release(scored)
+      cells
+    }
+    rows.toDF("cap", "probe_depth", "n_cand", "n_exact", "n_hits",
+        "recall_ppm")
+      .orderBy("cap", "probe_depth")
   }
 
   /** CAP + DESCEND — the composed dial s40's Scaladoc prescribes,
@@ -2655,12 +2807,9 @@ object SimilarityQueries {
     * bound starting point for capped descent. */
   private def descentBaseCapped(spark: SparkSession, dir: String,
       cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nb = scaledBandIndex(spark, dir)
       .select(col("vec_id"), col("bid"), col("bkey"))
-    val idx = nb.withColumn("occ_rk", row_number().over(
-        Window.partitionBy(col("bid"), col("bkey")).orderBy(col("vec_id"))))
-      .filter(col("occ_rk") <= cap).drop("occ_rk")
+    val idx = cappedIndexOf(nb, cap)
     val und = idx.as("a").join(idx.as("b"),
         col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -2676,23 +2825,28 @@ object SimilarityQueries {
 
   private[graft] def descentOverCappedBase(spark: SparkSession,
       dir: String): DataFrame = {
+    import spark.implicits._
     val cap = BucketCapSweep.head
     val g0 = descentBaseCapped(spark, dir, cap).localCheckpoint()
-    val g1 = descentRound(spark, dir, g0)
+    val g1 = descentRound(spark, dir, g0).localCheckpoint()
     val exact = exactSampleKnn(spark, dir)
-    def stage(name: String, g: DataFrame): DataFrame =
-      g.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(exact.join(g.select(col("vec_id"), col("nbr_id")),
-          Seq("vec_id", "nbr_id")).agg(count(lit(1)).as("n_hits")))
-        .select(lit(name).as("stage"), col("n_edges"), col("n_exact"),
-          col("n_hits"),
-          expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
-    stage(f"g0_cap$cap%02d", g0).unionAll(stage(f"g1_cap$cap%02d_descent", g1))
+    val ex = exact.count()
+    def stage(name: String, g: DataFrame) = {
+      val e = g.count()
+      val h = exact.join(g.select(col("vec_id"), col("nbr_id")),
+        Seq("vec_id", "nbr_id")).count()
+      (name, e, ex, h, h * 1000000L / math.max(ex, 1L))
+    }
+    val rows = Seq(stage(f"g0_cap$cap%02d", g0),
+      stage(f"g1_cap$cap%02d_descent", g1))
+    graft.CheckpointUtil.release(g0)
+    graft.CheckpointUtil.release(g1)
+    rows.toDF("stage", "n_edges", "n_exact", "n_hits", "recall_ppm")
       .orderBy("stage")
   }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s41_cap_probe_grid" -> ((s, d) => capProbeGrid(s, d)),
     "s40_bucket_cap" -> ((s, d) => bucketCapSweep(s, d)),
     "s39_nn_descent" -> ((s, d) => nnDescent(s, d)),
     "s29_binary_hamming" -> ((s, d) => binaryHamming(s, d)),
@@ -2844,6 +2998,18 @@ object SimilarityQueries {
 
   private[ext] lazy val duckScaledBands: String = duckScaledBandsFrom("TRUE")
 
+  /** The capped production index as a DuckDB CTE (`cidx`, requires
+    * `bands` in scope) — [[cappedBandIndex]]'s keep rule verbatim: the
+    * [[DefaultBucketCap]] lowest vec_ids per (bid, bkey). Every oracle
+    * whose Spark side generates candidates through the capped-by-default
+    * kernels joins `cidx` on the index side. */
+  private[ext] lazy val duckCappedIdx: String =
+    s"""cidx AS (SELECT vec_id, bid, bkey FROM (
+       |  SELECT vec_id, bid, bkey,
+       |    row_number() OVER (PARTITION BY bid, bkey
+       |      ORDER BY vec_id) occ_rk FROM bands)
+       |  WHERE occ_rk <= $DefaultBucketCap)""".stripMargin
+
   /** The s39 NN-descent graph as a DuckDB CTE chain (requires `e` from
     * [[duckEmb]] and `bands` from [[duckScaledBands]] in scope): the
     * corpus-wide band-candidate top-K graph `g0<sfx>`, capped reverse
@@ -2853,7 +3019,7 @@ object SimilarityQueries {
     * the dedup in the b/cand CTEs. */
   private[ext] def duckDescentCtes(sfx: String): String =
     s"""cp$sfx AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
-       |       FROM bands a JOIN bands b
+       |       FROM cidx a JOIN cidx b
        |         ON a.bid = b.bid AND a.bkey = b.bkey
        |        AND a.vec_id <> b.vec_id),
        |g0$sfx AS (SELECT vec_id, nbr_id, c FROM (
@@ -3036,8 +3202,9 @@ object SimilarityQueries {
     "s30_ann_hubness" ->
       s"""WITH $duckEmb,
          |$duckScaledBands,
+         |$duckCappedIdx,
          |p AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
-         |      FROM bands a JOIN bands b
+         |      FROM cidx a JOIN cidx b
          |        ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
          |c AS (SELECT p.vec_id, p.nbr_id,
          |        round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) cosine
@@ -3060,6 +3227,7 @@ object SimilarityQueries {
     "s31_scaled_ann_recall" ->
       s"""WITH $duckEmb,
          |$duckScaledBands,
+         |$duckCappedIdx,
          |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
          |ex AS (SELECT vec_id, nbr_id FROM (
          |        SELECT q.vec_id, x.vec_id nbr_id,
@@ -3069,7 +3237,7 @@ object SimilarityQueries {
          |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
          |       WHERE rk <= $KnnK),
          |cand AS (SELECT DISTINCT a.vec_id vec_id, b.vec_id nbr_id
-         |         FROM bands a JOIN bands b
+         |         FROM cidx a JOIN cidx b
          |           ON a.bid = b.bid AND a.bkey = b.bkey
          |          AND a.vec_id <> b.vec_id
          |         WHERE a.vec_id % $RecallSampleMod = 0
@@ -3156,6 +3324,77 @@ object SimilarityQueries {
          |ORDER BY f.cap""".stripMargin
     },
 
+    // s41: the s40 capped-index CTE composed with the s32 probe-shell
+    // CTEs — per (cap, depth) cell, candidate mass (min flip count <=
+    // depth) and the sampled recall, one UNION ALL row per cell.
+    "s41_cap_probe_grid" -> {
+      val blocks = BucketCapSweep.map { c =>
+        val s = f"c$c%02d"
+        val label = f"cap_$c%02d"
+        val cte =
+          s"""i$s AS (SELECT vec_id, bid, bkey FROM (
+             |  SELECT vec_id, bid, bkey,
+             |    row_number() OVER (PARTITION BY bid, bkey
+             |      ORDER BY vec_id) occ_rk FROM bands)
+             |  WHERE occ_rk <= $c),
+             |n$s AS (SELECT p.qid, i.vec_id nbr_id, min(p.pidx) mp
+             |        FROM probes p JOIN i$s i
+             |          ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
+             |         AND i.vec_id <> p.qid
+             |        GROUP BY 1, 2),
+             |s$s AS (SELECT n.qid, n.nbr_id, n.mp,
+             |          round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+             |            cosine
+             |        FROM n$s n JOIN e x ON x.vec_id = n.qid
+             |                   JOIN e y ON y.vec_id = n.nbr_id)""".stripMargin
+        val rows = (0 to 2).map { d =>
+          s"""SELECT '$label' cap, 'd$d' probe_depth,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s$s WHERE mp <= $d)
+             |    n_cand,
+             |  tot.n_exact,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN
+             |     (SELECT qid, nbr_id FROM (
+             |        SELECT qid, nbr_id, row_number() OVER (PARTITION BY qid
+             |          ORDER BY cosine DESC, nbr_id ASC) rk
+             |        FROM s$s WHERE mp <= $d) WHERE rk <= $KnnK) t
+             |     ON ex.qid = t.qid AND ex.nbr_id = t.nbr_id) n_hits
+             |FROM tot""".stripMargin
+        }
+        (cte, rows)
+      }
+      s"""WITH $duckEmb,
+         |$duckScaledBands,
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
+         |ex AS (SELECT qid, nbr_id FROM (
+         |        SELECT q.vec_id qid, x.vec_id nbr_id,
+         |          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |            round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+         |            x.vec_id ASC) rk
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id)
+         |       WHERE rk <= $KnnK),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM ex),
+         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr WHERE $duckRecallSampled),
+         |flipp AS (SELECT qid, bid, bkey0, r, unnest(range(r + 1, pr.b)) s
+         |          FROM flips, params pr),
+         |probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey, 0 pidx
+         |  FROM bands WHERE $duckRecallSampled
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM flips
+         |  UNION ALL
+         |  SELECT qid, bid,
+         |    xor(xor(bkey0, CAST(1 AS BIGINT) << r), CAST(1 AS BIGINT) << s), 2
+         |  FROM flipp),
+         |${blocks.map(_._1).mkString(",\n")}
+         |SELECT f.cap, f.probe_depth, f.n_cand, f.n_exact, f.n_hits,
+         |       CAST(f.n_hits * 1000000 // f.n_exact AS BIGINT) AS recall_ppm
+         |FROM (
+         |${blocks.flatMap(_._2).mkString("\nUNION ALL\n")}) f
+         |ORDER BY f.cap, f.probe_depth""".stripMargin
+    },
+
     // s39: the full NN-descent round recomputed independently — the
     // corpus-wide band-candidate top-K graph, the capped reverse edges,
     // the pivot-neighborhood self-join, the superset re-selection, and
@@ -3165,6 +3404,7 @@ object SimilarityQueries {
     "s39_nn_descent" ->
       s"""WITH $duckEmb,
          |$duckScaledBands,
+         |$duckCappedIdx,
          |${duckDescentCtes("")},
          |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
          |ex AS (SELECT vec_id, nbr_id FROM (

@@ -2332,7 +2332,11 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     val (nq2, ne2, hMulti, ppmMulti) = rows("t1_multi1")
     // same exact-kNN denominator on both rows
     assert(nq == nq2 && ne == ne2 && ne == nq * ext.SimilarityQueries.KnnK)
-    // exact-bucket mode IS s31's candidate rule — recall must agree
+    // exact-bucket mode IS s31's candidate rule — recall must agree.
+    // (s31 is capped-by-default since r13; equality holds here because
+    // DefaultBucketCap ≥ the fixture's max bucket occupancy, which the
+    // s40 cross-pin checks explicitly — at clustered/blow-up scale the
+    // capped rule diverges and s41 is the grid that measures it.)
     val s31 = ext.SimilarityQueries.scaledAnnRecall(spark, dir).collect().head
     assert(hSingle == s31.getLong(2) && ppmSingle == s31.getLong(3),
       s"single-probe must reproduce s31: $hSingle/$ppmSingle vs ${s31.getLong(2)}/${s31.getLong(3)}")
@@ -2558,10 +2562,19 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     }
     import org.apache.spark.sql.functions.{col, lit}
     val undirected = ext.SimilarityQueries
-      .scaledCandScores(spark, dir, lit(true))
+      .scaledCandScores(spark, dir, lit(true), capped = false)
       .filter(col("vec_id") < col("nbr_id")).count()
     assert(rows.last.getLong(2) == undirected,
-      "uncapped pair mass must equal the s30/s31 candidate rule")
+      "uncapped pair mass must equal the uncapped candidate rule")
+    // and the cap_32 row pins the PRODUCTION (capped-by-default) rule —
+    // the r13 guardrail wiring: s30/s31/d30/d32/s39 all generate
+    // candidates through exactly this index
+    val cappedMass = ext.SimilarityQueries
+      .scaledCandScores(spark, dir, lit(true))
+      .filter(col("vec_id") < col("nbr_id")).count()
+    val cap32 = rows.find(_.getString(0) == "cap_32").get
+    assert(cap32.getLong(2) == cappedMass,
+      "cap_32 pair mass must equal the default capped candidate rule")
   }
 
   test("d34 cross-pins d32: the shared candidate-source rows are identical") {

@@ -1291,11 +1291,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   test("s40 bucket cap: the occ_rk filter plans as a bounded per-bucket group limit") {
     // the cap is the whole point — it must execute as WindowGroupLimit
     // (per-(bid,bkey) bounded heap) feeding a hash equi-self-join, never
-    // a global sort or a product; audited on the readout frame (its
-    // 1-row stat crossJoins are singleton nested-loops, so only the
-    // product/global-sort absence is asserted there)
-    val p = plan("s40_bucket_cap")
+    // a global sort or a product. Since r13 the s40/s41 readouts are
+    // eager (per-cap checkpoints released as the 1-row stats land), so
+    // the audit targets the shared KERNEL every capped consumer plans
+    // through — cappedIndexOf over the band rows, self-joined on
+    // (bid, bkey) exactly as scaledCandPairs does.
+    import org.apache.spark.sql.functions.col
+    val nb = graft.ext.SimilarityQueries.scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val idx = graft.ext.SimilarityQueries.cappedIndexOf(nb, 32)
+    val pairs = idx.as("a").join(idx.as("b"),
+      col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+        col("a.vec_id") < col("b.vec_id"))
+    val p = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("hash"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("GlobalSort"), p)
   }

@@ -159,7 +159,7 @@ class RedisSinkSpec extends AnyFunSuite with SparkSuite {
     import graft.ops.StediOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val redis = new MockRedis
-    val ck = java.nio.file.Files.createTempDirectory("redis_join_ck").toString
+    val ck = ckptDir("redis_join_ck")
     def b64(s: String): String =
       java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     val el = b64("""{"customerName":"Sam Test","email":"sam.test@test.com",""" +
@@ -198,7 +198,7 @@ class RedisSinkSpec extends AnyFunSuite with SparkSuite {
   test("streaming foreachBatch sink: two micro-batches land, later batch overwrites") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val redis = new MockRedis
-    val ck = java.nio.file.Files.createTempDirectory("redis_ck").toString
+    val ck = ckptDir("redis_ck")
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, Double)]
     val q = RedisSink.upsertForeachBatch(

@@ -77,9 +77,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // twin of dropDuplicatesWithinWatermark under in-order landing),
     // scrub last.
     import graft.pipelines.StreamingCorpusPipeline
-    val in = java.nio.file.Files.createTempDirectory("corpus_in").toString
-    val out = java.nio.file.Files.createTempDirectory("corpus_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("corpus_ckpt").toString
+    val in = ckptDir("corpus_in")
+    val out = ckptDir("corpus_out")
+    val ckpt = ckptDir("corpus_ckpt")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     def land(rows: (Long, String, java.sql.Timestamp)*): Unit =
       rows.toSeq.toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
@@ -152,10 +152,15 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // regression would break:
     //  - ingest gates are the batch front stages on RAW text in batch
     //    order (quality, d1 fingerprint dedup, scrub LAST);
-    //  - arrival is doc_id-ordered across batches, so first-arrival-per-
-    //    fingerprint = min-doc_id-per-text, batch d1's canonical pick
-    //    (the cross-id re-fetch arrives in run 2 and must lose to run
-    //    1's state across the checkpoint);
+    //  - first-arrival-per-fingerprint = min-doc_id-per-text, batch
+    //    d1's canonical pick, BY CONSTRUCTION of the feed: rows land in
+    //    occurrence-rank WAVES (wave k = each fingerprint's k-th lowest
+    //    doc_id), one file per wave consumed one per micro-batch
+    //    (maxFilesPerTrigger=1) — so no micro-batch ever carries two
+    //    rows of one fingerprint, and dropDuplicatesWithinWatermark's
+    //    arbitrary intra-batch pick never gets a choice (the r12 ADVICE
+    //    determinism fix; the cross-id re-fetch arrives in run 2 and
+    //    must lose to run 1's state across the checkpoint);
     //  - the fixture carries no PII patterns, so scrub is the identity
     //    here (asserted below — gating/fingerprinting on raw text is
     //    what keeps the tiers aligned when it is NOT);
@@ -166,10 +171,10 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     import graft.pipelines.{StreamingCorpusPipeline, TrainingDataPipeline}
     import org.apache.spark.sql.functions.{expr, length, lit}
     val src = "/root/testdata/sf0.001"
-    val in = java.nio.file.Files.createTempDirectory("tier2_in").toString
-    val landedOut = java.nio.file.Files.createTempDirectory("tier2_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("tier2_ckpt").toString
-    val landedDir = java.nio.file.Files.createTempDirectory("tier2_dir").toString
+    val in = ckptDir("tier2_in")
+    val landedOut = ckptDir("tier2_out")
+    val ckpt = ckptDir("tier2_ckpt")
+    val landedDir = ckptDir("tier2_dir")
     val docs = Tables.load(spark, src, "documents")
     val withTs = docs.select(col("doc_id"), col("text"))
       .withColumn("ts", expr(
@@ -177,6 +182,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     def runOnce(): Unit = {
       val q = StreamingCorpusPipeline.ingest(
           spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
             .parquet(in), "1 hour")
         .writeStream.format("parquet")
         .option("path", landedOut).option("checkpointLocation", ckpt)
@@ -185,8 +191,21 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
         .start()
       q.awaitTermination()
     }
-    // run 1: first half of the corpus in doc_id order
-    withTs.filter(col("doc_id") < 250).write.mode("append").parquet(in)
+    // land in occurrence-rank waves: one coalesced file per wave, so
+    // each micro-batch sees at most one row per text fingerprint
+    def landWaves(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{md5, row_number, max}
+      val waved = df.withColumn("wave", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      val n = waved.agg(max("wave")).collect()(0).getInt(0)
+      (1 to n).foreach { w =>
+        waved.filter(col("wave") === w).drop("wave").coalesce(1)
+          .write.mode("append").parquet(in)
+      }
+    }
+    // run 1: first half of the corpus
+    landWaves(withTs.filter(col("doc_id") < 250))
     runOnce()
     // run 2: second half + the transport artifacts — a redelivery of doc
     // 42 (same id, same text, later ts), a re-fetch of doc 42's text
@@ -198,8 +217,8 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       (42L, text42, java.sql.Timestamp.valueOf("2024-01-01 00:20:00")),
       (1000L, text42, java.sql.Timestamp.valueOf("2024-01-01 00:20:01")),
       (1001L, "!! ?? !! ??", java.sql.Timestamp.valueOf("2024-01-01 00:20:02")))
-    withTs.filter(col("doc_id") >= 250)
-      .union(extras.toDF("doc_id", "text", "ts")).write.mode("append").parquet(in)
+    landWaves(withTs.filter(col("doc_id") >= 250)
+      .union(extras.toDF("doc_id", "text", "ts")))
     runOnce()
     // rebuild a documents table from the landed rows (lang/source join
     // back by id — ids are preserved through the ingest tier)
@@ -347,7 +366,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
 
   test("foreachBatch lands each micro-batch in parquet exactly once") {
     val input = MemoryStream[String]
-    val out = java.nio.file.Files.createTempDirectory("febatch").toString
+    val out = ckptDir("febatch")
     val q = parsed(input).writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         df.write.mode("append").parquet(s"$out/risk")
@@ -366,7 +385,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // The batch-landing-zone pattern: an upstream job drops parquet files
     // into a directory, the streaming side treats the directory as an
     // unbounded table (each discovered file = one micro-batch of input).
-    val dir = java.nio.file.Files.createTempDirectory("fstream").toString
+    val dir = ckptDir("fstream")
     Seq(("a@test.com", 1.0), ("b@test.com", 2.0)).toDF("customer", "score")
       .write.mode("append").parquet(dir)
     val stream = spark.readStream
@@ -395,9 +414,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // StateStore must still recognize a redelivery from BEFORE the
     // restart. File source + file sink + AvailableNow = the recoverable
     // end-to-end shape (memory sink does not recover).
-    val in = java.nio.file.Files.createTempDirectory("ckpt_in").toString
-    val out = java.nio.file.Files.createTempDirectory("ckpt_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_state").toString
+    val in = ckptDir("ckpt_in")
+    val out = ckptDir("ckpt_out")
+    val ckpt = ckptDir("ckpt_state")
     def land(rows: (String, Double, String)*): Unit =
       rows.toSeq.toDF("customer", "score", "riskDate")
         .write.mode("append").parquet(in)
@@ -458,9 +477,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // doc 1's (doc_id, shh) bucket residency was recovered from the
     // StateStore. FMGWS emits in update mode, which no file sink
     // accepts — foreachBatch appends each micro-batch's emissions.
-    val in = java.nio.file.Files.createTempDirectory("nd_in").toString
-    val out = java.nio.file.Files.createTempDirectory("nd_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("nd_state").toString
+    val in = ckptDir("nd_in")
+    val out = ckptDir("nd_out")
+    val ckpt = ckptDir("nd_state")
     def land(rows: (Long, String)*): Unit =
       rows.toSeq.toDF("doc_id", "text").write.mode("append").parquet(in)
     def runOnce(): Unit = {
@@ -492,9 +511,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // planted cosine-neighbor of vector 1) arrives only AFTER the query
     // restarts from its checkpoint, so the pair can only be found if
     // vector 1's (vec_id, embedding) bucket residency was recovered.
-    val in = java.nio.file.Files.createTempDirectory("ann_in").toString
-    val out = java.nio.file.Files.createTempDirectory("ann_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("ann_state").toString
+    val in = ckptDir("ann_in")
+    val out = ckptDir("ann_out")
+    val ckpt = ckptDir("ann_state")
     def vec(seed: Int, jitter: Float): Array[Float] =
       Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
     def land(rows: (Long, Array[Float])*): Unit =
@@ -534,11 +553,11 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // initialState, and a post-migration arrival still pairs with its
     // pre-migration neighbor — no missed pairs across the epoch.
     import graft.ext.SimilarityQueries
-    val in1 = java.nio.file.Files.createTempDirectory("mig_in1").toString
-    val in2 = java.nio.file.Files.createTempDirectory("mig_in2").toString
-    val out = java.nio.file.Files.createTempDirectory("mig_out").toString
-    val ck1 = java.nio.file.Files.createTempDirectory("mig_ck1").toString
-    val ck2 = java.nio.file.Files.createTempDirectory("mig_ck2").toString
+    val in1 = ckptDir("mig_in1")
+    val in2 = ckptDir("mig_in2")
+    val out = ckptDir("mig_out")
+    val ck1 = ckptDir("mig_ck1")
+    val ck2 = ckptDir("mig_ck2")
     def vec(seed: Int, jitter: Float): Array[Float] =
       Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
     val a = Seq((1L, vec(3, 0f)), (50L, vec(41, 0f)), (100L, vec(77, 0f)))
@@ -634,9 +653,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // arrival, a further run fires the EventTimeTimeout and drops the
     // residents; (3) an identical-direction vector arriving after
     // eviction finds nothing — admission-against-recent-history.
-    val in = java.nio.file.Files.createTempDirectory("anne_in").toString
-    val out = java.nio.file.Files.createTempDirectory("anne_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("anne_state").toString
+    val in = ckptDir("anne_in")
+    val out = ckptDir("anne_out")
+    val ckpt = ckptDir("anne_state")
     val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
     def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
     def vec(seed: Int, jitter: Float): Array[Float] =
@@ -696,11 +715,11 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     //       watermark passes its re-armed timeout, so the final state
     //       is exactly the live window's banding — no immortal buckets.
     import graft.ext.SimilarityQueries
-    val in1 = java.nio.file.Files.createTempDirectory("eme_in1").toString
-    val in2 = java.nio.file.Files.createTempDirectory("eme_in2").toString
-    val out = java.nio.file.Files.createTempDirectory("eme_out").toString
-    val ck1 = java.nio.file.Files.createTempDirectory("eme_ck1").toString
-    val ck2 = java.nio.file.Files.createTempDirectory("eme_ck2").toString
+    val in1 = ckptDir("eme_in1")
+    val in2 = ckptDir("eme_in2")
+    val out = ckptDir("eme_out")
+    val ck1 = ckptDir("eme_ck1")
+    val ck2 = ckptDir("eme_ck2")
     val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
     def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
     def vec(seed: Int, jitter: Float): Array[Float] =
@@ -817,9 +836,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // any bucket interference affect both models identically), plus the
     // planted outcomes that prove the fixture exercises eviction.
     import graft.ext.SimilarityQueries
-    val in = java.nio.file.Files.createTempDirectory("evr_in").toString
-    val out = java.nio.file.Files.createTempDirectory("evr_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("evr_ck").toString
+    val in = ckptDir("evr_in")
+    val out = ckptDir("evr_out")
+    val ckpt = ckptDir("evr_ck")
     val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
     def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
     def vec(seed: Int, jitter: Float): Array[Float] =
@@ -872,9 +891,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // spread over 10 synthetic minutes (vec_id div 5), so bucket chains
     // break where the data says, not where the fixture plants them.
     import graft.ext.SimilarityQueries
-    val in = java.nio.file.Files.createTempDirectory("evc_in").toString
-    val out = java.nio.file.Files.createTempDirectory("evc_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("evc_ck").toString
+    val in = ckptDir("evc_in")
+    val out = ckptDir("evc_out")
+    val ckpt = ckptDir("evc_ck")
     val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
     val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
@@ -924,9 +943,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // fires, the residents are dropped, and the SAME near-dup text
     // arriving later finds nothing — dedup-against-recent-history, not
     // against-the-corpus.
-    val in = java.nio.file.Files.createTempDirectory("nde_in").toString
-    val out = java.nio.file.Files.createTempDirectory("nde_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("nde_state").toString
+    val in = ckptDir("nde_in")
+    val out = ckptDir("nde_out")
+    val ckpt = ckptDir("nde_state")
     val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
     def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
     def land(rows: (Long, String, java.sql.Timestamp)*): Unit =
@@ -974,9 +993,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     * established, applied to windowed state. */
   private def recoveryRuns(op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : Seq[(String, Double, String)] => Unit = {
-    val in = java.nio.file.Files.createTempDirectory("wckpt_in").toString
-    val out = java.nio.file.Files.createTempDirectory("wckpt_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("wckpt_state").toString
+    val in = ckptDir("wckpt_in")
+    val out = ckptDir("wckpt_out")
+    val ckpt = ckptDir("wckpt_state")
     outDirs += out
     rows => {
       rows.toSeq.toDF("customer", "score", "riskDate")
@@ -1043,9 +1062,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // so foreachBatch stamps each micro-batch's frame with its batch id —
     // the recoverable update-sink shape — and the LAST emission per key
     // must carry totals spanning the restart.
-    val in = java.nio.file.Files.createTempDirectory("gckpt_in").toString
-    val out = java.nio.file.Files.createTempDirectory("gckpt_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("gckpt_state").toString
+    val in = ckptDir("gckpt_in")
+    val out = ckptDir("gckpt_out")
+    val ckpt = ckptDir("gckpt_state")
     def land(rows: (String, Double, String)*): Unit =
       rows.toSeq.toDF("customer", "score", "riskDate")
         .write.mode("append").parquet(in)
@@ -1183,9 +1202,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     // the session opens before the stop, and the watermark that closes
     // it only arrives after the restart — the close event must still
     // fire exactly once, from the recovered query.
-    val in = java.nio.file.Files.createTempDirectory("tckpt_in").toString
-    val out = java.nio.file.Files.createTempDirectory("tckpt_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("tckpt_state").toString
+    val in = ckptDir("tckpt_in")
+    val out = ckptDir("tckpt_out")
+    val ckpt = ckptDir("tckpt_state")
     def land(rows: (String, Double, String)*): Unit =
       rows.toSeq.toDF("customer", "score", "riskDate")
         .write.mode("append").parquet(in)
@@ -1259,9 +1278,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("foreachBatch upsert sink keeps latest-per-customer and replays idempotently") {
-    val table = java.nio.file.Files.createTempDirectory("fbu").toString + "/risk"
-    val ckpt = java.nio.file.Files.createTempDirectory("fbu_ck").toString
-    val in = java.nio.file.Files.createTempDirectory("fbu_in").toString
+    val table = ckptDir("fbu") + "/risk"
+    val ckpt = ckptDir("fbu_ck")
+    val in = ckptDir("fbu_in")
     import spark.implicits._
     def land(rows: (String, Double, String)*): Unit =
       rows.toSeq.toDF("customer", "score", "riskDate")
@@ -1410,9 +1429,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = java.nio.file.Files.createTempDirectory("tws_in").toString
-    val out = java.nio.file.Files.createTempDirectory("tws_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("tws_ck").toString
+    val in = ckptDir("tws_in")
+    val out = ckptDir("tws_out")
+    val ckpt = ckptDir("tws_ck")
     import spark.implicits._
     def land(rows: (String, Double, String)*): Unit =
       rows.toSeq.toDF("customer", "score", "riskDate")

@@ -60,7 +60,7 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       (4L, new java.sql.Timestamp(t0.getTime + 1000), 7L, "purchase", 0.0, ""),
       (5L, new java.sql.Timestamp(t0.getTime + 2000), 8L, "purchase", 0.0, "")) // no click
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val out = java.nio.file.Files.createTempDirectory("asof").toString
+    val out = ckptDir("asof")
     rows.write.mode("overwrite").parquet(s"$out/events.parquet")
     val got = TemporalQueries.q19Asof(spark, out).collect()
       .map(r => r.getLong(0) -> Option(r.get(2))).toMap
@@ -435,7 +435,7 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     // p.us > t.us rejects the tie AND the late purchase, so the touch must
     // drop entirely. The fixtures never collide on (user_id, ts), so only
     // this synthetic frame exercises the boundary.
-    val tmp = java.nio.file.Files.createTempDirectory("q77tie").toString
+    val tmp = ckptDir("q77tie")
     import spark.implicits._
     Seq(
       (1L, 1L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
