@@ -50,7 +50,9 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val docs = Tables.load(spark, dir, "documents")
+    // document feed for the MemoryStream doc modes only — lazy so the
+    // file-fed vector modes never collect a table to the driver
+    lazy val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
     val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
     def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
@@ -84,6 +86,8 @@ object StreamBench {
       val out2 = java.nio.file.Files.createTempDirectory("ep_out2").toString
       val ck1 = java.nio.file.Files.createTempDirectory("ep_ck1").toString
       val ck2 = java.nio.file.Files.createTempDirectory("ep_ck2").toString
+      graft.streaming.StreamOps.stampPlaneFamily(spark, ck1)
+      graft.streaming.StreamOps.stampPlaneFamily(spark, ck2)
       def landChunks(df: org.apache.spark.sql.DataFrame, rows: Long,
           in: String): Int = {
         val files = math.max(1, ((rows + batchSize - 1) / batchSize).toInt)
@@ -170,6 +174,8 @@ object StreamBench {
       val out2 = java.nio.file.Files.createTempDirectory("epe_out2").toString
       val ck1 = java.nio.file.Files.createTempDirectory("epe_ck1").toString
       val ck2 = java.nio.file.Files.createTempDirectory("epe_ck2").toString
+      StreamOps.stampPlaneFamily(spark, ck1)
+      StreamOps.stampPlaneFamily(spark, ck2)
       // one synthetic minute per ~batchSize of vec_id span, monotone in
       // vec_id; files are range-partitioned so event time advances with
       // the feed like the MemoryStream modes' minute-per-batch scheme
@@ -270,7 +276,6 @@ object StreamBench {
       val out = java.nio.file.Files.createTempDirectory("tt_out").toString
       val ck = java.nio.file.Files.createTempDirectory("tt_ck").toString
       val landedDir = java.nio.file.Files.createTempDirectory("tt_dir").toString
-      val files = math.max(1, ((n + batchSize - 1) / batchSize).toInt)
       // ts monotone with arrival: ONE SYNTHETIC MINUTE PER RANGE FILE
       // (the minute-per-batch scheme every other mode uses), assigned
       // via spark_partition_id() AFTER the range partitioning so the
@@ -286,12 +291,37 @@ object StreamBench {
       // (landed 48,926 then 27,801 of 150,000). A bench feed must keep
       // its event-time span inside the declared lateness bound unless
       // lateness itself is the thing being measured.
-      docsAll.select(col("doc_id"), col("text"))
-        .repartitionByRange(files, col("doc_id"))
-        .withColumn("ts", expr(
-          s"timestamp_millis($baseMs + cast(spark_partition_id() as bigint) * 60000)"))
-        .write.mode("append").parquet(in)
-      val wm = s"${math.max(60, files * 2)} minutes"
+      // OCCURRENCE-RANK WAVES (the r12 ADVICE determinism fix): wave k
+      // holds each fingerprint's k-th lowest doc_id, and wave 1 lands
+      // entirely before wave 2, so no micro-batch ever carries two rows
+      // of one fingerprint and dropDuplicatesWithinWatermark's
+      // arbitrary intra-batch pick never gets a choice — first-arrival
+      // = min-doc_id BY CONSTRUCTION, not by file-order accident. Wave
+      // 1 is ~the whole corpus (exact dups are rare); later waves are
+      // the duplicate tail.
+      val waved = docsAll.select(col("doc_id"), col("text"))
+        .withColumn("wave", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(org.apache.spark.sql.functions.md5(col("text")))
+            .orderBy(col("doc_id"))))
+        .localCheckpoint()
+      val waves = waved.agg(org.apache.spark.sql.functions.max("wave"))
+        .collect()(0).getInt(0)
+      var fileBase = 0
+      var totalFiles = 0
+      (1 to waves).foreach { w =>
+        val rows = waved.filter(col("wave") === w).drop("wave")
+        val nw = rows.count()
+        val fw = math.max(1, ((nw + batchSize - 1) / batchSize).toInt)
+        rows.repartitionByRange(fw, col("doc_id"))
+          .withColumn("ts", expr(
+            s"timestamp_millis($baseMs + (cast(spark_partition_id() as bigint) + $fileBase) * 60000)"))
+          .write.mode("append").parquet(in)
+        fileBase += fw
+        totalFiles += fw
+      }
+      graft.CheckpointUtil.release(waved)
+      val wm = s"${math.max(60, totalFiles * 2)} minutes"
       val t1 = System.nanoTime()
       val q1 = StreamingCorpusPipeline.ingest(
           spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
@@ -306,12 +336,12 @@ object StreamBench {
       val landed = spark.read.parquet(out)
       val nLanded = landed.count()
       println(f"[stream] two-tier: ingest $n docs -> $nLanded landed in " +
-        f"$w1%.2f s = ${n / w1}%.0f docs/s ($files micro-batches)")
+        f"$w1%.2f s = ${n / w1}%.0f docs/s ($totalFiles micro-batches, $waves waves)")
       landed.select(col("doc_id"), col("text"))
         .join(docsAll.select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(math.max(1, files / 8))
+        .coalesce(math.max(1, totalFiles / 8))
         .write.parquet(s"$landedDir/documents.parquet")
       val embSrc = new java.io.File(s"$dir/embeddings.parquet")
       val embDst = new java.io.File(s"$landedDir/embeddings.parquet")
@@ -336,46 +366,75 @@ object StreamBench {
       spark.stop()
       return
     }
+    if (args.lift(1).exists(m => m == "ann" || m == "ann-evict")) {
+      // embedding stream through streamingAnnPairs (unbounded) or the
+      // EVICTING twin (minute-per-file event time, 3-minute watermark):
+      // per-batch state rows must PLATEAU under eviction while the
+      // unbounded mode grows monotonically. FILE-FED since r13 (the
+      // ann-epoch discipline, r12 verdict #4): the corpus lands as
+      // ~batchSize-row range files consumed one per micro-batch —
+      // nothing corpus-sized crosses the driver, so blow-up-scale rows
+      // measure the OPERATOR, not the feed.
+      val evictMode = args.lift(1).contains("ann-evict")
+      import graft.streaming.StreamOps
+      val embAll = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = embAll.count()
+      val b = graft.ext.SimilarityQueries.scaledBandWidth(spark, dir)
+      val in = java.nio.file.Files.createTempDirectory("annf_in").toString
+      val out = java.nio.file.Files.createTempDirectory("annf_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("annf_ck").toString
+      StreamOps.stampPlaneFamily(spark, ck)
+      val files = math.max(1, ((n + batchSize - 1) / batchSize).toInt)
+      // one synthetic minute per range file via spark_partition_id()
+      // AFTER the range partitioning (the two-tier feed rule: the
+      // event-time span is `files` minutes by construction, id-sparsity
+      // can never stretch it past the watermark)
+      embAll.repartitionByRange(files, col("vec_id"))
+        .withColumn("ts", expr(
+          s"timestamp_millis($baseMs + cast(spark_partition_id() as bigint) * 60000)"))
+        .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val ds = if (evictMode)
+          StreamOps.streamingAnnPairsEvicting(spark,
+            src.select(col("vec_id"), col("embedding"), col("ts")), b,
+            watermark = "3 minutes")
+        else
+          StreamOps.streamingAnnPairs(spark,
+            src.select(col("vec_id"), col("embedding")), b)
+      val t0 = System.nanoTime()
+      val q = ds.toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // plateau readout off the retained progress history (the last
+      // spark.sql.streaming.numRecentProgressUpdates batches — the tail
+      // is where the plateau shows or fails)
+      q.recentProgress.foreach { p =>
+        val rows = Option(p.stateOperators).filter(_.nonEmpty)
+          .map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+        println(s"[stream] batch ${p.batchId}: ${p.batchDuration} ms, " +
+          s"state rows $rows")
+      }
+      val pairs = spark.read.parquet(out)
+        .dropDuplicates("vec_a", "vec_b").count()
+      println(f"[stream] TOTAL ${if (evictMode) "ann-evict" else "ann"}: " +
+        f"$n vecs in $wall%.2f s = ${n / wall}%.0f vecs/s over $files " +
+        f"micro-batches, $pairs verified pairs")
+      spark.stop()
+      return
+    }
     // (query, per-batch feed by index, total items, pair-id columns)
     val (q, feed, nItems, pairCols) =
-      if (args.lift(1).contains("ann-evict")) {
-        // embedding stream through the EVICTING ANN operator: one
-        // synthetic event-time minute per batch, 3-minute watermark —
-        // per-batch state rows must PLATEAU at the live window's bucket
-        // mass while the unbounded ann mode grows monotonically
-        val vecs = Tables.load(spark, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])].collect().toSeq
-        val b = graft.ext.SimilarityQueries.scaledBandWidth(spark, dir)
-        val input = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
-        val query = graft.streaming.StreamOps.streamingAnnPairsEvicting(spark,
-            input.toDF().toDF("vec_id", "embedding", "ts"), b,
-            watermark = "3 minutes").toDF()
-          .writeStream.format("memory").queryName("nd_bench")
-          .outputMode("update").start()
-        val chunks = vecs.grouped(batchSize).toArray
-        (query, (i: Int) => input.addData(chunks(i).map { case (id, v) =>
-            (id, v, new java.sql.Timestamp(baseMs + i * 60000L)) }),
-          vecs.size, Seq("vec_a", "vec_b"))
-      } else if (args.lift(1).contains("ann")) {
-        // embedding stream through streamingAnnPairs at the corpus's
-        // adaptive width — per-batch wall + state rows for the vector
-        // state class
-        val vecs = Tables.load(spark, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])].collect().toSeq
-        val b = graft.ext.SimilarityQueries.scaledBandWidth(spark, dir)
-        val input = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Array[Float])]
-        val query = graft.streaming.StreamOps.streamingAnnPairs(spark,
-            input.toDF().toDF("vec_id", "embedding"), b).toDF()
-          .writeStream.format("memory").queryName("nd_bench")
-          .outputMode("update").start()
-        val chunks = vecs.grouped(batchSize).toArray
-        (query, (i: Int) => input.addData(chunks(i)),
-          vecs.size, Seq("vec_a", "vec_b"))
-      } else if (evict) {
+      if (evict) {
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String, java.sql.Timestamp)]
         val query = graft.streaming.StreamOps.streamingNearDupPairsEvicting(

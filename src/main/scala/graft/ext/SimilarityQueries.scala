@@ -260,6 +260,17 @@ object SimilarityQueries {
   /** Hard kernel ceiling on per-table key width: bkey is a positive
     * Int, so bits 0..30 are addressable; bit 31 is the sign bit. */
   val LshKeyBitsMax = 31
+  /** PLANE-FAMILY FORMAT VERSION, stamped into every streaming-ANN
+    * checkpoint ([[graft.streaming.StreamOps.stampPlaneFamily]]) and
+    * verified before any drain/migration reads bucket state. Version 2
+    * = rank-major ext-family indexing (`(r−16)·T + t`). The r11 build
+    * indexed table-major, which assigns DIFFERENT sign planes to key
+    * bits r ≥ 16 of tables ≥ 1 — state built at width b ≥ 17 under one
+    * scheme is silently inconsistent with probes/migrations under the
+    * other (wrong-bucket candidate generation, no error). Bump this on
+    * ANY change to plane assignment; the stamp turns a silent
+    * correctness hazard into a fail-fast re-index demand. */
+  val PlaneFamilyVersion = 2
   private val extRowCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
   /** Ext-family sign row at rank-major index `i = (r−16)·T + t`,
@@ -1435,6 +1446,128 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The COMPOSED evict+migrate stream's cross-epoch pair-emission rule
+    * as a batch computation — the r12 verdict #3 oracle de-risking:
+    * the same integer-minute gap-chain move [[evictingPairsReplayOn]]
+    * made for the single-epoch rule, extended across the b0 → b0+1
+    * crossing at minute `mc`.
+    *
+    * Protocol replayed (one run per minute, every minute populated,
+    * buckets uncapped): phase 1 runs the evicting operator at width b0
+    * for minutes < mc; at the crossing the state drains with its armed
+    * timeouts, buckets with `timeout ≤ cut` (the drain watermark,
+    * `mc − 1 − W`) are dropped by
+    * [[migrateAnnResidentsEvicting]], the rest re-key to b0+1 (split
+    * property: low bits preserved), and the evicting twin resumes with
+    * [[graft.streaming.StreamOps.annTouchRows]] re-arming each migrated
+    * bucket at its pre-drain timeout (= its last phase-1 arrival
+    * minute, since the in-order minute feed never trips the wm+1
+    * clamp). A cross-epoch pair (a, b) with t_a ≤ t_b, t_b ≥ mc
+    * therefore emits iff, in some width-(b0+1) bucket both share:
+    *
+    *  - the MERGED residency chain is unbroken over (t_a, t_b]: chain
+    *    minutes are the PARENT bucket's distinct phase-1 arrival
+    *    minutes (any arrival to the b0 bucket kept the state alive
+    *    pre-crossing, including siblings that migrate to the other
+    *    child) followed by the CHILD bucket's distinct phase-2 arrival
+    *    minutes (post-crossing only same-child arrivals re-arm), every
+    *    consecutive gap ≤ gapLimit = W+1 — the touch re-arm makes the
+    *    boundary gap exactly `first child minute − last parent minute`;
+    *  - if t_a < mc, the migration cut kept the bucket:
+    *    `last parent minute > cut`. This is the protocol's one genuine
+    *    divergence from the unbroken gap rule: a bucket with
+    *    `last parent minute = cut` would have survived one more minute
+    *    under the running stream's strict `timeout < watermark`, but
+    *    the drain filter (`timeout_ts > watermarkMs`) drops it — the
+    *    spec pins this boundary against the running composed protocol.
+    *
+    * Input `bands2` is width-(b0+1) band rows carrying arrival
+    * `minute`; emits distinct (vec_a, vec_b, cosine) with t_b ≥ mc. */
+  private[graft] def evictEpochPairsOn(bands2: DataFrame, b0: Int,
+      mc: Long, gapLimit: Int, cut: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(bands2.sparkSession)
+    val mask = (1 << b0) - 1
+    val split = 1 << b0
+    val childMins = bands2.filter(col("minute") >= mc)
+      .select(col("bid"), col("bkey"), col("minute")).distinct()
+    val pm = bands2.filter(col("minute") < mc)
+      .select(col("bid"), col("bkey").bitwiseAND(lit(mask)).as("pk"),
+        col("minute"))
+      .distinct()
+    val parentMins = pm.select(col("bid"), col("pk").as("bkey"), col("minute"))
+      .union(pm.select(col("bid"),
+        (col("pk") + lit(split)).cast("int").as("bkey"), col("minute")))
+    val allMins = childMins.union(parentMins).distinct()
+    val breaks = allMins
+      .withColumn("gap", col("minute") - lag(col("minute"), 1).over(
+        Window.partitionBy(col("bid"), col("bkey")).orderBy(col("minute"))))
+      .filter(col("gap") > gapLimit)
+      .select(col("bid"), col("bkey"), col("minute").as("break_minute"))
+    val lastParent = allMins.filter(col("minute") < mc)
+      .groupBy(col("bid"), col("bkey"))
+      .agg(max(col("minute")).as("last_parent_min"))
+    val cand = bands2.as("a").join(bands2.as("b"),
+        col("a.bid") === col("b.bid") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(greatest(col("a.minute"), col("b.minute")) >= mc)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bid").as("bid"), col("a.bkey").as("bkey"),
+        least(col("a.minute"), col("b.minute")).as("t_lo"),
+        greatest(col("a.minute"), col("b.minute")).as("t_hi"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+    cand.join(breaks,
+        cand("bid") === breaks("bid") && cand("bkey") === breaks("bkey") &&
+          col("break_minute") > col("t_lo") &&
+          col("break_minute") <= col("t_hi"), "left")
+      .groupBy(col("vec_a"), col("vec_b"), cand("bid"), cand("bkey"),
+        col("cosine"), col("t_lo"))
+      .agg(max(when(col("break_minute").isNotNull, 1).otherwise(0))
+        .as("broken"))
+      .filter(col("broken") === 0)
+      .join(lastParent, Seq("bid", "bkey"), "left")
+      .filter(col("t_lo") >= mc ||
+        coalesce(col("last_parent_min"), lit(Long.MinValue)) > cut)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .distinct()
+  }
+
+  /** r_ann_evict_epoch_replay — the COMPOSED evict+migrate protocol's
+    * emitted pair set as a batch replay with a DuckDB twin, closing the
+    * r12 verdict's "spec-only" gap for residency windows spanning the
+    * width crossing. Fixed conventions: minute = vec_id div
+    * [[EvictReplayPerMin]], watermark [[EvictReplayWm]], crossing
+    * minute mc = (n div PerMin) div 2 (integer arithmetic, both
+    * engines), phase-1 width b0 from the phase-1 census
+    * ([[scaledBandBits]]), phase 2 at b0+1. `epoch1` rows are the
+    * single-epoch gap-chain rule ([[evictingPairsReplayOn]]) over the
+    * phase-1 rows at b0; `epoch2` rows are the cross-epoch rule
+    * ([[evictEpochPairsOn]]). The boundary (merged chain + migration
+    * cut) is pinned against the RUNNING composed protocol by spec. */
+  def annEvictEpochReplay(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    val e = emb(spark, dir)
+    val n = e.count()
+    val mc = n / EvictReplayPerMin / 2
+    val b0 = scaledBandBits(
+      e.filter(col("vec_id") < mc * EvictReplayPerMin).count())
+    val g = EvictReplayWm + 1
+    val cut = mc - 1 - EvictReplayWm
+    val rows1 = bandRowsOf(
+        e.filter(col("vec_id") < mc * EvictReplayPerMin), b0)
+      .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
+    val p1 = evictingPairsReplayOn(rows1, g)
+      .withColumn("phase", lit("epoch1"))
+    val rows2 = bandRowsOf(e, b0 + 1)
+      .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
+    val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut)
+      .withColumn("phase", lit("epoch2"))
+    p1.unionByName(p2)
+      .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("phase", "vec_a", "vec_b")
+  }
+
   /** r_ann_epoch_replay — the mid-stream doubling-epoch protocol's EDGE
     * SET as a batch replay with a DuckDB twin: the pair set the
     * two-phase streaming run must emit (StreamBench `ann-epoch` measures
@@ -1670,18 +1803,24 @@ object SimilarityQueries {
     // keys, and probe mass is linear (n·L·(b+1)), no skew term
     val idx = if (capped) cappedBandIndex(spark, dir) else nb
     val probes = probeRows(nb, scaledBandWidth(spark, dir), lit(true))
-    val directed = idx.as("i").join(probes.as("p"),
-        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
-          col("i.vec_id") =!= col("p.qid"))
-      .filter(leftFilter)
-      .select(col("p.qid").as("vec_id"), col("i.vec_id").as("nbr_id"))
     // under the cap the flip-symmetry argument no longer yields both
     // directions (an evicted vector is found only by probing, never BY
     // a probe), so the undirected contract the BSP/dedup consumers rely
-    // on is restored explicitly
-    directed.union(directed.select(col("nbr_id").as("vec_id"),
-        col("vec_id").as("nbr_id")))
+    // on is restored explicitly — CANONICALIZE-FIRST: dedupe once on
+    // the (lo, hi) normal form (collapsing probes, tables AND
+    // directions in one distinct — half the sort mass of
+    // symmetrize-then-distinct, which is what let the 300× funnel's
+    // ann gate spill past this box's disk), then emit both directions
+    // as a free disjoint union
+    val canon = idx.as("i").join(probes.as("p"),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+          col("i.vec_id") =!= col("p.qid"))
+      .filter(leftFilter)
+      .select(least(col("p.qid"), col("i.vec_id")).as("vec_id"),
+        greatest(col("p.qid"), col("i.vec_id")).as("nbr_id"))
       .distinct()
+    canon.union(canon.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id")))
   }
 
   private[ext] def mpCandScores(spark: SparkSession, dir: String,
@@ -2864,6 +3003,7 @@ object SimilarityQueries {
     "s38_query_directed" -> ((s, d) => queryDirectedRecall(s, d)),
     "r_ann_epoch_replay" -> ((s, d) => annEpochReplay(s, d)),
     "r_ann_evict_replay" -> ((s, d) => annEvictReplay(s, d)),
+    "r_ann_evict_epoch_replay" -> ((s, d) => annEvictEpochReplay(s, d)),
     "s25_coreset_quality" -> ((s, d) => coresetQuality(s, d)),
     "s24_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "s23_isotropy" -> ((s, d) => isotropyAudit(s, d)),
@@ -3893,6 +4033,101 @@ object SimilarityQueries {
          |                  THEN 1 ELSE 0 END) = 0)
          |SELECT DISTINCT va AS vec_a, vb AS vec_b, c AS cosine FROM ok
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    // r_ann_evict_epoch_replay: the composed evict+migrate rule — mcx
+    // derives the crossing by integer arithmetic, the shared widened
+    // codes CTE masks at b0 (phase-1 census width) and b0+1, epoch1 is
+    // the single-epoch gap-chain over phase-1 rows, epoch2 the merged
+    // parent/child chain + migration-cut rule of evictEpochPairsOn.
+    "r_ann_evict_epoch_replay" -> {
+      val g = EvictReplayWm + 1
+      val pmWhere = s"vec_id < (SELECT mcv FROM mcx) * $EvictReplayPerMin"
+      s"""WITH $duckEmb,
+         |mcx AS (SELECT count(*) // $EvictReplayPerMin // 2 mcv
+         |        FROM embeddings),
+         |${duckScaledBandsNamed(pmWhere, 0, "ee")},
+         |${duckWidthParams(pmWhere, "paramsee1", 1)},
+         |${duckBandsFromCodes("ee", "paramsee1", "bandsee1")},
+         |bm1 AS (SELECT vec_id, bid, bkey, vec_id // $EvictReplayPerMin am
+         |        FROM bandsee WHERE $pmWhere),
+         |mins1 AS (SELECT DISTINCT bid, bkey, am FROM bm1),
+         |brk1 AS (SELECT bid, bkey, break_minute FROM (
+         |    SELECT bid, bkey, am break_minute,
+         |           am - lag(am) OVER (PARTITION BY bid, bkey
+         |             ORDER BY am) gap
+         |    FROM mins1) WHERE gap > $g),
+         |cand1 AS (SELECT a.vec_id va, b.vec_id vb, a.bid bid, a.bkey bkey,
+         |           least(a.am, b.am) t_lo,
+         |           greatest(a.am, b.am) t_hi,
+         |           round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) c
+         |         FROM bm1 a JOIN bm1 b
+         |           ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |         JOIN e ea ON ea.vec_id = a.vec_id
+         |         JOIN e eb ON eb.vec_id = b.vec_id
+         |         WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+         |               >= $NearDupThreshold),
+         |ok1 AS (SELECT va, vb, c
+         |       FROM cand1 LEFT JOIN brk1
+         |         ON cand1.bid = brk1.bid AND cand1.bkey = brk1.bkey
+         |        AND brk1.break_minute > cand1.t_lo
+         |        AND brk1.break_minute <= cand1.t_hi
+         |       GROUP BY va, vb, cand1.bid, cand1.bkey, c
+         |       HAVING max(CASE WHEN brk1.break_minute IS NOT NULL
+         |                  THEN 1 ELSE 0 END) = 0),
+         |bm2 AS (SELECT vec_id, bid, bkey, vec_id // $EvictReplayPerMin am
+         |        FROM bandsee1),
+         |cmins AS (SELECT DISTINCT bid, bkey, am FROM bm2
+         |          WHERE am >= (SELECT mcv FROM mcx)),
+         |pmins0 AS (SELECT DISTINCT bid, bkey & ((1 << pr.b) - 1) pk, am
+         |           FROM bm2, paramsee pr
+         |           WHERE am < (SELECT mcv FROM mcx)),
+         |pmins AS (SELECT bid, pk bkey, am FROM pmins0
+         |          UNION
+         |          SELECT bid, pk + (1 << pr.b) bkey, am
+         |          FROM pmins0, paramsee pr),
+         |amins AS (SELECT DISTINCT bid, bkey, am FROM (
+         |          SELECT bid, bkey, am FROM cmins
+         |          UNION ALL SELECT bid, bkey, am FROM pmins)),
+         |brk2 AS (SELECT bid, bkey, break_minute FROM (
+         |    SELECT bid, bkey, am break_minute,
+         |           am - lag(am) OVER (PARTITION BY bid, bkey
+         |             ORDER BY am) gap
+         |    FROM amins) WHERE gap > $g),
+         |lastp AS (SELECT bid, bkey, max(am) lpm FROM amins
+         |          WHERE am < (SELECT mcv FROM mcx) GROUP BY bid, bkey),
+         |cand2 AS (SELECT a.vec_id va, b.vec_id vb, a.bid bid, a.bkey bkey,
+         |           least(a.am, b.am) t_lo,
+         |           greatest(a.am, b.am) t_hi,
+         |           round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) c
+         |         FROM bm2 a JOIN bm2 b
+         |           ON a.bid = b.bid AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |         JOIN e ea ON ea.vec_id = a.vec_id
+         |         JOIN e eb ON eb.vec_id = b.vec_id
+         |         WHERE greatest(a.am, b.am) >= (SELECT mcv FROM mcx)
+         |           AND round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)
+         |               >= $NearDupThreshold),
+         |grp2 AS (SELECT cand2.va, cand2.vb, cand2.bid, cand2.bkey,
+         |           cand2.c, cand2.t_lo,
+         |           max(CASE WHEN brk2.break_minute IS NOT NULL
+         |               THEN 1 ELSE 0 END) broken
+         |         FROM cand2 LEFT JOIN brk2
+         |           ON cand2.bid = brk2.bid AND cand2.bkey = brk2.bkey
+         |          AND brk2.break_minute > cand2.t_lo
+         |          AND brk2.break_minute <= cand2.t_hi
+         |         GROUP BY 1, 2, 3, 4, 5, 6),
+         |ok2 AS (SELECT DISTINCT g2.va, g2.vb, g2.c
+         |        FROM grp2 g2 LEFT JOIN lastp
+         |          ON g2.bid = lastp.bid AND g2.bkey = lastp.bkey, mcx
+         |        WHERE g2.broken = 0
+         |          AND (g2.t_lo >= mcx.mcv OR
+         |               coalesce(lastp.lpm, -9223372036854775807)
+         |                 > mcx.mcv - 1 - $EvictReplayWm))
+         |SELECT 'epoch1' AS phase, va AS vec_a, vb AS vec_b, c AS cosine
+         |FROM (SELECT DISTINCT va, vb, c FROM ok1)
+         |UNION ALL
+         |SELECT 'epoch2', va, vb, c FROM ok2
+         |ORDER BY phase, vec_a, vec_b""".stripMargin
     },
 
     // The three power-iteration rounds unrolled; HUGEINT sums and //

@@ -82,36 +82,48 @@ object TrainingDataPipeline {
     * PASSES `f_ann` (no embedding evidence to dedup on); `f_clean` is
     * false only for TRAIN docs flagged contaminated (val/test rows are
     * never in the decontamination frame). */
-  private[graft] def gateFlags(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextQueries.quality(spark, dir)
-      .select(col("doc_id"),
-        (col("quality_score") >= QualityThreshold).as("fq"))
-    val rep = TextQueries.repetition(spark, dir)
-      .select(col("doc_id"), (col("dup_ratio") <= RepetitionMax).as("fr"))
-    val exactKeep = DedupQueries.dedupExact(spark, dir)
-      .select(col("keep_id").as("doc_id"), lit(true).as("fe"))
-    val lshRoots = DedupQueries.dedupClusters(spark, dir)
+  /** The gate frames, NAMED and in build-cost order — factored out so
+    * [[gateFlags]] (one composed plan) and [[graft.FunnelStaged]] (land
+    * each frame to parquet, release the stage's index caches, then
+    * assemble — the disk-bounded blow-up-scale form) share the exact
+    * flag semantics and can never drift. */
+  private[graft] def gateFrames(spark: SparkSession, dir: String)
+      : Seq[(String, () => DataFrame)] = Seq(
+    "lsh" -> (() => DedupQueries.dedupClusters(spark, dir)
       .filter(col("doc_id") === col("cluster_root"))
-      .select(col("doc_id"), lit(true).as("fl"))
-    val annKeep = DedupQueries.annDedupMultiprobe(spark, dir)
-      .select(col("vec_id").as("doc_id"), col("is_kept").as("fa"))
-    val mix = PipelineQueries.mixtureKeepIds(spark, dir)
-      .select(col("doc_id"), lit(true).as("fm"))
-    val splits = PipelineQueries.trainValTestSplit(spark, dir)
-      .select(col("doc_id"), col("split"))
-    val contaminated = PipelineQueries.decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("fl"))),
+    "ann" -> (() => DedupQueries.annDedupMultiprobe(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("is_kept").as("fa"))),
+    "q" -> (() => TextQueries.quality(spark, dir)
+      .select(col("doc_id"),
+        (col("quality_score") >= QualityThreshold).as("fq"))),
+    "rep" -> (() => TextQueries.repetition(spark, dir)
+      .select(col("doc_id"), (col("dup_ratio") <= RepetitionMax).as("fr"))),
+    "exact" -> (() => DedupQueries.dedupExact(spark, dir)
+      .select(col("keep_id").as("doc_id"), lit(true).as("fe"))),
+    "mix" -> (() => PipelineQueries.mixtureKeepIds(spark, dir)
+      .select(col("doc_id"), lit(true).as("fm"))),
+    "splits" -> (() => PipelineQueries.trainValTestSplit(spark, dir)
+      .select(col("doc_id"), col("split"))),
+    "contam" -> (() => PipelineQueries.decontaminate(spark, dir)
       .filter(col("is_contaminated"))
-      .select(col("doc_id"), lit(true).as("fc"))
+      .select(col("doc_id"), lit(true).as("fc"))))
+
+  /** Join the named gate frames into the one-row-per-document flag
+    * frame (the coalesce defaults encode the absent-row conventions in
+    * the Scaladoc above). */
+  private[graft] def assembleFlags(spark: SparkSession, dir: String,
+      fr: Map[String, DataFrame]): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"))
-      .join(q, Seq("doc_id"), "left")
-      .join(rep, Seq("doc_id"), "left")
-      .join(exactKeep, Seq("doc_id"), "left")
-      .join(lshRoots, Seq("doc_id"), "left")
-      .join(annKeep, Seq("doc_id"), "left")
-      .join(mix, Seq("doc_id"), "left")
-      .join(splits, Seq("doc_id"), "left")
-      .join(contaminated, Seq("doc_id"), "left")
+      .join(fr("q"), Seq("doc_id"), "left")
+      .join(fr("rep"), Seq("doc_id"), "left")
+      .join(fr("exact"), Seq("doc_id"), "left")
+      .join(fr("lsh"), Seq("doc_id"), "left")
+      .join(fr("ann"), Seq("doc_id"), "left")
+      .join(fr("mix"), Seq("doc_id"), "left")
+      .join(fr("splits"), Seq("doc_id"), "left")
+      .join(fr("contam"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("split"),
         coalesce(col("fq"), lit(false)).as("f_quality"),
         coalesce(col("fr"), lit(true)).as("f_rep"),
@@ -120,7 +132,10 @@ object TrainingDataPipeline {
         coalesce(col("fa"), lit(true)).as("f_ann"),
         coalesce(col("fm"), lit(false)).as("f_mix"),
         (!coalesce(col("fc"), lit(false))).as("f_clean"))
-  }
+
+  private[graft] def gateFlags(spark: SparkSession, dir: String): DataFrame =
+    assembleFlags(spark, dir,
+      gateFrames(spark, dir).map { case (n, th) => n -> th() }.toMap)
 
   /** Survivor doc_ids after every doc-grain gate, with lang and split
     * carried for partitioning. */
@@ -139,8 +154,12 @@ object TrainingDataPipeline {
     * ANN component chain, mixture/split hashes, the decontamination
     * probe) and must land on identical counts — the whole pipeline's
     * doc-grain semantics pinned by one hash compare. */
-  def survivorFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val f = gateFlags(spark, dir)
+  def survivorFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(gateFlags(spark, dir))
+
+  /** The one-aggregate funnel readout over any flag frame — shared by
+    * [[survivorFunnel]] and [[graft.FunnelStaged]]'s landed-flags run. */
+  private[graft] def funnelOf(f: DataFrame): DataFrame = {
     def cum(flags: Seq[String]): org.apache.spark.sql.Column =
       sum(when(flags.map(col).reduce(_ && _), 1L).otherwise(0L))
     val agg = f.agg(

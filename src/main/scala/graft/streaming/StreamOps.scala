@@ -624,17 +624,68 @@ object StreamOps {
         init)(annPairsFold(threshold, maxBucket))
   }
 
+  private val PlaneFamilyFile = "_graft_plane_family"
+
+  /** Stamp a streaming-ANN checkpoint with the build's plane-family
+    * version ([[graft.ext.SimilarityQueries.PlaneFamilyVersion]]).
+    * Call when STARTING any query whose state is keyed on LSH band
+    * buckets (the graft pipelines and benches do). Idempotent for a
+    * matching stamp; FAILS FAST if the checkpoint was stamped under a
+    * different family — resuming it with this build's planes would
+    * re-key bits ≥ 16 of tables ≥ 1 to different hyperplanes and
+    * silently generate wrong-bucket candidates (the r12 ADVICE
+    * hazard). Mismatch means: re-index (replay the corpus into a fresh
+    * checkpoint), not resume. */
+  def stampPlaneFamily(spark: SparkSession, checkpoint: String): Unit = {
+    val v = graft.ext.SimilarityQueries.PlaneFamilyVersion.toString
+    val path = new org.apache.hadoop.fs.Path(checkpoint, PlaneFamilyFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) {
+      val got = new String(
+        org.apache.commons.io.IOUtils.toByteArray(fs.open(path)), "UTF-8").trim
+      require(got == v,
+        s"checkpoint $checkpoint is stamped plane-family version $got but " +
+          s"this build is version $v: standing band state would silently " +
+          "re-key under the new plane assignment — re-index into a fresh " +
+          "checkpoint instead of resuming")
+    } else {
+      val out = fs.create(path, false)
+      out.write(v.getBytes("UTF-8")); out.close()
+    }
+  }
+
+  /** Verify a checkpoint's plane-family stamp before DRAINING bucket
+    * state out of it. An absent stamp is also a failure: unstamped
+    * state has unknown plane lineage (e.g. a pre-version-2 build), and
+    * migrating it would be exactly the silent wrong-bucket hazard the
+    * stamp exists to catch — after verifying lineage out of band, stamp
+    * the checkpoint explicitly and retry. */
+  def verifyPlaneFamily(spark: SparkSession, checkpoint: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint, PlaneFamilyFile)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"checkpoint $checkpoint carries no plane-family stamp; its band " +
+        "state may have been built under a different hyperplane " +
+        "assignment (pre-rank-major builds re-keyed ext bits on a width " +
+        "bump). Verify the lineage, stampPlaneFamily it explicitly, and " +
+        "retry — or re-index.")
+    stampPlaneFamily(spark, checkpoint)
+  }
+
   /** The streaming ANN operator's bucket-state SNAPSHOT, read straight
     * off a STOPPED query's checkpoint through Spark's state data source
     * and exploded to resident grain (bid, bkey, vec_id, embedding) —
     * the drain half of the epoch-migration protocol, and the input
-    * [[graft.ext.SimilarityQueries.migrateAnnResidents]] re-keys. */
-  def annStateSnapshot(spark: SparkSession, checkpoint: String): DataFrame =
+    * [[graft.ext.SimilarityQueries.migrateAnnResidents]] re-keys.
+    * Fails fast on a missing/mismatched plane-family stamp. */
+  def annStateSnapshot(spark: SparkSession, checkpoint: String): DataFrame = {
+    verifyPlaneFamily(spark, checkpoint)
     spark.read.format("statestore").load(checkpoint)
       .select(col("key._1").as("bid"), col("key._2").as("bkey"),
         explode(col("value.groupState.value")).as("res"))
       .select(col("bid"), col("bkey"),
         col("res._1").as("vec_id"), col("res._2").as("embedding"))
+  }
 
   /** [[annStateSnapshot]] for the EVICTING operator's checkpoint: the
     * same resident-grain drain plus the bucket's armed
@@ -643,13 +694,15 @@ object StreamOps {
     * evicting migration exact: it records both the bucket's eviction
     * schedule (for the drain-time window filter) and the re-arm
     * timestamp the resume path must restore (via [[annTouchRows]]). */
-  def annStateSnapshotEvicting(spark: SparkSession, checkpoint: String): DataFrame =
+  def annStateSnapshotEvicting(spark: SparkSession, checkpoint: String): DataFrame = {
+    verifyPlaneFamily(spark, checkpoint)
     spark.read.format("statestore").load(checkpoint)
       .select(col("key._1").as("bid"), col("key._2").as("bkey"),
         col("value.timeoutTimestamp").as("timeout_ts"),
         explode(col("value.groupState.value")).as("res"))
       .select(col("bid"), col("bkey"), col("timeout_ts"),
         col("res._1").as("vec_id"), col("res._2").as("embedding"))
+  }
 
   /** [[streamingAnnPairs]] with EVENT-TIME EVICTION — the embedding twin
     * of [[streamingNearDupPairsEvicting]], closing the r10 verdict's gap

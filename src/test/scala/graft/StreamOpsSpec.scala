@@ -558,6 +558,8 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     val out = ckptDir("mig_out")
     val ck1 = ckptDir("mig_ck1")
     val ck2 = ckptDir("mig_ck2")
+    StreamOps.stampPlaneFamily(spark, ck1)
+    StreamOps.stampPlaneFamily(spark, ck2)
     def vec(seed: Int, jitter: Float): Array[Float] =
       Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat + (if (d == 0) jitter else 0f)))
     val a = Seq((1L, vec(3, 0f)), (50L, vec(41, 0f)), (100L, vec(77, 0f)))
@@ -720,6 +722,8 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     val out = ckptDir("eme_out")
     val ck1 = ckptDir("eme_ck1")
     val ck2 = ckptDir("eme_ck2")
+    StreamOps.stampPlaneFamily(spark, ck1)
+    StreamOps.stampPlaneFamily(spark, ck2)
     val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
     def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
     def vec(seed: Int, jitter: Float): Array[Float] =
@@ -1508,5 +1512,191 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
       // ...and the second burst is untouched
       assert(a(1).n_events == 1L && a(1).sum_score_micro == 5000000L)
     } finally q.stop()
+  }
+
+  test("plane-family stamp: drain fails fast on missing or mismatched version") {
+    // the r12 ADVICE hazard: band state built under a different plane
+    // assignment (e.g. the pre-rank-major build) must never be drained
+    // or resumed silently — the stamp turns it into an explicit error
+    val ck = ckptDir("pf_ck")
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.verifyPlaneFamily(spark, ck)
+    }
+    assert(e1.getMessage.contains("no plane-family stamp"))
+    // stamping is idempotent and verification then passes
+    StreamOps.stampPlaneFamily(spark, ck)
+    StreamOps.verifyPlaneFamily(spark, ck)
+    StreamOps.stampPlaneFamily(spark, ck)
+    // a checkpoint stamped under ANOTHER family version refuses both
+    // re-stamp (query start) and verify (drain)
+    val old = ckptDir("pf_old")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(old, "_graft_plane_family"),
+      "1".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.stampPlaneFamily(spark, old)
+    }
+    assert(e2.getMessage.contains("version 1"))
+    val e3 = intercept[IllegalArgumentException] {
+      StreamOps.verifyPlaneFamily(spark, old)
+    }
+    assert(e3.getMessage.contains("version 1"))
+  }
+
+  test("composed evict+epoch stream equals the cross-epoch replay rule (cut and gap boundaries pinned)") {
+    // Pins r_ann_evict_epoch_replay's rule against the RUNNING composed
+    // protocol (phase 1 evicting at b0 → drain → window-filtered
+    // migration → touch-batch resume at b0+1). Conventions: W=2,
+    // gapLimit=3, crossing mc=8, cut = mc-1-W = 5. Planted chains, one
+    // direction each (3 sine phases — the 2-D plane's maximum — plus
+    // Walsh alternating patterns, mutually below the 0.45 threshold):
+    //   A @7 → @8: migrated (7 > cut), gap 1 → PAIR;
+    //   B @5 → @8: gap 3 = gapLimit would pass the chain, but
+    //     timeout ts(5) = cut is dropped by the strict `timeout > cut`
+    //     migration filter — THE protocol knife edge the oracle
+    //     encodes as the extra cut condition → NO PAIR;
+    //   C @6 → @9: cross-boundary gap exactly gapLimit → PAIR;
+    //   D @6 → @10: gap gapLimit+1 → child evicted on its re-armed
+    //     timeout before the partner arrives → NO PAIR;
+    //   E @8 → @9: both post-crossing, child-chain only → PAIR;
+    //   F @0 → @1: both pre-crossing → epoch1 PAIR.
+    // The assertion is per-phase FULL SET EQUALITY stream vs replay,
+    // plus the planted outcomes above.
+    import graft.ext.SimilarityQueries
+    val in1 = ckptDir("cee_in1")
+    val in2 = ckptDir("cee_in2")
+    val out1 = ckptDir("cee_out1")
+    val out2 = ckptDir("cee_out2")
+    val ck1 = ckptDir("cee_ck1")
+    val ck2 = ckptDir("cee_ck2")
+    StreamOps.stampPlaneFamily(spark, ck1)
+    StreamOps.stampPlaneFamily(spark, ck2)
+    val baseMs = java.sql.Timestamp.valueOf("2020-09-14 07:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+    def sine(seed: Double, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (math.sin(seed + d * 0.7).toFloat +
+        (if (d == 0) jitter else 0f)))
+    def walsh(period: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (if ((d / period) % 2 == 0) 1f else -1f) +
+        (if (d == 0) jitter else 0f))
+    val b0 = 6
+    val mc = 8L
+    val gapLimit = 3
+    val cut = 5L // = mc - 1 - W
+    val feed: Seq[(Long, Array[Float], Long)] = Seq(
+      (50L, walsh(7, 0f), 0L), (51L, walsh(7, 0.01f), 1L),    // F
+      (60L, walsh(1, 0f), 2L), (61L, walsh(2, 0f), 3L),       // fillers
+      (62L, walsh(8, 0f), 4L),
+      (10L, sine(3, 0f), 5L),                                 // B
+      (20L, sine(5, 0f), 6L), (30L, walsh(4, 0f), 6L),        // C, D
+      (1L, sine(1, 0f), 7L),                                  // A
+      (2L, sine(1, 0.01f), 8L), (11L, sine(3, 0.01f), 8L),    // A', B'
+      (40L, walsh(16, 0f), 8L),                               // E
+      (21L, sine(5, 0.01f), 9L), (41L, walsh(16, 0.01f), 9L), // C', E'
+      (31L, walsh(4, 0.01f), 10L))                            // D'
+    // fixture precondition: distinct CHAIN directions (ids < 60) never
+    // share a bucket at either width — a chain-chain shared bucket
+    // would let one chain's arrivals re-arm another's residency and
+    // flip the planted outcomes. Filler-chain sharing is harmless by
+    // construction: filler minutes (2–4) precede every cross-epoch
+    // range's t_lo (≥ 5), so they can neither break a chain inside a
+    // pair's range nor raise any parent bucket's last-arrival minute.
+    Seq(b0, b0 + 1).foreach { w =>
+      val bb = SimilarityQueries.bandRowsOf(
+        feed.filter(_._1 < 60L).map(r => (r._1, r._2))
+          .toDF("vec_id", "embedding"), w)
+      val shared = bb.as("x").join(bb.as("y"),
+          $"x.bid" === $"y.bid" && $"x.bkey" === $"y.bkey" &&
+            org.apache.spark.sql.functions.expr(
+              "(x.vec_id div 10) != (y.vec_id div 10)"))
+        .count()
+      assert(shared == 0L, s"planted chain directions share a width-$w bucket")
+    }
+    // phase 1: one run per minute at b0
+    def runP1(m: Long): Unit = {
+      feed.filter(r => r._3 == m && r._3 < mc)
+        .map(r => (r._1, r._2, ts(r._3)))
+        .toDF("vec_id", "embedding", "ts").write.mode("append").parquet(in1)
+      val q = StreamOps.streamingAnnPairsEvicting(spark,
+          spark.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+            .parquet(in1), b = b0, watermark = "2 minutes",
+          maxBucket = Int.MaxValue)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out1)
+        }
+        .option("checkpointLocation", ck1)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (0L until mc).foreach(runP1)
+    // drain at the internal watermark ts(mc-1-W) = ts(cut), migrate, touch
+    val snap = StreamOps.annStateSnapshotEvicting(spark, ck1)
+    assert(snap.filter($"vec_id" === 10L).count() > 0,
+      "fixture: B must still be physically resident at drain — the cut filter, not Spark, drops it")
+    val mig = SimilarityQueries
+      .migrateAnnResidentsEvicting(snap, b0, ts(cut).getTime)
+      .localCheckpoint()
+    assert(mig.filter($"vec_id" === 10L).count() == 0,
+      "the strict timeout > cut filter must drop B's buckets")
+    val touches = StreamOps.annTouchRows(mig)
+    // phase 2 at b0+1, resumed from the migrated state
+    def land2(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append").parquet(in2)
+    def runP2(): Unit = {
+      val q = StreamOps.streamingAnnPairsEvictingFrom(spark,
+          spark.readStream.schema(
+            "vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP, touch_bid INT, touch_bkey INT")
+            .parquet(in2), b = b0 + 1, initialResidents = mig,
+          watermark = "2 minutes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.AnnPair], _: Long) =>
+          df.write.mode("append").parquet(out2)
+        }
+        .option("checkpointLocation", ck2)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land2(touches)
+    runP2()
+    (mc to 10L).foreach { m =>
+      land2(feed.filter(_._3 == m).map(r => (r._1, r._2, ts(r._3)))
+        .toDF("vec_id", "embedding", "ts")
+        .withColumn("touch_bid", org.apache.spark.sql.functions.lit(-1))
+        .withColumn("touch_bkey", org.apache.spark.sql.functions.lit(-1)))
+      runP2()
+    }
+    def pairSet(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed1 = pairSet(out1)
+    val streamed2 = pairSet(out2)
+    // replay side: the oracle kernels over the same (id, vec, minute) rows
+    val minutes = feed.map(r => (r._1, r._3)).toDF("vec_id", "minute")
+    val rows1 = SimilarityQueries.bandRowsOf(
+        feed.filter(_._3 < mc).map(r => (r._1, r._2)).toDF("vec_id", "embedding"), b0)
+      .join(minutes, "vec_id")
+    val replay1 = SimilarityQueries.evictingPairsReplayOn(rows1, gapLimit)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows2 = SimilarityQueries.bandRowsOf(
+        feed.map(r => (r._1, r._2)).toDF("vec_id", "embedding"), b0 + 1)
+      .join(minutes, "vec_id")
+    val replay2 = SimilarityQueries
+      .evictEpochPairsOn(rows2, b0, mc, gapLimit, cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed1 == replay1,
+      s"epoch1 stream vs replay: stream-only=${streamed1 -- replay1} replay-only=${replay1 -- streamed1}")
+    assert(streamed2 == replay2,
+      s"epoch2 stream vs replay: stream-only=${streamed2 -- replay2} replay-only=${replay2 -- streamed2}")
+    assert(streamed1.contains((50L, 51L)), "F: pre-crossing pair must emit in phase 1")
+    assert(streamed2.contains((1L, 2L)), "A: migrated resident must pair at b0+1")
+    assert(!streamed2.contains((10L, 11L)), "B: the cut knife edge — dropped despite a passing gap chain")
+    assert(streamed2.contains((20L, 21L)), "C: cross-boundary gap = gapLimit must survive")
+    assert(!streamed2.contains((30L, 31L)), "D: cross-boundary gap = gapLimit+1 must evict")
+    assert(streamed2.contains((40L, 41L)), "E: post-crossing chain pair")
   }
 }
