@@ -1059,14 +1059,17 @@ object DedupQueries {
     graft.functions.GraftFunctions.register(spark)
     evictOtherDirs(spark, dir)
     val labels = annMpLabelsCache.getOrElseUpdate((spark, dir), {
-      // mpCandPairs emits both directions (1-bit flips are symmetric in
-      // the key space), exactly the undirected edge list the BSP wants.
-      val und = SimilarityQueries.mpCandScores(spark, dir, lit(true))
-        .filter(col("cosine") >= EmbDupThreshold)
+      // mpEdges scores IN the probe join and thresholds BEFORE the
+      // pair-grain exchange (the 300x funnel disk lesson) — canonical
+      // edges, symmetrized here into the undirected list the BSP wants
+      val canon = SimilarityQueries
+        .mpEdges(spark, dir, EmbDupThreshold)
         .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
         .localCheckpoint()
+      val und = canon.union(canon.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
       val l = minLabelComponents(und)
-      graft.CheckpointUtil.release(und)
+      graft.CheckpointUtil.release(canon)
       l
     })
     Tables.load(spark, dir, "embeddings").select(col("vec_id"))

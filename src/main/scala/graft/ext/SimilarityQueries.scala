@@ -1747,10 +1747,17 @@ object SimilarityQueries {
   private[ext] def attachCosine(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
     val ev = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // SHUFFLE_HASH on the vector side: the pair frame is the corpus-
+    // quadratic one (hundreds of millions of rows at blow-up scale) and
+    // an SMJ would SORT it twice — the 300× funnel's ann gate filled
+    // this box's disk doing exactly that. Hashing the vector-grain side
+    // (n rows, never the pair grain) streams the pairs unsorted; at
+    // cluster scale the same asymmetry holds by construction.
     pairs
-      .join(ev.select(col("vec_id"), col("embedding").as("xv")), Seq("vec_id"))
-      .join(ev.select(col("vec_id").as("nbr_id"), col("embedding").as("yv")),
-        Seq("nbr_id"))
+      .join(ev.select(col("vec_id"), col("embedding").as("xv"))
+        .hint("SHUFFLE_HASH"), Seq("vec_id"))
+      .join(ev.select(col("vec_id").as("nbr_id"), col("embedding").as("yv"))
+        .hint("SHUFFLE_HASH"), Seq("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         round(expr("cosine_sim(xv, yv)"), 6).as("cosine"))
   }
@@ -1766,7 +1773,7 @@ object SimilarityQueries {
     * dot products at any depth (the plan-audit contract). Yields
     * `(qid, bid, pidx, pkey)`. */
   private[ext] def probeRows(idx: DataFrame, b: Int, sel: Column,
-      depth: Int = 1): DataFrame = {
+      depth: Int = 1, extra: Seq[String] = Nil): DataFrame = {
     require(depth >= 1 && depth <= 2, s"probe depth $depth outside {1, 2}")
     val own = "array(named_struct('pidx', 0, 'pkey', bkey))"
     val d1 = s"transform(sequence(0, ${b - 1}), " +
@@ -1777,8 +1784,42 @@ object SimilarityQueries {
       "'pkey', cast(bkey ^ shiftleft(1, r) ^ shiftleft(1, s) as int)))))"
     val shells = if (depth == 1) Seq(own, d1) else Seq(own, d1, d2)
     idx.filter(sel)
-      .selectExpr("vec_id AS qid", "bid",
-        s"inline(concat(${shells.mkString(", ")}))")
+      .selectExpr(Seq("vec_id AS qid") ++ extra ++ Seq("bid",
+        s"inline(concat(${shells.mkString(", ")}))"): _*)
+  }
+
+  /** THRESHOLD-grade multi-probe edges at corpus grain, scored IN the
+    * probe join — d31's production edge kernel. The narrow-pairs-then-
+    * attach discipline ([[mpCandPairs]] → [[attachCosine]]) is right
+    * when every candidate must be scored and returned (the recall
+    * audits), but for an EDGE consumer it ships a (pair, embedding)
+    * intermediate through the second attach exchange — P·(8+dim·4) B,
+    * which at the 200×/300× blow-ups (0.4–0.9 B directed candidates)
+    * is 130–250 GB and filled this box's disk twice. Here both join
+    * sides carry their embeddings (probe side n·L·(1+b) rows — the
+    * big one, ~25 GB at 300×; index side n·L capped rows), the cosine
+    * evaluates in the join output, and the THRESHOLD filters BEFORE
+    * the canonicalize-distinct — so the only pair-grain exchange
+    * carries the near-dup-grade survivors. The extra cost is scoring
+    * per colliding (probe, resident) row instead of once per distinct
+    * pair — ~64 FMA per row, seconds of CPU at 300× — the right side
+    * of that trade at any corpus size a cluster would run. Emits
+    * canonical (vec_id < nbr_id) scored edges, distinct. */
+  private[ext] def mpEdges(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val fat = scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("bid"), col("bkey"))
+    val idx = cappedIndexOf(fat, DefaultBucketCap)
+    val probes = probeRows(fat, scaledBandWidth(spark, dir), lit(true),
+      extra = Seq("embedding AS qv"))
+    idx.as("i").join(probes.as("p"),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+          col("i.vec_id") =!= col("p.qid"))
+      .select(least(col("p.qid"), col("i.vec_id")).as("vec_id"),
+        greatest(col("p.qid"), col("i.vec_id")).as("nbr_id"),
+        round(expr("cosine_sim(qv, i.embedding)"), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
   }
 
   /** CORPUS-GRAIN multi-probe candidate pairs + exact cosine — the

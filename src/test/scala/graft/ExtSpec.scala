@@ -2577,6 +2577,31 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
       "cap_32 pair mass must equal the default capped candidate rule")
   }
 
+  test("s41 grid is monotone in both dials and shares one exact denominator") {
+    // candidate mass and recall can only grow with probe depth (shells
+    // are cumulative) and with the cap (capped index ⊂ bigger-capped
+    // index); every cell divides by the same fixed exact sample
+    val rows = ext.SimilarityQueries.capProbeGrid(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 6)
+    val ne = rows.values.map(_._2).toSet
+    assert(ne.size == 1, s"shared denominator: $ne")
+    Seq("cap_08", "cap_32").foreach { c =>
+      Seq(("d0", "d1"), ("d1", "d2")).foreach { case (a, b) =>
+        assert(rows((c, a))._1 <= rows((c, b))._1, s"$c cand $a <= $b")
+        assert(rows((c, a))._3 <= rows((c, b))._3, s"$c hits $a <= $b")
+      }
+    }
+    Seq("d0", "d1", "d2").foreach { d =>
+      assert(rows(("cap_08", d))._1 <= rows(("cap_32", d))._1)
+      assert(rows(("cap_08", d))._3 <= rows(("cap_32", d))._3)
+    }
+    // the dial must be real on the fixture: depth buys recall somewhere
+    assert(rows(("cap_32", "d2"))._3 > rows(("cap_32", "d0"))._3,
+      "probing must lift recall over the capped direct rule")
+  }
+
   test("d34 cross-pins d32: the shared candidate-source rows are identical") {
     // d34's t0/t1 rows recompute d32's exact frontier (same truth, same
     // candidate kernels) — any drift between the two registrations is a
