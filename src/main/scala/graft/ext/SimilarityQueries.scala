@@ -1554,18 +1554,34 @@ object SimilarityQueries {
       e.filter(col("vec_id") < mc * EvictReplayPerMin).count())
     val g = EvictReplayWm + 1
     val cut = mc - 1 - EvictReplayWm
-    val rows1 = bandRowsOf(
-        e.filter(col("vec_id") < mc * EvictReplayPerMin), b0)
-      .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
-    val p1 = evictingPairsReplayOn(rows1, g)
-      .withColumn("phase", lit("epoch1"))
+    // ONE plane projection, checkpointed: the width-(b0+1) band rows
+    // carry the b0 keys in their low bits (the split property — the
+    // DuckDB twin likewise evaluates one codes CTE and masks at both
+    // widths), and the epoch1/epoch2 kernels read the frame seven
+    // times between them — without the checkpoint each branch re-ran
+    // the 8·(b0+1) dot-product projection (this was the r13 bench's
+    // tail leader at 4.1 s).
     val rows2 = bandRowsOf(e, b0 + 1)
       .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
-    val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut)
-      .withColumn("phase", lit("epoch2"))
-    p1.unionByName(p2)
-      .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy("phase", "vec_a", "vec_b")
+      .localCheckpoint()
+    try {
+      val rows1 = rows2
+        .filter(col("vec_id") < mc * EvictReplayPerMin)
+        .withColumn("bkey",
+          col("bkey").bitwiseAND(lit((1 << b0) - 1)).cast("int"))
+      val p1 = evictingPairsReplayOn(rows1, g)
+        .withColumn("phase", lit("epoch1"))
+      val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut)
+        .withColumn("phase", lit("epoch2"))
+      val out = p1.unionByName(p2)
+        .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
+        .orderBy("phase", "vec_a", "vec_b")
+      // materialize before releasing the shared checkpoint
+      val got = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+        .orderBy("phase", "vec_a", "vec_b")
+    } finally graft.CheckpointUtil.release(rows2)
   }
 
   /** r_ann_epoch_replay — the mid-stream doubling-epoch protocol's EDGE
