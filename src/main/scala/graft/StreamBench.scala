@@ -291,21 +291,30 @@ object StreamBench {
       // (landed 48,926 then 27,801 of 150,000). A bench feed must keep
       // its event-time span inside the declared lateness bound unless
       // lateness itself is the thing being measured.
-      // OCCURRENCE-RANK WAVES (the r12 ADVICE determinism fix): wave k
-      // holds each fingerprint's k-th lowest doc_id, and wave 1 lands
-      // entirely before wave 2, so no micro-batch ever carries two rows
-      // of one fingerprint and dropDuplicatesWithinWatermark's
-      // arbitrary intra-batch pick never gets a choice — first-arrival
-      // = min-doc_id BY CONSTRUCTION, not by file-order accident. Wave
-      // 1 is ~the whole corpus (exact dups are rare); later waves are
-      // the duplicate tail.
+      // OCCURRENCE-RANK WAVES (the r12 ADVICE determinism fix): wave 1
+      // holds each fingerprint's lowest doc_id and lands entirely
+      // before wave 2, so the first arrival of every fingerprint is
+      // min-doc_id BY CONSTRUCTION and dropDuplicatesWithinWatermark's
+      // arbitrary intra-batch pick never gets a choice on a NOVEL
+      // fingerprint. Ranks ≥ 2 are BUCKETED into one wave (r13 ADVICE:
+      // one wave per rank ran k sequential count+write jobs for a
+      // fingerprint repeated k times, each landing a near-empty file)
+      // — by the time any of them arrives, its fingerprint is already
+      // in state from wave 1, so the operator drops them all
+      // deterministically regardless of how they batch together.
       val waved = docsAll.select(col("doc_id"), col("text"))
-        .withColumn("wave", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(org.apache.spark.sql.functions.md5(col("text")))
-            .orderBy(col("doc_id"))))
+        .withColumn("wave", org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(org.apache.spark.sql.functions.md5(col("text")))
+              .orderBy(col("doc_id"))),
+          org.apache.spark.sql.functions.lit(2)))
         .localCheckpoint()
-      val waves = waved.agg(org.apache.spark.sql.functions.max("wave"))
+      // coalesce: max(wave) is NULL on an empty documents table (r13
+      // ADVICE NPE) — degrade to a zero-wave no-op feed
+      val waves = waved.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max("wave"),
+          org.apache.spark.sql.functions.lit(0)))
         .collect()(0).getInt(0)
       var fileBase = 0
       var totalFiles = 0

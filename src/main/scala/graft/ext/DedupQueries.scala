@@ -1146,12 +1146,18 @@ object DedupQueries {
           .as("found_ppm"))
       .orderBy("probe_mode")
 
+  /** The d32/d34 multi-probe row label tracks the production
+    * [[SimilarityQueries.ProbeDepth]] dial (t1_multi1 at the depth-1
+    * default, t1_multi2 under SPARK_GRAFT_PROBE_DEPTH=2) so a depth-2
+    * verification sweep reads honestly. */
+  private def multiLabel = s"t1_multi${SimilarityQueries.ProbeDepth}"
+
   def mpDedupRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = mpTruth(spark, dir)
     val f = mpFound(truth,
         SimilarityQueries.scaledCandPairs(spark, dir, lit(true)), "t0_single")
       .unionAll(mpFound(truth,
-        SimilarityQueries.mpCandPairs(spark, dir, lit(true)), "t1_multi1"))
+        SimilarityQueries.mpCandPairs(spark, dir), multiLabel))
     mpRecallReadout(truth, f)
   }
 
@@ -1188,7 +1194,7 @@ object DedupQueries {
     val f = mpFound(truth,
         SimilarityQueries.scaledCandPairs(spark, dir, lit(true)), "t0_single")
       .unionAll(mpFound(truth,
-        SimilarityQueries.mpCandPairs(spark, dir, lit(true)), "t1_multi1"))
+        SimilarityQueries.mpCandPairs(spark, dir), multiLabel))
       .unionAll(mpFound(truth, t2, "t2_descent"))
     mpRecallReadout(truth, f)
   }
@@ -2536,20 +2542,16 @@ object DedupQueries {
          |       (min(x) = node) AS is_kept
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
-    // d31: d30's closure over the MULTI-PROBE candidate pairs — the s32
-    // flip CTEs expand every vector's keys, lo/hi-normalized DISTINCT
-    // pairs feed the identical threshold + recursive reachability.
+    // d31: d30's closure over the MULTI-PROBE candidate pairs — the
+    // shared probe-expansion CTEs (duckMpProbes, generated at the
+    // production ProbeDepth) expand every vector's keys, lo/hi-
+    // normalized DISTINCT pairs feed the identical threshold +
+    // recursive reachability.
     "d31_ann_dedup_mp" ->
       s"""WITH RECURSIVE ${SimilarityQueries.duckEmb},
          |${SimilarityQueries.duckScaledBands},
          |${SimilarityQueries.duckCappedIdx},
-         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
-         |            unnest(range(0, pr.b)) r
-         |          FROM bands, params pr),
-         |probes AS (
-         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
-         |  UNION ALL
-         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |${SimilarityQueries.duckMpProbes()},
          |p AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
          |        greatest(pq.qid, i.vec_id) hi
          |      FROM probes pq JOIN cidx i
@@ -2587,13 +2589,7 @@ object DedupQueries {
          |       FROM cidx a JOIN cidx b
          |         ON a.bid = b.bid AND a.bkey = b.bkey
          |        AND a.vec_id < b.vec_id),
-         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
-         |            unnest(range(0, pr.b)) r
-         |          FROM bands, params pr),
-         |probes AS (
-         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
-         |  UNION ALL
-         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |${SimilarityQueries.duckMpProbes()},
          |p1 AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
          |        greatest(pq.qid, i.vec_id) hi
          |       FROM probes pq JOIN cidx i
@@ -2602,7 +2598,7 @@ object DedupQueries {
          |f AS (SELECT 't0_single' probe_mode, CAST(count(*) AS BIGINT) n_found
          |      FROM truth JOIN p0 USING (lo, hi)
          |      UNION ALL
-         |      SELECT 't1_multi1', CAST(count(*) AS BIGINT)
+         |      SELECT '$multiLabel', CAST(count(*) AS BIGINT)
          |      FROM truth JOIN p1 USING (lo, hi)),
          |tot AS (SELECT CAST(count(*) AS BIGINT) n_true_pairs FROM truth)
          |SELECT f.probe_mode, tot.n_true_pairs, f.n_found,
@@ -2628,13 +2624,7 @@ object DedupQueries {
          |       FROM cidx a JOIN cidx b
          |         ON a.bid = b.bid AND a.bkey = b.bkey
          |        AND a.vec_id < b.vec_id),
-         |flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
-         |            unnest(range(0, pr.b)) r
-         |          FROM bands, params pr),
-         |probes AS (
-         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
-         |  UNION ALL
-         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips),
+         |${SimilarityQueries.duckMpProbes()},
          |p1 AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
          |        greatest(pq.qid, i.vec_id) hi
          |       FROM probes pq JOIN cidx i
@@ -2648,7 +2638,7 @@ object DedupQueries {
          |f AS (SELECT 't0_single' probe_mode, CAST(count(*) AS BIGINT) n_found
          |      FROM truth JOIN p0 USING (lo, hi)
          |      UNION ALL
-         |      SELECT 't1_multi1', CAST(count(*) AS BIGINT)
+         |      SELECT '$multiLabel', CAST(count(*) AS BIGINT)
          |      FROM truth JOIN p1 USING (lo, hi)
          |      UNION ALL
          |      SELECT 't2_descent', CAST(count(*) AS BIGINT)

@@ -1560,8 +1560,14 @@ object SimilarityQueries {
     // widths), and the epoch1/epoch2 kernels read the frame seven
     // times between them — without the checkpoint each branch re-ran
     // the 8·(b0+1) dot-product projection (this was the r13 bench's
-    // tail leader at 4.1 s).
-    val rows2 = bandRowsOf(e, b0 + 1)
+    // tail leader at 4.1 s). Phase-2 width clamps at LshPlanesExt
+    // exactly like the twin's delta'd-width CTE (r13 ADVICE: unclamped,
+    // the two engines diverge at b0 = LshPlanesExt, ~67M vectors); at
+    // the clamp both sides degrade identically — the parent "split"
+    // keys (pk + 2^b0) exceed every real phase-2 key, so those chain
+    // rows are inert on both engines and the merged chain reduces to
+    // the single-width rule.
+    val rows2 = bandRowsOf(e, math.min(b0 + 1, LshPlanesExt))
       .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
       .localCheckpoint()
     try {
@@ -1672,6 +1678,22 @@ object SimilarityQueries {
     * corpora the cap binds rarely (sf0.01: capped ≡ uncapped exactly)
     * — free insurance. Consumers pass `capped = false` to opt out. */
   val DefaultBucketCap = 32
+
+  /** Production multi-probe Hamming depth for the corpus-grain
+    * candidate kernels ([[mpCandPairs]]/[[mpEdges]] → d31/d32/d34):
+    * 1 = own bucket + the b one-bit flips (the s32-measured default);
+    * 2 additionally probes the C(b,2) two-bit flips — the s41 grid's
+    * recall dial (cap 32 × d2 on clustered-100k: 979,166 ppm vs
+    * 897,916 at d1, for ~4.5× candidate mass; probe cost is linear in
+    * the corpus either way, never the Σ n_k² skew term the cap bounds).
+    * Env `SPARK_GRAFT_PROBE_DEPTH` flips the dial build-wide so the
+    * whole d31/d32/d34 family — Spark side AND generated DuckDB oracle
+    * twins — runs and verifies at the chosen depth. */
+  val ProbeDepth: Int = {
+    val d = sys.env.get("SPARK_GRAFT_PROBE_DEPTH").map(_.trim.toInt).getOrElse(1)
+    require(d >= 1 && d <= 2, s"SPARK_GRAFT_PROBE_DEPTH $d outside {1, 2}")
+    d
+  }
 
   /** The CAPPED production index: [[scaledBandIndex]] narrowed to
     * (vec_id, bid, bkey) with at most [[DefaultBucketCap]] residents
@@ -1822,12 +1844,12 @@ object SimilarityQueries {
     * of that trade at any corpus size a cluster would run. Emits
     * canonical (vec_id < nbr_id) scored edges, distinct. */
   private[ext] def mpEdges(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, depth: Int = ProbeDepth): DataFrame = {
     val fat = scaledBandIndex(spark, dir)
       .select(col("vec_id"), col("embedding"), col("bid"), col("bkey"))
     val idx = cappedIndexOf(fat, DefaultBucketCap)
     val probes = probeRows(fat, scaledBandWidth(spark, dir), lit(true),
-      extra = Seq("embedding AS qv"))
+      depth = depth, extra = Seq("embedding AS qv"))
     idx.as("i").join(probes.as("p"),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
           col("i.vec_id") =!= col("p.qid"))
@@ -1842,24 +1864,32 @@ object SimilarityQueries {
     * production form of [[scaledCandScores]] with s32's measured recall
     * dial wired in (1-bit flips lifted candidate recall@3 from ~29% to
     * ~89% on the fixture for ~(b+1)× candidate mass): every vector
-    * probes, per table, its own bucket and the b one-bit-flip buckets.
-    * The probe side here is corpus-sized (this is all-pairs candidate
-    * generation, not a bounded query batch), so the bucket join is a
-    * SHUFFLED equi-join on (bid, key) — output mass ≈ n·L·(b+1)·occ,
-    * still linear in the corpus because the adaptive width holds occ
-    * constant. Pairs dedupe across tables AND probes before the
-    * embedding attach. One-bit flips are symmetric in the key space
-    * (a.key ^ bit = b.key ⟺ b.key ^ bit = a.key), so both directions of
-    * every pair emerge — exactly the undirected edge list the BSP
-    * component loop consumes. */
+    * probes, per table, its own bucket and the b one-bit-flip buckets —
+    * and at `depth = 2` ([[ProbeDepth]], the s41-informed opt-in) the
+    * C(b,2) two-bit-flip buckets, the recall tail the cap×probe grid
+    * priced (on clustered-100k: cap 32 × d2 = 979,166 ppm vs 897,916 at
+    * d1, for ~b/2× probe mass). The probe side here is corpus-sized
+    * (this is all-pairs candidate generation, not a bounded query
+    * batch), so the bucket join is a SHUFFLED equi-join on (bid, key) —
+    * output mass ≈ n·L·(1+b[+C(b,2)])·occ, still linear in the corpus
+    * because the adaptive width holds occ constant. Pairs dedupe across
+    * tables AND probes before the embedding attach.
+    *
+    * No query-side filter parameter: under the cap an asymmetric
+    * restriction cannot commute with the symmetrization below (a row
+    * admitted in one direction re-emerges reversed outside the filter
+    * — the r13 ADVICE latent bug), and every consumer of this kernel
+    * wants the full corpus-grain undirected list anyway; sampled-recall
+    * readouts restrict AFTER the symmetric closure. */
   private[ext] def mpCandPairs(spark: SparkSession, dir: String,
-      leftFilter: Column, capped: Boolean = true): DataFrame = {
+      capped: Boolean = true, depth: Int = ProbeDepth): DataFrame = {
     val nb = scaledBandIndex(spark, dir).select(col("vec_id"), col("bid"), col("bkey"))
     // index side capped (the Σ n_k² guardrail); PROBE side stays the
     // full corpus — every vector is a query and always knows its own
-    // keys, and probe mass is linear (n·L·(b+1)), no skew term
+    // keys, and probe mass is linear (n·L·(1+b+C(b,2))), no skew term
     val idx = if (capped) cappedBandIndex(spark, dir) else nb
-    val probes = probeRows(nb, scaledBandWidth(spark, dir), lit(true))
+    val probes = probeRows(nb, scaledBandWidth(spark, dir), lit(true),
+      depth = depth)
     // under the cap the flip-symmetry argument no longer yields both
     // directions (an evicted vector is found only by probing, never BY
     // a probe), so the undirected contract the BSP/dedup consumers rely
@@ -1872,7 +1902,6 @@ object SimilarityQueries {
     val canon = idx.as("i").join(probes.as("p"),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
           col("i.vec_id") =!= col("p.qid"))
-      .filter(leftFilter)
       .select(least(col("p.qid"), col("i.vec_id")).as("vec_id"),
         greatest(col("p.qid"), col("i.vec_id")).as("nbr_id"))
       .distinct()
@@ -1881,8 +1910,8 @@ object SimilarityQueries {
   }
 
   private[ext] def mpCandScores(spark: SparkSession, dir: String,
-      leftFilter: Column, capped: Boolean = true): DataFrame =
-    attachCosine(spark, dir, mpCandPairs(spark, dir, leftFilter, capped))
+      capped: Boolean = true, depth: Int = ProbeDepth): DataFrame =
+    attachCosine(spark, dir, mpCandPairs(spark, dir, capped, depth))
 
   def annHubness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3232,6 +3261,35 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY bid, bkey
        |      ORDER BY vec_id) occ_rk FROM bands)
        |  WHERE occ_rk <= $DefaultBucketCap)""".stripMargin
+
+  /** The corpus-grain multi-probe key expansion as DuckDB CTEs
+    * (`flips`[, `flips2`], `probes`; requires `bands` + `params` in
+    * scope) — [[probeRows]]'s XOR shells verbatim at the build's
+    * [[ProbeDepth]]: every vector's own keys, the b one-bit flips, and
+    * at depth 2 the C(b,2) two-bit flips (chained unnest: flips2
+    * re-expands each one-bit row over s ∈ (r, b)). Shared by the
+    * d31/d32/d34 oracles so the generated twins track the production
+    * dial exactly. */
+  private[ext] def duckMpProbes(depth: Int = ProbeDepth): String = {
+    val flips =
+      s"""flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |            unnest(range(0, pr.b)) r
+         |          FROM bands, params pr)""".stripMargin
+    val flips2 =
+      s"""flips2 AS (SELECT qid, bid, bkey0, r,
+         |             unnest(range(r + 1, pr.b)) s
+         |           FROM flips, params pr)""".stripMargin
+    val d2probe =
+      "  SELECT qid, bid, xor(xor(bkey0, CAST(1 AS BIGINT) << r), " +
+        "CAST(1 AS BIGINT) << s) FROM flips2"
+    val probes =
+      s"""probes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips${
+           if (depth >= 2) "\n  UNION ALL\n" + d2probe else ""})""".stripMargin
+    if (depth >= 2) s"$flips,\n$flips2,\n$probes" else s"$flips,\n$probes"
+  }
 
   /** The s39 NN-descent graph as a DuckDB CTE chain (requires `e` from
     * [[duckEmb]] and `bands` from [[duckScaledBands]] in scope): the

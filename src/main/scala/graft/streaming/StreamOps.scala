@@ -640,17 +640,26 @@ object StreamOps {
     val v = graft.ext.SimilarityQueries.PlaneFamilyVersion.toString
     val path = new org.apache.hadoop.fs.Path(checkpoint, PlaneFamilyFile)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) {
-      val got = new String(
-        org.apache.commons.io.IOUtils.toByteArray(fs.open(path)), "UTF-8").trim
-      require(got == v,
-        s"checkpoint $checkpoint is stamped plane-family version $got but " +
-          s"this build is version $v: standing band state would silently " +
-          "re-key under the new plane assignment — re-index into a fresh " +
-          "checkpoint instead of resuming")
-    } else {
-      val out = fs.create(path, false)
-      out.write(v.getBytes("UTF-8")); out.close()
+    def readStamp(): String = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(path)), "UTF-8").trim
+    def checkStamp(got: String): Unit = require(got == v,
+      s"checkpoint $checkpoint is stamped plane-family version $got but " +
+        s"this build is version $v: standing band state would silently " +
+        "re-key under the new plane assignment — re-index into a fresh " +
+        "checkpoint instead of resuming")
+    if (fs.exists(path)) checkStamp(readStamp())
+    else {
+      // exists→create is not atomic: two queries stamping one fresh
+      // checkpoint can race past the exists check (the r13 ADVICE
+      // finding). The loser's create(overwrite = false) throws — treat
+      // that as "someone stamped first", re-read, and keep the
+      // documented idempotent-on-match / fail-on-mismatch contract.
+      try {
+        val out = fs.create(path, false)
+        out.write(v.getBytes("UTF-8")); out.close()
+      } catch {
+        case _: java.io.IOException => checkStamp(readStamp())
+      }
     }
   }
 
