@@ -28,18 +28,29 @@ import org.apache.spark.sql.functions._
   * one. Schema matches the driver fixture exactly
   * (vec_id LONG, embedding ARRAY<FLOAT>, label INT = cluster id).
   *
-  * Usage: runMain graft.ClusteredFixture <outDir> [n] [k] [sigma]
+  * Usage: runMain graft.ClusteredFixture <outDir> [n] [k] [sigma] [zipf]
   * then SPARK_GRAFT_SF_DIR=<outDir> runMain graft.BenchDebug s31_... .
   * sigma scales per-dim noise; with centers uniform on [-1,1]
   * (E||c||^2 = dim/3), expected within-cluster cosine is roughly
   * (dim/3) / (dim/3 + dim*sigma^2) — sigma 0.33 plants ~0.75.
-  */
+  *
+  * `zipf` (r13 verdict #2): 0 = equal-size clusters (the adversarial
+  * pole the r12/r13 cap program measured); z > 0 draws cluster SIZES
+  * from a Zipf(z) law — cluster c gets weight 1/(c+1)^z — the shape
+  * real crawl duplicates actually have (a few enormous boilerplate
+  * clusters plus a long tail; Broder's classic crawl studies and every
+  * CommonCrawl dedup report show power-law duplicate-cluster sizes).
+  * At z=1, k=64 the head cluster holds ~21% of the corpus — the
+  * mixed regime where the cap's recall price (head clusters get
+  * truncated hardest) and the probe dial's recovery compete for real.
+  * Assignment is inverse-CDF over the same per-vector hash uniform, so
+  * it stays fully deterministic and sample-window-friendly. */
 object ClusteredFixture {
   val Dim = 64
 
   /** Write the planted corpus under `out/embeddings.parquet`. */
   def generate(spark: SparkSession, out: String, n: Long, k: Int,
-      sigma: Double): Unit = {
+      sigma: Double, zipf: Double = 0.0): Unit = {
     // hash → uniform in (0,1]: xxhash64 spans the full signed-64 range;
     // shift to [0, 2^64) semantics via the unsigned reinterpretation
     // (x/2^64 + 0.5 for negative), then clamp off exact 0 for the log
@@ -48,8 +59,22 @@ object ClusteredFixture {
     val centerU = u("'ctr', _cl, d")
     val u1 = u("'bm1', vec_id, d")
     val u2 = u("'bm2', vec_id, d")
+    // cluster assignment: uniform residue at zipf=0 (bit-identical to
+    // the pre-zipf fixture — every recorded clustered-100k row stays
+    // reproducible), inverse-CDF over a hash uniform otherwise
+    val asgCol = if (zipf == 0.0)
+      pmod(xxhash64(lit("asg"), col("vec_id")), lit(k)).cast("int")
+    else {
+      val w = (0 until k).map(c => 1.0 / math.pow(c + 1, zipf))
+      val total = w.sum
+      val cum = w.scanLeft(0.0)(_ + _).drop(1).map(_ / total)
+      // cluster c ⟺ cum(c−1) < u ≤ cum(c): count strictly-smaller cum
+      // entries (the final entry is exactly 1.0 ≥ every u, so _cl < k)
+      val cumArr = cum.map(x => s"${x}D").mkString("array(", ", ", ")")
+      expr(s"size(filter($cumArr, x -> x < ${u("'asg', vec_id")}))")
+    }
     spark.range(n).toDF("vec_id")
-      .withColumn("_cl", pmod(xxhash64(lit("asg"), col("vec_id")), lit(k)).cast("int"))
+      .withColumn("_cl", asgCol.cast("int"))
       .withColumn("embedding", expr(
         s"""transform(sequence(0, ${Dim - 1}), d ->
            |  cast(($centerU * 2.0D - 1.0D)
@@ -66,6 +91,7 @@ object ClusteredFixture {
     val n = if (args.length > 1) args(1).toLong else 20000L
     val k = if (args.length > 2) args(2).toInt else 64
     val sigma = if (args.length > 3) args(3).toDouble else 0.33
+    val zipf = if (args.length > 4) args(4).toDouble else 0.0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -73,8 +99,9 @@ object ClusteredFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, n, k, sigma)
-    println(s"[clustered] n=$n k=$k sigma=$sigma dim=$Dim -> $out/embeddings.parquet")
+    generate(spark, out, n, k, sigma, zipf)
+    println(s"[clustered] n=$n k=$k sigma=$sigma zipf=$zipf dim=$Dim -> " +
+      s"$out/embeddings.parquet")
     spark.stop()
   }
 }

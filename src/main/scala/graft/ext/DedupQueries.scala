@@ -156,7 +156,7 @@ object DedupQueries {
 
   private[ext] val duckShingled =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
-      |shingled AS (
+      |shingled AS MATERIALIZED (
       |  SELECT doc_id,
       |         list_distinct(list_transform(generate_series(1, len(t)-2),
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) sh
@@ -209,7 +209,7 @@ object DedupQueries {
        |  SELECT doc_id, sh,
        |         $xss
        |  FROM shingled),
-       |minhashed AS (
+       |minhashed AS MATERIALIZED (
        |  SELECT doc_id, sh,
        |         $hs
        |  FROM hexed)""".stripMargin
@@ -1831,7 +1831,7 @@ object DedupQueries {
     "d26_dedup_agreement" ->
       s"""WITH RECURSIVE $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |$duckComponentsSql,
          |e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
@@ -2058,7 +2058,7 @@ object DedupQueries {
     "d14_triangles" ->
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2088,7 +2088,7 @@ object DedupQueries {
     "d13_cluster_reps" ->
       s"""WITH RECURSIVE $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2139,7 +2139,7 @@ object DedupQueries {
       }.mkString(",\n")
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2165,7 +2165,7 @@ object DedupQueries {
     "d11_incremental_dedup" ->
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_new, b.doc_id doc_old
@@ -2216,7 +2216,7 @@ object DedupQueries {
     "d3_lsh_pairs" ->
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2270,7 +2270,7 @@ object DedupQueries {
     "d10_lsh_recall" ->
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |candl AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2313,7 +2313,7 @@ object DedupQueries {
     "d17_bfs_hops" ->
       s"""WITH RECURSIVE $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2360,7 +2360,7 @@ object DedupQueries {
       }.mkString(",\n")
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2394,7 +2394,7 @@ object DedupQueries {
     "d21_dedup_funnel" ->
       s"""WITH RECURSIVE $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |$duckComponentsSql,
          |raw AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
@@ -2414,7 +2414,7 @@ object DedupQueries {
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |$duckComponentsSql
          |SELECT node AS doc_id, cluster_root FROM cc ORDER BY doc_id""".stripMargin,
@@ -2428,7 +2428,7 @@ object DedupQueries {
         .mkString(" + ")
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2459,7 +2459,7 @@ object DedupQueries {
     "d25_dup_provenance" ->
       s"""WITH $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |cand AS (
          |  SELECT a.doc_id doc_a, b.doc_id doc_b
@@ -2487,7 +2487,7 @@ object DedupQueries {
     "d23_soft_dedup" ->
       s"""WITH RECURSIVE $duckShingled,
          |$duckMinhashed,
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$duckBands),
          |$duckComponentsSql,
          |cs AS (SELECT cluster_root, CAST(count(*) AS BIGINT) cluster_size

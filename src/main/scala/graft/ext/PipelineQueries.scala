@@ -1017,7 +1017,7 @@ object PipelineQueries {
            |contam AS (SELECT DISTINCT ctr.doc_id FROM ctr JOIN ctests USING (g))""".stripMargin
       s"""WITH RECURSIVE ${DedupQueries.duckShingled},
          |${DedupQueries.duckMinhashed},
-         |bands AS (
+         |bands AS MATERIALIZED (
          |${DedupQueries.duckBands}),
          |${DedupQueries.duckComponentsSql},
          |${SimilarityQueries.duckEmb},

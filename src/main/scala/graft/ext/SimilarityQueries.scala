@@ -3164,7 +3164,7 @@ object SimilarityQueries {
   }
 
   private[ext] val duckEmb =
-    """e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+    """e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] v,
       |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
       |       FROM embeddings)""".stripMargin
 
@@ -3203,7 +3203,7 @@ object SimilarityQueries {
     val tables = (0 until AnnHubTables).map(t =>
       s"SELECT vec_id, $t bid, (code$t & ((1 << pr.b) - 1)) bkey " +
         s"FROM codes$codesSfx, $paramsName pr").mkString("\nUNION ALL\n")
-    s"""$bandsName AS (
+    s"""$bandsName AS MATERIALIZED (
        |$tables)""".stripMargin
   }
 
@@ -3238,7 +3238,7 @@ object SimilarityQueries {
     s"""bits$sfx AS (SELECT vec_id, v, nrm,
        |       $ss
        |  FROM e),
-       |codes$sfx AS (SELECT vec_id,
+       |codes$sfx AS MATERIALIZED (SELECT vec_id,
        |       $codes
        |  FROM bits$sfx),
        |${duckWidthParams(countWhere, s"params$sfx", delta)},
@@ -3256,7 +3256,7 @@ object SimilarityQueries {
     * whose Spark side generates candidates through the capped-by-default
     * kernels joins `cidx` on the index side. */
   private[ext] lazy val duckCappedIdx: String =
-    s"""cidx AS (SELECT vec_id, bid, bkey FROM (
+    s"""cidx AS MATERIALIZED (SELECT vec_id, bid, bkey FROM (
        |  SELECT vec_id, bid, bkey,
        |    row_number() OVER (PARTITION BY bid, bkey
        |      ORDER BY vec_id) occ_rk FROM bands)
@@ -3303,7 +3303,7 @@ object SimilarityQueries {
        |       FROM cidx a JOIN cidx b
        |         ON a.bid = b.bid AND a.bkey = b.bkey
        |        AND a.vec_id <> b.vec_id),
-       |g0$sfx AS (SELECT vec_id, nbr_id, c FROM (
+       |g0$sfx AS MATERIALIZED (SELECT vec_id, nbr_id, c FROM (
        |        SELECT p.vec_id, p.nbr_id,
        |          round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) c,
        |          row_number() OVER (PARTITION BY p.vec_id ORDER BY
@@ -3317,7 +3317,7 @@ object SimilarityQueries {
        |          row_number() OVER (PARTITION BY g.nbr_id ORDER BY
        |            g.c DESC, g.vec_id ASC) rk FROM g0$sfx g)
        |       WHERE rk <= $KnnK),
-       |b$sfx AS (SELECT vec_id, nbr_id FROM g0$sfx
+       |b$sfx AS MATERIALIZED (SELECT vec_id, nbr_id FROM g0$sfx
        |      UNION SELECT vec_id, nbr_id FROM rc$sfx),
        |cand$sfx AS (SELECT x.nbr_id vec_id, y.nbr_id nbr_id
        |         FROM b$sfx x JOIN b$sfx y
@@ -3340,7 +3340,7 @@ object SimilarityQueries {
     s"""bits AS (SELECT vec_id, v, nrm,
        |       $ss
        |  FROM e),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |$bands),
        |cand AS (
        |  SELECT DISTINCT b.vec_id
@@ -4075,12 +4075,12 @@ object SimilarityQueries {
          |bits AS (SELECT vec_id, v,
          |       $ss
          |  FROM e),
-         |codes AS (SELECT vec_id,
+         |codes AS MATERIALIZED (SELECT vec_id,
          |       $codes
          |  FROM bits),
-         |lo AS (
+         |lo AS MATERIALIZED (
          |${tables(t => s"code$t")}),
-         |hi AS (
+         |hi AS MATERIALIZED (
          |${tables(t => s"code$t + (CASE WHEN x$t THEN ${1 << LshPlanes} ELSE 0 END)")}),
          |rm AS (SELECT CAST(count(*) AS BIGINT) n_rows,
          |         CAST(coalesce(sum(CASE WHEN (hi.bkey & ${(1 << LshPlanes) - 1})
@@ -4299,9 +4299,13 @@ object SimilarityQueries {
          |FROM v3 ORDER BY dim""".stripMargin
     },
 
+    // the nested s16 statement re-declares `e` in its own scope; DuckDB
+    // 1.0 cannot mix MATERIALIZED with cross-scope alias shadowing
+    // (bind error, or an internal recursive-CTE-scan fault) — this one
+    // statement stays fully inlined, its r13 shape
     "s25_coreset_quality" ->
-      s"""WITH kc AS ($duckS16Sql),
-         |$duckEmb,
+      s"""WITH kc AS (${duckS16Sql.replace(" AS MATERIALIZED (", " AS (")}),
+         |${duckEmb.replace(" AS MATERIALIZED (", " AS (")},
          |sel AS (SELECT 'a_kcenter' AS method, vec_id FROM kc
          |        UNION ALL
          |        SELECT 'b_first_k', unnest(range(0, $KCenterK))),
@@ -4775,7 +4779,7 @@ object SimilarityQueries {
          |bits AS (SELECT vec_id, v, w, aug,
          |       $ss
          |  FROM a2),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |$bands),
          |cand AS (
          |  SELECT DISTINCT b.vec_id

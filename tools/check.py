@@ -14,7 +14,7 @@ driver's CORRECTNESS_r{N}.json schema:
               "hash_match": bool, "err": str|null}, ...}
 so each round's correctness sweep is auditable without the driver.
 """
-import sys, json, glob, math, os
+import sys, json, glob, math, os, time
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -38,6 +38,14 @@ def main():
         i = argv.index("--json")
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # --time: print per-query oracle-SQL wall and the top-10 slowest at
+    # the end — the driver runs each oracle standalone, so the sum here
+    # approximates its sweep budget (r13 verdict #3: the driver artifact
+    # came back empty twice; budget the sweep so a timeout can be ruled
+    # in or out).
+    timing = "--time" in argv
+    if timing:
+        argv.remove("--time")
     sfdir, outdir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
@@ -48,6 +56,7 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     report = {}
+    walls = {}
     def rec(name, rows_match, schema_match, hash_match, err=None):
         report[name] = {"rows_match": rows_match, "schema_match": schema_match,
                         "hash_match": hash_match, "err": err}
@@ -65,7 +74,9 @@ def main():
             report[name] = {"skipped": True, "rows": len(got), "err": "no oracle"}
             continue
         try:
+            t0 = time.monotonic()
             want = con.sql(oracle[name]).df()
+            walls[name] = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1
             rec(name, False, False, False, f"oracle error {e}"); continue
@@ -87,6 +98,11 @@ def main():
         print(f"PASS {name} ({len(grows)} rows)"); n_pass += 1
         rec(name, True, True, True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if timing and walls:
+        total = sum(walls.values())
+        print(f"== oracle wall: {total:.1f} s over {len(walls)} statements ==")
+        for name, w in sorted(walls.items(), key=lambda kv: -kv[1])[:10]:
+            print(f"  {w:7.2f} s  {name}")
     if json_path:
         with open(json_path, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
