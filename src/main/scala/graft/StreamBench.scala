@@ -367,11 +367,31 @@ object StreamBench {
       }
       val (sPure, wPure, nPure) = consolidate(dir)
       val (sTier, wTier, nTier) = consolidate(landedDir)
-      val onlyTier = sTier.select("doc_id").except(sPure.select("doc_id")).count()
+      val onlyTierIds = sTier.select("doc_id").except(sPure.select("doc_id"))
+        .localCheckpoint()
+      val onlyTier = onlyTierIds.count()
       val onlyPure = sPure.select("doc_id").except(sTier.select("doc_id")).count()
       println(f"[stream] two-tier: consolidation pure $wPure%.2f s " +
         f"($nPure survivors) vs landed $wTier%.2f s ($nTier survivors); " +
         s"diff only-tiered=$onlyTier only-pure=$onlyPure")
+      if (onlyTier > 0) {
+        // self-diagnosis (r14, first seen at 100×): a tier-only survivor
+        // is retention, not loss — name WHICH pure gate cut it. The
+        // expected mechanism: the pure pipeline's flags are independent
+        // over the FULL corpus, so a doc's dedup-cluster canonical can
+        // itself be a doc another gate cut (e.g. an exact-dup copy
+        // claiming ANN-cluster canonicalship); the tier removed that
+        // canonical at ingest, so the next member is root and survives.
+        val flags = TrainingDataPipeline.gateFlags(spark, dir)
+        val gates = Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann",
+          "f_mix", "f_clean")
+        val hist = flags.join(onlyTierIds, "doc_id")
+          .select(gates.map(g => sum(when(col(g), 0L).otherwise(1L)).as(g)): _*)
+          .collect()(0)
+        println("[stream] two-tier: tier-only survivors failed pure gates: " +
+          gates.zipWithIndex.map { case (g, i) => s"$g=${hist.getLong(i)}" }
+            .mkString(" "))
+      }
       spark.stop()
       return
     }

@@ -1297,12 +1297,17 @@ object SimilarityQueries {
     // `extra` carries pass-through columns (the streaming evicting
     // operator's event-time `ts`) — still pure per-row projections.
     val used = (0 until AnnHubTables).flatMap(t => (0 until b).map(r => (t, r)))
-    val base = used.foldLeft(vecs) { case (d, (t, r)) =>
+    // ONE select, not a withColumn fold: each withColumn wraps a fresh
+    // Project and re-analyzes the whole growing plan — O((8·b)²)
+    // analyzer work, and at b=16/17 (s37's two 128/136-column
+    // invocations) that plan-compile latency WAS the bench tail. A
+    // single wide Project analyzes once; the physical plan is identical.
+    val signCols = used.map { case (t, r) =>
       val coeffs = tablePlaneSign(t, r)
         .map(s => if (s > 0) "1.0D" else "-1.0D").mkString(", ")
-      d.withColumn(s"s${t}_$r", expr(
-        s"dot_product(embedding, array($coeffs)) > 0D"))
+      expr(s"dot_product(embedding, array($coeffs)) > 0D").as(s"s${t}_$r")
     }
+    val base = vecs.select(col("*") +: signCols: _*)
     val bandCols = (0 until AnnHubTables).map { t =>
       val code = (0 until b)
         .map(r => s"(CASE WHEN s${t}_$r THEN ${1 << r} ELSE 0 END)")
