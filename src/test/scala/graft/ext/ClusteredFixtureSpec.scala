@@ -43,6 +43,49 @@ class ClusteredFixtureSpec extends AnyFunSuite with graft.SparkSuite {
       s"depth-2 probing must close near-complete recall on clustered data: $t2 ppm")
   }
 
+  test("zipf cluster sizes follow the planted power law, deterministically") {
+    val out = java.nio.file.Files.createTempDirectory("zipf_fx").toString
+    graft.ClusteredFixture.generate(spark, out, n = 20000L, k = 16,
+      sigma = 0.33, zipf = 1.0)
+    val sizes = spark.read.parquet(s"$out/embeddings.parquet")
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.size == 16, s"all 16 clusters populated: ${sizes.size}")
+    // inverse-CDF over Zipf(1) weights: expected share of cluster c is
+    // (1/(c+1)) / H(16); with n=20k the per-cluster counts concentrate
+    // tightly, so a ±20% relative window pins the law without flaking
+    val h16 = (1 to 16).map(1.0 / _).sum
+    (0 until 16).foreach { c =>
+      val want = 20000.0 / ((c + 1) * h16)
+      assert(math.abs(sizes(c) - want) < want * 0.2 + 30,
+        s"cluster $c size ${sizes(c)} vs expected ~$want")
+    }
+    // head dominates tail by roughly the planted 16:1 ratio
+    assert(sizes(0) > sizes(15) * 8,
+      s"power-law head/tail: ${sizes(0)} vs ${sizes(15)}")
+    // determinism: a second generation is byte-identical row-wise
+    val out2 = java.nio.file.Files.createTempDirectory("zipf_fx2").toString
+    graft.ClusteredFixture.generate(spark, out2, n = 20000L, k = 16,
+      sigma = 0.33, zipf = 1.0)
+    val a = spark.read.parquet(s"$out/embeddings.parquet")
+    val b = spark.read.parquet(s"$out2/embeddings.parquet")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "zipf fixture must be deterministic")
+  }
+
+  test("depth-2 probe candidates are a superset of depth 1 and buy recall") {
+    // the production dial (SPARK_GRAFT_PROBE_DEPTH): depth 2 probes a
+    // strict superset of keys (own + 1-bit ⊂ own + 1-bit + 2-bit), so
+    // the candidate pair set must contain depth 1's entirely
+    val d1 = SimilarityQueries.mpCandPairs(spark, dir, depth = 1)
+    val d2 = SimilarityQueries.mpCandPairs(spark, dir, depth = 2)
+    assert(d1.exceptAll(d2).isEmpty,
+      "depth-1 candidates must all appear at depth 2")
+    val (n1, n2) = (d1.count(), d2.count())
+    assert(n2 > n1,
+      s"two-bit shells must add candidates on clustered data: $n1 -> $n2")
+  }
+
   test("query-directed margin ordering matches or beats the blind shell") {
     val rows = SimilarityQueries.queryDirectedRecall(spark, dir)
       .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(4)))).toMap
