@@ -1445,10 +1445,22 @@ object SimilarityQueries {
   def annEvictReplay(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
     val b = scaledBandWidth(spark, dir)
+    // checkpoint the band frame ONCE (the r13 composed-replay fix,
+    // applied to the single-epoch sibling): evictingPairsReplayOn reads
+    // it three times (chain-break mins + both self-join sides) and each
+    // read re-ran the 8·b plane projection. Result is a bounded pair
+    // set — collect eagerly so the checkpoint releases deterministically.
     val bands = bandRowsOf(emb(spark, dir), b)
       .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
-    evictingPairsReplayOn(bands, EvictReplayWm + 1)
-      .orderBy("vec_a", "vec_b")
+      .localCheckpoint()
+    try {
+      val out = evictingPairsReplayOn(bands, EvictReplayWm + 1)
+        .orderBy("vec_a", "vec_b")
+      val got = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+        .orderBy("vec_a", "vec_b")
+    } finally graft.CheckpointUtil.release(bands)
   }
 
   /** The COMPOSED evict+migrate stream's cross-epoch pair-emission rule
@@ -1631,15 +1643,30 @@ object SimilarityQueries {
           round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cosine"))
         .filter(col("cosine") >= NearDupThreshold)
         .distinct()
-    val p1 = pairsAt(bandRowsOf(all.filter(col("vec_id") % 2 === 0), b0),
-        lit(true))
-      .withColumn("phase", lit("epoch1"))
-    val p2 = pairsAt(bandRowsOf(all, b0 + 1),
-        col("a.vec_id") % 2 === 1 || col("b.vec_id") % 2 === 1)
-      .withColumn("phase", lit("epoch2"))
-    p1.unionByName(p2)
-      .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy("phase", "vec_a", "vec_b")
+    // ONE width-(b0+1) projection, checkpointed: phase 1's width-b0 keys
+    // are its masked low bits (the split property, the composed-replay
+    // discipline), and both phases self-join the frame — unshared, the
+    // 8·(b0+1) plane projection ran four times. Bounded result set →
+    // eager collect, deterministic release.
+    val rows2 = bandRowsOf(all, math.min(b0 + 1, LshPlanesExt))
+      .localCheckpoint()
+    try {
+      val rows1 = rows2.filter(col("vec_id") % 2 === 0)
+        .withColumn("bkey",
+          col("bkey").bitwiseAND(lit((1 << b0) - 1)).cast("int"))
+      val p1 = pairsAt(rows1, lit(true))
+        .withColumn("phase", lit("epoch1"))
+      val p2 = pairsAt(rows2,
+          col("a.vec_id") % 2 === 1 || col("b.vec_id") % 2 === 1)
+        .withColumn("phase", lit("epoch2"))
+      val out = p1.unionByName(p2)
+        .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
+        .orderBy("phase", "vec_a", "vec_b")
+      val got = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+        .orderBy("phase", "vec_a", "vec_b")
+    } finally graft.CheckpointUtil.release(rows2)
   }
 
   /** The adaptive key width b, derived ONCE per (session, dir) from the
