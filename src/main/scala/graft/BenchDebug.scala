@@ -12,9 +12,17 @@ object BenchDebug {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE: shuffle-partition override for blow-up-scale
+    // measurements. The cpus default is right at fixture scale, but a
+    // run whose intermediate mass is quadratic in a cluster size (zipf
+    // head × probe depth 2) needs per-task aggregate state cut down —
+    // on a real cluster partition count scales with data, and AQE
+    // coalesces the small ones back, so the override measures the plan
+    // a deployment would actually run.
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
