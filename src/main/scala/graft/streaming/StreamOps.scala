@@ -647,20 +647,22 @@ object StreamOps {
         s"this build is version $v: standing band state would silently " +
         "re-key under the new plane assignment — re-index into a fresh " +
         "checkpoint instead of resuming")
-    if (fs.exists(path)) checkStamp(readStamp())
-    else {
-      // exists→create is not atomic: two queries stamping one fresh
-      // checkpoint can race past the exists check (the r13 ADVICE
-      // finding). The loser's create(overwrite = false) throws — treat
-      // that as "someone stamped first", re-read, and keep the
-      // documented idempotent-on-match / fail-on-mismatch contract.
-      try {
-        val out = fs.create(path, false)
-        out.write(v.getBytes("UTF-8")); out.close()
-      } catch {
-        case _: java.io.IOException => checkStamp(readStamp())
-      }
+    // exists→create is not atomic (the r13 ADVICE race), and a direct
+    // create exposes a second hazard the race spec caught: a concurrent
+    // reader can observe the stamp file CREATED but not yet written and
+    // read an empty version. Stamp via tmp + rename — rename is atomic
+    // on local FS and HDFS, so once `path` exists its content is
+    // complete — and ALWAYS verify the final content afterwards
+    // (winner and loser alike), keeping the idempotent-on-match /
+    // fail-on-mismatch contract.
+    if (!fs.exists(path)) {
+      val tmp = new org.apache.hadoop.fs.Path(checkpoint,
+        s"$PlaneFamilyFile.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      out.write(v.getBytes("UTF-8")); out.close()
+      if (!fs.rename(tmp, path)) fs.delete(tmp, false)
     }
+    checkStamp(readStamp())
   }
 
   /** Verify a checkpoint's plane-family stamp before DRAINING bucket

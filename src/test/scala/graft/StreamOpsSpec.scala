@@ -1543,6 +1543,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkSuite {
     assert(e3.getMessage.contains("version 1"))
   }
 
+  test("plane-family stamp: concurrent first stamps all succeed (exists/create race)") {
+    // the r13 ADVICE race: two queries stamping one FRESH checkpoint can
+    // both see exists=false; the loser's create(overwrite=false) must be
+    // treated as "someone stamped first" (re-read + match), never thrown
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 5).foreach { round =>
+      val ck = ckptDir(s"pf_race$round")
+      val attempts = (1 to 8).map(_ => Future {
+        StreamOps.stampPlaneFamily(spark, ck)
+      })
+      // all eight concurrent stampers must succeed — any
+      // FileAlreadyExistsException escaping the retry path fails here
+      Await.result(Future.sequence(attempts), 2.minutes)
+      StreamOps.verifyPlaneFamily(spark, ck)
+    }
+  }
+
   test("composed evict+epoch stream equals the cross-epoch replay rule (cut and gap boundaries pinned)") {
     // Pins r_ann_evict_epoch_replay's rule against the RUNNING composed
     // protocol (phase 1 evicting at b0 → drain → window-filtered
