@@ -311,11 +311,22 @@ object StreamBench {
           org.apache.spark.sql.functions.lit(2)))
         .localCheckpoint()
       // coalesce: max(wave) is NULL on an empty documents table (r13
-      // ADVICE NPE) — degrade to a zero-wave no-op feed
+      // ADVICE NPE) — and a zero-wave feed must return HERE: with no
+      // input files the AvailableNow query commits nothing, the parquet
+      // sink writes no metadata, and the landed read would throw
+      // schema-inference errors (the r14 review finding — the crash had
+      // only moved downstream)
       val waves = waved.agg(org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.max("wave"),
           org.apache.spark.sql.functions.lit(0)))
         .collect()(0).getInt(0)
+      if (waves == 0) {
+        graft.CheckpointUtil.release(waved)
+        println("[stream] two-tier: empty documents table — nothing to " +
+          "ingest, consolidation diff vacuously 0/0")
+        spark.stop()
+        return
+      }
       var fileBase = 0
       var totalFiles = 0
       (1 to waves).foreach { w =>
@@ -383,8 +394,11 @@ object StreamBench {
         // claiming ANN-cluster canonicalship); the tier removed that
         // canonical at ingest, so the next member is root and survives.
         val flags = TrainingDataPipeline.gateFlags(spark, dir)
-        val gates = Seq("f_quality", "f_rep", "f_exact", "f_lsh", "f_ann",
-          "f_mix", "f_clean")
+        // derive the gate list from the flag schema: a hardcoded copy
+        // would silently omit any gate added later, and an all-zero
+        // histogram is exactly the confusion this readout exists to
+        // resolve (r14 review)
+        val gates = flags.columns.filter(_.startsWith("f_")).toSeq
         val hist = flags.join(onlyTierIds, "doc_id")
           .select(gates.map(g => sum(when(col(g), 0L).otherwise(1L)).as(g)): _*)
           .collect()(0)

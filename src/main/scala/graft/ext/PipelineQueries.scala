@@ -943,14 +943,13 @@ object PipelineQueries {
     * `flags(doc_id, f_quality … f_clean)`. Shared by p27 and p28. */
   private lazy val duckGateFlagsWith: String = {
       import graft.pipelines.TrainingDataPipeline.{QualityThreshold, RepetitionMax}
+      // the probe-shell CTEs come from the shared builder at the build's
+      // ProbeDepth — the f_ann gate flows through mpEdges, whose depth
+      // follows the dial, so the funnel oracle must track it too (the
+      // r14 review finding: a hardcoded depth-1 chain diverges from the
+      // engine under SPARK_GRAFT_PROBE_DEPTH=2)
       val annChain =
-        s"""flipsE AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
-           |             unnest(range(0, pr.b)) r
-           |           FROM bandsE, paramsE pr),
-           |probesE AS (
-           |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bandsE
-           |  UNION ALL
-           |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flipsE),
+        s"""${SimilarityQueries.duckMpProbes(sfx = "E")},
            |pE AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
            |         greatest(pq.qid, i.vec_id) hi
            |       FROM probesE pq JOIN bandsE i

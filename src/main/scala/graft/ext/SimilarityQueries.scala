@@ -1442,25 +1442,38 @@ object SimilarityQueries {
     * residency at gapLimit = W + 1 (see [[evictingPairsReplayOn]] for
     * the exact stream-semantics derivation; the boundary is pinned
     * against the running operator by spec). */
+  /** Materialize a BOUNDED replay result eagerly on the driver, then
+    * release the shared band-projection checkpoint deterministically —
+    * the common tail of the three replay oracles (each checkpoints one
+    * plane projection its branches read 3–7 times). The row sets here
+    * are threshold-verified pair lists (≤ thousands at any fixture
+    * scale); blow-up-scale replay THROUGHPUT is measured by StreamBench,
+    * never through this driver crossing. */
+  private def materializeThenRelease(out: DataFrame, ck: DataFrame,
+      sortCols: Seq[String]): DataFrame = {
+    val spark = out.sparkSession
+    try {
+      val got = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+        .orderBy(sortCols.map(col): _*)
+    } finally graft.CheckpointUtil.release(ck)
+  }
+
   def annEvictReplay(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
     val b = scaledBandWidth(spark, dir)
     // checkpoint the band frame ONCE (the r13 composed-replay fix,
     // applied to the single-epoch sibling): evictingPairsReplayOn reads
     // it three times (chain-break mins + both self-join sides) and each
-    // read re-ran the 8·b plane projection. Result is a bounded pair
-    // set — collect eagerly so the checkpoint releases deterministically.
+    // read re-ran the 8·b plane projection.
     val bands = bandRowsOf(emb(spark, dir), b)
       .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
       .localCheckpoint()
-    try {
-      val out = evictingPairsReplayOn(bands, EvictReplayWm + 1)
-        .orderBy("vec_a", "vec_b")
-      val got = out.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
-        .orderBy("vec_a", "vec_b")
-    } finally graft.CheckpointUtil.release(bands)
+    materializeThenRelease(
+      evictingPairsReplayOn(bands, EvictReplayWm + 1)
+        .orderBy("vec_a", "vec_b"),
+      bands, Seq("vec_a", "vec_b"))
   }
 
   /** The COMPOSED evict+migrate stream's cross-epoch pair-emission rule
@@ -1587,24 +1600,19 @@ object SimilarityQueries {
     val rows2 = bandRowsOf(e, math.min(b0 + 1, LshPlanesExt))
       .withColumn("minute", expr(s"vec_id div $EvictReplayPerMin"))
       .localCheckpoint()
-    try {
-      val rows1 = rows2
-        .filter(col("vec_id") < mc * EvictReplayPerMin)
-        .withColumn("bkey",
-          col("bkey").bitwiseAND(lit((1 << b0) - 1)).cast("int"))
-      val p1 = evictingPairsReplayOn(rows1, g)
-        .withColumn("phase", lit("epoch1"))
-      val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut)
-        .withColumn("phase", lit("epoch2"))
-      val out = p1.unionByName(p2)
+    val rows1 = rows2
+      .filter(col("vec_id") < mc * EvictReplayPerMin)
+      .withColumn("bkey",
+        col("bkey").bitwiseAND(lit((1 << b0) - 1)).cast("int"))
+    val p1 = evictingPairsReplayOn(rows1, g)
+      .withColumn("phase", lit("epoch1"))
+    val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut)
+      .withColumn("phase", lit("epoch2"))
+    materializeThenRelease(
+      p1.unionByName(p2)
         .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
-        .orderBy("phase", "vec_a", "vec_b")
-      // materialize before releasing the shared checkpoint
-      val got = out.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
-        .orderBy("phase", "vec_a", "vec_b")
-    } finally graft.CheckpointUtil.release(rows2)
+        .orderBy("phase", "vec_a", "vec_b"),
+      rows2, Seq("phase", "vec_a", "vec_b"))
   }
 
   /** r_ann_epoch_replay — the mid-stream doubling-epoch protocol's EDGE
@@ -1650,23 +1658,19 @@ object SimilarityQueries {
     // eager collect, deterministic release.
     val rows2 = bandRowsOf(all, math.min(b0 + 1, LshPlanesExt))
       .localCheckpoint()
-    try {
-      val rows1 = rows2.filter(col("vec_id") % 2 === 0)
-        .withColumn("bkey",
-          col("bkey").bitwiseAND(lit((1 << b0) - 1)).cast("int"))
-      val p1 = pairsAt(rows1, lit(true))
-        .withColumn("phase", lit("epoch1"))
-      val p2 = pairsAt(rows2,
-          col("a.vec_id") % 2 === 1 || col("b.vec_id") % 2 === 1)
-        .withColumn("phase", lit("epoch2"))
-      val out = p1.unionByName(p2)
+    val rows1 = rows2.filter(col("vec_id") % 2 === 0)
+      .withColumn("bkey",
+        col("bkey").bitwiseAND(lit((1 << b0) - 1)).cast("int"))
+    val p1 = pairsAt(rows1, lit(true))
+      .withColumn("phase", lit("epoch1"))
+    val p2 = pairsAt(rows2,
+        col("a.vec_id") % 2 === 1 || col("b.vec_id") % 2 === 1)
+      .withColumn("phase", lit("epoch2"))
+    materializeThenRelease(
+      p1.unionByName(p2)
         .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
-        .orderBy("phase", "vec_a", "vec_b")
-      val got = out.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
-        .orderBy("phase", "vec_a", "vec_b")
-    } finally graft.CheckpointUtil.release(rows2)
+        .orderBy("phase", "vec_a", "vec_b"),
+      rows2, Seq("phase", "vec_a", "vec_b"))
   }
 
   /** The adaptive key width b, derived ONCE per (session, dir) from the
@@ -3302,23 +3306,24 @@ object SimilarityQueries {
     * re-expands each one-bit row over s ∈ (r, b)). Shared by the
     * d31/d32/d34 oracles so the generated twins track the production
     * dial exactly. */
-  private[ext] def duckMpProbes(depth: Int = ProbeDepth): String = {
+  private[ext] def duckMpProbes(depth: Int = ProbeDepth,
+      sfx: String = ""): String = {
     val flips =
-      s"""flips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+      s"""flips$sfx AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
          |            unnest(range(0, pr.b)) r
-         |          FROM bands, params pr)""".stripMargin
+         |          FROM bands$sfx, params$sfx pr)""".stripMargin
     val flips2 =
-      s"""flips2 AS (SELECT qid, bid, bkey0, r,
+      s"""flips2$sfx AS (SELECT qid, bid, bkey0, r,
          |             unnest(range(r + 1, pr.b)) s
-         |           FROM flips, params pr)""".stripMargin
+         |           FROM flips$sfx, params$sfx pr)""".stripMargin
     val d2probe =
-      "  SELECT qid, bid, xor(xor(bkey0, CAST(1 AS BIGINT) << r), " +
-        "CAST(1 AS BIGINT) << s) FROM flips2"
+      s"  SELECT qid, bid, xor(xor(bkey0, CAST(1 AS BIGINT) << r), " +
+        s"CAST(1 AS BIGINT) << s) FROM flips2$sfx"
     val probes =
-      s"""probes AS (
-         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands
+      s"""probes$sfx AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey FROM bands$sfx
          |  UNION ALL
-         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips${
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r) FROM flips$sfx${
            if (depth >= 2) "\n  UNION ALL\n" + d2probe else ""})""".stripMargin
     if (depth >= 2) s"$flips,\n$flips2,\n$probes" else s"$flips,\n$probes"
   }

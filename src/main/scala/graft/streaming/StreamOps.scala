@@ -660,7 +660,17 @@ object StreamOps {
         s"$PlaneFamilyFile.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
       out.write(v.getBytes("UTF-8")); out.close()
-      if (!fs.rename(tmp, path)) fs.delete(tmp, false)
+      if (!fs.rename(tmp, path)) {
+        fs.delete(tmp, false)
+        // rename fails legitimately when a concurrent stamper won the
+        // race (dest exists → fall through to the content check). Any
+        // OTHER failure (permissions, checkpoint dir removed) must say
+        // so, not surface later as a bare missing-file read.
+        require(fs.exists(path),
+          s"failed to write plane-family stamp under $checkpoint " +
+            "(rename rejected and no concurrent stamp present) — check " +
+            "checkpoint permissions/existence")
+      }
     }
     checkStamp(readStamp())
   }
