@@ -265,10 +265,14 @@ object StreamBench {
       // the FULL batch TrainingDataPipeline consolidates over the
       // landed corpus. The readout: ingest wall + docs/s, landed count,
       // consolidation wall per tier, and the survivor-set diff vs the
-      // pure-batch run over the original corpus (must be 0/0 — the
-      // StreamOpsSpec contract as a scale measurement). Nothing
-      // corpus-sized crosses the driver: the feed is range-partitioned
-      // files, the compare is two except() counts.
+      // pure-batch run over the original corpus. Contract: only-pure
+      // MUST be 0 (the tier never loses a doc the batch run keeps — the
+      // StreamOpsSpec contract as a scale measurement); tier-only
+      // survivors are possible at blow-up scale (the tier consolidates
+      // SCRUBBED text, flipping borderline-Jaccard LSH memberships —
+      // first seen at 100×: 14 of 30k) and are diagnosed per pure gate
+      // below. Nothing corpus-sized crosses the driver: the feed is
+      // range-partitioned files, the compare is two except() counts.
       import graft.pipelines.{StreamingCorpusPipeline, TrainingDataPipeline}
       val docsAll = Tables.load(spark, dir, "documents")
       val n = docsAll.count()

@@ -1638,7 +1638,13 @@ object SimilarityQueries {
     * CTE, the s36 discipline) and masks at both widths. Scale shape:
     * two bucket-grain self-joins at adaptive width — candidate mass
     * held linear by occupancy, the audited d3/s30 shape. */
-  def annEpochReplay(spark: SparkSession, dir: String): DataFrame = {
+  /** The LAZY plan + its shared checkpoint, pre-materialization — the
+    * PlanAuditSpec inspects this frame's join shape (the registered
+    * query materializes eagerly so its own plan is an ExistingRDD).
+    * Callers other than [[annEpochReplay]] must release the returned
+    * checkpoint themselves. */
+  private[graft] def annEpochReplayLazy(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     evictOtherDirs(spark, dir)
     val b0 = standingBandWidth(spark, dir)
     val all = emb(spark, dir)
@@ -1666,11 +1672,15 @@ object SimilarityQueries {
     val p2 = pairsAt(rows2,
         col("a.vec_id") % 2 === 1 || col("b.vec_id") % 2 === 1)
       .withColumn("phase", lit("epoch2"))
-    materializeThenRelease(
-      p1.unionByName(p2)
-        .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
-        .orderBy("phase", "vec_a", "vec_b"),
-      rows2, Seq("phase", "vec_a", "vec_b"))
+    val out = p1.unionByName(p2)
+      .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("phase", "vec_a", "vec_b")
+    (out, rows2)
+  }
+
+  def annEpochReplay(spark: SparkSession, dir: String): DataFrame = {
+    val (out, ck) = annEpochReplayLazy(spark, dir)
+    materializeThenRelease(out, ck, Seq("phase", "vec_a", "vec_b"))
   }
 
   /** The adaptive key width b, derived ONCE per (session, dir) from the

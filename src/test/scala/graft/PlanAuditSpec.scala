@@ -40,10 +40,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // the two band self-joins must key on (bid, bkey) — an optimizer
     // regression to a nested-loop/cartesian (e.g. the cosine condition
     // swallowing the equi-keys) would be quadratic in the corpus
-    val p = plan("r_ann_epoch_replay")
-    assert(p.contains("HashJoin"), p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the registered query materializes its bounded result eagerly
+    // (plan = ExistingRDD), so audit the LAZY pre-materialization frame
+    val (out, ck) = graft.ext.SimilarityQueries.annEpochReplayLazy(spark, dir)
+    try {
+      val p = out.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("HashJoin"), p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally graft.CheckpointUtil.release(ck)
   }
 
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
