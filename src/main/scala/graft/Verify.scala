@@ -9,9 +9,14 @@ object Verify {
     // optional trailing args: only dump these queries (local iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE (default: cpus, the driver contract): fixture
+    // blow-up verification runs whose intermediates are quadratic in a
+    // cluster size need per-task aggregate state cut down — the same
+    // partition scaling a cluster deployment uses (see BenchDebug)
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
