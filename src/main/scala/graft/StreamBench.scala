@@ -389,6 +389,15 @@ object StreamBench {
       println(f"[stream] two-tier: consolidation pure $wPure%.2f s " +
         f"($nPure survivors) vs landed $wTier%.2f s ($nTier survivors); " +
         s"diff only-tiered=$onlyTier only-pure=$onlyPure")
+      // only-pure is the DATA-LOSS direction (a doc the full-corpus
+      // pipeline keeps that the tiered ingest dropped) — the contract is
+      // hard zero, so fail the bench loudly rather than relying on a
+      // human reading the log line (r14 ADVICE). only-tiered stays
+      // print-and-diagnose: it is retention, not loss.
+      require(onlyPure == 0L,
+        s"two-tier DATA LOSS: $onlyPure survivor(s) present in the pure " +
+        "pipeline but absent from the tiered landing — the ingest tier " +
+        "dropped documents the consolidation pipeline would have kept")
       if (onlyTier > 0) {
         // self-diagnosis (r14, first seen at 100×): a tier-only survivor
         // is retention, not loss — name WHICH pure gate cut it. The

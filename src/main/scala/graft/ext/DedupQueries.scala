@@ -1036,10 +1036,10 @@ object DedupQueries {
   /** d31 — MULTI-PROBE ANN dedup: d30 with s32's measured recall dial
     * wired into the operator that ships keep/drop decisions (the round-9
     * gap — the dial was measured, the consumers still probed single
-    * buckets). Edges come from [[SimilarityQueries.mpCandPairs]]: every
-    * vector probes, per table, its own bucket plus the b one-bit-flip
-    * buckets, so a true near-dup pair missed by all L exact buckets is
-    * still found when exactly one hyperplane disagreed in some table.
+    * buckets). Every vector probes, per table, its own bucket plus the
+    * b one-bit-flip buckets, so a true near-dup pair missed by all L
+    * exact buckets is still found when exactly one hyperplane disagreed
+    * in some table.
     * Measured on the sf0.01 fixture: d32's readout shows single-bucket
     * candidates miss BOTH label-blocked exact dup pairs (0/2 found)
     * while multi-probe finds 2/2, and d31 merges 8 more docs than d30
@@ -1052,18 +1052,24 @@ object DedupQueries {
     * candidate generation); candidate mass ≈ n·L·(b+1)·occ stays linear
     * in the corpus because the adaptive width holds occupancy constant,
     * and the (b+1)× factor is the price of the measured recall lift.
-    * Pairs dedupe across tables and probes before the embedding attach;
-    * the BSP component loop is byte-identical to d9/d30's. */
+    * Edges come from [[SimilarityQueries.mpForestEdges]] (r15): scored
+    * in the probe join, thresholded before any pair-grain exchange, and
+    * contracted to per-partition min-root stars by a streaming
+    * union-find riding the join's own partitions — components are
+    * provably identical to the full survivor set's while the BSP input
+    * drops from O(Σ survivors) (quadratic in a dense duplicate
+    * cluster: zipf-500k's 105k-doc head priced mpEdges+BSP at 27 min)
+    * to ≤ one star edge per (partition, member). The BSP component
+    * loop itself is byte-identical to d9/d30's. */
   private val annMpLabelsCache = caches.newCache()
   def annDedupMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     evictOtherDirs(spark, dir)
     val labels = annMpLabelsCache.getOrElseUpdate((spark, dir), {
-      // mpEdges scores IN the probe join and thresholds BEFORE the
-      // pair-grain exchange (the 300x funnel disk lesson) — canonical
-      // edges, symmetrized here into the undirected list the BSP wants
+      // star edges are canonical (min, member); symmetrized here into
+      // the undirected list the BSP wants
       val canon = SimilarityQueries
-        .mpEdges(spark, dir, EmbDupThreshold)
+        .mpForestEdges(spark, dir, EmbDupThreshold)
         .select(col("vec_id").as("doc_a"), col("nbr_id").as("doc_b"))
         .localCheckpoint()
       val und = canon.union(canon.select(col("doc_b").as("doc_a"),
@@ -1150,7 +1156,7 @@ object DedupQueries {
     * [[SimilarityQueries.ProbeDepth]] dial (t1_multi1 at the depth-1
     * default, t1_multi2 under SPARK_GRAFT_PROBE_DEPTH=2) so a depth-2
     * verification sweep reads honestly. */
-  private def multiLabel = s"t1_multi${SimilarityQueries.ProbeDepth}"
+  private[graft] def multiLabel = s"t1_multi${SimilarityQueries.ProbeDepth}"
 
   def mpDedupRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = mpTruth(spark, dir)

@@ -947,12 +947,17 @@ object PipelineQueries {
       // ProbeDepth — the f_ann gate flows through mpEdges, whose depth
       // follows the dial, so the funnel oracle must track it too (the
       // r14 review finding: a hardcoded depth-1 chain diverges from the
-      // engine under SPARK_GRAFT_PROBE_DEPTH=2)
+      // engine under SPARK_GRAFT_PROBE_DEPTH=2). The index side joins
+      // the CAPPED cidxE (DefaultBucketCap keep rule), not raw bandsE:
+      // mpEdges probes the capped production index, and an uncapped
+      // oracle silently diverges the moment any bucket exceeds the cap
+      // (r14 ADVICE — depth 2 multiplies collision mass).
       val annChain =
-        s"""${SimilarityQueries.duckMpProbes(sfx = "E")},
+        s"""${SimilarityQueries.duckCappedIdxSfx("E")},
+           |${SimilarityQueries.duckMpProbes(sfx = "E")},
            |pE AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
            |         greatest(pq.qid, i.vec_id) hi
-           |       FROM probesE pq JOIN bandsE i
+           |       FROM probesE pq JOIN cidxE i
            |         ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
            |        AND i.vec_id <> pq.qid),
            |peE AS (SELECT lo, hi FROM pE

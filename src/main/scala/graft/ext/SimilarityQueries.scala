@@ -1689,10 +1689,17 @@ object SimilarityQueries {
     * columnless scan job. */
   private val scaledBandBitsCache = caches.newSideCache[Int]()
   private val standingBandBitsCache = caches.newSideCache[Int]()
+  private val corpusCountCache = caches.newSideCache[Long]()
+  /** Corpus cardinality, counted once per (session, dir): the adaptive
+    * width AND the derived pair-partition count both need it. */
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long = {
+    evictOtherDirs(spark, dir)
+    corpusCountCache.getOrElseUpdate((spark, dir), emb(spark, dir).count())
+  }
   private[graft] def scaledBandWidth(spark: SparkSession, dir: String): Int = {
     evictOtherDirs(spark, dir)
     scaledBandBitsCache.getOrElseUpdate((spark, dir),
-      scaledBandBits(emb(spark, dir).count()))
+      scaledBandBits(corpusCount(spark, dir)))
   }
   /** The STANDING index's frozen width: derived from the indexed (even)
     * half only — the build-time parameter s33/s34/s36 freeze. */
@@ -1736,7 +1743,12 @@ object SimilarityQueries {
     * whole d31/d32/d34 family — Spark side AND generated DuckDB oracle
     * twins — runs and verifies at the chosen depth. */
   val ProbeDepth: Int = {
-    val d = sys.env.get("SPARK_GRAFT_PROBE_DEPTH").map(_.trim.toInt).getOrElse(1)
+    val raw = sys.env.get("SPARK_GRAFT_PROBE_DEPTH")
+    val d = raw.map { s =>
+      s.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_PROBE_DEPTH '$s' is not an integer (expected 1 or 2)"))
+    }.getOrElse(1)
     require(d >= 1 && d <= 2, s"SPARK_GRAFT_PROBE_DEPTH $d outside {1, 2}")
     d
   }
@@ -1888,7 +1900,13 @@ object SimilarityQueries {
     * per colliding (probe, resident) row instead of once per distinct
     * pair — ~64 FMA per row, seconds of CPU at 300× — the right side
     * of that trade at any corpus size a cluster would run. Emits
-    * canonical (vec_id < nbr_id) scored edges, distinct. */
+    * canonical (vec_id < nbr_id) scored edges, distinct.
+    *
+    * Role since r15: the pair-grain REFERENCE kernel. Consumers that
+    * need every surviving edge (scored readouts, the forest-equivalence
+    * spec) use this; the component consumer (d31) uses
+    * [[mpForestEdges]], whose star contraction is proven against this
+    * kernel's components. */
   private[ext] def mpEdges(spark: SparkSession, dir: String,
       threshold: Double, depth: Int = ProbeDepth): DataFrame = {
     val fat = scaledBandIndex(spark, dir)
@@ -1903,6 +1921,134 @@ object SimilarityQueries {
         greatest(col("p.qid"), col("i.vec_id")).as("nbr_id"),
         round(expr("cosine_sim(qv, i.embedding)"), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** The pair-grain exchanges' partition count, DERIVED from the
+    * candidate-mass bound the kernel already knows instead of a manual
+    * env knob (r14 verdict #3). Upper-bound scored-row mass = probe
+    * rows × cap = n·L·(1+b[+C(b,2)])·cap — the join-side form of the
+    * Σ min(n_k, cap)² hard bound; partitions = ceil(mass /
+    * [[TargetPairRowsPerPartition]]) clamped to [session shuffle
+    * partitions, [[MaxDerivedPartitions]]]. At fixture scale the floor
+    * keeps the session default (no plan change); at blow-up scale it
+    * sizes PER-TASK state — the r14 lesson was that the binding
+    * constraint is per-task aggregate/union-find state, not total mass
+    * (depth-2 clustered-100k and depth-1 zipf-500k both OOM'd at 32
+    * partitions and needed SPARK_GRAFT_SHUFFLE=512 by hand; this
+    * derives 544 for the same zipf-500k corpus). Explicit
+    * `repartition(p, keys)` rather than a session-conf mutation:
+    * per-query, race-free under concurrent queries, and already
+    * right-sized from the mass bound so AQE coalescing has nothing to
+    * claw back. */
+  private[ext] val TargetPairRowsPerPartition = 4L * 1000 * 1000
+  private[ext] val MaxDerivedPartitions = 4096
+  private[ext] def derivedPairPartitions(spark: SparkSession, dir: String,
+      depth: Int): Int =
+    derivedPairPartitionsFor(corpusCount(spark, dir),
+      scaledBandWidth(spark, dir), depth,
+      spark.sessionState.conf.numShufflePartitions)
+  /** The pure derivation, unit-testable without a corpus. */
+  private[graft] def derivedPairPartitionsFor(n: Long, b: Int, depth: Int,
+      sessionPartitions: Int): Int = {
+    val shells = 1L + b + (if (depth >= 2) b.toLong * (b - 1) / 2 else 0L)
+    val mass = n * AnnHubTables * shells * DefaultBucketCap
+    val want = (mass + TargetPairRowsPerPartition - 1) / TargetPairRowsPerPartition
+    math.max(sessionPartitions.toLong, math.min(MaxDerivedPartitions.toLong,
+      want)).toInt
+  }
+
+  /** CONNECTIVITY-grade multi-probe edges — d31's scale path (r14
+    * verdict #1). Same capped index, same probe shells, same in-join
+    * scoring and threshold as [[mpEdges]], but the consumer is a
+    * connected-components BSP that needs REACHABILITY, not every
+    * surviving pair: on a dense duplicate cluster every colliding
+    * in-cluster pair clears the threshold, so the survivor edge set is
+    * quadratic in cluster size (zipf-500k's 105k-doc head made
+    * [[mpEdges]]' distinct + the BSP over it a 27-minute wall), while
+    * its connectivity information is worth at most |V|−1 edges.
+    *
+    * The reduction: a per-partition streaming UNION-FIND over the join
+    * output, emitting min-root STAR edges (component-min, member) for
+    * each partition-local component. Exactness: partitioning an edge
+    * multiset arbitrarily and replacing each part by any structure with
+    * the same within-part connectivity preserves the components of the
+    * union — every path decomposes into in-part edges, each replaceable
+    * by a walk through that part's stars. So the global BSP over the
+    * union of stars yields components identical to the full survivor
+    * set's (the ExtSpec forest-equivalence contract pins this against
+    * [[mpEdges]], and the d31 oracle — full-pair reachability in DuckDB
+    * — hash-checks it end to end).
+    *
+    * Scale shape: the survivor mass never crosses a second exchange at
+    * all — [[mpEdges]] shuffles every surviving pair through its
+    * distinct; here the union-find rides the probe join's own output
+    * partitions and only the contracted stars (≤ one row per (partition,
+    * vertex), Σ ≤ probe rows, in practice ~|V| per duplicate cluster
+    * after the cross-band distinct) are exchanged again. Stars also
+    * bound the BSP: within a part the contracted diameter is 2, so
+    * min-labels cross a component in a handful of rounds instead of
+    * propagating through a dense edge soup. Per-task memory is the
+    * union-find map — O(distinct vertices in the partition) longs —
+    * which [[derivedPairPartitions]] sizes from the same mass bound
+    * that sizes the join itself. Determinism: stars depend on which
+    * rows share a partition (fixed by the explicit hash repartition),
+    * and the FINAL components are partition-invariant by the exactness
+    * argument — the CPUS/partition sweeps check that invariance.
+    *
+    * mapPartitions (not an Expression/aggregate) is deliberate: a
+    * sequential union-find over an iterator is whole-operator logic no
+    * built-in expresses without re-shuffling the pair mass — this is
+    * the documented last-resort case. Emits canonical `(vec_id <
+    * nbr_id)` star edges, distinct across partitions and bands. */
+  private[ext] def mpForestEdges(spark: SparkSession, dir: String,
+      threshold: Double, depth: Int = ProbeDepth): DataFrame = {
+    GraftFunctions.register(spark)
+    val p = derivedPairPartitions(spark, dir, depth)
+    val fat = scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("bid"), col("bkey"))
+    val idx = cappedIndexOf(fat, DefaultBucketCap)
+      .repartition(p, col("bid"), col("bkey"))
+    val probes = probeRows(fat, scaledBandWidth(spark, dir), lit(true),
+        depth = depth, extra = Seq("embedding AS qv"))
+      .repartition(p, col("bid"), col("pkey"))
+    val survivors = idx.as("i").join(probes.as("p"),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+          col("i.vec_id") =!= col("p.qid"))
+      .filter(round(expr("cosine_sim(qv, i.embedding)"), 6) >= lit(threshold))
+      .select(col("p.qid").as("_1"), col("i.vec_id").as("_2"))
+    import spark.implicits._
+    survivors.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent.update(c, r); c = nxt
+        }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent.update(a, a)
+        if (!parent.contains(b)) parent.update(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by min id: the surviving root IS the component min, so
+        // the emitted stars are (min, member) with min < member —
+        // already canonical
+        if (ra < rb) parent.update(rb, ra)
+        else if (rb < ra) parent.update(ra, rb)
+      }
+      // snapshot keys before emitting: find() path-compresses (value
+      // writes) during the walk, and iterating a map being mutated —
+      // even value-only — is a contract violation waiting to happen
+      val ks = parent.keysIterator.toArray
+      ks.iterator.flatMap { v =>
+        val r = find(v)
+        if (r != v) Iterator.single((r, v)) else Iterator.empty
+      }
+    }.toDF("vec_id", "nbr_id")
+      .repartition(p, col("vec_id"), col("nbr_id"))
       .distinct()
   }
 
@@ -1950,6 +2096,12 @@ object SimilarityQueries {
           col("i.vec_id") =!= col("p.qid"))
       .select(least(col("p.qid"), col("i.vec_id")).as("vec_id"),
         greatest(col("p.qid"), col("i.vec_id")).as("nbr_id"))
+      // the canonicalize-distinct is the pair-grain hash-agg whose
+      // PER-TASK state OOM'd at session partitions on the blow-up
+      // corpora (the r14 SPARK_GRAFT_SHUFFLE lesson) — size it from
+      // the candidate-mass bound instead
+      .repartition(derivedPairPartitions(spark, dir, depth),
+        col("vec_id"), col("nbr_id"))
       .distinct()
     canon.union(canon.select(col("nbr_id").as("vec_id"),
       col("vec_id").as("nbr_id")))
@@ -3301,12 +3453,14 @@ object SimilarityQueries {
     * [[DefaultBucketCap]] lowest vec_ids per (bid, bkey). Every oracle
     * whose Spark side generates candidates through the capped-by-default
     * kernels joins `cidx` on the index side. */
-  private[ext] lazy val duckCappedIdx: String =
-    s"""cidx AS MATERIALIZED (SELECT vec_id, bid, bkey FROM (
+  private[ext] def duckCappedIdxSfx(sfx: String): String =
+    s"""cidx$sfx AS MATERIALIZED (SELECT vec_id, bid, bkey FROM (
        |  SELECT vec_id, bid, bkey,
        |    row_number() OVER (PARTITION BY bid, bkey
-       |      ORDER BY vec_id) occ_rk FROM bands)
+       |      ORDER BY vec_id) occ_rk FROM bands$sfx)
        |  WHERE occ_rk <= $DefaultBucketCap)""".stripMargin
+
+  private[ext] lazy val duckCappedIdx: String = duckCappedIdxSfx("")
 
   /** The corpus-grain multi-probe key expansion as DuckDB CTEs
     * (`flips`[, `flips2`], `probes`; requires `bands` + `params` in

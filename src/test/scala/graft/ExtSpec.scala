@@ -2397,7 +2397,7 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     val rows = ext.DedupQueries.mpDedupRecall(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    val (t0, t1) = (rows("t0_single"), rows("t1_multi1"))
+    val (t0, t1) = (rows("t0_single"), rows(ext.DedupQueries.multiLabel))
     assert(t0._1 == t1._1, "shared exact denominator")
     assert(t1._2 >= t0._2 && t1._3 <= t0._3 && t1._4 >= t0._4)
     assert(t0._2 + t0._3 == t0._1 && t1._2 + t1._3 == t1._1)
@@ -2612,7 +2612,9 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     val d34 = ext.DedupQueries.descentDedupRecall(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(d34("t0_single") == d32("t0_single"))
-    assert(d34("t1_multi1") == d32("t1_multi1"))
+    // key on the depth-tracked label, not a literal, so the suite stays
+    // green under SPARK_GRAFT_PROBE_DEPTH=2 (r14 ADVICE)
+    assert(d34(ext.DedupQueries.multiLabel) == d32(ext.DedupQueries.multiLabel))
     assert(d34("t2_descent")._2 >= d34("t0_single")._2,
       "descent union can only add candidates over the direct buckets")
   }

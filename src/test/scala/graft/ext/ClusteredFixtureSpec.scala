@@ -86,6 +86,89 @@ class ClusteredFixtureSpec extends AnyFunSuite with graft.SparkSuite {
       s"two-bit shells must add candidates on clustered data: $n1 -> $n2")
   }
 
+  test("forest star contraction preserves the full survivor components exactly") {
+    // d31's scale path (mpForestEdges) replaces the full threshold-
+    // passing pair set with per-partition min-root stars; the CONTRACT
+    // is that global components are bit-identical to the full set's.
+    // Ground truth: a driver-side union-find over every surviving pair
+    // of the pair-grain reference kernel (mpEdges).
+    val full = SimilarityQueries
+      .mpEdges(spark, dir, DedupQueries.EmbDupThreshold)
+      .select($"vec_id", $"nbr_id").collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent.update(c, r); c = nxt
+      }
+      r
+    }
+    full.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.update(rb, ra) else if (rb < ra) parent.update(ra, rb)
+    }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id").as[Long].collect()
+    val d31 = DedupQueries.annDedupMultiprobe(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d31.keySet == vecs.toSet)
+    vecs.foreach { v =>
+      assert(d31(v) == find(v),
+        s"canon of $v: forest path ${d31(v)} vs full survivor set ${find(v)}")
+    }
+    // and the contraction is a genuine reduction, not a rename
+    val nForest = SimilarityQueries
+      .mpForestEdges(spark, dir, DedupQueries.EmbDupThreshold).count()
+    assert(nForest <= full.length,
+      s"star edges $nForest must not exceed survivor pairs ${full.length}")
+  }
+
+  test("zipf connectivity contract: capped-direct shatters the head, multi-probe reconnects it") {
+    // r14's zipf-500k measurement as a deterministic regression gate
+    // (r14 verdict #5): on a power-law corpus whose head cluster
+    // overflows DefaultBucketCap, d30's both-sides-capped direct rule
+    // MUST break head reachability (evicted siblings share no bucket
+    // residency) and d31's probe shells MUST restore it (every evicted
+    // sibling still probes its own bucket's kept residents). sigma 0.05
+    // plants near-identical siblings so bucket occupancy, not the
+    // threshold, is the binding mechanism — the 500k run's regime at
+    // mini scale.
+    val out = java.nio.file.Files.createTempDirectory("zipf_conn").toString
+    graft.ClusteredFixture.generate(spark, out, n = 4000L, k = 16,
+      sigma = 0.05, zipf = 1.0)
+    val labels = spark.read.parquet(s"$out/embeddings.parquet")
+      .select($"vec_id", $"label")
+    val head = labels.groupBy($"label").count()
+      .orderBy(desc("count"), asc("label")).head().getInt(0)
+    def compPerLabel(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"canon_id").join(labels, "vec_id")
+        .groupBy($"label").agg(countDistinct($"canon_id").as("nc"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val d30 = compPerLabel(DedupQueries.annDedup(spark, out))
+    val d31 = compPerLabel(DedupQueries.annDedupMultiprobe(spark, out))
+    assert(d30(head) > 1L,
+      s"cap must break direct head reachability here: ${d30(head)} components")
+    d31.foreach { case (l, nc) =>
+      assert(nc == 1L, s"multi-probe must collapse label $l to one component: $nc")
+    }
+  }
+
+  test("derived pair partitions follow the candidate-mass bound") {
+    import SimilarityQueries.{derivedPairPartitionsFor => f}
+    // fixture scale: mass under one target-partition → session floor
+    assert(f(6000L, 10, 1, 32) == 32)
+    // the zipf-500k corpus (b=16, depth 1): mass = 500k·8·17·32 =
+    // 2.176e9 rows → 544 partitions — the knob r14 hand-set to 512
+    assert(f(500000L, 16, 1, 32) == 544)
+    // depth 2 multiplies shells by C(b,2): hits the derivation clamp
+    assert(f(500000L, 16, 2, 32) == SimilarityQueries.MaxDerivedPartitions)
+    // a larger session conf is a floor, never lowered
+    assert(f(500000L, 16, 1, 1024) == 1024)
+  }
+
   test("query-directed margin ordering matches or beats the blind shell") {
     val rows = SimilarityQueries.queryDirectedRecall(spark, dir)
       .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(4)))).toMap
