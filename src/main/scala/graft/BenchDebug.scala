@@ -75,7 +75,26 @@ object BenchDebug {
           graft.ext.SimilarityQueries.descentOverCappedBase(s, d)),
         "x_descent_capped_converged" -> ((s, d) =>
           graft.ext.SimilarityQueries.nnDescentConverged(s, d,
-            baseCap = Some(graft.ext.SimilarityQueries.BucketCapSweep.head))))
+            baseCap = Some(graft.ext.SimilarityQueries.BucketCapSweep.head))),
+        // per-label component census over d30/d31 on a LABELED fixture
+        // (ClusteredFixture corpora) — the connectivity readout behind
+        // the zipf operating rule: the d31 column must be 1 for every
+        // label (probe shells restore what the cap breaks), the d30
+        // column shows the shattering. Top-20 labels by size.
+        "x_label_components" -> ((s, d) => {
+          import org.apache.spark.sql.functions._
+          val labels = s.read.parquet(s"$d/embeddings.parquet")
+            .select(col("vec_id"), col("label"))
+          def census(df: org.apache.spark.sql.DataFrame, name: String) =
+            df.select(col("vec_id"), col("canon_id")).join(labels, "vec_id")
+              .groupBy(col("label"))
+              .agg(count(lit(1)).as("n_docs"),
+                countDistinct(col("canon_id")).as(name))
+          census(graft.ext.DedupQueries.annDedup(s, d), "d30_components")
+            .join(census(graft.ext.DedupQueries.annDedupMultiprobe(s, d),
+              "d31_components").drop("n_docs"), "label")
+            .orderBy(desc("n_docs")).limit(20)
+        }))
     val Q = SparkEntry.queries ++ extras.map { case (k, f) =>
       k -> ((s: SparkSession, d: String) => {
         // checkpoint before show: otherwise show + the harness's count

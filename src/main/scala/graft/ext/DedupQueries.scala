@@ -2558,25 +2558,10 @@ object DedupQueries {
          |${SimilarityQueries.duckScaledBands},
          |${SimilarityQueries.duckCappedIdx},
          |${SimilarityQueries.duckMpProbes()},
-         |p AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
-         |        greatest(pq.qid, i.vec_id) hi
-         |      FROM probes pq JOIN cidx i
-         |        ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
-         |       AND i.vec_id <> pq.qid),
-         |pe AS (SELECT lo, hi FROM p
-         |       JOIN e x ON x.vec_id = p.lo JOIN e y ON y.vec_id = p.hi
-         |       WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
-         |               >= $EmbDupThreshold),
-         |undirected AS (
-         |  SELECT lo a, hi b FROM pe
-         |  UNION ALL SELECT hi a, lo b FROM pe),
-         |reach AS (
-         |  SELECT vec_id node, vec_id x FROM e
-         |  UNION
-         |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x)
-         |SELECT node AS vec_id, min(x) AS canon_id,
-         |       (min(x) = node) AS is_kept
-         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+         |${SimilarityQueries.duckMpComponents}
+         |SELECT node AS vec_id, canon AS canon_id,
+         |       (canon = node) AS is_kept
+         |FROM cc ORDER BY node""".stripMargin,
 
     // d32: exact label-blocked dup pairs as the denominator, membership
     // joins against the single-bucket (d30) and multi-probe (d31)

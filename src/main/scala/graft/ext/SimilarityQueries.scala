@@ -3244,6 +3244,105 @@ object SimilarityQueries {
       .orderBy("cap", "probe_depth")
   }
 
+  /** s42 — DUPLICATE-COLLAPSED retrieval recall grid (r14 verdict #2):
+    * s41's cap × probe-depth cells re-scored through the lens the
+    * retrieval consumers (s1/s10/s17/s24) actually need on power-law
+    * corpora. The s41 readout collapses under skew (zipf-500k: 552,083
+    * ppm at the production cell) because exact-kNN truth among 105k
+    * near-identical siblings measures "did you fetch these three
+    * PARTICULAR copies", not "did you find the content" — when a
+    * duplicate cluster is bigger than k, any correct retrieval of the
+    * cluster's content scores arbitrarily against one member triple.
+    *
+    * The fix: collapse the corpus to d31's duplicate components first
+    * (the PRODUCTION dedup lens — the collapse can never drift from
+    * the operator that ships keep/drop decisions, and the shared
+    * [[duckMpComponents]] oracle chain pins that). Truth per sampled
+    * query = the top-[[KnnK]] COMPONENTS ranked by best-member cosine
+    * (rounded, ties → min component), the query's OWN component
+    * excluded — its members are the query's duplicates, and "did you
+    * retrieve yourself" is not the retrieval question. A cell's found
+    * set is the same collapse + ranking over its candidate set; recall
+    * = component overlap. A duplicate cluster of any size is ONE
+    * ranked unit, so the metric no longer decays with head size —
+    * the skew-honest number the s41 grid cannot produce.
+    *
+    * Scale shape: rides s41's machinery exactly — the probe table is
+    * |sample|·L·(1+b+C(b,2)) rows (corpus-size-independent, broadcast
+    * against the capped index), the component frame is one row per
+    * vector (the d31 labels, checkpointed once and released), and the
+    * collapse is a (qid, comp) partial-aggregable max — no new
+    * corpus-grain exchange beyond what s41 and d31 already pay. */
+  def collapsedCapProbeGrid(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = emb(spark, dir)
+    val nb = scaledBandIndex(spark, dir)
+      .select(col("vec_id"), col("bid"), col("bkey"))
+    val b = scaledBandWidth(spark, dir)
+    // the collapse lens: production dedup components (d31 labels) —
+    // one row per vector, read by the truth side and every cell
+    val comp = graft.ext.DedupQueries.annDedupMultiprobe(spark, dir)
+      .select(col("vec_id").as("nbr_id"), col("canon_id").as("comp"))
+      .localCheckpoint()
+    // query-side components: SAMPLE-sized (never broadcast a
+    // corpus-grain frame — 32 rows at any corpus size)
+    val qcomp = comp.select(col("nbr_id").as("qid"), col("comp").as("qcomp"))
+      .filter(recallSampled(col("qid")))
+    val qs = e.filter(recallSampled(col("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val topW = Window.partitionBy(col("qid"))
+      .orderBy(col("best").desc, col("comp").asc)
+    // truth: one corpus pass against the broadcast sample, collapsed to
+    // per-component best cosine, own component excluded
+    val exact = e.join(broadcast(qs), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nbr_id"),
+        round(expr("cosine_sim(qv, embedding)"), 6).as("cosine"))
+      .join(comp, "nbr_id")
+      .join(broadcast(qcomp), "qid")
+      .filter(col("comp") =!= col("qcomp"))
+      .groupBy(col("qid"), col("comp")).agg(max(col("cosine")).as("best"))
+      .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+      .select(col("qid"), col("comp"))
+      .localCheckpoint()
+    val ex = exact.count()
+    val probes = probeRows(nb, b, recallSampled(col("vec_id")), depth = 2)
+    val rows = BucketCapSweep.flatMap { cap =>
+      val idx = cappedIndexOf(nb, cap)
+      val scored = idx.as("i").join(broadcast(probes.as("p")),
+          col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+            col("i.vec_id") =!= col("p.qid"))
+        .groupBy(col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
+        .agg(min(col("p.pidx")).as("mp"))
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid")
+        .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("yv")),
+          "nbr_id")
+        .select(col("qid"), col("nbr_id"), col("mp"),
+          round(expr("cosine_sim(qv, yv)"), 6).as("cosine"))
+        .join(comp, "nbr_id")
+        .join(broadcast(qcomp), "qid")
+        .filter(col("comp") =!= col("qcomp"))
+        .localCheckpoint()
+      val cells = (0 to 2).map { d =>
+        val found = scored.filter(col("mp") <= d)
+          .groupBy(col("qid"), col("comp")).agg(max(col("cosine")).as("best"))
+          .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
+          .select(col("qid"), col("comp"))
+        val hits = exact.join(found, Seq("qid", "comp")).count()
+        (f"cap_$cap%02d", s"d$d", ex, hits,
+          hits * 1000000L / math.max(ex, 1L))
+      }
+      graft.CheckpointUtil.release(scored)
+      cells
+    }
+    graft.CheckpointUtil.release(exact)
+    graft.CheckpointUtil.release(comp)
+    rows.toDF("cap", "probe_depth", "n_exact", "n_hits", "recall_ppm")
+      .orderBy("cap", "probe_depth")
+  }
+
   /** CAP + DESCEND — the composed dial s40's Scaladoc prescribes,
     * measurable via `BenchDebug x_descent_capped`: build the base graph
     * over the cap-[[BucketCapSweep]].head index (hard mass bound) and
@@ -3295,6 +3394,7 @@ object SimilarityQueries {
   }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s42_collapsed_recall" -> ((s, d) => collapsedCapProbeGrid(s, d)),
     "s41_cap_probe_grid" -> ((s, d) => capProbeGrid(s, d)),
     "s40_bucket_cap" -> ((s, d) => bucketCapSweep(s, d)),
     "s39_nn_descent" -> ((s, d) => nnDescent(s, d)),
@@ -3461,6 +3561,32 @@ object SimilarityQueries {
        |  WHERE occ_rk <= $DefaultBucketCap)""".stripMargin
 
   private[ext] lazy val duckCappedIdx: String = duckCappedIdxSfx("")
+
+  /** The d31 component chain as DuckDB CTEs (requires `e`, `cidx` and
+    * `probes` in scope): multi-probe candidate pairs → threshold →
+    * recursive reachability → `cc (node, canon)`, canon = component
+    * min. Shared by the d31 oracle and the s42 duplicate-collapsed
+    * recall oracle so the collapse lens can never drift from the
+    * dedup operator it is defined by. */
+  private[ext] lazy val duckMpComponents: String =
+    s"""p AS (SELECT DISTINCT least(pq.qid, i.vec_id) lo,
+       |        greatest(pq.qid, i.vec_id) hi
+       |      FROM probes pq JOIN cidx i
+       |        ON i.bid = pq.bid AND CAST(i.bkey AS BIGINT) = pq.pkey
+       |       AND i.vec_id <> pq.qid),
+       |pe AS (SELECT lo, hi FROM p
+       |       JOIN e x ON x.vec_id = p.lo JOIN e y ON y.vec_id = p.hi
+       |       WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+       |               >= $NearDupThreshold),
+       |undirected AS (
+       |  SELECT lo a, hi b FROM pe
+       |  UNION ALL SELECT hi a, lo b FROM pe),
+       |reach AS (
+       |  SELECT vec_id node, vec_id x FROM e
+       |  UNION
+       |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x),
+       |cc AS MATERIALIZED (SELECT node, min(x) canon FROM reach
+       |                    GROUP BY node)""".stripMargin
 
   /** The corpus-grain multi-probe key expansion as DuckDB CTEs
     * (`flips`[, `flips2`], `probes`; requires `bands` + `params` in
@@ -3872,6 +3998,95 @@ object SimilarityQueries {
          |${blocks.map(_._1).mkString(",\n")}
          |SELECT f.cap, f.probe_depth, f.n_cand, f.n_exact, f.n_hits,
          |       CAST(f.n_hits * 1000000 // f.n_exact AS BIGINT) AS recall_ppm
+         |FROM (
+         |${blocks.flatMap(_._2).mkString("\nUNION ALL\n")}) f
+         |ORDER BY f.cap, f.probe_depth""".stripMargin
+    },
+
+    // s42: the collapsed-recall grid recomputed independently — the
+    // d31 component chain (shared duckMpComponents text, so the
+    // collapse lens is the dedup oracle's own), the exact side
+    // collapsed to per-component best cosine with the query's own
+    // component excluded, and s41's per-cap probe blocks re-ranked at
+    // component grain.
+    "s42_collapsed_recall" -> {
+      val blocks = BucketCapSweep.map { c =>
+        val s = f"c$c%02d"
+        val label = f"cap_$c%02d"
+        val cte =
+          s"""i$s AS (SELECT vec_id, bid, bkey FROM (
+             |  SELECT vec_id, bid, bkey,
+             |    row_number() OVER (PARTITION BY bid, bkey
+             |      ORDER BY vec_id) occ_rk FROM bands)
+             |  WHERE occ_rk <= $c),
+             |n$s AS (SELECT p.qid, i.vec_id nbr_id, min(p.pidx) mp
+             |        FROM qprobes p JOIN i$s i
+             |          ON i.bid = p.bid AND CAST(i.bkey AS BIGINT) = p.pkey
+             |         AND i.vec_id <> p.qid
+             |        GROUP BY 1, 2),
+             |s$s AS MATERIALIZED (
+             |  SELECT n.qid, cc.canon comp, n.mp,
+             |         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+             |           cosine
+             |  FROM n$s n JOIN e x ON x.vec_id = n.qid
+             |             JOIN e y ON y.vec_id = n.nbr_id
+             |             JOIN cc ON cc.node = n.nbr_id
+             |             JOIN qc ON qc.qid = n.qid
+             |  WHERE cc.canon <> qc.qcomp)""".stripMargin
+        val rows = (0 to 2).map { d =>
+          s"""SELECT '$label' cap, 'd$d' probe_depth, tot.n_exact,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN
+             |     (SELECT qid, comp FROM (
+             |        SELECT qid, comp, row_number() OVER (PARTITION BY qid
+             |          ORDER BY best DESC, comp ASC) rk
+             |        FROM (SELECT qid, comp, max(cosine) best FROM s$s
+             |              WHERE mp <= $d GROUP BY qid, comp))
+             |      WHERE rk <= $KnnK) f
+             |     ON ex.qid = f.qid AND ex.comp = f.comp) n_hits
+             |FROM tot""".stripMargin
+        }
+        (cte, rows)
+      }
+      s"""WITH RECURSIVE $duckEmb,
+         |$duckScaledBands,
+         |$duckCappedIdx,
+         |${duckMpProbes()},
+         |$duckMpComponents,
+         |qs AS (SELECT * FROM e WHERE $duckRecallSampled),
+         |qc AS (SELECT node qid, canon qcomp FROM cc
+         |       WHERE node % $RecallSampleMod = 0
+         |         AND node < $RecallSampleCap),
+         |exs AS (SELECT q.vec_id qid, cc.canon comp,
+         |          max(round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6))
+         |            best
+         |        FROM qs q JOIN e x ON q.vec_id <> x.vec_id
+         |        JOIN cc ON cc.node = x.vec_id
+         |        JOIN qc ON qc.qid = q.vec_id
+         |        WHERE cc.canon <> qc.qcomp
+         |        GROUP BY 1, 2),
+         |ex AS MATERIALIZED (SELECT qid, comp FROM (
+         |       SELECT qid, comp, row_number() OVER (PARTITION BY qid
+         |         ORDER BY best DESC, comp ASC) rk FROM exs)
+         |      WHERE rk <= $KnnK),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM ex),
+         |qflips AS (SELECT vec_id qid, bid, CAST(bkey AS BIGINT) bkey0,
+         |             unnest(range(0, pr.b)) r
+         |           FROM bands, params pr WHERE $duckRecallSampled),
+         |qflipp AS (SELECT qid, bid, bkey0, r, unnest(range(r + 1, pr.b)) s
+         |           FROM qflips, params pr),
+         |qprobes AS (
+         |  SELECT vec_id qid, bid, CAST(bkey AS BIGINT) pkey, 0 pidx
+         |  FROM bands WHERE $duckRecallSampled
+         |  UNION ALL
+         |  SELECT qid, bid, xor(bkey0, CAST(1 AS BIGINT) << r), 1 FROM qflips
+         |  UNION ALL
+         |  SELECT qid, bid,
+         |    xor(xor(bkey0, CAST(1 AS BIGINT) << r), CAST(1 AS BIGINT) << s), 2
+         |  FROM qflipp),
+         |${blocks.map(_._1).mkString(",\n")}
+         |SELECT f.cap, f.probe_depth, f.n_exact, f.n_hits,
+         |       CAST(f.n_hits * 1000000 // greatest(f.n_exact, 1)
+         |            AS BIGINT) AS recall_ppm
          |FROM (
          |${blocks.flatMap(_._2).mkString("\nUNION ALL\n")}) f
          |ORDER BY f.cap, f.probe_depth""".stripMargin

@@ -156,6 +156,32 @@ class ClusteredFixtureSpec extends AnyFunSuite with graft.SparkSuite {
     }
   }
 
+  test("collapsed recall grid: complete cells, bounded, and the dial is real") {
+    // s42 re-scores s41's cells at duplicate-component grain (truth =
+    // top-K OTHER components by best-member cosine). Structural
+    // contract only — collapsed recall is NOT provably monotone in
+    // candidate-set growth (a truth component whose best member is
+    // unobserved can be displaced by a fully-observed weaker one), so
+    // the spec pins shape, bounds, and the coarsest dial claim.
+    val g = SimilarityQueries.collapsedCapProbeGrid(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cells = for (c <- Seq("cap_08", "cap_32"); d <- Seq("d0", "d1", "d2"))
+      yield (c, d)
+    assert(g.keySet == cells.toSet, s"grid cells: ${g.keySet}")
+    // one shared exact denominator; hits bounded by it; ppm consistent
+    assert(g.values.map(_._1).toSet.size == 1, "shared denominator")
+    g.foreach { case (cell, (ne, nh, ppm)) =>
+      assert(nh <= ne, s"$cell hits $nh > exact $ne")
+      assert(ppm == nh * 1000000L / math.max(ne, 1L), s"$cell ppm arithmetic")
+    }
+    // the probe dial must buy collapsed recall on clustered data at the
+    // production cap (depth 2 uncovers truth components' best members)
+    assert(g(("cap_32", "d2"))._3 >= g(("cap_32", "d0"))._3,
+      "depth must not lose collapsed recall at the production cap here")
+    assert(g(("cap_32", "d2"))._3 > 0L, "fixture must yield nonzero recall")
+  }
+
   test("derived pair partitions follow the candidate-mass bound") {
     import SimilarityQueries.{derivedPairPartitionsFor => f}
     // fixture scale: mass under one target-partition → session floor
