@@ -793,7 +793,27 @@ object DedupQueries {
     * same lineage-truncation discipline GraphX applies to Pregel state.
     * The loop state is ONLY the docs that appear in an edge — near-dup
     * graphs are sparse, so every per-round frame broadcasts. */
-  private def minLabelComponents(und: DataFrame): DataFrame = {
+  private def minLabelComponents(rawUnd: DataFrame): DataFrame = {
+    // STAR CONTRACTION first (r15, the d31-wall program generalized):
+    // one per-partition streaming union-find over the incoming edge
+    // list replaces it with (component-min, member) stars — components
+    // provably identical (the StarContraction exactness argument,
+    // spec-pinned), while a dense duplicate cluster's O(|V|²) edges
+    // enter the BSP as O(|V|) stars of diameter 2, so the loop both
+    // reads far less per round AND converges in a handful of rounds.
+    // Every component consumer (d8 text clusters, d18 semdedup, d30,
+    // d31) gets the reduction for free; the contraction itself adds no
+    // exchange (it rides the input's existing partitions).
+    val ss = rawUnd.sparkSession
+    import ss.implicits._
+    val starsCanon = StarContraction.stars(
+        rawUnd.select(col("doc_a").as("_1"), col("doc_b").as("_2"))
+          .as[(Long, Long)])
+      .toDF("doc_a", "doc_b")
+      .distinct()
+      .localCheckpoint()
+    val und = starsCanon.unionAll(starsCanon
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     // Round 1 is degenerate — every node's label IS its id, so gathering
     // neighbor labels needs no join: min(doc_a) grouped by doc_b, with the
     // self-label via the identity union. Later rounds join the previous
@@ -832,6 +852,9 @@ object DedupQueries {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
     }
+    // the converged labels frame is materialized; the star edges are
+    // dead — free their checkpoint blocks now
+    graft.CheckpointUtil.release(starsCanon)
     labels
   }
 

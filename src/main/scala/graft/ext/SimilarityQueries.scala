@@ -2018,36 +2018,8 @@ object SimilarityQueries {
       .filter(round(expr("cosine_sim(qv, i.embedding)"), 6) >= lit(threshold))
       .select(col("p.qid").as("_1"), col("i.vec_id").as("_2"))
     import spark.implicits._
-    survivors.as[(Long, Long)].mapPartitions { it =>
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val nxt = parent(c); parent.update(c, r); c = nxt
-        }
-        r
-      }
-      it.foreach { case (a, b) =>
-        if (!parent.contains(a)) parent.update(a, a)
-        if (!parent.contains(b)) parent.update(b, b)
-        val ra = find(a); val rb = find(b)
-        // union by min id: the surviving root IS the component min, so
-        // the emitted stars are (min, member) with min < member —
-        // already canonical
-        if (ra < rb) parent.update(rb, ra)
-        else if (rb < ra) parent.update(ra, rb)
-      }
-      // snapshot keys before emitting: find() path-compresses (value
-      // writes) during the walk, and iterating a map being mutated —
-      // even value-only — is a contract violation waiting to happen
-      val ks = parent.keysIterator.toArray
-      ks.iterator.flatMap { v =>
-        val r = find(v)
-        if (r != v) Iterator.single((r, v)) else Iterator.empty
-      }
-    }.toDF("vec_id", "nbr_id")
+    StarContraction.stars(survivors.as[(Long, Long)])
+      .toDF("vec_id", "nbr_id")
       .repartition(p, col("vec_id"), col("nbr_id"))
       .distinct()
   }
