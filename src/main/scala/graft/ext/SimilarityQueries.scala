@@ -2001,7 +2001,7 @@ object SimilarityQueries {
     * built-in expresses without re-shuffling the pair mass — this is
     * the documented last-resort case. Emits canonical `(vec_id <
     * nbr_id)` star edges, distinct across partitions and bands. */
-  private[ext] def mpForestEdges(spark: SparkSession, dir: String,
+  private[graft] def mpForestEdges(spark: SparkSession, dir: String,
       threshold: Double, depth: Int = ProbeDepth): DataFrame = {
     GraftFunctions.register(spark)
     val p = derivedPairPartitions(spark, dir, depth)

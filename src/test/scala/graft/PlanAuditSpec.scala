@@ -36,6 +36,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("forest kernel: survivors reach the union-find without a second exchange") {
+    // mpForestEdges' whole point is that the scored pair mass crosses
+    // ONE exchange (the probe join's own) and the union-find rides the
+    // join output partitions — an Exchange creeping in between the join
+    // and the MapPartitions would silently restore the survivor-mass
+    // shuffle the kernel exists to remove (the 27-minute zipf-500k
+    // wall). The audit walks the formatted tree from the MapPartitions
+    // node down to its feeding join and asserts no Exchange between.
+    val p = graft.ext.SimilarityQueries
+      .mpForestEdges(spark, dir, 0.45)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    val mpIdx = tree.indexWhere(_.contains("MapPartitions"))
+    assert(mpIdx >= 0, p)
+    val joinIdx = tree.indexWhere(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"), mpIdx)
+    assert(joinIdx > mpIdx, "join must feed the union-find:\n" + p)
+    val between = tree.slice(mpIdx + 1, joinIdx)
+    assert(!between.exists(_.contains("Exchange")),
+      "survivor mass re-shuffled between join and union-find:\n" + p)
+  }
+
   test("epoch-crossing replay self-joins are hash equi-joins on the bucket key") {
     // the two band self-joins must key on (bid, bkey) — an optimizer
     // regression to a nested-loop/cartesian (e.g. the cosine condition
