@@ -726,6 +726,39 @@ object DedupQueries {
        |  SELECT r.node, u.b FROM reach r JOIN undirected u ON u.a = r.x),
        |cc AS (SELECT node, min(x) cluster_root FROM reach GROUP BY node)""".stripMargin
 
+  /** The CAPPED text chain as DuckDB CTEs (requires
+    * `shingled`/`minhashed`/`bands`, needs WITH RECURSIVE): capped
+    * index → probe×index candidates → exact-Jaccard verification →
+    * reachability → `ccT (node, canon)`. Shared by the d35 and d36
+    * oracles — [[cappedTextDedup]]'s keep rule, join and threshold
+    * verbatim. */
+  private[ext] lazy val duckCappedTextChain: String =
+    s"""cidxT AS MATERIALIZED (SELECT doc_id, bid, bkey FROM (
+       |  SELECT doc_id, bid, bkey,
+       |    row_number() OVER (PARTITION BY bid, bkey
+       |      ORDER BY doc_id) occ_rk FROM bands)
+       |  WHERE occ_rk <= $TextBucketCap),
+       |candT AS (SELECT DISTINCT least(p.doc_id, i.doc_id) lo,
+       |            greatest(p.doc_id, i.doc_id) hi
+       |          FROM bands p JOIN cidxT i
+       |            ON i.bid = p.bid AND i.bkey = p.bkey
+       |           AND i.doc_id <> p.doc_id),
+       |verT AS (SELECT lo, hi,
+       |           len(list_filter(x.sh, e -> list_contains(y.sh, e)))::DOUBLE i,
+       |           len(x.sh) + len(y.sh) tot
+       |         FROM candT JOIN shingled x ON candT.lo = x.doc_id
+       |                    JOIN shingled y ON candT.hi = y.doc_id),
+       |pairsT AS (SELECT lo, hi FROM verT
+       |           WHERE i/(tot-i) >= $JaccardThreshold),
+       |undT AS (
+       |  SELECT lo a, hi b FROM pairsT
+       |  UNION ALL SELECT hi a, lo b FROM pairsT),
+       |reachT AS (
+       |  SELECT doc_id node, doc_id x FROM documents
+       |  UNION
+       |  SELECT r.node, u.b FROM reachT r JOIN undT u ON u.a = r.x),
+       |ccT AS (SELECT node, min(x) canon FROM reachT GROUP BY node)""".stripMargin
+
   /** d6 — edit-distance fuzzy matching: near-identical customer names
     * within a nation block (classic blocked record-linkage dedup; both
     * engines implement Levenshtein as unit-cost edit distance). Blocking
@@ -1747,7 +1780,108 @@ object DedupQueries {
                |""".stripMargin).as("ari_ppm"))
   }
 
+  /** TEXT bucket cap for corpus-grain candidate generation — the text
+    * twin of [[SimilarityQueries.DefaultBucketCap]] (r15: the zipf text
+    * corpora exposed the uncapped band self-join as the last Σ n_k²
+    * wall; a 105k near-identical-text head implies ~5.5e9 Jaccard
+    * verifications through d8's exact chain). Same keep rule: the cap
+    * lowest doc_ids per (bid, bkey). */
+  val TextBucketCap = 32
+
+  /** `(doc_id, shh, bid, bkey)` FAT band rows off the checkpointed
+    * index — [[bandsOf]] with the shingle fingerprints carried, so a
+    * capped consumer can verify Jaccard IN the bucket join instead of
+    * shipping a (pair, set) intermediate through an attach exchange
+    * (the r13 mpEdges lesson, applied to text). */
+  private def fatBands(spark: SparkSession, dir: String): DataFrame = {
+    val withH = base(spark, dir).select(col("doc_id") +: col("shh") +:
+      (0 until NumHashes).map { i =>
+        val (j, k) = (i / SlicesPerSalt, i % SlicesPerSalt)
+        col(s"hs$j").getField(s"m$k").as(s"h$i")
+      }: _*)
+    withH.select(col("doc_id"), col("shh"), expr(bandExplodeExpr).as("u"))
+      .select(col("doc_id"), col("shh"),
+        col("u.bid").as("bid"), col("u.bkey").as("bkey"))
+  }
+
+  private val textCappedLabelsCache = caches.newCache()
+  /** d35 — CAPPED-INDEX text near-dup dedup: d8's components with the
+    * candidate kernel's index side held to [[TextBucketCap]] residents
+    * per band bucket — the d30→d31 program ported to the minhash-LSH
+    * chain. The PROBE side stays the full corpus (every doc always
+    * knows its own band keys), so unlike a both-sides-capped self-join
+    * every evicted resident still reaches its own bucket's kept set:
+    * within-bucket duplicate groups stay connected BY CONSTRUCTION at
+    * any occupancy (the mechanism the zipf-500k embedding census
+    * proved), and candidate mass is hard-bounded at n·B·cap instead of
+    * Σ n_k² — the bound that makes a 105k-doc identical-text head
+    * feasible. No Hamming probe shells: md5 band keys carry no bit
+    * structure, and the B independent bands already are the repetition
+    * dial (a pair missed in one band collides in another).
+    *
+    * Semantics: candidates ⊆ d8's (capped index ⊆ full index), same
+    * exact-Jaccard verification, same BSP — so d35's components REFINE
+    * d8's: splits possible where a cross-bucket bridge pair had both
+    * endpoints evicted, merges impossible. d36 prices that refinement;
+    * the ExtSpec contract pins it. Verification runs in the join
+    * (shh on both sides), the star contraction rides the join's
+    * partitions, and only stars reach the BSP. */
+  def cappedTextDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    evictOtherDirs(spark, dir)
+    val labels = textCappedLabelsCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val fat = fatBands(spark, dir)
+      val idx = fat.withColumn("occ_rk", row_number().over(
+          Window.partitionBy(col("bid"), col("bkey")).orderBy(col("doc_id"))))
+        .filter(col("occ_rk") <= TextBucketCap).drop("occ_rk")
+      val scored = idx.as("i").join(fat.as("p"),
+          col("i.bid") === col("p.bid") && col("i.bkey") === col("p.bkey") &&
+            col("i.doc_id") =!= col("p.doc_id"))
+        .withColumn("inter",
+          expr("sorted_intersect_count(p.shh, i.shh)").cast("double"))
+        .withColumn("jac", col("inter") /
+          (size(col("p.shh")) + size(col("i.shh")) - col("inter")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("p.doc_id").as("_1"), col("i.doc_id").as("_2"))
+      val canon = StarContraction.stars(scored.as[(Long, Long)])
+        .toDF("doc_a", "doc_b").distinct().localCheckpoint()
+      val und = canon.unionAll(canon.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      val l = minLabelComponents(und)
+      graft.CheckpointUtil.release(canon)
+      l
+    })
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canon_id"))
+      .withColumn("is_kept", col("canon_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** d36 — the capped chain's honest price: one row comparing d35's
+    * components against d8's uncapped truth — cluster counts both ways
+    * and how many docs kept the same root. Since d35 refines d8
+    * (candidates are a subset), `n_clusters_capped ≥
+    * n_clusters_uncapped` always; the gap IS the recall price of the
+    * n·B·cap bound on this corpus, the number a deployment reads before
+    * switching its consolidation to the capped chain at scale. */
+  def textCapAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val un = dedupClusters(spark, dir)
+    val cap = cappedTextDedup(spark, dir).select(col("doc_id"), col("canon_id"))
+    un.join(cap, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_root")).as("n_clusters_uncapped"),
+        countDistinct(col("canon_id")).as("n_clusters_capped"),
+        sum(when(col("cluster_root") === col("canon_id"), 1L).otherwise(0L))
+          .as("n_same_root"))
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d35_text_dedup_capped" -> ((s, d) => cappedTextDedup(s, d)),
+    "d36_text_cap_agreement" -> ((s, d) => textCapAgreement(s, d)),
     "d26_dedup_agreement" -> ((s, d) => dedupAgreement(s, d)),
     "d16_containment" -> ((s, d) => containmentPairs(s, d)),
     "d15_dup_spans" -> ((s, d) => dupSpans(s, d)),
@@ -1854,6 +1988,37 @@ object DedupQueries {
   // s24→Text…); eager Maps would make object-init order a correctness
   // hazard (NPE on whichever module clinit runs first).
   lazy val oracles: Map[String, String] = Map(
+    // d35: the capped text chain recomputed independently — capped
+    // index keep rule, probe×index candidates, exact-Jaccard
+    // verification, recursive reachability.
+    "d35_text_dedup_capped" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS MATERIALIZED (
+         |$duckBands),
+         |$duckCappedTextChain
+         |SELECT node AS doc_id, canon AS canon_id,
+         |       (canon = node) AS is_kept
+         |FROM ccT ORDER BY node""".stripMargin,
+
+    // d36: both closures in one statement — d8's uncapped components
+    // (the shared duckComponentsSql chain) joined node-wise against the
+    // capped chain's.
+    "d36_text_cap_agreement" ->
+      s"""WITH RECURSIVE $duckShingled,
+         |$duckMinhashed,
+         |bands AS MATERIALIZED (
+         |$duckBands),
+         |$duckComponentsSql,
+         |$duckCappedTextChain
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT c.cluster_root) AS BIGINT)
+         |         AS n_clusters_uncapped,
+         |       CAST(count(DISTINCT t.canon) AS BIGINT)
+         |         AS n_clusters_capped,
+         |       CAST(sum(CASE WHEN c.cluster_root = t.canon
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_same_root
+         |FROM cc c JOIN ccT t ON c.node = t.node""".stripMargin,
     // Composes the d8 components (cc) and the d9 embedding components
     // (ecc) from the shared CTE snippets, then pair-counts the
     // contingency in HUGEINT.

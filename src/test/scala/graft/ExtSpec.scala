@@ -2346,6 +2346,25 @@ class ExtSpec extends AnyFunSuite with SparkSuite {
     assert(hMulti > hSingle, "fixture neighbors must be recoverable via 1-bit flips")
   }
 
+  test("capped text dedup refines the uncapped components, identical when the cap is slack") {
+    // d35's candidates are a subset of d8's (capped index ⊆ full
+    // index, same verification), so its components can only SPLIT
+    // d8's, never merge across them; and on this fixture bucket
+    // occupancy never reaches TextBucketCap, so the two must be
+    // byte-identical (the text twin of "capped ≡ uncapped at sf0.01"
+    // on the embedding side).
+    val d8 = ext.DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d35 = ext.DedupQueries.cappedTextDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d35.keySet == d8.keySet)
+    d35.groupBy(_._2).values.foreach { grp =>
+      assert(grp.keys.map(d8).toSet.size == 1,
+        s"capped cluster crosses uncapped clusters: ${grp.keys.toSeq.sorted}")
+    }
+    assert(d35 == d8, "cap must be free at fixture occupancy")
+  }
+
   test("multiprobe dedup refines single-bucket dedup: components only merge, never split") {
     // d31's candidate pairs are a strict superset of d30's (probe rank 0
     // IS the exact bucket), so its edge set is a superset and its

@@ -156,6 +156,29 @@ class ClusteredFixtureSpec extends AnyFunSuite with graft.SparkSuite {
     }
   }
 
+  test("capped text dedup holds identical-text connectivity past the bucket cap") {
+    // the text twin of the zipf connectivity contract: on a power-law
+    // documents corpus the head cluster's VERBATIM copies form one
+    // identical-text group far larger than TextBucketCap — every band
+    // bucket they share overflows the cap — yet because the probe side
+    // is uncapped, every evicted copy still joins its bucket's kept
+    // residents at Jaccard 1 and the group must land in ONE component.
+    val out = java.nio.file.Files.createTempDirectory("zipf_docs").toString
+    graft.ClusteredFixture.generateDocs(spark, out, n = 4000L, k = 16,
+      zipf = 1.0)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val head = docs.groupBy($"text").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n")).head()
+    assert(head.getLong(1) > DedupQueries.TextBucketCap,
+      s"fixture must overflow the cap: ${head.getLong(1)} copies")
+    val ids = docs.filter($"text" === head.getString(0))
+      .select($"doc_id").as[Long].collect().toSet
+    val canon = DedupQueries.cappedTextDedup(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.map(canon).size == 1,
+      "identical-text group must stay one component under the cap")
+  }
+
   test("collapsed recall grid: complete cells, bounded, and the dial is real") {
     // s42 re-scores s41's cells at duplicate-component grain (truth =
     // top-K OTHER components by best-member cosine). Structural
