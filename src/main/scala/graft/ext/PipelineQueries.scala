@@ -1019,11 +1019,23 @@ object PipelineQueries {
            |        FROM csh JOIN sb USING (doc_id)
            |        WHERE bucket < ${SplitBuckets - 2}),
            |contam AS (SELECT DISTINCT ctr.doc_id FROM ctr JOIN ctests USING (g))""".stripMargin
+      // the f_lsh chain tracks the SPARK_GRAFT_TEXT_CAP dial exactly
+      // like the ann chain tracks ProbeDepth (the r14 oracle-dial
+      // precedent): capped gate engine-side ⇒ capped chain oracle-side
+      val (lshChain, lshJoin, lshFlag) =
+        if (graft.pipelines.TrainingDataPipeline.TextCapGate)
+          (DedupQueries.duckCappedTextChain,
+            "JOIN ccT ON ccT.node = d.doc_id",
+            "(ccT.canon = d.doc_id) f_lsh")
+        else
+          (DedupQueries.duckComponentsSql,
+            "JOIN cc ON cc.node = d.doc_id",
+            "(cc.cluster_root = d.doc_id) f_lsh")
       s"""WITH RECURSIVE ${DedupQueries.duckShingled},
          |${DedupQueries.duckMinhashed},
          |bands AS MATERIALIZED (
          |${DedupQueries.duckBands}),
-         |${DedupQueries.duckComponentsSql},
+         |$lshChain,
          |${SimilarityQueries.duckEmb},
          |${SimilarityQueries.duckScaledBandsNamed("TRUE", 0, "E")},
          |$annChain,
@@ -1033,7 +1045,7 @@ object PipelineQueries {
          |    coalesce(qf.fq, FALSE) f_quality,
          |    coalesce(rf.fr, TRUE) f_rep,
          |    (exk.keep_id IS NOT NULL) f_exact,
-         |    (cc.cluster_root = d.doc_id) f_lsh,
+         |    $lshFlag,
          |    coalesce(ccE.canon = d.doc_id, TRUE) f_ann,
          |    coalesce(mixf.fm, FALSE) f_mix,
          |    (ct.doc_id IS NULL) f_clean
@@ -1041,7 +1053,7 @@ object PipelineQueries {
          |  LEFT JOIN qf USING (doc_id)
          |  LEFT JOIN rf USING (doc_id)
          |  LEFT JOIN exk ON exk.keep_id = d.doc_id
-         |  JOIN cc ON cc.node = d.doc_id
+         |  $lshJoin
          |  LEFT JOIN ccE ON ccE.node = d.doc_id
          |  LEFT JOIN mixf USING (doc_id)
          |  LEFT JOIN contam ct ON ct.doc_id = d.doc_id)""".stripMargin

@@ -72,6 +72,22 @@ object TrainingDataPipeline {
   val QualityThreshold = 0.1
   val RepetitionMax = 0.2
 
+  /** `SPARK_GRAFT_TEXT_CAP=1`: route the `f_lsh` gate through the
+    * CAPPED text chain ([[DedupQueries.cappedTextDedup]], d35) instead
+    * of d8's uncapped components — the scale dial for corpora whose
+    * duplicate-cluster sizes blow up the uncapped Σ n_k² band
+    * self-join (the zipf text corpora: uncapped OOMs the default heap
+    * at 100k docs and implies ~5.5e9 verifications at 500k; capped
+    * runs 22 s / 42 s at hard-bounded n·B·cap mass). Default OFF:
+    * d8's exact semantics stay the faithful default. Like the
+    * probe-depth dial, the p27/p28/p29 funnel ORACLES track this env
+    * (PipelineQueries swaps the f_lsh CTE chain), so the full registry
+    * verifies green at either setting; a deployment reads d36's
+    * agreement row first (zipf-100k: 99.77% same-root, +1.2%
+    * clusters — splits only, never merges). */
+  private[graft] val TextCapGate: Boolean =
+    sys.env.get("SPARK_GRAFT_TEXT_CAP").exists(v => v == "1" || v == "true")
+
   /** Per-document gate flags for every doc-grain stage, ONE row per
     * document — the shared frame under [[survivors]] (conjunction
     * filter) and [[survivorFunnel]] (cumulative conditional counts),
@@ -89,8 +105,12 @@ object TrainingDataPipeline {
     * flag semantics and can never drift. */
   private[graft] def gateFrames(spark: SparkSession, dir: String)
       : Seq[(String, () => DataFrame)] = Seq(
-    "lsh" -> (() => DedupQueries.dedupClusters(spark, dir)
-      .filter(col("doc_id") === col("cluster_root"))
+    "lsh" -> (() => (if (TextCapGate)
+        DedupQueries.cappedTextDedup(spark, dir)
+          .filter(col("is_kept")).select(col("doc_id"))
+      else DedupQueries.dedupClusters(spark, dir)
+        .filter(col("doc_id") === col("cluster_root"))
+        .select(col("doc_id")))
       .select(col("doc_id"), lit(true).as("fl"))),
     "ann" -> (() => DedupQueries.annDedupMultiprobe(spark, dir)
       .select(col("vec_id").as("doc_id"), col("is_kept").as("fa"))),
