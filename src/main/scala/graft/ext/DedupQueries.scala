@@ -1804,6 +1804,32 @@ object DedupQueries {
         col("u.bid").as("bid"), col("u.bkey").as("bkey"))
   }
 
+  /** Document cardinality, counted once per (session, dir) off the
+    * checkpointed index — the text twin of
+    * [[SimilarityQueries.corpusCount]], feeding the derived partition
+    * count below. */
+  private val docCountCache = caches.newSideCache[Long]()
+  private def docCount(spark: SparkSession, dir: String): Long = {
+    evictOtherDirs(spark, dir)
+    docCountCache.getOrElseUpdate((spark, dir), base(spark, dir).count())
+  }
+
+  /** Pair-grain partition count for the capped text chain, derived
+    * from its own mass bound n·B·cap (the embedding side's
+    * [[SimilarityQueries.derivedPairPartitionsFor]] discipline): the
+    * fat band rows carry ~1 KB shingle arrays, so right-sizing the
+    * join/window partitions is what keeps the per-task sort and
+    * union-find state bounded at any corpus size without an env
+    * knob. */
+  private def derivedTextPairPartitions(spark: SparkSession,
+      dir: String): Int = {
+    val mass = docCount(spark, dir) * NumBands * TextBucketCap
+    val want = (mass + SimilarityQueries.TargetPairRowsPerPartition - 1) /
+      SimilarityQueries.TargetPairRowsPerPartition
+    math.max(spark.sessionState.conf.numShufflePartitions.toLong,
+      math.min(SimilarityQueries.MaxDerivedPartitions.toLong, want)).toInt
+  }
+
   private val textCappedLabelsCache = caches.newCache()
   /** d35 — CAPPED-INDEX text near-dup dedup: d8's components with the
     * candidate kernel's index side held to [[TextBucketCap]] residents
@@ -1832,7 +1858,8 @@ object DedupQueries {
     val labels = textCappedLabelsCache.getOrElseUpdate((spark, dir), {
       import org.apache.spark.sql.expressions.Window
       import spark.implicits._
-      val fat = fatBands(spark, dir)
+      val p0 = derivedTextPairPartitions(spark, dir)
+      val fat = fatBands(spark, dir).repartition(p0, col("bid"), col("bkey"))
       val idx = fat.withColumn("occ_rk", row_number().over(
           Window.partitionBy(col("bid"), col("bkey")).orderBy(col("doc_id"))))
         .filter(col("occ_rk") <= TextBucketCap).drop("occ_rk")
