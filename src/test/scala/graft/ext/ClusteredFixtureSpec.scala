@@ -154,6 +154,34 @@ class ClusteredFixtureSpec extends AnyFunSuite with graft.SparkSuite {
     d31.foreach { case (l, nc) =>
       assert(nc == 1L, s"multi-probe must collapse label $l to one component: $nc")
     }
+    // forest-vs-full equivalence WHERE THE CAP BINDS: the 2k clustered
+    // fixture never overflows a bucket, so only this corpus exercises
+    // the contraction against capped+overflowing survivor sets — the
+    // regime the kernel exists for
+    val full = SimilarityQueries
+      .mpEdges(spark, out, DedupQueries.EmbDupThreshold)
+      .select($"vec_id", $"nbr_id").collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent.update(c, r); c = nxt
+      }
+      r
+    }
+    full.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.update(rb, ra) else if (rb < ra) parent.update(ra, rb)
+    }
+    val d31canon = DedupQueries.annDedupMultiprobe(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d31canon.foreach { case (v, c) =>
+      assert(c == find(v),
+        s"forest canon of $v diverges from the full survivor set under a binding cap: $c vs ${find(v)}")
+    }
   }
 
   test("capped text dedup holds identical-text connectivity past the bucket cap") {
