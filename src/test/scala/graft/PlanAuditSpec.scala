@@ -68,14 +68,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // swallowing the equi-keys) would be quadratic in the corpus
     // the registered query materializes its bounded result eagerly
     // (plan = ExistingRDD), so audit the LAZY pre-materialization frame
-    val (out, ck) = graft.ext.SimilarityQueries.annEpochReplayLazy(spark, dir)
-    try {
-      val p = out.queryExecution
-        .explainString(ExplainMode.fromString("formatted"))
-      assert(p.contains("HashJoin"), p)
-      assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"), p)
-    } finally graft.CheckpointUtil.release(ck)
+    // the band projection underneath is the shared width-keyed cache
+    // entry (rebuiltBandIndex's frame) — never released by callers
+    val out = graft.ext.SimilarityQueries.annEpochReplayLazy(spark, dir)
+    val p = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
