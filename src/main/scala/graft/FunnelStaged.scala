@@ -40,6 +40,7 @@ object FunnelStaged {
       graft.ext.TextQueries.clearCaches()
       graft.ext.SimilarityQueries.clearCaches()
       graft.ext.PipelineQueries.clearCaches()
+      graft.pipelines.TrainingDataPipeline.clearCaches()
       graft.ext.MultimodalQueries.clearCaches()
       graft.ops.RankOps.clearCaches()
       // shuffle files are freed by the ContextCleaner on driver GC of

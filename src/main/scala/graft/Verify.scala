@@ -50,6 +50,7 @@ object Verify {
     graft.ext.TextQueries.clearCaches()
     graft.ext.SimilarityQueries.clearCaches()
     graft.ext.PipelineQueries.clearCaches()
+    graft.pipelines.TrainingDataPipeline.clearCaches()
     graft.ext.MultimodalQueries.clearCaches()
     graft.queries.AdvancedQueries.clearCaches()
     graft.queries.TemporalQueries.clearCaches()

@@ -153,9 +153,28 @@ object TrainingDataPipeline {
         coalesce(col("fm"), lit(false)).as("f_mix"),
         (!coalesce(col("fc"), lit(false))).as("f_clean"))
 
-  private[graft] def gateFlags(spark: SparkSession, dir: String): DataFrame =
-    assembleFlags(spark, dir,
-      gateFrames(spark, dir).map { case (n, th) => n -> th() }.toMap)
+  // Module caches (r15 optimization): the flag frame and the cut+scrubbed
+  // survivor text are deterministic per (session, dir) and read by several
+  // registered queries (p27/p28 aggregate the flags; p29's manifest plan
+  // read the flags subtree — an 8-way gate join — TWICE through its two
+  // survivor joins, and the cut+scrub text twice through chunking and
+  // packing). Checkpointing them once per (session, dir) follows the
+  // shared DirCaches discipline of every ext module.
+  private val caches = new graft.ext.DirCaches
+
+  /** Bench/Verify teardown hook (see [[graft.ext.DedupQueries.clearCaches]]). */
+  def clearCaches(): Unit = caches.clear()
+
+  private val flagsCache = caches.newCache()
+  private val cleanSurvivorsCache = caches.newCache()
+
+  private[graft] def gateFlags(spark: SparkSession, dir: String): DataFrame = {
+    caches.evictOtherDirs(spark, dir)
+    flagsCache.getOrElseUpdate((spark, dir),
+      assembleFlags(spark, dir,
+        gateFrames(spark, dir).map { case (n, th) => n -> th() }.toMap)
+        .localCheckpoint())
+  }
 
   /** Survivor doc_ids after every doc-grain gate, with lang and split
     * carried for partitioning. */
@@ -253,24 +272,39 @@ object TrainingDataPipeline {
   def shards(spark: SparkSession, dir: String): DataFrame =
     shardsOf(spark, dir, survivors(spark, dir))
 
+  /** Stages 8–9 (span cut + PII scrub) over the SURVIVORS' text only,
+    * checkpointed once per (session, dir): chunking and packing both
+    * read it, and inside p29's one lazy plan the regex scrub + span-cut
+    * subtree would otherwise evaluate twice; restricting to survivors
+    * BEFORE the cut also keeps the per-token membership kernel and the
+    * regex pass off documents the gates dropped (identical output —
+    * both kernels are per-document). */
+  private def cleanSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    caches.evictOtherDirs(spark, dir)
+    cleanSurvivorsCache.getOrElseUpdate((spark, dir), {
+      val cutPlan = DedupQueries.provenanceCut(spark, dir)
+        .select(col("doc_id"), col("cut_start"), col("cut_end"))
+      val cut = DedupQueries.cutAppliedOf(
+        Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+          .join(survivors(spark, dir).select(col("doc_id")), "doc_id"),
+        cutPlan)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      TextQueries.scrubbed(cut).localCheckpoint()
+    })
+  }
+
   private def shardsOf(spark: SparkSession, dir: String, keep: DataFrame): DataFrame = {
-    // stage 8: execute the provenance-preferred cut plan (d33) through
-    // the d29 membership kernel — the raw text never reaches the scrub
-    val cutPlan = DedupQueries.provenanceCut(spark, dir)
-      .select(col("doc_id"), col("cut_start"), col("cut_end"))
-    val cut = DedupQueries.cutAppliedOf(
-      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
-      cutPlan)
-      .select(col("doc_id"), col("clean_text").as("text"))
-    val clean = TextQueries.scrubbed(cut)
+    // stages 8-9 ride the survivor-text checkpoint (the raw text never
+    // reaches the scrub; dropped docs never reach the cut)
+    val clean = cleanSurvivors(spark, dir)
     val chunks = PipelineQueries.chunkOf(clean).join(keep, "doc_id")
     // pack the SURVIVORS' final text, not the raw corpus: the shard
     // budget must count tokenizer units that actually land — packing
     // over all documents under-fills every shard by whatever the gates
     // dropped, and packing pre-cut text charges shards for spans the
-    // cut stage removed.
+    // cut stage removed. `clean` is survivor-only by construction.
     val packed = PipelineQueries
-      .bpePackingOf(spark, dir, clean.join(keep.select(col("doc_id")), "doc_id"))
+      .bpePackingOf(spark, dir, clean)
       .select(col("doc_id"), col("shard"))
     chunks.join(packed, "doc_id")
       .select(col("doc_id"), col("lang"), col("split"), col("shard"),
