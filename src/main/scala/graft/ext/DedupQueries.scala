@@ -1217,9 +1217,9 @@ object DedupQueries {
   def mpDedupRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = mpTruth(spark, dir)
     val f = mpFound(truth,
-        SimilarityQueries.scaledCandPairs(spark, dir, lit(true)), "t0_single")
+        SimilarityQueries.scaledCandPairsFull(spark, dir), "t0_single")
       .unionAll(mpFound(truth,
-        SimilarityQueries.mpCandPairs(spark, dir), multiLabel))
+        SimilarityQueries.mpCandPairsFull(spark, dir), multiLabel))
     mpRecallReadout(truth, f)
   }
 
@@ -1251,12 +1251,12 @@ object DedupQueries {
     val (_, g1) = SimilarityQueries.nnDescentGraphs(spark, dir)
     val g1sym = g1.union(
       g1.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
-    val t2 = SimilarityQueries.scaledCandPairs(spark, dir, lit(true))
+    val t2 = SimilarityQueries.scaledCandPairsFull(spark, dir)
       .union(g1sym).distinct()
     val f = mpFound(truth,
-        SimilarityQueries.scaledCandPairs(spark, dir, lit(true)), "t0_single")
+        SimilarityQueries.scaledCandPairsFull(spark, dir), "t0_single")
       .unionAll(mpFound(truth,
-        SimilarityQueries.mpCandPairs(spark, dir), multiLabel))
+        SimilarityQueries.mpCandPairsFull(spark, dir), multiLabel))
       .unionAll(mpFound(truth, t2, "t2_descent"))
     mpRecallReadout(truth, f)
   }

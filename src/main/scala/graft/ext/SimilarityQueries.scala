@@ -1855,6 +1855,27 @@ object SimilarityQueries {
       leftFilter: Column, capped: Boolean = true): DataFrame =
     attachCosine(spark, dir, scaledCandPairs(spark, dir, leftFilter, capped))
 
+  /** The FULL-corpus capped candidate-pair set (and its multi-probe
+    * sibling at the production depth), checkpointed once per (session,
+    * dir) — r15 optimization: s30/s39's base graph, d32 and d34 each
+    * re-ran the bucket self-join (or probe join) + canonicalize-distinct
+    * to produce exactly this frame; now they read one artifact. These
+    * ARE the candidate sets a deployment materializes, bounded by the
+    * same cap·n·L mass as any single consumer's join. */
+  private val scaledPairsFullCache = caches.newCache()
+  private[ext] def scaledCandPairsFull(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    scaledPairsFullCache.getOrElseUpdate((spark, dir),
+      scaledCandPairs(spark, dir, lit(true)).localCheckpoint())
+  }
+
+  private val mpPairsFullCache = caches.newCache()
+  private[ext] def mpCandPairsFull(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    mpPairsFullCache.getOrElseUpdate((spark, dir),
+      mpCandPairs(spark, dir).localCheckpoint())
+  }
+
   /** Exact-cosine attach for a narrow distinct candidate-pair frame —
     * the shared tail of every scaled-index consumer: two id-equi-joins
     * ship each embedding at most twice and the cosine runs once per
@@ -2104,7 +2125,7 @@ object SimilarityQueries {
 
   def annHubness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val indeg = scaledCandScores(spark, dir, lit(true))
+    val indeg = attachCosine(spark, dir, scaledCandPairsFull(spark, dir))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
@@ -2993,7 +3014,7 @@ object SimilarityQueries {
   /** The s39 base graph: the s30 adaptive-band candidate top-K, with
     * cosine carried for the reverse-cap ranking. */
   private def descentBase(spark: SparkSession, dir: String): DataFrame =
-    scaledCandScores(spark, dir, lit(true))
+    attachCosine(spark, dir, scaledCandPairsFull(spark, dir))
       .withColumn("rk", row_number().over(descentTopW))
       .filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("nbr_id"), col("cosine"))
@@ -3077,23 +3098,28 @@ object SimilarityQueries {
   }
 
   def nnDescent(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (g0, g1lazy) = nnDescentGraphs(spark, dir)
     // g0 rides the module cache; g1 is checkpointed per call (its two
     // readout branches would otherwise each re-run the descent round)
-    // and released once the 2-row readout is on the driver
+    // and released once the 2-row readout is on the driver. The readout
+    // itself is ONE action (r15 de-looping): both stages' edge counts,
+    // hit counts and the shared denominator ride one union plan instead
+    // of five sequential driver jobs.
     val g1 = g1lazy.localCheckpoint()
     val exact = exactSampleKnn(spark, dir)
-    val ex = exact.count()
-    def stage(name: String, g: DataFrame) = {
-      val e = g.count()
-      val h = exact.join(g, Seq("vec_id", "nbr_id")).count()
-      (name, e, ex, h, h * 1000000L / math.max(ex, 1L))
-    }
-    val rows = Seq(stage("g0_lsh", g0), stage("g1_descent", g1))
-    graft.CheckpointUtil.release(g1)
-    rows.toDF("stage", "n_edges", "n_exact", "n_hits", "recall_ppm")
-      .orderBy("stage")
+    def stageRow(name: String, g: DataFrame) =
+      g.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(exact.join(g, Seq("vec_id", "nbr_id"))
+          .agg(count(lit(1)).as("n_hits")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(name).as("stage"), col("n_edges"), col("n_exact"),
+          col("n_hits"),
+          expr("n_hits * 1000000L div greatest(n_exact, 1L)")
+            .as("recall_ppm"))
+    try materializeBounded(
+      stageRow("g0_lsh", g0).unionAll(stageRow("g1_descent", g1)),
+      Seq("stage"))
+    finally graft.CheckpointUtil.release(g1)
   }
 
   /** The s40 cap settings: the streaming operators' default-scale cap,

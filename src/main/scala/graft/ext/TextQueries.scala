@@ -538,7 +538,20 @@ object TextQueries {
     })
   }
 
+  /** Per-doc LM scores, checkpointed once per (session, dir) (r15
+    * optimization): t25's rank/bucket machinery reads this frame several
+    * times per invocation (the group-rank kernel's count/start frames
+    * plus its own tercile counts), and each un-cached read re-ran the
+    * two count-table aggregates over the bigram stream — ~5 recomputes
+    * per t25 call, the whole 173 MB/pass block-read signature. */
+  private val lmScoreCache = caches.newCache()
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    lmScoreCache.getOrElseUpdate((spark, dir),
+      lmScoreBuild(spark, dir).localCheckpoint())
+  }
+
+  private def lmScoreBuild(spark: SparkSession, dir: String): DataFrame = {
     val bg = bigrams(spark, dir)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // denominator = bigram-context count of w1 (occurrences followed by
