@@ -2361,16 +2361,27 @@ object SimilarityQueries {
     * capped sample and may broadcast unconditionally. */
   def incrementalAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // score IN the probe join (the mpEdges discipline, r15): the old
+    // narrow-pairs-then-attach shape shipped a (pair, embedding)
+    // intermediate through attachCosine's second equi-join — the fattest
+    // exchange of the query (pair mass × the embedding payload). Both
+    // join sides already carry their vectors here, the cosine evaluates
+    // in the join output, and the pair-grain exchange carries only
+    // (qid, nbr_id, cosine); the per-pair dedup becomes max(cosine)
+    // (every colliding row of a pair scores identically, so the value
+    // is unchanged). Extra cost is one cosine per colliding row instead
+    // of per distinct pair — the audited right side of that trade.
     val bands = standingBandIndex(spark, dir)
-      .select(col("vec_id"), col("bid"), col("bkey"))
     val idx = bands.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"), col("bid"), col("bkey"))
     val probes = probeRows(bands, standingBandWidth(spark, dir),
-      col("vec_id") % 2 === 1)
-    val cand = idx.as("i").join(probes.as("p"),
+      col("vec_id") % 2 === 1, extra = Seq("embedding AS qv"))
+    idx.as("i").join(probes.as("p"),
         col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey"))
-      .select(col("p.qid").as("vec_id"), col("i.vec_id").as("nbr_id"))
-      .distinct()
-    attachCosine(spark, dir, cand)
+      .select(col("p.qid").as("vec_id"), col("i.vec_id").as("nbr_id"),
+        round(expr("cosine_sim(qv, i.embedding)"), 6).as("cosine"))
+      .groupBy(col("vec_id"), col("nbr_id"))
+      .agg(max(col("cosine")).as("cosine"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cosine").desc, col("nbr_id").asc)).cast("long"))
@@ -3030,11 +3041,27 @@ object SimilarityQueries {
       descentBase(spark, dir).localCheckpoint())
   }
 
+  /** One descent round over the cached base graph, itself checkpointed
+    * per (session, dir) — s39's g1 row and d34's t2 candidate tier both
+    * consume exactly this frame (r15: each used to re-run the 2-hop
+    * closure + top-K re-selection per invocation). */
+  private val descentRoundCache = caches.newCache()
+  /** The round's LAZY plan over the cached base — the plan audit
+    * inspects this (the cached frame itself is an ExistingRDD). */
+  private[graft] def descentRoundLazy(spark: SparkSession, dir: String): DataFrame =
+    descentRound(spark, dir, descentBaseCached(spark, dir))
+
+  private def descentRoundCached(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    descentRoundCache.getOrElseUpdate((spark, dir),
+      descentRoundLazy(spark, dir).localCheckpoint())
+  }
+
   private[graft] def nnDescentGraphs(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val g0 = descentBaseCached(spark, dir)
     (g0.select(col("vec_id"), col("nbr_id")),
-      descentRound(spark, dir, g0).select(col("vec_id"), col("nbr_id")))
+      descentRoundCached(spark, dir).select(col("vec_id"), col("nbr_id")))
   }
 
   /** NN-DESCENT TO ITS FIXED POINT — the production form of s39 (Dong
@@ -3098,14 +3125,11 @@ object SimilarityQueries {
   }
 
   def nnDescent(spark: SparkSession, dir: String): DataFrame = {
-    val (g0, g1lazy) = nnDescentGraphs(spark, dir)
-    // g0 rides the module cache; g1 is checkpointed per call (its two
-    // readout branches would otherwise each re-run the descent round)
-    // and released once the 2-row readout is on the driver. The readout
-    // itself is ONE action (r15 de-looping): both stages' edge counts,
+    // g0 and g1 both ride module caches now (descentRoundCached); the
+    // readout is ONE action (r15 de-looping): both stages' edge counts,
     // hit counts and the shared denominator ride one union plan instead
     // of five sequential driver jobs.
-    val g1 = g1lazy.localCheckpoint()
+    val (g0, g1) = nnDescentGraphs(spark, dir)
     val exact = exactSampleKnn(spark, dir)
     def stageRow(name: String, g: DataFrame) =
       g.agg(count(lit(1)).as("n_edges"))
@@ -3116,10 +3140,9 @@ object SimilarityQueries {
           col("n_hits"),
           expr("n_hits * 1000000L div greatest(n_exact, 1L)")
             .as("recall_ppm"))
-    try materializeBounded(
+    materializeBounded(
       stageRow("g0_lsh", g0).unionAll(stageRow("g1_descent", g1)),
       Seq("stage"))
-    finally graft.CheckpointUtil.release(g1)
   }
 
   /** The s40 cap settings: the streaming operators' default-scale cap,

@@ -551,7 +551,9 @@ object TextQueries {
       lmScoreBuild(spark, dir).localCheckpoint())
   }
 
-  private def lmScoreBuild(spark: SparkSession, dir: String): DataFrame = {
+  /** The lazy build plan (the cached frame is an ExistingRDD; the plan
+    * audit inspects THIS). */
+  private[graft] def lmScoreBuild(spark: SparkSession, dir: String): DataFrame = {
     val bg = bigrams(spark, dir)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // denominator = bigram-context count of w1 (occurrences followed by

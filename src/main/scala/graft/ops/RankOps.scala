@@ -101,14 +101,18 @@ object RankOps {
       .mapPartitions(it => Iterator(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
       .collect()
     val offsets = totals.scanLeft(0L)(_ + _)
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+    // the OUTPUT rdd is pooled too (r15): consumers that reference the
+    // prefix frame more than once (q52's peak join, q113's tile ranks,
+    // the group-rank start join) otherwise re-run the external-Row
+    // conversion pass per reference
+    val out = persistBounded(rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r =>
         val o = Row.fromSeq(r.toSeq :+ acc)
         acc += r.getLong(vIdx)
         o
       }
-    }
+    })
     (spark.createDataFrame(out, sorted.schema.add(prefixCol, LongType, nullable = false))
       .drop("__v"), offsets.last)
   }
@@ -134,14 +138,14 @@ object RankOps {
         Iterator(it.foldLeft(Long.MinValue)((a, r) => math.max(a, r.getLong(vIdx)))))
       .collect()
     val offsets = maxes.scanLeft(Long.MinValue)(math.max)
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = persistBounded(rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r =>
         val o = Row.fromSeq(r.toSeq :+ acc)
         acc = math.max(acc, r.getLong(vIdx))
         o
       }
-    }
+    })
     spark.createDataFrame(out,
         sorted.schema.add(prefixCol, LongType, nullable = false))
       .drop("__v")

@@ -198,7 +198,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("lm score count tables broadcast; the bigram stream never shuffles on words") {
-    val p = plan("t10_lm_score")
+    // the registered query rides a (session, dir) checkpoint since r15
+    // (plan = ExistingRDD) — audit the lazy build plan
+    val p = graft.ext.TextQueries.lmScoreBuild(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -502,7 +506,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // (session, dir) caches as broadcast joins, never a re-run BSP loop.
     graft.ext.DedupQueries.dedupClusters(spark, dir).count()          // converge
     graft.ext.DedupQueries.annDedupMultiprobe(spark, dir).count()     // converge
-    val p = plan("p27_survivor_funnel")
+    // the registered query reads the (session, dir) flag checkpoint
+    // since r15 (plan = agg over ExistingRDD) — audit the lazy
+    // assemble+funnel plan, the shape the checkpoint materializes
+    import graft.pipelines.TrainingDataPipeline
+    val flags = TrainingDataPipeline.assembleFlags(spark, dir,
+      TrainingDataPipeline.gateFrames(spark, dir)
+        .map { case (n, th) => n -> th() }.toMap)
+    val p = TrainingDataPipeline.funnelOf(flags)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // exactly one stack unpivot, fed by ONE single-partition exchange —
     // the global partial/final aggregate pair carrying all 8 conditional
     // sums in one 8-column row (upstream gates keep their own Generates:
@@ -1311,7 +1324,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // Audited on the graph pair, not the registered readout — the
     // readout's 1-row stat crossJoins legitimately plan as nested-loop
     // over singleton frames.
-    val p = graft.ext.SimilarityQueries.nnDescentGraphs(spark, dir)._2
+    // the cached round frame is an ExistingRDD since r15 — audit the
+    // lazy round plan over the checkpointed base
+    val p = graft.ext.SimilarityQueries.descentRoundLazy(spark, dir)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") &&
