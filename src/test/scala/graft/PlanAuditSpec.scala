@@ -327,19 +327,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     // would mean the round re-reads + re-quantizes the embeddings (3x
     // the corpus I/O), and any join would mean the direction vector
     // stopped being a literal.
+    // xm is a shared (session, dir) cache since r15 — never released by
+    // consumers (DirCaches owns the blocks)
     val xm = graft.ext.SimilarityQueries.powerQuantized(spark, dir)
-    try {
-      val v = IndexedSeq.fill(graft.ext.SimilarityQueries.PowerDim)(
-        java.math.BigInteger.valueOf(1000000L))
-      val p = graft.ext.SimilarityQueries.powerRoundFrame(xm, v)
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      assert(p.contains("Scan ExistingRDD"), p)
-      assert(!p.contains("Scan parquet"), p)
-      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
-      assert(!p.contains("Join"), p)
-      assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
-        s"64-column global aggregate needs only the single-partition gather:\n$p")
-    } finally graft.CheckpointUtil.release(xm)
+    val v = IndexedSeq.fill(graft.ext.SimilarityQueries.PowerDim)(
+      java.math.BigInteger.valueOf(1000000L))
+    val p = graft.ext.SimilarityQueries.powerRoundFrame(xm, v)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"64-column global aggregate needs only the single-partition gather:\n$p")
   }
 
   test("s30 probes the checkpointed adaptive band index through a bounded heap") {
