@@ -2610,8 +2610,6 @@ object SimilarityQueries {
     * window over sample·L·(b+C(b,2)) rows. */
   def queryDirectedRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val topW = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
     val e = emb(spark, dir)
     val exact = exactSampleKnn(spark, dir)
       .select(col("vec_id").as("qid"), col("nbr_id"))
@@ -2648,29 +2646,45 @@ object SimilarityQueries {
       .unionAll(perturbed)
     val shellProbes = probeRows(nb, b, recallSampled(col("vec_id")))
       .select(col("qid"), col("bid"), col("pkey"))
-    def modeRow(probes: DataFrame, mode: String): DataFrame = {
-      val cand = nb.as("i").join(broadcast(probes.as("p")),
-          col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
-            col("i.vec_id") =!= col("p.qid"))
-        .select(col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
-        .distinct()
-      val scored = attachCosine(spark, dir,
-          cand.select(col("qid").as("vec_id"), col("nbr_id")))
-        .select(col("vec_id").as("qid"), col("nbr_id"), col("cosine"))
-      val tops = scored
-        .withColumn("rk", row_number().over(topW)).filter(col("rk") <= KnnK)
-        .select(col("qid"), col("nbr_id"))
-      val hits = exact.join(tops, Seq("qid", "nbr_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      cand.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(hits)
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .select(lit(mode).as("probe_mode"), col("n_exact"), col("n_cand"),
-          col("n_hits"),
-          expr("n_hits * 1000000L div n_exact").as("recall_ppm"))
-    }
-    modeRow(shellProbes, "t1_shell1")
-      .unionAll(modeRow(marginProbes, "q1_margin"))
+    // ONE candidate join + cosine attach serves both modes (r15
+    // de-looping, the grid-rewrite pattern): the two probe tables union
+    // with a mode tag, candidates dedupe per (mode, pair), the ranking
+    // partitions by (mode, qid) — per-mode values are identical to the
+    // old two independent chains, and the plan pays one broadcast probe
+    // join + one attach instead of two of each.
+    import spark.implicits._
+    val probes = shellProbes.withColumn("probe_mode", lit("t1_shell1"))
+      .unionAll(marginProbes.withColumn("probe_mode", lit("q1_margin")))
+    val cand = nb.as("i").join(broadcast(probes.as("p")),
+        col("i.bid") === col("p.bid") && col("i.bkey") === col("p.pkey") &&
+          col("i.vec_id") =!= col("p.qid"))
+      .select(col("p.probe_mode").as("probe_mode"),
+        col("p.qid").as("qid"), col("i.vec_id").as("nbr_id"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .hint("SHUFFLE_HASH"), Seq("qid"))
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("yv"))
+        .hint("SHUFFLE_HASH"), Seq("nbr_id"))
+      .select(col("probe_mode"), col("qid"), col("nbr_id"),
+        round(expr("cosine_sim(qv, yv)"), 6).as("cosine"))
+    val modeW = Window.partitionBy(col("probe_mode"), col("qid"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val hits = scored
+      .withColumn("rk", row_number().over(modeW)).filter(col("rk") <= KnnK)
+      .select(col("probe_mode"), col("qid"), col("nbr_id"))
+      .join(exact, Seq("qid", "nbr_id"))
+      .groupBy(col("probe_mode")).agg(count(lit(1)).as("n_hits"))
+    val nCand = cand.groupBy(col("probe_mode"))
+      .agg(count(lit(1)).as("n_cand"))
+    Seq("q1_margin", "t1_shell1").toDF("probe_mode")
+      .join(nCand, Seq("probe_mode"), "left")
+      .join(hits, Seq("probe_mode"), "left")
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(col("probe_mode"), col("n_exact"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0L) * 1000000L div n_exact").as("recall_ppm"))
       .orderBy("probe_mode")
   }
 
