@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler harness (not part of the driver contract): run one
+  * registered query in a loop so an external sampler (jstack) can catch
+  * the hot frames. Deleted/ignored by the bench and oracle. */
+object ProfLoop {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val name = args.headOption.getOrElse("q113_equidepth_stats")
+    val n = if (args.length > 1) args(1).toInt else 30
+    val fn = SparkEntry.queries(name)
+    fn(spark, dir).count() // warm
+    println(s"[prof] warmed, looping $name x$n")
+    val t0 = System.nanoTime()
+    (1 to n).foreach(_ => fn(spark, dir).count())
+    println(f"[prof] done: ${(System.nanoTime() - t0) / 1e9 / n}%.3f s/iter")
+    spark.stop()
+  }
+}

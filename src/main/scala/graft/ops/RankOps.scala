@@ -44,7 +44,16 @@ object RankOps {
   private val MaxPersisted = 8
   private val persisted = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[Row]]
   private def persistBounded(rdd: org.apache.spark.rdd.RDD[Row]) = synchronized {
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SER, not deserialized: MemoryStore's deserialized path periodically
+    // re-estimates the unrolled block via SizeEstimator, whose reflective
+    // object-graph walk over external Row objects costs ~200µs/row —
+    // profiled at 15-26s of task CPU per RankOps call at sf0.1 (jstack:
+    // 96/120 RUNNABLE samples in SizeEstimator under putIteratorAsValues).
+    // The serialized path tracks exact bytes instead; the per-row
+    // JavaSerializer cost is two orders of magnitude smaller, and the
+    // partition's shared schema object serializes once per block via the
+    // ObjectOutputStream handle table.
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     persisted.addLast(rdd)
     while (persisted.size > MaxPersisted)
       persisted.removeFirst().unpersist(blocking = false)
@@ -101,18 +110,20 @@ object RankOps {
       .mapPartitions(it => Iterator(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
       .collect()
     val offsets = totals.scanLeft(0L)(_ + _)
-    // the OUTPUT rdd is pooled too (r15): consumers that reference the
-    // prefix frame more than once (q52's peak join, q113's tile ranks,
-    // the group-rank start join) otherwise re-run the external-Row
-    // conversion pass per reference
-    val out = persistBounded(rdd.mapPartitionsWithIndex { (pid, it) =>
+    // the OUTPUT rdd is NOT pooled (r15 tried it; r16 reverted): most
+    // consumers reference the prefix frame exactly once, so persisting it
+    // was a pure second block-manager write per call — and under the
+    // deserialized level it doubled the SizeEstimator burn. A consumer
+    // that re-references the frame (q52's peak join) re-runs only this
+    // streaming pass over the already-persisted sorted input.
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r =>
         val o = Row.fromSeq(r.toSeq :+ acc)
         acc += r.getLong(vIdx)
         o
       }
-    })
+    }
     (spark.createDataFrame(out, sorted.schema.add(prefixCol, LongType, nullable = false))
       .drop("__v"), offsets.last)
   }
@@ -138,14 +149,14 @@ object RankOps {
         Iterator(it.foldLeft(Long.MinValue)((a, r) => math.max(a, r.getLong(vIdx)))))
       .collect()
     val offsets = maxes.scanLeft(Long.MinValue)(math.max)
-    val out = persistBounded(rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r =>
         val o = Row.fromSeq(r.toSeq :+ acc)
         acc = math.max(acc, r.getLong(vIdx))
         o
       }
-    })
+    }
     spark.createDataFrame(out,
         sorted.schema.add(prefixCol, LongType, nullable = false))
       .drop("__v")
@@ -154,27 +165,77 @@ object RankOps {
   /** Append 0-based rank WITHIN each `groupKeys` group under `sortCols`
     * (the scalable `row_number() OVER (PARTITION BY group ORDER BY sort)`
     * for groups too big or too skewed for one reducer each): one global
-    * rank over (group, sort), minus the group's broadcast start offset.
-    * The group count/start frames have one row per group (batch/bucket/
-    * stage ids here); group starts are derived from the group column
-    * itself — a pure function of the row — so there is no partitioning-
-    * consistency hazard in this join. */
+    * rank over (group, sort), minus the group's start offset.
+    *
+    * The range sort on (group, sort) makes each group a CONTIGUOUS run,
+    * so the per-partition totals job can return the ordered run-length
+    * list of (group, count) — P + G·(partitions a group spans) tuples,
+    * metadata-scale for the batch/bucket/stage/lang groups this serves
+    * (the r15 form already broadcast a |G|² triangular self-join of the
+    * same frame). The driver derives each group's first global position
+    * in one scan and the output pass subtracts it inline — no counts
+    * aggregation, no triangular join, no final broadcast join: the same
+    * two jobs as [[withGlobalRank]] instead of five-plus (measured at
+    * sf0.1: p15 12 jobs, p23 14, each job ~130 ms of fixed local-mode
+    * latency; the join's exchanges cost the same latency on a cluster).
+    *
+    * NOTE the output column order is the INPUT order plus `rankCol`
+    * (the r15 join-based form surfaced `groupKeys` first); consumers
+    * select by name. */
   def withGroupRank(df: DataFrame, numPartitions: Int, rankCol: String,
       groupKeys: Seq[String], sortCols: Seq[Column]): DataFrame = {
-    val ranked = withGlobalRank(df, numPartitions, "__grank",
-      (groupKeys.map(col) ++ sortCols): _*)
-    val counts = df.groupBy(groupKeys.map(col): _*).agg(count(lit(1)).as("__n"))
-    // exclusive cumulative count in lexicographic group order (the same
-    // order the global rank sorts groups by), via a triangular broadcast
-    // self-join over the tiny counts frame — no unpartitioned window.
-    def gstruct(prefix: String) = struct(groupKeys.map(k => col(s"$prefix.$k")): _*)
-    val starts = counts.as("a")
-      .join(broadcast(counts.as("b")), gstruct("b") < gstruct("a"), "left")
-      .groupBy(groupKeys.map(k => col(s"a.$k").as(k)): _*)
-      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__start"))
-    ranked.join(broadcast(starts), groupKeys)
-      .withColumn(rankCol, col("__grank") - col("__start"))
-      .drop("__grank", "__start")
+    val spark = df.sparkSession
+    val allSort = groupKeys.map(col) ++ sortCols
+    val sorted = df.repartitionByRange(numPartitions, allSort: _*)
+      .sortWithinPartitions(allSort: _*)
+    val gIdx = sorted.schema.fieldNames.zipWithIndex.toMap
+    val gPos: Array[Int] = groupKeys.map(gIdx(_)).toArray
+    val rdd = persistBounded(sorted.rdd)
+    def keyOf(r: Row): Seq[Any] = {
+      val a = new Array[Any](gPos.length)
+      var i = 0
+      while (i < gPos.length) { a(i) = r.get(gPos(i)); i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
+    // ONE totals job: ordered (group, count) runs per partition.
+    val perPart: Array[Seq[(Seq[Any], Long)]] = rdd.mapPartitions { it =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+      var cur: Seq[Any] = null
+      var n = 0L
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (cur == null) { cur = k; n = 1L }
+        else if (k == cur) n += 1L
+        else { runs += ((cur, n)); cur = k; n = 1L }
+      }
+      if (cur != null) runs += ((cur, n))
+      Iterator(runs.toSeq)
+    }.collect()
+    // Partition start offsets and each group's first global position.
+    val pOffsets = new Array[Long](perPart.length)
+    val starts = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+    var pos = 0L
+    var pid = 0
+    while (pid < perPart.length) {
+      pOffsets(pid) = pos
+      perPart(pid).foreach { case (k, n) =>
+        if (!starts.contains(k)) starts(k) = pos
+        pos += n
+      }
+      pid += 1
+    }
+    val bStarts = spark.sparkContext.broadcast(starts.toMap)
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      val st = bStarts.value
+      var acc = pOffsets(p)
+      it.map { r =>
+        val o = Row.fromSeq(r.toSeq :+ (acc - st(keyOf(r))))
+        acc += 1L
+        o
+      }
+    }
+    spark.createDataFrame(out,
+      sorted.schema.add(rankCol, LongType, nullable = false))
   }
 
   /** SQL NTILE(k) (1-based) from a 0-based global rank column and a total
