@@ -767,9 +767,15 @@ object PipelineQueries {
         "cast(conv(substr(md5(source), 1, 6), 16, 10) % 3 + 1 as bigint)"))
     val tot = supply.agg(sum(col("supply")).as("tot_toks"),
       sum(col("weight")).as("tot_w"))
+    // |sources|-row frame referenced by FIVE downstream subtrees (regime's
+    // self-cross, cands, lamStar, the final select) — without the cut each
+    // reference re-runs the corpus token aggregate (measured: 18 AQE
+    // stage-jobs for a metadata-scale solve). localCheckpoint executes the
+    // corpus pass once; everything after operates on ≤ |sources|² rows.
     val base = supply.crossJoin(broadcast(tot))
       .withColumn("budget", expr(s"tot_toks * $BudgetPct div 100"))
       .withColumn("ratio", expr("supply div weight"))
+      .localCheckpoint()
     // one regime solve per breakpoint threshold t: sources with
     // ratio <= t saturated, the rest share (B - sat_supply) by weight
     val regime = base.select(col("ratio").as("t")).distinct()
