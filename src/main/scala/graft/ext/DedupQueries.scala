@@ -129,8 +129,11 @@ object DedupQueries {
         .select(col("doc_id"), col("text"), col("source"))
         // documents.parquet is a single file → a single input split; the
         // md5-heavy shingle/minhash work downstream would otherwise run
-        // on one core. Spread rows across the full parallelism first.
-        .repartition(col("doc_id")))
+        // on one core. Spread rows with an EXPLICIT derived count — a
+        // bare repartition(col) is coalesced back to ~1 partition by
+        // AQE's byte-based rule (graft.ops.PlanHints.computeFanout).
+        .repartition(graft.ops.PlanHints.computeFanout(docCount(spark, dir)),
+          col("doc_id")))
         // localCheckpoint, not persist: both cache the rows, but persist
         // leaves the full shingle/minhash expression forest in the lineage
         // of every consumer, and d3/d4/d8's self-joins then re-analyze and
@@ -1021,8 +1024,10 @@ object DedupQueries {
     evictOtherDirs(spark, dir)
     val e = Tables.load(spark, dir, "embeddings")
       // single row-group fixture → one input split; fan out before the
-      // quadratic in-block cosine work (see levenshteinPairs)
-      .repartition(col("vec_id"))
+      // quadratic in-block cosine work (see levenshteinPairs). Explicit
+      // derived count: AQE would coalesce the byte-light shuffle otherwise.
+      .repartition(graft.ops.PlanHints.computeFanout(
+        SimilarityQueries.corpusCount(spark, dir)), col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"))
     val labels = embLabelsCache.getOrElseUpdate((spark, dir), {
       val pairs = e.as("a")
@@ -1171,7 +1176,10 @@ object DedupQueries {
       val lbl = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"))
         // single row-group fixture → fan out before the per-block work
-        .repartition(col("vec_id"))
+        // (explicit derived count: AQE coalesces byte-light shuffles
+        // otherwise)
+        .repartition(graft.ops.PlanHints.computeFanout(
+          SimilarityQueries.corpusCount(spark, dir)), col("vec_id"))
       // Truth LEFT endpoints pinned to a fixed id window (the recall-
       // sample cap): a deterministic sub-census that is the FULL truth
       // at fixture scale (every sf0.01 id < 640) and keeps the audit
@@ -1809,9 +1817,12 @@ object DedupQueries {
     * [[SimilarityQueries.corpusCount]], feeding the derived partition
     * count below. */
   private val docCountCache = caches.newSideCache[Long]()
-  private def docCount(spark: SparkSession, dir: String): Long = {
+  private[ext] def docCount(spark: SparkSession, dir: String): Long = {
     evictOtherDirs(spark, dir)
-    docCountCache.getOrElseUpdate((spark, dir), base(spark, dir).count())
+    // count the RAW load, not base(): base's fan-out is derived FROM
+    // this count (a columnless scan needs no fan-out anyway)
+    docCountCache.getOrElseUpdate((spark, dir),
+      Tables.load(spark, dir, "documents").count())
   }
 
   /** Pair-grain partition count for the capped text chain, derived

@@ -35,7 +35,17 @@ object SimilarityQueries {
     // fan-out. Hash on vec_id so s5's per-vector window needs no second
     // shuffle. On a real multi-row-group corpus the scan parallelizes
     // itself and this becomes a no-op cost-wise.
-    Tables.load(spark, dir, "embeddings").repartition(col("vec_id"))
+    // EXPLICIT derived count: a bare repartition(col) is coalesced by AQE
+    // down to total-bytes/minPartitionSize (~1 MB) partitions — for this
+    // frame a handful — BEFORE localCheckpoint captures the partitioning,
+    // so every band-index consumer inherited near-serial compute (s34's
+    // probe-shell build: one 1.0 s task at sf0.1). Byte-based coalescing
+    // is the wrong rule for compute-dense vector rows; the fan-out
+    // derives from the row count (graft.ops.PlanHints.computeFanout) so
+    // it scales with the corpus instead of the local core count.
+    Tables.load(spark, dir, "embeddings")
+      .repartition(graft.ops.PlanHints.computeFanout(corpusCount(spark, dir)),
+        col("vec_id"))
   }
 
   /** ANN index frames, built + checkpointed once per (session, dir) like
@@ -1708,7 +1718,10 @@ object SimilarityQueries {
     * width AND the derived pair-partition count both need it. */
   private[graft] def corpusCount(spark: SparkSession, dir: String): Long = {
     evictOtherDirs(spark, dir)
-    corpusCountCache.getOrElseUpdate((spark, dir), emb(spark, dir).count())
+    // count the RAW load, not emb(): emb's fan-out is derived FROM this
+    // count (a columnless scan needs no fan-out anyway)
+    corpusCountCache.getOrElseUpdate((spark, dir),
+      Tables.load(spark, dir, "embeddings").count())
   }
   private[graft] def scaledBandWidth(spark: SparkSession, dir: String): Int = {
     evictOtherDirs(spark, dir)

@@ -1457,9 +1457,10 @@ object TextQueries {
     val emptyCur = "cast(array() as array<string>)"
     docs(spark, dir)
       // single-row-group fixture → one input split; spread the per-token
-      // fold across cores (a real multi-row-group corpus parallelizes at
-      // the scan and this becomes a no-op cost-wise — the d2 discipline)
-      .repartition(col("doc_id"))
+      // fold across cores (the d2 discipline). Explicit derived count:
+      // AQE coalesces byte-light shuffles otherwise.
+      .repartition(graft.ops.PlanHints.computeFanout(
+        DedupQueries.docCount(spark, dir)), col("doc_id"))
       .select(expr(
         s"""aggregate(toks,
            |  named_struct('runs', $emptyRuns, 'cur', $emptyCur),
