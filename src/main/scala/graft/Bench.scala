@@ -19,6 +19,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle/spill files on the fastest local storage (see LocalDirs:
+      // env-overridable, cluster managers override it entirely)
+      .config("spark.local.dir", LocalDirs.default)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,7 +70,14 @@ object Bench {
     val omitted = results.size - entries.size
     val qs = entries.mkString("{", ",", "}")
     val omittedField = if (omitted > 0) s""","omitted":$omitted""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omittedField,"sf":"$sfDir"}""")
+    // pass-1/pass-2 totals beside the min-of-2 headline (r15 verdict item:
+    // pass 1 pays cache builds and any box contention spike; surfacing both
+    // lets a reader separate environment noise and warm-path cost from the
+    // steady-state number without changing the headline's meaning).
+    val passTotals = passes.map(p => p.values.filter(_ >= 0.0).sum)
+    val passField =
+      s""","p1":${fmt(passTotals.head)},"p2":${fmt(passTotals.last)}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omittedField$passField,"sf":"$sfDir"}""")
     graft.ext.DedupQueries.clearCaches()
     graft.ext.TextQueries.clearCaches()
     graft.ext.SimilarityQueries.clearCaches()

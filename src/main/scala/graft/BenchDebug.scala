@@ -23,6 +23,7 @@ object BenchDebug {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuf)
+      .config("spark.local.dir", LocalDirs.default)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

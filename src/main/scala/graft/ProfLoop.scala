@@ -12,16 +12,26 @@ object ProfLoop {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
+      .config("spark.local.dir", sys.env.getOrElse("LOCALDIR", "/tmp"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val name = args.headOption.getOrElse("q113_equidepth_stats")
     val n = if (args.length > 1) args(1).toInt else 30
-    val fn = SparkEntry.queries(name)
+    val planOnly = sys.env.get("PLAN_ONLY").contains("true")
+    val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "SYNTH")
+        (s, _) => s.range(1000000).groupBy(org.apache.spark.sql.functions.expr("id % 10"))
+          .count()
+      else SparkEntry.queries(name)
     fn(spark, dir).count() // warm
-    println(s"[prof] warmed, looping $name x$n")
+    println(s"[prof] warmed, looping $name x$n planOnly=$planOnly")
     val t0 = System.nanoTime()
-    (1 to n).foreach(_ => fn(spark, dir).count())
+    if (planOnly)
+      (1 to n).foreach(_ => fn(spark, dir).queryExecution.executedPlan)
+    else
+      (1 to n).foreach(_ => fn(spark, dir).count())
     println(f"[prof] done: ${(System.nanoTime() - t0) / 1e9 / n}%.3f s/iter")
     spark.stop()
   }

@@ -1419,13 +1419,17 @@ object SimilarityQueries {
     * Input grain: (vec_id, embedding, bid, bkey, minute); emits
     * (vec_a, vec_b, cosine) distinct, threshold-verified. */
   private[graft] def evictingPairsReplayOn(bands: DataFrame,
-      gapLimit: Int): DataFrame = {
+      gapLimit: Int, sharedMins: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(bands.sparkSession)
     // per-bucket consecutive distinct-arrival-minute gaps; keep only
-    // the chain-breaking rows (gap mass is tiny — violations only)
-    val breaks = bands.select(col("bid"), col("bkey"), col("minute"))
-      .distinct()
+    // the chain-breaking rows (gap mass is tiny — violations only).
+    // `sharedMins`, when given, IS this frame's distinct (bid, bkey,
+    // minute) set, checkpointed by the caller so the composed replay's
+    // two kernels don't each re-derive it from the corpus-grain rows.
+    val breaks = sharedMins
+      .getOrElse(bands.select(col("bid"), col("bkey"), col("minute"))
+        .distinct())
       .withColumn("gap", col("minute") - lag(col("minute"), 1).over(
         Window.partitionBy(col("bid"), col("bkey")).orderBy(col("minute"))))
       .filter(col("gap") > gapLimit)
@@ -1536,27 +1540,41 @@ object SimilarityQueries {
     * Input `bands2` is width-(b0+1) band rows carrying arrival
     * `minute`; emits distinct (vec_a, vec_b, cosine) with t_b ≥ mc. */
   private[graft] def evictEpochPairsOn(bands2: DataFrame, b0: Int,
-      mc: Long, gapLimit: Int, cut: Long): DataFrame = {
+      mc: Long, gapLimit: Int, cut: Long,
+      sharedMins2: Option[DataFrame] = None,
+      sharedPm: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(bands2.sparkSession)
     val mask = (1 << b0) - 1
     val split = 1 << b0
-    val childMins = bands2.filter(col("minute") >= mc)
-      .select(col("bid"), col("bkey"), col("minute")).distinct()
-    val pm = bands2.filter(col("minute") < mc)
+    // `sharedMins2` (distinct (bid, bkey, minute) of bands2) and
+    // `sharedPm` (its minute < mc rows masked to b0 and re-distincted,
+    // schema (bid, pk, minute)) let the composed replay derive child and
+    // parent chains from ONE checkpointed census instead of three
+    // corpus-grain distincts per invocation (epoch1's breaks reads the
+    // same pm frame).
+    val mins2 = sharedMins2.getOrElse(
+      bands2.select(col("bid"), col("bkey"), col("minute")).distinct())
+    val childMins = mins2.filter(col("minute") >= mc)
+    val pm = sharedPm.getOrElse(mins2.filter(col("minute") < mc)
       .select(col("bid"), col("bkey").bitwiseAND(lit(mask)).as("pk"),
         col("minute"))
-      .distinct()
+      .distinct())
     val parentMins = pm.select(col("bid"), col("pk").as("bkey"), col("minute"))
       .union(pm.select(col("bid"),
         (col("pk") + lit(split)).cast("int").as("bkey"), col("minute")))
-    val allMins = childMins.union(parentMins).distinct()
+    // union WITHOUT a distinct: the three branches are pairwise
+    // duplicate-free by construction — childMins holds minutes ≥ mc,
+    // both parent branches minutes < mc, and the two parent branches'
+    // key ranges are disjoint ([0, 2^b0) vs [2^b0, 2^(b0+1))) — so the
+    // old re-distinct was a pure extra exchange.
+    val allMins = childMins.union(parentMins)
     val breaks = allMins
       .withColumn("gap", col("minute") - lag(col("minute"), 1).over(
         Window.partitionBy(col("bid"), col("bkey")).orderBy(col("minute"))))
       .filter(col("gap") > gapLimit)
       .select(col("bid"), col("bkey"), col("minute").as("break_minute"))
-    val lastParent = allMins.filter(col("minute") < mc)
+    val lastParent = parentMins
       .groupBy(col("bid"), col("bkey"))
       .agg(max(col("minute")).as("last_parent_min"))
     val cand = bands2.as("a").join(bands2.as("b"),
@@ -1632,14 +1650,34 @@ object SimilarityQueries {
       .filter(col("vec_id") < mc * EvictReplayPerMin)
       .withColumn("bkey",
         col("bkey").bitwiseAND(lit((1 << b0) - 1)).cast("int"))
-    val p1 = evictingPairsReplayOn(rows1, g)
+    // ONE (bid, bkey, minute) census serves both kernels (r16): epoch2's
+    // child chain filters it, its parent chain and epoch1's gap-break
+    // window both read the b0-masked re-distinct `pm` (rows1's distinct
+    // minute set is definitionally the same frame: rows1 IS rows2 at
+    // minute < mc with the masked key). Without the checkpoints each
+    // branch re-derived its census from the corpus-grain band rows —
+    // three distinct exchanges per invocation for one census.
+    val mins2 = rows2.select(col("bid"), col("bkey"), col("minute"))
+      .distinct().localCheckpoint()
+    val pm = mins2.filter(col("minute") < mc)
+      .select(col("bid"),
+        col("bkey").bitwiseAND(lit((1 << b0) - 1)).as("pk"), col("minute"))
+      .distinct().localCheckpoint()
+    val p1 = evictingPairsReplayOn(rows1, g, sharedMins = Some(
+        pm.select(col("bid"), col("pk").as("bkey"), col("minute"))))
       .withColumn("phase", lit("epoch1"))
-    val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut)
+    val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut,
+        sharedMins2 = Some(mins2), sharedPm = Some(pm))
       .withColumn("phase", lit("epoch2"))
-    materializeBounded(
+    val out = materializeBounded(
       p1.unionByName(p2)
         .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine")),
       Seq("phase", "vec_a", "vec_b"))
+    // per-invocation frames — release eagerly (materializeBounded already
+    // collected; nothing downstream re-reads them)
+    graft.CheckpointUtil.release(mins2)
+    graft.CheckpointUtil.release(pm)
+    out
   }
 
   /** r_ann_epoch_replay — the mid-stream doubling-epoch protocol's EDGE
