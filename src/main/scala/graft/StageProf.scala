@@ -46,6 +46,14 @@ object StageProf {
       Thread.sleep(400)
       println(f"===== $name warm $wall%.2f s rows=$n =====")
       lines.forEach(println)
+      val live = spark.sparkContext.getPersistentRDDs
+      spark.sparkContext.getRDDStorageInfo.filter(_.isCached).foreach { i =>
+        val site = live.get(i.id)
+          .map(_.toDebugString.linesIterator.next().take(120)).getOrElse("?")
+        println(f"[storage] id=${i.id}%-5d mem=${i.memSize / 1e6}%8.2fMB " +
+          f"disk=${i.diskSize / 1e6}%8.2fMB parts=${i.numCachedPartitions}%-3d " +
+          site)
+      }
     }
     spark.stop()
   }

@@ -1329,20 +1329,24 @@ object DedupQueries {
     val deg = und.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var ranks = deg.select(col("doc_id"), lit(1000000L).as("rank_micro"))
+    // the per-node degree RIDES the rank frame (r16): joining the deg
+    // frame separately cost one extra broadcast build + join per round
+    // (and two at the readout) for a value that is loop-invariant — the
+    // broadcast-sized frame just carries one more int column instead.
+    var ranks = deg.select(col("doc_id"), lit(1000000L).as("rank_micro"),
+        col("deg"))
       .localCheckpoint()
     (1 to PagerankIters).foreach { _ =>
       val prev = ranks
       val contrib = und
         .join(broadcast(prev), und("doc_a") === prev("doc_id"))
-        .join(broadcast(deg.select(col("doc_id").as("src"), col("deg"))),
-          und("doc_a") === col("src"))
         .groupBy(col("doc_b").as("doc_id"))
         .agg(sum(expr("rank_micro div deg")).as("c"))
-      ranks = deg.select(col("doc_id"))
+      ranks = deg
         .join(broadcast(contrib), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_micro"))
+          (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("rank_micro"),
+          col("deg"))
         .localCheckpoint()
       graft.CheckpointUtil.release(prev)
     }
@@ -1350,7 +1354,6 @@ object DedupQueries {
     // base 150000 from round 1 onward.
     Tables.load(spark, dir, "documents").select(col("doc_id"))
       .join(broadcast(ranks), Seq("doc_id"), "left")
-      .join(broadcast(deg), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("rank_micro"), lit(150000L)).as("rank_micro"),
         coalesce(col("deg"), lit(0L)).as("degree"))

@@ -164,6 +164,13 @@ object TextQueries {
     posShingleCache.getOrElseUpdate((spark, dir), {
       graft.functions.GraftFunctions.register(spark)
       Tables.load(spark, dir, "documents")
+        // single-row-group fixture → one input split, and the generator
+        // keeps its parent's partitioning — unfanned, this token-grain
+        // frame checkpointed as ONE 28 MB partition at sf0.1 and every
+        // consumer's first stage re-scanned it serially (the d2
+        // discipline; explicit derived count, or AQE coalesces it back)
+        .repartition(graft.ops.PlanHints.computeFanout(
+          DedupQueries.docCount(spark, dir)), col("doc_id"))
         .selectExpr("doc_id", "shingle_explode(text, 3) AS (pos, shingle)")
         .localCheckpoint()
     })

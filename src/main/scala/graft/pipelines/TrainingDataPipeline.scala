@@ -289,7 +289,17 @@ object TrainingDataPipeline {
           .join(survivors(spark, dir).select(col("doc_id")), "doc_id"),
         cutPlan)
         .select(col("doc_id"), col("clean_text").as("text"))
-      TextQueries.scrubbed(cut).localCheckpoint()
+      // DISK_ONLY, not the default MEMORY_AND_DISK: unlike every other
+      // cache in this module (flags, counts, pair keys), this one is
+      // doc-grain TEXT — the survivor corpus. A real pipeline lands this
+      // artifact on disk; pinning it in block-manager memory would
+      // compete with execution memory at exactly the corpus scales where
+      // the cut+scrub is worth deduplicating (guide §5). Chunking and
+      // packing each read it once sequentially, so the disk round-trip
+      // replaces a full regex re-scrub, not a memory hit. Measured at
+      // sf0.1: 0.16 MB serialized on disk (BASELINE.md r16 row).
+      TextQueries.scrubbed(cut).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     })
   }
 
