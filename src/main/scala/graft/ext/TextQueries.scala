@@ -1178,6 +1178,13 @@ object TextQueries {
   val DsirBuckets = 64
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val pairs = docs(spark, dir)
+      // single-row-group fixture → one input split, and the bigram
+      // explode + per-bigram md5 is this query's whole CPU (profiled
+      // r16: 0.5 s serial in the scan task while 31 cores idled — the
+      // d2/t30 discipline). Explicit derived count: AQE coalesces
+      // byte-light shuffles back to one task otherwise.
+      .repartition(graft.ops.PlanHints.computeFanout(
+        DedupQueries.docCount(spark, dir)), col("doc_id"))
       .withColumn("is_tgt", col("source").isin("src0", "src1").cast("int"))
       .select(col("doc_id"), col("is_tgt"),
         explode(expr("transform(sequence(0, size(toks)-2), " +

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftInternalRowShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Distributed global ordering primitives — the scale-safe replacement for
   * a single-partition `Window.orderBy(...)` (global row_number / ntile /
@@ -22,9 +24,17 @@ import org.apache.spark.sql.types.LongType
   * it doesn't, the two sides see DIFFERENT partitionings and ranks break
   * (observed: 17 tiles from ntile(16)). One RDD instance constructs its
   * RangePartitioner exactly once, so the totals job and the output job
-  * share boundaries by construction. The mapPartitions hop costs one
-  * InternalRow↔Row conversion; at very large inputs persist the sorted
-  * RDD to pay the scan+shuffle once instead of twice.
+  * share boundaries by construction.
+  *
+  * The RDD hop stays in INTERNAL rows (r16, via [[GraftInternalRowShim]]):
+  * `Dataset.rdd` decoded every row to an external `GenericRowWithSchema`
+  * and the pooled cache then paid Java (de)serialization per pass —
+  * profiled at ~7 s of task CPU for q52's three passes at sf0.1. UnsafeRow
+  * blocks cache as the sort's own binary format: re-reads deserialize
+  * nothing, and MEMORY_AND_DISK's unroll accounting is a shallow walk
+  * (row object + one byte[]), not the reflective schema-graph walk that
+  * made the external-Row deserialized level unusable (r16 commit
+  * 0c055ef).
   *
   * Requirement: `sortCols` must be a TOTAL order (tie-free). Ranks are
   * then invariant to where the sampled range boundaries land, so results
@@ -42,17 +52,8 @@ object RankOps {
     * the deepest composition in the suite (two RankOps per query) with
     * headroom. */
   private val MaxPersisted = 8
-  private val persisted = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[Row]]
-  private def persistBounded(rdd: org.apache.spark.rdd.RDD[Row]) = synchronized {
-    // SER, not deserialized: MemoryStore's deserialized path periodically
-    // re-estimates the unrolled block via SizeEstimator, whose reflective
-    // object-graph walk over external Row objects costs ~200µs/row —
-    // profiled at 15-26s of task CPU per RankOps call at sf0.1 (jstack:
-    // 96/120 RUNNABLE samples in SizeEstimator under putIteratorAsValues).
-    // The serialized path tracks exact bytes instead; the per-row
-    // JavaSerializer cost is two orders of magnitude smaller, and the
-    // partition's shared schema object serializes once per block via the
-    // ObjectOutputStream handle table.
+  private val persisted = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[InternalRow]]
+  private def persistBounded(rdd: org.apache.spark.rdd.RDD[InternalRow]) = synchronized {
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     persisted.addLast(rdd)
     while (persisted.size > MaxPersisted)
@@ -69,6 +70,22 @@ object RankOps {
     while (!persisted.isEmpty)
       persisted.removeFirst().unpersist(blocking = false)
   }
+
+  /** The range-sorted frame as a persisted RDD of COPIED internal rows
+    * (the sort streams reused row objects — see the shim's contract). */
+  private def sortedInternal(df: DataFrame, numPartitions: Int,
+      sortCols: Seq[Column]): (DataFrame, org.apache.spark.rdd.RDD[InternalRow]) = {
+    val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    (sorted, persistBounded(
+      GraftInternalRowShim.toInternalRdd(sorted).map(_.copy())))
+  }
+
+  /** One appended long column: the input row joined with a fresh 1-slot
+    * suffix — the downstream `RDDScanExec` unsafe projection flattens the
+    * view, so no per-field copy happens here. */
+  private def appendLong(r: InternalRow, v: Long): InternalRow =
+    new JoinedRow(r, new GenericInternalRow(Array[Any](v)))
 
   /** Append 0-based global rank under `sortCols` as column `rankCol`. */
   def withGlobalRank(df: DataFrame, numPartitions: Int, rankCol: String,
@@ -96,35 +113,33 @@ object RankOps {
   def withGlobalPrefixSumAndTotal(df: DataFrame, numPartitions: Int, prefixCol: String,
       value: Column, sortCols: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val sorted = df.withColumn("__v", value.cast("long"))
-      .repartitionByRange(numPartitions, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val vIdx = sorted.schema.fieldIndex("__v")
+    val withV = df.withColumn("__v", value.cast("long"))
+    val vIdx = withV.schema.fieldIndex("__v")
     // ONE RDD: its RangePartitioner (and thus the pid→key-range map) is
     // constructed exactly once and shared by both jobs below. Persisted,
     // because the totals job and the output job would otherwise EACH pay
     // the scan + range shuffle + sort; with the blocks cached the second
     // job is a pure streaming pass.
-    val rdd = persistBounded(sorted.rdd)
+    val (sorted, rdd) = sortedInternal(withV, numPartitions, sortCols)
     val totals = rdd
       .mapPartitions(it => Iterator(it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
       .collect()
     val offsets = totals.scanLeft(0L)(_ + _)
     // the OUTPUT rdd is NOT pooled (r15 tried it; r16 reverted): most
     // consumers reference the prefix frame exactly once, so persisting it
-    // was a pure second block-manager write per call — and under the
-    // deserialized level it doubled the SizeEstimator burn. A consumer
-    // that re-references the frame (q52's peak join) re-runs only this
+    // was a pure second block-manager write per call. A consumer that
+    // re-references the frame (q52's peak join) re-runs only this
     // streaming pass over the already-persisted sorted input.
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r =>
-        val o = Row.fromSeq(r.toSeq :+ acc)
+        val o = appendLong(r, acc)
         acc += r.getLong(vIdx)
         o
       }
     }
-    (spark.createDataFrame(out, sorted.schema.add(prefixCol, LongType, nullable = false))
+    (GraftInternalRowShim.fromInternalRdd(spark, out,
+      sorted.schema.add(prefixCol, LongType, nullable = false))
       .drop("__v"), offsets.last)
   }
 
@@ -139,11 +154,9 @@ object RankOps {
   def withGlobalPrefixMax(df: DataFrame, numPartitions: Int, prefixCol: String,
       value: Column, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.withColumn("__v", value.cast("long"))
-      .repartitionByRange(numPartitions, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val vIdx = sorted.schema.fieldIndex("__v")
-    val rdd = persistBounded(sorted.rdd)
+    val withV = df.withColumn("__v", value.cast("long"))
+    val vIdx = withV.schema.fieldIndex("__v")
+    val (sorted, rdd) = sortedInternal(withV, numPartitions, sortCols)
     val maxes = rdd
       .mapPartitions(it =>
         Iterator(it.foldLeft(Long.MinValue)((a, r) => math.max(a, r.getLong(vIdx)))))
@@ -152,12 +165,12 @@ object RankOps {
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r =>
-        val o = Row.fromSeq(r.toSeq :+ acc)
+        val o = appendLong(r, acc)
         acc = math.max(acc, r.getLong(vIdx))
         o
       }
     }
-    spark.createDataFrame(out,
+    GraftInternalRowShim.fromInternalRdd(spark, out,
         sorted.schema.add(prefixCol, LongType, nullable = false))
       .drop("__v")
   }
@@ -186,15 +199,17 @@ object RankOps {
       groupKeys: Seq[String], sortCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val allSort = groupKeys.map(col) ++ sortCols
-    val sorted = df.repartitionByRange(numPartitions, allSort: _*)
-      .sortWithinPartitions(allSort: _*)
-    val gIdx = sorted.schema.fieldNames.zipWithIndex.toMap
+    val gIdx = df.schema.fieldNames.zipWithIndex.toMap
     val gPos: Array[Int] = groupKeys.map(gIdx(_)).toArray
-    val rdd = persistBounded(sorted.rdd)
-    def keyOf(r: Row): Seq[Any] = {
+    val gTypes: Array[DataType] = gPos.map(df.schema.fields(_).dataType)
+    val (sorted, rdd) = sortedInternal(df, numPartitions, allSort)
+    // group-key values come out of COPIED cached rows, so UTF8String /
+    // Decimal views are stable; their equals/hashCode are value-based,
+    // which is all the run-length compare and the starts map need.
+    def keyOf(r: InternalRow): Seq[Any] = {
       val a = new Array[Any](gPos.length)
       var i = 0
-      while (i < gPos.length) { a(i) = r.get(gPos(i)); i += 1 }
+      while (i < gPos.length) { a(i) = r.get(gPos(i), gTypes(i)); i += 1 }
       scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
     }
     // ONE totals job: ordered (group, count) runs per partition.
@@ -229,12 +244,12 @@ object RankOps {
       val st = bStarts.value
       var acc = pOffsets(p)
       it.map { r =>
-        val o = Row.fromSeq(r.toSeq :+ (acc - st(keyOf(r))))
+        val o = appendLong(r, acc - st(keyOf(r)))
         acc += 1L
         o
       }
     }
-    spark.createDataFrame(out,
+    GraftInternalRowShim.fromInternalRdd(spark, out,
       sorted.schema.add(rankCol, LongType, nullable = false))
   }
 

@@ -184,41 +184,53 @@ object TpchQueries {
   /** q88 / TPC-H Q21 shape — suppliers who kept orders waiting: late lines
     * (shipped > 60 days after ordering, finalized orders) where SOME other
     * supplier shares the order (EXISTS) but NO other supplier was late in
-    * it (NOT EXISTS) — the hardest plan in the TPC-H suite: two
-    * correlated self-joins against lineitem. Both subqueries plan as
-    * hash joins on the order key with the supplier inequality as a
-    * residual condition — LEFT SEMI for the EXISTS, LEFT ANTI for the
-    * NOT EXISTS — so the fact side is never duplicated and no distinct
-    * repair is needed; the `late` frame is one subtree reused by both the
-    * probe and the anti build (exchange reuse). The region-filtered
-    * supplier dimension attaches last, size-gated. */
+    * it (NOT EXISTS) — the hardest plan in the TPC-H suite.
+    *
+    * r16 rewrite (guide §1.2 — remove passes): the EXISTS/NOT-EXISTS
+    * self-joins scanned lineitem THREE times (`late` twice + `allLines`)
+    * and shuffled the fact three times. Both conditions are per-ORDER
+    * facts, so one grouped pass computes them: per (orderkey, suppkey)
+    * count the late lines, then over each order count its suppliers and
+    * its late suppliers. A late line survives iff its order has ≥ 2
+    * distinct suppliers (the EXISTS — some other supplier shares the
+    * order) and exactly 1 late supplier (the NOT EXISTS — a late l1 is
+    * itself late, so "no OTHER late supplier" ⟺ the order's late-supplier
+    * count is 1); it contributes its group's late-line count to numwait.
+    * Both the (orderkey, suppkey) aggregate and the per-order window ride
+    * the orderkey partitioning the lineitem⋈orders join already
+    * established — ONE lineitem scan, ONE fact exchange, no self-joins
+    * (plan: 3 lineitem scans → 1, SortMergeJoin semi+anti gone). The
+    * orders join stays the SMJ tier adjudicated in r11/r14 — both sides
+    * scale with the fact data, so neither broadcasts. The region-filtered
+    * supplier dimension attaches last, size-gated, unchanged. */
   def q88Tpch21(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val o = Tables.load(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val late = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .join(o, col("l_orderkey") === col("o_orderkey") &&
-        col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val allLines = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
     val nat = Tables.load(spark, dir, "nation")
       .filter(col("n_regionkey") === 2).select(col("n_nationkey"))
     val sup = Tables.load(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
-    late.as("l1")
-      .join(allLines.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l2.l_suppkey") =!= col("l1.l_suppkey"), "left_semi")
-      .join(late.as("l3"),
-        col("l1.l_orderkey") === col("l3.l_orderkey") &&
-          col("l3.l_suppkey") =!= col("l1.l_suppkey"), "left_anti")
-      .join(broadcastIfSmall(sup), col("l1.l_suppkey") === col("s_suppkey"))
+    val perSupp = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(
+        col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+        1)).as("late_cnt"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("n_late_supps",
+        sum(when(col("late_cnt") > 0, 1L).otherwise(0L)).over(w))
+      .filter(col("late_cnt") > 0 && col("n_supps") >= 2 &&
+        col("n_late_supps") === 1)
+      .join(broadcastIfSmall(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("late_cnt")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

@@ -808,16 +808,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("tpch q21: EXISTS stays LEFT SEMI, NOT EXISTS stays LEFT ANTI, no fact duplication") {
+  test("tpch q21: ONE lineitem pass — per-order counts, no EXISTS/NOT-EXISTS self-joins") {
+    // r16: the semi/anti self-joins (3 lineitem scans, 3 fact shuffles)
+    // collapsed into one (orderkey, suppkey) grouped pass plus a
+    // per-order window that rides the same partitioning — both subquery
+    // conditions are per-order facts. Pin: exactly one lineitem scan,
+    // no self-join of the fact, the window partitioned by the
+    // high-cardinality orderkey (never a dimension key).
     val p = plan("q88_tpch21")
-    assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
-    // No inner-join + distinct repair of the EXISTS, no cartesian fallback
+    assert(p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem")) == 1,
+      "lineitem must be scanned exactly once\n" + p)
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("Keys") &&
-        l.contains("l_orderkey") && l.contains("l_suppkey") &&
-        !l.contains("Functions=[")), "distinct repair over fact keys\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).nonEmpty, p)
   }
 
   test("tpch q20: correlated scalar agg decorrelates to ONE grouped pass") {
