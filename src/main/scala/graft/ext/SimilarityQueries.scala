@@ -2881,56 +2881,91 @@ object SimilarityQueries {
         .localCheckpoint())
   }
 
-  /** One power-iteration round's 1-row re-projection frame over the
-    * checkpointed matrix `xm` and the current direction `v` — exposed so
-    * the audit can pin that a round scans ONLY the ExistingRDD blocks
-    * (no parquet re-scan, no re-quantization) through a partial/final
-    * aggregate. */
-  private[graft] def powerRoundFrame(xm: DataFrame,
-      v: IndexedSeq[java.math.BigInteger]): DataFrame = {
-    // The dot product is UNROLLED into 64 literal-multiply terms instead
-    // of `aggregate(zip_with(...))`: the higher-order functions are
-    // CodegenFallback, so every row paid an interpreted lambda per
-    // element plus a 64-slot intermediate array (profiled r16: 1.6 s of
-    // task CPU per round at sf0.1 for what is 64 long multiplies/row —
-    // guide §4, prefer codegen expressions in the hot path). Arithmetic
-    // is unchanged: same long products, same left-to-right long sum,
-    // same truncating `div` (exact integer math, so term order can't
-    // matter anyway). v is deterministic per round, so from the second
-    // invocation on the generated source text repeats and Janino's
-    // cache skips the recompile.
-    val dot = v.zipWithIndex
-      .map { case (b, k) => s"xm[$k] * ${b}L" }
-      .mkString("(", " + ", ") div 1000000")
-    // Multiply in LONG, cast only the product for the wide sum: |d| ≤
-    // 64·1e6 (renormalized dots) and |xm[k]| ≤ ~1e6, so d·xm[k] ≤ 6.4e13
-    // fits a long exactly — identical integer to the old
-    // `cast(d as decimal) * xm[k]`, minus the per-row BigDecimal multiply
-    // (Decimal.* always takes the BigDecimal path; the profiled ~1.5 s of
-    // round CPU at sf0.1 was 64 of them per row). The SUM stays
-    // decimal(38,0): that width is what makes the accumulation exact at
-    // corpus scale, and smaller per-row addends keep it on Decimal's
-    // compact-long fast path.
-    val dotted = xm.withColumn("d", expr(dot))
-    dotted.select((0 until PowerDim).map(k =>
-      sum(expr(s"cast(d * xm[$k] as decimal(38,0))")).as(s"s$k")): _*)
+  /** One power-iteration round over the checkpointed matrix as a plain
+    * primitive-loop partial aggregation (r16, the RankOps pattern): per
+    * partition, accumulate the 64 re-projection sums as hi/mid/lo LONG
+    * components split at 2^21 boundaries, ship P×3×64 longs to the
+    * driver, and reconstruct the exact sums in BigInteger.
+    *
+    * Why not SQL: the 64-column decimal(38,0) aggregate serialized a
+    * BigDecimal into the unsafe aggregation buffer per row per
+    * dimension (~128 µs/row — the round's entire CPU), the dot product
+    * via `aggregate(zip_with(...))` is CodegenFallback (an interpreted
+    * lambda + a 64-slot array per row), splitting the sums into 3×64
+    * LONG aggregate columns trips the 100-field whole-stage-codegen
+    * limit into interpreted eval, and the per-round literal direction
+    * vector made every generated source unique so nothing amortized
+    * across the 303-query bench (all four measured this round: 1.6 s →
+    * 2.6 s variants). A hand-written while-loop over the cached
+    * UnsafeRow blocks does the same 64 multiplies + 192 adds per row
+    * in ~1 µs with NO per-round analysis, optimization or codegen.
+    *
+    * Exactness: d = ⌊Σ x_k·v_k / 1e6⌋ in long (|Σ| ≤ 6.4e13, exact;
+    * Java `/` truncates toward zero exactly like Spark `div` and DuckDB
+    * `//`). p = d·x_k ≤ 6.4e13 is exact in long, and p =
+    * (p/2^42)·2^42 + ((p/2^21)%2^21)·2^21 + (p%2^21) is the truncating
+    * div/% identity (negative-safe: remainder carries the dividend's
+    * sign). Components sum independently — |Σlo|,|Σmid| ≤ 2^21·rows and
+    * |Σhi| ≤ 15·rows stay in long headroom to ~4.4e12 rows per
+    * PARTITION — and reconstruction is linear, so the BigInteger
+    * recombine is the same integer as a direct per-row sum at any
+    * corpus size. */
+  private[graft] def powerRoundExact(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      v: IndexedSeq[java.math.BigInteger]): IndexedSeq[java.math.BigInteger] = {
+    val dim = PowerDim
+    val vArr = v.map(_.longValueExact()).toArray
+    val parts = rdd.mapPartitions { it =>
+      val hi = new Array[Long](dim)
+      val mid = new Array[Long](dim)
+      val lo = new Array[Long](dim)
+      it.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val x = r.getArray(0).toLongArray()
+          if (x.length == dim) {
+            var dAcc = 0L
+            var k = 0
+            while (k < dim) { dAcc += x(k) * vArr(k); k += 1 }
+            val d = dAcc / 1000000L
+            k = 0
+            while (k < dim) {
+              val p = d * x(k)
+              hi(k) += p / 4398046511104L
+              mid(k) += (p / 2097152L) % 2097152L
+              lo(k) += p % 2097152L
+              k += 1
+            }
+          }
+        }
+      }
+      Iterator((hi, mid, lo))
+    }.collect()
+    (0 until dim).map { k =>
+      parts.foldLeft(java.math.BigInteger.ZERO) { case (acc, (h, m, l)) =>
+        acc.add(java.math.BigInteger.valueOf(h(k)).shiftLeft(42))
+          .add(java.math.BigInteger.valueOf(m(k)).shiftLeft(21))
+          .add(java.math.BigInteger.valueOf(l(k)))
+      }
+    }
   }
 
   def powerIteration(spark: SparkSession, dir: String): DataFrame = {
     val xm = powerQuantized(spark, dir)
+    // ONE InternalRow handle on the checkpointed blocks serves all
+    // rounds (each round is one collect job of P×192 longs — no SQL
+    // plan, no shuffle; the blocks are already cached by the shared
+    // (session, dir) checkpoint, which DirCaches releases on dir
+    // eviction / teardown, never a consumer).
+    val rdd = org.apache.spark.sql.GraftInternalRowShim.toInternalRdd(xm)
     var v: IndexedSeq[java.math.BigInteger] =
       IndexedSeq.fill(PowerDim)(java.math.BigInteger.valueOf(1000000L))
     for (_ <- 1 to PowerRounds) {
-      val row = powerRoundFrame(xm, v).head()
-      val raw = (0 until PowerDim).map(k =>
-        row.getDecimal(k).toBigInteger)
+      val raw = powerRoundExact(rdd, v)
       val maxAbs = raw.map(_.abs).max.max(java.math.BigInteger.ONE)
       // BigInteger.divide truncates toward zero — the Spark `div` /
       // DuckDB `//` convention, so the oracle's renormalize matches.
       v = raw.map(_.multiply(java.math.BigInteger.valueOf(1000000L)).divide(maxAbs))
     }
-    // xm is a shared (session, dir) cache — released by DirCaches on
-    // dir eviction / teardown, never by a consumer
     import spark.implicits._
     v.zipWithIndex
       .map { case (b, k) => ((k + 1).toLong, b.longValueExact()) }

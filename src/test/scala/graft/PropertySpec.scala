@@ -38,6 +38,35 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
   private def sample[A](g: Gen[List[A]]): List[A] =
     g.sample.getOrElse(sys.error("generator exhausted"))
 
+  test("power-iteration RDD round equals the per-row BigInteger reference") {
+    // powerRoundExact (r16) accumulates the 64 re-projection sums as
+    // per-partition hi/mid/lo longs split at 2^21 — this pins the
+    // split+reconstruct against a naive exact reference on shapes the
+    // fixture never produces: negative components (negative p exercises
+    // the truncating div/% identity), magnitudes at the |xm| ≤ 1e6
+    // envelope, several partitions, and a renormalized (negative,
+    // non-uniform) direction vector.
+    import java.math.BigInteger
+    val dim = graft.ext.SimilarityQueries.PowerDim
+    val rnd = new scala.util.Random(20260819L)
+    val rows: Seq[Array[Long]] = Seq.fill(97)(
+      Array.fill(dim)((rnd.nextInt(2000001) - 1000000).toLong))
+    val v: IndexedSeq[BigInteger] = IndexedSeq.fill(dim)(
+      BigInteger.valueOf((rnd.nextInt(2000001) - 1000000).toLong))
+    val df = rows.map(r => Tuple1(r)).toDF("xm").repartition(5)
+    val rdd = org.apache.spark.sql.GraftInternalRowShim.toInternalRdd(df)
+    val got = graft.ext.SimilarityQueries.powerRoundExact(rdd, v)
+    // reference: per-row exact d and per-dimension BigInteger sums
+    val exp = (0 until dim).map { k =>
+      rows.foldLeft(BigInteger.ZERO) { (acc, x) =>
+        val dotv = (0 until dim).map(i => x(i) * v(i).longValueExact()).sum
+        val d = dotv / 1000000L
+        acc.add(BigInteger.valueOf(d * x(k)))
+      }
+    }
+    assert(got == exp)
+  }
+
   test("sketch-bracketed exact median equals the sequential median") {
     // Guards MedianOps' rank arithmetic (k1/k2, the c_lo offset, the
     // band bounds) on shapes the fixture never produces: heavy
