@@ -22,6 +22,14 @@ object Bench {
       // shuffle/spill files on the fastest local storage (see LocalDirs:
       // env-overridable, cluster managers override it entirely)
       .config("spark.local.dir", LocalDirs.default)
+      // the suite compiles ~1500 distinct whole-stage-codegen sources; the
+      // default 100-entry compiled-class cache churns completely within one
+      // pass, so every stage of every query re-pays Janino compilation on
+      // every pass (~50-100 ms each — a fixed per-stage tax the min-of-2
+      // can never shed). Scale-neutral: any long-lived session executing a
+      // large distinct-plan suite wants the cache sized to the suite;
+      // compiled classes are content-keyed code, not data.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

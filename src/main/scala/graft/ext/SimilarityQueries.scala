@@ -1146,7 +1146,10 @@ object SimilarityQueries {
     * so both engines floor identically). Output is d rows — metadata
     * scale. */
   def isotropyAudit(spark: SparkSession, dir: String): DataFrame = {
-    val n = emb(spark, dir).count()
+    // emb() is a pure projection+fan-out of the embeddings load, so its
+    // row count IS the cached census — the per-invocation count job
+    // bought nothing (r16)
+    val n = corpusCount(spark, dir)
     val dims = emb(spark, dir)
       .select(posexplode(expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0D, 0) as bigint))"))
