@@ -24,6 +24,8 @@ object BenchDebug {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.local.dir", LocalDirs.default)
+      // compiled-class cache sized to the suite (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

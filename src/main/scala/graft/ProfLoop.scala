@@ -14,6 +14,8 @@ object ProfLoop {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("AQE", "true"))
       .config("spark.local.dir", sys.env.getOrElse("LOCALDIR", "/tmp"))
+      // compiled-class cache sized to the suite (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -14,6 +14,8 @@ object StageProf {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", LocalDirs.default)
+      // compiled-class cache sized to the suite (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

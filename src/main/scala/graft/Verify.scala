@@ -19,6 +19,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", LocalDirs.default)
+      // compiled-class cache sized to the suite (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
